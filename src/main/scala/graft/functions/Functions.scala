@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** graft's scalar/aggregate function surface.
+  *
+  * Everything here composes codegen'd Spark built-ins (SURVEY §2 P13)
+  * except `normalize_text`, which is a native Catalyst expression
+  * (NormalizeText.scala). No Scala UDFs in hot paths.
+  */
+object Functions {
+
+  /** Register SQL-callable custom functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", exprs => NormalizeTextExpr(exprs.head), "scala_udf")
+  }
+
+  /** normalize_text as a Column function (goes through the registry so
+    * we never touch the private Column<->Expression bridge). */
+  def normalize_text(c: Column): Column = call_function("normalize_text", c)
+
+  // ---- exact (hash-stable) numeric aggregates -------------------------
+  // Double sums are order-dependent and never hash-match another engine.
+  // Route sums through DECIMAL(38,6): cast of an IEEE double to decimal
+  // is deterministic, decimal addition is exact, and casting the exact
+  // total back to double is deterministic — so Spark and DuckDB agree
+  // bit-for-bit regardless of partitioning / AQE / row order.
+  // Scale 6 ≥ the exact decimal width of any 3-factor product of the
+  // 2-decimal testdata columns, so the cast never hits a rounding
+  // boundary (Spark rounds the shortest-string repr of a double,
+  // DuckDB rounds its binary value — they can disagree AT a boundary).
+
+  /** Exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided (IEEE, deterministic) by count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** DuckDB-side equivalents, for building oracle SQL strings. */
+  def dsumSql(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+  def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT($expr))"
+
+  // ---- vector ops over array<float>/array<double> ---------------------
+  // Built-in higher-order functions (zip_with / aggregate) — codegen'd,
+  // no UDF, no driver round-trip. Accumulation is sequential left fold
+  // in index order, matching a naive loop.
+
+  /** Dot product of two numeric arrays, computed in double. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dotd(a, a))
+
+  /** Cosine similarity = dot(a,b) / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column = dotd(a, b) / (l2norm(a) * l2norm(b))
+
+  // ---- text metrics (SURVEY §2 X3) ------------------------------------
+
+  /** Whitespace token count (empty/blank string counts 0). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+}

@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Functions
+import graft.functions.Functions._
+import graft.operators.Upsert
+import graft.sources.Tables
+
+/** First-wave relational query surface (SURVEY §2: A3-A5, J3/J4, W1-W3,
+  * O1/O2, P1/P12/P13, S4/S9/S10, A2, X1-X3).
+  *
+  * Every query here is declarative DataFrame API — Catalyst does
+  * pushdown/pruning/join-selection — and every numeric aggregate goes
+  * through Functions.dsum/davg (exact decimal) so results hash-match
+  * the DuckDB oracle at any partition count.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared oracle fragments.
+  private val revenueExpr = "(l_extendedprice * (1 - l_discount))"
+
+  val all: Map[String, Q] = Map(
+    // ---- A3: partial+final hash aggregate (TPC-H Q1 shape) ----------
+    "a3_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsum(($"l_extendedprice" * (lit(1.0) - $"l_discount")) * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- J3: multi-way equi join over the star schema ---------------
+    "j3_revenue_by_nation" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // ---- J3: left-semi / left-anti -----------------------------------
+    "j3_semi_anti_customers" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select($"o_custkey")
+      val withOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(
+          $"c_mktsegment",
+          coalesce($"n_with_orders", lit(0L)).as("n_with_orders"),
+          coalesce($"n_without_orders", lit(0L)).as("n_without_orders"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // ---- J4: as-of join (event → latest prior click of same user) ---
+    "j4_asof_last_click" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val probes = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts", lit(null).cast("timestamp").as("cts"), lit(1).as("is_probe"))
+      val clicks = e.filter($"event_type" === "click")
+        .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts", $"ts".as("cts"), lit(0).as("is_probe"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_probe".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      probes.unionByName(clicks)
+        .withColumn("last_click_ts", last($"cts", ignoreNulls = true).over(w))
+        .filter($"is_probe" === 1)
+        .select(
+          $"event_id", $"user_id",
+          date_format($"last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_click_ts"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- A2: dedup by key, last-writer-wins --------------------------
+    "a2_latest_event_per_user" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- A4: exact distinct counts ------------------------------------
+    "a4_distinct_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(
+          countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // ---- A5: rollup (multi-grain time aggregate) ----------------------
+    "a5_rollup_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          year($"o_orderdate").cast("long").as("order_year"),
+          month($"o_orderdate").cast("long").as("order_month"),
+          $"o_totalprice")
+        .rollup($"order_year", $"order_month")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"order_year".asc_nulls_first, $"order_month".asc_nulls_first)
+    }),
+
+    // ---- W1: ranking window (top-3 orders per customer) ---------------
+    "w1_top_orders_per_cust" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // ---- W2: analytic window (lag) -------------------------------------
+    "w2_lag_value_delta" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .select($"event_id", $"user_id", $"value", $"prev_value",
+          ($"value" - $"prev_value").as("delta"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- W3: frame-spec aggregate (trailing moving average) ------------
+    "w3_moving_avg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-23, 0)
+      Tables.events(s, dir)
+        .withColumn("mavg",
+          sum($"value".cast(DecimalType(38, 6))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .select($"event_id", $"user_id", $"mavg")
+        .orderBy($"event_id")
+    }),
+
+    // ---- O1: global top-k (TakeOrderedAndProject) ----------------------
+    "o1_global_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"), $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(10)
+    }),
+
+    // ---- O2: set operations --------------------------------------------
+    "o2_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val custN = Tables.customer(s, dir).select($"c_nationkey".cast("long").as("nationkey")).distinct()
+      val suppN = Tables.supplier(s, dir).select($"s_nationkey".cast("long").as("nationkey")).distinct()
+      custN.except(suppN).withColumn("tag", lit("cust_only"))
+        .unionByName(custN.intersect(suppN).withColumn("tag", lit("both")))
+        .orderBy($"tag", $"nationkey")
+    }),
+
+    // ---- P1: normalize_text (native Catalyst expression) ---------------
+    "p1_normalize_names" -> ((s, dir) => {
+      import s.implicits._
+      Functions.register(s)
+      Tables.customer(s, dir)
+        .select(
+          $"c_custkey",
+          normalize_text($"c_name").as("norm_name"),
+          normalize_text($"c_mktsegment").as("norm_segment"))
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- P12: date/time function family ---------------------------------
+    "p12_date_parts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          year($"o_orderdate").cast("long").as("order_year"),
+          quarter($"o_orderdate").cast("long").as("order_quarter"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date_str"))
+        .groupBy($"order_year", $"order_quarter")
+        .agg(count(lit(1)).as("n_orders"), max($"order_date_str").as("max_date"))
+        .orderBy($"order_year", $"order_quarter")
+    }),
+
+    // ---- P13: JSON scalar functions over events.props --------------------
+    "p13_json_events" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum($"value").as("sum_value"),
+          sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- S4/S5: keyed MERGE upsert with update counter --------------------
+    "s4_upsert_orders" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val target = o.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", lit(1L).as("nupdates"))
+      val updates = o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U").as("o_orderstatus"), ($"o_totalprice" * 2.0).as("o_totalprice"))
+      Upsert.merge(target, updates, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- S9: parquet scan with pushdown + pruning --------------------------
+    "s9_scan_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_quantity" > 45.0 && $"l_shipdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"), $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- S10: CSV round-trip (generic file formats) --------------------------
+    "s10_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"/root/repo/target/tmp/s10_csv_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name", $"n_regionkey".cast("long").as("n_regionkey"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+        .csv(tmp)
+        .orderBy($"n_nationkey")
+    }),
+
+    // ---- X1: exact dedup of documents.text ------------------------------------
+    "x1_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies", length($"text").cast("long").as("text_len"))
+        .orderBy($"keep_id")
+    }),
+
+    // ---- X2: brute-force cosine top-k similarity --------------------------------
+    "x2_topk_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id", round(cosine($"embedding", $"qv"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
+    }),
+
+    // ---- X3: token/char statistics per language -----------------------------------
+    "x3_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount($"text")).as("total_tokens"),
+          davg($"n_chars").as("avg_chars"))
+        .orderBy($"lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a3_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_base_price,
+         |${dsumSql(revenueExpr)} AS sum_disc_price,
+         |${dsumSql(s"$revenueExpr * (1 + l_tax)")} AS sum_charge,
+         |${davgSql("l_quantity")} AS avg_qty,
+         |${davgSql("l_extendedprice")} AS avg_price,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j3_revenue_by_nation" ->
+      s"""SELECT r_name, n_name, ${dsumSql(revenueExpr)} AS revenue,
+         |COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_semi_anti_customers" ->
+      """SELECT c_mktsegment,
+        |COUNT(*) FILTER (WHERE ex) AS n_with_orders,
+        |COUNT(*) FILTER (WHERE NOT ex) AS n_without_orders
+        |FROM (SELECT c_mktsegment,
+        |      EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS ex
+        |      FROM customer c) t
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j4_asof_last_click" ->
+      """SELECT e.event_id, e.user_id,
+        |(SELECT strftime(CAST(max(c.ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+        |   FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts) AS last_click_ts
+        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+
+    "a2_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type,
+        |strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "a4_distinct_counts" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "a5_rollup_orders" ->
+      s"""SELECT order_year, order_month, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+         |             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+         |             o_totalprice FROM orders) t
+         |GROUP BY ROLLUP(order_year, order_month)
+         |ORDER BY order_year NULLS FIRST, order_month NULLS FIRST""".stripMargin,
+
+    "w1_top_orders_per_cust" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "w2_lag_value_delta" ->
+      """SELECT event_id, user_id, value, prev_value, (value - prev_value) AS delta
+        |FROM (SELECT event_id, user_id, value,
+        |      lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+
+    "w3_moving_avg" ->
+      """SELECT event_id, user_id,
+        |CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "o1_global_topk" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "o2_set_ops" ->
+      """SELECT nationkey, tag FROM (
+        |  SELECT nationkey, 'cust_only' AS tag FROM
+        |    (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |     EXCEPT
+        |     SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier) e
+        |  UNION ALL
+        |  SELECT nationkey, 'both' AS tag FROM
+        |    (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |     INTERSECT
+        |     SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier) i
+        |) u ORDER BY tag, nationkey""".stripMargin,
+
+    "p1_normalize_names" ->
+      """SELECT c_custkey, replace(lower(c_name), ' ', '_') AS norm_name,
+        |replace(lower(c_mktsegment), ' ', '_') AS norm_segment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "p12_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+        |CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+        |COUNT(*) AS n_orders, max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p13_json_events" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+         |CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s4_upsert_orders" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS nupdates
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN t.nupdates + 1
+        |            WHEN u.o_orderkey IS NOT NULL THEN 1
+        |            ELSE t.nupdates END AS BIGINT) AS nupdates
+        |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s9_scan_pushdown" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s10_csv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "x1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "x2_topk_cosine" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |round(list_dot_product(embedding::DOUBLE[], q.qv) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x3_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+         |${davgSql("n_chars")} AS avg_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}
