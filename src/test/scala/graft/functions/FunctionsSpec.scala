@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("dotd / l2norm / cosine over array<float>") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(2.0f, 0.0f), Array(4.0f, 0.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      dotd($"a", $"b").as("dot"),
+      round(cosine($"a", $"b"), 9).as("cos")).collect()
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(rows(2).getDouble(1) == 1.0)
+  }
+
+  test("tokenCount: blank=0, single=1, collapses runs of whitespace") {
+    val s = spark; import s.implicits._
+    val got = Seq("", "   ", "one", " a  b\tc ", "a\nb")
+      .toDF("t").select(tokenCount($"t")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 1L, 3L, 2L))
+  }
+
+  test("dsum is exact and partition-order independent") {
+    val s = spark; import s.implicits._
+    val xs = (1 to 10000).map(i => (i % 7).toDouble + 0.01)
+    val a = xs.toDF("x").repartition(1).agg(dsum($"x")).head.getDouble(0)
+    val b = xs.toDF("x").repartition(32).agg(dsum($"x")).head.getDouble(0)
+    assert(a == b)
+    assert(a == xs.map(BigDecimal(_)).sum.toDouble)
+  }
+}
