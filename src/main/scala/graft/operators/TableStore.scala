@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed keyed table store with atomic-swap upsert — the
+  * engine's answer to the reference's SQLite database (SURVEY §2
+  * S4/S5/S6): `--init_db` bootstrap → `create`/`exists`;
+  * `INSERT .. ON CONFLICT DO UPDATE` in one transaction per table
+  * (/root/reference/scrapper.py:188-224) → `upsert` = Upsert.merge +
+  * write-new-then-rename.
+  *
+  * Storage layout: `root/<name>` is the live directory; a new version
+  * is fully written to `root/.tmp-<name>-<uuid>` and then swapped in
+  * with two renames. Readers of the old version are unaffected mid-
+  * write (they hold the old files open); the swap is the commit point,
+  * mirroring the reference's per-table transaction. Uses the Hadoop
+  * FileSystem API, so the same code runs on local disk, HDFS (atomic
+  * rename) or an object store.
+  *
+  * Scale note: the merge join shuffles on the key columns; updates are
+  * usually a micro-batch and broadcast, so rewriting the table is one
+  * wide scan + write — the unavoidable cost of MERGE without a
+  * transactional table format. At 100 TB the target table should be
+  * partitioned by a key prefix (e.g. report date) so the rewrite can
+  * be restricted to touched partitions.
+  */
+final class TableStore(val root: String) {
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def livePath(name: String): String = s"$root/$name"
+
+  /** S6: existence probe — the reference's sqlite_master check
+    * (/root/reference/scrapper.py:258-262). */
+  def exists(spark: SparkSession, name: String): Boolean =
+    fs(spark).exists(new Path(livePath(name)))
+
+  /** S6: CREATE TABLE IF NOT EXISTS — writes an empty parquet table
+    * carrying the schema. Returns true if created. */
+  def create(spark: SparkSession, name: String, schema: org.apache.spark.sql.types.StructType): Boolean =
+    if (exists(spark, name)) false
+    else {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(livePath(name))
+      true
+    }
+
+  def read(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(livePath(name))
+
+  /** Keyed MERGE with `nupdates` counter semantics
+    * (scrapper.py:196-206). First batch on a missing table inserts
+    * everything with nupdates = 1. */
+  def upsert(spark: SparkSession, name: String, updates: DataFrame, keys: Seq[String],
+      counterCol: String = "nupdates"): Unit = {
+    val merged =
+      if (!exists(spark, name)) {
+        updates.withColumn(counterCol, lit(1L))
+      } else {
+        val target = read(spark, name)
+        Upsert.merge(target, updates, keys, Some(counterCol))
+      }
+    replace(spark, name, merged)
+  }
+
+  /** Atomically replace a table's contents with `df` (the commit
+    * point). `df` may read from the table's own live directory: the
+    * new version is materialized into a temp dir before any rename. */
+  def replace(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    val f = fs(spark)
+    val live = new Path(livePath(name))
+    val tmp = new Path(s"$root/.tmp-$name-${UUID.randomUUID().toString.take(8)}")
+    val trash = new Path(s"$root/.old-$name-${UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(live)) {
+      if (!f.rename(live, trash))
+        throw new java.io.IOException(s"swap failed: could not move $live aside")
+    }
+    if (!f.rename(tmp, live)) {
+      f.rename(trash, live) // roll back
+      throw new java.io.IOException(s"swap failed: could not publish $tmp")
+    }
+    f.delete(trash, true)
+  }
+}

@@ -277,6 +277,28 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // ---- S1-S6/P1-P12/J1/J2/A2: the full reference ETL, end to end ----
+    // Scrape (fixture HTML — no network) → normalize → upsert two hourly
+    // batches → "current air quality per station" (the query the
+    // reference answers physically via PK upsert). No DuckDB oracle:
+    // inputs aren't the sf tables; correctness is pinned by
+    // AirQualityEtlSpec's goldens instead; driver does a rows>0 check.
+    "etl_current_air" -> ((s, dir) => {
+      import s.implicits._
+      val html = {
+        val in = getClass.getResourceAsStream("/fixtures/report_sample.html")
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/etl-${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.etl.AirQualityEtl.runBatch(s, store, html)
+      graft.etl.AirQualityEtl.runBatch(s, store, html.replace("09:00 h", "10:00 h"))
+      val cdmx = store.read(s, "cdmx")
+      cdmx.join(broadcast(cdmx.agg(max($"report_ts").as("mts"))), $"report_ts" === $"mts")
+        .select($"clave_str", $"alcaldia_str", $"calidad_del_aire_str", $"parametro_str")
+        .orderBy($"clave_str")
+    }),
+
     // ---- X3: token/char statistics per language -----------------------------------
     "x3_token_stats" -> ((s, dir) => {
       import s.implicits._
