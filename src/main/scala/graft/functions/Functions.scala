@@ -16,6 +16,8 @@ object Functions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalize_text", exprs => NormalizeTextExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** normalize_text as a Column function (goes through the registry so
@@ -44,16 +46,15 @@ object Functions {
   def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT($expr))"
 
   // ---- vector ops over array<float>/array<double> ---------------------
-  // Built-in higher-order functions (zip_with / aggregate) — codegen'd,
-  // no UDF, no driver round-trip. Accumulation is sequential left fold
-  // in index order, matching a naive loop.
+  // VecDot is a native codegen'd expression (VectorExpressions.scala);
+  // the zip_with/aggregate HOF formulation gives identical results but
+  // runs interpreted with per-row allocation — ~100× slower in the
+  // pairs×dims hot loop of similarity search. Callers must have run
+  // Functions.register(spark) on the session.
 
-  /** Dot product of two numeric arrays, computed in double. */
-  def dotd(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product of two numeric arrays, computed in double (native
+    * codegen'd expression; index-order accumulation). */
+  def dotd(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dotd(a, a))

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2 X3;
+  * north-star): language-ID features + heuristic classifier, quality
+  * scoring, BPE-style token counting, content fingerprinting.
+  *
+  * Every function is a composition of codegen'd built-ins over one
+  * row (no joins, no UDFs), so all of them pipeline into a single
+  * whole-stage-codegen pass over the corpus — at 100 TB this is a
+  * pure map, limited by scan bandwidth.
+  *
+  * All arithmetic is integer/exact so results hash-match the DuckDB
+  * oracle regardless of partitioning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty array for blank text). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  // ---- language identification (n-gram/stopword heuristic) ----------
+
+  /** Tiny per-language function-word lexicons — the classic heuristic:
+    * function words are the highest-frequency, most language-specific
+    * tokens. Deliberately small so the DuckDB oracle can embed the
+    * same lists. */
+  val stopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+  val stopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
+
+  /** Count of tokens present in a lexicon (with multiplicity). */
+  def stopwordHits(toks: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    size(filter(toks, t => array_contains(lex, t))).cast("long")
+  }
+
+  /** Number of CJK (CJK Unified Ideographs block) characters. */
+  def cjkCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("long")
+
+  /** Heuristic language classifier. Deterministic tie-breaks: CJK
+    * wins outright; then the lexicon with strictly more hits; 'en'
+    * is the fallback. Mirror of the oracle's CASE expression. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = stopwordHits(t, stopEn)
+    val es = stopwordHits(t, stopEs)
+    val de = stopwordHits(t, stopDe)
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(es > en && es >= de, lit("es"))
+      .when(de > en && de > es, lit("de"))
+      .otherwise(lit("en"))
+  }
+
+  // ---- quality scoring ----------------------------------------------
+
+  /** Lowercase ASCII-alpha character count. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+
+  /** Punctuation/symbol character count (non-alnum, non-space). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+
+  /** Integer percentage of alpha chars: (alpha*100) div chars, 0 for
+    * empty text. Integer division — exact in any engine. */
+  def alphaPct(text: Column): Column =
+    when(length(text) === 0, lit(0L))
+      .otherwise(alphaCount(text) * 100 / length(text).cast("long")).cast("long")
+
+  /** Boolean quality gate: mostly-alpha and long enough — the shape
+    * of a C4/Gopher-style rule (thresholds are illustrative). */
+  def isGoodDoc(text: Column, minTokens: Int = 20, minAlphaPct: Int = 70): Column =
+    alphaPct(text) >= minAlphaPct && size(tokens(text)) >= minTokens
+
+  // ---- BPE-style token counting -------------------------------------
+
+  /** Pre-tokenizer pattern in the GPT-2 spirit, restricted to
+    * constructs RE2 (DuckDB) and java.util.regex (Spark) treat
+    * identically: letter runs, digit runs, single other-symbols. */
+  val bpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Count of BPE-ish pre-tokens. */
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern)).cast("long")
+
+  // ---- content fingerprinting ---------------------------------------
+
+  /** Whole-document fingerprint: md5 of the exact text (md5 exists in
+    * both engines with identical output). */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Winnowing-style robust fingerprint: minimum md5 over the
+    * document's word n-gram shingles — stable under small edits
+    * outside the minimizing window. HOF is evaluated once per row. */
+  def winnowFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(
+      graft.operators.Dedup.wordGrams(text, n),
+      g => md5(g.cast("binary"))))
+}

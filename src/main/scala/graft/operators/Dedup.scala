@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (SURVEY §2 X1; north-star
+  * LLM-pipeline ops): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * All shingling/hashing is built from codegen'd higher-order
+  * expressions (`transform`/`sequence`/`array_min`/`xxhash64`) — no
+  * UDFs, so whole-stage codegen spans the hot path and the same plan
+  * scales from 500 docs to 100 TB:
+  *
+  *  - exact + signature computation: embarrassingly parallel per row;
+  *  - LSH candidate generation: one explode (×bands) + one shuffle on
+  *    (band, hash) — cost O(docs × bands), never O(docs²);
+  *  - only the verify step touches pairs, and only LSH-candidate
+  *    pairs, which for a sane threshold is ~O(true duplicates).
+  *
+  * The all-pairs variants exist as small-scale oracles/baselines; at
+  * scale you run the LSH path, which produces identical output when
+  * band parameters give negligible false-negative probability.
+  */
+object Dedup {
+
+  /** Distinct word n-grams ("shingles") of a text column. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val w = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** MinHash signature table: one row per doc, k columns m0..m{k-1}
+    * where m_i = min over shingles of xxhash64(shingle, i).
+    *
+    * Deliberately relational — explode shingles once, then a single
+    * hash-aggregate with k `min` accumulators — rather than nested
+    * `transform`/`array_min` lambdas: higher-order functions are
+    * interpreted (no codegen) and Catalyst inlines the whole shingling
+    * pipeline into every lambda, turning k×bands into a multiplicative
+    * re-evaluation. The aggregate form hashes each shingle exactly k
+    * times inside whole-stage codegen, and `min` gets map-side partial
+    * aggregation, so the only shuffle carries one k-column row per doc. */
+  def minhashTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("id"),
+      explode(wordGrams(col(textCol), n)).as("g"))
+    val mins = Seq.tabulate(k)(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+    grams.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash-LSH: docs sharing at
+    * least one band bucket (band hash = xxhash64 of its row columns).
+    * Output: (idA, idB) with idA < idB, deduplicated. Work is
+    * O(docs × bands); the only pairwise step is the equi-join on
+    * (band, h), which touches colliding docs only. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "signature length must divide into bands")
+    val r = k / bands
+    val sig = minhashTable(docs, idCol, textCol, n, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * r) until ((b + 1) * r)).map(i => col(s"m$i")) :+ lit(b): _*).as("h"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram overlap for given pairs: joins shingle sets
+    * back on and emits common/union counts (integers — exact, so the
+    * result hash-matches any engine; Jaccard = n_common / n_union). */
+  def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
+    pairs
+      .join(grams.withColumnsRenamed(Map("gid" -> "ga_id", "grams" -> "ga")), col("idA") === col("ga_id"))
+      .join(grams.withColumnsRenamed(Map("gid" -> "gb_id", "grams" -> "gb")), col("idB") === col("gb_id"))
+      .select(
+        col("idA"), col("idB"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_common"),
+        size(array_union(col("ga"), col("gb"))).cast("long").as("n_union"))
+  }
+
+  /** Exact n-gram Jaccard over ALL overlapping pairs, via an inverted
+    * index: explode shingles → self-equi-join on the shingle →
+    * count(*) per pair = |A ∩ B|; |A ∪ B| = |A| + |B| − |A ∩ B|.
+    *
+    * Pairs sharing zero shingles never materialize, so the cost is
+    * Σ_gram (docs-per-gram choose 2) — data-dependent, but vastly
+    * below docs² for real corpora, and every step is a codegen'd
+    * shuffle join + hash aggregate (vs. the naive cross-join with an
+    * interpreted array_intersect per pair, which is O(docs² × |grams|)
+    * and already takes minutes at 5k docs). Skewed (ubiquitous)
+    * shingles are the known hazard at scale — AQE skew-join splits
+    * them; a df-style stop-shingle filter is the standard next lever. */
+  def allPairsNgram(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
+    val sizes = grams.select(col("gid"), size(col("grams")).cast("long").as("sz"))
+    val posts = grams.select(col("gid"), explode(col("grams")).as("g"))
+    val common = posts.alias("a")
+      .join(posts.alias("b"), col("a.g") === col("b.g") && col("a.gid") < col("b.gid"))
+      .groupBy(col("a.gid").as("idA"), col("b.gid").as("idB"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("gid").as("idA"), col("sz").as("szA")), "idA")
+      .join(sizes.select(col("gid").as("idB"), col("sz").as("szB")), "idB")
+      .select(col("idA"), col("idB"), col("n_common"),
+        (col("szA") + col("szB") - col("n_common")).as("n_union"))
+  }
+
+  /** 64-bit SimHash over character n-gram shingles WITH multiplicity
+    * (sequence-sensitive, so word-order changes register). Returns
+    * (id, simhash: long with bit 63 kept zero — 63 usable bits).
+    *
+    * Distributed shape: explode shingles (linear), one hash-aggregate
+    * with 63 conditional-sum accumulators — no pairwise work. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, charN: Int = 5,
+      bits: Int = 63): DataFrame = {
+    val shingles = docs.select(
+      col(idCol).as("id"),
+      explode(
+        when(length(col(textCol)) >= charN,
+          transform(sequence(lit(1), length(col(textCol)) - (charN - 1)),
+            i => col(textCol).substr(i, lit(charN))))
+          .otherwise(array(col(textCol)))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val sums = Seq.tabulate(bits) { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val bitSums = shingles.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val hash = (0 until bits)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col("id"), hash.as("simhash"))
+  }
+
+  /** Pairs within the given Hamming distance of each other's simhash.
+    * All-pairs here (baseline); the scale path buckets on rotated
+    * prefixes (pigeonhole: distance ≤ d ⇒ some ⌈bits/(d+1)⌉-bit block
+    * equal) before verifying. */
+  def simhashNearPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sims.select(col("id").as("idA"), col("simhash").as("sa"))
+    val b = sims.select(col("id").as("idB"), col("simhash").as("sb"))
+    a.join(b, col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

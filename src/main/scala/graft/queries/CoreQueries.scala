@@ -268,6 +268,7 @@ object CoreQueries {
     // ---- X2: brute-force cosine top-k similarity --------------------------------
     "x2_topk_cosine" -> ((s, dir) => {
       import s.implicits._
+      Functions.register(s)
       val emb = Tables.embeddings(s, dir)
       val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
       emb.filter($"vec_id" =!= 0)

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Near-duplicate detection over `documents`/`embeddings` (SURVEY §2
+  * X1/X2 extensions). Exact variants double as DuckDB oracles; the
+  * LSH variant is the 100 TB path and must produce the same output on
+  * data whose duplicate pairs sit far from the threshold (testdata:
+  * planted pairs at Jaccard ≥ 0.97, background < 0.2).
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Jaccard ≥ 0.6 as an exact integer predicate: 5·common ≥ 3·union.
+  private def nearDupFilter = col("n_common") * 5 >= col("n_union") * 3
+
+  val all: Map[String, Q] = Map(
+    // ---- exact all-pairs word-trigram Jaccard (baseline/oracle) ----
+    "x1_ngram_jaccard" -> ((s, dir) => {
+      Dedup.allPairsNgram(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .filter(nearDupFilter)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
+          col("n_common"), col("n_union"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- MinHash-LSH candidates + exact verify (the scale path) ----
+    // Same output contract (and same oracle) as x1_ngram_jaccard:
+    // 16 bands × 4 rows ⇒ P(miss a 0.97-Jaccard pair) ≈ 1e-15, so the
+    // LSH plan must reproduce the exact result — while doing
+    // O(docs·bands) work instead of O(docs²).
+    "x1_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.lshCandidates(docs, "doc_id", "text", n = 3, k = 64, bands = 16)
+      Dedup.verifyPairs(cands, docs, "doc_id", "text", n = 3)
+        .filter(nearDupFilter)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
+          col("n_common"), col("n_union"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- SimHash-blocked near-dup + exact verify --------------------
+    // Char-5-gram SimHash as the blocker (testdata: planted pairs at
+    // Hamming ≤ 6, background ≥ 5 — overlap is fine, the verify step
+    // kills false positives), then the same exact check ⇒ same oracle.
+    "x1_simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sims = Dedup.simhash(docs, "doc_id", "text", charN = 5)
+      val cands = Dedup.simhashNearPairs(sims, maxHamming = 6).select("idA", "idB")
+      Dedup.verifyPairs(cands, docs, "doc_id", "text", n = 3)
+        .filter(nearDupFilter)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
+          col("n_common"), col("n_union"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- embedding-cosine: top-20 most-similar pairs ----------------
+    "x1_embed_neardup" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    })
+  )
+
+  private val jaccardOracle =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 3
+      |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+      |             ELSE [array_to_string(w, ' ')] END AS grams
+      |      FROM d)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+      |       CAST(len(list_distinct(a.grams || b.grams)) AS BIGINT) AS n_union
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.grams, b.grams)) * 5 >= len(list_distinct(a.grams || b.grams)) * 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x1_ngram_jaccard" -> jaccardOracle,
+    "x1_minhash_lsh" -> jaccardOracle,
+    "x1_simhash_pairs" -> jaccardOracle,
+    "x1_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  )
+}

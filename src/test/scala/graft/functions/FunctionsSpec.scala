@@ -9,6 +9,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("dotd / l2norm / cosine over array<float>") {
     val s = spark; import s.implicits._
+    Functions.register(s)
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

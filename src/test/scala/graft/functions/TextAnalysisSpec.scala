@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("langId: stopword and CJK heuristics") {
+    val s = spark; import s.implicits._
+    val got = Seq(
+      "the cat sat on the mat and it is fine",   // en
+      "el perro y la casa de que en un por",     // es
+      "der hund und die katze ist von mit",      // de
+      "你好 世界 data pipeline",                  // zh (CJK wins)
+      "spark table hash join"                    // no signal → en fallback
+    ).toDF("t").select(langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "zh", "en"))
+  }
+
+  test("quality features: alphaPct integer division, punct count, gate") {
+    val s = spark; import s.implicits._
+    val df = Seq("abc def!", "", "!!! ???").toDF("t")
+    val rows = df.select(alphaPct($"t"), punctCount($"t"), isGoodDoc($"t")).collect()
+    assert(rows(0).getLong(0) == 75L)  // 6 alpha / 8 chars → 75
+    assert(rows(1).getLong(0) == 0L)
+    assert(rows(2).getLong(1) == 6L && !rows(2).getBoolean(2))
+  }
+
+  test("bpeishCount: letter runs, digit runs, single symbols") {
+    val s = spark; import s.implicits._
+    val got = Seq("hello world42!", "a-b_c", "").toDF("t")
+      .select(bpeishCount($"t")).as[Long].collect().toSeq
+    // hello|world|42|! = 4 ; a|-|b|_|c = 5 ; "" = 0
+    assert(got == Seq(4L, 5L, 0L))
+  }
+
+  test("fingerprints: md5 stability and winnow robustness to distant edits") {
+    val s = spark; import s.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(base, base + " tail_change", "completely different words here now ok yes").toDF("t")
+    val rows = df.select(fingerprint($"t"), winnowFingerprint($"t", 5)).collect()
+    assert(rows(0).getString(0) != rows(1).getString(0)) // exact fp differs
+    // winnow fp may or may not survive the tail edit, but must differ for unrelated text
+    assert(rows(0).getString(1) != rows(2).getString(1))
+    assert(rows(0).getString(0).matches("[0-9a-f]{32}"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Pins the near-dup family on the deterministic testdata: the
+  * blocked paths (MinHash-LSH, SimHash) must reproduce the exact
+  * all-pairs result after verification — no false negatives on data
+  * whose planted duplicates (Jaccard ≥ 0.97) sit far from the 0.6
+  * threshold. */
+class DedupSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dupFilter = col("n_common") * 5 >= col("n_union") * 3
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.allPairsNgram(Tables.documents(spark, dir), "doc_id", "text")
+      .filter(dupFilter)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("testdata has the planted near-dup pairs") {
+    assert(exactPairs.size == 28)
+  }
+
+  test("MinHash-LSH candidates contain every true pair; verified result == exact") {
+    val docs = Tables.documents(spark, dir)
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(cands), s"LSH missed ${exactPairs -- cands}")
+    val verified = Dedup.verifyPairs(
+        Dedup.lshCandidates(docs, "doc_id", "text"), docs, "doc_id", "text")
+      .filter(dupFilter)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exactPairs)
+  }
+
+  test("SimHash(5-gram) blocking at Hamming<=6 + verify == exact") {
+    val docs = Tables.documents(spark, dir)
+    val sims = Dedup.simhash(docs, "doc_id", "text", charN = 5)
+    val cands = Dedup.simhashNearPairs(sims, maxHamming = 6).select("idA", "idB")
+    val verified = Dedup.verifyPairs(cands, docs, "doc_id", "text")
+      .filter(dupFilter)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exactPairs)
+  }
+
+  test("wordGrams: short text degrades to a single whole-text shingle") {
+    val s = spark; import s.implicits._
+    val got = Seq("one two", "a b c d").toDF("t")
+      .select(Dedup.wordGrams($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("one two"))
+    assert(got(1) == Seq("a b c", "b c d"))
+  }
+
+  test("simhash is sequence-sensitive: reordered words change the hash") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+                 (2L, "zeta epsilon delta gamma beta alpha")).toDF("id", "text")
+    val hs = Dedup.simhash(df, "id", "text").orderBy("id")
+      .select("simhash").as[Long].collect()
+    assert(hs(0) != hs(1))
+  }
+}
