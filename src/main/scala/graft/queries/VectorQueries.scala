@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions, VecCentroid}
+import graft.operators.Ann
+import graft.sources.Tables
+
+/** Vector/similarity queries over `embeddings` (SURVEY §2 X2/A6). */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- X2 scale path: LSH-bucketed ANN top-k ----------------------
+    // Same output contract as the brute-force x2_topk_cosine; with the
+    // chosen (tables, bits) the candidate set provably contains the
+    // true top-10 on this data, so it shares the exact oracle while
+    // doing bucket-collision work only.
+    "x2_ann_topk" -> ((s, dir) => {
+      Functions.register(s)
+      Ann.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // ---- A6 exact centroid (decimal-routed, oracle-checked) ---------
+    // Emits (sum, n) rather than sum/n: the exact decimal sum
+    // hash-matches any engine, while a rounded double quotient can
+    // land on a half-way rounding boundary and differ in the last
+    // digit (observed once in 128k rows).
+    "x2_centroid_exact" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(col("label"), col("idx").cast("long").as("idx"))
+        .agg(Functions.dsum(col("v").cast("double")).as("c_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "idx")
+    }),
+
+    // ---- A6 typed Aggregator centroid (the idiomatic fast path) -----
+    // No oracle: double accumulation is order-sensitive; pinned against
+    // x2_centroid_exact by VecCentroidSpec within 1e-9 instead.
+    "x2_centroid_agg" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(VecCentroid.udaf(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("idx", "c")))
+        .select(col("label"), col("idx").cast("long").as("idx"), round(col("c"), 4).as("c"))
+        .orderBy("label", "idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x2_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |round(list_dot_product(embedding::DOUBLE[], q.qv) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x2_centroid_exact" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS idx,
+        |CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS c_sum,
+        |COUNT(*) AS n
+        |FROM embeddings, generate_series(1, 64) s(i)
+        |GROUP BY label, i ORDER BY label, idx""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{Functions, VecCentroid}
+import graft.sources.Tables
+
+class AnnSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ANN top-10 equals brute-force top-10 (recall 1.0 on testdata)") {
+    Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
+      .select(col("vec_id"), Functions.cosine(col("embedding"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val ann = Ann.annTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ann == brute)
+  }
+
+  test("candidate set is a strict subset of the corpus (really approximate)") {
+    Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val planes = Ann.hyperplanes(96, 6, 64)
+    val idx = Ann.bucketIndex(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", planes)
+    val probe = Ann.bucketIndex(emb.filter(col("vec_id") === 0), "vec_id", "embedding", planes)
+      .select(col("t").as("pt"), col("b").as("pb"))
+    val nCand = idx.join(broadcast(probe), col("t") === col("pt") && col("b") === col("pb"))
+      .select("id").distinct().count()
+    val n = emb.count() - 1
+    assert(nCand < n, s"ANN degenerated to brute force: $nCand of $n")
+    assert(nCand > 0)
+  }
+
+  test("VecCentroid aggregator matches the exact decimal centroid within 1e-5") {
+    val emb = Tables.embeddings(spark, dir)
+    val agg = emb.groupBy(col("label"))
+      .agg(VecCentroid.udaf(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("idx", "v")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exact = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy("label", "idx")
+      .agg(Functions.davg(col("v").cast("double")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(agg.keySet == exact.keySet)
+    // 1e-5: the exact path truncates each element at decimal scale 6
+    agg.foreach { case (k, v) => assert(math.abs(v - exact(k)) < 1e-5, s"drift at $k") }
+  }
+
+  test("VecCentroid handles empty group shape: zero buffer merges are identity") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, Seq(1.0f, 3.0f)), (1, Seq(3.0f, 5.0f)), (2, Seq(2.0f, 2.0f)))
+      .toDF("label", "v").repartition(4)
+    val got = df.groupBy("label").agg(VecCentroid.udaf(col("v")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1) == Seq(2.0, 4.0) && got(2) == Seq(2.0, 2.0))
+  }
+}
