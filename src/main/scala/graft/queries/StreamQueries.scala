@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Batch forms of the streaming window operators (SURVEY §2 T2/T3),
+  * oracle-checked over `events`. The exact same Streams.* functions
+  * accept a readStream frame — StreamsSpec drives that side over
+  * MemoryStream; here DuckDB pins the window semantics. */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val all: Map[String, Q] = Map(
+    "t3_tumbling_stats" -> ((s, dir) => {
+      Streams.tumblingStats(Tables.events(s, dir))
+        .select(fmt(col("w_start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "t3_sliding_stats" -> ((s, dir) => {
+      Streams.slidingStats(Tables.events(s, dir))
+        .select(fmt(col("w_start")).as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "t3_session_stats" -> ((s, dir) => {
+      Streams.sessionStats(Tables.events(s, dir))
+        .select(fmt(col("s_start")).as("s_start"), fmt(col("s_end")).as("s_end"),
+          col("user_id"), col("n"))
+        .orderBy("user_id", "s_start")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t3_tumbling_stats" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every event belongs to exactly width/slide = 4 sliding windows
+    "t3_sliding_stats" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS w_start,
+        |event_type, COUNT(*) AS n
+        |FROM events, range(0, 4) r(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session semantics: a new session starts when the gap from the
+    // previous event of the same user is >= 30 minutes (Spark's
+    // session end = last_ts + gap, end-exclusive); end = last + gap
+    "t3_session_stats" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       user_id, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+  )
+}

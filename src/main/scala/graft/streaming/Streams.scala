@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
+
+import graft.functions.Functions.dsum
+import graft.operators.TableStore
+
+/** Structured Streaming operators (SURVEY §2 T1-T4).
+  *
+  * The reference is an hourly scheduler-driven micro-batch
+  * (/root/reference/launcher.bat:1-3) with three semantic guarantees:
+  * per-batch atomicity (one transaction per table,
+  * /root/reference/scrapper.py:208-214), idempotent re-runs (conflict
+  * keys update in place and bump `nupdates`, scrapper.py:198), and
+  * abort-don't-corrupt on bad input (scrapper.py:139-144). Here those
+  * map onto Structured Streaming primitives: `foreachBatch` + the
+  * TableStore atomic swap gives per-batch transactionality; the MERGE
+  * upsert gives idempotent conflict handling; a failed batch throws
+  * before the swap, so the table is never half-written.
+  *
+  * Every transformation takes a DataFrame and works identically on a
+  * batch frame or a `readStream` frame — the same plan serves backfill
+  * and live ingestion (the batch forms are oracle-checked in
+  * StreamQueries; the streaming forms are driven by StreamsSpec over
+  * MemoryStream).
+  */
+object Streams {
+
+  /** T1: micro-batch keyed MERGE sink. Each micro-batch runs the
+    * upsert inside foreachBatch; the TableStore directory swap is the
+    * commit point (per-batch transaction). */
+  def upsertSink(stream: DataFrame, store: TableStore, table: String,
+      keys: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsert(batch.sparkSession, table, batch, keys)
+      }
+
+  /** T2/T3: watermarked tumbling-window aggregate over an event-time
+    * column. Late rows within the watermark still update their window;
+    * older state is dropped (bounded state at 100 TB/day rates). */
+  def tumblingStats(events: DataFrame, watermark: String = "2 hours",
+      width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T3: sliding-window variant (width, slide). */
+  def slidingStats(events: DataFrame, watermark: String = "2 hours",
+      width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T3: session windows per user (gap-based). */
+  def sessionStats(events: DataFrame, watermark: String = "2 hours",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** T4: stateful exact-once dedup on key columns, with state expiry
+    * driven by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** T4/A1: the `nupdates` counter as explicit streaming state — how
+    * many times each key has been seen, maintained across micro-batches
+    * via mapGroupsWithState (the engine-level form of
+    * /root/reference/scrapper.py:198's ON CONFLICT counter). */
+  def runningKeyCounts(events: Dataset[KeyedEvent]): Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[Long, KeyCount](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          KeyCount(key, next)
+      }
+  }
+
+  final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
+  final case class KeyCount(key: String, n: Long)
+}

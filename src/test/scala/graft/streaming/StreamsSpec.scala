@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TableStore
+import graft.streaming.Streams.{KeyedEvent, KeyCount}
+
+/** Drives the streaming operators over MemoryStream: per-batch upsert
+  * transactionality (T1), watermarked windows (T2/T3), stateful dedup
+  * and counters (T4). */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2025-05-05 ${10 + min / 60}%02d:${min % 60}%02d:00")
+
+  test("T1: foreachBatch upsert — two micro-batches, conflict bumps nupdates") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "stream-store-").toString)
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Streams.upsertSink(
+        mem.toDF.toDF("report_ts", "clave", "value"),
+        store, "readings", Seq("report_ts", "clave"))
+      .start()
+    try {
+      mem.addData((1L, "a", 1.0), (1L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, "a", 9.0), (2L, "a", 3.0)) // conflict on (1,a), new (2,a)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = store.read(s, "readings")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getAs[Long]("nupdates"))).toMap
+    assert(rows((1L, "a")) == (9.0, 2L)) // updated value, counter bumped
+    assert(rows((1L, "b")) == (2.0, 1L))
+    assert(rows((2L, "a")) == (3.0, 1L))
+  }
+
+  test("T2/T3: watermarked tumbling window emits finalized counts; late row within watermark still lands") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.tumblingStats(mem.toDF.toDF("ts", "event_type", "value"),
+        watermark = "30 minutes")
+      .writeStream.outputMode("update").format("memory").queryName("tumbling").start()
+    try {
+      mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      mem.addData((ts(25), "click", 10.0)) // late but inside watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.sql("select w_start, event_type, n, sum_value from tumbling")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // latest update for the 10:00 click window includes the late row
+    assert(rows((Timestamp.valueOf("2025-05-05 10:00:00"), "click")) == (3L, 13.0))
+    assert(rows((Timestamp.valueOf("2025-05-05 11:00:00"), "view")) == (1L, 5.0))
+  }
+
+  test("T4: dropDuplicatesWithinWatermark suppresses re-deliveries") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Streams.dedupWithinWatermark(
+        mem.toDF.toDF("event_id", "ts"), Seq("event_id"), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(2)), (3L, ts(3))) // 1 is a duplicate re-delivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = s.sql("select event_id from dedup").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("T4/A1: mapGroupsWithState running key counts across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = Streams.runningKeyCounts(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("counts").start()
+    try {
+      mem.addData(KeyedEvent("a", ts(0)), KeyedEvent("a", ts(1)), KeyedEvent("b", ts(2)))
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("a", ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = s.sql("select key, max(n) from counts group by key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("a" -> 3L, "b" -> 1L))
+  }
+}
