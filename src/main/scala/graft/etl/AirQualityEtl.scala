@@ -166,9 +166,10 @@ object AirQualityEtl {
   def runBatch(spark: SparkSession, store: graft.operators.TableStore, html: String,
       cfg: EtlConfig = EtlConfig.default): Batch = {
     val b = batchFromHtml(spark, html, cfg)
-    store.upsert(spark, "cdmx", b.cdmx, cfg.tableKeys("cdmx"))
-    store.upsert(spark, "edomex", b.edomex, cfg.tableKeys("edomex"))
-    store.upsert(spark, "gral_stats", b.gralStats, cfg.tableKeys("gral_stats"))
+    // hourly report tables are micro-batch-sized — one output file each
+    store.upsert(spark, "cdmx", b.cdmx, cfg.tableKeys("cdmx"), numFiles = Some(1))
+    store.upsert(spark, "edomex", b.edomex, cfg.tableKeys("edomex"), numFiles = Some(1))
+    store.upsert(spark, "gral_stats", b.gralStats, cfg.tableKeys("gral_stats"), numFiles = Some(1))
     b
   }
 }

@@ -23,15 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-grams ("shingles") of a text column. */
-  def wordGrams(text: Column, n: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-        .otherwise(array(concat_ws(" ", w))))
-  }
+  /** Distinct word n-grams ("shingles") of a text column.
+    *
+    * The token array is bound ONCE as a lambda variable (the
+    * one-element outer `transform`): naively referencing a `split(...)`
+    * Column from inside the gram lambda inlines the split expression
+    * into every `element_at` — Catalyst does no CSE inside interpreted
+    * HOF lambdas — turning shingling O(words) into O(words²·n)
+    * (measured 18s → <1s for 5000 docs at sf0.1). */
+  def wordGrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(trim(text), "\\s+")), w =>
+        array_distinct(
+          when(size(w) >= n,
+            transform(sequence(lit(0), size(w) - n),
+              i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+            .otherwise(array(concat_ws(" ", w))))),
+      1)
 
   /** MinHash signature table: one row per doc, k columns m0..m{k-1}
     * where m_i = min over shingles of xxhash64(shingle, i).
@@ -46,10 +54,14 @@ object Dedup {
     * aggregation, so the only shuffle carries one k-column row per doc. */
   def minhashTable(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val grams = docs.select(
-      col(idCol).as("id"),
-      explode(wordGrams(col(textCol), n)).as("g"))
-    val mins = Seq.tabulate(k)(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+    // Hash the (variable-length) shingle string ONCE to a 64-bit value,
+    // then derive the k per-seed hashes from that long — hashing 8
+    // fixed bytes k times instead of re-hashing the string k times
+    // (~2-3× on the signature stage, which dominates LSH cost).
+    val grams = docs
+      .select(col(idCol).as("id"), explode(wordGrams(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val mins = Seq.tabulate(k)(i => min(xxhash64(col("gh"), lit(i))).as(s"m$i"))
     grams.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -78,19 +90,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-n-gram overlap for given pairs: joins shingle sets
-    * back on and emits common/union counts (integers — exact, so the
-    * result hash-matches any engine; Jaccard = n_common / n_union). */
+  /** Exact word-n-gram overlap for given candidate pairs, fully
+    * relational: candidates × side-A postings, equi-joined against
+    * side-B postings on (doc, shingle), counted per pair — every step
+    * codegen'd (the array_intersect-per-pair alternative is an
+    * interpreted set-build per row and was 5× slower at 300k
+    * candidates). Pairs sharing zero shingles drop out, which every
+    * threshold consumer filters away regardless. Jaccard =
+    * n_common / n_union, both exact integers. */
   def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
-    pairs
-      .join(grams.withColumnsRenamed(Map("gid" -> "ga_id", "grams" -> "ga")), col("idA") === col("ga_id"))
-      .join(grams.withColumnsRenamed(Map("gid" -> "gb_id", "grams" -> "gb")), col("idB") === col("gb_id"))
-      .select(
-        col("idA"), col("idB"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_common"),
-        size(array_union(col("ga"), col("gb"))).cast("long").as("n_union"))
+    val posts = docs.select(col(idCol).as("gid"), explode(wordGrams(col(textCol), n)).as("g"))
+    val sizes = posts.groupBy("gid").agg(count(lit(1)).as("sz"))
+    val withA = pairs.join(posts.select(col("gid").as("idA"), col("g")), "idA")
+    val bSide = posts.select(col("gid").as("bid"), col("g").as("gB"))
+    val common = withA
+      .join(bSide, withA("idB") === bSide("bid") && withA("g") === bSide("gB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("gid").as("idA"), col("sz").as("szA")), "idA")
+      .join(sizes.select(col("gid").as("idB"), col("sz").as("szB")), "idB")
+      .select(col("idA"), col("idB"), col("n_common"),
+        (col("szA") + col("szB") - col("n_common")).as("n_union"))
   }
 
   /** Exact n-gram Jaccard over ALL overlapping pairs, via an inverted
@@ -118,6 +139,38 @@ object Dedup {
       .join(sizes.select(col("gid").as("idB"), col("sz").as("szB")), "idB")
       .select(col("idA"), col("idB"), col("n_common"),
         (col("szA") + col("szB") - col("n_common")).as("n_union"))
+  }
+
+  /** Prefix-filtered exact near-dup pairs (PPJoin-style) for Jaccard
+    * threshold tNum/tDen: each doc only posts its PREFIX shingles —
+    * the first |g| − ⌈t·|g|⌉ + 1 under a global (rarity, shingle)
+    * order — because two sets with J ≥ t MUST share a prefix element
+    * (pigeonhole on the sorted order). Candidates come from the
+    * prefix self-join (rare shingles ⇒ tiny buckets ⇒ few pairs),
+    * then the standard exact verify. Identical output to the full
+    * inverted-index join, at a fraction of the pair volume — this is
+    * the exact-dedup plan that survives 100 TB. */
+  def prefixFilteredNgram(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
+    val posts = grams.select(col("gid"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+    val df = posts.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy("gid").orderBy(col("gdf").asc, col("g").asc)
+    // prefix length: sz - ceil(t*sz) + 1, with ceil(a*sz/b) = (a*sz + b - 1) div b
+    val prefix = posts.join(df, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - (col("sz") * tNum + tDen - 1).divide(tDen).cast("long") + 1)
+      .select(col("gid"), col("sz"), col("g"))
+    val cands = prefix.alias("a")
+      .join(prefix.alias("b"), col("a.g") === col("b.g") && col("a.gid") < col("b.gid") &&
+        // length filter: J ≥ t forces t·|B| ≤ |A| (and symmetrically)
+        col("a.sz") * tNum <= col("b.sz") * tDen &&
+        col("b.sz") * tNum <= col("a.sz") * tDen)
+      .select(col("a.gid").as("idA"), col("b.gid").as("idB"))
+      .distinct()
+    verifyPairs(cands, docs, idCol, textCol, n)
+      .filter(col("n_common") * tDen >= col("n_union") * tNum)
   }
 
   /** 64-bit SimHash over character n-gram shingles WITH multiplicity

@@ -56,8 +56,12 @@ final class TableStore(val root: String) {
   /** Keyed MERGE with `nupdates` counter semantics
     * (scrapper.py:196-206). First batch on a missing table inserts
     * everything with nupdates = 1. */
+  /** @param numFiles target file count for the rewrite — pass Some(1)
+    *   for micro-batch-sized tables (one tiny file instead of one
+    *   near-empty file per shuffle partition); leave None for big
+    *   tables so write parallelism follows the plan. */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, keys: Seq[String],
-      counterCol: String = "nupdates"): Unit = {
+      counterCol: String = "nupdates", numFiles: Option[Int] = None): Unit = {
     val merged =
       if (!exists(spark, name)) {
         updates.withColumn(counterCol, lit(1L))
@@ -65,7 +69,7 @@ final class TableStore(val root: String) {
         val target = read(spark, name)
         Upsert.merge(target, updates, keys, Some(counterCol))
       }
-    replace(spark, name, merged)
+    replace(spark, name, numFiles.fold(merged)(merged.coalesce))
   }
 
   /** Atomically replace a table's contents with `df` (the commit

@@ -20,10 +20,11 @@ object DedupQueries {
   private def nearDupFilter = col("n_common") * 5 >= col("n_union") * 3
 
   val all: Map[String, Q] = Map(
-    // ---- exact all-pairs word-trigram Jaccard (baseline/oracle) ----
+    // ---- exact word-trigram Jaccard via PPJoin prefix filter --------
+    // Output identical to the naive all-pairs scan (same oracle);
+    // DedupSpec pins prefixFiltered == inverted-index == LSH.
     "x1_ngram_jaccard" -> ((s, dir) => {
-      Dedup.allPairsNgram(Tables.documents(s, dir), "doc_id", "text", n = 3)
-        .filter(nearDupFilter)
+      Dedup.prefixFilteredNgram(Tables.documents(s, dir), "doc_id", "text", n = 3)
         .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
           col("n_common"), col("n_union"))
         .orderBy("doc_a", "doc_b")

@@ -46,6 +46,13 @@ class DedupSpec extends SparkSpec {
     assert(verified == exactPairs)
   }
 
+  test("PPJoin prefix filter reproduces the exact result") {
+    val docs = Tables.documents(spark, dir)
+    val got = Dedup.prefixFilteredNgram(docs, "doc_id", "text")
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactPairs)
+  }
+
   test("wordGrams: short text degrades to a single whole-text shingle") {
     val s = spark; import s.implicits._
     val got = Seq("one two", "a b c d").toDF("t")
