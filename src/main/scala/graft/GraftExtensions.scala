@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{NormalizeTextExpr, VecDot}
+
+/** SparkSessionExtensions installer — makes graft's native expressions
+  * first-class session functions without any per-query registration:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)` on the builder). This is
+  * the supported injection point for library expressions: they resolve
+  * in SQL text, constant-fold, and participate in whole-stage codegen
+  * exactly like built-ins. `Functions.register` remains as the
+  * programmatic fallback for sessions graft doesn't construct. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeTextExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+  }
+}

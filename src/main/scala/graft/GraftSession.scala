@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions) // native fns: normalize_text, vec_dot
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -44,6 +44,12 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // Can produce null from non-null inputs (length mismatch, null
+  // element) — without this override Spark trusts child nullability,
+  // skips the null check in generated code, and a null result silently
+  // reads as 0.0.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = xa.numElements()

@@ -130,6 +130,51 @@ object CoreQueries {
         .orderBy($"order_year".asc_nulls_first, $"order_month".asc_nulls_first)
     }),
 
+    // ---- A5: cube over two dims ----------------------------------------
+    "a5_cube_lineitem" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // ---- J4: range join (equi key + time interval condition) -----------
+    // Per click, count errors by the same user within the next 5
+    // minutes. Spark plans the user_id equality as the join key and
+    // the ts range as a post-join filter — the standard shape; at
+    // scale the equality key keeps it a hash/sort-merge join, never a
+    // cartesian.
+    "j4_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"))
+      val errors = e.filter($"event_type" === "error")
+        .select($"user_id".as("eu"), $"ts".as("ets"))
+      clicks.join(errors,
+          $"user_id" === $"eu" && $"ets" > $"cts" &&
+            $"ets" <= $"cts" + expr("INTERVAL 5 MINUTES"), "left")
+        .groupBy($"click_id")
+        .agg(count($"ets").as("n_errors_5m"))
+        .orderBy($"click_id")
+    }),
+
+    // ---- P13: array construction/sort/indexing ------------------------
+    "p13_array_ops" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_quantity")).as("qs"))
+        .select(
+          $"l_orderkey",
+          concat_ws(",", transform($"qs", q => q.cast("string"))).as("qty_list"),
+          size($"qs").cast("long").as("n_items"),
+          element_at($"qs", 1).as("min_qty"),
+          element_at($"qs", -1).as("max_qty"))
+        .orderBy($"l_orderkey")
+    }),
+
     // ---- W1: ranking window (top-3 orders per customer) ---------------
     "w1_top_orders_per_cust" -> ((s, dir) => {
       import s.implicits._
@@ -371,6 +416,27 @@ object CoreQueries {
          |             o_totalprice FROM orders) t
          |GROUP BY ROLLUP(order_year, order_month)
          |ORDER BY order_year NULLS FIRST, order_month NULLS FIRST""".stripMargin,
+
+    "a5_cube_lineitem" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "j4_range_join" ->
+      """SELECT c.event_id AS click_id, COUNT(e.ts) AS n_errors_5m
+        |FROM events c LEFT JOIN events e
+        |  ON e.user_id = c.user_id AND e.event_type = 'error'
+        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL '5 minutes'
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id ORDER BY click_id""".stripMargin,
+
+    "p13_array_ops" ->
+      """SELECT l_orderkey,
+        |array_to_string(list_sort(list(l_quantity)), ',') AS qty_list,
+        |CAST(len(list(l_quantity)) AS BIGINT) AS n_items,
+        |list_sort(list(l_quantity))[1] AS min_qty,
+        |list_sort(list(l_quantity))[-1] AS max_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "w1_top_orders_per_cust" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
