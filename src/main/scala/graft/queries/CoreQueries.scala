@@ -204,7 +204,7 @@ object CoreQueries {
         .rowsBetween(-23, 0)
       Tables.events(s, dir)
         .withColumn("mavg",
-          sum($"value".cast(DecimalType(38, 6))).over(w).cast("double") /
+          sum($"value".cast(DecimalType(18, 6))).over(w).cast("double") /
             count(lit(1)).over(w))
         .select($"event_id", $"user_id", $"mavg")
         .orderBy($"event_id")
@@ -298,6 +298,17 @@ object CoreQueries {
         .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
         .csv(tmp)
         .orderBy($"n_nationkey")
+    }),
+
+    // ---- S10: JSON round-trip (schema-explicit read back) ---------------------
+    "s10_json_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"/root/repo/target/tmp/s10_json_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.region(s, dir)
+        .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("r_regionkey LONG, r_name STRING").json(tmp)
+        .orderBy($"r_regionkey")
     }),
 
     // ---- X1: exact dedup of documents.text ------------------------------------
@@ -516,6 +527,10 @@ object CoreQueries {
     "s10_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "s10_json_roundtrip" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
 
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, CAST(length(text) AS BIGINT) AS text_len

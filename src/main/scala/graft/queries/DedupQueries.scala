@@ -63,12 +63,17 @@ object DedupQueries {
     // ---- embedding-cosine: top-20 most-similar pairs ----------------
     "x1_embed_neardup" -> ((s, dir) => {
       graft.functions.Functions.register(s)
+      // norms precomputed per vector (n values), so the O(n²) pair loop
+      // does ONE codegen'd dot per pair instead of three; same float
+      // expression order as cosine(), so results are bit-identical.
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+          round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
         .limit(20)
     })

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Asserts the physical plans are the ones we designed for — filters
+  * reach the parquet scan, dimension joins broadcast, hot paths stay
+  * inside whole-stage codegen. These are the properties that decide
+  * whether a plan survives a 100× scale-up, so they're pinned as
+  * tests, not just eyeballed once. */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    CoreQueries.all(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("s9: filter and projection push into the parquet scan") {
+    val p = plan("s9_scan_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThan(l_quantity") || p.contains("GreaterThan(L_QUANTITY")), p)
+    // pruned read schema: only the 4 needed columns, not all 11
+    assert(p.contains("l_shipdate") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("j3: dimension tables join via broadcast, not shuffle") {
+    val p = plan("j3_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("a3: aggregate is partial+final (map-side combine before the shuffle)") {
+    val p = plan("a3_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("a3: scan→filter→partial-agg pipeline runs inside whole-stage codegen") {
+    val df = CoreQueries.all("a3_pricing_summary")(spark, dir)
+    df.collect() // materialize so AQE settles the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n;
+    // the scan→filter→partial-agg stage must be one of them
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"), p.take(800))
+  }
+
+  test("o1: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val p = plan("o1_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
