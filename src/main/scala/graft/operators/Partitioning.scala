@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for scale (SURVEY §4, north-star "design
+  * every operator for 100 TB"): date-partitioned writes so time-range
+  * queries prune at the directory level, and salted joins so one hot
+  * key can't stall a stage.
+  */
+object Partitioning {
+
+  /** Write a table date-partitioned (year/month columns derived from a
+    * timestamp column). A reader filtering on year/month then scans
+    * only the matching directories — `PartitionFilters` in the plan,
+    * zero I/O for everything else. This is how the 100 TB upsert
+    * avoids whole-table rewrites: a micro-batch touches one (or two)
+    * partitions. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("p_year", year(col(tsCol)))
+      .withColumn("p_month", month(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("p_year", "p_month")
+      .parquet(path)
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random-ish salt in [0, buckets) derived deterministically from
+    * other row content; the small side is exploded ×buckets so every
+    * salted key finds its partner. Shuffle load for a hot key spreads
+    * over `buckets` reducers instead of one.
+    *
+    * AQE's skew-join split handles most cases at runtime; explicit
+    * salting remains the tool when a single key is so hot that even a
+    * split partition exceeds executor memory, or when the join is
+    * followed by an aggregation keyed the same way. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 8): DataFrame = {
+    require(buckets > 0)
+    val saltedLarge = large.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -74,23 +74,17 @@ object CoreQueries {
         .orderBy($"c_mktsegment")
     }),
 
-    // ---- J4: as-of join (event → latest prior click of same user) ---
+    // ---- J4: as-of join (error → latest click at-or-before, per user)
     "j4_asof_last_click" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.events(s, dir)
-      val probes = e.filter($"event_type" === "error")
-        .select($"event_id", $"user_id", $"ts", lit(null).cast("timestamp").as("cts"), lit(1).as("is_probe"))
+      val probes = e.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts")
       val clicks = e.filter($"event_type" === "click")
-        .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts", $"ts".as("cts"), lit(0).as("is_probe"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"ts".asc, $"is_probe".asc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      probes.unionByName(clicks)
-        .withColumn("last_click_ts", last($"cts", ignoreNulls = true).over(w))
-        .filter($"is_probe" === 1)
+        .select($"user_id", $"ts", $"ts".as("click_ts"))
+      graft.operators.AsOfJoin.asOf(probes, clicks, "user_id", "ts", Seq("click_ts"))
         .select(
           $"event_id", $"user_id",
-          date_format($"last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_click_ts"))
+          date_format($"asof_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_click_ts"))
         .orderBy($"event_id")
     }),
 

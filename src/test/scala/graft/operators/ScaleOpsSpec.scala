@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("date-partitioned write prunes at the directory level") {
+    val dir = Files.createTempDirectory(Paths.get("target").toAbsolutePath, "part-").toString
+    Partitioning.writeDatePartitioned(
+      Tables.orders(spark, "/root/testdata/sf0.001"), "o_orderdate", dir)
+    val pruned = spark.read.parquet(dir).filter(col("p_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_year"), plan.take(600))
+    val n95 = pruned.count()
+    val nAll = spark.read.parquet(dir).count()
+    assert(n95 > 0 && n95 < nAll)
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val s = spark; import s.implicits._
+    val large = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 37}", i)).toDF("k", "v")
+    val small = Seq(("hot", 100), ("k1", 1), ("k2", 2)).toDF("k", "w")
+    val plain = large.join(small, "k").select("k", "v", "w")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val salted = Partitioning.saltedJoin(large, small, "k", buckets = 8)
+      .select("k", "v", "w")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("asOf: latest build value at-or-before each probe, per key") {
+    val s = spark; import s.implicits._
+    def t(sec: Int) = Timestamp.valueOf(s"2025-05-05 10:00:${"%02d".format(sec)}")
+    val probe = Seq((1L, t(5), "p1"), (1L, t(20), "p2"), (2L, t(10), "p3"), (3L, t(1), "p4"))
+      .toDF("user_id", "ts", "tag")
+    val build = Seq((1L, t(3), 30.0), (1L, t(5), 50.0), (1L, t(15), 150.0), (2L, t(11), 999.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", Seq("value"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("p1").contains(50.0))  // inclusive: build at exactly t(5) wins
+    assert(out("p2").contains(150.0))
+    assert(out("p3").isEmpty)         // only later build rows for user 2
+    assert(out("p4").isEmpty)         // no build rows for user 3
+  }
+}
