@@ -111,6 +111,54 @@ object CoreQueries {
         .orderBy($"c_mktsegment")
     }),
 
+    // ---- A4b: exact percentiles (interpolated) -------------------------
+    "a4_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- A4c: HLL++ approximate distinct (no oracle — approximate; the
+    // 2% bound vs exact is pinned in FunctionsSpec) ----------------------
+    "a4_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+    }),
+
+    // ---- P13b: string function family ----------------------------------
+    "p13_string_ops" -> ((s, dir) => {
+      import s.implicits._
+      Tables.nation(s, dir)
+        .select(
+          $"n_nationkey".cast("long").as("n_nationkey"),
+          lpad($"n_nationkey".cast("string"), 4, "0").as("key_padded"),
+          concat_ws("|", upper($"n_name"), lower($"n_name")).as("name_both"),
+          length($"n_name").cast("long").as("name_len"),
+          substring($"n_name", 1, 3).as("name_pfx"),
+          translate($"n_name", "AEIOU", "aeiou").as("name_tr"))
+        .orderBy($"n_nationkey")
+    }),
+
+    // ---- SQL entry point: the same engine through spark.sql ------------
+    "sql_top_unshipped" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // ---- A5: rollup (multi-grain time aggregate) ----------------------
     "a5_rollup_orders" -> ((s, dir) => {
       import s.implicits._
@@ -413,6 +461,30 @@ object CoreQueries {
     "a4_distinct_counts" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "a4_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "p13_string_ops" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_padded,
+        |upper(n_name) || '|' || lower(n_name) AS name_both,
+        |CAST(length(n_name) AS BIGINT) AS name_len,
+        |n_name[1:3] AS name_pfx,
+        |translate(n_name, 'AEIOU', 'aeiou') AS name_tr
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "sql_top_unshipped" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "a5_rollup_orders" ->
       s"""SELECT order_year, order_month, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price

@@ -30,6 +30,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(0L, 0L, 1L, 3L, 2L))
   }
 
+  test("approx_count_distinct within 3% of exact (rsd=0.01) on testdata") {
+    val s = spark; import s.implicits._
+    val li = graft.sources.Tables.lineitem(s, "/root/testdata/sf0.001")
+    val exact = li.select(countDistinct($"l_orderkey")).as[Long].head
+    val approx = li.select(approx_count_distinct($"l_orderkey", 0.01)).as[Long].head
+    assert(math.abs(approx - exact).toDouble / exact < 0.03, s"$approx vs $exact")
+  }
+
   test("dsum is exact and partition-order independent") {
     val s = spark; import s.implicits._
     val xs = (1 to 10000).map(i => (i % 7).toDouble + 0.01)
