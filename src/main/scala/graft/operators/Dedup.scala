@@ -200,9 +200,7 @@ object Dedup {
   }
 
   /** Pairs within the given Hamming distance of each other's simhash.
-    * All-pairs here (baseline); the scale path buckets on rotated
-    * prefixes (pigeonhole: distance ≤ d ⇒ some ⌈bits/(d+1)⌉-bit block
-    * equal) before verifying. */
+    * All-pairs — the small-scale baseline only. */
   def simhashNearPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
     val a = sims.select(col("id").as("idA"), col("simhash").as("sa"))
     val b = sims.select(col("id").as("idB"), col("simhash").as("sb"))
@@ -210,5 +208,34 @@ object Dedup {
       .select(col("idA"), col("idB"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Scale path for the same result: pigeonhole banding. Split the
+    * hash into maxHamming+1 bit-blocks — two hashes within Hamming
+    * distance d differ in at most d blocks, so at least one block is
+    * IDENTICAL. Docs bucket by (block index, block value); the
+    * equi-join on buckets yields candidates (O(n·blocks) index, join
+    * touches collisions only); the exact Hamming filter then runs on
+    * candidates instead of n²/2 pairs. Provably the same output as
+    * simhashNearPairs. */
+  def simhashNearPairsBanded(sims: DataFrame, maxHamming: Int, bits: Int = 63): DataFrame = {
+    val blocks = maxHamming + 1
+    val blockBits = bits / blocks // trailing bits above blocks*blockBits join the last block
+    val blockCols = (0 until blocks).map { b =>
+      val width = if (b == blocks - 1) bits - b * blockBits else blockBits
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * blockBits)
+          .bitwiseAND(lit((1L << width) - 1L)).as("v"))
+    }
+    val buckets = sims
+      .select(col("id"), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.blk").as("blk"), col("bb.v").as("v"))
+    val a = buckets.select(col("id").as("idA"), col("simhash").as("sa"), col("blk"), col("v"))
+    val b = buckets.select(col("id").as("idB"), col("simhash").as("sb"), col("blk").as("blkB"), col("v").as("vB"))
+    a.join(b, col("blk") === col("blkB") && col("v") === col("vB") && col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -52,7 +52,14 @@ object DedupQueries {
     "x1_simhash_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sims = Dedup.simhash(docs, "doc_id", "text", charN = 5)
-      val cands = Dedup.simhashNearPairs(sims, maxHamming = 6).select("idA", "idB")
+      // adaptive pair search: all-pairs bit_count is pure codegen and
+      // wins while n²/2 stays small; pigeonhole banding wins beyond
+      // (identical output — pinned by DedupSpec). Parquet metadata
+      // makes the count cheap.
+      val pairSearch =
+        if (docs.count() <= 50000) Dedup.simhashNearPairs(sims, maxHamming = 6)
+        else Dedup.simhashNearPairsBanded(sims, maxHamming = 6)
+      val cands = pairSearch.select("idA", "idB")
       Dedup.verifyPairs(cands, docs, "doc_id", "text", n = 3)
         .filter(nearDupFilter)
         .select(col("idA").as("doc_a"), col("idB").as("doc_b"),

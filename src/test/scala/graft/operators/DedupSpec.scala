@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     assert(verified == exactPairs)
   }
 
+  test("banded simhash pair search equals the all-pairs result") {
+    val docs = Tables.documents(spark, dir)
+    val sims = Dedup.simhash(docs, "doc_id", "text", charN = 5)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.simhashNearPairsBanded(sims, 6)) ==
+      pairSet(Dedup.simhashNearPairs(sims, 6)))
+  }
+
   test("PPJoin prefix filter reproduces the exact result") {
     val docs = Tables.documents(spark, dir)
     val got = Dedup.prefixFilteredNgram(docs, "doc_id", "text")
