@@ -23,6 +23,19 @@ object Partitioning {
       .partitionBy("p_year", "p_month")
       .parquet(path)
 
+  /** Register a table bucketed by a join key (sorted within buckets).
+    * Two tables bucketed the same way equi-join WITHOUT a shuffle —
+    * each task reads matching bucket files from both sides — which at
+    * 100 TB converts the dominant exchange of fact⋈fact joins into
+    * pure local I/O. Requires the session catalog (saveAsTable);
+    * `spark.sql.warehouse.dir` decides where files land. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * random-ish salt in [0, buckets) derived deterministically from
     * other row content; the small side is exploded ×buckets so every

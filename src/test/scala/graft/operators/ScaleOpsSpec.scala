@@ -22,6 +22,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n95 > 0 && n95 < nAll)
   }
 
+  test("bucketed tables equi-join without a shuffle") {
+    val s = spark
+    Partitioning.writeBucketed(
+      Tables.orders(s, "/root/testdata/sf0.001"), "b_orders", "o_orderkey", 8)
+    Partitioning.writeBucketed(
+      Tables.lineitem(s, "/root/testdata/sf0.001"), "b_lineitem", "l_orderkey", 8)
+    val joined = s.table("b_lineitem")
+      .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not exchange; only the groupBy above it may
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+    assert(!joinPart.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Bucketed: true"), plan.take(1200))
+  }
+
   test("salted join returns exactly the plain join result") {
     val s = spark; import s.implicits._
     val large = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 37}", i)).toDF("k", "v")
