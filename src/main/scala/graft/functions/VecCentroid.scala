@@ -24,20 +24,27 @@ class VecCentroid extends Aggregator[Seq[Float], VecCentroid.Buf, Seq[Double]] {
 
   override def zero: Buf = Buf(Array.emptyDoubleArray, 0L)
 
+  // Ragged inputs (mixed vector widths) are summed over the max width
+  // with missing trailing dims as 0 — never a crash, and uniform-width
+  // input (the normal case) is unaffected.
   override def reduce(b: Buf, v: Seq[Float]): Buf = {
     if (v == null) return b
-    val sums = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+    val sums =
+      if (b.sums.length >= v.length) b.sums
+      else java.util.Arrays.copyOf(b.sums, v.length)
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < v.length) { sums(i) += v(i); i += 1 }
     Buf(sums, b.n + 1)
   }
 
   override def merge(a: Buf, c: Buf): Buf = {
     if (a.sums.isEmpty) return c
     if (c.sums.isEmpty) return a
-    val out = new Array[Double](a.sums.length)
+    val (big, small) =
+      if (a.sums.length >= c.sums.length) (a.sums, c.sums) else (c.sums, a.sums)
+    val out = java.util.Arrays.copyOf(big, big.length)
     var i = 0
-    while (i < out.length) { out(i) = a.sums(i) + c.sums(i); i += 1 }
+    while (i < small.length) { out(i) += small(i); i += 1 }
     Buf(out, a.n + c.n)
   }
 

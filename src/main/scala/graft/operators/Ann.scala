@@ -64,9 +64,14 @@ object Ann {
   /** Top-k most-cosine-similar vectors to `queryId`, searching only
     * LSH bucket collisions. Output: (id, sim) ordered desc. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int, tables: Int = 96, bits: Int = 6, seed: Long = 42L): DataFrame = {
-    val dim = 64 // testdata embedding width; parameterize when needed
-    val planes = hyperplanes(tables, bits, dim, seed)
+      k: Int, tables: Int = 96, bits: Int = 6, seed: Long = 42L,
+      dim: Option[Int] = None): DataFrame = {
+    // Infer the vector width from the data unless given: a wrong dim
+    // makes every hyperplane dot null, which buckets EVERY vector to 0
+    // and silently degrades LSH to a full scan.
+    val d = dim.getOrElse(
+      emb.select(size(col(vecCol))).head.getInt(0))
+    val planes = hyperplanes(tables, bits, d, seed)
     val index = bucketIndex(emb.filter(col(idCol) =!= queryId), idCol, vecCol, planes)
     val probe = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol, planes)
       .select(col("t").as("pt"), col("b").as("pb"))

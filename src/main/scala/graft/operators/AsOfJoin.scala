@@ -34,9 +34,13 @@ object AsOfJoin {
         valueCols.map(c => col(c).as(s"_b_$c")) ++
         probeCols.filterNot(Set(key, tsCol)).map(c => lit(null).cast(probe.schema(c).dataType).as(c))): _*)
     // order: build rows first at equal timestamps, so a probe at time t
-    // sees a build row stamped exactly t (inclusive as-of)
+    // sees a build row stamped exactly t (inclusive as-of). Build rows
+    // tying on (ts) are further ordered by their value columns so the
+    // carried value is deterministic (last in value order), not
+    // partition-layout-dependent.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol).asc, col("_is_probe").asc)
+      .orderBy((Seq(col(tsCol).asc, col("_is_probe").asc) ++
+        valueCols.map(c => col(s"_b_$c").asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = valueCols.map(c =>
       last(col(s"_b_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))

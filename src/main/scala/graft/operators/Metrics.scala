@@ -18,18 +18,24 @@ final class Metrics extends QueryExecutionListener {
   import Metrics.Entry
 
   val entries = new ConcurrentLinkedQueue[Entry]()
+  private val maxEntries = 1024 // bounded ring — long-lived sessions must not leak driver memory
+
+  private def addBounded(e: Entry): Unit = {
+    entries.add(e)
+    while (entries.size > maxEntries) entries.poll()
+  }
 
   private def rowsWritten(qe: QueryExecution): Option[Long] =
     qe.executedPlan.metrics.get("numOutputRows").map(_.value)
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     val e = Entry(funcName, durationNs / 1000000, rowsWritten(qe), None)
-    entries.add(e)
+    addBounded(e)
     Metrics.log.info(s"[graft-metrics] $funcName ok ${e.durationMs}ms rows=${e.rows.getOrElse(-1L)}")
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
-    entries.add(Entry(funcName, -1, None, Some(exception.toString)))
+    addBounded(Entry(funcName, -1, None, Some(exception.toString)))
     Metrics.log.warn(s"[graft-metrics] $funcName FAILED: $exception")
   }
 

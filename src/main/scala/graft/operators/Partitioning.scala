@@ -29,12 +29,20 @@ object Partitioning {
     * 100 TB converts the dominant exchange of fact⋈fact joins into
     * pure local I/O. Requires the session catalog (saveAsTable);
     * `spark.sql.warehouse.dir` decides where files land. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a location orphaned by a previous process (dir exists, table not
+    // in this metastore) fails managed-table validation — clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * random-ish salt in [0, buckets) derived deterministically from
@@ -49,8 +57,12 @@ object Partitioning {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int = 8): DataFrame = {
     require(buckets > 0)
+    // Salt must be DETERMINISTIC per row (hash of row content), not
+    // positional: monotonically_increasing_id changes across task
+    // retries, which re-routes rows between reducers mid-shuffle and
+    // duplicates/loses them (SPARK-23207 class).
     val saltedLarge = large.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+      pmod(xxhash64(large.columns.map(col): _*), lit(buckets)).cast("int"))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

@@ -72,22 +72,37 @@ final class TableStore(val root: String) {
     replace(spark, name, numFiles.fold(merged)(merged.coalesce))
   }
 
-  /** Atomically replace a table's contents with `df` (the commit
-    * point). `df` may read from the table's own live directory: the
-    * new version is materialized into a temp dir before any rename. */
+  /** Replace a table's contents with `df` (the commit point). `df` may
+    * read from the table's own live directory: the new version is fully
+    * materialized into a temp dir before any rename.
+    *
+    * Durability: a failure before the first rename leaves the old
+    * version live (the temp dir is cleaned up); a crash between the
+    * two renames leaves the data recoverable in the `.old-` dir.
+    * Visibility: readers that already opened the old files are
+    * unaffected; a reader LISTING the path in the instant between the
+    * two renames can see it missing — single-writer-many-reader needs
+    * a pointer/manifest (or a transactional table format) on top,
+    * which is out of scope here. */
   def replace(spark: SparkSession, name: String, df: DataFrame): Unit = {
     val f = fs(spark)
     val live = new Path(livePath(name))
     val tmp = new Path(s"$root/.tmp-$name-${UUID.randomUUID().toString.take(8)}")
     val trash = new Path(s"$root/.old-$name-${UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    try df.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => f.delete(tmp, true); throw e }
     if (f.exists(live)) {
-      if (!f.rename(live, trash))
+      if (!f.rename(live, trash)) {
+        f.delete(tmp, true)
         throw new java.io.IOException(s"swap failed: could not move $live aside")
+      }
     }
     if (!f.rename(tmp, live)) {
-      f.rename(trash, live) // roll back
-      throw new java.io.IOException(s"swap failed: could not publish $tmp")
+      val rolledBack = f.rename(trash, live)
+      f.delete(tmp, true)
+      throw new java.io.IOException(
+        s"swap failed: could not publish $tmp" +
+          (if (rolledBack) " (old version restored)" else s" (recover manually from $trash)"))
     }
     f.delete(trash, true)
   }

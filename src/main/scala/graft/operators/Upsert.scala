@@ -27,14 +27,16 @@ object Upsert {
       keys: Seq[String],
       counterCol: Option[String] = Some("nupdates")): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    val t = target.alias("t")
-    // Key columns are NOT NULL in upsert semantics (they're the PK).
-    val u = updates.alias("u")
+    // Presence flags come from injected non-nullable markers, NOT from
+    // key nullability: with the null-safe <=> join a null-key row would
+    // otherwise read as "absent" on both sides and be silently mangled.
+    val t = target.withColumn("_t_present", lit(1)).alias("t")
+    val u = updates.withColumn("_u_present", lit(1)).alias("u")
     val cond: Column = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
     val joined = t.join(u, cond, "full_outer")
 
-    val uPresent = col(s"u.${keys.head}").isNotNull
-    val tPresent = col(s"t.${keys.head}").isNotNull
+    val uPresent = col("u._u_present").isNotNull
+    val tPresent = col("t._t_present").isNotNull
 
     val updateCols = updates.columns.toSet
     val outCols: Seq[Column] = target.columns.toSeq.map { c =>

@@ -610,9 +610,11 @@ object CoreQueries {
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // list_filter mirrors tokenCount's blank-text semantics: '' → 0
+    // tokens (unfiltered string_split_regex would yield 1 for blanks)
     "x3_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+         |CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
          |${davgSql("n_chars")} AS avg_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )

@@ -45,20 +45,27 @@ object FetchDataSource {
     StructField("status", IntegerType, nullable = false),
     StructField("content", StringType, nullable = true)))
 
-  /** Fetch one URL; never throws — failures become (-1, message). */
+  /** Fetch one URL; never throws. HTTP error responses keep their real
+    * status code with the error body as content; transport failures
+    * (DNS, timeout, refused) become (-1, message). */
   def fetch(url: String, userAgent: String, timeoutMs: Int): (Int, String) =
     try {
       val conn = new URI(url).toURL.openConnection()
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
       conn.setRequestProperty("User-Agent", userAgent)
-      val status = conn match {
-        case h: HttpURLConnection => h.getResponseCode
-        case _ => 200
+      def readAll(in: InputStream): String =
+        if (in == null) ""
+        else try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      conn match {
+        case h: HttpURLConnection =>
+          val status = h.getResponseCode
+          val body =
+            if (status >= 400) readAll(h.getErrorStream)
+            else readAll(h.getInputStream)
+          (status, body)
+        case c => (200, readAll(c.getInputStream))
       }
-      val in: InputStream = conn.getInputStream
-      try (status, new String(in.readAllBytes(), "UTF-8"))
-      finally in.close()
     } catch {
       case e: Exception => (-1, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
