@@ -25,6 +25,17 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2 IVF variant (rows-only: recall 8/10 at nprobe=8/16 on
+    // these near-uniform embeddings — no cluster structure to exploit;
+    // IvfSpec pins the deterministic recall and posting partition) ----
+    "x2_ivf_topk" -> ((s, dir) => {
+      Functions.register(s)
+      graft.operators.Ivf.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // ---- A6 exact centroid (decimal-routed, oracle-checked) ---------
     // Emits (sum, n) rather than sum/n: the exact decimal sum
     // hash-matches any engine, while a rounded double quotient can
