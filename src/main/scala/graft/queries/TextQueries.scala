@@ -44,6 +44,15 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // ---- content-hash train/test split (deterministic, cross-engine)
+    "x3_train_test_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Sampling.splitColumn(col("text")).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
     // ---- content fingerprints (exact + winnowing) -------------------
     "x3_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -95,6 +104,13 @@ object TextQueries {
         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe,
         |  CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))) AS BIGINT) AS total_ws
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // first md5 nibble < 13 ⇒ train (13/16 ≈ 81%)
+    "x3_train_test_split" ->
+      """SELECT lang,
+        |CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13 THEN 'train' ELSE 'test' END AS split,
+        |COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x3_fingerprint" ->
       """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
