@@ -38,27 +38,74 @@ object Ann {
 
   /** (id, table, bucket) index rows for a vector table.
     *
-    * Relational shape: the hyperplanes are a tiny broadcast DataFrame
-    * (t, bit, plane); vectors cross-join it (tables·bits rows per
-    * vector, each computing ONE codegen'd VecDot) and a partial-agg
-    * groupBy packs sign bits into bucket ids. The alternative — one
-    * projection containing tables×bits inline dot products — generates
-    * a method too large for janino, silently degrading the whole
-    * operator to interpreted eval. */
+    * Relational shape: the hyperplanes ship as ONE plan literal
+    * (array of (t, bit, plane) structs, ~tables·bits·dim·8 bytes in
+    * the references array — no join at all); each vector explodes it
+    * (tables·bits rows, each computing ONE codegen'd VecDot) and a
+    * partial-agg groupBy packs sign bits into bucket ids. The
+    * generator form keeps the plan free of BroadcastNestedLoopJoin
+    * (a broadcast cross join is how this read before — harmless for
+    * a bounded plane table, but it makes no-BNLJ plan assertions on
+    * consumers impossible). The other rejected alternative — one
+    * projection containing tables×bits inline dot products —
+    * generates a method too large for janino, silently degrading the
+    * whole operator to interpreted eval. */
   def bucketIndex(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Array[Double]]]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val planesDf = planes.zipWithIndex.flatMap { case (tp, t) =>
+    val planeRows: Seq[(Int, Int, Seq[Double])] = planes.zipWithIndex.flatMap { case (tp, t) =>
       tp.zipWithIndex.map { case (p, b) => (t, b, p.toSeq) }
-    }.toSeq.toDF("t", "bit", "plane")
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(planesDf))
+    }.toSeq
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(typedlit(planeRows)).as("p"))
+      .select(col("id"), col("p._1").as("t"), col("p._2").as("bit"),
+        dotd(col("v"), col("p._3")).as("d"))
       .select(col("id"), col("t"),
-        when(dotd(col("v"), col("plane")) >= 0d,
-          expr("shiftleft(1L, bit)")).otherwise(lit(0L)).as("bitval"))
+        when(col("d") >= 0d, expr("shiftleft(1L, bit)")).otherwise(lit(0L)).as("bitval"))
       .groupBy(col("id"), col("t"))
       .agg(sum(col("bitval")).as("b"))
+  }
+
+  /** Top-k most-cosine-similar PAIRS via LSH blocking: candidate
+    * pairs are bucket collisions (an equi-join on (table, bucket) —
+    * never an all-pairs product), then exact-cosine re-rank on the
+    * candidates only. Output: (idA, idB, sim) with idA < idB, ordered
+    * by sim desc — identical to the all-pairs scan whenever every
+    * true top-k pair collides in ≥1 table, which the (tables, bits)
+    * defaults make overwhelmingly likely (and deterministic for a
+    * fixed seed: AnnSpec pins blocked == all-pairs on testdata).
+    *
+    * Scale note: with FIXED params the candidate volume is still
+    * ~n²/2^bits per table — the constant shrinks, not the asymptote.
+    * The asymptote comes from growing `bits` with log n (classic LSH:
+    * n^(1+ρ) total work, ρ = ln(1/p₁)/ln(1/p₂) < 1): at 100 TB you
+    * run bits≈24, where a bucket holds ~n/16M vectors and candidate
+    * volume collapses ~6 orders of magnitude below all-pairs. The
+    * testdata defaults (bits=6) are sized for the similarity level of
+    * its top pairs (cos ≈ 0.45 ⇒ per-bit collision ≈ 0.65), which is
+    * the HARD regime for LSH — real near-dup corpora (cos ≥ 0.9,
+    * per-bit ≈ 0.9+) separate from background far more cheaply. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      tables: Int = 96, bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    val index = bucketIndex(emb, idCol, vecCol, planes)
+    val lhs = index.select(col("id").as("idA"), col("t"), col("b"))
+    val rhs = index.select(col("id").as("idB"), col("t").as("tB"), col("b").as("bB"))
+    val cands = lhs
+      .join(rhs, col("t") === col("tB") && col("b") === col("bB") && col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    // norms precomputed per vector (n values, carried through the
+    // equi-joins) so the re-rank does ONE codegen'd dot per candidate;
+    // same float expression order as cosine(), so sims are
+    // bit-identical to the all-pairs baseline.
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dotd(col(vecCol), col(vecCol))).as("nrm"))
+    cands
+      .join(e.select(col("id").as("idA"), col("v").as("ea"), col("nrm").as("na")), "idA")
+      .join(e.select(col("id").as("idB"), col("v").as("eb"), col("nrm").as("nb")), "idB")
+      .select(col("idA"), col("idB"),
+        round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("idA"), col("idB"))
+      .limit(k)
   }
 
   /** Top-k most-cosine-similar vectors to `queryId`, searching only

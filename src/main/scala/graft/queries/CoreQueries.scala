@@ -123,6 +123,23 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- A4b': approx percentiles — the scale path. Spark's exact
+    // `percentile` buffers EVERY value per group in executor memory
+    // (unbounded state at 100×); `approx_percentile` keeps a bounded
+    // GK sketch per group with mergeable partials, so state is
+    // O(accuracy) no matter the group size. No oracle — approximate by
+    // design; FunctionsSpec pins the rank-error bound vs the exact form.
+    "a4_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"),
+          round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4).as("p99"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- A4c: HLL++ approximate distinct (no oracle — approximate; the
     // 2% bound vs exact is pinned in FunctionsSpec) ----------------------
     "a4_approx_distinct" -> ((s, dir) => {

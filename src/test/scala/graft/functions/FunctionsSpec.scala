@@ -38,6 +38,22 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.03, s"$approx vs $exact")
   }
 
+  test("approx_percentile within 1% of exact percentile per group") {
+    val s = spark; import s.implicits._
+    val li = graft.sources.Tables.lineitem(s, "/root/testdata/sf0.001")
+    val both = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val ex = r.getSeq[Double](1); val ap = r.getSeq[Double](2)
+      ex.zip(ap).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.01, s"flag=${r.get(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("dsum is exact and partition-order independent") {
     val s = spark; import s.implicits._
     val xs = (1 to 10000).map(i => (i % 7).toDouble + 0.01)

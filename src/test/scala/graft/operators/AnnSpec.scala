@@ -36,6 +36,25 @@ class AnnSpec extends SparkSpec {
     assert(nCand > 0)
   }
 
+  test("nearDupPairs (LSH-blocked) equals the all-pairs top-20 on testdata") {
+    Functions.register(spark)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, d)
+      val e = emb.select(col("vec_id"), col("embedding"),
+        sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.select(col("vec_id").as("idA"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("idB"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val brute = a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(Functions.dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("idA"), col("idB")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val blocked = Ann.nearDupPairs(emb, "vec_id", "embedding", k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(blocked == brute, s"blocked != all-pairs at $d")
+    }
+  }
+
   test("VecCentroid aggregator matches the exact decimal centroid within 1e-5") {
     val emb = Tables.embeddings(spark, dir)
     val agg = emb.groupBy(col("label"))

@@ -45,4 +45,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("o1_global_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("x1_embed_neardup: LSH-blocked plan — no nested-loop or cartesian join") {
+    val p = DedupQueries.all("x1_embed_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
