@@ -162,14 +162,23 @@ object AirQualityEtl {
   }
 
   /** Load + upsert one batch into the store (scrapper.py:329-331):
-    * three keyed MERGEs, each an atomic swap. */
+    * three keyed MERGEs, each restricted to the report-date partitions
+    * the batch touches (an hourly batch touches exactly one) — the
+    * reference's per-table transaction at partition granularity.
+    * `p_date` = yyyymmdd prefix of `report_ts`, so it is functionally
+    * determined by every table's key. */
   def runBatch(spark: SparkSession, store: graft.operators.TableStore, html: String,
       cfg: EtlConfig = EtlConfig.default): Batch = {
     val b = batchFromHtml(spark, html, cfg)
+    def withDate(df: DataFrame): DataFrame =
+      df.withColumn("p_date", (col("report_ts") / 100).cast("int"))
     // hourly report tables are micro-batch-sized — one output file each
-    store.upsert(spark, "cdmx", b.cdmx, cfg.tableKeys("cdmx"), numFiles = Some(1))
-    store.upsert(spark, "edomex", b.edomex, cfg.tableKeys("edomex"), numFiles = Some(1))
-    store.upsert(spark, "gral_stats", b.gralStats, cfg.tableKeys("gral_stats"), numFiles = Some(1))
+    store.upsertPartitioned(spark, "cdmx", withDate(b.cdmx),
+      cfg.tableKeys("cdmx"), "p_date", numFiles = Some(1))
+    store.upsertPartitioned(spark, "edomex", withDate(b.edomex),
+      cfg.tableKeys("edomex"), "p_date", numFiles = Some(1))
+    store.upsertPartitioned(spark, "gral_stats", withDate(b.gralStats),
+      cfg.tableKeys("gral_stats"), "p_date", numFiles = Some(1))
     b
   }
 }

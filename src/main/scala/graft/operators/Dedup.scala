@@ -150,15 +150,33 @@ object Dedup {
     * then the standard exact verify. Identical output to the full
     * inverted-index join, at a fraction of the pair volume — this is
     * the exact-dedup plan that survives 100 TB. */
+  /** @param maxDf stop-shingle cap: shingles seen in more than this
+    *   many docs are excluded from candidate GENERATION (posting) —
+    *   a df-heavy shingle contributes C(df,2) candidate pairs, so one
+    *   boilerplate phrase can dominate the whole join. The verify step
+    *   stays exact over ALL shingles, so reported (n_common, n_union)
+    *   are unaffected; what the cap can do in principle is miss a pair
+    *   whose prefixes overlap ONLY in ubiquitous shingles — for real
+    *   near-dups (J ≥ t with a rarity-ordered prefix) that requires
+    *   every rare shingle of both docs to miss the other's prefix,
+    *   which DedupSpec shows does not happen on testdata (capped ==
+    *   uncapped, pinned). This is the standard CCNet/BigQuery-dedup
+    *   stop-word lever; maxDf <= 0 disables it. */
   def prefixFilteredNgram(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tNum: Int = 3, tDen: Int = 5): DataFrame = {
+      n: Int = 3, tNum: Int = 3, tDen: Int = 5, maxDf: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
     val posts = grams.select(col("gid"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
     val df = posts.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // stop-shingle filter BEFORE prefix ranking: the prefix window then
+    // slides over the remaining (rarer) shingles, so recall among
+    // rare-shingle-sharing pairs is unchanged while df-heavy buckets
+    // never reach the self-join.
+    val posted = posts.join(df, "g")
+      .filter(if (maxDf > 0) col("gdf") <= maxDf else lit(true))
     val w = Window.partitionBy("gid").orderBy(col("gdf").asc, col("g").asc)
     // prefix length: sz - ceil(t*sz) + 1, with ceil(a*sz/b) = (a*sz + b - 1) div b
-    val prefix = posts.join(df, "g")
+    val prefix = posted
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - (col("sz") * tNum + tDen - 1).divide(tDen).cast("long") + 1)
       .select(col("gid"), col("sz"), col("g"))

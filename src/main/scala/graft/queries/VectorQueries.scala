@@ -27,13 +27,23 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
-    // ---- X2 IVF variant (rows-only: recall 8/10 at nprobe=8/16 on
-    // these near-uniform embeddings — no cluster structure to exploit;
-    // IvfSpec pins the deterministic recall and posting partition) ----
+    // ---- X2 IVF variant: build-once / probe-many. The index
+    // (centroids + cid-partitioned postings) persists in a TableStore
+    // keyed by sf dir; the query builds it only when absent and then
+    // probes — a warm probe does no training (VERDICT r1 fix #4).
+    // Shares the exact brute-force oracle: with the index trained over
+    // the full corpus, probe recall is a deterministic 10/10 at
+    // nprobe=8/16 on every testdata sf (IvfSpec pins it), so the
+    // pruned plan must reproduce the exact top-10. ---------------------
     "x2_ivf_topk" -> ((s, dir) => {
       Functions.register(s)
-      graft.operators.Ivf.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-          queryId = 0L, k = 10)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/ivf-index/${new java.io.File(dir).getName}")
+      if (!store.exists(s, "ivf_centroids") || !store.exists(s, "ivf_postings"))
+        graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
+      graft.operators.Ivf.probeTopK(s, store, "ivf",
+          emb.filter(col("vec_id") === 0L).select("embedding"), queryId = 0L, k = 10)
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -65,14 +75,17 @@ object VectorQueries {
     })
   )
 
+  private val topkOracle =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |round(list_dot_product(embedding::DOUBLE[], q.qv) /
+      |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "x2_ann_topk" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id,
-        |round(list_dot_product(embedding::DOUBLE[], q.qv) /
-        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
-        |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x2_ann_topk" -> topkOracle,
+    "x2_ivf_topk" -> topkOracle,
 
     "x2_centroid_exact" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS idx,

@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
     assert(got == exactPairs)
   }
 
+  test("stop-shingle cap (maxDf) leaves the PPJoin result unchanged at the oracle sf") {
+    // "verify, don't assume" (VERDICT r1 #6): planted dups must not rely
+    // on df-capped shingles for candidate generation at sf0.01, the sf
+    // the driver's DuckDB oracle runs at.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def pairs(maxDf: Int) =
+      Dedup.prefixFilteredNgram(docs, "doc_id", "text", maxDf = maxDf)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(64) == pairs(0))
+  }
+
   test("wordGrams: short text degrades to a single whole-text shingle") {
     val s = spark; import s.implicits._
     val got = Seq("one two", "a b c d").toDF("t")
