@@ -15,23 +15,32 @@ object Bench {
     // without paying file-write I/O. One warm-up pass first so reported
     // numbers are steady-state (JIT + file-index + shuffle-service
     // warm), then the timed pass.
+    // (construct, execute) seconds, or (-1,-1) on failure — a failed
+    // query never reports a flattering near-zero time. Construction is
+    // timed separately because a few queries do real work there
+    // (etl_current_air parses HTML and upserts; x2_ivf_topk checks /
+    // builds its index): folding that into "execution" would misstate
+    // the per-query engine cost.
     def run(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) =
+      try {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1.0, -1.0)
       }
     SparkEntry.queries.foreach { case (n, f) => run(n, f) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = run(name, fn)
-      // a failed query reports -1, never a flattering near-zero time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) => name -> run(name, fn) }
+    def jmap(f: ((Double, Double)) => Double) = results
+      .map { case (k, v) => s"\"" + k + "\":" + (if (v._1 < 0) -1.0 else f(v)) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = jmap(v => v._1 + v._2)
+    val construct = jmap(_._1)
+    val total = results.values.filter(_._1 >= 0).map(v => v._1 + v._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"construct":$construct,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NormalizeTextExpr, VecDot}
+import graft.functions.{NormalizeTextExpr, SimHashExpr, VecDot}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHashExpr(children.head)))
   }
 }

@@ -18,7 +18,17 @@ object Functions {
       "normalize_text", exprs => NormalizeTextExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHashExpr(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1), 5) else 5,
+        if (exprs.length > 2) litInt(exprs(2), 63) else 63), "scala_udf")
   }
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Int): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => d
+    }
 
   /** normalize_text as a Column function (goes through the registry so
     * we never touch the private Column<->Expression bridge). */

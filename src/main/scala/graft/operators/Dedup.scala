@@ -161,9 +161,11 @@ object Dedup {
     *   every rare shingle of both docs to miss the other's prefix,
     *   which DedupSpec shows does not happen on testdata (capped ==
     *   uncapped, pinned). This is the standard CCNet/BigQuery-dedup
-    *   stop-word lever; maxDf <= 0 disables it. */
+    *   stop-word lever; maxDf <= 0 disables it. Default 16: caps any
+    *   shingle's candidate contribution at C(16,2)=120 pairs (profiled
+    *   fastest at sf0.1; DedupSpec pins 16 and 64 == uncapped). */
   def prefixFilteredNgram(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tNum: Int = 3, tDen: Int = 5, maxDf: Int = 64): DataFrame = {
+      n: Int = 3, tNum: Int = 3, tDen: Int = 5, maxDf: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
     val posts = grams.select(col("gid"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
@@ -195,9 +197,22 @@ object Dedup {
     * (sequence-sensitive, so word-order changes register). Returns
     * (id, simhash: long with bit 63 kept zero — 63 usable bits).
     *
-    * Distributed shape: explode shingles (linear), one hash-aggregate
-    * with 63 conditional-sum accumulators — no pairwise work. */
+    * Computed by the codegen'd single-pass `SimHashExpr` — a pure
+    * scan-local projection, no explode/shuffle/aggregate in the
+    * signature stage (SimHashSpec pins it equal to the relational
+    * form below). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, charN: Int = 5,
+      bits: Int = 63): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
+    docs.select(col(idCol).as("id"),
+      call_function("simhash64", col(textCol), lit(charN), lit(bits)).as("simhash"))
+  }
+
+  /** Relational baseline for `simhash` (explode shingles, one
+    * hash-aggregate with `bits` conditional-sum accumulators): same
+    * output, kept as the expression's spec oracle and as the shape
+    * you'd fall back to without extension points. */
+  def simhashRelational(docs: DataFrame, idCol: String, textCol: String, charN: Int = 5,
       bits: Int = 63): DataFrame = {
     val shingles = docs.select(
       col(idCol).as("id"),

@@ -117,14 +117,19 @@ object CoreQueries {
     }),
 
     // ---- A4b: exact percentiles (interpolated) -------------------------
+    // Sort-based, not buffer-based: Percentiles.exact spills its sort
+    // and keeps O(1) aggregate state per group, where the built-in
+    // `percentile` holds every value in memory (the r1 scale-killer).
+    // Bit-identical results — PercentilesSpec pins it — so the DuckDB
+    // oracle is unchanged.
     "a4_percentiles" -> ((s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
-        .groupBy($"l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      graft.operators.Percentiles.exact(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
+        .select($"l_returnflag",
+          round($"p50", 4).as("p50"), round($"p90", 4).as("p90"),
+          round($"p99", 4).as("p99"))
         .orderBy($"l_returnflag")
     }),
 

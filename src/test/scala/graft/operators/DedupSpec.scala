@@ -70,7 +70,9 @@ class DedupSpec extends SparkSpec {
     def pairs(maxDf: Int) =
       Dedup.prefixFilteredNgram(docs, "doc_id", "text", maxDf = maxDf)
         .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs(64) == pairs(0))
+    val uncapped = pairs(0)
+    assert(pairs(16) == uncapped) // the default
+    assert(pairs(64) == uncapped)
   }
 
   test("wordGrams: short text degrades to a single whole-text shingle") {
