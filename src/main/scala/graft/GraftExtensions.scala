@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NormalizeTextExpr, SimHashExpr, VecDot}
+import graft.functions.{MinHashSigExpr, NormalizeTextExpr, SimHashExpr, VecDot}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigExpr(children.head)))
   }
 }

@@ -22,6 +22,10 @@ object Functions {
       "simhash64", exprs => SimHashExpr(exprs.head,
         if (exprs.length > 1) litInt(exprs(1), 5) else 5,
         if (exprs.length > 2) litInt(exprs(2), 63) else 63), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSigExpr(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1), 3) else 3,
+        if (exprs.length > 2) litInt(exprs(2), 64) else 64), "scala_udf")
   }
 
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Int): Int =

@@ -41,18 +41,31 @@ object Dedup {
             .otherwise(array(concat_ws(" ", w))))),
       1)
 
-  /** MinHash signature table: one row per doc, k columns m0..m{k-1}
-    * where m_i = min over shingles of xxhash64(shingle, i).
+  /** MinHash signature per doc as ONE array<long> column, computed by
+    * the codegen'd single-pass `MinHashSigExpr` — a scan-local
+    * projection with no explode/shuffle/aggregate in the signature
+    * stage (MinHashSigSpec pins it equal to the relational form
+    * below, element by element). */
+  def minhashSig(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
+    docs.select(col(idCol).as("id"),
+      call_function("minhash_sig", col(textCol), lit(n), lit(k)).as("sig"))
+  }
+
+  /** Relational baseline for `minhashSig`: one row per doc, k columns
+    * m0..m{k-1} where m_i = min over shingles of xxhash64(shingle, i).
     *
-    * Deliberately relational — explode shingles once, then a single
-    * hash-aggregate with k `min` accumulators — rather than nested
-    * `transform`/`array_min` lambdas: higher-order functions are
-    * interpreted (no codegen) and Catalyst inlines the whole shingling
-    * pipeline into every lambda, turning k×bands into a multiplicative
-    * re-evaluation. The aggregate form hashes each shingle exactly k
-    * times inside whole-stage codegen, and `min` gets map-side partial
-    * aggregation, so the only shuffle carries one k-column row per doc. */
-  def minhashTable(docs: DataFrame, idCol: String, textCol: String,
+    * Explode shingles once, then a single hash-aggregate with k `min`
+    * accumulators — rather than nested `transform`/`array_min`
+    * lambdas: higher-order functions are interpreted (no codegen) and
+    * Catalyst inlines the whole shingling pipeline into every lambda,
+    * turning k×bands into a multiplicative re-evaluation. The
+    * aggregate form hashes each shingle exactly k times inside
+    * whole-stage codegen, and `min` gets map-side partial aggregation,
+    * so the only shuffle carries one k-column row per doc. Kept as the
+    * expression's spec oracle. */
+  def minhashTableRelational(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     // Hash the (variable-length) shingle string ONCE to a 64-bit value,
     // then derive the k per-seed hashes from that long — hashing 8
@@ -74,10 +87,16 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "signature length must divide into bands")
     val r = k / bands
-    val sig = minhashTable(docs, idCol, textCol, n, k)
+    val sig = minhashSig(docs, idCol, textCol, n, k)
+    // band hash over an array SLICE: xxhash64 folds array elements with
+    // the running seed exactly like a flat argument list, so
+    // xxhash64(slice(sig, b·r+1, r), b) equals the relational form's
+    // xxhash64(m_{b·r}, …, m_{b·r+r−1}, b) — no need to unpack the
+    // signature into k columns (which would re-evaluate the signature
+    // expression per column after projection collapse).
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(((b * r) until ((b + 1) * r)).map(i => col(s"m$i")) :+ lit(b): _*).as("h"))
+        xxhash64(slice(col("sig"), b * r + 1, r), lit(b)).as("h"))
     }
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bh"))

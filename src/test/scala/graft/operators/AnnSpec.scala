@@ -36,6 +36,19 @@ class AnnSpec extends SparkSpec {
     assert(nCand > 0)
   }
 
+  test("persisted bucket index probe equals the ephemeral annTopK result") {
+    Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val store = new TableStore(
+      java.nio.file.Files.createTempDirectory("ann-spec").toString)
+    Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
+    val probe = Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ephemeral = Ann.annTopK(emb, "vec_id", "embedding", 0L, 10, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe == ephemeral)
+  }
+
   test("nearDupPairs (LSH-blocked) equals the all-pairs top-20 on testdata") {
     Functions.register(spark)
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
