@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Pins the manifest commit protocol (VERDICT r1 missing #5): the
+  * table path never disappears, the manifest is the single commit
+  * point, failures leave the old version fully readable, and old
+  * versions/legacy files are cleaned after commit. */
+class TableStoreManifestSpec extends SparkSpec {
+
+  private def freshStore(): TableStore = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "mstore-")
+    new TableStore(dir.toString)
+  }
+
+  private def listNames(store: TableStore, name: String): Set[String] = {
+    val dir = new Path(store.livePath(name))
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(dir).map(_.getPath.getName).toSet
+  }
+
+  test("replace commits via manifest: one version dir, resolvable, old version deleted") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.replace(spark, "t", Seq(1, 2, 3).toDF("x"))
+    val names1 = listNames(store, "t")
+    assert(names1.contains("_manifest") && names1.count(_.startsWith("v-")) == 1, names1)
+    store.replace(spark, "t", Seq(4, 5).toDF("x"))
+    val names2 = listNames(store, "t")
+    assert(names2.count(_.startsWith("v-")) == 1, names2) // displaced version gone
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5))
+    // the table path itself never moved
+    assert(store.exists(spark, "t"))
+  }
+
+  test("a failed write leaves the old version live and the manifest unchanged") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.replace(spark, "t", Seq(1, 2).toDF("x"))
+    val before = listNames(store, "t")
+    val resolvedBefore = store.resolve(spark, "t")
+    intercept[Throwable] {
+      store.replace(spark, "t",
+        s.range(1).select(org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("boom")).as("x")))
+    }
+    assert(store.resolve(spark, "t") == resolvedBefore)
+    assert(listNames(store, "t") == before)
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // no stray temp dirs at the store root
+    val rootFs = new Path(store.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!rootFs.listStatus(new Path(store.root)).exists(_.getPath.getName.startsWith(".tmp-")))
+  }
+
+  test("legacy flat layout upgrades on first replace and old files are cleaned") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // simulate the pre-manifest layout: parquet files directly in root/name
+    Seq(9).toDF("x").write.parquet(store.livePath("t"))
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(9))
+    store.replace(spark, "t", Seq(1).toDF("x"))
+    val names = listNames(store, "t")
+    assert(names.contains("_manifest") && names.count(_.startsWith("v-")) == 1)
+    assert(!names.exists(_.endsWith(".parquet")), names) // flat files cleaned
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("upsert flows through the manifest commit; create commits an empty version") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    assert(store.create(spark, "t",
+      org.apache.spark.sql.types.StructType.fromDDL("k STRING, v STRING, nupdates BIGINT")))
+    assert(store.read(spark, "t").isEmpty)
+    store.upsert(spark, "t", Seq(("a", "x")).toDF("k", "v"), Seq("k"))
+    store.upsert(spark, "t", Seq(("a", "y")).toDF("k", "v"), Seq("k"))
+    val got = store.read(spark, "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "y", 2L)))
+    assert(listNames(store, "t").count(_.startsWith("v-")) == 1)
+  }
+}
