@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigExpr, NormalizeTextExpr, SimHashExpr, VecDot}
+import graft.functions.{Functions, MinHashSigExpr, NormalizeTextExpr, SimHashExpr, VecDot, WordNgramsExpr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -30,10 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHashExpr(children.head)))
+      (children: Seq[Expression]) => SimHashExpr(children.head,
+        if (children.length > 1) Functions.litInt(children(1), 5) else 5,
+        if (children.length > 2) Functions.litInt(children(2), 63) else 63)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSigExpr(children.head)))
+      (children: Seq[Expression]) => MinHashSigExpr(children.head,
+        if (children.length > 1) Functions.litInt(children(1), 3) else 3,
+        if (children.length > 2) Functions.litInt(children(2), 64) else 64)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+      (children: Seq[Expression]) => WordNgramsExpr(children.head,
+        if (children.length > 1) Functions.litInt(children(1), 3) else 3)))
   }
 }

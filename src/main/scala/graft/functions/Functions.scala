@@ -26,9 +26,14 @@ object Functions {
       "minhash_sig", exprs => MinHashSigExpr(exprs.head,
         if (exprs.length > 1) litInt(exprs(1), 3) else 3,
         if (exprs.length > 2) litInt(exprs(2), 64) else 64), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgramsExpr(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1), 3) else 3), "scala_udf")
   }
 
-  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Int): Int =
+  /** Literal-int argument of a registered function call (parameters of
+    * graft's parameterized expressions must be literals). */
+  private[graft] def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Int): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case _ => d

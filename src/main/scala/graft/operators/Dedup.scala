@@ -23,15 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-grams ("shingles") of a text column.
-    *
-    * The token array is bound ONCE as a lambda variable (the
+  /** Distinct word n-grams ("shingles") of a text column — the
+    * codegen'd single-pass `WordNgramsExpr` (WordNgramsSpec pins it
+    * equal to the HOF baseline below). Callers must have registered
+    * graft's functions on the session; every DataFrame-level entry
+    * point in this object does so itself. */
+  def wordGrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, lit(n))
+
+  /** HOF baseline for `wordGrams` (spec oracle): higher-order
+    * functions run interpreted, and each consumer re-evaluates the
+    * whole pipeline — the reason the expression form exists. Within
+    * the HOF, the token array is bound ONCE as a lambda variable (the
     * one-element outer `transform`): naively referencing a `split(...)`
     * Column from inside the gram lambda inlines the split expression
     * into every `element_at` — Catalyst does no CSE inside interpreted
     * HOF lambdas — turning shingling O(words) into O(words²·n)
     * (measured 18s → <1s for 5000 docs at sf0.1). */
-  def wordGrams(text: Column, n: Int): Column =
+  def wordGramsHof(text: Column, n: Int): Column =
     element_at(
       transform(array(split(trim(text), "\\s+")), w =>
         array_distinct(
@@ -71,8 +80,10 @@ object Dedup {
     // then derive the k per-seed hashes from that long — hashing 8
     // fixed bytes k times instead of re-hashing the string k times
     // (~2-3× on the signature stage, which dominates LSH cost).
+    // wordGramsHof, not the expression: this baseline is the spec
+    // oracle for MinHashSigExpr and must not share code with it
     val grams = docs
-      .select(col(idCol).as("id"), explode(wordGrams(col(textCol), n)).as("g"))
+      .select(col(idCol).as("id"), explode(wordGramsHof(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("gh"))
     val mins = Seq.tabulate(k)(i => min(xxhash64(col("gh"), lit(i))).as(s"m$i"))
     grams.groupBy(col("id")).agg(mins.head, mins.tail: _*)
@@ -119,6 +130,7 @@ object Dedup {
     * n_common / n_union, both exact integers. */
   def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
     val posts = docs.select(col(idCol).as("gid"), explode(wordGrams(col(textCol), n)).as("g"))
     val sizes = posts.groupBy("gid").agg(count(lit(1)).as("sz"))
     val withA = pairs.join(posts.select(col("gid").as("idA"), col("g")), "idA")
@@ -146,6 +158,7 @@ object Dedup {
     * shingles are the known hazard at scale — AQE skew-join splits
     * them; a df-style stop-shingle filter is the standard next lever. */
   def allPairsNgram(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
     val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
     val sizes = grams.select(col("gid"), size(col("grams")).cast("long").as("sz"))
     val posts = grams.select(col("gid"), explode(col("grams")).as("g"))
@@ -186,6 +199,7 @@ object Dedup {
   def prefixFilteredNgram(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tNum: Int = 3, tDen: Int = 5, maxDf: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
     val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
     val posts = grams.select(col("gid"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
     val df = posts.groupBy("g").agg(count(lit(1)).as("gdf"))
