@@ -181,6 +181,31 @@ final class TableStore(val root: String) {
     f.delete(tmp, true)
   }
 
+  /** Remove crash leftovers: store-root `.tmp-*`/`.old-*` staging
+    * dirs and, inside each versioned table, version dirs and manifest
+    * temps not referenced by the current manifest. Never touches live
+    * data or partitioned layouts. Single-writer discipline applies
+    * (vacuum from the writer; a concurrent writer's in-flight staging
+    * dir would be collected). */
+  def vacuum(spark: SparkSession): Unit = {
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return
+    f.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".tmp-") || n.startsWith(".old-")) f.delete(st.getPath, true)
+      else if (st.isDirectory) {
+        currentVersion(f, n).foreach { v =>
+          f.listStatus(st.getPath).foreach { c =>
+            val cn = c.getPath.getName
+            if ((cn.startsWith("v-") && cn != v) || cn.startsWith("._manifest-"))
+              f.delete(c.getPath, true)
+          }
+        }
+      }
+    }
+  }
+
   /** Replace a table's contents with `df` (manifest commit). `df` may
     * read from the table's own current version: the new version is
     * fully materialized into a temp dir before anything moves.

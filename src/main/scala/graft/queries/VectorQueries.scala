@@ -23,8 +23,11 @@ object VectorQueries {
     "x2_ann_topk" -> ((s, dir) => {
       Functions.register(s)
       val emb = Tables.embeddings(s, dir)
+      // v1 path segment = index FORMAT version: bump it whenever build
+      // semantics change, or an index persisted by older code would
+      // silently serve a now-oracle-gated query
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/ann-index/${new java.io.File(dir).getName}")
+        s"/root/repo/target/tmp/ann-index/v1/${new java.io.File(dir).getName}")
       if (!store.exists(s, "ann_buckets"))
         Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
       Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", queryId = 0L, k = 10)
@@ -43,8 +46,9 @@ object VectorQueries {
     "x2_ivf_topk" -> ((s, dir) => {
       Functions.register(s)
       val emb = Tables.embeddings(s, dir)
+      // v2 = full-corpus training (v1 indexes excluded the probe vector)
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/ivf-index/${new java.io.File(dir).getName}")
+        s"/root/repo/target/tmp/ivf-index/v2/${new java.io.File(dir).getName}")
       if (!store.exists(s, "ivf_centroids") || !store.exists(s, "ivf_postings"))
         graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
       graft.operators.Ivf.probeTopK(s, store, "ivf",

@@ -29,14 +29,28 @@ import graft.operators.TableStore
 object Streams {
 
   /** T1: micro-batch keyed MERGE sink. Each micro-batch runs the
-    * upsert inside foreachBatch; the TableStore directory swap is the
-    * commit point (per-batch transaction). */
+    * upsert inside foreachBatch; the TableStore manifest commit is the
+    * per-batch transaction boundary. */
   def upsertSink(stream: DataFrame, store: TableStore, table: String,
       keys: Seq[String]): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         store.upsert(batch.sparkSession, table, batch, keys)
+      }
+
+  /** T1 at scale: the same sink over a partitioned table — each
+    * micro-batch MERGEs into (and rewrites) ONLY the partitions its
+    * keys touch, so an endless stream never pays a growing-table
+    * rewrite. `partCol` must be a column of the stream functionally
+    * determined by the keys (e.g. a date prefix). */
+  def upsertSinkPartitioned(stream: DataFrame, store: TableStore, table: String,
+      keys: Seq[String], partCol: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsertPartitioned(batch.sparkSession, table, batch, keys, partCol,
+          numFiles = Some(1))
       }
 
   /** T2/T3: watermarked tumbling-window aggregate over an event-time

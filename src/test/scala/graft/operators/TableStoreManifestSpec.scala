@@ -69,6 +69,25 @@ class TableStoreManifestSpec extends SparkSpec {
     assert(store.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("vacuum removes crash leftovers, keeps live data") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.replace(spark, "t", Seq(1, 2).toDF("x"))
+    val f = new Path(store.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate crash leftovers
+    f.mkdirs(new Path(store.root, ".tmp-t-dead1"))
+    f.mkdirs(new Path(store.root, ".old-t-dead2"))
+    f.mkdirs(new Path(store.livePath("t") + "/v-orphan"))
+    f.create(new Path(store.livePath("t") + "/._manifest-dead"), true).close()
+    store.vacuum(spark)
+    val rootNames = f.listStatus(new Path(store.root)).map(_.getPath.getName).toSet
+    assert(!rootNames.exists(n => n.startsWith(".tmp-") || n.startsWith(".old-")), rootNames)
+    val names = listNames(store, "t")
+    assert(names.count(_.startsWith("v-")) == 1 && !names.contains("v-orphan"), names)
+    assert(!names.exists(_.startsWith("._manifest-")), names)
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
   test("upsert flows through the manifest commit; create commits an empty version") {
     val s = spark; import s.implicits._
     val store = freshStore()

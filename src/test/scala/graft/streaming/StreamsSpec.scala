@@ -40,6 +40,37 @@ class StreamsSpec extends SparkSpec {
     assert(rows((2L, "a")) == (3.0, 1L))
   }
 
+  test("T1 partitioned: micro-batches rewrite only their touched date partitions") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "stream-pstore-").toString)
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Streams.upsertSinkPartitioned(
+        mem.toDF.toDF("report_ts", "clave", "value")
+          .withColumn("p_date", (col("report_ts") / 100).cast("int")),
+        store, "readings", Seq("report_ts", "clave"), "p_date")
+      .start()
+    def fileOf(part: Int): Set[String] = {
+      val dir = new org.apache.hadoop.fs.Path(store.livePath("readings"), s"p_date=$part")
+      val f = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(dir)) Set.empty
+      else f.listStatus(dir).map(st => st.getPath.getName + ":" + st.getModificationTime).toSet
+    }
+    try {
+      mem.addData((2025050509L, "a", 1.0), (2025050609L, "b", 2.0)) // two days
+      q.processAllAvailable()
+      val day05 = fileOf(20250505)
+      mem.addData((2025050610L, "b", 3.0)) // touches day 06 only
+      q.processAllAvailable()
+      assert(fileOf(20250505) == day05, "untouched partition rewritten")
+      assert(fileOf(20250506).nonEmpty)
+    } finally q.stop()
+    val rows = store.read(s, "readings").collect()
+      .map(r => r.getAs[Long]("report_ts") -> r.getAs[Long]("nupdates")).toMap
+    assert(rows == Map(2025050509L -> 1L, 2025050609L -> 1L, 2025050610L -> 1L))
+  }
+
   test("T2/T3: watermarked tumbling window emits finalized counts; late row within watermark still lands") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
