@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Functions, MinHashSigExpr, NormalizeTextExpr, SimHashExpr, VecDot, WordNgramsExpr}
+import graft.functions.{Functions, HyperplaneBucketsExpr, MinHashSigExpr, NormalizeTextExpr, SimHashExpr, VecDot, WordNgramsExpr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -44,5 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
       (children: Seq[Expression]) => WordNgramsExpr(children.head,
         if (children.length > 1) Functions.litInt(children(1), 3) else 3)))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBucketsExpr].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => HyperplaneBucketsExpr(children.head,
+        if (children.length > 1) Functions.litInt(children(1), 96) else 96,
+        if (children.length > 2) Functions.litInt(children(2), 6) else 6,
+        if (children.length > 3) Functions.litInt(children(3), 64) else 64,
+        if (children.length > 4) Functions.litLong(children(4), 42L) else 42L)))
   }
 }

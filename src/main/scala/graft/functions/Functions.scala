@@ -29,6 +29,12 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgramsExpr(exprs.head,
         if (exprs.length > 1) litInt(exprs(1), 3) else 3), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets", exprs => HyperplaneBucketsExpr(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1), 96) else 96,
+        if (exprs.length > 2) litInt(exprs(2), 6) else 6,
+        if (exprs.length > 3) litInt(exprs(3), 64) else 64,
+        if (exprs.length > 4) litLong(exprs(4), 42L) else 42L), "scala_udf")
   }
 
   /** Literal-int argument of a registered function call (parameters of
@@ -36,6 +42,13 @@ object Functions {
   private[graft] def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Int): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => d
+    }
+
+  private[graft] def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Long): Long =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
       case _ => d
     }
 

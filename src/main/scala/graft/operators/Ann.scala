@@ -30,27 +30,34 @@ import graft.functions.Functions.{cosine, dotd}
   */
 object Ann {
 
-  /** Deterministic pseudo-random unit-free hyperplanes [table][bit][dim]. */
-  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val rnd = new Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  /** Deterministic pseudo-random unit-free hyperplanes [table][bit][dim]
+    * (canonical generator lives with the expression that consumes it). */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] =
+    graft.functions.HyperplaneBuckets.planes(tables, bits, dim, seed)
+
+  /** (id, table, bucket) index rows for a vector table: the codegen'd
+    * single-pass `lsh_buckets` expression emits every table's bucket
+    * id as one array, then a posexplode fans out ×tables — a pure
+    * projection + generator, NO shuffle anywhere in the index build
+    * (the relational baseline below needed a groupBy over
+    * tables·bits rows per vector). */
+  def bucketIndex(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 96, bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession) // idempotent
+    df.select(col(idCol).as("id"),
+        posexplode(call_function("lsh_buckets", col(vecCol),
+          lit(tables), lit(bits), lit(dim), lit(seed))).as(Seq("t", "b")))
   }
 
-  /** (id, table, bucket) index rows for a vector table.
-    *
-    * Relational shape: the hyperplanes ship as ONE plan literal
-    * (array of (t, bit, plane) structs, ~tables·bits·dim·8 bytes in
-    * the references array — no join at all); each vector explodes it
-    * (tables·bits rows, each computing ONE codegen'd VecDot) and a
-    * partial-agg groupBy packs sign bits into bucket ids. The
-    * generator form keeps the plan free of BroadcastNestedLoopJoin
-    * (a broadcast cross join is how this read before — harmless for
-    * a bounded plane table, but it makes no-BNLJ plan assertions on
-    * consumers impossible). The other rejected alternative — one
-    * projection containing tables×bits inline dot products —
-    * generates a method too large for janino, silently degrading the
-    * whole operator to interpreted eval. */
-  def bucketIndex(df: DataFrame, idCol: String, vecCol: String,
+  /** Relational baseline for `bucketIndex` (spec oracle): hyperplanes
+    * ship as ONE plan literal (array of (t, bit, plane) structs);
+    * each vector explodes it (tables·bits rows, each computing ONE
+    * codegen'd VecDot) and a partial-agg groupBy packs sign bits into
+    * bucket ids. Chosen over a broadcast cross join (would put a
+    * BroadcastNestedLoopJoin in every consumer plan) and over one
+    * projection with tables×bits inline dots (janino method-size
+    * blowup → silent interpreted eval). */
+  def bucketIndexRelational(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Array[Double]]]): DataFrame = {
     val planeRows: Seq[(Int, Int, Seq[Double])] = planes.zipWithIndex.flatMap { case (tp, t) =>
       tp.zipWithIndex.map { case (p, b) => (t, b, p.toSeq) }
@@ -86,8 +93,7 @@ object Ann {
     * per-bit ≈ 0.9+) separate from background far more cheaply. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       tables: Int = 96, bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim, seed)
-    val index = bucketIndex(emb, idCol, vecCol, planes)
+    val index = bucketIndex(emb, idCol, vecCol, tables, bits, dim, seed)
     val lhs = index.select(col("id").as("idA"), col("t"), col("b"))
     val rhs = index.select(col("id").as("idB"), col("t").as("tB"), col("b").as("bB"))
     // candidate SLOTS, not deduped pairs: a pair colliding in c ≤ tables
@@ -131,9 +137,9 @@ object Ann {
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, store: TableStore,
       name: String, tables: Int = 96, bits: Int = 6, dim: Int = 64,
       seed: Long = 42L): Unit = {
-    val planes = hyperplanes(tables, bits, dim, seed)
     store.replace(emb.sparkSession, s"${name}_buckets",
-      bucketIndex(emb, idCol, vecCol, planes).repartition(col("t"), col("b")))
+      bucketIndex(emb, idCol, vecCol, tables, bits, dim, seed)
+        .repartition(col("t"), col("b")))
   }
 
   /** Probe a persisted bucket index: bucket the query vector with the
@@ -145,9 +151,9 @@ object Ann {
       name: String, queryId: Long, k: Int, tables: Int = 96, bits: Int = 6,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
-    val planes = hyperplanes(tables, bits, dim, seed)
     val buckets = store.read(spark, s"${name}_buckets")
-    val probe = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol, planes)
+    val probe = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol,
+        tables, bits, dim, seed)
       .select(col("t").as("pt"), col("b").as("pb"))
     val candidates = buckets
       .join(broadcast(probe), col("t") === col("pt") && col("b") === col("pb"))
@@ -172,9 +178,10 @@ object Ann {
     // and silently degrades LSH to a full scan.
     val d = dim.getOrElse(
       emb.select(size(col(vecCol))).head.getInt(0))
-    val planes = hyperplanes(tables, bits, d, seed)
-    val index = bucketIndex(emb.filter(col(idCol) =!= queryId), idCol, vecCol, planes)
-    val probe = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol, planes)
+    val index = bucketIndex(emb.filter(col(idCol) =!= queryId), idCol, vecCol,
+      tables, bits, d, seed)
+    val probe = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol,
+        tables, bits, d, seed)
       .select(col("t").as("pt"), col("b").as("pb"))
     val candidates = index
       .join(broadcast(probe), col("t") === col("pt") && col("b") === col("pb"))

@@ -22,12 +22,23 @@ class AnnSpec extends SparkSpec {
     assert(ann == brute)
   }
 
+  test("lsh_buckets expression equals the relational explode+groupBy bucket index") {
+    Functions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expr = asMap(Ann.bucketIndex(emb, "vec_id", "embedding"))
+    val rel = asMap(Ann.bucketIndexRelational(emb, "vec_id", "embedding",
+        Ann.hyperplanes(96, 6, 64))
+      .select(col("id"), col("t"), col("b")))
+    assert(expr == rel)
+  }
+
   test("candidate set is a strict subset of the corpus (really approximate)") {
     Functions.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val planes = Ann.hyperplanes(96, 6, 64)
-    val idx = Ann.bucketIndex(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", planes)
-    val probe = Ann.bucketIndex(emb.filter(col("vec_id") === 0), "vec_id", "embedding", planes)
+    val idx = Ann.bucketIndex(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding")
+    val probe = Ann.bucketIndex(emb.filter(col("vec_id") === 0), "vec_id", "embedding")
       .select(col("t").as("pt"), col("b").as("pb"))
     val nCand = idx.join(broadcast(probe), col("t") === col("pt") && col("b") === col("pb"))
       .select("id").distinct().count()
