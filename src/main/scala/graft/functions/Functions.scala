@@ -12,8 +12,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Functions {
 
-  /** Register SQL-callable custom functions on a session (idempotent). */
+  /** Register SQL-callable custom functions on a session (idempotent:
+    * a session that already resolves them — earlier call or
+    * GraftExtensions injection — is left untouched, so per-operator
+    * registration is warning-free and never shadows injected
+    * builders). */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_buckets"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalize_text", exprs => NormalizeTextExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

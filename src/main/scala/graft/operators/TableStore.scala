@@ -123,12 +123,14 @@ final class TableStore(val root: String) {
     * (/root/reference/scrapper.py:208-214) at partition granularity:
     * each partition swap is an atomic rename commit.
     *
-    * Contract: `updates` must carry `partCol`, and `partCol` must be
-    * functionally determined by the merge keys (same key ⇒ same
-    * partition, e.g. a date prefix of the key) — otherwise a key could
-    * "move" between partitions and duplicate. Int-valued partition
-    * columns round-trip hive partition-type inference losslessly;
-    * prefer them (e.g. yyyymmdd) over date/string values. */
+    * Contract: `updates` must carry `partCol`; `partCol` must be
+    * NON-NULL (a null partition value cannot be partition-pruned, so
+    * its target rows would be skipped by the merge) and functionally
+    * determined by the merge keys (same key ⇒ same partition, e.g. a
+    * date prefix of the key) — otherwise a key could "move" between
+    * partitions and duplicate. Int-valued partition columns round-trip
+    * hive partition-type inference losslessly; prefer them (e.g.
+    * yyyymmdd) over date/string values. */
   def upsertPartitioned(spark: SparkSession, name: String, updates: DataFrame,
       keys: Seq[String], partCol: String,
       counterCol: String = "nupdates", numFiles: Option[Int] = None): Unit = {
