@@ -31,26 +31,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       (children: Seq[Expression]) => SimHashExpr(children.head,
-        if (children.length > 1) Functions.litInt(children(1), 5) else 5,
-        if (children.length > 2) Functions.litInt(children(2), 63) else 63)))
+        if (children.length > 1) Functions.litInt(children(1), "simhash64 charN") else 5,
+        if (children.length > 2) Functions.litInt(children(2), "simhash64 bits") else 63)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(children.head,
-        if (children.length > 1) Functions.litInt(children(1), 3) else 3,
-        if (children.length > 2) Functions.litInt(children(2), 64) else 64)))
+        if (children.length > 1) Functions.litInt(children(1), "minhash_sig n") else 3,
+        if (children.length > 2) Functions.litInt(children(2), "minhash_sig k") else 64)))
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
       (children: Seq[Expression]) => WordNgramsExpr(children.head,
-        if (children.length > 1) Functions.litInt(children(1), 3) else 3)))
+        if (children.length > 1) Functions.litInt(children(1), "word_ngrams n") else 3)))
     ext.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[HyperplaneBucketsExpr].getName, "lsh_buckets"),
       (children: Seq[Expression]) => HyperplaneBucketsExpr(children.head,
-        if (children.length > 1) Functions.litInt(children(1), 96) else 96,
-        if (children.length > 2) Functions.litInt(children(2), 6) else 6,
-        if (children.length > 3) Functions.litInt(children(3), 64) else 64,
-        if (children.length > 4) Functions.litLong(children(4), 42L) else 42L)))
+        if (children.length > 1) Functions.litInt(children(1), "lsh_buckets tables") else 96,
+        if (children.length > 2) Functions.litInt(children(2), "lsh_buckets bits") else 6,
+        if (children.length > 3) Functions.litInt(children(3), "lsh_buckets dim") else 64,
+        if (children.length > 4) Functions.litLong(children(4), "lsh_buckets seed") else 42L)))
   }
 }

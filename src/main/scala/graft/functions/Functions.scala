@@ -26,36 +26,51 @@ object Functions {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHashExpr(exprs.head,
-        if (exprs.length > 1) litInt(exprs(1), 5) else 5,
-        if (exprs.length > 2) litInt(exprs(2), 63) else 63), "scala_udf")
+        if (exprs.length > 1) litInt(exprs(1), "simhash64 charN") else 5,
+        if (exprs.length > 2) litInt(exprs(2), "simhash64 bits") else 63), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSigExpr(exprs.head,
-        if (exprs.length > 1) litInt(exprs(1), 3) else 3,
-        if (exprs.length > 2) litInt(exprs(2), 64) else 64), "scala_udf")
+        if (exprs.length > 1) litInt(exprs(1), "minhash_sig n") else 3,
+        if (exprs.length > 2) litInt(exprs(2), "minhash_sig k") else 64), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgramsExpr(exprs.head,
-        if (exprs.length > 1) litInt(exprs(1), 3) else 3), "scala_udf")
+        if (exprs.length > 1) litInt(exprs(1), "word_ngrams n") else 3), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_buckets", exprs => HyperplaneBucketsExpr(exprs.head,
-        if (exprs.length > 1) litInt(exprs(1), 96) else 96,
-        if (exprs.length > 2) litInt(exprs(2), 6) else 6,
-        if (exprs.length > 3) litInt(exprs(3), 64) else 64,
-        if (exprs.length > 4) litLong(exprs(4), 42L) else 42L), "scala_udf")
+        if (exprs.length > 1) litInt(exprs(1), "lsh_buckets tables") else 96,
+        if (exprs.length > 2) litInt(exprs(2), "lsh_buckets bits") else 6,
+        if (exprs.length > 3) litInt(exprs(3), "lsh_buckets dim") else 64,
+        if (exprs.length > 4) litLong(exprs(4), "lsh_buckets seed") else 42L), "scala_udf")
   }
 
-  /** Literal-int argument of a registered function call (parameters of
-    * graft's parameterized expressions must be literals). */
-  private[graft] def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Int): Int =
+  /** Literal-int argument of a registered function call. Parameters of
+    * graft's parameterized expressions MUST be literals (they shape the
+    * generated code); a non-literal argument fails analysis loudly
+    * instead of silently running with the default. */
+  private[graft] def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case _ => d
+      case other if other.foldable => other.eval() match {
+        case v: Int => v
+        case v => throw new IllegalArgumentException(s"$what must be an integer literal, got $v")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal, got expression ${other.sql}")
     }
 
-  private[graft] def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression, d: Long): Long =
+  private[graft] def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Long =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
-      case _ => d
+      case other if other.foldable => other.eval() match {
+        case v: Long => v
+        case v: Int => v.toLong
+        case v => throw new IllegalArgumentException(s"$what must be an integer literal, got $v")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal, got expression ${other.sql}")
     }
 
   /** normalize_text as a Column function (goes through the registry so

@@ -31,39 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the whole signature as one scan-local projection value — the
   * signature stage stops shuffling entirely. */
 object MinHashSig {
-  private val WS = java.util.regex.Pattern.compile("\\s+")
 
-  /** Replicates Spark SQL `trim`: strips 0x20 only. */
-  private def trimSpaces(s: String): String = {
-    var lo = 0
-    var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    s.substring(lo, hi)
-  }
-
-  /** Static worker shared by interpreted eval and generated code. */
+  /** Static worker shared by interpreted eval and generated code.
+    * Shingling is `WordNgrams.wordShingles` — the single shared
+    * replication of Spark's trim/split/distinct semantics. */
   def compute(input: UTF8String, n: Int, k: Int): ArrayData = {
-    val tokens = WS.split(trimSpaces(input.toString), -1)
-    val shingles = new java.util.HashSet[String]()
-    if (tokens.length >= n) {
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      val last = tokens.length - n
-      while (i <= last) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(tokens(i + j))
-          j += 1
-        }
-        shingles.add(sb.toString)
-        i += 1
-      }
-    } else {
-      shingles.add(String.join(" ", tokens: _*))
-    }
+    val shingles = WordNgrams.wordShingles(input, n)
     val mins = Array.fill(k)(Long.MaxValue)
     val it = shingles.iterator()
     while (it.hasNext) {

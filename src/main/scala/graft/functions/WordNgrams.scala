@@ -25,6 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object WordNgrams {
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
+  /** Replicates Spark SQL `trim`: strips 0x20 only. */
   private def trimSpaces(s: String): String = {
     var lo = 0
     var hi = s.length
@@ -33,12 +34,13 @@ object WordNgrams {
     s.substring(lo, hi)
   }
 
-  /** Static worker shared by interpreted eval and generated code. */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  /** Distinct word n-gram shingles in first-occurrence order — the ONE
+    * replication of Spark's trim/split/array_distinct semantics, shared
+    * by WordNgramsExpr and MinHashSigExpr so the two can never drift
+    * apart on a whitespace edge case. */
+  private[functions] def wordShingles(input: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
     val tokens = WS.split(trimSpaces(input.toString), -1)
-    // array_distinct keeps first occurrence order — replicate with a
-    // LinkedHashSet
-    val shingles = new java.util.LinkedHashSet[UTF8String]()
+    val shingles = new java.util.LinkedHashSet[String]()
     if (tokens.length >= n) {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -51,13 +53,23 @@ object WordNgrams {
           sb.append(tokens(i + j))
           j += 1
         }
-        shingles.add(UTF8String.fromString(sb.toString))
+        shingles.add(sb.toString)
         i += 1
       }
     } else {
-      shingles.add(UTF8String.fromString(String.join(" ", tokens: _*)))
+      shingles.add(String.join(" ", tokens: _*))
     }
-    new GenericArrayData(shingles.toArray.asInstanceOf[Array[Any]])
+    shingles
+  }
+
+  /** Static worker shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val shingles = wordShingles(input, n)
+    val out = new Array[Any](shingles.size)
+    val it = shingles.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
   }
 }
 

@@ -66,10 +66,16 @@ object Ann {
         explode(typedlit(planeRows)).as("p"))
       .select(col("id"), col("p._1").as("t"), col("p._2").as("bit"),
         dotd(col("v"), col("p._3")).as("d"))
+      // null dot (malformed vector: wrong width / null element) must
+      // stay null, not read as bit 0 — so the whole bucket sums to
+      // null and the filter drops the row, matching the expression
+      // form's null-out (which posexplode then drops)
       .select(col("id"), col("t"),
-        when(col("d") >= 0d, expr("shiftleft(1L, bit)")).otherwise(lit(0L)).as("bitval"))
+        when(col("d") >= 0d, expr("shiftleft(1L, bit)"))
+          .when(col("d") < 0d, lit(0L)).as("bitval"))
       .groupBy(col("id"), col("t"))
       .agg(sum(col("bitval")).as("b"))
+      .filter(col("b").isNotNull)
   }
 
   /** Top-k most-cosine-similar PAIRS via LSH blocking: candidate
@@ -130,33 +136,43 @@ object Ann {
   /** Persist the hyperplane-LSH bucket index (id, t, b) for a corpus
     * via `store` as `{name}_buckets` — build-once / probe-many
     * (VERDICT r1 missing #3: annTopK rebuilt the index per query).
-    * Stored clustered by (t, b) so a probe's bucket lookups touch few
-    * files; planes are regenerated from (tables, bits, dim, seed), so
-    * the index carries no plane payload — probes MUST pass the same
-    * parameters. */
+    * Written SORTED by (t, b): parquet row-group min/max stats on the
+    * sorted columns make a probe's pushed-down (t, b) predicate skip
+    * everything but the colliding row groups (dir-per-bucket hive
+    * partitioning doesn't survive 2^bits growth — at bits≈24 that
+    * would be 16M directories; stats-based skipping is the layout
+    * that scales). Planes are regenerated from (tables, bits, dim,
+    * seed); the index carries no plane payload — probes MUST pass the
+    * same parameters. */
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, store: TableStore,
       name: String, tables: Int = 96, bits: Int = 6, dim: Int = 64,
       seed: Long = 42L): Unit = {
     store.replace(emb.sparkSession, s"${name}_buckets",
       bucketIndex(emb, idCol, vecCol, tables, bits, dim, seed)
-        .repartition(col("t"), col("b")))
+        .repartition(col("t"))
+        .sortWithinPartitions(col("t"), col("b")))
   }
 
   /** Probe a persisted bucket index: bucket the query vector with the
-    * SAME plane parameters, equi-join collisions against the stored
-    * buckets (probe side broadcasts — no index shuffle), exact-cosine
-    * re-rank candidates only. Identical output to `annTopK` for the
-    * same parameters (AnnSpec pins it). */
+    * SAME plane parameters (a bounded `tables`-row collect — one
+    * bucket id per table for ONE vector), push the collision
+    * predicate — an OR over the probe's (t, b) pairs, all literals —
+    * into the index scan (row-group skipping via the sorted layout),
+    * exact-cosine re-rank candidates only. Identical output to
+    * `annTopK` for the same parameters (AnnSpec pins it). */
   def probeTopK(emb: DataFrame, idCol: String, vecCol: String, store: TableStore,
       name: String, queryId: Long, k: Int, tables: Int = 96, bits: Int = 6,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
-    val buckets = store.read(spark, s"${name}_buckets")
-    val probe = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol,
+    val probePairs = bucketIndex(emb.filter(col(idCol) === queryId), idCol, vecCol,
         tables, bits, dim, seed)
-      .select(col("t").as("pt"), col("b").as("pb"))
-    val candidates = buckets
-      .join(broadcast(probe), col("t") === col("pt") && col("b") === col("pb"))
+      .select("t", "b").collect().map(r => (r.getInt(0), r.getLong(1)))
+    // a malformed query vector has no buckets — nothing can collide
+    val collides =
+      if (probePairs.isEmpty) lit(false)
+      else probePairs.map { case (t, b) => col("t") === t && col("b") === b }.reduce(_ || _)
+    val candidates = store.read(spark, s"${name}_buckets")
+      .filter(collides)
       .filter(col("id") =!= queryId)
       .select("id").distinct()
     val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))

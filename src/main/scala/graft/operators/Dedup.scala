@@ -187,15 +187,17 @@ object Dedup {
     *   a df-heavy shingle contributes C(df,2) candidate pairs, so one
     *   boilerplate phrase can dominate the whole join. The verify step
     *   stays exact over ALL shingles, so reported (n_common, n_union)
-    *   are unaffected; what the cap can do in principle is miss a pair
-    *   whose prefixes overlap ONLY in ubiquitous shingles — for real
-    *   near-dups (J ≥ t with a rarity-ordered prefix) that requires
-    *   every rare shingle of both docs to miss the other's prefix,
-    *   which DedupSpec shows does not happen on testdata (capped ==
-    *   uncapped, pinned). This is the standard CCNet/BigQuery-dedup
-    *   stop-word lever; maxDf <= 0 disables it. Default 16: caps any
-    *   shingle's candidate contribution at C(16,2)=120 pairs (profiled
-    *   fastest at sf0.1; DedupSpec pins 16 and 64 == uncapped). */
+    *   are unaffected — but candidate RECALL is heuristic with the cap
+    *   on: a pair whose prefixes overlap only in above-cap shingles is
+    *   missed. The important special case: a duplicate CLUSTER larger
+    *   than maxDf docs pushes every shared shingle's df above the cap,
+    *   losing the whole cluster — so set maxDf comfortably above the
+    *   largest expected duplicate-cluster size for your corpus, or
+    *   <= 0 to disable the cap and recover the exact PPJoin guarantee.
+    *   This is the standard CCNet/BigQuery-dedup stop-word lever.
+    *   Default 16 fits the testdata (planted clusters are pairs;
+    *   DedupSpec pins 16 and 64 == uncapped there, profiled fastest
+    *   at sf0.1). */
   def prefixFilteredNgram(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tNum: Int = 3, tDen: Int = 5, maxDf: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -53,6 +53,11 @@ object Percentiles {
           (position - lower) * col(s"_hi$i"))
         .as(name)
     }
-    agged.select(g ++ outs: _*)
+    // a group whose values are ALL null has no ranked rows, but the
+    // built-in still emits it (with NULL percentiles) — restore such
+    // groups via a left join from the full group set
+    df.select(g: _*).distinct()
+      .join(agged, groupCols, "left")
+      .select(g ++ outs: _*)
   }
 }

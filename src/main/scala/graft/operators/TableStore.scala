@@ -68,9 +68,22 @@ final class TableStore(val root: String) {
   }
 
   /** S6: existence probe — the reference's sqlite_master check
-    * (/root/reference/scrapper.py:258-262). */
-  def exists(spark: SparkSession, name: String): Boolean =
-    fs(spark).exists(new Path(livePath(name)))
+    * (/root/reference/scrapper.py:258-262). COMMITTED existence: a
+    * versioned table exists iff its manifest does; otherwise the dir
+    * must hold non-version content (legacy flat / partitioned layout).
+    * A crash that staged a version dir but died before the manifest
+    * rename thus reads as "absent", so callers rebuild instead of
+    * resolving a broken table. */
+  def exists(spark: SparkSession, name: String): Boolean = {
+    val f = fs(spark)
+    val dir = new Path(livePath(name))
+    if (!f.exists(dir)) false
+    else if (f.exists(manifest(name))) true
+    else f.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("v-") && !n.startsWith(".")
+    }
+  }
 
   /** S6: CREATE TABLE IF NOT EXISTS — commits an empty versioned table
     * carrying the schema. Returns true if created. */
@@ -184,11 +197,14 @@ final class TableStore(val root: String) {
   }
 
   /** Remove crash leftovers: store-root `.tmp-*`/`.old-*` staging
-    * dirs and, inside each versioned table, version dirs and manifest
-    * temps not referenced by the current manifest. Never touches live
-    * data or partitioned layouts. Single-writer discipline applies
-    * (vacuum from the writer; a concurrent writer's in-flight staging
-    * dir would be collected). */
+    * dirs and, inside each table dir, version dirs and manifest temps
+    * not referenced by the current manifest — including orphans in a
+    * dir with NO manifest (a writer that died between staging its
+    * version and the commit rename; committed versioned tables always
+    * have a manifest, so any such v-dir is uncommitted garbage).
+    * Never touches live data or partitioned layouts. Single-writer
+    * discipline applies (vacuum from the writer; a concurrent
+    * writer's in-flight staging dir would be collected). */
   def vacuum(spark: SparkSession): Unit = {
     val f = fs(spark)
     val rootPath = new Path(root)
@@ -197,12 +213,11 @@ final class TableStore(val root: String) {
       val n = st.getPath.getName
       if (n.startsWith(".tmp-") || n.startsWith(".old-")) f.delete(st.getPath, true)
       else if (st.isDirectory) {
-        currentVersion(f, n).foreach { v =>
-          f.listStatus(st.getPath).foreach { c =>
-            val cn = c.getPath.getName
-            if ((cn.startsWith("v-") && cn != v) || cn.startsWith("._manifest-"))
-              f.delete(c.getPath, true)
-          }
+        val current = currentVersion(f, n)
+        f.listStatus(st.getPath).foreach { c =>
+          val cn = c.getPath.getName
+          if ((cn.startsWith("v-") && !current.contains(cn)) || cn.startsWith("._manifest-"))
+            f.delete(c.getPath, true)
         }
       }
     }
@@ -227,12 +242,14 @@ final class TableStore(val root: String) {
     try df.write.mode("overwrite").parquet(tmp.toString)
     catch { case e: Throwable => f.delete(tmp, true); throw e }
     val prev = currentVersion(f, name)
-    // legacy flat files (pre-manifest layout): note them for cleanup
+    // no manifest ⇒ anything already in the dir is either legacy flat
+    // files (pre-manifest layout) or uncommitted crash orphans
+    // (v-dirs/manifest temps staged by a writer that died before its
+    // commit rename) — both are safe to clean once OUR commit lands
     val legacy: Array[Path] =
       if (prev.isEmpty && f.exists(dir))
         f.listStatus(dir).map(_.getPath)
-          .filter(p => !p.getName.startsWith("v-") && !p.getName.startsWith("_")
-            && !p.getName.startsWith("."))
+          .filter(p => !p.getName.startsWith("_"))
       else Array.empty
     f.mkdirs(dir)
     val dst = new Path(dir, ver)

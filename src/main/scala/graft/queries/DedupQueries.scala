@@ -21,8 +21,10 @@ object DedupQueries {
 
   val all: Map[String, Q] = Map(
     // ---- exact word-trigram Jaccard via PPJoin prefix filter --------
-    // Output identical to the naive all-pairs scan (same oracle);
-    // DedupSpec pins prefixFiltered == inverted-index == LSH.
+    // Output identical to the naive all-pairs scan on this data (same
+    // oracle); DedupSpec pins prefixFiltered == inverted-index == LSH
+    // AND capped == uncapped (the stop-shingle cap is heuristic for
+    // dup clusters larger than maxDf — see prefixFilteredNgram doc).
     "x1_ngram_jaccard" -> ((s, dir) => {
       Dedup.prefixFilteredNgram(Tables.documents(s, dir), "doc_id", "text", n = 3)
         .select(col("idA").as("doc_a"), col("idB").as("doc_b"),

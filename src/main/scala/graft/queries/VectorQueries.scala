@@ -11,6 +11,16 @@ import graft.sources.Tables
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cache key for persisted indexes: sf dir name + a fingerprint of
+    * the embeddings file (length ⊕ mtime). If the testdata is ever
+    * regenerated in place, the fingerprint changes and the stale index
+    * is abandoned instead of silently serving oracle-gated queries. */
+  private def indexKey(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
+  }
+
   val all: Map[String, Q] = Map(
     // ---- X2 scale path: LSH-bucketed ANN top-k ----------------------
     // Same output contract as the brute-force x2_topk_cosine; with the
@@ -23,11 +33,12 @@ object VectorQueries {
     "x2_ann_topk" -> ((s, dir) => {
       Functions.register(s)
       val emb = Tables.embeddings(s, dir)
-      // v1 path segment = index FORMAT version: bump it whenever build
-      // semantics change, or an index persisted by older code would
-      // silently serve a now-oracle-gated query
+      // v2 path segment = index FORMAT version (v2: sorted (t,b)
+      // layout): bump it whenever build semantics change, or an index
+      // persisted by older code would silently serve a now-oracle-
+      // gated query; indexKey guards against regenerated data
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/ann-index/v1/${new java.io.File(dir).getName}")
+        s"/root/repo/target/tmp/ann-index/v2/${indexKey(s, dir)}")
       if (!store.exists(s, "ann_buckets"))
         Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
       Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", queryId = 0L, k = 10)
@@ -46,9 +57,10 @@ object VectorQueries {
     "x2_ivf_topk" -> ((s, dir) => {
       Functions.register(s)
       val emb = Tables.embeddings(s, dir)
-      // v2 = full-corpus training (v1 indexes excluded the probe vector)
+      // v3 = cid-partitioned postings (v2 flat; v1 trained without the
+      // probe vector); indexKey guards against regenerated data
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/ivf-index/v2/${new java.io.File(dir).getName}")
+        s"/root/repo/target/tmp/ivf-index/v3/${indexKey(s, dir)}")
       if (!store.exists(s, "ivf_centroids") || !store.exists(s, "ivf_postings"))
         graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
       graft.operators.Ivf.probeTopK(s, store, "ivf",

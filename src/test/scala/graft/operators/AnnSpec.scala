@@ -53,8 +53,12 @@ class AnnSpec extends SparkSpec {
     val store = new TableStore(
       java.nio.file.Files.createTempDirectory("ann-spec").toString)
     Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
-    val probe = Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", 0L, 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probeDf = Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", 0L, 10)
+    // the probe's (t,b) collision predicate reaches the index scan
+    // (rendered as PushedFilters: [IsNotNull(id), Or(Or(...)
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("Or(Or("), plan.take(1200))
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val ephemeral = Ann.annTopK(emb, "vec_id", "embedding", 0L, 10, dim = Some(64))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probe == ephemeral)

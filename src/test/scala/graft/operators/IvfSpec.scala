@@ -44,9 +44,12 @@ class IvfSpec extends SparkSpec {
       .select(col("vec_id"), Functions.cosine(col("embedding"), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val probe = Ivf.probeTopK(spark, store, "ivf",
+    val probeDf = Ivf.probeTopK(spark, store, "ivf",
         emb.filter(col("vec_id") === 0L).select("embedding"), 0L, 10, nprobe = 8)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the probe scan is partition-pruned to the probed clusters
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan.take(800))
+    val probe = probeDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // full-corpus index + nprobe=8/16 ⇒ exact top-10, the basis for
     // x2_ivf_topk sharing the brute-force oracle (checked at every sf
     // by the IvfTune sweep; pinned here at sf0.001).

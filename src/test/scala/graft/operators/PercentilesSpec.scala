@@ -23,6 +23,20 @@ class PercentilesSpec extends SparkSpec {
     assert(sorted == builtin)
   }
 
+  test("all-null group is kept with NULL percentile, like the built-in") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "x")
+    val got = Percentiles.exact(df, Seq("g"), "x", Seq(0.5), Seq("p50"))
+      .orderBy("g").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 2.0)
+    assert(got(1).getString(0) == "b" && got(1).isNullAt(1))
+    val builtin = df.groupBy($"g").agg(expr("percentile(x, 0.5)").as("p50"))
+      .orderBy("g").collect()
+    assert(builtin.length == 2 && builtin(1).isNullAt(1)) // same contract
+  }
+
   test("integral position collapses to the exact rank value; nulls excluded") {
     val s = spark; import s.implicits._
     // 5 values: p=0.5 lands exactly on rank 2 (0-based) => 30.0, no interpolation

@@ -69,6 +69,26 @@ class TableStoreManifestSpec extends SparkSpec {
     assert(store.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("crash between staging and commit: table reads as absent, rebuild recovers, vacuum cleans") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // simulate a writer that staged a version dir but died before the
+    // manifest rename: dir holds only v-x, no _manifest
+    val f = new Path(store.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(store.livePath("t") + "/v-halfdead"))
+    assert(!store.exists(spark, "t"), "uncommitted table must read as absent")
+    // a rebuild (what callers do on !exists) commits cleanly and clears the orphan
+    store.replace(spark, "t", Seq(7).toDF("x"))
+    assert(store.exists(spark, "t"))
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(7))
+    assert(!listNames(store, "t").contains("v-halfdead"))
+    // and vacuum alone also repairs a half-dead dir
+    f.mkdirs(new Path(store.livePath("t2") + "/v-halfdead"))
+    store.vacuum(spark)
+    val t2 = new Path(store.livePath("t2"))
+    assert(f.listStatus(t2).isEmpty, "orphan version not collected")
+  }
+
   test("vacuum removes crash leftovers, keeps live data") {
     val s = spark; import s.implicits._
     val store = freshStore()
