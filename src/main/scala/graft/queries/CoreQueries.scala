@@ -29,6 +29,10 @@ object CoreQueries {
     * parquet back (read_parquet over the partitioned dirs). */
   private val EtlStorePath = "/root/repo/target/tmp/etl-oracle"
 
+  /** Fixed store root for the partitioned-upsert gate query (wiped per
+    * run — the two-batch counter semantics need a fresh store). */
+  private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
+
   val all: Map[String, Q] = Map(
     // ---- A3: partial+final hash aggregate (TPC-H Q1 shape) ----------
     "a3_pricing_summary" -> ((s, dir) => {
@@ -347,6 +351,35 @@ object CoreQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S4b: partition-scoped upsert, end to end through disk ------
+    // Two keyed MERGE batches land in a month-partitioned store (only
+    // touched month dirs are read+rewritten — TableStorePartitionSpec
+    // pins the byte-identity invariant); the DuckDB oracle recomputes
+    // the same merge in SQL over the source table. p_month is derived
+    // from o_orderdate, so it is functionally determined by the key.
+    "s4_upsert_partitioned" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(PartUpsertStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(PartUpsertStorePath)
+      val o = Tables.orders(s, dir)
+      def withMonth(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("p_month", (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int"))
+      val seed = o.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+      val updates = o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"), $"o_orderdate")
+      store.upsertPartitioned(s, "orders", withMonth(seed), Seq("o_orderkey"), "p_month",
+        numFiles = Some(1))
+      store.upsertPartitioned(s, "orders", withMonth(updates), Seq("o_orderkey"), "p_month",
+        numFiles = Some(1))
+      store.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates",
+          $"p_month".cast("int").as("p_month"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- S9: parquet scan with pushdown + pruning --------------------------
     "s9_scan_pushdown" -> ((s, dir) => {
       import s.implicits._
@@ -619,6 +652,24 @@ object CoreQueries {
         |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN t.nupdates + 1
         |            WHEN u.o_orderkey IS NOT NULL THEN 1
         |            ELSE t.nupdates END AS BIGINT) AS nupdates
+        |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s4_upsert_partitioned" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, CAST(1 AS BIGINT) AS nupdates
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN t.nupdates + 1
+        |            WHEN u.o_orderkey IS NOT NULL THEN 1
+        |            ELSE t.nupdates END AS BIGINT) AS nupdates,
+        |  CAST(year(COALESCE(u.o_orderdate, t.o_orderdate)) * 100
+        |       + month(COALESCE(u.o_orderdate, t.o_orderdate)) AS INTEGER) AS p_month
         |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
