@@ -228,6 +228,17 @@ object Dedup {
       .filter(col("n_common") * tDen >= col("n_union") * tNum)
   }
 
+  /** Near-dup REMOVAL (the materializer a training pipeline actually
+    * runs): keep every doc that is never the HIGHER id of a near-dup
+    * pair. Deterministic, one anti-join over the pair set — for
+    * clique-shaped duplicate clusters (the common case: near-dups of
+    * one source are pairwise near-dups) this keeps exactly the
+    * lowest-id representative per cluster; for chains it is the
+    * standard greedy sweep. `pairs` must carry (idA, idB) with
+    * idA < idB — any of the pair generators above qualifies. */
+  def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("idB").as(idCol)), Seq(idCol), "left_anti")
+
   /** 64-bit SimHash over character n-gram shingles WITH multiplicity
     * (sequence-sensitive, so word-order changes register). Returns
     * (id, simhash: long with bit 63 kept zero — 63 usable bits).

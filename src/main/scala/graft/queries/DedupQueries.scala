@@ -67,6 +67,19 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- near-dup REMOVAL: the keep-one materializer ----------------
+    // Pairs from the scale path (PPJoin prefix filter), then one
+    // anti-join keeps the lowest-id representative of each clique —
+    // what a training pipeline actually materializes. Same pair set as
+    // the oracle's, so the kept-doc set is exact.
+    "x1_dedup_keep_one" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.prefixFilteredNgram(docs, "doc_id", "text", n = 3)
+      Dedup.keepRepresentatives(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine: top-20 most-similar pairs ----------------
     // LSH-blocked (hyperplane buckets → equi-join candidates → exact
     // re-rank) — same oracle as the old all-pairs scan because every
@@ -98,6 +111,11 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "x1_ngram_jaccard" -> jaccardOracle,
+    "x1_dedup_keep_one" ->
+      s"""WITH pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")})
+         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
     "x1_minhash_lsh" -> jaccardOracle,
     "x1_simhash_pairs" -> jaccardOracle,
     "x1_embed_neardup" ->

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs(64) == uncapped)
   }
 
+  test("keepRepresentatives: lowest id survives a clique; chain is greedy-swept") {
+    val s = spark; import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // clique {1,2,3} + chain 4-5, 5-6 (4 and 6 NOT near-dups of each other)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L)).toDF("idA", "idB")
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // clique -> min id; chain: 5 and 6 both appear as idB
+  }
+
   test("wordGrams: short text degrades to a single whole-text shingle") {
     val s = spark; import s.implicits._
     val got = Seq("one two", "a b c d").toDF("t")
