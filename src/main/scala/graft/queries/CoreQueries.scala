@@ -248,6 +248,25 @@ object CoreQueries {
         .orderBy($"l_orderkey")
     }),
 
+    // ---- P13d: map function family ------------------------------------
+    // Build a per-region map of nation name -> key, then flatten it
+    // back to rows (map_from_entries / map_keys / element_at /
+    // explode-of-map all exercised); the flattened form is engine-
+    // neutral, so the oracle is a plain join — no cross-engine MAP
+    // dtype hashing.
+    "p13_map_ops" -> ((s, dir) => {
+      import s.implicits._
+      val m = Tables.nation(s, dir)
+        .groupBy($"n_regionkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct($"n_name", $"n_nationkey".cast("long").as("n_nationkey"))))).as("nations"))
+      m.select(
+          $"n_regionkey".cast("long").as("n_regionkey"),
+          size(map_keys($"nations")).cast("long").as("n_nations"),
+          explode($"nations").as(Seq("nation", "nation_key")))
+        .orderBy($"n_regionkey", $"nation")
+    }),
+
     // ---- W1: ranking window (top-3 orders per customer) ---------------
     "w1_top_orders_per_cust" -> ((s, dir) => {
       import s.implicits._
@@ -672,6 +691,13 @@ object CoreQueries {
         |       + month(COALESCE(u.o_orderdate, t.o_orderdate)) AS INTEGER) AS p_month
         |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "p13_map_ops" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(COUNT(*) OVER (PARTITION BY n_regionkey) AS BIGINT) AS n_nations,
+        |  n_name AS nation, CAST(n_nationkey AS BIGINT) AS nation_key
+        |FROM nation
+        |ORDER BY n_regionkey, nation""".stripMargin,
 
     "s9_scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
