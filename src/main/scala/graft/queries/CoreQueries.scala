@@ -190,6 +190,23 @@ object CoreQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ----
+    // Catalyst decorrelates the per-part average into an aggregate +
+    // join; the threshold math (exact integer-valued sums/counts in
+    // double, then one multiply) is bit-identical across engines, so
+    // the row qualification — and the hash — match DuckDB exactly.
+    "sql_small_qty_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand ORDER BY p_brand""")
+    }),
+
     // ---- A5: rollup (multi-grain time aggregate) ----------------------
     "a5_rollup_orders" -> ((s, dir) => {
       import s.implicits._
@@ -698,6 +715,15 @@ object CoreQueries {
         |  n_name AS nation, CAST(n_nationkey AS BIGINT) AS nation_key
         |FROM nation
         |ORDER BY n_regionkey, nation""".stripMargin,
+
+    "sql_small_qty_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_qty_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "s9_scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
