@@ -12,9 +12,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: full query execution incl. every output column
     // (count() would let Catalyst prune map-only projections away),
-    // without paying file-write I/O. One warm-up pass first so reported
-    // numbers are steady-state (JIT + file-index + shuffle-service
-    // warm), then the timed pass.
+    // without paying file-write I/O. Two timed passes; each query
+    // reports its faster one (see below).
     // (construct, execute) seconds, or (-1,-1) on failure — a failed
     // query never reports a flattering near-zero time. Construction is
     // timed separately because a few queries do real work there
@@ -40,7 +39,9 @@ object Bench {
     val pass2 = SparkEntry.queries.map { case (name, fn) => name -> run(name, fn) }
     val results = SparkEntry.queries.map { case (name, _) =>
       val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a._1 < 0) b else if (b._1 < 0) a
+      // a failure in EITHER pass reports -1: an intermittently-crashing
+      // query must never look healthy in the metrics line
+      name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0)
                else if (a._1 + a._2 <= b._1 + b._2) a else b)
     }
     def jmap(f: ((Double, Double)) => Double) = results

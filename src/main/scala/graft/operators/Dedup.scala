@@ -230,12 +230,17 @@ object Dedup {
 
   /** Near-dup REMOVAL (the materializer a training pipeline actually
     * runs): keep every doc that is never the HIGHER id of a near-dup
-    * pair. Deterministic, one anti-join over the pair set — for
-    * clique-shaped duplicate clusters (the common case: near-dups of
-    * one source are pairwise near-dups) this keeps exactly the
-    * lowest-id representative per cluster; for chains it is the
-    * standard greedy sweep. `pairs` must carry (idA, idB) with
-    * idA < idB — any of the pair generators above qualifies. */
+    * pair — i.e. keep the LOCAL MINIMA of the pair graph. One
+    * deterministic anti-join over the pair set. For clique-shaped
+    * duplicate clusters (the common case: near-dups of one source are
+    * pairwise near-dups) this keeps exactly the lowest-id
+    * representative per cluster. On CHAINS it over-removes relative
+    * to a sequential greedy sweep: in 4–5, 5–6 (4 and 6 not dups of
+    * each other) both 5 AND 6 are dropped, though 6 duplicates no
+    * kept doc — the price of staying single-pass; an exact maximal
+    * independent set needs iterative propagation. DedupSpec pins both
+    * behaviors. `pairs` must carry (idA, idB) with idA < idB — any of
+    * the pair generators above qualifies. */
   def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("idB").as(idCol)), Seq(idCol), "left_anti")
 

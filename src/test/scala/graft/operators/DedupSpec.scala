@@ -75,14 +75,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs(64) == uncapped)
   }
 
-  test("keepRepresentatives: lowest id survives a clique; chain is greedy-swept") {
+  test("keepRepresentatives: lowest id survives a clique; chains keep local minima only") {
     val s = spark; import s.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // clique {1,2,3} + chain 4-5, 5-6 (4 and 6 NOT near-dups of each other)
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L)).toDF("idA", "idB")
     val kept = Dedup.keepRepresentatives(docs, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 4L)) // clique -> min id; chain: 5 and 6 both appear as idB
+    // clique -> min id; chain: 5 AND 6 both dropped (each is some pair's
+    // idB) — the documented over-removal of the single-pass form
+    assert(kept == Set(1L, 4L))
   }
 
   test("wordGrams: short text degrades to a single whole-text shingle") {
