@@ -244,6 +244,45 @@ object Dedup {
   def keepRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("idB").as(idCol)), Seq(idCol), "left_anti")
 
+  /** Connected-component cluster labels over the near-dup pair graph —
+    * TRANSITIVE dedup, the semantics large-corpus pipelines
+    * standardize on (a chain A~B~C is ONE duplicate group even when
+    * A,C aren't directly similar). Distributed min-label propagation:
+    * every doc starts labeled with its own id; each iteration every
+    * doc takes the min label among itself and its neighbors; converged
+    * when no label changes (O(component diameter) iterations — near-dup
+    * components are shallow cliques, so typically 1–2). Per iteration:
+    * one join + partial-agg min + one join, with `localCheckpoint`
+    * truncating the lineage so plans stay O(1) per round instead of
+    * compounding. The convergence check is a driver-side count —
+    * bounded actions, standard for iterative Spark (GraphX/GraphFrames
+    * CC is this same loop). Returns (id, cluster) for EVERY doc;
+    * singletons label themselves. */
+  def clusterLabels(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("nid")).agg(min("lbl").as("nlbl"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   /** 64-bit SimHash over character n-gram shingles WITH multiplicity
     * (sequence-sensitive, so word-order changes register). Returns
     * (id, simhash: long with bit 63 kept zero — 63 usable bits).

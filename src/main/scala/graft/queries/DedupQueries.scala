@@ -80,6 +80,20 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- transitive dedup clusters (connected components) -----------
+    // Min-label propagation over the exact near-dup pair graph: every
+    // doc gets the min doc_id of its component (chains collapse, the
+    // corpus-dedup semantics SlimPajama-style pipelines use). Oracle:
+    // DuckDB recursive-CTE transitive closure over the same pairs.
+    "x1_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.prefixFilteredNgram(docs, "doc_id", "text", n = 3)
+        .select("idA", "idB")
+      Dedup.clusterLabels(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // ---- embedding-cosine: top-20 most-similar pairs ----------------
     // LSH-blocked (hyperplane buckets → equi-join candidates → exact
     // re-rank) — same oracle as the old all-pairs scan because every
@@ -111,6 +125,17 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "x1_ngram_jaccard" -> jaccardOracle,
+    "x1_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, MIN(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
     "x1_dedup_keep_one" ->
       s"""WITH pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")})
          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents

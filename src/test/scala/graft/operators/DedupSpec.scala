@@ -87,6 +87,16 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("clusterLabels: transitive components — chain collapses to one cluster") {
+    val s = spark; import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // clique {1,2,3}; chain 4-5-6 (transitively one component); singleton 7
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L)).toDF("idA", "idB")
+    val got = Dedup.clusterLabels(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+  }
+
   test("wordGrams: short text degrades to a single whole-text shingle") {
     val s = spark; import s.implicits._
     val got = Seq("one two", "a b c d").toDF("t")
