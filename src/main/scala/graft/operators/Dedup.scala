@@ -256,14 +256,20 @@ object Dedup {
     * truncating the lineage so plans stay O(1) per round instead of
     * compounding. The convergence check is a driver-side count —
     * bounded actions, standard for iterative Spark (GraphX/GraphFrames
-    * CC is this same loop). Returns (id, cluster) for EVERY doc;
-    * singletons label themselves. */
+    * CC is this same loop). The loop runs ONLY over docs that appear
+    * in some pair — in a deduped corpus that graph is a sliver of the
+    * data, and singletons (the overwhelming majority at 100 TB) never
+    * enter an iteration: they union back in labeled with their own
+    * id, one anti-join, zero per-round cost. Returns (id, cluster)
+    * for EVERY doc. */
   def clusterLabels(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
       .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+    // both directions exist, so src alone covers every pair member
+    val members = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var labels = members.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
@@ -280,7 +286,10 @@ object Dedup {
       labels = next
       it += 1
     }
-    labels.select(col("id"), col("lbl").as("cluster"))
+    val singletons = docs.select(col(idCol).cast("long").as("id"))
+      .join(members, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.select(col("id"), col("lbl").as("cluster")).union(singletons)
   }
 
   /** 64-bit SimHash over character n-gram shingles WITH multiplicity
