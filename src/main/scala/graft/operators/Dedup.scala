@@ -277,13 +277,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("nid")).agg(min("lbl").as("nlbl"))
+      // change flag computed IN the propagation join (the old label is
+      // already on the row) — the convergence check is then a filter
+      // over the materialized checkpoint, not an extra join job
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nlbl2"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .select(col("id"), col("nlbl2").as("lbl"), col("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "lbl")
       it += 1
     }
     val singletons = docs.select(col(idCol).cast("long").as("id"))
