@@ -161,6 +161,61 @@ object AirQualityEtl {
       meta = meta)
   }
 
+  /** One parsed archive reading before columnar conformance: meta
+    * fields are DATA (they vary per page), unlike the single-page path
+    * where they are constant-folded literals. */
+  final case class ArchiveRow(
+      reportTs: Long, reportTsLegacy: Long,
+      year: Int, monthNum: Int, monthDay: Int, hour: Int,
+      weekDay: String, monthName: String,
+      texts: Seq[String], imgs: Seq[String])
+
+  /** Archive fan-out (the claim in the header, made real): parse MANY
+    * report pages EXECUTOR-SIDE. Input: one HTML string per row;
+    * output: conformed cdmx readings for every parseable page. The
+    * HTML parse + table extraction run inside `flatMap` — per-page
+    * CPU scales with the cluster, nothing is driver-bound — and pages
+    * failing the validation gate (unparseable date) are dropped
+    * per-page instead of aborting the batch, the right semantics for
+    * a backfill over millions of pages of varying vintage. Downstream
+    * normalization/extraction reuses the exact expressions of the
+    * single-page path, reading meta from columns instead of literals. */
+  def archiveReadings(spark: SparkSession, pages: Dataset[String],
+      cfg: EtlConfig = EtlConfig.default): DataFrame = {
+    import spark.implicits._
+    graft.functions.Functions.register(spark)
+    val divId = cfg.divIds("cdmx_table")
+    val fromRow = cfg.dataFromRow
+    val raw: Dataset[ArchiveRow] = pages.flatMap { html =>
+      val doc = Html.parse(html)
+      parseMeta(doc, cfg) match {
+        case None => Iterator.empty // per-page validation gate
+        case Some(m) =>
+          rawRows(html, divId, fromRow).iterator.map(r =>
+            ArchiveRow(m.reportTs, m.reportTsLegacy, m.year, m.monthNum,
+              m.monthDay, m.hour, m.weekDay, m.monthName, r.texts, r.imgs))
+      }
+    }
+    raw
+      .filter(size($"texts") >= 4) // P2: malformed-row filter
+      .select(
+        $"reportTs".as("report_ts"),
+        make_timestamp($"year", $"monthNum", $"monthDay", $"hour", lit(0), lit(0))
+          .as("report_time"),
+        $"reportTsLegacy".as("report_ts_legacy"),
+        expr("normalize_text(texts[0])").as("clave_str"),
+        expr("normalize_text(texts[1])").as("alcaldia_str"),
+        when(element_at($"imgs", 3) =!= "",
+          regexp_extract(element_at($"imgs", 3), "([^/]+)\\.svg$", 1)).as("calidad_del_aire_str"),
+        expr("normalize_text(texts[3])").as("parametro_str"),
+        $"weekDay".as("week_day_str"),
+        $"monthDay".as("month_day_num"),
+        $"monthName".as("month_name_str"),
+        $"monthNum".as("month_num"),
+        $"year".as("year_num"),
+        $"hour".as("hour_num"))
+  }
+
   /** Load + upsert one batch into the store (scrapper.py:329-331):
     * three keyed MERGEs, each restricted to the report-date partitions
     * the batch touches (an hourly batch touches exactly one) — the

@@ -498,6 +498,27 @@ object CoreQueries {
         .orderBy($"clave_str")
     }),
 
+    // ---- S2 at scale: archive fan-out — executor-side parse of many
+    // pages (48 synthetic hourly reports from the fixture), then an
+    // aggregate over the readings. No DuckDB oracle (inputs aren't sf
+    // tables); AirQualityEtlSpec pins archive == single-page plan
+    // column-for-column; driver does a rows>0 gate. ---------------------
+    "etl_archive_scan" -> ((s, dir) => {
+      import s.implicits._
+      val html = {
+        val in = getClass.getResourceAsStream("/fixtures/report_sample.html")
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val pages = for (d <- Seq("5 de mayo", "6 de mayo"); h <- 0 until 24)
+        yield html.replace("09:00 h", f"$h%02d:00 h").replace("5 de mayo", d)
+      graft.etl.AirQualityEtl.archiveReadings(s, pages.toDS.repartition(8))
+        .groupBy($"hour_num")
+        .agg(count(lit(1)).as("n_readings"),
+          countDistinct($"clave_str").as("n_stations"),
+          countDistinct($"report_ts").as("n_reports"))
+        .orderBy($"hour_num")
+    }),
+
     // ---- X3: token/char statistics per language -----------------------------------
     "x3_token_stats" -> ((s, dir) => {
       import s.implicits._

@@ -78,6 +78,25 @@ class AirQualityEtlSpec extends SparkSpec {
     assert(store.read(spark, "gral_stats").collect().head.getAs[Long]("nupdates") == 2L)
   }
 
+  test("archive fan-out: executor-side parse of many pages equals the single-page path; bad pages drop per-page") {
+    val s = spark; import s.implicits._
+    val pages = Seq(
+      html,
+      html.replace("09:00 h", "10:00 h"),
+      "<html><body>vacio</body></html>", // unparseable: dropped, not fatal
+      html.replace("09:00 h", "11:00 h"))
+    val got = AirQualityEtl.archiveReadings(spark, pages.toDS.repartition(3))
+    val rows = got.collect()
+    assert(rows.length == 12) // 3 valid pages x 4 readings
+    assert(got.select("hour_num").distinct().collect().map(_.getInt(0)).toSet == Set(9, 10, 11))
+    // page 1's readings are column-for-column identical to the single-page plan
+    val single = AirQualityEtl.batchFromHtml(spark, html).cdmx
+      .orderBy("clave_str").collect().map(_.toSeq).toSeq
+    val archived = got.filter($"hour_num" === 9)
+      .orderBy("clave_str").collect().map(_.toSeq).toSeq
+    assert(archived == single)
+  }
+
   test("upsert: a later hour inserts new keys alongside the old ones") {
     val store = freshStore()
     AirQualityEtl.runBatch(spark, store, html)
