@@ -284,6 +284,31 @@ object CoreQueries {
         .orderBy($"n_regionkey", $"nation")
     }),
 
+    // ---- W4: distribution windows (percent_rank / cume_dist / ntile) --
+    "w4_distribution_ranks" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(s, dir)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"c_mktsegment", $"c_custkey")
+    }),
+
+    // ---- A5b: GROUPING SETS with grouping_id ---------------------------
+    "a5_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")
+    }),
+
     // ---- W1: ranking window (top-3 orders per customer) ---------------
     "w1_top_orders_per_cust" -> ((s, dir) => {
       import s.implicits._
@@ -745,6 +770,24 @@ object CoreQueries {
         |WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "w4_distribution_ranks" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "a5_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "s9_scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity

@@ -69,6 +69,24 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2 range search: ALL vectors within a similarity radius ----
+    // The other half of similarity search (top-k's sibling): brute
+    // exact form, one codegen'd cosine per row + filter — trivially
+    // parallel, no shuffle before the ordered output. The filter runs
+    // on the UNROUNDED similarity in both engines (identical float
+    // expression), so the qualifying set hash-matches.
+    "x2_range_search" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), Functions.cosine(col("embedding"), col("qv")).as("sim_raw"))
+        .filter(col("sim_raw") >= 0.25)
+        .select(col("vec_id"), round(col("sim_raw"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // ---- A6 exact centroid (decimal-routed, oracle-checked) ---------
     // Emits (sum, n) rather than sum/n: the exact decimal sum
     // hash-matches any engine, while a rounded double quotient can
@@ -107,6 +125,16 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "x2_ann_topk" -> topkOracle,
     "x2_ivf_topk" -> topkOracle,
+    "x2_range_search" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT vec_id,
+        |    list_dot_product(embedding::DOUBLE[], q.qv) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) AS sim_raw
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, round(sim_raw, 6) AS sim FROM sims
+        |WHERE sim_raw >= 0.25
+        |ORDER BY sim DESC, vec_id""".stripMargin,
 
     "x2_centroid_exact" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS idx,
