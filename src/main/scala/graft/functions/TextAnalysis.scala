@@ -86,6 +86,56 @@ object TextAnalysis {
   /** Count of BPE-ish pre-tokens. */
   def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern)).cast("long")
 
+  // ---- PII redaction ------------------------------------------------
+
+  /** Email pattern restricted to constructs RE2 (DuckDB) and
+    * java.util.regex (Spark) treat identically: no backrefs, no
+    * lookaround, greedy classes only. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** 555-prefixed NANP phone fragment (the reserved fictional
+    * exchange); `\b` is an ASCII word boundary in both engines. */
+  val phonePattern: String = "\\b555-[0-9]{4}\\b"
+
+  /** Count of email / phone matches (for audit columns). */
+  def piiEmailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast("long")
+  def piiPhoneCount(text: Column): Column =
+    regexp_count(text, lit(phonePattern)).cast("long")
+
+  /** Redact emails then phones. Order is fixed (and mirrored in the
+    * oracle) because replacement rewrites the string the next pattern
+    * scans. Pure regexp_replace chain — codegen'd, scan-local, no
+    * shuffle: at 100 TB this is a map over the corpus. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  // ---- repetition / duplication signals (Gopher-style) --------------
+
+  /** All word bigrams WITH multiplicity — unlike `Dedup.wordGrams`,
+    * which deduplicates shingles, repetition scoring needs the
+    * counts. Bound-lambda idiom (see `Dedup.wordGramsHof`): the token
+    * array is bound once as a lambda variable, so Catalyst's lack of
+    * CSE inside HOF lambdas can't re-run the split per element.
+    * Empty array for docs with fewer than 2 tokens. */
+  def wordBigramsAll(text: Column): Column =
+    element_at(
+      transform(array(tokens(text)), w =>
+        when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2),
+            i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+
+  /** Duplicate-word count: tokens minus distinct tokens. Integer —
+    * exact in any engine (callers derive fractions downstream if they
+    * want them; we keep numerator/denominator separate so the oracle
+    * hash never depends on float rounding). */
+  def dupWordCount(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("long")
+
   // ---- content fingerprinting ---------------------------------------
 
   /** Whole-document fingerprint: md5 of the exact text (md5 exists in

@@ -61,6 +61,73 @@ object TextQueries {
           fingerprint(col("text")).as("fp"),
           winnowFingerprint(col("text"), 5).as("fp_winnow"))
         .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction (emails + phones planted deterministically) --
+    // The synthetic corpus has no natural PII, so both engines derive
+    // the same augmented text from doc_id, then redact it — the regex
+    // path is exercised for real and the md5 of the redacted text is
+    // the strong check. Scan-local map: no shuffle at any scale.
+    "x3_pii_redact" -> ((s, dir) => {
+      val aug = concat(
+        col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now."),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@example.org")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          piiEmailCount(col("aug")).as("n_emails"),
+          piiPhoneCount(col("aug")).as("n_phones"),
+          md5(redactPii(col("aug")).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- repetition signals (Gopher-style quality filters) ----------
+    // dup_words and the most-frequent-bigram count, all integers so
+    // the hash never depends on float rounding. Bigram counting is
+    // explode → two-level hash aggregate — the distributed plan (the
+    // per-doc HOF alternative would be O(words²) in executor memory).
+    "x3_repetition" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"),
+          wordBigramsAll(col("text")).as("grams"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          dupWordCount(col("w")).as("dup_words"),
+          col("grams"))
+      val top = base
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram_cnt"))
+      base.drop("grams")
+        .join(top, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("top_bigram_cnt"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token-budget sequence packing ------------------------------
+    // Chunked packing for LLM training batches: within each lang
+    // shard, docs (ordered by doc_id) are laid head-to-tail and cut
+    // into 512-token bins — bin = tokens-before div 512, a windowed
+    // cumulative sum. Deterministic and engine-portable (no greedy
+    // bin-packing heuristics). Scale: partition-parallel across langs;
+    // at 100 TB you shard the window key further (e.g. lang × bucket
+    // of doc_id) so no single partition holds a whole language.
+    "x3_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum("n_tok").over(win), lit(0L)))
+        .withColumn("bin", expr("cum_before div 512"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+        .orderBy("lang", "bin")
     })
   )
 
@@ -121,6 +188,43 @@ object TextQueries {
         |      FROM d)
         |SELECT doc_id, md5(text) AS fp,
         |       list_aggregate([md5(x) for x in grams], 'min') AS fp_winnow
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x3_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or call 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b555-[0-9]{4}\b', '[PHONE]', 'g')) AS fp
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "x3_repetition" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup_words FROM d),
+        |g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |      FROM d WHERE len(w) >= 2),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |gm AS (SELECT doc_id, MAX(c) AS m FROM gc GROUP BY 1)
+        |SELECT base.doc_id AS doc_id, n_words, dup_words,
+        |       CAST(COALESCE(gm.m, 0) AS BIGINT) AS top_bigram_cnt
+        |FROM base LEFT JOIN gm ON base.doc_id = gm.doc_id ORDER BY base.doc_id""".stripMargin,
+
+    "x3_pack_sequences" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+        |SELECT lang, CAST(cum_before // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

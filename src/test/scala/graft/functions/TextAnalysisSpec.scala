@@ -36,6 +36,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(4L, 5L, 0L))
   }
 
+  test("PII redaction: emails and phones replaced, counts match") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      "mail me at bob.smith+x@corp.example.com or call 555-0042 today",
+      "two mails a@b.co c@d.org and fake phone 555-12345 long",
+      "nothing sensitive here").toDF("t")
+    val rows = df.select(redactPii($"t"), piiEmailCount($"t"), piiPhoneCount($"t")).collect()
+    assert(rows(0).getString(0) == "mail me at [EMAIL] or call [PHONE] today")
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L)
+    // 555-12345: \b after 4 digits fails (digit follows) → not a phone
+    assert(rows(1).getLong(1) == 2L && rows(1).getLong(2) == 0L)
+    assert(rows(2).getString(0) == "nothing sensitive here")
+  }
+
+  test("repetition: bigram multiset keeps duplicates, dupWordCount exact") {
+    val s = spark; import s.implicits._
+    val df = Seq("a b a b a", "x", "").toDF("t")
+    val rows = df.select(wordBigramsAll($"t"), dupWordCount(tokens($"t"))).collect()
+    // "a b a b a" → bigrams WITH multiplicity: a b, b a, a b, b a
+    assert(rows(0).getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(rows(0).getLong(1) == 3L) // 5 tokens, 2 distinct
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).getLong(1) == 0L)
+    assert(rows(2).getSeq[String](0).isEmpty)
+  }
+
   test("fingerprints: md5 stability and winnow robustness to distant edits") {
     val s = spark; import s.implicits._
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
