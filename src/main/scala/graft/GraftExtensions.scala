@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Functions, HyperplaneBucketsExpr, MinHashSigExpr, NormalizeTextExpr, SimHashExpr, VecDot, WordNgramsExpr}
+import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -52,5 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length > 2) Functions.litInt(children(2), "lsh_buckets bits") else 6,
         if (children.length > 3) Functions.litInt(children(3), "lsh_buckets dim") else 64,
         if (children.length > 4) Functions.litLong(children(4), "lsh_buckets seed") else 42L)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContainExpr(children(0),
+        Functions.litBinary(children(1), "bloom_might_contain filter bytes"))))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8_stats"),
+      new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "quantize_i8_stats"),
+      (children: Seq[Expression]) => QuantizeInt8Expr(children.head)))
   }
 }

@@ -41,6 +41,11 @@ object Functions {
         if (exprs.length > 2) litInt(exprs(2), "lsh_buckets bits") else 6,
         if (exprs.length > 3) litInt(exprs(3), "lsh_buckets dim") else 64,
         if (exprs.length > 4) litLong(exprs(4), "lsh_buckets seed") else 42L), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs => BloomMightContainExpr(exprs(0),
+        litBinary(exprs(1), "bloom_might_contain filter bytes")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_i8_stats", exprs => QuantizeInt8Expr(exprs.head), "scala_udf")
   }
 
   /** Literal-int argument of a registered function call. Parameters of
@@ -68,6 +73,18 @@ object Functions {
         case v: Long => v
         case v: Int => v.toLong
         case v => throw new IllegalArgumentException(s"$what must be an integer literal, got $v")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal, got expression ${other.sql}")
+    }
+
+  private[graft] def litBinary(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Array[Byte] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
+      case other if other.foldable => other.eval() match {
+        case v: Array[Byte] => v
+        case v => throw new IllegalArgumentException(s"$what must be a binary literal, got $v")
       }
       case other => throw new IllegalArgumentException(
         s"$what must be a literal, got expression ${other.sql}")

@@ -120,6 +120,40 @@ object CoreQueries {
         .orderBy($"c_mktsegment")
     }),
 
+    // ---- A4c: fixed-width histogram ------------------------------------
+    // Binning is a pure projection (floor div — no sort, no window), so
+    // the whole histogram is one partial+final hash aggregate over the
+    // scan: the same plan at any scale, bounded state (one cell per
+    // bin). The weighted mass per bin goes through dsum for hash-stable
+    // doubles.
+    "a4_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select((floor($"l_extendedprice" / 500) * 500).cast("long").as("bin"),
+          $"l_quantity")
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"bin")
+    }),
+
+    // ---- J3b: bloom-filter pre-join pruning (runtime row filter) -------
+    // Selective build side (≈20% of orders) + huge probe side: prune
+    // lineitem by a bloom of qualifying orderkeys BEFORE its shuffle,
+    // then run the exact join — output is exactly the plain join (no
+    // false negatives; false positives die in the join), which is why
+    // the oracle is plain SQL. See BloomPrune for the 100 TB story.
+    "j3_bloom_prune" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+      graft.operators.BloomPrune.prunedEquiJoin(
+          Tables.lineitem(s, dir), $"l_orderkey", urgent, "o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- A4b: exact percentiles (interpolated) -------------------------
     // Sort-based, not buffer-based: Percentiles.exact spills its sort
     // and keeps O(1) aggregate state per group, where the built-in
@@ -613,6 +647,17 @@ object CoreQueries {
     "a4_distinct_counts" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "a4_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice / 500) * 500 AS BIGINT) AS bin,
+         |COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j3_bloom_prune" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql(revenueExpr)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a4_percentiles" ->
       """SELECT l_returnflag,

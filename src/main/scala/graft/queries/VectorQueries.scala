@@ -87,6 +87,25 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2 int8 quantization (compression for embedding stores) ----
+    // Symmetric per-vector int8 quantization, reported as integer
+    // stats (dims / position-weighted checksum / saturation count) so
+    // the oracle hash never depends on float formatting. Single-pass
+    // codegen'd expression — a pure map over the corpus, scan-bound at
+    // any scale; quantStatsHof below is the relational baseline the
+    // spec pins it against.
+    "x2_quantize_int8" -> ((s, dir) => {
+      Functions.register(s)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          call_function("quantize_i8_stats", col("embedding")).as("q"))
+        .select(col("vec_id"),
+          element_at(col("q"), 1).as("n_dims"),
+          element_at(col("q"), 2).as("checksum"),
+          element_at(col("q"), 3).as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
     // ---- A6 exact centroid (decimal-routed, oracle-checked) ---------
     // Emits (sum, n) rather than sum/n: the exact decimal sum
     // hash-matches any engine, while a rounded double quotient can
@@ -114,6 +133,25 @@ object VectorQueries {
     })
   )
 
+  /** Relational HOF baseline for `quantize_i8_stats` (spec oracle —
+    * QuantizeInt8Spec pins the expression equal element by element).
+    * Bound-lambda idiom throughout: the cast vector and max-abs are
+    * bound once as lambda variables, never re-inlined per element. */
+  def quantStatsHof(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(transform(array(vec.cast("array<double>")), v =>
+      element_at(transform(array(array_max(transform(v, x => abs(x)))), m =>
+        array(
+          size(v).cast("long"),
+          when(m > lit(0d),
+            aggregate(
+              zip_with(v, sequence(lit(1), size(v)), (x, i) =>
+                floor(x * lit(127d) / m + lit(0.5d)) * i.cast("long")),
+              lit(0L), (acc, e) => acc + e))
+            .otherwise(lit(0L)),
+          when(m > lit(0d),
+            size(filter(v, x => abs(floor(x * lit(127d) / m + lit(0.5d))) === lit(127L))).cast("long"))
+            .otherwise(lit(0L)))), 1)), 1)
+
   private val topkOracle =
     """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
@@ -135,6 +173,17 @@ object VectorQueries {
         |SELECT vec_id, round(sim_raw, 6) AS sim FROM sims
         |WHERE sim_raw >= 0.25
         |ORDER BY sim DESC, vec_id""".stripMargin,
+
+    "x2_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |q AS (SELECT vec_id,
+        |      CASE WHEN ma > 0 THEN [CAST(floor(x * 127 / ma + 0.5) AS BIGINT) FOR x IN v]
+        |           ELSE [CAST(0 AS BIGINT) FOR x IN v] END AS qa FROM m)
+        |SELECT vec_id, CAST(len(qa) AS BIGINT) AS n_dims,
+        |  CAST(COALESCE(list_sum([qa[i] * i FOR i IN range(1, len(qa) + 1)]), 0) AS BIGINT) AS checksum,
+        |  CAST(len(list_filter(qa, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "x2_centroid_exact" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS idx,
