@@ -91,6 +91,29 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** T3/J4: stream-stream event-time interval join — the canonical
+    * impressions⋈clicks attribution shape. Both sides carry
+    * watermarks, and the join condition bounds the right side's event
+    * time to [left.ts, left.ts + maxDelay], which is what lets the
+    * engine expire buffered state on BOTH sides: without the interval
+    * bound, each side would have to buffer forever (unbounded state —
+    * the 100 TB killer for stream joins). Column names must be
+    * disjoint apart from the key.
+    *
+    * Batch form of the same plan is `j4_range_join` (oracle-checked);
+    * this streaming form is driven by StreamsSpec over MemoryStream. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String = "ts", rightTs: String = "r_ts",
+      watermark: String = "2 hours", maxDelay: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   /** T4/A1: the `nupdates` counter as explicit streaming state — how
     * many times each key has been seen, maintained across micro-batches
     * via mapGroupsWithState (the engine-level form of

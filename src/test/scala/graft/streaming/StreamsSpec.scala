@@ -108,6 +108,30 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("T3/J4: stream-stream interval join attributes clicks within the window") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val q = Streams.intervalJoin(
+        imps.toDF.toDF("ad_id", "ts"),
+        clicks.toDF.toDF("ad_id", "r_ts"),
+        key = "ad_id", maxDelay = "30 minutes")
+      .select("ad_id", "ts", "r_ts")
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(10)))   // within 30 min → attributed
+      clicks.addData((2L, ts(45)))   // outside the interval → dropped
+      q.processAllAvailable()
+      // advance both watermarks far enough to close all buffered state
+      imps.addData((9L, ts(300))); clicks.addData((8L, ts(300)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("select ad_id from attrib").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"only the in-window click attributes, got $got")
+  }
+
   test("T4/A1: mapGroupsWithState running key counts across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
