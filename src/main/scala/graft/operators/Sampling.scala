@@ -38,6 +38,16 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** K-fold cross-validation assignment: fold = md5(content) mod k —
+    * the k-way generalization of splitColumn, with the same stability
+    * guarantee (a row's fold never changes across runs, engines, or
+    * partitionings). Two hex bytes give 65536 buckets, so fold sizes
+    * are balanced to ±O(1/256) for any k ≤ 16. */
+  def foldColumn(keyCol: Column, k: Int): Column = {
+    require(k > 1 && k <= 16, s"k must be in 2..16, got $k")
+    conv(substring(md5(keyCol.cast("binary")), 1, 4), 16, 10).cast("long") % k
+  }
+
   /** Deterministic global shuffle: total order by a keyed hash. Used
     * before sharding training data so shard contents are reproducible;
     * vary `seed` to get a different (but again reproducible) order. */

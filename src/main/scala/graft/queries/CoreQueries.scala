@@ -120,6 +120,22 @@ object CoreQueries {
         .orderBy($"c_mktsegment")
     }),
 
+    // ---- A4d: exact heavy hitters (frequent items) ---------------------
+    // GROUP BY + HAVING is the exact form — one partial/final aggregate,
+    // state bounded by distinct-key count. The approximate scale path
+    // (count-min sketch: fixed-size mergeable state independent of key
+    // cardinality) is exercised by CountMinSpec with an
+    // overestimate-only + eps bound, the same pattern as
+    // a4_approx_distinct's HLL gate.
+    "a4_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 8)
+        .orderBy($"l_partkey")
+    }),
+
     // ---- A4c: fixed-width histogram ------------------------------------
     // Binning is a pure projection (floor div — no sort, no window), so
     // the whole histogram is one partial+final hash aggregate over the
@@ -647,6 +663,10 @@ object CoreQueries {
     "a4_distinct_counts" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "a4_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY 1 HAVING COUNT(*) >= 8 ORDER BY l_partkey""".stripMargin,
 
     "a4_histogram" ->
       s"""SELECT CAST(floor(l_extendedprice / 500) * 500 AS BIGINT) AS bin,

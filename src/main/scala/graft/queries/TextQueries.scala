@@ -53,6 +53,15 @@ object TextQueries {
         .orderBy("lang", "split")
     }),
 
+    // ---- k-fold cross-validation assignment -------------------------
+    "x3_kfold" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          graft.operators.Sampling.foldColumn(col("text"), 5).as("fold"))
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "fold")
+    }),
+
     // ---- content fingerprints (exact + winnowing) -------------------
     "x3_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -189,6 +198,13 @@ object TextQueries {
         |SELECT doc_id, md5(text) AS fp,
         |       list_aggregate([md5(x) for x in grams], 'min') AS fp_winnow
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // fold = first two md5 bytes mod 5 (mirror of Sampling.foldColumn)
+    "x3_kfold" ->
+      """SELECT lang,
+        |CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 5 AS BIGINT) AS fold,
+        |COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x3_pii_redact" ->
       """WITH a AS (SELECT doc_id,
