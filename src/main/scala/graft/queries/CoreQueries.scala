@@ -394,6 +394,69 @@ object CoreQueries {
         .orderBy($"event_id")
     }),
 
+    // ---- W5: RANGE frame over event time (trailing 30-day spend) -------
+    // The frame is value-based (epoch seconds), so date ties land in
+    // the same frame deterministically regardless of physical row
+    // order; the windowed sum routes through decimal for hash-stable
+    // doubles. One shuffle on the partition key, sorted within — the
+    // standard windowed plan at any scale.
+    "w5_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      // o_orderdate is TIMESTAMP_NTZ; sessions run UTC so the ltz hop
+      // is identity, and the long cast gives epoch seconds (= DuckDB's
+      // epoch())
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, dir)
+        .withColumn("trailing_30d",
+          sum($"o_totalprice".cast(DecimalType(18, 6))).over(w).cast("double"))
+        .select($"o_orderkey", $"o_custkey", $"trailing_30d")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- W5b: forward fill via IGNORE NULLS (gap-fill) -----------------
+    // Carry the most recent purchase value forward over each user's
+    // event stream — last(expr, ignoreNulls) over a running frame, the
+    // canonical time-series gap-fill. Deterministic: total (ts,
+    // event_id) order within the partition.
+    "w5_forward_fill" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .withColumn("pv", when($"event_type" === "purchase", $"value"))
+        .withColumn("last_purchase", last($"pv", ignoreNulls = true).over(w))
+        .select($"user_id", $"event_id", $"event_type", $"last_purchase")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // ---- O3: pivot (long → wide). Fixed pivot values keep the output
+    // schema static (engine-portable — the oracle mirrors them as
+    // conditional aggregates); the plan is the same partial+final hash
+    // aggregate as any GROUP BY, one cell per (group, pivot value).
+    "o3_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum($"l_quantity"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- O3b: unpivot / melt (wide → long) — a pure generator (no
+    // shuffle) followed by a hash aggregate per metric.
+    "o3_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .unpivot(Array($"l_orderkey"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "metric", "value")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+        .orderBy($"metric")
+    }),
+
     // ---- O1: global top-k (TakeOrderedAndProject) ----------------------
     "o1_global_topk" -> ((s, dir) => {
       import s.implicits._
@@ -753,8 +816,37 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "w5_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w5_forward_fill" ->
+      """SELECT user_id, event_id, event_type,
+        |last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "o3_pivot" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS F,
+        |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o3_unpivot" ->
+      s"""SELECT metric, COUNT(*) AS n, ${dsumSql("value")} AS total
+         |FROM (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "o1_global_topk" ->
-      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
 
     "o2_set_ops" ->
