@@ -223,6 +223,17 @@ final class TableStore(val root: String) {
     }
   }
 
+  /** Compact a (whole-table-mode) table to `targetFiles` files —
+    * content-identical rewrite, manifest-committed. The streaming-sink
+    * remedy: a long-running micro-batch upsert accretes one-file-per-
+    * batch fragments; periodic compaction folds them into scan-sized
+    * files so downstream reads pay O(targetFiles) opens instead of
+    * O(batches). At 100 TB this runs per partition on a schedule
+    * (compose with upsertPartitioned's layout); coalesce — not
+    * repartition — so the rewrite is shuffle-free. */
+  def compact(spark: SparkSession, name: String, targetFiles: Int = 1): Unit =
+    replace(spark, name, read(spark, name).coalesce(targetFiles))
+
   /** Replace a table's contents with `df` (manifest commit). `df` may
     * read from the table's own current version: the new version is
     * fully materialized into a temp dir before anything moves.

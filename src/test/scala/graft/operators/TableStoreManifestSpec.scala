@@ -37,6 +37,23 @@ class TableStoreManifestSpec extends SparkSpec {
     assert(store.exists(spark, "t"))
   }
 
+  test("compact folds many-file tables into targetFiles, content-identical") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // simulate micro-batch accretion: 8-partition write → 8 files
+    store.replace(spark, "t", (1 to 100).toDF("x").repartition(8))
+    def parquetFiles: Int = {
+      val ver = new Path(store.resolve(spark, "t"))
+      val f = ver.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(ver).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles > 1, "precondition: fragmented table")
+    store.compact(spark, "t", targetFiles = 1)
+    assert(parquetFiles == 1, "compaction must hit the file target")
+    assert(store.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq == (1 to 100),
+      "compaction must preserve content exactly")
+  }
+
   test("a failed write leaves the old version live and the manifest unchanged") {
     val s = spark; import s.implicits._
     val store = freshStore()

@@ -46,6 +46,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("a4_histogram: binning is one partial+final aggregate over the scan") {
+    val p = plan("a4_histogram")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    // one shuffle total: the bin-key exchange (plus the output sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("o3_pivot: fixed pivot values stay a single hash-aggregate pass (no per-value scans)") {
+    val p = plan("o3_pivot")
+    // pivot lowers to one aggregate over the scan — the scan appears once
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("o3_unpivot: melt is a generator over one scan, no shuffle before the aggregate") {
+    val p = plan("o3_unpivot")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("Expand") || p.contains("Generate"), p.take(800))
+  }
+
   test("x1_embed_neardup: LSH-blocked plan — no nested-loop or cartesian join") {
     val p = DedupQueries.all("x1_embed_neardup")(spark, dir)
       .queryExecution.executedPlan.toString
