@@ -53,6 +53,27 @@ object TextQueries {
         .orderBy("lang", "split")
     }),
 
+    // ---- RAG-style document chunking (overlapping token windows) ----
+    // Fixed windows of 32 tokens at stride 16 per doc — the embed/RAG
+    // preprocessing shape. Pure generator over the scan (no shuffle
+    // until the ordered output); chunk fingerprints are md5 so the
+    // oracle hash is exact. Bound-lambda idiom: the token array binds
+    // once, chunk construction never re-tokenizes.
+    "x3_chunking" -> ((s, dir) => {
+      val chunks = element_at(
+        transform(array(tokens(col("text"))), w =>
+          transform(sequence(lit(0L), floor((size(w) - lit(1)) / lit(16))),
+            k => struct(
+              least(lit(32), size(w) - k * 16).as("n_tok"),
+              md5(concat_ws(" ", slice(w, k * 16 + 1, lit(32))).cast("binary")).as("fp")))),
+        1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "c")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("c.n_tok").cast("long").as("n_tok"), col("c.fp").as("fp"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- k-fold cross-validation assignment -------------------------
     "x3_kfold" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -198,6 +219,15 @@ object TextQueries {
         |SELECT doc_id, md5(text) AS fp,
         |       list_aggregate([md5(x) for x in grams], 'min') AS fp_winnow
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x3_chunking" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w FROM documents),
+        |k AS (SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 16 + 1)) AS chunk_id FROM d WHERE len(w) >= 1),
+        |c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |        CAST(least(32, len(w) - chunk_id * 16) AS BIGINT) AS n_tok,
+        |        md5(array_to_string(w[chunk_id * 16 + 1 : least(chunk_id * 16 + 32, len(w))], ' ')) AS fp
+        |      FROM k)
+        |SELECT doc_id, chunk_id, n_tok, fp FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // fold = first two md5 bytes mod 5 (mirror of Sampling.foldColumn)
     "x3_kfold" ->

@@ -27,6 +27,24 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("x3_chunking: stride-16 windows cover every token, last chunk ragged") {
+    val out = TextQueries.all("x3_chunking")(spark, dir).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val docTokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (docId, chunks) =>
+      val n = docTokens(docId)
+      val expected = (n - 1) / 16 + 1
+      assert(chunks.length == expected, s"doc $docId: ${chunks.length} chunks for $n tokens")
+      // chunk k spans tokens [k*16+1, min(k*16+32, n)]
+      chunks.foreach { c =>
+        val k = c.getAs[Long]("chunk_id")
+        assert(c.getAs[Long]("n_tok") == math.min(32L, n - k * 16))
+      }
+    }
+  }
+
   test("x3_repetition: planted repetitive doc scores above clean doc") {
     val s = spark; import s.implicits._
     val docs = Seq(
