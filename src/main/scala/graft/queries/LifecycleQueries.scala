@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Table-lifecycle operators: CDC changelog apply, SCD type-2 history,
+  * calendar gap-fill, and column profiling (SURVEY §2 S4/A-family
+  * extensions).
+  *
+  * These are the maintenance queries a 100 TB warehouse runs daily:
+  * apply a change feed to a snapshot, version a dimension, densify a
+  * time series, profile a table. Each derives its inputs
+  * deterministically from the sf tables so the DuckDB oracle replays
+  * the identical computation.
+  *
+  * Scale notes:
+  *  - CDC apply is one shuffle on the merge key (window to pick the
+  *    last change per key) + one key-partitioned full outer join —
+  *    the same plan MERGE INTO compiles to; no driver-side state.
+  *  - SCD2 is two windows over (custkey, orderdate) — a single
+  *    shuffle by custkey reused by both (Catalyst collapses equal
+  *    partitionings).
+  *  - Gap-fill broadcasts the calendar dim (bounded: days × users of
+  *    interest), so the fact side never reshuffles.
+  *  - Profiling is a single Expand-based scan (one pass over the
+  *    fact table for all count-distincts), not one scan per column.
+  */
+object LifecycleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- S4c: CDC changelog apply (I/U/D, last-writer-wins) ---------
+    // Snapshot = pre-1996 orders. Change feed = three deterministic
+    // batches (seq 1: update even keys; seq 2: delete keys % 6 == 0;
+    // seq 3: upsert-insert keys % 5 == 0 from late orders). The apply
+    // ranks changes per key by seq (latest wins), then resolves
+    // against the snapshot with a full outer join: D drops the row,
+    // U replaces-or-inserts, absent keeps the snapshot row.
+    "s4_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val snapshot = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val upd = o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", lit(1L).as("seq"), lit("U").as("op"),
+          lit("P1").as("c_status"), ($"o_totalprice" + 10.0).as("c_price"))
+      val del = o.filter($"o_orderkey" % 6 === 0)
+        .select($"o_orderkey", lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("c_status"), lit(null).cast("double").as("c_price"))
+      val ins = o.filter($"o_orderkey" % 5 === 0 &&
+          $"o_orderdate" >= lit("1997-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit(3L).as("seq"), lit("U").as("op"),
+          lit("P2").as("c_status"), ($"o_totalprice" * 2.0).as("c_price"))
+      val changes = upd.unionAll(del).unionAll(ins)
+      val latest = changes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"o_orderkey").orderBy($"seq".desc)))
+        .filter($"rn" === 1).drop("rn", "seq")
+      snapshot.as("t")
+        .join(latest.as("c"), Seq("o_orderkey"), "full_outer")
+        .filter(coalesce($"op", lit("K")) =!= "D")
+        .select($"o_orderkey",
+          when($"op" === "U", $"c_status").otherwise($"o_orderstatus").as("o_orderstatus"),
+          when($"op" === "U", $"c_price").otherwise($"o_totalprice").as("o_totalprice"),
+          coalesce($"op", lit("K")).as("applied_op"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- S4d: SCD type-2 dimension history --------------------------
+    // Each order is a priority-change event for its customer. Collapse
+    // same-day events (max orderkey wins), drop no-op changes
+    // (priority equal to the previous row), then number versions and
+    // close each interval with the next version's start date.
+    "s4_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val byDay = Window.partitionBy($"o_custkey", $"o_orderdate").orderBy($"o_orderkey".desc)
+      val byTime = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+      val events = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderpriority", $"o_orderkey")
+        .withColumn("rn", row_number().over(byDay)).filter($"rn" === 1).drop("rn")
+      val changed = events
+        .withColumn("prev", lag($"o_orderpriority", 1).over(byTime))
+        .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      changed
+        .withColumn("version", row_number().over(byTime).cast("long"))
+        .withColumn("valid_from", $"o_orderdate")
+        .withColumn("valid_to", lead($"o_orderdate", 1).over(byTime))
+        .select($"o_custkey", $"version", $"o_orderpriority", $"valid_from",
+          $"valid_to", $"valid_to".isNull.as("is_current"))
+        .orderBy($"o_custkey", $"version")
+    }),
+
+    // ---- W6: calendar gap-fill + forward fill -----------------------
+    // Densify per-user daily event series over the global date span:
+    // calendar dim (1-row agg → sequence → explode) cross-joined with
+    // the user dim — both broadcast — left join the daily aggregate,
+    // zero-fill counts, forward-fill the last seen daily max.
+    "w6_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter($"user_id" < 25)
+        .select($"user_id", date_trunc("day", $"ts").as("day"), $"value")
+      val daily = ev.groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), max($"value").as("day_max"))
+      val calendar = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val users = ev.select($"user_id").distinct()
+      val ffill = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      broadcast(users).crossJoin(broadcast(calendar))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          last($"day_max", ignoreNulls = true).over(ffill).as("value_ff"))
+        .orderBy($"user_id", $"day")
+    }),
+
+    // ---- A6: table profiling (one scan, Expand-based) ---------------
+    // null count / exact distinct / min / max for the numeric lineitem
+    // columns, unpivoted to one row per column. All four
+    // count-distincts ride a single Expand over one scan — the
+    // one-pass ANALYZE TABLE shape, not a scan per column.
+    "a6_data_profile" -> ((s, dir) => {
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+      }
+      val wide = Tables.lineitem(s, dir)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = cols.map(c => struct(
+        lit(c).as("column_name"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"),
+        col(s"max_$c").as("max_val")))
+      wide.select(inline(array(rows: _*)))
+        .orderBy($"column_name")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s4_cdc_apply" ->
+      """WITH snapshot AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |changes AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op, 'P1' AS c_status,
+        |         o_totalprice + 10.0 AS c_price FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', 'P2', o_totalprice * 2.0 FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderdate >= TIMESTAMP '1997-06-01'),
+        |latest AS (
+        |  SELECT * FROM (SELECT o_orderkey, op, c_status, c_price,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM changes) WHERE rn = 1)
+        |SELECT COALESCE(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.c_status ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN c.op = 'U' THEN c.c_price ELSE t.o_totalprice END AS o_totalprice,
+        |  COALESCE(c.op, 'K') AS applied_op
+        |FROM snapshot t FULL OUTER JOIN latest c ON t.o_orderkey = c.o_orderkey
+        |WHERE COALESCE(c.op, 'K') != 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s4_scd2_history" ->
+      """WITH dedup AS (
+        |  SELECT * FROM (SELECT o_custkey, o_orderdate, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                       ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1),
+        |changed AS (
+        |  SELECT * FROM (SELECT o_custkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+        |  FROM dedup) WHERE prev IS NULL OR prev != o_orderpriority)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM changed
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "w6_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, value
+        |  FROM events WHERE user_id < 25),
+        |daily AS (
+        |  SELECT user_id, day, COUNT(*) AS n_events, MAX(value) AS day_max
+        |  FROM ev GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |  FROM ev),
+        |grid AS (SELECT u.user_id, c.day FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN cal c)
+        |SELECT g.user_id, g.day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  last_value(d.day_max IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "a6_data_profile" ->
+      """SELECT 'l_quantity' AS column_name, COUNT(*) - COUNT(l_quantity) AS n_nulls,
+        |  COUNT(DISTINCT l_quantity) AS n_distinct, MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+        |FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice),
+        |  COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+        |UNION ALL SELECT 'l_discount', COUNT(*) - COUNT(l_discount),
+        |  COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount) FROM lineitem
+        |UNION ALL SELECT 'l_tax', COUNT(*) - COUNT(l_tax),
+        |  COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax) FROM lineitem
+        |ORDER BY column_name""".stripMargin
+  )
+}
