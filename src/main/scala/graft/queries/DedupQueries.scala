@@ -135,6 +135,27 @@ object DedupQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)
         .select(col("idA").as("vec_a"), col("idB").as("vec_b"), col("sim"))
         .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+    }),
+
+    // ---- edit-distance near-dup (blocked, never all-pairs) ----------
+    // Fuzzy-match part names within p_brand blocks: the self-join is
+    // an EQUI-join on the blocking key (shuffle-hash by brand), so
+    // candidate volume is Σ block², not n² — the standard
+    // blocking-key pattern for string record linkage. levenshtein is
+    // codegen'd in Spark and exact in both engines. At 100 TB you
+    // block on a cheaper key (sorted-neighborhood prefix or length
+    // band) the same way; the join shape is unchanged.
+    "x1_edit_distance" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.toDF("k_a", "p_brand", "name_a")
+      val b = p.toDF("k_b", "p_brand", "name_b")
+      a.join(b, Seq("p_brand"))
+        .filter(col("k_a") < col("k_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("p_brand"), col("dist"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("k_a")).as("first_key"))
+        .orderBy(col("p_brand"), col("dist"))
     })
   )
 
@@ -154,6 +175,14 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "x1_ngram_jaccard" -> jaccardOracle,
+    "x1_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
+        |SELECT a.p_brand AS p_brand,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |       COUNT(*) AS n_pairs, MIN(a.p_partkey) AS first_key
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x1_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -74,6 +74,32 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- keyword search: inverted index + tf-idf ranking ------------
+    // The retrieval half of a RAG pipeline: explode tokens → posting
+    // hits for the query terms (the filter prunes before any shuffle,
+    // so posting volume is per-term, not corpus-sized) → per-doc tf →
+    // term df. df and the corpus count are broadcast (bytes); only
+    // the tf aggregate shuffles, partitioned by doc_id. The idf weight
+    // is integer-scaled ((N*1000) div df) so the score is exact
+    // integer arithmetic in both engines — no float log in the hash.
+    "x3_keyword_search" -> ((s, dir) => {
+      val terms = Seq("vector", "stream", "merge")
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("w", expr("(n_docs * 1000) div df"))
+        .groupBy("doc_id")
+        .agg(sum(expr("tf * w")).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // ---- k-fold cross-validation assignment -------------------------
     "x3_kfold" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -228,6 +254,20 @@ object TextQueries {
         |        md5(array_to_string(w[chunk_id * 16 + 1 : least(chunk_id * 16 + 32, len(w))], ' ')) AS fp
         |      FROM k)
         |SELECT doc_id, chunk_id, n_tok, fp FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "x3_keyword_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id AS doc_id,
+        |  CAST(SUM(tf.tf * ((n.n_docs * 1000) // df.df)) AS BIGINT) AS score,
+        |  COUNT(*) AS n_terms
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // fold = first two md5 bytes mod 5 (mirror of Sampling.foldColumn)
     "x3_kfold" ->

@@ -114,6 +114,16 @@ object Streams {
       .drop(r(key))
   }
 
+  /** T1/J3: stream-static enrichment join — each micro-batch joins
+    * against a static dimension snapshot. The static side is planned
+    * per batch (broadcast when small), so the stream side never
+    * shuffles and carries no join state: unlike stream-stream joins
+    * there is nothing to watermark or buffer. This is the scale-safe
+    * way to attach dimensions to a 100 TB/day firehose — re-read the
+    * dim per batch rather than hold it in state. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** T4/A1: the `nupdates` counter as explicit streaming state — how
     * many times each key has been seen, maintained across micro-batches
     * via mapGroupsWithState (the engine-level form of

@@ -73,4 +73,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("x1_edit_distance: blocked self-join is an equi-join on the block key") {
+    val df = DedupQueries.all("x1_edit_distance")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // dist bounded by the filter; n_pairs positive
+    df.collect().foreach { r =>
+      assert(r.getAs[Int]("dist") >= 0 && r.getAs[Int]("dist") <= 2)
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+  }
+
+  test("x3_keyword_search: ranked hits are plausible postings (scores descend, terms bounded)") {
+    val rows = TextQueries.all("x3_keyword_search")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "scores must be non-increasing")
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_terms")
+      assert(nt >= 1L && nt <= 3L, "a doc can match at most the 3 query terms")
+    }
+  }
 }

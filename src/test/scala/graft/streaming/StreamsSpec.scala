@@ -132,6 +132,24 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(1L), s"only the in-window click attributes, got $got")
   }
 
+  test("T1/J3: stream-static enrichment join attaches dimension values per batch") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "mx"), (2L, "us")).toDF("station_id", "country")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.enrich(
+        mem.toDF.toDF("station_id", "ts", "value"), dim, "station_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (7L, ts(2), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("select station_id, country from enriched")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // matched keys enrich; unknown keys survive with a null dim (left join)
+    assert(got == Map(1L -> Some("mx"), 2L -> Some("us"), 7L -> None))
+  }
+
   test("T4/A1: mapGroupsWithState running key counts across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
