@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, LifecycleQueries, MultimodalQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries, LifecycleQueries, MultimodalQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++ StreamQueries.all ++ MultimodalQueries.all ++ LifecycleQueries.all
+    CoreQueries.all ++ DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++ StreamQueries.all ++ MultimodalQueries.all ++ LifecycleQueries.all ++ AnalyticsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ StreamQueries.oracle ++ MultimodalQueries.oracle ++ LifecycleQueries.oracle
+    CoreQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++ StreamQueries.oracle ++ MultimodalQueries.oracle ++ LifecycleQueries.oracle ++ AnalyticsQueries.oracle
 }

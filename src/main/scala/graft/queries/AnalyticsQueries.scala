@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product-analytics operators over the `events` stream table:
+  * batch sessionization, funnel attribution, cohort retention.
+  * (SURVEY §2 W/A-family extensions — the "what do users do"
+  * queries every event warehouse runs.)
+  *
+  * Scale notes: every query here shuffles exactly once on `user_id`
+  * (the natural partitioning of an event firehose) and carries only
+  * per-user-bounded window state. Sessionization is the lag+cumsum
+  * linear scan — the batch dual of the streaming `session_window`
+  * (t3_session_stats); funnel resolves stages with conditional
+  * aggregation inside ONE pass (no per-stage self-joins — at 100 TB
+  * a 3-stage funnel as self-joins is 3 shuffles of the fact table;
+  * this is 1); retention joins per-user first-day (a 150-row-per-
+  * user-shard aggregate) back to daily activity on the same key.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- W7: batch sessionization (gap > 30 min ⇒ new session) ------
+    "w7_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("prev_ts", lag($"ts", 1).over(byTs))
+        .withColumn("is_new", when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"is_new").over(run))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"), min($"ts").as("s_start"), max($"ts").as("s_end"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // ---- X5: ordered funnel (view → click → purchase) ---------------
+    // Stage k's timestamp is the user's first qualifying event AFTER
+    // stage k-1 — resolved per user inside one sorted window pass:
+    // running-min of view time, then first click past it, then first
+    // purchase past that. One shuffle, no self-joins.
+    "x5_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t_view", min(when($"event_type" === "view", $"ts")).over(byTs))
+        .withColumn("t_click", min(when($"event_type" === "click" &&
+          $"ts" > $"t_view", $"ts")).over(byTs))
+        .withColumn("t_purchase", min(when($"event_type" === "purchase" &&
+          $"ts" > $"t_click", $"ts")).over(byTs))
+      staged.groupBy($"user_id")
+        .agg(min($"t_view").as("ts_view"), min($"t_click").as("ts_click"),
+          min($"t_purchase").as("ts_purchase"))
+        .select($"user_id",
+          when($"ts_purchase".isNotNull, "purchase")
+            .when($"ts_click".isNotNull, "click")
+            .when($"ts_view".isNotNull, "view")
+            .otherwise("none").as("reached"),
+          $"ts_view", $"ts_click", $"ts_purchase")
+        .orderBy($"user_id")
+    }),
+
+    // ---- A8: cohort retention (first-day cohort × day offset) -------
+    "a8_retention" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
+      val cohort = daily.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      daily.join(cohort, Seq("user_id"))
+        .select($"cohort_day", datediff($"day", $"cohort_day").cast("long").as("offset_days"))
+        .groupBy($"cohort_day", $"offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_day", $"offset_days")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w7_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x5_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |s1 AS (SELECT user_id, ts, event_id, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT user_id, ts, event_id, event_type, t_view,
+        |  MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) OVER w AS t_click
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT user_id, ts, event_id, t_view, t_click,
+        |  MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) OVER w AS t_purchase
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT user_id, MIN(t_view) AS ts_view, MIN(t_click) AS ts_click,
+        |  MIN(t_purchase) AS ts_purchase FROM s3 GROUP BY 1)
+        |SELECT user_id,
+        |  CASE WHEN ts_purchase IS NOT NULL THEN 'purchase'
+        |       WHEN ts_click IS NOT NULL THEN 'click'
+        |       WHEN ts_view IS NOT NULL THEN 'view'
+        |       ELSE 'none' END AS reached,
+        |  ts_view, ts_click, ts_purchase
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    "a8_retention" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM daily GROUP BY 1)
+        |SELECT c.cohort_day AS cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS offset_days,
+        |  COUNT(*) AS n_users
+        |FROM daily d JOIN cohort c ON d.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

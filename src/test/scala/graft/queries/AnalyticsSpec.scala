@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Invariants for the product-analytics queries. The strongest pin:
+  * batch lag+cumsum sessionization must reconstruct exactly the
+  * sessions `session_window` (t3_session_stats) finds — two
+  * independent implementations of the same semantics. */
+class AnalyticsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("w7_sessionize == session_window: identical (user, start, n) and gap-shifted ends") {
+    val w7 = AnalyticsQueries.all("w7_sessionize")(spark, dir)
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Any]("s_start").toString,
+        r.getAs[Any]("s_end").toString, r.getAs[Long]("n_events"))).toSet
+    // session_window's end is last_ts + gap; shift back to compare
+    val t3 = graft.streaming.Streams.sessionStats(Tables.events(spark, dir))
+      .select(col("user_id"), col("s_start"),
+        (col("s_end") - expr("INTERVAL 30 minutes")).as("s_end"), col("n").as("n_events"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Any]("s_start").toString,
+        r.getAs[Any]("s_end").toString, r.getAs[Long]("n_events"))).toSet
+    assert(w7 == t3, s"batch sessionization must agree with session_window " +
+      s"(w7-only: ${(w7 -- t3).take(3)}, t3-only: ${(t3 -- w7).take(3)})")
+  }
+
+  test("x5_funnel: stage timestamps strictly ordered, reached consistent with nulls") {
+    val rows = AnalyticsQueries.all("x5_funnel")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = Option(r.getAs[Any]("ts_view")).map(_.toString)
+      val c = Option(r.getAs[Any]("ts_click")).map(_.toString)
+      val p = Option(r.getAs[Any]("ts_purchase")).map(_.toString)
+      // a later stage implies every earlier stage, strictly increasing
+      if (p.isDefined) assert(c.isDefined && p.get > c.get)
+      if (c.isDefined) assert(v.isDefined && c.get > v.get)
+      val expected = if (p.isDefined) "purchase" else if (c.isDefined) "click"
+        else if (v.isDefined) "view" else "none"
+      assert(r.getAs[String]("reached") == expected)
+    }
+  }
+
+  test("a8_retention: offset-0 equals cohort size and dominates later offsets") {
+    val rows = AnalyticsQueries.all("a8_retention")(spark, dir).collect()
+      .map(r => (r.getAs[Any]("cohort_day").toString,
+        r.getAs[Long]("offset_days"), r.getAs[Long]("n_users")))
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (day, rs) =>
+      val at0 = rs.find(_._2 == 0L).map(_._3)
+      assert(at0.isDefined, s"cohort $day must have an offset-0 row")
+      rs.foreach { case (_, off, n) =>
+        assert(off >= 0L, "activity can never precede the first-seen day")
+        assert(n <= at0.get, s"cohort $day: retained users can't exceed cohort size")
+      }
+    }
+    val totalUsers = Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == totalUsers,
+      "cohorts must partition the user base")
+  }
+}
