@@ -24,6 +24,20 @@ object CoreQueries {
   // Shared oracle fragments.
   private val revenueExpr = "(l_extendedprice * (1 - l_discount))"
 
+  /** TPC-H Q3 shape — one SQL text for both engines (Spark runs it
+    * via spark.sql, DuckDB as the oracle). */
+  private val ShippingPrioritySql =
+    s"""SELECT l_orderkey, ${dsumSql(revenueExpr)} AS revenue,
+       |o_orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1996-03-15'
+       |  AND l_shipdate > TIMESTAMP '1996-03-15'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
   /** Fixed store root for the ETL flagship query: the Spark side wipes
     * and repopulates it each run, and the DuckDB oracle reads the same
     * parquet back (read_parquet over the partitioned dirs). */
@@ -238,6 +252,16 @@ object CoreQueries {
         WHERE EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // ---- SQL surface: shipping priority (TPC-H Q3 shape) --------------
+    // Two fact joins + segment/date filters + decimal-exact revenue +
+    // global top-10. The revenue sum is a decimal aggregate so the
+    // DESC ranking (and the hash) is identical in DuckDB; ties break
+    // on (o_orderdate, l_orderkey).
+    "sql_shipping_priority" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(ShippingPrioritySql)
     }),
 
     // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ----
@@ -757,6 +781,8 @@ object CoreQueries {
         |n_name[1:3] AS name_pfx,
         |translate(n_name, 'AEIOU', 'aeiou') AS name_tr
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "sql_shipping_priority" -> ShippingPrioritySql,
 
     "sql_top_unshipped" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -146,13 +146,20 @@ object DedupQueries {
     // block on a cheaper key (sorted-neighborhood prefix or length
     // band) the same way; the join shape is unchanged.
     "x1_edit_distance" -> ((s, dir) => {
-      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val a = p.toDF("k_a", "p_brand", "name_a")
-      val b = p.toDF("k_b", "p_brand", "name_b")
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          length(col("p_name")).as("len"))
+      val a = p.toDF("k_a", "p_brand", "name_a", "len_a")
+      val b = p.toDF("k_b", "p_brand", "name_b", "len_b")
       a.join(b, Seq("p_brand"))
-        .filter(col("k_a") < col("k_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+        // cheap necessary conditions first: dist<=2 implies the length
+        // band, so the O(len²) DP only runs on surviving pairs — and
+        // the thresholded levenshtein early-exits (banded DP, -1 when
+        // the distance exceeds the cap) instead of filling the matrix
+        .filter(col("k_a") < col("k_b") &&
+          abs(col("len_a") - col("len_b")) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
         .groupBy(col("p_brand"), col("dist"))
         .agg(count(lit(1)).as("n_pairs"), min(col("k_a")).as("first_key"))
         .orderBy(col("p_brand"), col("dist"))

@@ -117,6 +117,37 @@ object LifecycleQueries {
         .orderBy($"user_id", $"day")
     }),
 
+    // ---- A9: z-score outlier detection (data-quality gate) ----------
+    // Per-group mean/variance from EXACT integer moments: prices are
+    // quantized to cents (BIGINT), so Σx and Σx² are exact (Σx² rides
+    // DECIMAL(38,0) — per-row c² fits a long, the sum doesn't), and
+    // every engine derives bit-identical doubles from them. The flag
+    // |x-μ| > 3σ is then deterministic cross-engine — no
+    // order-dependent float accumulation anywhere. Plan: one partial+
+    // final aggregate for moments (tiny), broadcast back, one more
+    // aggregate for flag counts — the fact table shuffles once.
+    "a9_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val stats = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c")).as("s1"),
+          sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("s1").cast("double") / col("n_rows")).as("mean_c"),
+          (((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n_rows"))) /
+            (col("n_rows") - 1)).as("var_c"))
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n_rows")).as("n_rows"),
+          sum(when(abs(col("c") - col("mean_c")) > lit(3.0) * sqrt(col("var_c")), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- A6: table profiling (one scan, Expand-based) ---------------
     // null count / exact distinct / min / max for the numeric lineitem
     // columns, unpivoted to one row per column. All four
@@ -204,6 +235,25 @@ object LifecycleQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "a9_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    CAST(SUM(c) AS DOUBLE) AS s1d,
+        |    CAST(SUM(c * c) AS DOUBLE) AS s2d
+        |  FROM li GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, n_rows, s1d / n_rows AS mean_c,
+        |    (s2d - s1d * s1d / n_rows) / (n_rows - 1) AS var_c
+        |  FROM stats)
+        |SELECT li.l_returnflag AS l_returnflag, MAX(m.n_rows) AS n_rows,
+        |  CAST(SUM(CASE WHEN abs(li.c - m.mean_c) > 3.0 * sqrt(m.var_c)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM li JOIN m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a6_data_profile" ->
       """SELECT 'l_quantity' AS column_name, COUNT(*) - COUNT(l_quantity) AS n_nulls,

@@ -87,6 +87,23 @@ class LifecycleSpec extends SparkSpec {
     assert(p.contains("Expand"), "multi-distinct must ride one Expand, not repeated scans")
   }
 
+  test("a9_outliers: flag counts match an independent driver-side recomputation") {
+    val got = LifecycleQueries.all("a9_outliers")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_outliers")))).toMap
+    val cents = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = cents.groupBy(_._1).map { case (flag, xs) =>
+      val v = xs.map(_._2.toDouble)
+      val n = v.length
+      val mean = v.sum / n  // exact: cents sum to integers, n small at sf0.001
+      val varc = (v.map(x => x * x).sum - v.sum * v.sum / n) / (n - 1)
+      flag -> ((n.toLong, v.count(x => math.abs(x - mean) > 3.0 * math.sqrt(varc)).toLong))
+    }
+    assert(got == want)
+  }
+
   test("s4_cdc_apply: single key-shuffle family — no extra exchanges beyond window+join+sort") {
     val p = LifecycleQueries.all("s4_cdc_apply")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -74,6 +74,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("sql_shipping_priority: dim joins broadcast, top-10 is TakeOrderedAndProject") {
+    val p = plan("sql_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("x1_edit_distance: blocked self-join is an equi-join on the block key") {
     val df = DedupQueries.all("x1_edit_distance")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
