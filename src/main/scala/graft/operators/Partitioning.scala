@@ -44,6 +44,25 @@ object Partitioning {
       .saveAsTable(table)
   }
 
+  /** Range-clustered sorted layout (the poor man's Z-order for one
+    * key): `repartitionByRange` gives every output file a DISJOINT
+    * key range, and `sortWithinPartitions` orders rows inside each.
+    * Parquet then records tight min/max stats per file/row-group, so
+    * a point or range predicate on the key skips every non-matching
+    * file at planning time and every non-matching row group at read
+    * time. At 100 TB this is the difference between a full scan and
+    * touching a handful of files — the layout step pays one range
+    * shuffle, once, at write time.
+    *
+    * numFiles is explicit because range partitioning samples the key
+    * distribution: deterministic file count keeps layouts comparable
+    * across runs. */
+  def sortedWrite(df: DataFrame, key: String, path: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite")
+      .parquet(path)
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * random-ish salt in [0, buckets) derived deterministically from
     * other row content; the small side is exploded ×buckets so every

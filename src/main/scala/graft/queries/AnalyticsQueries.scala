@@ -70,6 +70,28 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- W8: cumulative distinct count over time --------------------
+    // "How many distinct event types has each user touched by day d?"
+    // COUNT(DISTINCT) isn't a window function in either engine; the
+    // standard rewrite marks each (user, type)'s FIRST occurrence
+    // with one ranking window, then running-sums the marks — two
+    // windows, both partitioned by user_id, one shuffle.
+    "w8_cume_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val firstSeen = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir).filter($"user_id" < 25)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("is_first",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .withColumn("n_types", sum($"is_first").over(run))
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(max($"n_types").as("n_types_seen"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // ---- A8: cohort retention (first-day cohort × day offset) -------
     "a8_retention" -> ((s, dir) => {
       import s.implicits._
@@ -127,6 +149,19 @@ object AnalyticsQueries {
         |       ELSE 'none' END AS reached,
         |  ts_view, ts_click, ts_purchase
         |FROM agg ORDER BY user_id""".stripMargin,
+
+    "w8_cume_distinct" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events WHERE user_id < 25),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first FROM e),
+        |g AS (SELECT user_id, ts,
+        |  SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types FROM f)
+        |SELECT user_id, date_trunc('day', ts) AS day,
+        |  CAST(MAX(n_types) AS BIGINT) AS n_types_seen
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a8_retention" ->
       """WITH daily AS (

@@ -600,6 +600,24 @@ object CoreQueries {
         .orderBy($"n_nationkey")
     }),
 
+    // ---- S10: ORC round-trip (columnar alt-format fidelity) -------------------
+    // Write orders through ORC and aggregate the read-back; the oracle
+    // computes the same aggregate straight from the source parquet, so
+    // a hash match proves the ORC path loses nothing (types, nulls,
+    // timestamp micros). DuckDB never sees the ORC file — only the
+    // roundtrip's fidelity is under test.
+    "s10_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"/root/repo/target/tmp/s10_orc_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(year($"o_orderdate").cast("long").as("order_year"), $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"order_year", $"o_orderstatus")
+    }),
+
     // ---- S10: JSON round-trip (schema-explicit read back) ---------------------
     "s10_json_roundtrip" -> ((s, dir) => {
       import s.implicits._
@@ -976,6 +994,11 @@ object CoreQueries {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
         |FROM lineitem WHERE l_quantity > 45.0 AND l_shipdate >= TIMESTAMP '2000-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s10_orc_roundtrip" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+         |o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s10_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey

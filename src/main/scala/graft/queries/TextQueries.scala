@@ -109,6 +109,29 @@ object TextQueries {
         .orderBy("lang", "fold")
     }),
 
+    // ---- URL parsing / domain normalization -------------------------
+    // The web-corpus preprocessing step every crawl pipeline runs:
+    // split a URL into host / path / query params, normalize the
+    // registrable domain (strip www.). URLs are derived
+    // deterministically from doc metadata (the corpus has no real
+    // URLs), so both engines parse identical strings; Spark uses the
+    // codegen'd parse_url, the oracle uses regexes — a hash match
+    // proves the two parsers agree. Scan-local map, no shuffle.
+    "p14_url_parse" -> ((s, dir) => {
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&v="), (col("doc_id") % 7).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          regexp_replace(parse_url(col("url"), lit("HOST")), "^www\\.", "").as("domain"),
+          element_at(split(parse_url(col("url"), lit("PATH")), "/"), -1)
+            .cast("long").as("doc_ref"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"),
+          parse_url(col("url"), lit("QUERY"), lit("v")).cast("long").as("q_v"))
+        .orderBy("doc_id")
+    }),
+
     // ---- content fingerprints (exact + winnowing) -------------------
     "x3_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -234,6 +257,18 @@ object TextQueries {
         |CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13 THEN 'train' ELSE 'test' END AS split,
         |COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p14_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+        |    || '?lang=' || lang || '&v=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_extract(url, '://([^/?]+)', 1), '^www\.', '') AS domain,
+        |  CAST(regexp_extract(url, '/docs/([0-9]+)', 1) AS BIGINT) AS doc_ref,
+        |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang,
+        |  CAST(regexp_extract(url, '[?&]v=([^&]*)', 1) AS BIGINT) AS q_v
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "x3_fingerprint" ->
       """WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -22,6 +22,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(n95 > 0 && n95 < nAll)
   }
 
+  test("sortedWrite: disjoint per-file key ranges (stats-based skipping layout)") {
+    val dir = Files.createTempDirectory(Paths.get("target").toAbsolutePath, "sorted-").toString
+    val src = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Partitioning.sortedWrite(src, "l_orderkey", dir, numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length == 4, s"expected 4 range files, got ${files.length}")
+    // each file covers a key range disjoint from every other file —
+    // the property parquet min/max stats exploit for file skipping
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("l_orderkey"), max("l_orderkey"), count(lit(1))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(ranges.map(_._3).sum == src.count(), "layout must preserve every row")
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"file ranges overlap: $a vs $b")
+      case _ =>
+    }
+    // a point predicate prunes via stats: scan the sorted layout and
+    // check Spark's parquet filter pushdown is in play
+    val q = spark.read.parquet(dir).filter(col("l_orderkey") === ranges.head._1)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(l_orderkey)"),
+      "predicate must reach the parquet scan")
+    assert(q.count() > 0)
+  }
+
   test("bucketed tables equi-join without a shuffle") {
     val s = spark
     Partitioning.writeBucketed(
