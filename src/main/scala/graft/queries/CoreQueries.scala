@@ -24,6 +24,14 @@ object CoreQueries {
   // Shared oracle fragments.
   private val revenueExpr = "(l_extendedprice * (1 - l_discount))"
 
+  /** Relational division — one SQL text for both engines. */
+  private val DivisionSql =
+    """SELECT user_id, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id
+      |HAVING COUNT(DISTINCT event_type) =
+      |       (SELECT COUNT(DISTINCT event_type) FROM events)
+      |ORDER BY user_id""".stripMargin
+
   /** TPC-H Q3 shape — one SQL text for both engines (Spark runs it
     * via spark.sql, DuckDB as the oracle). */
   private val ShippingPrioritySql =
@@ -262,6 +270,17 @@ object CoreQueries {
     "sql_shipping_priority" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(ShippingPrioritySql)
+    }),
+
+    // ---- SQL surface: relational division ------------------------------
+    // "users who have done EVERY event type" — division by cardinality
+    // match: per-user distinct count vs an uncorrelated scalar
+    // subquery in HAVING (the double-NOT-EXISTS form needs nested
+    // correlation, which neither engine's optimizer needs here). Same
+    // SQL text runs in both engines.
+    "sql_division" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DivisionSql)
     }),
 
     // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ----
@@ -801,6 +820,8 @@ object CoreQueries {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sql_shipping_priority" -> ShippingPrioritySql,
+
+    "sql_division" -> DivisionSql,
 
     "sql_top_unshipped" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -137,6 +137,29 @@ object DedupQueries {
         .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
     }),
 
+    // ---- train/eval contamination check -----------------------------
+    // The pretraining-hygiene op: find eval-set documents that have a
+    // near-duplicate in the training split (same content-hash split as
+    // x3_train_test_split, same near-dup pair semantics as
+    // x1_ngram_jaccard). Reuses the materialized pair store — the
+    // contamination report is a filter + aggregate over an artifact
+    // that already exists, not a second O(candidate·verify) pass; the
+    // doc→split map is a broadcast (two narrow columns). At 100 TB
+    // this runs after every eval refresh at the cost of reading the
+    // pair table.
+    "x1_contamination" -> ((s, dir) => {
+      val splits = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.operators.Sampling.splitColumn(col("text")).as("split"))
+      val pairs = nearDupPairs(s, dir).filter(nearDupFilter)
+      pairs
+        .join(broadcast(splits.toDF("idA", "split_a")), Seq("idA"))
+        .join(broadcast(splits.toDF("idB", "split_b")), Seq("idB"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(when(col("split_a") === "test", col("idA")).otherwise(col("idB")).as("eval_doc"))
+        .groupBy("eval_doc").agg(count(lit(1)).as("n_train_dups"))
+        .orderBy("eval_doc")
+    }),
+
     // ---- edit-distance near-dup (blocked, never all-pairs) ----------
     // Fuzzy-match part names within p_brand blocks: the self-join is
     // an EQUI-join on the blocking key (shuffle-hash by brand), so
@@ -182,6 +205,24 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "x1_ngram_jaccard" -> jaccardOracle,
+    "x1_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |        CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
+        |             THEN 'train' ELSE 'test' END AS split
+        |      FROM documents),
+        |g AS (SELECT doc_id, split,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |             ELSE [array_to_string(w, ' ')] END AS grams
+        |      FROM d),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.split AS sa, b.split AS sb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.grams, b.grams)) * 5
+        |            >= len(list_distinct(a.grams || b.grams)) * 3)
+        |SELECT CASE WHEN sa = 'test' THEN ida ELSE idb END AS eval_doc,
+        |       COUNT(*) AS n_train_dups
+        |FROM p WHERE sa != sb GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x1_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
         |SELECT a.p_brand AS p_brand,

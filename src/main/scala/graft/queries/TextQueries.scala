@@ -109,6 +109,26 @@ object TextQueries {
         .orderBy("lang", "fold")
     }),
 
+    // ---- end-to-end quality filter pipeline -------------------------
+    // The composed keep/drop verdict a pretraining corpus actually
+    // ships: quality gate AND language-confidence gate (predicted ==
+    // labeled) AND repetition gate (dup-word ratio < 50%), reported
+    // as survival rates per language. One scan, all three signals are
+    // codegen'd column expressions — composition costs nothing extra.
+    "x3_filter_pipeline" -> ((s, dir) => {
+      val w = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          (isGoodDoc(col("text")) &&
+            langId(col("text")) === col("lang") &&
+            dupWordCount(w) * 2 < size(w).cast("long")).as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_pct", expr("n_keep * 100 div n_docs"))
+        .orderBy("lang")
+    }),
+
     // ---- URL parsing / domain normalization -------------------------
     // The web-corpus preprocessing step every crawl pipeline runs:
     // split a URL into host / path / query params, normalize the
@@ -257,6 +277,30 @@ object TextQueries {
         |CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13 THEN 'train' ELSE 'test' END AS split,
         |COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x3_filter_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  ((CASE WHEN length(text) = 0 THEN 0
+         |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100 // length(text) END) >= 70
+         |   AND len(toks) >= 20) AS is_good,
+         |  len(toks) - len(list_distinct(toks)) AS dup_words,
+         |  len(toks) AS n_words,
+         |  CASE WHEN length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         |       WHEN len(list_filter(toks, x -> list_contains($langLexEs, x))) > len(list_filter(toks, x -> list_contains($langLex, x)))
+         |        AND len(list_filter(toks, x -> list_contains($langLexEs, x))) >= len(list_filter(toks, x -> list_contains($langLexDe, x))) THEN 'es'
+         |       WHEN len(list_filter(toks, x -> list_contains($langLexDe, x))) > len(list_filter(toks, x -> list_contains($langLex, x)))
+         |        AND len(list_filter(toks, x -> list_contains($langLexDe, x))) > len(list_filter(toks, x -> list_contains($langLexEs, x))) THEN 'de'
+         |       ELSE 'en' END AS predicted
+         |  FROM d)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_good AND predicted = lang AND dup_words * 2 < n_words
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN is_good AND predicted = lang AND dup_words * 2 < n_words
+         |                THEN 1 ELSE 0 END) * 100 // COUNT(*) AS BIGINT) AS keep_pct
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p14_url_parse" ->
       """WITH u AS (SELECT doc_id,

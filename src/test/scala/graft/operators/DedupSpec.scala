@@ -113,4 +113,17 @@ class DedupSpec extends SparkSpec {
       .select("simhash").as[Long].collect()
     assert(hs(0) != hs(1))
   }
+
+  test("contamination: every flagged doc is in the eval split with >= 1 train dup") {
+    val flagged = graft.queries.DedupQueries.all("x1_contamination")(spark, dir).collect()
+    val testIds = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.Sampling.splitColumn(col("text")).as("split"))
+      .filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    flagged.foreach { r =>
+      assert(testIds.contains(r.getAs[Long]("eval_doc")),
+        "a contamination hit must identify an eval-split doc")
+      assert(r.getAs[Long]("n_train_dups") >= 1L)
+    }
+  }
 }
