@@ -172,15 +172,20 @@ object DedupQueries {
       val p = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"), col("p_name"),
           length(col("p_name")).as("len"))
-      val a = p.toDF("k_a", "p_brand", "name_a", "len_a")
-      val b = p.toDF("k_b", "p_brand", "name_b", "len_b")
-      a.join(b, Seq("p_brand"))
-        // cheap necessary conditions first: dist<=2 implies the length
-        // band, so the O(len²) DP only runs on surviving pairs — and
-        // the thresholded levenshtein early-exits (banded DP, -1 when
-        // the distance exceeds the cap) instead of filling the matrix
-        .filter(col("k_a") < col("k_b") &&
-          abs(col("len_a") - col("len_b")) <= 2)
+      // Compound blocking key (brand, length-bucket): dist<=2 implies
+      // |len_a-len_b|<=2, so each probe row explodes to its 5 neighbor
+      // length buckets while the build side keys on its exact length —
+      // every qualifying pair matches exactly once, the join emits
+      // ONLY length-banded candidates, and the key space is ~10x wider
+      // than brand alone (25 keys would cap parallelism at 25 and
+      // skew; brand×length doesn't). The thresholded levenshtein then
+      // early-exits (banded DP, -1 over the cap) on the survivors.
+      val probe = p.toDF("k_a", "p_brand", "name_a", "len_a")
+        .withColumn("lb", explode(sequence(col("len_a") - 2, col("len_a") + 2)))
+      val build = p.toDF("k_b", "p_brand", "name_b", "len_b")
+        .withColumn("lb", col("len_b"))
+      probe.join(build, Seq("p_brand", "lb"))
+        .filter(col("k_a") < col("k_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
         .filter(col("dist") >= 0)
         .groupBy(col("p_brand"), col("dist"))
