@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
   * (e.g. report date) and a batch reads+rewrites ONLY the partitions
   * its keys touch; everything else stays byte-identical on disk.
   */
-final class TableStore(val root: String) {
+/** @param retain how many PREVIOUS committed versions to keep per
+  *   table (0 = current only — the posix default; on an object store
+  *   or when time-travel reads matter, retain N and the last N
+  *   versions stay readable via `readVersionsBack`). */
+final class TableStore(val root: String, val retain: Int = 0) {
 
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,16 +50,24 @@ final class TableStore(val root: String) {
 
   private def manifest(name: String): Path = new Path(s"$root/$name/_manifest")
 
-  /** Current version-dir name from the manifest, if the table is in
-    * whole-table (versioned) mode. */
-  private def currentVersion(f: FileSystem, name: String): Option[String] = {
+  /** The committed version chain from the manifest, newest first
+    * (line 0 = current, line k = k commits back). Empty if the table
+    * is not in whole-table (versioned) mode. */
+  private def versionChain(f: FileSystem, name: String): Seq[String] = {
     val mp = manifest(name)
-    if (!f.exists(mp)) None
+    if (!f.exists(mp)) Seq.empty
     else {
       val in = f.open(mp)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      try new String(in.readAllBytes(), "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
     }
   }
+
+  /** Current version-dir name from the manifest, if the table is in
+    * whole-table (versioned) mode. */
+  private def currentVersion(f: FileSystem, name: String): Option[String] =
+    versionChain(f, name).headOption
 
   /** The directory to SCAN for `name`: versioned tables resolve
     * through `_manifest`; partitioned/legacy tables are the live dir
@@ -97,6 +109,21 @@ final class TableStore(val root: String) {
 
   def read(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(resolve(spark, name))
+
+  /** Time-travel read: the table as of `stepsBack` commits ago
+    * (0 = current). Requires the store to have been constructed with
+    * `retain >= stepsBack` when those commits ran — older versions are
+    * physically gone past the retention window. */
+  def readVersionsBack(spark: SparkSession, name: String, stepsBack: Int): DataFrame = {
+    val chain = versionChain(fs(spark), name)
+    require(stepsBack >= 0 && stepsBack < chain.length,
+      s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
+    spark.read.parquet(s"$root/$name/${chain(stepsBack)}")
+  }
+
+  /** Number of readable committed versions (1 = just the current). */
+  def versionDepth(spark: SparkSession, name: String): Int =
+    versionChain(fs(spark), name).length
 
   /** Keyed MERGE with `nupdates` counter semantics
     * (scrapper.py:196-206). First batch on a missing table inserts
@@ -213,10 +240,10 @@ final class TableStore(val root: String) {
       val n = st.getPath.getName
       if (n.startsWith(".tmp-") || n.startsWith(".old-")) f.delete(st.getPath, true)
       else if (st.isDirectory) {
-        val current = currentVersion(f, n)
+        val live = versionChain(f, n)
         f.listStatus(st.getPath).foreach { c =>
           val cn = c.getPath.getName
-          if ((cn.startsWith("v-") && !current.contains(cn)) || cn.startsWith("._manifest-"))
+          if ((cn.startsWith("v-") && !live.contains(cn)) || cn.startsWith("._manifest-"))
             f.delete(c.getPath, true)
         }
       }
@@ -252,13 +279,13 @@ final class TableStore(val root: String) {
     val tmp = new Path(s"$root/.tmp-$name-$ver")
     try df.write.mode("overwrite").parquet(tmp.toString)
     catch { case e: Throwable => f.delete(tmp, true); throw e }
-    val prev = currentVersion(f, name)
+    val prevChain = versionChain(f, name)
     // no manifest ⇒ anything already in the dir is either legacy flat
     // files (pre-manifest layout) or uncommitted crash orphans
     // (v-dirs/manifest temps staged by a writer that died before its
     // commit rename) — both are safe to clean once OUR commit lands
     val legacy: Array[Path] =
-      if (prev.isEmpty && f.exists(dir))
+      if (prevChain.isEmpty && f.exists(dir))
         f.listStatus(dir).map(_.getPath)
           .filter(p => !p.getName.startsWith("_"))
       else Array.empty
@@ -268,18 +295,21 @@ final class TableStore(val root: String) {
       f.delete(tmp, true)
       throw new java.io.IOException(s"commit failed: could not stage $tmp as $dst")
     }
-    // the commit point: atomic pointer overwrite (posix/HDFS rename)
+    // the commit point: atomic pointer overwrite (posix/HDFS rename).
+    // The manifest carries the whole retained chain (current first),
+    // so time travel never needs a directory listing — and an
+    // un-listed v-dir stays invisible, crash or no crash.
+    val chain = (ver +: prevChain).take(1 + math.max(0, retain))
     val mtmp = new Path(dir, s"._manifest-$ver")
     val out = f.create(mtmp, true)
-    try out.write(ver.getBytes("UTF-8")) finally out.close()
+    try out.write(chain.mkString("\n").getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(f.makeQualified(mtmp), f.makeQualified(manifest(name)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // post-commit cleanup: the displaced version (open handles on
-    // posix/HDFS survive; on object stores retain instead) and any
-    // pre-manifest flat files
-    prev.filter(_ != ver).foreach(p => f.delete(new Path(dir, p), true))
+    // post-commit cleanup: versions that fell off the retention window
+    // (open handles on posix/HDFS survive) and any pre-manifest files
+    prevChain.filterNot(chain.contains).foreach(p => f.delete(new Path(dir, p), true))
     legacy.foreach(p => f.delete(p, true))
   }
 }

@@ -37,6 +37,30 @@ class TableStoreManifestSpec extends SparkSpec {
     assert(store.exists(spark, "t"))
   }
 
+  test("retention + time travel: last N versions stay readable, older fall away") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory(Paths.get("target"), "mstore-")
+    val store = new TableStore(dir.toString, retain = 2)
+    store.replace(spark, "t", Seq(1).toDF("x"))       // gen 1
+    store.replace(spark, "t", Seq(1, 2).toDF("x"))    // gen 2
+    store.replace(spark, "t", Seq(1, 2, 3).toDF("x")) // gen 3
+    assert(store.versionDepth(spark, "t") == 3)
+    assert(listNames(store, "t").count(_.startsWith("v-")) == 3)
+    def rows(k: Int) = store.readVersionsBack(spark, "t", k)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows(0) == Seq(1, 2, 3) && rows(1) == Seq(1, 2) && rows(2) == Seq(1))
+    // a 4th commit pushes gen 1 off the window — physically deleted
+    store.replace(spark, "t", Seq(9).toDF("x"))       // gen 4
+    assert(store.versionDepth(spark, "t") == 3)
+    assert(listNames(store, "t").count(_.startsWith("v-")) == 3)
+    assert(rows(2) == Seq(1, 2), "gen 2 is now the oldest retained")
+    intercept[IllegalArgumentException](store.readVersionsBack(spark, "t", 3))
+    // vacuum keeps the whole retained chain, not just the current
+    store.vacuum(spark)
+    assert(store.versionDepth(spark, "t") == 3)
+    assert(rows(1) == Seq(1, 2, 3))
+  }
+
   test("compact folds many-file tables into targetFiles, content-identical") {
     val s = spark; import s.implicits._
     val store = freshStore()

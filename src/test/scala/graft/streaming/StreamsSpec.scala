@@ -132,6 +132,45 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(1L), s"only the in-window click attributes, got $got")
   }
 
+  test("T1: file-source + AvailableNow + checkpoint — restart ingests only new files, exactly once") {
+    val s = spark; import s.implicits._
+    val base = Files.createTempDirectory(Paths.get("target").toAbsolutePath, "ingest-")
+    val (in, ckpt, storeDir) = (s"$base/in", s"$base/ckpt", s"$base/store")
+    Files.createDirectories(Paths.get(in))
+    val store = new TableStore(storeDir)
+    def runOnce(): Unit = {
+      val stream = s.readStream.schema("k LONG, v STRING").parquet(in)
+      val q = Streams.upsertSink(stream, store, "t", Seq("k"))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the file source lists files directly under the path — land each
+    // batch as a single flat .parquet file (write to a scratch dir,
+    // move the part file in), the way an ingest job drops files
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = s"$base/scratch-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$in/$name.parquet"))
+    }
+    land(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "f1")
+    runOnce()
+    val afterFirst = store.read(s, "t").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("nupdates")).toMap
+    assert(afterFirst == Map(1L -> 1L, 2L -> 1L), s"got $afterFirst")
+    // second run with one NEW file: old files must not re-ingest
+    // (nupdates would bump to 2 if they did), new key lands, existing
+    // key conflicts exactly once more
+    land(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "f2")
+    runOnce()
+    val afterSecond = store.read(s, "t").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("nupdates")).toMap
+    assert(afterSecond == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"got $afterSecond")
+  }
+
   test("T1/J3: stream-static enrichment join attaches dimension values per batch") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
