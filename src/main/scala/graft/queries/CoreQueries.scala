@@ -413,6 +413,28 @@ object CoreQueries {
         .orderBy($"o_custkey", $"rn")
     }),
 
+    // ---- W1 scale path: bounded-heap grouped top-k ---------------------
+    // Same answer as w1_top_orders_per_cust, different plan: a k-bounded
+    // typed aggregate (partial+final ObjectHashAggregate) instead of a
+    // window rank. The partial pass caps every (group, partition) at k
+    // entries BEFORE the shuffle — the exchange carries ~k rows per
+    // group, not the whole orders table, and no partition-wide sort
+    // ever happens. The plan that still works when orders is 100 TB.
+    "w1_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val top3 = graft.functions.TopK.udaf(3)
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
+        .select($"o_custkey", posexplode($"top"))
+        .select(
+          $"o_custkey",
+          ($"pos" + 1).cast("long").as("rn"),
+          $"col._2".as("o_orderkey"),
+          $"col._1".as("o_totalprice"))
+        .orderBy($"o_custkey", $"rn")
+    }),
+
     // ---- W2: analytic window (lag) -------------------------------------
     "w2_lag_value_delta" -> ((s, dir) => {
       import s.implicits._
@@ -861,6 +883,14 @@ object CoreQueries {
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "w1_top_orders_per_cust" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // identical oracle to the window form — same answer, bounded-state plan
+    "w1_topk_agg" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn

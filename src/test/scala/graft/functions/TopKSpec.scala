@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.queries.CoreQueries
+
+import scala.util.Random
+
+class TopKSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("reduce/merge match sort-and-take on random streams, any split point") {
+    val agg = new TopK(3)
+    val rnd = new Random(42)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(20)
+      // coarse values force ties; tiebreak must be ascending key
+      val xs = Vector.fill(n)((rnd.nextInt(5).toDouble, rnd.nextInt(100).toLong))
+      val expect = xs.sortBy { case (v, k) => (-v, k) }.take(3)
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(folded == expect, s"reduce on $xs")
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expect, s"merge at $cut on $xs")
+    }
+  }
+
+  test("buffer never exceeds k") {
+    val agg = new TopK(2)
+    val buf = (1 to 100).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i.toLong)))
+    assert(buf.length == 2 && buf.head._1 == 100.0)
+  }
+
+  test("w1_topk_agg answers exactly like the window-rank form") {
+    val viaAgg = CoreQueries.all("w1_topk_agg")(spark, dir).collect().toSeq
+    val viaWindow = CoreQueries.all("w1_top_orders_per_cust")(spark, dir).collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("plan is partial+final object-hash aggregate, no Window, no partition sort") {
+    val df = CoreQueries.all("w1_topk_agg")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(p.contains("partial_topk") || p.contains("partial_TopK"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+}
