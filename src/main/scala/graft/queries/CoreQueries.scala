@@ -54,6 +54,7 @@ object CoreQueries {
   /** Fixed store root for the partitioned-upsert gate query (wiped per
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
+  private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
 
   val all: Map[String, Q] = Map(
     // ---- A3: partial+final hash aggregate (TPC-H Q1 shape) ----------
@@ -619,6 +620,33 @@ object CoreQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S4 family: incremental materialized-aggregate maintenance -----
+    // Three year-sliced batches of orders fold into a per-customer
+    // (count, spend) state table; the final state must equal a one-shot
+    // GROUP BY over all of orders. Cost per batch is O(batch + state),
+    // never O(history) — the fold never rescans old facts. Decimal-
+    // routed sums make the result independent of batch order (double
+    // addition wouldn't be).
+    "s4_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val root = new org.apache.hadoop.fs.Path(IncrAggStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(IncrAggStorePath)
+      val o = Tables.orders(s, dir)
+      val y = year($"o_orderdate")
+      val batches = Seq(o.filter(y <= 1994), o.filter(y === 1995 || y === 1996), o.filter(y >= 1997))
+      val measures = Seq(
+        "n_orders" -> count(lit(1)),
+        "total_price" -> sum($"o_totalprice".cast(DecimalType(18, 6))).cast(DecimalType(38, 6)))
+      batches.foreach(b =>
+        graft.operators.IncrementalAgg.applyBatch(s, store, "cust_stats", b, Seq("o_custkey"), measures))
+      store.read(s, "cust_stats")
+        .select($"o_custkey", $"n_orders".cast("long").as("n_orders"),
+          $"total_price".cast("double").as("total_price"))
+        .orderBy($"o_custkey")
+    }),
+
     // ---- S9: parquet scan with pushdown + pruning --------------------------
     "s9_scan_pushdown" -> ((s, dir) => {
       import s.implicits._
@@ -1040,6 +1068,11 @@ object CoreQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "s4_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "s9_scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity

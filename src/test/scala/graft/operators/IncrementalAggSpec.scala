@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+class IncrementalAggSpec extends SparkSpec {
+
+  private def freshStore(): TableStore = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "incragg-")
+    new TableStore(dir.toString)
+  }
+
+  private def facts(rows: Seq[(Long, Double)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private val measures = Seq(
+    "n" -> count(lit(1)),
+    "total" -> sum(col("v").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)))
+
+  private def state(store: TableStore): Map[Long, (Long, BigDecimal)] =
+    store.read(spark, "agg").collect().map { r =>
+      r.getAs[Long]("k") -> (r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("total")))
+    }.toMap
+
+  test("folding random batch splits equals the one-shot aggregate, any order") {
+    val rnd = new Random(7)
+    val rows = Seq.tabulate(300)(i => ((i % 17).toLong, rnd.nextInt(10000) / 100.0))
+    val oneShot = freshStore()
+    IncrementalAgg.applyBatch(spark, oneShot, "agg", facts(rows), Seq("k"), measures)
+    val expect = state(oneShot)
+    for (trial <- 1 to 3) {
+      val shuffled = rnd.shuffle(rows)
+      val cuts = Seq(0, rnd.nextInt(300), rnd.nextInt(300), 300).sorted
+      val store = freshStore()
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        // empty batches must be harmless
+        IncrementalAgg.applyBatch(spark, store, "agg", facts(shuffled.slice(a, b)), Seq("k"), measures)
+      }
+      assert(state(store) == expect, s"trial $trial cuts $cuts")
+    }
+  }
+
+  test("a batch with only new keys inserts; existing keys accumulate") {
+    val store = freshStore()
+    IncrementalAgg.applyBatch(spark, store, "agg", facts(Seq((1L, 1.0), (1L, 2.0))), Seq("k"), measures)
+    IncrementalAgg.applyBatch(spark, store, "agg", facts(Seq((2L, 5.0))), Seq("k"), measures)
+    IncrementalAgg.applyBatch(spark, store, "agg", facts(Seq((1L, 0.5), (2L, 0.5))), Seq("k"), measures)
+    val got = state(store).map { case (k, (n, t)) => (k, n, t.toDouble) }.toSet
+    assert(got == Set((1L, 3L, 3.5), (2L, 2L, 5.5)))
+  }
+
+  test("null keys survive the null-safe merge join") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val b1 = Seq[(Option[Long], Double)]((Some(1L), 1.0), (None, 2.0)).toDF("k", "v")
+    val b2 = Seq[(Option[Long], Double)]((None, 3.0)).toDF("k", "v")
+    IncrementalAgg.applyBatch(spark, store, "agg", b1, Seq("k"), measures)
+    IncrementalAgg.applyBatch(spark, store, "agg", b2, Seq("k"), measures)
+    val nullRow = store.read(spark, "agg").filter(col("k").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getAs[Long]("n") == 2L)
+  }
+}
