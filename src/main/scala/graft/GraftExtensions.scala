@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr}
+import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -61,5 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantize_i8_stats"),
       new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "quantize_i8_stats"),
       (children: Seq[Expression]) => QuantizeInt8Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2Expr].getName, "zorder2"),
+      (children: Seq[Expression]) => ZOrder2Expr(children(0), children(1))))
   }
 }

@@ -46,6 +46,8 @@ object Functions {
         litBinary(exprs(1), "bloom_might_contain filter bytes")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantize_i8_stats", exprs => QuantizeInt8Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", exprs => ZOrder2Expr(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Literal-int argument of a registered function call. Parameters of

@@ -63,6 +63,27 @@ object Partitioning {
       .write.mode("overwrite")
       .parquet(path)
 
+  /** Z-order-clustered layout (the two-dimensional big sibling of
+    * `sortedWrite`): rows are range-partitioned and sorted by the
+    * Morton interleave of two int keys, so rows close in EITHER
+    * dimension cluster into few files and parquet min/max stats can
+    * skip files for predicates on either column. A single-column sort
+    * can only ever skip on its own column — a predicate on the other
+    * one scans everything. Same one-time range-shuffle cost as
+    * `sortedWrite`; `ZOrderSpec` pins the both-dimensions skipping
+    * property. */
+  def zorderWrite(df: DataFrame, keyX: String, keyY: String, path: String,
+      numFiles: Int): Unit = {
+    graft.functions.Functions.register(df.sparkSession)
+    val z = call_function("zorder2", col(keyX).cast("int"), col(keyY).cast("int"))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite")
+      .parquet(path)
+  }
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * random-ish salt in [0, buckets) derived deterministically from
     * other row content; the small side is exploded ×buckets so every

@@ -647,6 +647,24 @@ object CoreQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- S9 layout: z-order clustering, scan with 2-D predicate --------
+    // Rewrite lineitem z-ordered on (l_orderkey, l_partkey), then scan
+    // with a predicate on EACH dimension. Correctness: read-back must
+    // equal DuckDB over the original table. The layout property (files
+    // skip on both dimensions, single-sort can't) is pinned by
+    // ZOrderSpec; here the clustered read-back feeds the oracle so the
+    // layout step itself is row-loss/duplication-gated every round.
+    "s9_zorder_scan" -> ((s, dir) => {
+      import s.implicits._
+      val path = "target/tmp/zorder-scan"
+      val src = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      graft.operators.Partitioning.zorderWrite(src, "l_orderkey", "l_partkey", path, numFiles = 16)
+      s.read.parquet(path)
+        .filter($"l_orderkey" < 1000L && $"l_partkey" < 500L)
+        .orderBy($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
+    }),
+
     // ---- S9: parquet scan with pushdown + pruning --------------------------
     "s9_scan_pushdown" -> ((s, dir) => {
       import s.implicits._
@@ -1073,6 +1091,11 @@ object CoreQueries {
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "s9_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000 AND l_partkey < 500
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
 
     "s9_scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
