@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
+import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -65,5 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2Expr].getName, "zorder2"),
       (children: Seq[Expression]) => ZOrder2Expr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerExpr(children(0), children(1))))
   }
 }

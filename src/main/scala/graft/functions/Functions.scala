@@ -48,6 +48,8 @@ object Functions {
       "quantize_i8_stats", exprs => QuantizeInt8Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", exprs => ZOrder2Expr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Literal-int argument of a registered function call. Parameters of

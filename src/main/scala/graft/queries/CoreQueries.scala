@@ -32,6 +32,20 @@ object CoreQueries {
       |       (SELECT COUNT(DISTINCT event_type) FROM events)
       |ORDER BY user_id""".stripMargin
 
+  /** TPC-H Q13 shape — one SQL text for both engines: left-outer join
+    * keeps zero-order customers, the join-level filter (NOT a WHERE —
+    * that would drop the null-extended rows) excludes a priority
+    * class, then a double aggregation histograms customers by order
+    * count. The classic "distribution of activity" OLAP shape. */
+  private val OrderCountDistSql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+      |      FROM customer c LEFT OUTER JOIN orders o
+      |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      |      GROUP BY c.c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** TPC-H Q3 shape — one SQL text for both engines (Spark runs it
     * via spark.sql, DuckDB as the oracle). */
   private val ShippingPrioritySql =
@@ -282,6 +296,12 @@ object CoreQueries {
     "sql_division" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(DivisionSql)
+    }),
+
+    // ---- SQL surface: outer-join histogram (TPC-H Q13 shape) ----------
+    "sql_order_count_dist" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(OrderCountDistSql)
     }),
 
     // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ----
@@ -890,6 +910,8 @@ object CoreQueries {
     "sql_shipping_priority" -> ShippingPrioritySql,
 
     "sql_division" -> DivisionSql,
+
+    "sql_order_count_dist" -> OrderCountDistSql,
 
     "sql_top_unshipped" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -160,6 +160,29 @@ object DedupQueries {
         .orderBy("eval_doc")
     }),
 
+    // ---- Jaro-Winkler blocked linkage -------------------------------
+    // Name matching where edit distance is too coarse: the native
+    // jaro_winkler expression (pinned bit-identical to DuckDB's)
+    // scores candidates from a declared blocking scheme — equi-join on
+    // (brand, first char), the standard record-linkage move — so the
+    // plan is a hash join over block keys, never all-pairs. The oracle
+    // hash-matches RAW doubles per pair: no rounding escape hatch, the
+    // two engines must agree to the last bit.
+    "x1_jaro_linkage" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          substring(col("p_name"), 1, 1).as("c1"))
+      val a = p.toDF("k_a", "p_brand", "name_a", "c1")
+      val b = p.toDF("k_b", "p_brand", "name_b", "c1")
+      a.join(b, Seq("p_brand", "c1"))
+        .filter(col("k_a") < col("k_b"))
+        .withColumn("sim", call_function("jaro_winkler", col("name_a"), col("name_b")))
+        .filter(col("sim") > 0.9)
+        .select(col("k_a"), col("k_b"), col("sim"))
+        .orderBy(col("k_a"), col("k_b"))
+    }),
+
     // ---- edit-distance near-dup (blocked, never all-pairs) ----------
     // Fuzzy-match part names within p_brand blocks: the self-join is
     // an EQUI-join on the blocking key (shuffle-hash by brand), so
@@ -227,6 +250,15 @@ object DedupQueries {
         |SELECT CASE WHEN sa = 'test' THEN ida ELSE idb END AS eval_doc,
         |       COUNT(*) AS n_train_dups
         |FROM p WHERE sa != sb GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x1_jaro_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name, substr(p_name, 1, 1) AS c1 FROM part)
+        |SELECT a.p_partkey AS k_a, b.p_partkey AS k_b,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.c1 = b.c1 AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.9
+        |ORDER BY k_a, k_b""".stripMargin,
 
     "x1_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
