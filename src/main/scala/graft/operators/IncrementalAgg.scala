@@ -25,10 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  /** One maintained measure: `agg` computes it over a batch, `merge`
+    * folds a batch's value into the stored one. The default merge is
+    * `+` (counts, sums); sketch-valued measures supply their own —
+    * e.g. HLL distinct-count sketches merge with `hll_union`, which is
+    * what makes DISTINCT incrementally maintainable at all (a plain
+    * count-distinct is not additive across batches, a sketch is). */
+  final case class Measure(
+      name: String,
+      agg: Column,
+      merge: (Column, Column) => Column = _ + _)
+
   /** Fold one batch of facts into the materialized aggregate table
     * `name` in `store`. `measures` are (output column, aggregate
-    * expression over the batch) pairs; every measure column must be
-    * additive. Creates the table on first batch.
+    * expression over the batch) pairs merged by `+`; every measure
+    * must be additive. Creates the table on first batch.
     */
   def applyBatch(
       spark: SparkSession,
@@ -36,28 +47,38 @@ object IncrementalAgg {
       name: String,
       batch: DataFrame,
       keys: Seq[String],
-      measures: Seq[(String, Column)]): Unit = {
+      measures: Seq[(String, Column)]): Unit =
+    applyBatchM(spark, store, name, batch, keys,
+      measures.map { case (n, c) => Measure(n, c) })
+
+  /** General form: measures with explicit merge functions. */
+  def applyBatchM(
+      spark: SparkSession,
+      store: TableStore,
+      name: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      measures: Seq[Measure]): Unit = {
     require(keys.nonEmpty && measures.nonEmpty, "need at least one key and one measure")
     val delta = batch
       .groupBy(keys.map(col): _*)
-      .agg(measures.head._2.as(measures.head._1),
-        measures.tail.map { case (n, c) => c.as(n) }: _*)
+      .agg(measures.head.agg.as(measures.head.name),
+        measures.tail.map(m => m.agg.as(m.name)): _*)
     if (!store.exists(spark, name)) {
       store.replace(spark, name, delta)
     } else {
       val t = store.read(spark, name).withColumn("_t_present", lit(1)).alias("t")
       val u = delta.withColumn("_u_present", lit(1)).alias("u")
       val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
-      val measureNames = measures.map(_._1)
       val outCols: Seq[Column] =
         keys.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
-          measureNames.map { m =>
-            // additive resolution: present on both → add; else keep the side that has it
+          measures.map { m =>
+            // mergeable resolution: present on both → merge; else keep the side that has it
             when(col("u._u_present").isNotNull && col("t._t_present").isNotNull,
-              col(s"t.$m") + col(s"u.$m"))
-              .when(col("u._u_present").isNotNull, col(s"u.$m"))
-              .otherwise(col(s"t.$m"))
-              .as(m)
+              m.merge(col(s"t.${m.name}"), col(s"u.${m.name}")))
+              .when(col("u._u_present").isNotNull, col(s"u.${m.name}"))
+              .otherwise(col(s"t.${m.name}"))
+              .as(m.name)
           }
       store.replace(spark, name, t.join(u, cond, "full_outer").select(outCols: _*))
     }

@@ -69,6 +69,7 @@ object CoreQueries {
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
+  private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
 
   val all: Map[String, Q] = Map(
     // ---- A3: partial+final hash aggregate (TPC-H Q1 shape) ----------
@@ -665,6 +666,32 @@ object CoreQueries {
         .select($"o_custkey", $"n_orders".cast("long").as("n_orders"),
           $"total_price".cast("double").as("total_price"))
         .orderBy($"o_custkey")
+    }),
+
+    // ---- A4 scale path: incrementally-maintained distinct sketches ----
+    // COUNT(DISTINCT) is not additive across batches — an HLL sketch
+    // is. Maintain a per-priority sketch of distinct customers over
+    // year-sliced batches (merge = hll_union), estimate at read time.
+    // This is the pre-aggregated sketch-cube pattern: at 100 TB the
+    // nightly job folds only its batch, and ANY rollup of the cube
+    // answers distinct-count questions without touching raw facts.
+    // No DuckDB oracle (approximate by design) — rows-gated here,
+    // 2%-of-exact bound pinned in IncrementalAggSpec.
+    "a4_sketch_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(SketchStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(SketchStorePath)
+      val o = Tables.orders(s, dir)
+      val y = year($"o_orderdate")
+      val batches = Seq(o.filter(y <= 1994), o.filter(y === 1995 || y === 1996), o.filter(y >= 1997))
+      val m = Seq(graft.operators.IncrementalAgg.Measure(
+        "cust_sketch", hll_sketch_agg($"o_custkey"), (t, u) => hll_union(t, u)))
+      batches.foreach(b =>
+        graft.operators.IncrementalAgg.applyBatchM(s, store, "prio_sketch", b, Seq("o_orderpriority"), m))
+      store.read(s, "prio_sketch")
+        .select($"o_orderpriority", hll_sketch_estimate($"cust_sketch").as("approx_cust"))
+        .orderBy($"o_orderpriority")
     }),
 
     // ---- S9 layout: z-order clustering, scan with 2-D predicate --------

@@ -55,6 +55,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 3.5), (2L, 2L, 5.5)))
   }
 
+  test("HLL sketch measure: incremental distinct estimate within 2% of exact") {
+    val s = spark; import s.implicits._
+    // 3 batches with heavy cross-batch overlap — exactly where naive
+    // per-batch count-distinct summation would overcount badly
+    val rnd = new Random(13)
+    val rows = Seq.tabulate(3000)(i => ((i % 2).toLong, rnd.nextInt(400).toLong))
+    val m = Seq(IncrementalAgg.Measure(
+      "sk", hll_sketch_agg(col("v")), (t, u) => hll_union(t, u)))
+    val store = freshStore()
+    rows.grouped(1000).foreach { b =>
+      IncrementalAgg.applyBatchM(spark, store, "agg", b.toDF("k", "v"), Seq("k"), m)
+    }
+    val est = store.read(spark, "agg")
+      .select(col("k"), hll_sketch_estimate(col("sk")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("e").toDouble).toMap
+    val exact = rows.toDF("k", "v").groupBy("k").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(est(k) - d) <= 0.02 * d, s"key $k: est ${est(k)} vs exact $d")
+    }
+  }
+
   test("null keys survive the null-safe merge join") {
     val s = spark; import s.implicits._
     val store = freshStore()
