@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
 
 import graft.functions.Functions.dsum
-import graft.operators.TableStore
+import graft.operators.{IncrementalAgg, TableStore}
 
 /** Structured Streaming operators (SURVEY §2 T1-T4).
   *
@@ -51,6 +51,21 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         store.upsertPartitioned(batch.sparkSession, table, batch, keys, partCol,
           numFiles = Some(1))
+      }
+
+  /** T1/A1: micro-batch materialized-aggregate sink — each batch folds
+    * its per-key deltas into the stored aggregate (IncrementalAgg), so
+    * a live stream maintains a queryable rollup at O(batch + state)
+    * per trigger without ever rescanning history. The streaming form
+    * of the reference's accumulate-on-conflict rule (scrapper.py:198)
+    * generalized to arbitrary mergeable measures (sums, counts, HLL
+    * sketches). */
+  def incrementalAggSink(stream: DataFrame, store: TableStore, table: String,
+      keys: Seq[String], measures: Seq[IncrementalAgg.Measure]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalAgg.applyBatchM(batch.sparkSession, store, table, batch, keys, measures)
       }
 
   /** T2/T3: watermarked tumbling-window aggregate over an event-time

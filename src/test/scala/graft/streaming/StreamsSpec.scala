@@ -132,6 +132,32 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(1L), s"only the in-window click attributes, got $got")
   }
 
+  test("T1/A1: incrementalAggSink maintains a live per-key rollup across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "stream-iagg-").toString)
+    val measures = Seq(
+      graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
+      graft.operators.IncrementalAgg.Measure("total",
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))))
+    val mem = MemoryStream[(String, Double)]
+    val q = Streams.incrementalAggSink(
+        mem.toDF.toDF("k", "v"), store, "rollup", Seq("k"), measures)
+      .start()
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      mem.addData(("a", 0.5), ("c", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = store.read(s, "rollup").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("total")).toDouble)).toMap
+    assert(rows == Map("a" -> (3L, 3.5), "b" -> (1L, 5.0), "c" -> (1L, 7.0)), rows)
+  }
+
   test("T1: file-source + AvailableNow + checkpoint — restart ingests only new files, exactly once") {
     val s = spark; import s.implicits._
     val base = Files.createTempDirectory(Paths.get("target").toAbsolutePath, "ingest-")
