@@ -51,21 +51,28 @@ object IncrementalAgg {
     applyBatchM(spark, store, name, batch, keys,
       measures.map { case (n, c) => Measure(n, c) })
 
-  /** General form: measures with explicit merge functions. */
+  /** General form: measures with explicit merge functions.
+    * @param batchId replay guard (see `TableStore.upsert`): an
+    *   additive fold applied twice double-counts, so at-least-once
+    *   batch drivers MUST pass their monotone batch id — a replayed
+    *   batch is then a no-op, and the id commits atomically with the
+    *   folded state. */
   def applyBatchM(
       spark: SparkSession,
       store: TableStore,
       name: String,
       batch: DataFrame,
       keys: Seq[String],
-      measures: Seq[Measure]): Unit = {
+      measures: Seq[Measure],
+      batchId: Option[Long] = None): Unit = {
     require(keys.nonEmpty && measures.nonEmpty, "need at least one key and one measure")
+    if (store.alreadyApplied(spark, name, batchId)) return
     val delta = batch
       .groupBy(keys.map(col): _*)
       .agg(measures.head.agg.as(measures.head.name),
         measures.tail.map(m => m.agg.as(m.name)): _*)
     if (!store.exists(spark, name)) {
-      store.replace(spark, name, delta)
+      store.replace(spark, name, delta, batchId.map(_.toString))
     } else {
       val t = store.read(spark, name).withColumn("_t_present", lit(1)).alias("t")
       val u = delta.withColumn("_u_present", lit(1)).alias("u")
@@ -80,7 +87,8 @@ object IncrementalAgg {
               .otherwise(col(s"t.${m.name}"))
               .as(m.name)
           }
-      store.replace(spark, name, t.join(u, cond, "full_outer").select(outCols: _*))
+      store.replace(spark, name, t.join(u, cond, "full_outer").select(outCols: _*),
+        batchId.map(_.toString))
     }
   }
 }

@@ -125,6 +125,22 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def versionDepth(spark: SparkSession, name: String): Int =
     versionChain(fs(spark), name).length
 
+  /** The commit-metadata string attached to the CURRENT version (via
+    * `replace(.., meta)`), if any. Atomic with the data: a version and
+    * its meta publish together in the manifest swap, so a replay guard
+    * reading this can never observe data-without-meta. */
+  def readCommitMeta(spark: SparkSession, name: String): Option[String] = {
+    val f = fs(spark)
+    currentVersion(f, name).flatMap { ver =>
+      val p = new Path(s"$root/$name/$ver/.commitmeta")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    }
+  }
+
   /** Keyed MERGE with `nupdates` counter semantics
     * (scrapper.py:196-206). First batch on a missing table inserts
     * everything with nupdates = 1. */
@@ -132,8 +148,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
     *   for micro-batch-sized tables (one tiny file instead of one
     *   near-empty file per shuffle partition); leave None for big
     *   tables so write parallelism follows the plan. */
+  /** @param batchId replay guard for at-least-once drivers
+    *   (foreachBatch re-runs a batch after failure): a batch whose id
+    *   is <= the last committed one is a no-op, so the non-idempotent
+    *   counter bump applies exactly once per logical batch. Ids must
+    *   be monotonically increasing (Structured Streaming's are). */
   def upsert(spark: SparkSession, name: String, updates: DataFrame, keys: Seq[String],
-      counterCol: String = "nupdates", numFiles: Option[Int] = None): Unit = {
+      counterCol: String = "nupdates", numFiles: Option[Int] = None,
+      batchId: Option[Long] = None): Unit = {
+    if (alreadyApplied(spark, name, batchId)) return
     val merged =
       if (!exists(spark, name)) {
         updates.withColumn(counterCol, lit(1L))
@@ -141,8 +164,14 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val target = read(spark, name)
         Upsert.merge(target, updates, keys, Some(counterCol))
       }
-    replace(spark, name, numFiles.fold(merged)(merged.coalesce))
+    replace(spark, name, numFiles.fold(merged)(merged.coalesce), batchId.map(_.toString))
   }
+
+  /** True iff `batchId` is defined and the table's current version was
+    * committed by this batch or a later one. */
+  def alreadyApplied(spark: SparkSession, name: String, batchId: Option[Long]): Boolean =
+    batchId.exists(id =>
+      readCommitMeta(spark, name).flatMap(_.toLongOption).exists(_ >= id))
 
   /** Partition-pruned read: only directories whose `partCol` value is
     * in `values` are listed/scanned — the plan shows the IN filter
@@ -272,12 +301,28 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * or inert); the manifest overwrite is the single commit point.
     * Visibility: the table path never disappears — a reader resolves
     * either the old or the new version, with no listing gap. */
-  def replace(spark: SparkSession, name: String, df: DataFrame): Unit = {
+  def replace(spark: SparkSession, name: String, df: DataFrame): Unit =
+    replace(spark, name, df, None)
+
+  /** As `replace`, optionally attaching a commit-metadata string that
+    * becomes visible if and only if this version commits: the meta
+    * file is staged INSIDE the version dir before the manifest swap,
+    * so data and metadata publish in the same atomic pointer
+    * overwrite. Used for exactly-once batch replay guards
+    * (`readCommitMeta`); dot-prefixed, so table scans never see it. */
+  def replace(spark: SparkSession, name: String, df: DataFrame,
+      meta: Option[String]): Unit = {
     val f = fs(spark)
     val dir = new Path(livePath(name))
     val ver = s"v-${UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(s"$root/.tmp-$name-$ver")
-    try df.write.mode("overwrite").parquet(tmp.toString)
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      meta.foreach { m =>
+        val out = f.create(new Path(tmp, ".commitmeta"), true)
+        try out.write(m.getBytes("UTF-8")) finally out.close()
+      }
+    }
     catch { case e: Throwable => f.delete(tmp, true); throw e }
     val prevChain = versionChain(f, name)
     // no manifest ⇒ anything already in the dir is either legacy flat

@@ -30,20 +30,28 @@ object Streams {
 
   /** T1: micro-batch keyed MERGE sink. Each micro-batch runs the
     * upsert inside foreachBatch; the TableStore manifest commit is the
-    * per-batch transaction boundary. */
+    * per-batch transaction boundary. foreachBatch is at-least-once (a
+    * batch re-runs after a failure), and the counter bump is not
+    * idempotent — passing the batch id turns replays into no-ops, so
+    * the sink is exactly-once end to end. */
   def upsertSink(stream: DataFrame, store: TableStore, table: String,
       keys: Seq[String]): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.upsert(batch.sparkSession, table, batch, keys)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        store.upsert(batch.sparkSession, table, batch, keys, batchId = Some(id))
       }
 
   /** T1 at scale: the same sink over a partitioned table — each
     * micro-batch MERGEs into (and rewrites) ONLY the partitions its
     * keys touch, so an endless stream never pays a growing-table
     * rewrite. `partCol` must be a column of the stream functionally
-    * determined by the keys (e.g. a date prefix). */
+    * determined by the keys (e.g. a date prefix). Note: commits here
+    * are per-partition renames, not one manifest swap, so the
+    * single-table batch-id replay guard does not apply — a replayed
+    * batch re-bumps counters in partitions that already committed.
+    * Use the whole-table `upsertSink` when exact counter semantics
+    * under replay matter more than partition-scoped I/O. */
   def upsertSinkPartitioned(stream: DataFrame, store: TableStore, table: String,
       keys: Seq[String], partCol: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -64,8 +72,11 @@ object Streams {
       keys: Seq[String], measures: Seq[IncrementalAgg.Measure]): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IncrementalAgg.applyBatchM(batch.sparkSession, store, table, batch, keys, measures)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the batch id makes the additive fold replay-safe (an
+        // at-least-once re-delivery would otherwise double-count)
+        IncrementalAgg.applyBatchM(batch.sparkSession, store, table, batch, keys, measures,
+          batchId = Some(id))
       }
 
   /** T2/T3: watermarked tumbling-window aggregate over an event-time

@@ -61,6 +61,35 @@ class TableStoreManifestSpec extends SparkSpec {
     assert(rows(1) == Seq(1, 2, 3))
   }
 
+  test("batch-id replay guard: a re-delivered batch is a no-op, counter bumps exactly once") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val b0 = Seq((1L, "a")).toDF("k", "v")
+    store.upsert(spark, "t", b0, Seq("k"), batchId = Some(0L))
+    store.upsert(spark, "t", b0, Seq("k"), batchId = Some(0L)) // replay: must not re-apply
+    def nup = store.read(spark, "t").head.getAs[Long]("nupdates")
+    assert(nup == 1L, "replayed batch 0 must not bump the counter")
+    store.upsert(spark, "t", b0, Seq("k"), batchId = Some(1L)) // genuinely new batch
+    assert(nup == 2L)
+    assert(store.readCommitMeta(spark, "t").contains("1"))
+    // meta publishes atomically with data: version chain still readable
+    assert(store.exists(spark, "t"))
+  }
+
+  test("IncrementalAgg replay guard: additive fold never double-counts") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory(Paths.get("target"), "iagg-replay-")
+    val store = new TableStore(dir.toString)
+    val m = Seq(graft.operators.IncrementalAgg.Measure("n",
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))))
+    val batch = Seq(("a", 1.0)).toDF("k", "v")
+    graft.operators.IncrementalAgg.applyBatchM(spark, store, "agg", batch, Seq("k"), m, Some(0L))
+    graft.operators.IncrementalAgg.applyBatchM(spark, store, "agg", batch, Seq("k"), m, Some(0L))
+    graft.operators.IncrementalAgg.applyBatchM(spark, store, "agg", batch, Seq("k"), m, Some(1L))
+    assert(store.read(spark, "agg").head.getAs[Long]("n") == 2L,
+      "batch 0 replay must be a no-op; batches 0 and 1 each count once")
+  }
+
   test("compact folds many-file tables into targetFiles, content-identical") {
     val s = spark; import s.implicits._
     val store = freshStore()
