@@ -166,6 +166,63 @@ object Streams {
       }
   }
 
+  /** T4: per-key sessionization with EVENT-TIME state timeout — the
+    * flatMapGroupsWithState form of `w7_sessionize` for live streams.
+    * A key's open session extends while events land within `gap` of
+    * its current end; when the WATERMARK passes end+gap the state
+    * times out, the closed session is emitted exactly once, and the
+    * state is freed. Events inside one batch that already span more
+    * than `gap` split eagerly (earlier sessions emit immediately), so
+    * a backfill replayed through the stream gives the same sessions
+    * as the batch query. State per key is one (start, end, count)
+    * triple — bounded regardless of stream length, and evicted on
+    * close: the 100 TB/day property that makes arbitrary-state
+    * sessionization survivable. Requires a watermark on `ts`
+    * (timeouts fire from watermark advance) and Append output.
+    */
+  def closedSessions(events: Dataset[KeyedEvent], gap: String = "30 minutes",
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMs.months == 0, "gap must be a fixed-length interval")
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(key, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val ts = rows.map(_.ts.getTime).toArray.sorted
+            var acc = state.getOption.getOrElse(SessionAcc(ts.head, ts.head, 0))
+            val closed = Vector.newBuilder[ClosedSession]
+            ts.foreach { t =>
+              if (t - acc.end > gapMillis) {
+                // in-batch split: the previous session is already over
+                closed += ClosedSession(key, new java.sql.Timestamp(acc.start),
+                  new java.sql.Timestamp(acc.end), acc.n)
+                acc = SessionAcc(t, t, 1)
+              } else {
+                acc = SessionAcc(math.min(acc.start, t), math.max(acc.end, t), acc.n + 1)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.end + gapMillis)
+            closed.result().iterator
+          }
+      }
+  }
+
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
   final case class KeyCount(key: String, n: Long)
+  final case class SessionAcc(start: Long, end: Long, n: Int)
+  final case class ClosedSession(key: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Int)
 }

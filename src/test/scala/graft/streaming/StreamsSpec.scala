@@ -215,6 +215,37 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map(1L -> Some("mx"), 2L -> Some("us"), 7L -> None))
   }
 
+  test("T4: closedSessions — event-time timeout closes sessions, in-batch gaps split eagerly") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = Streams.closedSessions(mem.toDS(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("closed_sessions").outputMode("append")
+      .start()
+    def closed: Seq[(String, Int, Long)] =
+      s.table("closed_sessions").collect().toSeq
+        .map(r => (r.getString(0), r.getInt(3),
+          (r.getTimestamp(2).getTime - r.getTimestamp(1).getTime) / 60000)).sorted
+    try {
+      // u1: two events 5 min apart (one open session); u4: events 60 min
+      // apart in the SAME batch — splits eagerly, first session closes now
+      mem.addData(KeyedEvent("u1", ts(0)), KeyedEvent("u1", ts(5)),
+        KeyedEvent("u4", ts(0)), KeyedEvent("u4", ts(60)))
+      q.processAllAvailable()
+      assert(closed == Seq(("u4", 1, 0L)), s"only u4's first session closes in-batch: $closed")
+      // watermark jump: event at +4h pushes watermark past every open
+      // session's end+gap; timeouts fire on the following trigger
+      mem.addData(KeyedEvent("w", ts(240)))
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("w", ts(245)))
+      q.processAllAvailable()
+      val got = closed
+      assert(got.contains(("u1", 2, 5L)), s"u1 session of 2 events over 5 min must close: $got")
+      assert(got.count(t => t._1 == "u4" && t._2 == 1 && t._3 == 0L) == 2,
+        s"u4 has two singleton sessions, split + timeout: $got")
+    } finally q.stop()
+  }
+
   test("T4/A1: mapGroupsWithState running key counts across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
