@@ -103,6 +103,40 @@ object AnalyticsQueries {
         .groupBy($"cohort_day", $"offset_days")
         .agg(count(lit(1)).as("n_users"))
         .orderBy($"cohort_day", $"offset_days")
+    }),
+
+    // ---- A10: per-group OLS trend from exact moments ----------------
+    // slope/intercept of order value over time per priority class. The
+    // five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT
+    // (integer day index, decimal-routed money), so the only floating
+    // arithmetic is the final closed-form formula — written with the
+    // same expression tree in both engines, hence bit-identical. This
+    // is how regression runs at 100 TB: one partial+final hash
+    // aggregate over the scan (moments are additive), zero extra
+    // passes, no per-group value buffering. Built-in regr_slope
+    // aggregates doubles in partition order and would NOT hash-match.
+    "a10_trend" -> ((s, dir) => {
+      import s.implicits._
+      // money in integer cents: every moment is an exact integer below
+      // 2^53, so its cast to double is EXACT in both engines (a
+      // decimal→double cast is correctly rounded in Spark but not in
+      // DuckDB — that last-bit drift is what integer routing removes);
+      // the closed-form slope is then the same IEEE expression tree on
+      // identical inputs, hence bit-identical
+      val o = Tables.orders(s, dir)
+        .select($"o_orderpriority",
+          datediff($"o_orderdate", lit("1992-01-01").cast("date")).cast("long").as("x"),
+          round($"o_totalprice" * 100).cast("long").as("yc"))
+      val m = o.groupBy($"o_orderpriority").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"yc").cast("double").as("sy"),
+        sum($"x" * $"yc").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"))
+      m.select($"o_orderpriority",
+          (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")).as("slope_cents"),
+          $"n".cast("long").as("n_orders"))
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -171,6 +205,22 @@ object AnalyticsQueries {
         |  CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS offset_days,
         |  COUNT(*) AS n_users
         |FROM daily d JOIN cohort c ON d.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a10_trend" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |             CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS yc FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |        CAST(COUNT(*) AS DOUBLE) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx,
+        |        CAST(SUM(yc) AS DOUBLE) AS sy,
+        |        CAST(SUM(x*yc) AS DOUBLE) AS sxy,
+        |        CAST(SUM(x*x) AS DOUBLE) AS sxx
+        |      FROM o GROUP BY 1)
+        |SELECT o_orderpriority,
+        |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope_cents,
+        |       CAST(n AS BIGINT) AS n_orders
+        |FROM m ORDER BY o_orderpriority""".stripMargin
   )
 }
