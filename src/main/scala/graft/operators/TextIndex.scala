@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis.tokens
+
+/** Persisted inverted text index — build-once / probe-many keyword
+  * search (SURVEY §2 X3), the text sibling of the persisted ANN/IVF
+  * vector indexes.
+  *
+  * Build (one corpus scan, once per corpus version):
+  *   - `<name>_postings` (term, doc_id, tf) — range-clustered and
+  *     sorted by term, so every probe's `term IN (...)` predicate
+  *     skips non-matching files/row-groups via parquet min/max stats;
+  *   - `<name>_df` (term, df) — document frequency per term;
+  *   - `<name>_stats` (n_docs) — corpus size for the idf weight.
+  *
+  * Probe (per query): read ONLY the probed terms' postings (pushed
+  * scan filter over the sorted layout), broadcast-join the df rows
+  * (bytes), aggregate a tf·idf score per doc, top-k. Nothing
+  * corpus-sized shuffles at query time — at 100 TB the per-query cost
+  * is proportional to the probed terms' posting lists, which is the
+  * whole point of an inverted index. The idf weight is integer-scaled
+  * ((N·1000) div df) so scoring is exact integer arithmetic,
+  * cross-engine stable.
+  */
+object TextIndex {
+
+  /** One corpus scan → postings + df + stats tables in `store`. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      store: TableStore, name: String, numFiles: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    store.replace(spark, s"${name}_postings",
+      tf.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
+    store.replace(spark, s"${name}_df",
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
+    store.replace(spark, s"${name}_stats",
+      docs.agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** Top-k docs by integer-scaled tf·idf over the probed terms. */
+  def search(spark: SparkSession, store: TableStore, name: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one probe term")
+    val post = store.read(spark, s"${name}_postings").filter(col("term").isin(terms: _*))
+    val dfreq = store.read(spark, s"${name}_df").filter(col("term").isin(terms: _*))
+    val n = store.read(spark, s"${name}_stats")
+    post.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", expr("(n_docs * 1000) div df"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * w")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -12,6 +12,16 @@ import graft.sources.Tables
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cache key for the persisted text index: sf dir name + fingerprint
+    * of documents.parquet (length ⊕ mtime) — same convention as the
+    * vector indexes, so a regenerated corpus abandons stale indexes
+    * instead of silently serving an oracle-gated query. */
+  private def docsKey(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
+  }
+
   val all: Map[String, Q] = Map(
     // ---- heuristic language ID: confusion matrix vs the label ------
     "x3_lang_id" -> ((s, dir) => {
@@ -74,30 +84,25 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
-    // ---- keyword search: inverted index + tf-idf ranking ------------
-    // The retrieval half of a RAG pipeline: explode tokens → posting
-    // hits for the query terms (the filter prunes before any shuffle,
-    // so posting volume is per-term, not corpus-sized) → per-doc tf →
-    // term df. df and the corpus count are broadcast (bytes); only
-    // the tf aggregate shuffles, partitioned by doc_id. The idf weight
-    // is integer-scaled ((N*1000) div df) so the score is exact
-    // integer arithmetic in both engines — no float log in the hash.
+    // ---- keyword search: PERSISTED inverted index + tf-idf ----------
+    // The retrieval half of a RAG pipeline as build-once / probe-many
+    // (the text sibling of the persisted ANN/IVF indexes): one corpus
+    // scan builds term-sorted postings + df + stats tables; a probe
+    // reads only its terms' postings (pushed IN-filter over the sorted
+    // layout), broadcasts the df rows, and shuffles nothing
+    // corpus-sized. Same integer-scaled idf scoring as before — the
+    // oracle recomputes from raw text and must still hash-match, which
+    // gates the index build itself (lost/duplicated postings would
+    // shift scores). v1 = index format version; the fingerprint
+    // abandons stale indexes if testdata regenerates in place.
     "x3_keyword_search" -> ((s, dir) => {
-      val terms = Seq("vector", "stream", "merge")
       val docs = Tables.documents(s, dir)
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .filter(col("term").isin(terms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(n))
-        .withColumn("w", expr("(n_docs * 1000) div df"))
-        .groupBy("doc_id")
-        .agg(sum(expr("tf * w")).as("score"), count(lit(1)).as("n_terms"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/text-index/v1/${docsKey(s, dir)}")
+      if (!store.exists(s, "kw_postings"))
+        graft.operators.TextIndex.build(docs, "doc_id", "text", store, "kw")
+      graft.operators.TextIndex.search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 20)
     }),
 
     // ---- k-fold cross-validation assignment -------------------------

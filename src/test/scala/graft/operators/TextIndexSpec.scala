@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis.tokens
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class TextIndexSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshStore(): TableStore =
+    new TableStore(Files.createTempDirectory(Paths.get("target"), "textidx-").toString)
+
+  test("probe over the persisted index equals inline recompute from raw text") {
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    val store = freshStore()
+    TextIndex.build(docs, "doc_id", "text", store, "kw")
+    val terms = Seq("vector", "stream", "merge")
+    val probed = TextIndex.search(s, store, "kw", terms, k = 20).collect().toSeq
+    // inline baseline: the pre-index formulation
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val inline = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("w", expr("(n_docs * 1000) div df"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * w")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20).collect().toSeq
+    assert(probed == inline)
+  }
+
+  test("probe plan pushes the term filter into the postings scan") {
+    val s = spark
+    val store = freshStore()
+    TextIndex.build(Tables.documents(s, dir), "doc_id", "text", store, "kw")
+    val plan = TextIndex.search(s, store, "kw", Seq("vector", "stream"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(term"), plan.take(1500))
+  }
+
+  test("postings files carry disjoint term ranges (probe skips files by stats)") {
+    val s = spark
+    val store = freshStore()
+    TextIndex.build(Tables.documents(s, dir), "doc_id", "text", store, "kw", numFiles = 4)
+    val base = store.livePath("kw_postings")
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ver = f.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).filter(_.startsWith("v-")).head
+    val files = new java.io.File(s"$base/$ver").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 4)
+    val ranges = files.map { p =>
+      val r = s.read.parquet(p).agg(min("term"), max("term")).head
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"term ranges overlap: $a vs $b")
+      case _ =>
+    }
+  }
+}
