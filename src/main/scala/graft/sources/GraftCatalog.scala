@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TableStore
+
+/** Session-catalog integration for TableStore (SURVEY §2 S6 — the
+  * reference's `sqlite_master`-backed catalog, scrapper.py:246-262, as
+  * a first-class Spark V2 catalog):
+  *
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /path/to/store
+  *
+  * then `SELECT * FROM graft.cdmx` (or `graft.ns.cdmx` — namespaces
+  * flatten into the single store root), `SHOW TABLES IN graft`, and
+  * `DROP TABLE graft.cdmx` all work in plain SQL. Reads resolve
+  * through the store's `_manifest`, so every SQL query sees one
+  * committed snapshot — a concurrent writer's in-flight version is
+  * invisible until its atomic manifest swap, exactly as with the
+  * programmatic `TableStore.read`.
+  *
+  * Scope: read + list + existence + drop. Writes stay on the
+  * programmatic path (`upsert`/`replace`/sinks) because the store's
+  * write contract is a keyed MERGE with a manifest commit, which the
+  * V2 `SupportsWrite` append/overwrite model does not express — an
+  * append-shaped SQL INSERT would silently bypass conflict handling.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def store = new TableStore(root)
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null, s"catalog $name needs spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Array.empty
+    else f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = ident.name()
+    if (!store.exists(spark, t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ t)
+    // resolve the committed snapshot path NOW: the returned table scans
+    // this version even if a writer swaps the manifest mid-query
+    ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+      Seq(store.resolve(spark, t)), None, classOf[ParquetFileFormat])
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    store.exists(spark, ident.name())
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    store.create(spark, ident.name(), schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables evolve through the programmatic MERGE path, not ALTER")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/${ident.name()}")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = f.rename(new org.apache.hadoop.fs.Path(s"$root/${oldIdent.name()}"),
+      new org.apache.hadoop.fs.Path(s"$root/${newIdent.name()}"))
+    if (!ok) throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      Array(catalogName) :+ oldIdent.name())
+  }
+}

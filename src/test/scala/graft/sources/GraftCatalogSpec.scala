@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.TableStore
+
+import java.nio.file.{Files, Paths}
+
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "catalog-").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", dir)
+    dir
+  }
+
+  test("SQL reads resolve the committed manifest snapshot") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.replace(s, "t1", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(s.sql("SELECT count(*) AS n FROM graft.t1").head.getLong(0) == 2L)
+    // a new commit is visible to the NEXT query
+    store.replace(s, "t1", Seq((1L, "a")).toDF("k", "v"))
+    assert(s.sql("SELECT count(*) AS n FROM graft.t1").head.getLong(0) == 1L)
+    // predicates push into the underlying parquet scan
+    val plan = s.sql("SELECT v FROM graft.t1 WHERE k = 1").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("IsNotNull(k)"), plan.take(800))
+  }
+
+  test("SHOW TABLES lists store tables; DROP TABLE removes one") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.replace(s, "t2", Seq(1).toDF("x"))
+    val names = s.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(names.contains("t2"), names)
+    s.sql("DROP TABLE graft.t2")
+    assert(!store.exists(s, "t2"))
+    val after = s.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(!after.contains("t2"))
+  }
+
+  test("upserts through the store surface in SQL with counter semantics") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    val b = Seq((10L, "x")).toDF("k", "v")
+    store.upsert(s, "t3", b, Seq("k"))
+    store.upsert(s, "t3", b, Seq("k"))
+    val r = s.sql("SELECT k, nupdates FROM graft.t3").head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L)
+  }
+}
