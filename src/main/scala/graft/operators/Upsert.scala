@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   *                        (even if null — `col=excluded.col`), and the
   *                        counter column increments by 1;
   *   - update-only key  → inserted, counter = 1;
-  *   - target-only key  → row kept unchanged.
+  *   - target-only key  → row kept unchanged;
+  *   - update-only COLUMN → schema evolution: the table widens, rows
+  *                        the batch doesn't touch read null.
   */
 object Upsert {
 
@@ -55,6 +57,14 @@ object Upsert {
         col(s"t.$c").as(c)
       }
     }
-    joined.select(outCols: _*)
+    // schema evolution: columns the updates carry that the target lacks
+    // widen the table — update rows bring their value, pre-existing
+    // rows read null (exactly what adding a nullable column means).
+    // The widened schema commits atomically with the data (whole-
+    // version swap), so readers never see a half-migrated table.
+    val newCols: Seq[Column] = updates.columns.toSeq
+      .filterNot(c => target.columns.contains(c) || c == "_u_present")
+      .map(c => when(uPresent, col(s"u.$c")).otherwise(lit(null)).as(c))
+    joined.select(outCols ++ newCols: _*)
   }
 }

@@ -46,6 +46,23 @@ object CoreQueries {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q22 shape — one SQL text for both engines: an uncorrelated
+    * scalar subquery (above-average balance threshold, decimal-routed
+    * so both engines agree bit-for-bit) + NOT EXISTS (planned as an
+    * anti join) + aggregate. The "rich but inactive customers" OLAP
+    * classic. */
+  private val InactiveRichSql =
+    """WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |            FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM customer c, ab
+      |WHERE c.c_acctbal > ab.avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** TPC-H Q3 shape — one SQL text for both engines (Spark runs it
     * via spark.sql, DuckDB as the oracle). */
   private val ShippingPrioritySql =
@@ -303,6 +320,12 @@ object CoreQueries {
     "sql_order_count_dist" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(OrderCountDistSql)
+    }),
+
+    // ---- SQL surface: scalar subquery + NOT EXISTS (TPC-H Q22 shape) --
+    "sql_inactive_rich" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(InactiveRichSql)
     }),
 
     // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ----
@@ -964,6 +987,8 @@ object CoreQueries {
     "sql_division" -> DivisionSql,
 
     "sql_order_count_dist" -> OrderCountDistSql,
+
+    "sql_inactive_rich" -> InactiveRichSql,
 
     "sql_top_unshipped" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -58,12 +58,16 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
-  test("update columns missing from target schema are ignored; target-only columns pass through") {
+  test("schema evolution: update-only columns widen the table, old rows read null") {
     val s = spark; import s.implicits._
-    val updates = Seq((2L, "b", "newer-b", "extra")).toDF("ts", "key", "value", "not_in_target")
+    val updates = Seq((2L, "b", "newer-b", "extra")).toDF("ts", "key", "value", "note")
     val out = Upsert.merge(target, updates, Seq("ts", "key"))
-    assert(out.columns.toSeq == Seq("ts", "key", "value", "nupdates"))
-    assert(asMap(out)((2L, "b")).getString(2) == "newer-b")
+    assert(out.columns.toSeq == Seq("ts", "key", "value", "nupdates", "note"))
+    val m = asMap(out)
+    assert(m((2L, "b")).getString(2) == "newer-b" && m((2L, "b")).getString(4) == "extra")
+    // pre-existing rows see the new column as null — and only the
+    // matched row carries the update's value
+    assert(m((1L, "a")).isNullAt(4))
   }
 
   test("composite key: partial key match is not a match") {
