@@ -27,7 +27,10 @@ import graft.functions.TextAnalysis.tokens
   */
 object TextIndex {
 
-  /** One corpus scan → postings + df + stats tables in `store`. */
+  /** One corpus scan → postings + df + per-doc-length + stats tables
+    * in `store`. The doclen table (doc_id, dl) and the corpus token
+    * total exist for length-normalized (BM25-style) scoring; plain
+    * tf·idf ignores them. */
   def build(docs: DataFrame, idCol: String, textCol: String,
       store: TableStore, name: String, numFiles: Int = 8): Unit = {
     val spark = docs.sparkSession
@@ -38,8 +41,46 @@ object TextIndex {
       tf.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
     store.replace(spark, s"${name}_df",
       tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val doclen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    store.replace(spark, s"${name}_doclen", doclen)
+    // n_docs counts ALL docs (token-less docs too — they're corpus
+    // members for idf purposes even though they have no posting)
     store.replace(spark, s"${name}_stats",
-      docs.agg(count(lit(1)).as("n_docs")))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(doclen.agg(sum(col("dl")).as("total_tokens"))))
+  }
+
+  /** Top-k docs by BM25-shaped score (k1=1.2, b=0.75) over the probed
+    * terms: the classic saturating-tf, length-normalized ranking that
+    * separates "mentions the term" from "is about the term". The idf
+    * weight stays integer-scaled ((N·1000) div df); the per-term score
+    * is ONE deterministic IEEE expression over exact integer inputs
+    * (tf, dl, N, total tokens), rounded to a scaled BIGINT before the
+    * per-doc SUM — so the aggregate is exact integer addition and
+    * hash-matches across engines regardless of aggregation order
+    * (a raw double sum over terms would be order-sensitive). Extra
+    * cost vs `search`: one join against the narrow doclen table,
+    * keyed on the candidate docs only. */
+  def bm25Search(spark: SparkSession, store: TableStore, name: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one probe term")
+    val post = store.read(spark, s"${name}_postings").filter(col("term").isin(terms: _*))
+    val dfreq = store.read(spark, s"${name}_df").filter(col("term").isin(terms: _*))
+    val stats = store.read(spark, s"${name}_stats")
+    val doclen = store.read(spark, s"${name}_doclen")
+    post.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(doclen, Seq("doc_id"))
+      .withColumn("w", expr("(n_docs * 1000) div df"))
+      // keep this expression tree IDENTICAL to the oracle SQL's
+      .withColumn("ts", expr(
+        "CAST(ROUND(CAST(w AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * " +
+          "CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum(col("ts")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Top-k docs by integer-scaled tf·idf over the probed terms. */

@@ -22,6 +22,17 @@ object TextQueries {
     s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
   }
 
+  /** The shared persisted keyword index, built on first use. v2 = index
+    * FORMAT version (v2 added doclen + total_tokens for BM25) — bump on
+    * layout change or a stale index poisons oracle-gated probes. */
+  private def kwIndex(s: SparkSession, dir: String): graft.operators.TableStore = {
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/text-index/v2/${docsKey(s, dir)}")
+    if (!store.exists(s, "kw_postings"))
+      graft.operators.TextIndex.build(Tables.documents(s, dir), "doc_id", "text", store, "kw")
+    store
+  }
+
   val all: Map[String, Q] = Map(
     // ---- heuristic language ID: confusion matrix vs the label ------
     "x3_lang_id" -> ((s, dir) => {
@@ -96,12 +107,20 @@ object TextQueries {
     // shift scores). v1 = index format version; the fingerprint
     // abandons stale indexes if testdata regenerates in place.
     "x3_keyword_search" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/text-index/v1/${docsKey(s, dir)}")
-      if (!store.exists(s, "kw_postings"))
-        graft.operators.TextIndex.build(docs, "doc_id", "text", store, "kw")
+      val store = kwIndex(s, dir)
       graft.operators.TextIndex.search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 20)
+    }),
+
+    // ---- BM25-shaped ranking over the same persisted index ----------
+    // Saturating tf + doc-length normalization — the ranking that
+    // separates "mentions the term" from "is about the term". Per-term
+    // scores round to scaled integers BEFORE the per-doc sum, so the
+    // aggregate is exact integer addition and the oracle hash-matches
+    // regardless of aggregation order.
+    "x3_bm25_search" -> ((s, dir) => {
+      val store = kwIndex(s, dir)
+      graft.operators.TextIndex.bm25Search(s, store, "kw",
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
@@ -338,6 +357,26 @@ object TextQueries {
         |        md5(array_to_string(w[chunk_id * 16 + 1 : least(chunk_id * 16 + 32, len(w))], ' ')) AS fp
         |      FROM k)
         |SELECT doc_id, chunk_id, n_tok, fp FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // per-term IEEE score over exact ints, rounded to scaled BIGINT
+    // before the sum — expression tree mirrors TextIndex.bm25Search
+    "x3_bm25_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |              (SELECT COUNT(*) FROM toks) AS total_tokens)
+        |SELECT tf.doc_id AS doc_id,
+        |  CAST(SUM(CAST(ROUND(CAST((n_docs * 1000) // df AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+        |    CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score,
+        |  COUNT(*) AS n_terms
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "x3_keyword_search" ->
       """WITH toks AS (SELECT doc_id,

@@ -43,6 +43,22 @@ class TextIndexSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:") && plan.contains("In(term"), plan.take(1500))
   }
 
+  test("bm25 length normalization: same tf, shorter doc ranks higher (tf-idf ties)") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x alpha"),
+      (2L, "x " + Seq.fill(40)("filler").mkString(" ")),
+      (3L, "beta gamma")).toDF("doc_id", "text")
+    val store = freshStore()
+    TextIndex.build(docs, "doc_id", "text", store, "kw")
+    val tfidf = TextIndex.search(s, store, "kw", Seq("x"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tfidf(1L) == tfidf(2L), "plain tf-idf cannot tell the docs apart")
+    val bm25 = TextIndex.bm25Search(s, store, "kw", Seq("x"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bm25(1L) > bm25(2L), s"shorter doc must outrank at equal tf: $bm25")
+  }
+
   test("postings files carry disjoint term ranges (probe skips files by stats)") {
     val s = spark
     val store = freshStore()
