@@ -117,6 +117,46 @@ object LifecycleQueries {
         .orderBy($"user_id", $"day")
     }),
 
+    // ---- W6: linear interpolation over the dense grid ---------------
+    // The missing-day estimate between two observations — time-series
+    // resampling's second half (gap-fill zero/forward-fill being the
+    // first). Same grid + two IGNORE-NULLS windows (last-before,
+    // first-after) per user; the interpolation is one IEEE expression
+    // over values both engines already agree on bit-for-bit, so the
+    // raw doubles hash-match. Two window passes over one user-keyed
+    // shuffle — the 100 TB plan is unchanged from gap-fill.
+    "w6_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter($"user_id" < 25)
+        .select($"user_id", date_trunc("day", $"ts").as("day"), $"value")
+      val daily = ev.groupBy($"user_id", $"day")
+        .agg(max($"value").as("obs"))
+      val calendar = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+      val users = ev.select($"user_id").distinct()
+      val back = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val grid = broadcast(users).crossJoin(broadcast(calendar))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", $"obs",
+          last($"obs", ignoreNulls = true).over(back).as("prev"),
+          last(when($"obs".isNotNull, $"day"), ignoreNulls = true).over(back).as("prev_day"),
+          first($"obs", ignoreNulls = true).over(fwd).as("next"),
+          first(when($"obs".isNotNull, $"day"), ignoreNulls = true).over(fwd).as("next_day"))
+      grid.select($"user_id", $"day",
+          when($"obs".isNotNull, $"obs")
+            .when($"prev".isNull, $"next")
+            .when($"next".isNull, $"prev")
+            .otherwise($"prev" + ($"next" - $"prev") *
+              (datediff($"day", $"prev_day").cast("double") /
+                datediff($"next_day", $"prev_day").cast("double")))
+            .as("value_interp"),
+          $"obs".isNotNull.as("observed"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // ---- A9: z-score outlier detection (data-quality gate) ----------
     // Per-group mean/variance from EXACT integer moments: prices are
     // quantized to cents (BIGINT), so Σx and Σx² are exact (Σx² rides
@@ -216,6 +256,38 @@ object LifecycleQueries {
         |FROM changed
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
         |ORDER BY o_custkey, version""".stripMargin,
+
+    "w6_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, value
+        |  FROM events WHERE user_id < 25),
+        |daily AS (SELECT user_id, day, MAX(value) AS obs FROM ev GROUP BY 1, 2),
+        |cal AS (SELECT unnest(generate_series(
+        |          (SELECT MIN(day) FROM ev), (SELECT MAX(day) FROM ev), INTERVAL 1 DAY)) AS day),
+        |grid AS (
+        |  SELECT u.user_id, c.day, d.obs,
+        |    last_value(d.obs IGNORE NULLS) OVER (PARTITION BY u.user_id ORDER BY c.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        |    last_value(CASE WHEN d.obs IS NOT NULL THEN c.day END IGNORE NULLS)
+        |      OVER (PARTITION BY u.user_id ORDER BY c.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        |    first_value(d.obs IGNORE NULLS) OVER (PARTITION BY u.user_id ORDER BY c.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next,
+        |    first_value(CASE WHEN d.obs IS NOT NULL THEN c.day END IGNORE NULLS)
+        |      OVER (PARTITION BY u.user_id ORDER BY c.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+        |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN cal c
+        |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day)
+        |SELECT user_id, day,
+        |  CASE WHEN obs IS NOT NULL THEN obs
+        |       WHEN prev IS NULL THEN next
+        |       WHEN next IS NULL THEN prev
+        |       ELSE prev + (next - prev) *
+        |            (CAST(date_diff('day', prev_day, day) AS DOUBLE) /
+        |             CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+        |  END AS value_interp,
+        |  obs IS NOT NULL AS observed
+        |FROM grid ORDER BY user_id, day""".stripMargin,
 
     "w6_gap_fill" ->
       """WITH ev AS (

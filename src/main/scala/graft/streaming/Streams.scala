@@ -140,6 +140,27 @@ object Streams {
       .drop(r(key))
   }
 
+  /** T3/J4: LEFT OUTER stream-stream interval join — attribution that
+    * also reports the misses. Matched rows emit as they join; an
+    * UNMATCHED left row emits null-extended only once the watermark
+    * proves no match can still arrive (its interval has fully expired)
+    * — so "impression with no click" is a definitive statement, not a
+    * race. Same bounded-state mechanics as the inner form; the outer
+    * side's rows just wait for their interval to close before the
+    * engine gives up on them. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String = "ts", rightTs: String = "r_ts",
+      watermark: String = "2 hours", maxDelay: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** T1/J3: stream-static enrichment join — each micro-batch joins
     * against a static dimension snapshot. The static side is planned
     * per batch (broadcast when small), so the stream side never

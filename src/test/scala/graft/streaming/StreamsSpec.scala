@@ -132,6 +132,39 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(1L), s"only the in-window click attributes, got $got")
   }
 
+  test("T3/J4: LEFT OUTER interval join emits definitive null-extended misses after expiry") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val q = Streams.intervalJoinLeftOuter(
+        imps.toDF.toDF("ad_id", "ts"),
+        clicks.toDF.toDF("ad_id", "r_ts"),
+        key = "ad_id", maxDelay = "30 minutes")
+      .select("ad_id", "ts", "r_ts")
+      .writeStream.outputMode("append").format("memory").queryName("attrib_outer").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+      clicks.addData((1L, ts(10)))   // match
+      clicks.addData((2L, ts(45)))   // outside interval: ad 2 is a miss
+      q.processAllAvailable()
+      // before expiry, the misses must NOT have emitted (a click could
+      // still arrive); only the match is out
+      val early = s.sql("select ad_id, r_ts from attrib_outer").collect()
+      assert(early.map(_.getLong(0)).toSeq == Seq(1L), early.mkString(","))
+      // watermark jump closes every open interval → misses emit null-extended
+      imps.addData((9L, ts(600))); clicks.addData((8L, ts(600)))
+      q.processAllAvailable()
+      imps.addData((9L, ts(610))); clicks.addData((8L, ts(610)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s.sql("select ad_id, r_ts from attrib_outer").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "miss" else "hit")).toSet
+    assert(got.contains(1L -> "hit") && got.contains(2L -> "miss") && got.contains(3L -> "miss"),
+      s"got $got")
+    assert(!got.contains(1L -> "miss"), "a matched impression must not also emit as a miss")
+  }
+
   test("T1/A1: incrementalAggSink maintains a live per-key rollup across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
