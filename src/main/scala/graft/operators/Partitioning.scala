@@ -73,15 +73,37 @@ object Partitioning {
     * `sortedWrite`; `ZOrderSpec` pins the both-dimensions skipping
     * property. */
   def zorderWrite(df: DataFrame, keyX: String, keyY: String, path: String,
-      numFiles: Int): Unit = {
+      numFiles: Int): Unit =
+    zorderCluster(df, keyX, keyY, numFiles)
+      .write.mode("overwrite")
+      .parquet(path)
+
+  /** The clustering transform behind `zorderWrite` (and TableStore
+    * .optimizeZOrder): range-partition + sort by the Morton interleave
+    * of the two keys after LINEARLY NORMALIZING each into a common
+    * 20-bit range. Normalization matters: raw keys of unequal width
+    * (say a 13-bit orderkey against an 8-bit partkey) put every
+    * split-deciding high bit on the wide key, and the narrow column
+    * gets no clustering at all — the classic z-order footgun. The
+    * min/max pass is one tiny aggregate (4 values to the driver),
+    * bounded at any scale. */
+  def zorderCluster(df: DataFrame, keyX: String, keyY: String,
+      numFiles: Int): DataFrame = {
     graft.functions.Functions.register(df.sparkSession)
-    val z = call_function("zorder2", col(keyX).cast("int"), col(keyY).cast("int"))
+    val r = df.agg(min(col(keyX).cast("long")), max(col(keyX).cast("long")),
+      min(col(keyY).cast("long")), max(col(keyY).cast("long"))).head
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo + 1)
+      // (x - lo) <= span <= 2^32 and the scale is 2^20-1, so the
+      // product stays under 2^52 — no long overflow
+      ((col(c).cast("long") - lit(lo)) * lit(1048575L) / lit(span)).cast("int")
+    }
+    val z = call_function("zorder2",
+      norm(keyX, r.getLong(0), r.getLong(1)), norm(keyY, r.getLong(2), r.getLong(3)))
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite")
-      .parquet(path)
   }
 
   /** Salted equi-join for skewed keys: the skewed (large) side gets a

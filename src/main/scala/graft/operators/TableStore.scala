@@ -290,6 +290,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def compact(spark: SparkSession, name: String, targetFiles: Int = 1): Unit =
     replace(spark, name, read(spark, name).coalesce(targetFiles))
 
+  /** OPTIMIZE ZORDER analog: content-identical rewrite that
+    * re-clusters the table by the Morton interleave of two int keys,
+    * so subsequent scans skip files on predicates over EITHER column
+    * (see Partitioning.zorderWrite — this is the same layout applied
+    * through the manifest commit). Run it like compaction: on a
+    * schedule, after enough accreted batches have eroded clustering.
+    * Unlike compact this pays one range shuffle — that's the price of
+    * re-sorting, once, amortized over every scan after. */
+  def optimizeZOrder(spark: SparkSession, name: String, keyX: String, keyY: String,
+      targetFiles: Int = 8): Unit =
+    replace(spark, name,
+      Partitioning.zorderCluster(read(spark, name), keyX, keyY, targetFiles))
+
   /** Replace a table's contents with `df` (manifest commit). `df` may
     * read from the table's own current version: the new version is
     * fully materialized into a temp dir before anything moves.

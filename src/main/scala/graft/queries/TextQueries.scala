@@ -133,6 +133,23 @@ object TextQueries {
         .orderBy("lang", "fold")
     }),
 
+    // ---- deterministic per-group sample (eval-set construction) -----
+    // 3 docs per language, chosen by content-hash rank: re-run-stable,
+    // engine-portable (md5 exists everywhere), and unbiased by storage
+    // order — the standard way to carve a fixed human-eval set out of
+    // a moving corpus. Window-ranks only within small per-lang
+    // partitions; at 100 TB the same plan holds because the rank key
+    // is computed in the scan and only k rows per group survive.
+    "x3_sample_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+
     // ---- end-to-end quality filter pipeline -------------------------
     // The composed keep/drop verdict a pretraining corpus actually
     // ships: quality gate AND language-confidence gate (predicted ==
@@ -391,6 +408,13 @@ object TextQueries {
         |  COUNT(*) AS n_terms
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "x3_sample_per_group" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents) t
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
 
     // fold = first two md5 bytes mod 5 (mirror of Sampling.foldColumn)
     "x3_kfold" ->

@@ -90,6 +90,36 @@ class TableStoreManifestSpec extends SparkSpec {
       "batch 0 replay must be a no-op; batches 0 and 1 each count once")
   }
 
+  test("optimizeZOrder: content-identical rewrite, files skip on BOTH key columns") {
+    val s = spark
+    val store = freshStore()
+    val src = graft.sources.Tables.lineitem(s, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    store.replace(s, "t", src)
+    store.optimizeZOrder(s, "t", "l_orderkey", "l_partkey", targetFiles = 8)
+    val after = store.read(s, "t")
+    assert(after.count() == src.count())
+    // same multiset of rows
+    assert(after.except(src).isEmpty && src.except(after).isEmpty)
+    // per-file min stats: a bottom-eighth predicate on either key
+    // touches a strict subset of files
+    val ver = store.resolve(s, "t")
+    val files = new java.io.File(ver).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 8)
+    def touched(key: String): Int = {
+      val r = src.agg(org.apache.spark.sql.functions.min(key),
+        org.apache.spark.sql.functions.max(key)).head
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8
+      files.count(f => s.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min(key)).head.getLong(0) <= cut)
+    }
+    assert(touched("l_orderkey") < 8, "must skip some files on the first key")
+    assert(touched("l_partkey") < 8, "must skip some files on the second key")
+  }
+
   test("compact folds many-file tables into targetFiles, content-identical") {
     val s = spark; import s.implicits._
     val store = freshStore()
