@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
+import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, KllQuantilesAgg, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -69,5 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinklerExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantilesAgg].getName, "kll_quantiles"),
+      (children: Seq[Expression]) => KllQuantilesAgg(children.head,
+        children.tail.map(Functions.litDouble(_, "kll_quantiles rank")))))
   }
 }

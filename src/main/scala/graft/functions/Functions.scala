@@ -50,6 +50,9 @@ object Functions {
       "zorder2", exprs => ZOrder2Expr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantiles", exprs => KllQuantilesAgg(exprs.head,
+        exprs.tail.map(litDouble(_, "kll_quantiles rank"))), "scala_udf")
   }
 
   /** Literal-int argument of a registered function call. Parameters of
@@ -77,6 +80,21 @@ object Functions {
         case v: Long => v
         case v: Int => v.toLong
         case v => throw new IllegalArgumentException(s"$what must be an integer literal, got $v")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal, got expression ${other.sql}")
+    }
+
+  private[graft] def litDouble(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Double =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case other if other.foldable => other.eval() match {
+        case v: Double => v
+        case v: org.apache.spark.sql.types.Decimal => v.toDouble
+        case v: Int => v.toDouble
+        case v => throw new IllegalArgumentException(s"$what must be a numeric literal, got $v")
       }
       case other => throw new IllegalArgumentException(
         s"$what must be a literal, got expression ${other.sql}")

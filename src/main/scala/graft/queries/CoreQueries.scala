@@ -259,6 +259,26 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- A4b'': KLL quantile sketch — the PERSISTABLE percentile
+    // scale path. Unlike approx_percentile's internal GK state, the
+    // KLL sketch (graft's own TypedImperativeAggregate over
+    // DataSketches) serializes to portable bytes, so percentile state
+    // can live in a TableStore and fold incrementally like the HLL
+    // distinct sketches. No oracle — sketch error is bounded by
+    // design; KllQuantilesSpec pins the rank-error bound.
+    "a4_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Functions.register(s)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(call_function("kll_quantiles",
+          $"l_extendedprice", lit(0.25), lit(0.5), lit(0.75), lit(0.95)).as("qs"))
+        .select($"l_returnflag",
+          round(element_at($"qs", 1), 4).as("p25"), round(element_at($"qs", 2), 4).as("p50"),
+          round(element_at($"qs", 3), 4).as("p75"), round(element_at($"qs", 4), 4).as("p95"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- A4c: HLL++ approximate distinct (no oracle — approximate; the
     // 2% bound vs exact is pinned in FunctionsSpec) ----------------------
     "a4_approx_distinct" -> ((s, dir) => {
