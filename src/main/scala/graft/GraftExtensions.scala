@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, KllQuantilesAgg, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
+import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, KllMergeExpr, KllQuantileExpr, KllQuantilesAgg, KllSketchAgg, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -74,5 +74,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllQuantilesAgg].getName, "kll_quantiles"),
       (children: Seq[Expression]) => KllQuantilesAgg(children.head,
         children.tail.map(Functions.litDouble(_, "kll_quantiles rank")))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      (children: Seq[Expression]) => KllSketchAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[KllMergeExpr].getName, "kll_merge"),
+      (children: Seq[Expression]) => KllMergeExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
+      (children: Seq[Expression]) => KllQuantileExpr(children(0), children(1))))
   }
 }

@@ -53,6 +53,12 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles", exprs => KllQuantilesAgg(exprs.head,
         exprs.tail.map(litDouble(_, "kll_quantiles rank"))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_sketch", exprs => KllSketchAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_merge", exprs => KllMergeExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantile", exprs => KllQuantileExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Literal-int argument of a registered function call. Parameters of

@@ -32,22 +32,17 @@ import org.apache.spark.sql.types._
   * shuffle boundary — the idiomatic Catalyst shape for sketch
   * aggregates (same as Spark's own approx_percentile / hll_sketch_agg).
   */
-case class KllQuantilesAgg(
-    child: Expression,
-    quantiles: Seq[Double],
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+/** Shared KLL buffer mechanics for the two aggregate forms. */
+trait KllAggBase extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+  def child: Expression
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"kll_quantiles requires a double column, got ${other.catalogString}")
+      s"$prettyName requires a double column, got ${other.catalogString}")
   }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "kll_quantiles"
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance()
@@ -63,15 +58,26 @@ case class KllQuantilesAgg(
     buffer
   }
 
-  override def eval(buffer: KllDoublesSketch): Any =
-    if (buffer.isEmpty) null
-    else new GenericArrayData(quantiles.map(q =>
-      buffer.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)).toArray)
-
   override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
 
   override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
+}
+
+case class KllQuantilesAgg(
+    child: Expression,
+    quantiles: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KllAggBase {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "kll_quantiles"
+
+  override def eval(buffer: KllDoublesSketch): Any =
+    if (buffer.isEmpty) null
+    else new GenericArrayData(quantiles.map(q =>
+      buffer.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)).toArray)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantilesAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -79,4 +85,104 @@ case class KllQuantilesAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KllQuantilesAgg =
     copy(child = newChild)
+}
+
+/** `kll_sketch(x)` — the same aggregation, but the RESULT is the
+  * serialized sketch itself (binary). This is what makes percentile
+  * state a first-class table column: store it, union it later with
+  * `kll_merge`, read it with `kll_quantile` — the KLL leg of the
+  * sketch-cube pattern (HLL's `hll_sketch_agg`/`hll_union` analog,
+  * which Spark does not ship for quantiles). */
+case class KllSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KllAggBase {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_sketch"
+
+  override def eval(buffer: KllDoublesSketch): Any =
+    if (buffer.isEmpty) null else buffer.toByteArray
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+}
+
+object KllScalar {
+  /** Static workers shared by interpreted eval and generated code. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val s = KllDoublesSketch.heapify(Memory.wrap(a))
+    s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    s.toByteArray
+  }
+  def quantile(bytes: Array[Byte], q: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+}
+
+/** `kll_merge(sketch, sketch)` — scalar union of two serialized
+  * sketches. Runs over state tables (one row per key), never over raw
+  * data, so interpreted-vs-codegen cost is irrelevant; what matters is
+  * that it is a pure Column function usable as an IncrementalAgg
+  * merge rule. */
+case class KllMergeExpr(
+    left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_merge requires (binary, binary), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_merge"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KllScalar.merge(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KllScalar.merge($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllMergeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_quantile(sketch, q)` — scalar quantile read from a serialized
+  * sketch column. */
+case class KllQuantileExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_quantile requires (binary, double), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_quantile"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KllScalar.quantile(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KllScalar.quantile($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantileExpr =
+    copy(left = newLeft, right = newRight)
 }

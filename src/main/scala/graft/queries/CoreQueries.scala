@@ -87,6 +87,7 @@ object CoreQueries {
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
+  private val KllStorePath = "/root/repo/target/tmp/kll-store"
 
   val all: Map[String, Q] = Map(
     // ---- A3: partial+final hash aggregate (TPC-H Q1 shape) ----------
@@ -759,6 +760,33 @@ object CoreQueries {
         graft.operators.IncrementalAgg.applyBatchM(s, store, "prio_sketch", b, Seq("o_orderpriority"), m))
       store.read(s, "prio_sketch")
         .select($"o_orderpriority", hll_sketch_estimate($"cust_sketch").as("approx_cust"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- A4 scale path: incrementally-maintained quantile sketches ----
+    // The KLL leg of the sketch cube (a4_sketch_distinct is the HLL
+    // leg): per-priority price sketches fold across year-sliced
+    // batches with kll_merge and answer percentile questions at read
+    // time via kll_quantile — median over history without ever
+    // re-reading history. rows+bound gated (IncrementalAggSpec).
+    "a4_sketch_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Functions.register(s)
+      val root = new org.apache.hadoop.fs.Path(KllStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(KllStorePath)
+      val o = Tables.orders(s, dir)
+      val y = year($"o_orderdate")
+      val batches = Seq(o.filter(y <= 1994), o.filter(y === 1995 || y === 1996), o.filter(y >= 1997))
+      val m = Seq(graft.operators.IncrementalAgg.Measure(
+        "price_sk", call_function("kll_sketch", $"o_totalprice"),
+        (t, u) => call_function("kll_merge", t, u)))
+      batches.foreach(b =>
+        graft.operators.IncrementalAgg.applyBatchM(s, store, "prio_kll", b, Seq("o_orderpriority"), m))
+      store.read(s, "prio_kll")
+        .select($"o_orderpriority",
+          round(call_function("kll_quantile", $"price_sk", lit(0.5)), 4).as("p50"),
+          round(call_function("kll_quantile", $"price_sk", lit(0.9)), 4).as("p90"))
         .orderBy($"o_orderpriority")
     }),
 

@@ -77,6 +77,29 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("KLL sketch measure: incremental quantile estimate within rank bound of exact") {
+    val s = spark; import s.implicits._
+    graft.functions.Functions.register(s)
+    val rnd = new Random(29)
+    val rows = Seq.tabulate(4000)(i => ((i % 2).toLong, rnd.nextDouble() * 1000))
+    val m = Seq(IncrementalAgg.Measure(
+      "sk", org.apache.spark.sql.functions.call_function("kll_sketch", col("v")),
+      (t, u) => org.apache.spark.sql.functions.call_function("kll_merge", t, u)))
+    val store = freshStore()
+    rows.grouped(1300).foreach { b =>
+      IncrementalAgg.applyBatchM(spark, store, "agg", b.toDF("k", "v"), Seq("k"), m)
+    }
+    val est = store.read(spark, "agg")
+      .select(col("k"),
+        org.apache.spark.sql.functions.call_function("kll_quantile", col("sk"), lit(0.5)).as("med"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byKey = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    byKey.foreach { case (k, sorted) =>
+      val rank = sorted.count(_ <= est(k)).toDouble / sorted.length
+      assert(math.abs(rank - 0.5) <= 0.05, s"key $k: median est ${est(k)} has rank $rank")
+    }
+  }
+
   test("null keys survive the null-safe merge join") {
     val s = spark; import s.implicits._
     val store = freshStore()
