@@ -92,6 +92,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x1_jaro_linkage: blocked linkage is an equi-join, never all-pairs") {
+    val p = DedupQueries.all("x1_jaro_linkage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("sql_inactive_rich: NOT EXISTS plans as an anti join") {
+    val p = CoreQueries.all("sql_inactive_rich")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p.take(1200))
+  }
+
+  test("a4_quartile_assign: cutpoints broadcast, fact side never range-partitions") {
+    val df = CoreQueries.all("a4_quartile_assign")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 1-row cutpoint table joins by broadcast; the only range
+    // partitioning allowed is the final 4-row ORDER BY, never a sort
+    // of the orders scan itself
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1200))
+    val sortBeforeAgg = p.linesIterator.exists(l =>
+      l.contains("Sort ") && l.contains("o_totalprice"))
+    assert(!sortBeforeAgg, "bucketing must not sort the fact table")
+  }
+
   test("x3_keyword_search: ranked hits are plausible postings (scores descend, terms bounded)") {
     val rows = TextQueries.all("x3_keyword_search")(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
