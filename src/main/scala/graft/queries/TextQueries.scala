@@ -150,6 +150,36 @@ object TextQueries {
         .orderBy("lang", "rk")
     }),
 
+    // ---- weighted sample: integer systematic resampling -------------
+    // ~20 docs drawn with probability proportional to token count —
+    // the "sample long docs more" primitive behind training-mix
+    // construction. Systematic scheme: order deterministically by
+    // content hash, walk the cumulative weight, emit a doc whenever
+    // the walk crosses a multiple of (totalW div 20). ALL integer
+    // arithmetic — no rand(), no pow/ln — so unlike exponential
+    // (A-ES) sampling this is exactly reproducible in any engine and
+    // oracle-gated by hash, not by statistics. One window pass over
+    // one global ordering; at 100 TB the same plan runs per-stratum
+    // (partitionBy) instead of globally.
+    "x3_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"))
+      val ord = Window.orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          sum(size(tokens(col("text"))).cast("long")).over(ord).as("cw"))
+      val total = d.agg(sum(col("w")).as("tw"))
+      cum.crossJoin(broadcast(total))
+        .withColumn("step", expr("tw div 20"))
+        .filter(expr("(cw div step) > ((cw - w) div step)"))
+        .select(col("doc_id"), col("lang"), col("w"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- end-to-end quality filter pipeline -------------------------
     // The composed keep/drop verdict a pretraining corpus actually
     // ships: quality gate AND language-confidence gate (predicted ==
@@ -408,6 +438,19 @@ object TextQueries {
         |  COUNT(*) AS n_terms
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "x3_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, w,
+        |        SUM(w) OVER (ORDER BY md5(text), doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |        (SELECT SUM(w) FROM d) AS tw
+        |      FROM d)
+        |SELECT doc_id, lang, w FROM c
+        |WHERE (cw // (tw // 20)) > ((cw - w) // (tw // 20))
+        |ORDER BY doc_id""".stripMargin,
 
     "x3_sample_per_group" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
