@@ -228,6 +228,52 @@ object Dedup {
       .filter(col("n_common") * tDen >= col("n_union") * tNum)
   }
 
+  /** Containment (asymmetric-Jaccard) pairs: |A∩B| / min(|A|,|B|) ≥
+    * tNum/tDen — the detector for DOC-INSIDE-DOC duplication (quoted
+    * articles, concatenated scrapes), which symmetric Jaccard
+    * structurally misses: a page embedded in one 10× longer scores
+    * J ≈ 0.1 but containment 1.0.
+    *
+    * Asymmetry changes the blocking math. For the SMALLER doc A,
+    * overlap ≥ t·|A| still pigeonholes into A's (|A| − ⌈t|A|⌉ + 1)
+    * prefix under the global rarity order — but the larger doc gets
+    * NO usable prefix bound (its partner may be arbitrarily small),
+    * so the join probes small-side prefixes against the big side's
+    * FULL (df-capped) postings. Cost: posting-join volume on the
+    * build side, prefix-reduced probe volume — still Σ bucket²,
+    * never n². Same maxDf recall caveat as prefixFilteredNgram. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tNum: Int = 4, tDen: Int = 5, maxDf: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
+    val grams = docs.select(col(idCol).as("gid"), wordGrams(col(textCol), n).as("grams"))
+    val sizes = grams.select(col("gid"), size(col("grams")).cast("long").as("sz"))
+    val posts = grams.select(col("gid"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+    val df = posts.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val posted = posts.join(df, "g")
+      .filter(if (maxDf > 0) col("gdf") <= maxDf else lit(true))
+    val w = Window.partitionBy("gid").orderBy(col("gdf").asc, col("g").asc)
+    val prefix = posted
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - (col("sz") * tNum + tDen - 1).divide(tDen).cast("long") + 1)
+      .select(col("gid"), col("sz"), col("g"))
+    // orient: the prefix side is the min side (ties broken by id so
+    // each unordered pair is generated exactly once)
+    val cands = prefix.alias("a")
+      .join(posted.alias("b"), col("a.g") === col("b.g") &&
+        (col("a.sz") < col("b.sz") ||
+          (col("a.sz") === col("b.sz") && col("a.gid") < col("b.gid"))))
+      .select(least(col("a.gid"), col("b.gid")).as("idA"),
+        greatest(col("a.gid"), col("b.gid")).as("idB"))
+      .distinct()
+    verifyPairs(cands, docs, idCol, textCol, n)
+      .join(sizes.select(col("gid").as("idA"), col("sz").as("szA2")), "idA")
+      .join(sizes.select(col("gid").as("idB"), col("sz").as("szB2")), "idB")
+      .select(col("idA"), col("idB"), col("n_common"),
+        least(col("szA2"), col("szB2")).as("n_min"))
+      .filter(col("n_common") * tDen >= col("n_min") * tNum)
+  }
+
   /** Near-dup REMOVAL (the materializer a training pipeline actually
     * runs): keep every doc that is never the HIGHER id of a near-dup
     * pair — i.e. keep the LOCAL MINIMA of the pair graph. One

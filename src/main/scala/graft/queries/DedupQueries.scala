@@ -160,6 +160,19 @@ object DedupQueries {
         .orderBy("eval_doc")
     }),
 
+    // ---- containment (doc-inside-doc) near-dup ----------------------
+    // Asymmetric Jaccard: |A∩B| / min ≥ 0.8 catches a page embedded in
+    // a longer scrape that symmetric Jaccard scores near zero. Small-
+    // side-prefix × full-posting join (see Dedup.containmentPairs for
+    // why the big side gets no prefix bound).
+    "x1_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, tNum = 4, tDen = 5)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
+          col("n_common"), col("n_min"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- incremental arrival dedup against persisted state ----------
     // The steady-state shape of corpus dedup: the existing corpus's
     // content fingerprints live in a TableStore (built once, here for
@@ -278,6 +291,20 @@ object DedupQueries {
         |SELECT CASE WHEN sa = 'test' THEN ida ELSE idb END AS eval_doc,
         |       COUNT(*) AS n_train_dups
         |FROM p WHERE sa != sb GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x1_containment" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |             ELSE [array_to_string(w, ' ')] END AS grams
+        |      FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+        |       CAST(least(len(a.grams), len(b.grams)) AS BIGINT) AS n_min
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) * 5 >= least(len(a.grams), len(b.grams)) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x1_incremental_dedup" ->
       """WITH existing AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),

@@ -105,6 +105,23 @@ class DedupSpec extends SparkSpec {
     assert(got(1) == Seq("a b c", "b c d"))
   }
 
+  test("containment catches doc-inside-doc that symmetric Jaccard misses") {
+    val s = spark; import s.implicits._
+    val words = (1 to 100).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val small = words.slice(40, 60).mkString(" ") // contiguous slice of big
+    val other = (200 to 260).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    // symmetric threshold 0.6: J(big, small) = 18/98 ≈ 0.18 → invisible
+    val sym = Dedup.prefixFilteredNgram(docs, "doc_id", "text", tNum = 3, tDen = 5, maxDf = 0)
+      .collect()
+    assert(!sym.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L), "J≈0.18 must not pass 0.6")
+    // containment 0.8 on the min side: 18/18 = 1.0 → caught
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", tNum = 4, tDen = 5, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 18L, 18L)), cont.mkString(","))
+  }
+
   test("simhash is sequence-sensitive: reordered words change the hash") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
