@@ -74,6 +74,29 @@ object TextQueries {
         .orderBy("lang", "split")
     }),
 
+    // ---- split-balance QA: per-stratum drift of the hash split ------
+    // Is the content-hash split representative per language? Reports
+    // each lang's train share against the corpus-wide share as an
+    // integer-scaled ppm deviation — exact arithmetic end to end, so
+    // the drift numbers hash-match, not just eyeball-match. A biased
+    // stratum here means contamination-style skew downstream; the
+    // check is one pass + a broadcast of two global counts.
+    "x3_split_balance" -> ((s, dir) => {
+      val by = Tables.documents(s, dir)
+        .select(col("lang"), graft.operators.Sampling.splitColumn(col("text")).as("split"))
+        .groupBy("lang")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val g = by.agg(sum(col("n_train")).as("g_train"),
+        sum(col("n_train") + col("n_test")).as("g_total"))
+      by.crossJoin(broadcast(g))
+        .withColumn("skew_ppm", abs(
+          expr("n_train * 1000000 div (n_train + n_test)") -
+            expr("g_train * 1000000 div g_total")))
+        .select(col("lang"), col("n_train"), col("n_test"), col("skew_ppm"))
+        .orderBy("lang")
+    }),
+
     // ---- RAG-style document chunking (overlapping token windows) ----
     // Fixed windows of 32 tokens at stride 16 per doc — the embed/RAG
     // preprocessing shape. Pure generator over the scan (no shuffle
@@ -348,6 +371,19 @@ object TextQueries {
         |CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13 THEN 'train' ELSE 'test' END AS split,
         |COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x3_split_balance" ->
+      """WITH s AS (SELECT lang,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13 THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |        SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |        SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+        |      FROM s GROUP BY 1),
+        |g AS (SELECT SUM(n_train) AS g_train, SUM(n_train + n_test) AS g_total FROM b)
+        |SELECT lang, CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(abs(n_train * 1000000 // (n_train + n_test) - g_train * 1000000 // g_total) AS BIGINT) AS skew_ppm
+        |FROM b, g ORDER BY lang""".stripMargin,
 
     "x3_filter_pipeline" ->
       s"""WITH d AS (SELECT doc_id, lang, text,
