@@ -47,6 +47,21 @@ object DedupQueries {
     store.read(s, "pairs")
   }
 
+  /** Containment (doc-inside-doc) pair set — same materialize-once
+    * pattern as `nearDupPairs`, separate artifact (different
+    * threshold semantics: min-side 0.8). The small-side-prefix ×
+    * full-posting join pays a corpus-posting shuffle; paying it once
+    * per corpus version instead of per consumer is the point. */
+  private def containmentPairStore(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/containment-pairs/v1/${docsKey(s, dir)}")
+    if (!store.exists(s, "pairs"))
+      store.replace(s, "pairs",
+        Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, tNum = 4, tDen = 5))
+    store.read(s, "pairs")
+  }
+
   val all: Map[String, Q] = Map(
     // ---- exact word-trigram Jaccard via PPJoin prefix filter --------
     // Output identical to the naive all-pairs scan on this data (same
@@ -166,8 +181,7 @@ object DedupQueries {
     // side-prefix × full-posting join (see Dedup.containmentPairs for
     // why the big side gets no prefix bound).
     "x1_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, tNum = 4, tDen = 5)
+      containmentPairStore(s, dir)
         .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
           col("n_common"), col("n_min"))
         .orderBy("doc_a", "doc_b")
