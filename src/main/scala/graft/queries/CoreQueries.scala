@@ -81,6 +81,7 @@ object CoreQueries {
     * and repopulates it each run, and the DuckDB oracle reads the same
     * parquet back (read_parquet over the partitioned dirs). */
   private val EtlStorePath = "/root/repo/target/tmp/etl-oracle"
+  private val ArchiveStorePath = "/root/repo/target/tmp/etl-archive-oracle"
 
   /** Fixed store root for the partitioned-upsert gate query (wiped per
     * run — the two-batch counter semantics need a fresh store). */
@@ -913,6 +914,12 @@ object CoreQueries {
     // aggregate over the readings. No DuckDB oracle (inputs aren't sf
     // tables); AirQualityEtlSpec pins archive == single-page plan
     // column-for-column; driver does a rows>0 gate. ---------------------
+    // Parsed archive readings dump to a parquet store first, and the
+    // DuckDB oracle aggregates THAT — promoting this from a rows gate
+    // to a hash gate on the aggregation (the executor-side HTML parse
+    // itself is pinned by AirQualityEtlSpec's archive == single-page
+    // equivalence; DuckDB can't parse HTML, so the store is the
+    // cross-engine hand-off point, same trick as etl_current_air).
     "etl_archive_scan" -> ((s, dir) => {
       import s.implicits._
       val html = {
@@ -921,7 +928,12 @@ object CoreQueries {
       }
       val pages = for (d <- Seq("5 de mayo", "6 de mayo"); h <- 0 until 24)
         yield html.replace("09:00 h", f"$h%02d:00 h").replace("5 de mayo", d)
-      graft.etl.AirQualityEtl.archiveReadings(s, pages.toDS.repartition(8))
+      val root = new org.apache.hadoop.fs.Path(ArchiveStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(ArchiveStorePath)
+      store.replace(s, "readings",
+        graft.etl.AirQualityEtl.archiveReadings(s, pages.toDS.repartition(8)))
+      store.read(s, "readings")
         .groupBy($"hour_num")
         .agg(count(lit(1)).as("n_readings"),
           countDistinct($"clave_str").as("n_stations"),
@@ -955,6 +967,13 @@ object CoreQueries {
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "etl_archive_scan" ->
+      s"""WITH r AS (SELECT * FROM read_parquet('$ArchiveStorePath/readings/**/*.parquet'))
+         |SELECT hour_num, COUNT(*) AS n_readings,
+         |  COUNT(DISTINCT clave_str) AS n_stations,
+         |  COUNT(DISTINCT report_ts) AS n_reports
+         |FROM r GROUP BY hour_num ORDER BY hour_num""".stripMargin,
 
     "etl_current_air" ->
       s"""WITH cdmx AS (SELECT * FROM read_parquet('$EtlStorePath/cdmx/**/*.parquet'))
