@@ -317,6 +317,38 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def replace(spark: SparkSession, name: String, df: DataFrame): Unit =
     replace(spark, name, df, None)
 
+  /** The current committed version id (None = table absent or legacy
+    * flat layout). Capture this before computing a derived rewrite and
+    * pass it to `replaceIfUnchanged` for a CAS-style commit. */
+  def currentVersionId(spark: SparkSession, name: String): Option[String] =
+    currentVersion(fs(spark), name)
+
+  /** Optimistic-concurrency replace: commits only if the table's
+    * current version still equals `expectedVersion` (as captured by
+    * `currentVersionId` when the caller read its inputs). A concurrent
+    * writer having committed in between fails this check and the
+    * staged version is discarded — the lost-update a plain `replace`
+    * would silently last-win. The check re-runs after the (slow) data
+    * materialization, immediately before the manifest swap, so the
+    * realistic race window (two jobs rewriting the same table minutes
+    * apart) is covered; the residual instant between check and rename
+    * is NOT serialized — true multi-writer needs a lock service or a
+    * CAS'able metastore, which a filesystem rename cannot provide.
+    * This is the documented single-writer contract made enforceable
+    * for the common conflict instead of silently lossy. */
+  def replaceIfUnchanged(spark: SparkSession, name: String, df: DataFrame,
+      expectedVersion: Option[String], meta: Option[String] = None): Unit = {
+    val check = () => {
+      val cur = currentVersion(fs(spark), name)
+      if (cur != expectedVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"table '$name': expected base version $expectedVersion but found $cur — " +
+            "a concurrent writer committed; recompute from the new version")
+    }
+    check() // fail fast before paying the write
+    replaceInternal(spark, name, df, meta, preCommitCheck = check)
+  }
+
   /** As `replace`, optionally attaching a commit-metadata string that
     * becomes visible if and only if this version commits: the meta
     * file is staged INSIDE the version dir before the manifest swap,
@@ -324,7 +356,11 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * overwrite. Used for exactly-once batch replay guards
     * (`readCommitMeta`); dot-prefixed, so table scans never see it. */
   def replace(spark: SparkSession, name: String, df: DataFrame,
-      meta: Option[String]): Unit = {
+      meta: Option[String]): Unit =
+    replaceInternal(spark, name, df, meta, preCommitCheck = () => ())
+
+  private def replaceInternal(spark: SparkSession, name: String, df: DataFrame,
+      meta: Option[String], preCommitCheck: () => Unit): Unit = {
     val f = fs(spark)
     val dir = new Path(livePath(name))
     val ver = s"v-${UUID.randomUUID().toString.take(8)}"
@@ -353,6 +389,11 @@ final class TableStore(val root: String, val retain: Int = 0) {
       f.delete(tmp, true)
       throw new java.io.IOException(s"commit failed: could not stage $tmp as $dst")
     }
+    // optimistic-concurrency hook: runs after the slow materialization,
+    // immediately before the commit point; a thrown conflict discards
+    // the staged (still invisible — unlisted in any manifest) version
+    try preCommitCheck()
+    catch { case e: Throwable => f.delete(dst, true); throw e }
     // the commit point: atomic pointer overwrite (posix/HDFS rename).
     // The manifest carries the whole retained chain (current first),
     // so time travel never needs a directory listing — and an

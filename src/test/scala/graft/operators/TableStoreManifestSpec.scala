@@ -90,6 +90,25 @@ class TableStoreManifestSpec extends SparkSpec {
       "batch 0 replay must be a no-op; batches 0 and 1 each count once")
   }
 
+  test("replaceIfUnchanged: stale base version aborts, staged version cleaned, winner intact") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.replace(s, "t", Seq(1).toDF("x"))
+    val base = store.currentVersionId(s, "t")
+    assert(base.isDefined)
+    // a concurrent writer commits in between
+    store.replace(s, "t", Seq(2).toDF("x"))
+    intercept[java.util.ConcurrentModificationException] {
+      store.replaceIfUnchanged(s, "t", Seq(3).toDF("x"), base)
+    }
+    // the winner's data survives and no orphan v-dir leaked
+    assert(store.read(s, "t").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(listNames(store, "t").count(_.startsWith("v-")) == 1)
+    // with the CURRENT version as base, the conditional commit lands
+    store.replaceIfUnchanged(s, "t", Seq(3).toDF("x"), store.currentVersionId(s, "t"))
+    assert(store.read(s, "t").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("optimizeZOrder: content-identical rewrite, files skip on BOTH key columns") {
     val s = spark
     val store = freshStore()
