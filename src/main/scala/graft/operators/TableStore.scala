@@ -228,7 +228,12 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val live = new Path(livePath(name))
     val tag = UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$root/.tmp-$name-$tag")
-    try df.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    // zstd: ~2x the ratio of snappy at comparable decode speed — at
+    // 100 TB the store's footprint (and every scan's I/O) halves for
+    // a write-time-only cost. Same codec on every store write path so
+    // the byte-identical untouched-partition guarantee is unaffected.
+    try df.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy(partCol).parquet(tmp.toString)
     catch { case e: Throwable => f.delete(tmp, true); throw e }
     f.mkdirs(live)
     val parts = f.listStatus(tmp)
@@ -366,7 +371,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val ver = s"v-${UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(s"$root/.tmp-$name-$ver")
     try {
-      df.write.mode("overwrite").parquet(tmp.toString)
+      df.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
       meta.foreach { m =>
         val out = f.create(new Path(tmp, ".commitmeta"), true)
         try out.write(m.getBytes("UTF-8")) finally out.close()
