@@ -157,6 +157,20 @@ object LifecycleQueries {
         .orderBy($"user_id", $"day")
     }),
 
+    // ---- A11: declarative expectations report (data-quality) --------
+    // dbt-tests / Great-Expectations analog: every row rule folds into
+    // ONE aggregate over the scan (a new rule costs an expression, not
+    // a job); uniqueness adds the one irreducible keyed count. Exact
+    // integer report, oracle-gated.
+    "a11_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      report(Tables.orders(s, dir),
+        Seq(notNull("o_custkey"),
+          inRange("o_totalprice", 0.0, 1000000.0),
+          inSet("o_orderstatus", Seq("O", "F", "P"))),
+        uniqueKeys = Seq("o_orderkey"))
+    }),
+
     // ---- A9: z-score outlier detection (data-quality gate) ----------
     // Per-group mean/variance from EXACT integer moments: prices are
     // quantized to cents (BIGINT), so Σx and Σx² are exact (Σx² rides
@@ -214,6 +228,26 @@ object LifecycleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a11_expectations" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT 'in_range:o_totalprice' AS rule, n_rows,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE (o_totalprice IS NOT NULL AND o_totalprice >= 0 AND o_totalprice <= 1000000) IS NOT TRUE) AS n_violations
+        |FROM n
+        |UNION ALL
+        |SELECT 'in_set:o_orderstatus', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE (o_orderstatus IN ('O','F','P')) IS NOT TRUE)
+        |FROM n
+        |UNION ALL
+        |SELECT 'not_null:o_custkey', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+        |FROM n
+        |UNION ALL
+        |SELECT 'unique:o_orderkey', n_rows,
+        |  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |FROM n
+        |ORDER BY rule""".stripMargin,
+
     "s4_cdc_apply" ->
       """WITH snapshot AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
