@@ -21,31 +21,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why an expression: pair similarity is the inner loop of blocked
   * linkage — candidates × O(len²) work — and must stay inside
   * whole-stage codegen next to the join, like `levenshtein` does.
-  * Operates on code points via String (not UTF8 bytes) so non-ASCII
-  * names score correctly.
+  * Operates on UTF-8 BYTES (not code points) because that is what
+  * DuckDB/rapidfuzz does — 'café' is 5 units against 'cafe''s 4, and
+  * a code-point implementation would break the bit-identical contract
+  * on any non-ASCII name (verified empirically on accented/Cyrillic/
+  * CJK pairs). Bytes also skip the String allocation per row.
   */
 object JaroWinkler {
 
   /** Static worker shared by interpreted eval and generated code. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val s1 = ua.toString
-    val s2 = ub.toString
+    val s1 = ua.getBytes
+    val s2 = ub.getBytes
     val n1 = s1.length
     val n2 = s2.length
     if (n1 == 0 || n2 == 0) return 0.0
-    if (s1 == s2) return 1.0
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
     val bound = math.max(0, math.max(n1, n2) / 2 - 1)
     val m1 = new Array[Boolean](n1)
     val m2 = new Array[Boolean](n2)
     var matches = 0
     var i = 0
     while (i < n1) {
-      val c = s1.charAt(i)
+      val c = s1(i)
       var j = math.max(0, i - bound)
       val hi = math.min(n2, i + bound + 1)
       var hit = false
       while (!hit && j < hi) {
-        if (!m2(j) && s2.charAt(j) == c) {
+        if (!m2(j) && s2(j) == c) {
           m1(i) = true; m2(j) = true; matches += 1; hit = true
         }
         j += 1
@@ -53,14 +56,14 @@ object JaroWinkler {
       i += 1
     }
     if (matches == 0) return 0.0
-    // transpositions: matched chars out of relative order, halved
+    // transpositions: matched units out of relative order, halved
     var t = 0
     var j = 0
     i = 0
     while (i < n1) {
       if (m1(i)) {
         while (!m2(j)) j += 1
-        if (s1.charAt(i) != s2.charAt(j)) t += 1
+        if (s1(i) != s2(j)) t += 1
         j += 1
       }
       i += 1
@@ -71,7 +74,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var pl = 0
     val pMax = math.min(4, math.min(n1, n2))
-    while (pl < pMax && s1.charAt(pl) == s2.charAt(pl)) pl += 1
+    while (pl < pMax && s1(pl) == s2(pl)) pl += 1
     jaro + pl * 0.1 * (1.0 - jaro)
   }
 }

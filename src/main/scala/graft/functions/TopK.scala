@@ -28,9 +28,16 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** true if a ranks strictly before b: value desc, tiebreak asc. */
-  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** true if a ranks strictly before b: value desc, tiebreak asc.
+    * Double.compare (not `>`) gives a TOTAL order with NaN ranked
+    * largest — matching Spark's window-sort semantics; a plain `>`
+    * is false for every NaN comparison and would both diverge from
+    * the window-rank form and break the sorted-buffer invariant
+    * merge() relies on. */
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

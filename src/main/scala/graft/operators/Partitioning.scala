@@ -92,11 +92,14 @@ object Partitioning {
     graft.functions.Functions.register(df.sparkSession)
     val r = df.agg(min(col(keyX).cast("long")), max(col(keyX).cast("long")),
       min(col(keyY).cast("long")), max(col(keyY).cast("long"))).head
+    if (r.isNullAt(0) || r.isNullAt(2)) return df // empty (or all-null keys): nothing to cluster
     def norm(c: String, lo: Long, hi: Long) = {
-      val span = math.max(1L, hi - lo + 1)
-      // (x - lo) <= span <= 2^32 and the scale is 2^20-1, so the
-      // product stays under 2^52 — no long overflow
-      ((col(c).cast("long") - lit(lo)) * lit(1048575L) / lit(span)).cast("int")
+      // double scaling: monotone, and overflow-free for the FULL long
+      // key range (the earlier integer multiply overflowed past a
+      // ~2^43 span); sub-ulp rank ties only blur bucket boundaries,
+      // which is irrelevant for a storage layout
+      val span = math.max(1L, hi - lo + 1).toDouble
+      ((col(c).cast("long") - lit(lo)).cast("double") * 1048575.0 / lit(span)).cast("int")
     }
     val z = call_function("zorder2",
       norm(keyX, r.getLong(0), r.getLong(1)), norm(keyY, r.getLong(2), r.getLong(3)))

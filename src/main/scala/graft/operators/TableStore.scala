@@ -208,6 +208,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
       if (!exists(spark, name)) {
         updates.withColumn(counterCol, lit(1L))
       } else {
+        // Schema evolution is whole-table-mode only: widening through a
+        // touched-partition rewrite would leave UNTOUCHED partitions on
+        // the old schema, and a later pruned read inferring schema from
+        // an old-schema file would silently drop the new column's data.
+        val widening = updates.columns.toSet -- read(spark, name).columns.toSet
+        require(widening.isEmpty,
+          s"schema evolution (new columns ${widening.mkString(", ")}) is not supported " +
+            "in partitioned mode — widen via the whole-table upsert, which swaps every " +
+            "partition in one committed version")
         // touched partition values: bounded driver collect — one value
         // per partition the micro-batch touches, not per row
         val touched = updates.select(partCol).distinct().collect().map(_.get(0)).toSeq
@@ -367,12 +376,18 @@ final class TableStore(val root: String, val retain: Int = 0) {
   private def replaceInternal(spark: SparkSession, name: String, df: DataFrame,
       meta: Option[String], preCommitCheck: () => Unit): Unit = {
     val f = fs(spark)
+    // commit-meta carry-forward: a rewrite that is NOT a new logical
+    // batch (compact, optimizeZOrder, an un-tracked upsert on a table
+    // with a replay watermark) must not erase the last-applied batch
+    // id — losing it would re-open the exactly-once replay guard and
+    // let a replayed batch double-apply after maintenance ran.
+    val effMeta = meta.orElse(readCommitMeta(spark, name))
     val dir = new Path(livePath(name))
     val ver = s"v-${UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(s"$root/.tmp-$name-$ver")
     try {
       df.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
-      meta.foreach { m =>
+      effMeta.foreach { m =>
         val out = f.create(new Path(tmp, ".commitmeta"), true)
         try out.write(m.getBytes("UTF-8")) finally out.close()
       }

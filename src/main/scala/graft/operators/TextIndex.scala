@@ -34,20 +34,27 @@ object TextIndex {
   def build(docs: DataFrame, idCol: String, textCol: String,
       store: TableStore, name: String, numFiles: Int = 8): Unit = {
     val spark = docs.sparkSession
+    // tokenize + explode + aggregate happens ONCE: every derived table
+    // (df, doclen, stats) reads back the just-committed postings
+    // parquet instead of re-running the corpus scan — without this,
+    // four actions over the same lineage would recompute the corpus
+    // tokenization four times.
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
     store.replace(spark, s"${name}_postings",
       tf.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
+    val posted = store.read(spark, s"${name}_postings")
     store.replace(spark, s"${name}_df",
-      tf.groupBy("term").agg(count(lit(1)).as("df")))
-    val doclen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    store.replace(spark, s"${name}_doclen", doclen)
+      posted.groupBy("term").agg(count(lit(1)).as("df")))
+    store.replace(spark, s"${name}_doclen",
+      posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
     // n_docs counts ALL docs (token-less docs too — they're corpus
     // members for idf purposes even though they have no posting)
     store.replace(spark, s"${name}_stats",
       docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(doclen.agg(sum(col("dl")).as("total_tokens"))))
+        .crossJoin(store.read(spark, s"${name}_doclen")
+          .agg(sum(col("dl")).as("total_tokens"))))
   }
 
   /** Top-k docs by BM25-shaped score (k1=1.2, b=0.75) over the probed

@@ -800,7 +800,7 @@ object CoreQueries {
     // layout step itself is row-loss/duplication-gated every round.
     "s9_zorder_scan" -> ((s, dir) => {
       import s.implicits._
-      val path = "target/tmp/zorder-scan"
+      val path = "/root/repo/target/tmp/zorder-scan"
       val src = Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
       graft.operators.Partitioning.zorderWrite(src, "l_orderkey", "l_partkey", path, numFiles = 16)

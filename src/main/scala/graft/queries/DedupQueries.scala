@@ -19,14 +19,10 @@ object DedupQueries {
   // Jaccard ≥ 0.6 as an exact integer predicate: 5·common ≥ 3·union.
   private def nearDupFilter = col("n_common") * 5 >= col("n_union") * 3
 
-  /** Cache key for the persisted pair set: sf dir name + a fingerprint
-    * of the documents file (same convention as VectorQueries.indexKey —
-    * regenerated data abandons the stale artifact). */
-  private def docsKey(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
-    s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
-  }
+  /** Cache key for the persisted pair set — shared convention, see
+    * `Tables.fileKey` (regenerated data abandons the stale artifact). */
+  private def docsKey(s: SparkSession, dir: String): String =
+    Tables.fileKey(s, dir, "documents.parquet")
 
   /** The exact near-dup pair set (PPJoin prefix filter, word
     * trigrams), materialized ONCE per corpus and reused by every

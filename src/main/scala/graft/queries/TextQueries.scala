@@ -16,11 +16,8 @@ object TextQueries {
     * of documents.parquet (length ⊕ mtime) — same convention as the
     * vector indexes, so a regenerated corpus abandons stale indexes
     * instead of silently serving an oracle-gated query. */
-  private def docsKey(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
-    s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
-  }
+  private def docsKey(s: SparkSession, dir: String): String =
+    Tables.fileKey(s, dir, "documents.parquet")
 
   /** The shared persisted keyword index, built on first use. v2 = index
     * FORMAT version (v2 added doclen + total_tokens for BM25) — bump on
@@ -188,13 +185,11 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("w"))
-      val ord = Window.orderBy(md5(col("text").cast("binary")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
           size(tokens(col("text"))).cast("long").as("w"),
-          sum(size(tokens(col("text"))).cast("long")).over(ord).as("cw"))
+          md5(col("text").cast("binary")).as("h"))
+      val ord = Window.orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d.withColumn("cw", sum(col("w")).over(ord))
       val total = d.agg(sum(col("w")).as("tw"))
       cum.crossJoin(broadcast(total))
         .withColumn("step", expr("tw div 20"))

@@ -15,11 +15,8 @@ object VectorQueries {
     * the embeddings file (length ⊕ mtime). If the testdata is ever
     * regenerated in place, the fingerprint changes and the stale index
     * is abandoned instead of silently serving oracle-gated queries. */
-  private def indexKey(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
-    s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
-  }
+  private def indexKey(s: SparkSession, dir: String): String =
+    graft.sources.Tables.fileKey(s, dir, "embeddings.parquet")
 
   val all: Map[String, Q] = Map(
     // ---- X2 scale path: LSH-bucketed ANN top-k ----------------------

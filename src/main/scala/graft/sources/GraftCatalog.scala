@@ -92,8 +92,13 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ok = f.rename(new org.apache.hadoop.fs.Path(s"$root/${oldIdent.name()}"),
-      new org.apache.hadoop.fs.Path(s"$root/${newIdent.name()}"))
+    val dst = new org.apache.hadoop.fs.Path(s"$root/${newIdent.name()}")
+    // Hadoop rename(src, existingDir) MOVES src INSIDE the directory
+    // and reports success — check first, per the TableCatalog contract
+    if (f.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName) :+ newIdent.name())
+    val ok = f.rename(new org.apache.hadoop.fs.Path(s"$root/${oldIdent.name()}"), dst)
     if (!ok) throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
       Array(catalogName) :+ oldIdent.name())
   }

@@ -17,6 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Cache key for persisted per-corpus artifacts (pair stores, text/
+    * vector indexes): sf dir name + a fingerprint (length ⊕ mtime) of
+    * the backing file. ONE shared convention — if the fingerprint
+    * scheme ever changes, every artifact consumer moves together
+    * instead of some silently serving stale oracle-gated data. */
+  def fileKey(spark: SparkSession, dir: String, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${new java.io.File(dir).getName}-${java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)}"
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")

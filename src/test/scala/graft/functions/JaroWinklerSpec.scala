@@ -21,6 +21,15 @@ class JaroWinklerSpec extends SparkSpec {
     assert(jw("aluminium", "alumina") == 0.9047619047619048)
   }
 
+  test("non-ASCII follows DuckDB's byte semantics (goldens from DuckDB 1.x)") {
+    assert(jw("café", "cafe") == 0.8483333333333334)
+    assert(jw("ñandú", "nandu") == 0.6761904761904761)
+    assert(jw("смысл", "мысль") == 0.7851851851851852)
+    assert(jw("日本語", "日本") == 0.9333333333333333)
+    assert(jw("aé", "aè") == 0.8222222222222222)
+    assert(jw("café", "café") == 1.0)
+  }
+
   test("edge conventions: empty is 0.0 (both-empty too, DuckDB's rule), equal is 1.0") {
     assert(jw("", "") == 0.0)
     assert(jw("a", "") == 0.0)

@@ -27,6 +27,18 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("NaN ranks largest (total order, matching Spark's window sort)") {
+    val agg = new TopK(2)
+    val xs = Vector((Double.NaN, 9L), (5.0, 1L), (3.0, 2L))
+    val folded = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(folded.map(_._2) == Vector(9L, 1L) && folded.head._1.isNaN, folded)
+    // split-independence with NaN present
+    val merged = agg.merge(
+      xs.take(1).foldLeft(agg.zero)(agg.reduce),
+      xs.drop(1).foldLeft(agg.zero)(agg.reduce))
+    assert(merged.map(_._2) == folded.map(_._2))
+  }
+
   test("buffer never exceeds k") {
     val agg = new TopK(2)
     val buf = (1 to 100).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i.toLong)))

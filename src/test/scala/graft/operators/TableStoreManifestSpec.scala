@@ -76,6 +76,33 @@ class TableStoreManifestSpec extends SparkSpec {
     assert(store.exists(spark, "t"))
   }
 
+  test("maintenance rewrites carry the replay watermark forward (compact must not re-open the guard)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val b0 = Seq((1L, "a")).toDF("k", "v")
+    store.upsert(spark, "t", b0, Seq("k"), batchId = Some(7L))
+    store.compact(spark, "t")
+    assert(store.readCommitMeta(spark, "t").contains("7"),
+      "compact erased the batch watermark")
+    store.upsert(spark, "t", b0, Seq("k"), batchId = Some(7L)) // replay after maintenance
+    assert(store.read(spark, "t").head.getAs[Long]("nupdates") == 1L,
+      "replayed batch must stay a no-op after compact")
+    store.optimizeZOrder(spark, "t", "k", "k", targetFiles = 1)
+    assert(store.readCommitMeta(spark, "t").contains("7"))
+  }
+
+  test("partitioned upsert rejects schema evolution (mixed-schema partitions would corrupt)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val b0 = Seq((1L, "x", 10)).toDF("k", "v", "p")
+    store.upsertPartitioned(spark, "t", b0, Seq("k"), "p")
+    val widened = Seq((1L, "y", 10, "extra")).toDF("k", "v", "p", "note")
+    val e = intercept[IllegalArgumentException] {
+      store.upsertPartitioned(spark, "t", widened, Seq("k"), "p")
+    }
+    assert(e.getMessage.contains("note") && e.getMessage.contains("whole-table"))
+  }
+
   test("IncrementalAgg replay guard: additive fold never double-counts") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory(Paths.get("target"), "iagg-replay-")
