@@ -279,6 +279,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T1/P3: expectations gate inside foreachBatch — bad batch aborts, store keeps last good state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "stream-gate-").toString)
+    val mem = MemoryStream[(Long, Double)]
+    import graft.operators.Expectations
+    def start() = mem.toDF.toDF("k", "price").writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        store.upsert(batch.sparkSession, "t",
+          Expectations.gate(batch, Seq(Expectations.inRange("price", 0.0, 100.0))),
+          Seq("k"), batchId = Some(id))
+      }
+      .start()
+    val q1 = start()
+    try {
+      mem.addData((1L, 10.0))
+      q1.processAllAvailable()
+      mem.addData((2L, -5.0)) // violates the gate → batch must abort
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        mem.toDF; q1.processAllAvailable()
+        throw q1.exception.getOrElse(fail("gate violation must fail the query"))
+      }
+    } finally q1.stop()
+    // abort-don't-corrupt: only the good batch's state is visible
+    val rows = store.read(s, "t").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 10.0), s"bad batch must not land: $rows")
+  }
+
   test("T4/A1: mapGroupsWithState running key counts across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
