@@ -266,6 +266,40 @@ final class TableStore(val root: String, val retain: Int = 0) {
     f.delete(tmp, true)
   }
 
+  /** Per-partition compaction for PARTITIONED tables — the scheduled
+    * maintenance the `compact` doc promises ("runs per partition"):
+    * only partitions holding more than `maxFiles` data files are
+    * rewritten (one atomic partition swap each, the same commit as an
+    * upsert); partitions already compact are never read, never
+    * touched, byte-identical after. A long-lived store accretes
+    * multi-file partitions whenever a rewrite ran with plan-driven
+    * parallelism; this folds each back to ~one file, and at 100 TB it
+    * runs off a partition listing — cost tracks the fragmented
+    * partitions, not the table. */
+  def compactPartitions(spark: SparkSession, name: String, partCol: String,
+      maxFiles: Int = 1): Unit = {
+    val f = fs(spark)
+    val live = new Path(livePath(name))
+    if (!f.exists(live)) return
+    val fragmented = f.listStatus(live)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .filter(p => f.listStatus(p.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix(s"$partCol="))
+    if (fragmented.isEmpty) return
+    // partition values carry the table's own column type (int-valued
+    // partition columns are the documented preference)
+    val partType = read(spark, name).schema(partCol).dataType
+    val values: Seq[Any] = partType match {
+      case org.apache.spark.sql.types.IntegerType => fragmented.toSeq.map(_.toInt)
+      case org.apache.spark.sql.types.LongType => fragmented.toSeq.map(_.toLong)
+      case _ => fragmented.toSeq
+    }
+    val df = prunedRead(spark, name, partCol, values)
+      .repartition(values.length, col(partCol))
+    replacePartitions(spark, name, df, partCol)
+  }
+
   /** Remove crash leftovers: store-root `.tmp-*`/`.old-*` staging
     * dirs and, inside each table dir, version dirs and manifest temps
     * not referenced by the current manifest — including orphans in a

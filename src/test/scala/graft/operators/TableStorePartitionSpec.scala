@@ -108,4 +108,28 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(after.keys.exists(_.contains("p_date=20250507")))
     assert(store.read(spark, "t").count() == 2)
   }
+
+  test("compactPartitions folds only fragmented partitions; compact ones stay byte-identical") {
+    val store = freshStore()
+    // day 5 fragmented (plan-driven parallelism: 4 files), day 6 compact (1 file)
+    store.upsertPartitioned(spark, "t",
+      batch(5, Seq("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4")).repartition(4),
+      Seq("k"), "p_date")
+    store.upsertPartitioned(spark, "t", batch(6, Seq("x" -> "9")), Seq("k"), "p_date",
+      numFiles = Some(1))
+    def filesIn(part: String) = fileState(store, "t").keys.count(_.contains(part))
+    assert(filesIn("p_date=5") > 1, "day 5 must start fragmented")
+    assert(filesIn("p_date=6") == 1)
+    val contentBefore = store.read(spark, "t").collect().map(_.toString).sorted.toSeq
+    val day6Before = fileState(store, "t").filter(_._1.contains("p_date=6"))
+    store.compactPartitions(spark, "t", "p_date", maxFiles = 1)
+    assert(filesIn("p_date=5") == 1, "fragmented partition folds to one file")
+    assert(fileState(store, "t").filter(_._1.contains("p_date=6")) == day6Before,
+      "already-compact partition must not be touched")
+    assert(store.read(spark, "t").collect().map(_.toString).sorted.toSeq == contentBefore)
+    // idempotent: nothing fragmented left → second run is a no-op
+    val s1 = fileState(store, "t")
+    store.compactPartitions(spark, "t", "p_date", maxFiles = 1)
+    assert(fileState(store, "t") == s1)
+  }
 }
