@@ -686,6 +686,28 @@ object CoreQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- O4: skyline (Pareto front) ------------------------------------
+    // Parts where no other part is both cheaper-or-equal AND
+    // smaller-or-equal (strict somewhere) — the classic multi-criteria
+    // shortlist. The 2-D skyline needs NO pairwise work: group per
+    // price (min size), one ordered window for "best size among
+    // strictly cheaper", and a row survives iff it beats that and ties
+    // the best at its own price. One sort-shuffle total, O(n) beyond
+    // it; the oracle is the quadratic NOT-EXISTS DEFINITION, so the
+    // hash gate proves the window plan equals the textbook semantics.
+    "o4_skyline" -> ((s, dir) => {
+      import s.implicits._
+      val p = Tables.part(s, dir).select($"p_partkey", $"p_retailprice", $"p_size")
+      val g = p.groupBy($"p_retailprice").agg(min($"p_size").as("gmin"))
+        .withColumn("prev_min", min($"gmin").over(
+          Window.orderBy($"p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      p.join(g, Seq("p_retailprice"))
+        .filter($"p_size" === $"gmin" && ($"prev_min".isNull || $"p_size" < $"prev_min"))
+        .select($"p_partkey", $"p_retailprice", $"p_size".cast("int").as("p_size"))
+        .orderBy($"p_partkey")
+    }),
+
     // ---- S4 family: incremental materialized-aggregate maintenance -----
     // Three year-sliced batches of orders fold into a per-customer
     // (count, spend) state table; the final state must equal a one-shot
@@ -1261,6 +1283,16 @@ object CoreQueries {
          |            WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
          |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders, c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ground-truth DEFINITION (quadratic NOT EXISTS) — the window plan
+    // on the Spark side must hash-match it exactly
+    "o4_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
 
     "s4_incremental_agg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
