@@ -157,6 +157,30 @@ object LifecycleQueries {
         .orderBy($"user_id", $"day")
     }),
 
+    // ---- A9b: robust outliers (median/MAD, not mean/sigma) ----------
+    // The z-score gate (a9) breaks down when outliers inflate sigma
+    // itself; median absolute deviation is outlier-resistant. Two
+    // stats-then-apply rounds: per-group median (exact percentile —
+    // interpolation proven bit-identical to quantile_cont), broadcast
+    // back for |x - m|, second median over that, broadcast again for
+    // the 3·1.4826·MAD flag. Every float op is the same IEEE tree on
+    // identical inputs in both engines, so the flag counts hash-match.
+    "a9_robust_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      val med = li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("ad", abs($"l_extendedprice" - $"m"))
+      val mad = dev.groupBy($"l_returnflag")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"ad" > lit(3.0) * lit(1.4826) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- A11: declarative expectations report (data-quality) --------
     // dbt-tests / Great-Expectations analog: every row rule folds into
     // ONE aggregate over the scan (a new rule costs an expression, not
@@ -228,6 +252,17 @@ object LifecycleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a9_robust_outliers" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+        |            FROM lineitem GROUP BY 1),
+        |dev AS (SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS ad
+        |        FROM lineitem l JOIN med USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "a11_expectations" ->
       """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
         |SELECT 'in_range:o_totalprice' AS rule, n_rows,
