@@ -608,6 +608,27 @@ object CoreQueries {
         .orderBy($"tag", $"nationkey")
     }),
 
+    // ---- O2b: bag-semantics set ops (ALL variants) ---------------------
+    // INTERSECT ALL / EXCEPT ALL keep multiplicities (min/difference of
+    // occurrence counts) — the semantics dedup pipelines actually need
+    // when "how many copies" matters. Catalyst plans both as aggregates
+    // over counts, not distinct-then-join; exercised on order-priority
+    // multisets from two customer segments.
+    "o2_set_ops_all" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).join(Tables.customer(s, dir),
+        $"o_custkey" === $"c_custkey")
+      val a = o.filter($"c_mktsegment" === "BUILDING").select($"o_orderpriority")
+      val b = o.filter($"c_mktsegment" === "AUTOMOBILE").select($"o_orderpriority")
+      a.intersectAll(b).groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+        .unionByName(
+          a.exceptAll(b).groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("except_all")))
+        .select($"op", $"o_orderpriority", $"n")
+        .orderBy($"op", $"o_orderpriority")
+    }),
+
     // ---- P1: normalize_text (native Catalyst expression) ---------------
     "p1_normalize_names" -> ((s, dir) => {
       import s.implicits._
@@ -1177,6 +1198,18 @@ object CoreQueries {
     "o1_global_topk" ->
 """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "o2_set_ops_all" ->
+      """WITH o AS (SELECT o_orderpriority, c_mktsegment
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (SELECT o_orderpriority FROM o WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT o_orderpriority FROM o WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all', o_orderpriority, COUNT(*)
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+        |ORDER BY op, o_orderpriority""".stripMargin,
 
     "o2_set_ops" ->
       """SELECT nationkey, tag FROM (

@@ -77,6 +77,26 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("sketch cube rolls up: union of stored per-key HLL sketches answers the global question") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(31)
+    // heavy cross-key overlap: summing per-key distincts would overcount ~3x
+    val rows = Seq.tabulate(3000)(i => ((i % 3).toLong, rnd.nextInt(500).toLong))
+    val m = Seq(IncrementalAgg.Measure(
+      "sk", hll_sketch_agg(col("v")), (t, u) => hll_union(t, u)))
+    val store = freshStore()
+    rows.grouped(1000).foreach { b =>
+      IncrementalAgg.applyBatchM(spark, store, "agg", b.toDF("k", "v"), Seq("k"), m)
+    }
+    // the cube property: ANY rollup is a sketch union over stored state,
+    // no raw-fact rescan
+    val global = store.read(spark, "agg")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head.getAs[Long]("e").toDouble
+    val exact = rows.map(_._2).distinct.size.toDouble
+    assert(math.abs(global - exact) <= 0.02 * exact, s"global est $global vs exact $exact")
+  }
+
   test("KLL sketch measure: incremental quantile estimate within rank bound of exact") {
     val s = spark; import s.implicits._
     graft.functions.Functions.register(s)
