@@ -32,6 +32,17 @@ object CoreQueries {
       |       (SELECT COUNT(DISTINCT event_type) FROM events)
       |ORDER BY user_id""".stripMargin
 
+  /** Conditional aggregation (FILTER clauses) — one SQL text for both
+    * engines: one scan, many differently-filtered aggregates. */
+  private val FilteredAggSql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  COUNT(*) FILTER (WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) >= 1996) AS n_recent,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q13 shape — one SQL text for both engines: left-outer join
     * keeps zero-order customers, the join-level filter (NOT a WHERE —
     * that would drop the null-extended rows) excludes a priority
@@ -707,6 +718,39 @@ object CoreQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- A3b: conditional aggregation via FILTER clauses ---------------
+    // One scan, many differently-filtered aggregates — the idiomatic
+    // replacement for N self-joins or N passes. Same SQL text runs in
+    // both engines (FILTER is standard SQL).
+    "a3_filtered_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(FilteredAggSql)
+    }),
+
+    // ---- W9: share-of-total window (ratio_to_report) -------------------
+    // Each priority's share of its year's order value: decimal-exact
+    // numerator and window denominator, one IEEE division — the
+    // percent-of-total every BI layer asks for, hash-exact because
+    // both engines divide the same two exact doubles.
+    "w9_share_of_total" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      // numerator AND window denominator stay DECIMAL (associative, so
+      // the unordered window frame can't introduce float drift); the
+      // single double division happens on two exact values whose
+      // scaled magnitudes sit under 2^53, where both engines' decimal→
+      // double casts are exact
+      val byPrio = Tables.orders(s, dir)
+        .groupBy(year($"o_orderdate").cast("long").as("order_year"), $"o_orderpriority")
+        .agg(sum($"o_totalprice".cast(DecimalType(18, 6))).as("rev_dec"))
+      byPrio
+        .withColumn("total_dec", sum($"rev_dec").over(Window.partitionBy($"order_year")))
+        .select($"order_year", $"o_orderpriority",
+          $"rev_dec".cast("double").as("revenue"),
+          ($"rev_dec".cast("double") / $"total_dec".cast("double")).as("share"))
+        .orderBy($"order_year", $"o_orderpriority")
+    }),
+
     // ---- O4: skyline (Pareto front) ------------------------------------
     // Parts where no other part is both cheaper-or-equal AND
     // smaller-or-equal (strict somewhere) — the classic multi-criteria
@@ -1319,6 +1363,18 @@ object CoreQueries {
 
     // ground-truth DEFINITION (quadratic NOT EXISTS) — the window plan
     // on the Spark side must hash-match it exactly
+    "a3_filtered_agg" -> FilteredAggSql,
+
+    "w9_share_of_total" ->
+      """WITH g AS (SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+        |                  o_orderpriority,
+        |                  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT order_year, o_orderpriority,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY order_year) AS DOUBLE) AS share
+        |FROM g ORDER BY order_year, o_orderpriority""".stripMargin,
+
     "o4_skyline" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p
