@@ -191,6 +191,28 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Map("a" -> (3L, 3.5), "b" -> (1L, 5.0), "c" -> (1L, 7.0)), rows)
   }
 
+  test("T1/A12: incrementalAggSink with an HLL sketch measure — streaming distinct counts") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "stream-sketch-").toString)
+    val m = Seq(graft.operators.IncrementalAgg.Measure(
+      "sk", org.apache.spark.sql.functions.hll_sketch_agg(col("v")),
+      (t, u) => org.apache.spark.sql.functions.hll_union(t, u)))
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.incrementalAggSink(mem.toDF.toDF("k", "v"), store, "d", Seq("k"), m).start()
+    try {
+      mem.addData(("a", 1L), ("a", 2L), ("a", 2L))
+      q.processAllAvailable()
+      mem.addData(("a", 2L), ("a", 3L)) // 2 is a cross-batch repeat: must not double-count
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = store.read(s, "d")
+      .select(org.apache.spark.sql.functions.hll_sketch_estimate(col("sk")))
+      .head.getLong(0)
+    assert(est == 3L, s"distinct {1,2,3} across batches, got $est")
+  }
+
   test("T1: file-source + AvailableNow + checkpoint — restart ingests only new files, exactly once") {
     val s = spark; import s.implicits._
     val base = Files.createTempDirectory(Paths.get("target").toAbsolutePath, "ingest-")
