@@ -167,13 +167,16 @@ object LifecycleQueries {
     // identical inputs in both engines, so the flag counts hash-match.
     "a9_robust_outliers" -> ((s, dir) => {
       import s.implicits._
+      // medians via the SORT-based exact path (bit-identical to the
+      // built-in, bounded state at any group size) — the buffering
+      // `percentile` aggregate here would be the a4 scale-killer twice
       val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
-      val med = li.groupBy($"l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      val med = graft.operators.Percentiles.exact(
+        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5), Seq("m"))
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("ad", abs($"l_extendedprice" - $"m"))
-      val mad = dev.groupBy($"l_returnflag")
-        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      val mad = graft.operators.Percentiles.exact(
+        dev, Seq("l_returnflag"), "ad", Seq(0.5), Seq("mad"))
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
