@@ -183,6 +183,20 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- transitive clusters over the CONTAINMENT graph -------------
+    // Same min-label propagation, different edge set: containment
+    // pairs chain (page ⊂ digest ⊂ anthology ⇒ one cluster), and the
+    // cluster representative is the set a training pipeline keeps once.
+    // Reuses the materialized containment pair store; the oracle walks
+    // the same edges with a recursive CTE.
+    "x1_containment_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = containmentPairStore(s, dir).select("idA", "idB")
+      Dedup.clusterLabels(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // ---- incremental arrival dedup against persisted state ----------
     // The steady-state shape of corpus dedup: the existing corpus's
     // content fingerprints live in a TableStore (built once, here for
@@ -268,6 +282,19 @@ object DedupQueries {
 
   private val FpStorePath = "/root/repo/target/tmp/fp-store"
 
+  private val containmentOracle =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) >= 3
+      |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+      |             ELSE [array_to_string(w, ' ')] END AS grams
+      |      FROM d)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+      |       CAST(least(len(a.grams), len(b.grams)) AS BIGINT) AS n_min
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.grams, b.grams)) * 5 >= least(len(a.grams), len(b.grams)) * 4""".stripMargin
+
   private val jaccardOracle =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
@@ -302,19 +329,18 @@ object DedupQueries {
         |       COUNT(*) AS n_train_dups
         |FROM p WHERE sa != sb GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "x1_containment" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |        CASE WHEN len(w) >= 3
-        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
-        |             ELSE [array_to_string(w, ' ')] END AS grams
-        |      FROM d)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
-        |       CAST(least(len(a.grams), len(b.grams)) AS BIGINT) AS n_min
-        |FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.grams, b.grams)) * 5 >= least(len(a.grams), len(b.grams)) * 4
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x1_containment" -> (containmentOracle + "\nORDER BY doc_a, doc_b"),
+
+    "x1_containment_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($containmentOracle),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, MIN(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "x1_incremental_dedup" ->
       """WITH existing AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),
