@@ -9,17 +9,33 @@ import org.apache.spark.sql.functions._
   *
   * Spark's built-in `percentile` is a TypedImperativeAggregate that
   * holds EVERY value of a group in executor memory — unbounded state,
-  * the thing that OOMs first when a group grows 100×. This operator
-  * gets the same exact answer from a window sort + two-row lookup per
-  * (group, percentile): sorts spill to disk, the aggregate keeps two
-  * doubles per percentile, and the whole plan is shuffle-sort +
-  * hash-agg — the shape that survives any group size.
+  * the thing that OOMs first when a group grows 100×. Both operators
+  * here get the same exact answer from rank arithmetic instead:
+  *
+  *  - [[exact]] — window sort per group. Sorts spill to disk and the
+  *    aggregate keeps two doubles per percentile, but `partitionBy(g)`
+  *    still places a WHOLE group in one task: fine for many medium
+  *    groups, degenerate for few/huge groups (and a global percentile
+  *    is ONE group — a single-partition sort of the entire table).
+  *    Kept as the reference implementation; pinned bit-identical to
+  *    the built-in by PercentilesSpec.
+  *
+  *  - [[exactDistributed]] — range-partition rank selection, the shape
+  *    that survives ANY group geometry. `repartitionByRange(g, v)`
+  *    spreads every group over many value-contiguous chunks; per-chunk
+  *    counts (≤ groups×chunks rows — the only state that leaves the
+  *    scan) turn local ranks into global ranks; the ≤ 2·|ps| rows per
+  *    group sitting at the floor/ceil target ranks are filtered out
+  *    and interpolated. No task ever holds more than one chunk
+  *    (~n/P rows), even when the "group" is the whole table. Pinned
+  *    bit-identical to [[exact]] and the built-in by PercentilesSpec.
   *
   * Interpolation replicates Spark's `Percentile.getPercentile`
   * exactly (0-based position = (n-1)·p; result =
   * (higher−pos)·v_lo + (pos−lower)·v_hi, collapsed to v_lo when the
   * position is integral), so results are bit-identical to the
-  * built-in — pinned by PercentilesSpec.
+  * built-in — and to DuckDB's quantile_cont (pinned by the
+  * a4_percentiles oracle).
   */
 object Percentiles {
 
@@ -44,6 +60,66 @@ object Percentiles {
         max(when(col("rn") - 1 === ceil(pos(p)), col("v"))).as(s"_hi$i"))
     } :+ max(col("n")).as("_n")
     val agged = ranked.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+    restoreAndInterpolate(df, agged, groupCols, ps, names)
+  }
+
+  /** Same contract and bit-identical results as [[exact]], including
+    * `groupCols = Nil` for a global percentile over the whole table.
+    * Plan shape: one range shuffle + one hash shuffle of the (group,
+    * value) projection, a ≤ groups×chunks counts aggregate, and a
+    * final aggregate over ≤ 2·|ps| rows per group. The only
+    * unpartitioned window runs over the COUNTS table, never the data.
+    */
+  def exactDistributed(df: DataFrame, groupCols: Seq[String], valCol: String,
+      ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == names.length)
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    // explicit partition count: AQE must not re-coalesce the exchange
+    // differently between the counts branch and the rank branch (same
+    // boundaries ⇒ chunk ids agree; in practice the exchange is built
+    // once and reused)
+    val chunks = spark.sessionState.conf.numShufflePartitions
+    val vals = df.filter(col(valCol).isNotNull)
+      .select(g :+ col(valCol).cast("double").as("v"): _*)
+    val ranged = vals.repartitionByRange(chunks, g :+ col("v"): _*)
+      .withColumn("pid", spark_partition_id())
+    // per-(group, chunk) row counts — the whole "index" is ≤ G·P rows
+    val counts = ranged.groupBy(g :+ col("pid"): _*).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(g: _*)))
+    // chunks are value-contiguous and pid-ordered, so global rank in
+    // the group = chunk offset + rank within the chunk. Ties may split
+    // across a chunk boundary, but tied rows carry the same v, so any
+    // rank permutation among them picks the same value.
+    val wLoc = Window.partitionBy(g :+ col("pid"): _*).orderBy(col("v"))
+    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    val ranked = ranged.withColumn("lr", row_number().over(wLoc))
+      .join(broadcast(offsets), groupCols :+ "pid")
+      .withColumn("r", (col("off") + col("lr") - 1).cast("double"))
+    val needed = ps.map(p => col("r") === floor(pos(p)) || col("r") === ceil(pos(p)))
+      .reduce(_ || _)
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        max(when(col("r") === floor(pos(p)), col("v"))).as(s"_lo$i"),
+        max(when(col("r") === ceil(pos(p)), col("v"))).as(s"_hi$i"))
+    } :+ max(col("n")).as("_n")
+    val agged = ranked.filter(needed).groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+    restoreAndInterpolate(df, agged, groupCols, ps, names)
+  }
+
+  /** Shared tail: Spark's Percentile.getPercentile interpolation over
+    * the `_lo$i`/`_hi$i`/`_n` columns, plus restoring groups whose
+    * values are ALL null — the built-in still emits them (with NULL
+    * percentiles), but they have no ranked rows. A global aggregate
+    * (no group columns) already emits its single row unconditionally.
+    */
+  private def restoreAndInterpolate(df: DataFrame, agged: DataFrame,
+      groupCols: Seq[String], ps: Seq[Double], names: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val outs = ps.zip(names).zipWithIndex.map { case ((p, name), i) =>
       val position = (col("_n") - 1).cast("double") * lit(p)
       val lower = floor(position)
@@ -53,10 +129,8 @@ object Percentiles {
           (position - lower) * col(s"_hi$i"))
         .as(name)
     }
-    // a group whose values are ALL null has no ranked rows, but the
-    // built-in still emits it (with NULL percentiles) — restore such
-    // groups via a left join from the full group set
-    df.select(g: _*).distinct()
+    if (groupCols.isEmpty) agged.select(outs: _*)
+    else df.select(g: _*).distinct()
       .join(agged, groupCols, "left")
       .select(g ++ outs: _*)
   }

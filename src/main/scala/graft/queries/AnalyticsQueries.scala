@@ -137,6 +137,85 @@ object AnalyticsQueries {
           (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")).as("slope_cents"),
           $"n".cast("long").as("n_orders"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // ---- A10b: per-group Pearson correlation from exact moments -----
+    // Same exact-sufficient-statistics discipline as a10_trend, one
+    // more moment (Σy²). x = quantity (integral), y = discount in
+    // basis points — both small exact integers, so every moment stays
+    // below 2^53 even at sf1000 and casts to double EXACTLY in both
+    // engines; the closed form (one IEEE expression tree, correctly-
+    // rounded sqrt) is then bit-identical. Built-in `corr` streams
+    // doubles in partition order and would not hash-match.
+    "a10_corr" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_returnflag",
+        round($"l_quantity").cast("long").as("x"),
+        round($"l_discount" * 10000).cast("long").as("y"))
+      val m = li.groupBy($"l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+      m.select($"l_returnflag",
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_disc"),
+          $"n".cast("long").as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- A4c: per-group mode (most frequent value) -------------------
+    // GROUP BY count + one ranking window over the COUNTS table (5
+    // statuses × 5 priorities = 25 rows — the window input is the
+    // aggregate, never the fact table). Tie-break is total: (count
+    // DESC, value ASC), so the answer is deterministic in both engines
+    // — built-in `mode()` breaks ties arbitrarily and could not be
+    // oracle-gated.
+    "a4_mode" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.orders(s, dir)
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"n".desc, $"o_orderpriority")
+      counts.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n".as("n_rows"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // ---- A10c: winsorized aggregate (stats-then-apply clipping) -----
+    // Robust-mean prep every training-data pipeline runs: clip the
+    // tails at [p05, p95], THEN aggregate. Two-phase plan: (1) exact
+    // interpolated cutpoints per group (Percentiles.exactDistributed —
+    // rank selection, bounded task state at any group geometry),
+    // quantized to integer cents with floor (exact, no
+    // rounding-mode hazard); (2) one broadcast join of the 3-row
+    // cutpoint table back onto the scan, clamp in integer cents, hash-
+    // aggregate exact longs. No second sort, no value buffering; at
+    // 100 TB phase 1 swaps to approx_percentile/KLL cutpoints and
+    // phase 2 is unchanged.
+    "a10_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val cuts = graft.operators.Percentiles.exactDistributed(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.05, 0.95), Seq("p05", "p95"))
+        .select($"l_returnflag",
+          floor($"p05" * 100).cast("long").as("lo_c"),
+          floor($"p95" * 100).cast("long").as("hi_c"))
+      val li = Tables.lineitem(s, dir).select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("yc"))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .select($"l_returnflag",
+          least(greatest($"yc", $"lo_c"), $"hi_c").as("wc"),
+          when($"yc" < $"lo_c", 1L).otherwise(0L).as("clip_lo"),
+          when($"yc" > $"hi_c", 1L).otherwise(0L).as("clip_hi"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"wc").as("wsum_cents"), sum($"clip_lo").as("n_clip_lo"),
+          sum($"clip_hi").as("n_clip_hi"), count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -221,6 +300,47 @@ object AnalyticsQueries {
         |SELECT o_orderpriority,
         |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope_cents,
         |       CAST(n AS BIGINT) AS n_orders
-        |FROM m ORDER BY o_orderpriority""".stripMargin
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    "a10_corr" ->
+      """WITH li AS (SELECT l_returnflag,
+        |              CAST(ROUND(l_quantity) AS BIGINT) AS x,
+        |              CAST(ROUND(l_discount * 10000) AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT l_returnflag,
+        |        CAST(COUNT(*) AS DOUBLE) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx,
+        |        CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |        CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |        CAST(SUM(y*y) AS DOUBLE) AS syy
+        |      FROM li GROUP BY 1)
+        |SELECT l_returnflag,
+        |       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_disc,
+        |       CAST(n AS BIGINT) AS n_rows
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a4_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority) AS rk FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_rows
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "a10_winsorize" ->
+      """WITH cut AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.05) * 100) AS BIGINT) AS lo_c,
+        |    CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS hi_c
+        |  FROM lineitem GROUP BY 1),
+        |li AS (SELECT l_returnflag,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yc FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(SUM(LEAST(GREATEST(yc, lo_c), hi_c)) AS BIGINT) AS wsum_cents,
+        |  CAST(SUM(CASE WHEN yc < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN yc > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  COUNT(*) AS n_rows
+        |FROM li JOIN cut USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -239,14 +239,16 @@ object CoreQueries {
     }),
 
     // ---- A4b: exact percentiles (interpolated) -------------------------
-    // Sort-based, not buffer-based: Percentiles.exact spills its sort
-    // and keeps O(1) aggregate state per group, where the built-in
-    // `percentile` holds every value in memory (the r1 scale-killer).
-    // Bit-identical results — PercentilesSpec pins it — so the DuckDB
-    // oracle is unchanged.
+    // Rank-selection, not buffer-based: exactDistributed range-
+    // partitions each group into value-contiguous chunks and selects
+    // the target ranks from per-chunk counts, so no task ever holds a
+    // whole group (the built-in `percentile` buffers every value — the
+    // r1 scale-killer; the window form sorts a whole group in one
+    // task). Bit-identical results — PercentilesSpec pins it — so the
+    // DuckDB oracle is unchanged.
     "a4_percentiles" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Percentiles.exact(
+      graft.operators.Percentiles.exactDistributed(
           Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
           Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
         .select($"l_returnflag",
@@ -801,21 +803,22 @@ object CoreQueries {
     }),
 
     // ---- A4: two-phase stats-then-apply (quartile assignment) ----------
-    // Compute global quartile cutpoints (one aggregate → 3 doubles),
+    // Compute global quartile cutpoints (one stats pass → 3 doubles),
     // broadcast them, bucket every order with plain comparisons, and
     // aggregate per bucket. The pattern behind feature binning and
     // equi-depth histograms at 100 TB: the stats pass reduces to bytes,
     // the apply pass is a map-only scan — no sort, no repartition by
-    // value. The cutpoint interpolation hash-matches DuckDB
-    // (quantile_cont == Spark percentile, pinned by a4_percentiles),
-    // so bucket boundaries agree exactly.
+    // value. A GLOBAL percentile is one group, so the stats pass uses
+    // exactDistributed (range-partition rank selection — bounded task
+    // state; the built-in `percentile` would buffer the whole column
+    // in one aggregator). Bit-identical cutpoints (PercentilesSpec),
+    // and quantile_cont == Spark percentile, so bucket boundaries
+    // agree exactly with DuckDB.
     "a4_quartile_assign" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.orders(s, dir)
-      val cuts = o.agg(
-        expr("percentile(o_totalprice, 0.25)").as("q1"),
-        expr("percentile(o_totalprice, 0.5)").as("q2"),
-        expr("percentile(o_totalprice, 0.75)").as("q3"))
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        o, Nil, "o_totalprice", Seq(0.25, 0.5, 0.75), Seq("q1", "q2", "q3"))
       o.crossJoin(broadcast(cuts))
         .withColumn("bucket",
           when($"o_totalprice" < $"q1", 0L).when($"o_totalprice" < $"q2", 1L)

@@ -167,15 +167,16 @@ object LifecycleQueries {
     // identical inputs in both engines, so the flag counts hash-match.
     "a9_robust_outliers" -> ((s, dir) => {
       import s.implicits._
-      // medians via the SORT-based exact path (bit-identical to the
-      // built-in, bounded state at any group size) — the buffering
-      // `percentile` aggregate here would be the a4 scale-killer twice
+      // medians via distributed exact rank selection (bit-identical to
+      // the built-in, bounded task state at any group geometry) — the
+      // buffering `percentile` aggregate here would be the a4
+      // scale-killer twice
       val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
-      val med = graft.operators.Percentiles.exact(
+      val med = graft.operators.Percentiles.exactDistributed(
         li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5), Seq("m"))
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("ad", abs($"l_extendedprice" - $"m"))
-      val mad = graft.operators.Percentiles.exact(
+      val mad = graft.operators.Percentiles.exactDistributed(
         dev, Seq("l_returnflag"), "ad", Seq(0.5), Seq("mad"))
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy($"l_returnflag")

@@ -57,4 +57,58 @@ class PercentilesSpec extends SparkSpec {
     assert(got("a") == 1.5)  // pos 0.5 between 1 and 2
     assert(got("b") == 3.0)  // pos 1.5 between 2 and 4
   }
+
+  test("exactDistributed is bit-identical to the window form and the built-in (grouped)") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ps = Seq(0.05, 0.5, 0.9, 0.99)
+    val names = Seq("p05", "p50", "p90", "p99")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val dist = rows(Percentiles.exactDistributed(li, Seq("l_returnflag"), "l_extendedprice", ps, names))
+    val win = rows(Percentiles.exact(li, Seq("l_returnflag"), "l_extendedprice", ps, names))
+    assert(dist == win)
+  }
+
+  test("exactDistributed global (no groups) equals the built-in percentile bit-for-bit") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val got = Percentiles.exactDistributed(o, Nil, "o_totalprice",
+        Seq(0.25, 0.5, 0.75), Seq("q1", "q2", "q3"))
+      .collect().head
+    val builtin = o.agg(
+        expr("percentile(o_totalprice, 0.25)"),
+        expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile(o_totalprice, 0.75)"))
+      .collect().head
+    assert((got.getDouble(0), got.getDouble(1), got.getDouble(2)) ==
+      (builtin.getDouble(0), builtin.getDouble(1), builtin.getDouble(2)))
+  }
+
+  test("exactDistributed: all-null group kept with NULL; ties across chunks are safe") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "x")
+    val got = Percentiles.exactDistributed(df, Seq("g"), "x", Seq(0.5), Seq("p50"))
+      .orderBy("g").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 2.0)
+    assert(got(1).getString(0) == "b" && got(1).isNullAt(1))
+    // heavy ties: one value dominates, so range chunks split equal keys
+    // arbitrarily — the selected value must still be exact
+    val ties = (Seq.fill(500)(7.0) ++ Seq(1.0, 99.0)).map(("t", _)).toDF("g", "x")
+    val t = Percentiles.exactDistributed(ties, Seq("g"), "x", Seq(0.5), Seq("p50"))
+      .collect().head
+    assert(t.getDouble(1) == 7.0)
+  }
+
+  test("exactDistributed never sorts a whole group in one task (no unpartitioned data window)") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plan = Percentiles.exactDistributed(li, Nil, "l_extendedprice", Seq(0.5), Seq("p50"))
+      .queryExecution.executedPlan.toString
+    // the data-side rank window is partitioned by the range-chunk id;
+    // RangePartitioning must appear (the chunk exchange), and the only
+    // windows over the fact rows carry a partition spec with pid
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"))
+    assert(plan.contains("windowspecdefinition(pid"))
+  }
 }
