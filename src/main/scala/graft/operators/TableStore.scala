@@ -230,9 +230,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * directory over its live counterpart. Partitions absent from `df`
     * are untouched. Commit point is per-partition (atomic rename);
     * a crash mid-loop leaves each partition either old or new, never
-    * mixed, with the displaced version recoverable from `.old-*`. */
+    * mixed, with the displaced version recoverable from `.old-*`.
+    * Returns the published partition dir names (`partCol=value`). */
   def replacePartitions(spark: SparkSession, name: String, df: DataFrame,
-      partCol: String): Unit = {
+      partCol: String): Seq[String] = {
     val f = fs(spark)
     val live = new Path(livePath(name))
     val tag = UUID.randomUUID().toString.take(8)
@@ -264,6 +265,44 @@ final class TableStore(val root: String, val retain: Int = 0) {
       f.delete(trash, true)
     }
     f.delete(tmp, true)
+    parts.map(_.getPath.getName).toSeq
+  }
+
+  /** DELETE FROM name WHERE pred — whole-table mode. SQL semantics:
+    * rows where `pred` is TRUE are removed; FALSE and NULL rows stay.
+    * One manifest-committed rewrite (same commit path as upsert), so
+    * readers see the old or the new version, never a partial delete.
+    * Carries commit-meta forward (a delete is maintenance, not a new
+    * logical batch — it must not re-open the replay guard). */
+  def deleteWhere(spark: SparkSession, name: String, pred: org.apache.spark.sql.Column): Unit =
+    replace(spark, name, read(spark, name).filter(!coalesce(pred, lit(false))))
+
+  /** Partition-scoped DELETE — the scale path. Finds the partitions
+    * that actually hold matching rows with a partition-pruned,
+    * column-pruned probe (reads `partCol` + the predicate's columns,
+    * nothing else), rewrites ONLY those partitions without their
+    * matching rows, and REMOVES any partition the delete empties
+    * entirely (a rewrite alone cannot express "this partition now has
+    * zero rows" — hive layout has no empty-dir convention). Untouched
+    * partitions are never read and stay byte-identical. At 100 TB a
+    * retention delete (`WHERE day < cutoff`) touches the expired
+    * partitions and nothing else. */
+  def deleteWherePartitioned(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column, partCol: String): Unit = {
+    if (!exists(spark, name)) return
+    // bounded collect: one value per partition holding a match
+    val touched = read(spark, name).filter(pred)
+      .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val kept = prunedRead(spark, name, partCol, touched)
+      .filter(!coalesce(pred, lit(false)))
+    // partitions with survivors swap atomically; emptied ones are the
+    // touched values the rewrite produced no directory for
+    val written = replacePartitions(spark, name, kept, partCol).toSet
+    val f = fs(spark)
+    touched.map(v => s"$partCol=$v").filterNot(written.contains).foreach { d =>
+      f.delete(new Path(livePath(name), d), true)
+    }
   }
 
   /** Per-partition compaction for PARTITIONED tables — the scheduled

@@ -97,6 +97,7 @@ object CoreQueries {
   /** Fixed store root for the partitioned-upsert gate query (wiped per
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
+  private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
   private val KllStorePath = "/root/repo/target/tmp/kll-store"
@@ -720,6 +721,31 @@ object CoreQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S4c: partition-scoped DELETE, end to end through disk ------
+    // The lakehouse DML verb the store was missing: seed a year-
+    // partitioned orders store, DELETE WHERE (status F before 1995 —
+    // a retention-style predicate), read back. Only partitions holding
+    // matching rows are rewritten (a partition the delete empties is
+    // REMOVED — TableStoreDeleteSpec pins both, plus byte-identical
+    // untouched partitions and SQL null-predicate semantics). The
+    // DuckDB oracle is simply the complement filter over the source.
+    "s4_delete_where" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(DeleteStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(DeleteStorePath)
+      val o = Tables.orders(s, dir)
+        .withColumn("p_year", year($"o_orderdate").cast("int"))
+      store.replacePartitions(s, "orders",
+        o.repartition($"p_year"), "p_year")
+      store.deleteWherePartitioned(s, "orders",
+        $"o_orderstatus" === "F" && year($"o_orderdate") < 1995, "p_year")
+      store.read(s, "orders")
+        .groupBy($"p_year".cast("int").as("p_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"p_year")
+    }),
+
     // ---- A3b: conditional aggregation via FILTER clauses ---------------
     // One scan, many differently-filtered aggregates — the idiomatic
     // replacement for N self-joins or N passes. Same SQL text runs in
@@ -1320,6 +1346,13 @@ object CoreQueries {
         |       + month(COALESCE(u.o_orderdate, t.o_orderdate)) AS INTEGER) AS p_month
         |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "s4_delete_where" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS p_year,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p13_map_ops" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
