@@ -277,6 +277,51 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def deleteWhere(spark: SparkSession, name: String, pred: org.apache.spark.sql.Column): Unit =
     replace(spark, name, read(spark, name).filter(!coalesce(pred, lit(false))))
 
+  /** UPDATE name SET (col → expr) WHERE pred — whole-table mode.
+    * Assignments apply only where `pred` is TRUE (FALSE/NULL rows pass
+    * through verbatim); an assignment may reference any of the row's
+    * columns (standard SQL UPDATE: all RHS evaluate against the OLD
+    * row — Column expressions naturally do). One manifest-committed
+    * rewrite; commit-meta carried forward like deleteWhere. */
+  def updateWhere(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit =
+    replace(spark, name, applyUpdate(read(spark, name), pred, set))
+
+  /** Partition-scoped UPDATE — touched-partition-only rewrite, same
+    * discovery as deleteWherePartitioned. `set` must not assign
+    * `partCol` (a row changing partition is a MOVE — express that as
+    * delete+upsert, which commits per partition; silently rewriting
+    * under the old dir would corrupt the layout). */
+  def updateWherePartitioned(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column], partCol: String): Unit = {
+    require(!set.contains(partCol),
+      s"updating partition column $partCol would move rows between partitions — " +
+        "express a partition move as deleteWherePartitioned + upsertPartitioned")
+    if (!exists(spark, name)) return
+    val touched = read(spark, name).filter(pred)
+      .select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val updated = applyUpdate(prunedRead(spark, name, partCol, touched), pred, set)
+    replacePartitions(spark, name, updated, partCol)
+  }
+
+  private def applyUpdate(df: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val unknown = set.keySet -- df.columns.toSet
+    require(unknown.isEmpty, s"UPDATE SET targets unknown columns: ${unknown.mkString(", ")}")
+    // evaluate every RHS against the OLD row in one projection —
+    // sequential withColumn would let assignment k see assignment k-1
+    val cols = df.columns.map { c =>
+      set.get(c).fold(col(c)) { rhs =>
+        when(coalesce(pred, lit(false)), rhs).otherwise(col(c)).as(c)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Partition-scoped DELETE — the scale path. Finds the partitions
     * that actually hold matching rows with a partition-pruned,
     * column-pruned probe (reads `partCol` + the predicate's columns,

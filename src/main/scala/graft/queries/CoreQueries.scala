@@ -98,6 +98,7 @@ object CoreQueries {
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
+  private val UpdateStorePath = "/root/repo/target/tmp/update-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
   private val KllStorePath = "/root/repo/target/tmp/kll-store"
@@ -746,6 +747,30 @@ object CoreQueries {
         .orderBy($"p_year")
     }),
 
+    // ---- S4d: partition-scoped UPDATE, end to end through disk ------
+    // Same store as the delete test-bench, other verb: bump P-status
+    // order values ×2 and retag them, touching only the partitions
+    // that hold a P order. Assignments evaluate against the OLD row in
+    // ONE projection (standard UPDATE semantics — TableStoreDeleteSpec
+    // pins the no-chaining contract). ×2.0 is exact in binary floating
+    // point, so the aggregate hash-matches DuckDB's CASE rewrite.
+    "s4_update_where" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(UpdateStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(UpdateStorePath)
+      val o = Tables.orders(s, dir)
+        .withColumn("p_year", year($"o_orderdate").cast("int"))
+      store.replacePartitions(s, "orders", o.repartition($"p_year"), "p_year")
+      store.updateWherePartitioned(s, "orders", $"o_orderstatus" === "P",
+        Map("o_totalprice" -> ($"o_totalprice" * 2.0), "o_orderstatus" -> lit("X")),
+        "p_year")
+      store.read(s, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // ---- A3b: conditional aggregation via FILTER clauses ---------------
     // One scan, many differently-filtered aggregates — the idiomatic
     // replacement for N self-joins or N passes. Same SQL text runs in
@@ -1353,6 +1378,14 @@ object CoreQueries {
          |FROM orders
          |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s4_update_where" ->
+      s"""WITH u AS (
+         |  SELECT CASE WHEN o_orderstatus = 'P' THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders)
+         |SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p13_map_ops" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

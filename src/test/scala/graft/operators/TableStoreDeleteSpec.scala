@@ -97,4 +97,42 @@ class TableStoreDeleteSpec extends SparkSpec {
     store.deleteWherePartitioned(spark, "t", col("x") > 99, "p")
     assert(fileState(store, "t") == before)
   }
+
+  test("updateWhere: assignments see the OLD row; FALSE/NULL rows verbatim") {
+    val store = freshStore()
+    store.replace(spark, "t", rows(("a", 1, 0), ("b", 2, 0), ("c", null, 0)))
+    // swap-style double assignment: x gets x+10 while k gets old x —
+    // if assignments chained, k would see the updated x
+    store.updateWhere(spark, "t", col("x") >= 1,
+      Map("x" -> (col("x") + 10), "k" -> concat(col("k"), col("x"))))
+    val got = store.read(spark, "t").collect()
+      .map(r => (r.getAs[String]("k"), Option(r.getAs[Integer]("x")).map(_.toInt))).toSet
+    assert(got == Set(("a1", Some(11)), ("b2", Some(12)), ("c", None)))
+  }
+
+  test("updateWhere rejects unknown SET columns") {
+    val store = freshStore()
+    store.replace(spark, "t", rows(("a", 1, 0)))
+    intercept[IllegalArgumentException] {
+      store.updateWhere(spark, "t", lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("partitioned update rewrites only matching partitions; partCol assignment rejected") {
+    val store = freshStore()
+    store.replacePartitions(spark, "t",
+      rows(("a", 1, 1), ("b", 2, 2), ("c", 3, 3)).repartition(1), "p")
+    val before = fileState(store, "t")
+    store.updateWherePartitioned(spark, "t", col("k") === "b",
+      Map("x" -> lit(99)), "p")
+    val after = fileState(store, "t")
+    assert(after.filter(_._1.contains("p=1")) == before.filter(_._1.contains("p=1")))
+    assert(after.filter(_._1.contains("p=3")) == before.filter(_._1.contains("p=3")))
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Int]("x")).toMap
+    assert(got == Map("a" -> 1, "b" -> 99, "c" -> 3))
+    intercept[IllegalArgumentException] {
+      store.updateWherePartitioned(spark, "t", lit(true), Map("p" -> lit(9)), "p")
+    }
+  }
 }
