@@ -186,6 +186,43 @@ object AnalyticsQueries {
         .orderBy($"o_orderstatus")
     }),
 
+    // ---- A4d: deterministic LISTAGG (string aggregation) ------------
+    // The BI string_agg/listagg: distinct values per group, joined in
+    // a TOTAL order. collect_set alone is partition-order-dependent;
+    // array_sort makes the result a pure function of the set, so it
+    // hash-matches DuckDB's ORDER BY'd string_agg. Distinct + sort
+    // happen per group over ≤5 values — the heavy side is one hash
+    // aggregate over the scan.
+    "a4_listagg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          array_join(array_sort(collect_set($"o_orderpriority")), ",").as("priorities"),
+          size(collect_set($"o_orderpriority")).cast("long").as("n_distinct"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // ---- W10: gap-and-islands (consecutive-day activity runs) -------
+    // Streaks of consecutive active days per user — retention/health
+    // analytics' favorite shape. The classic trick: within a user,
+    // day minus row_number is CONSTANT across a consecutive run, so
+    // grouping by that anchor folds each island without self-joins.
+    // One shuffle on user_id, per-user-bounded window state.
+    "w10_islands" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      daily
+        .withColumn("anchor", date_sub($"day", row_number().over(w)))
+        .groupBy($"user_id", $"anchor")
+        .agg(min($"day").as("d0"), max($"day").as("d1"), count(lit(1)).as("n_days"))
+        .select($"user_id", $"d0".cast("timestamp").as("island_start"),
+          $"d1".cast("timestamp").as("island_end"), $"n_days")
+        .orderBy($"user_id", $"island_start")
+    }),
+
     // ---- A10c: winsorized aggregate (stats-then-apply clipping) -----
     // Robust-mean prep every training-data pipeline runs: clip the
     // tails at [p05, p95], THEN aggregate. Two-phase plan: (1) exact
@@ -318,6 +355,26 @@ object AnalyticsQueries {
         |       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_disc,
         |       CAST(n AS BIGINT) AS n_rows
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a4_listagg" ->
+      """WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  COUNT(*) AS n_distinct
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w10_islands" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |      FROM daily)
+        |SELECT user_id,
+        |  CAST(MIN(day) AS TIMESTAMP) AS island_start,
+        |  CAST(MAX(day) AS TIMESTAMP) AS island_end,
+        |  COUNT(*) AS n_days
+        |FROM r GROUP BY user_id, anchor
+        |ORDER BY user_id, island_start""".stripMargin,
 
     "a4_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
