@@ -102,23 +102,22 @@ object Ann {
     val index = bucketIndex(emb, idCol, vecCol, tables, bits, dim, seed)
     val lhs = index.select(col("id").as("idA"), col("t"), col("b"))
     val rhs = index.select(col("id").as("idB"), col("t").as("tB"), col("b").as("bB"))
-    // candidate SLOTS, not deduped pairs: a pair colliding in c ≤ tables
-    // tables appears c times. Deduping here would shuffle every slot;
-    // instead re-rank the slots directly (the dot is codegen'd and
-    // cheaper than a shuffle write per row) and dedup only the top
-    // k·tables rows — which provably contain the top k distinct pairs,
-    // since the ≤ (k−1)·tables slots of higher-ranked pairs plus the
-    // best slot of pair k fit inside k·tables under the same total
-    // order. TakeOrderedAndProject keeps a bounded heap per partition,
-    // so the only full shuffle in the whole plan is the bucket
-    // equi-join itself.
+    // candidate slots dedup BEFORE the vectors attach: a pair colliding
+    // in c ≤ tables tables appears c times, and every slot that reaches
+    // the re-rank drags two dim-double arrays through the plan (the
+    // join materializes ea/eb per row — at dim=64 that is ~1 KB per
+    // slot, ~tables× more bytes than the whole distinct shuffle, whose
+    // rows are two longs). At cluster scale the vector-attach joins are
+    // themselves shuffles of the pair set, so collapsing multiplicity
+    // first is cheaper still. distinct() here is one narrow exchange;
+    // the re-rank then does ONE codegen'd dot per UNIQUE candidate.
     val cands = lhs
       .join(rhs, col("t") === col("tB") && col("b") === col("bB") && col("idA") < col("idB"))
       .select("idA", "idB")
+      .distinct()
     // norms precomputed per vector (n values, carried through the
-    // equi-joins) so the re-rank does ONE codegen'd dot per candidate;
-    // same float expression order as cosine(), so sims are
-    // bit-identical to the all-pairs baseline.
+    // equi-joins); same float expression order as cosine(), so sims
+    // are bit-identical to the all-pairs baseline.
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dotd(col(vecCol), col(vecCol))).as("nrm"))
     cands
@@ -126,9 +125,6 @@ object Ann {
       .join(e.select(col("id").as("idB"), col("v").as("eb"), col("nrm").as("nb")), "idB")
       .select(col("idA"), col("idB"),
         round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("idA"), col("idB"))
-      .limit(k * tables)
-      .distinct()
       .orderBy(col("sim").desc, col("idA"), col("idB"))
       .limit(k)
   }

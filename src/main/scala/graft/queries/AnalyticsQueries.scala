@@ -223,6 +223,62 @@ object AnalyticsQueries {
         .orderBy($"user_id", $"island_start")
     }),
 
+    // ---- A12: event-transition matrix (first-order Markov counts) ---
+    // "After a click, what happens next?" — the sequence-mining
+    // primitive behind next-action models and anomaly detection on
+    // event streams. One window (lead over the per-user timeline)
+    // turns the firehose into (from, to) edges; the transition counts
+    // are then one hash aggregate, and the per-source shares come
+    // from a window over the ≤|types|² counts table, never the facts.
+    // One shuffle on user_id at any scale; share math is integer ppm
+    // (exact in both engines — double division would drift).
+    "a12_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(byTs))
+        .filter($"next_type".isNotNull)
+      val counts = edges.groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val perFrom = Window.partitionBy($"from_type")
+      counts
+        .withColumn("from_total", sum($"n").over(perFrom))
+        // integer DIV, not `/` + cast: double-divide then cast rounds in
+        // DuckDB but truncates in Spark — ppm via DIV is exact in both
+        .withColumn("share_ppm", expr("(n * 1000000) div from_total"))
+        .select($"from_type", $"to_type", $"n", $"share_ppm")
+        .orderBy($"from_type", $"to_type")
+    }),
+
+    // ---- A5c: hierarchical share-of-parent (region → nation) --------
+    // Each nation's revenue as a share of its region — the drill-down
+    // ratio every BI hierarchy renders. Dims broadcast (region and
+    // nation are tiny at any scale factor), the fact aggregates ONCE
+    // to the leaf level, and the parent totals come from a window
+    // over the 25-row leaf table — never a second pass over orders.
+    // Money routed through integer cents; the share is integer ppm
+    // so the hash is exact cross-engine.
+    "a5_share_of_parent" -> ((s, dir) => {
+      import s.implicits._
+      val leaf = Tables.orders(s, dir)
+        .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("yc"))
+        .join(broadcast(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir).select($"r_regionkey", $"r_name")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum($"yc").as("nation_cents"))
+      val perRegion = Window.partitionBy($"r_name")
+      leaf
+        .withColumn("region_cents", sum($"nation_cents").over(perRegion))
+        .withColumn("share_ppm", expr("(nation_cents * 1000000) div region_cents"))
+        .select($"r_name", $"n_name", $"nation_cents", $"share_ppm")
+        .orderBy($"r_name", $"n_name")
+    }),
+
     // ---- A10c: winsorized aggregate (stats-then-apply clipping) -----
     // Robust-mean prep every training-data pipeline runs: clip the
     // tails at [p05, p95], THEN aggregate. Two-phase plan: (1) exact
@@ -383,6 +439,32 @@ object AnalyticsQueries {
         |        ORDER BY n DESC, o_orderpriority) AS rk FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_rows
         |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "a12_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |edges AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM edges
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, SUM(n) OVER (PARTITION BY from_type) AS from_total FROM c)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // from_total AS BIGINT) AS share_ppm
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
+    "a5_share_of_parent" ->
+      """WITH leaf AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS nation_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT *, SUM(nation_cents) OVER (PARTITION BY r_name) AS region_cents FROM leaf)
+        |SELECT r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
+        |  CAST((nation_cents * 1000000) // region_cents AS BIGINT) AS share_ppm
+        |FROM t ORDER BY r_name, n_name""".stripMargin,
 
     "a10_winsorize" ->
       """WITH cut AS (
