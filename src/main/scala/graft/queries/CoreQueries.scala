@@ -167,6 +167,38 @@ object CoreQueries {
         .orderBy($"event_id")
     }),
 
+    // ---- J5: temporal (point-in-time / SCD2 interval) join -----------
+    // The feature-store correctness primitive: each fact row joins the
+    // dimension VERSION valid at the fact's timestamp — purchases per
+    // user form a version chain ([ts, next ts) closed-open, last one
+    // open-ended), clicks look up the price in force when they
+    // happened. Executed as an as-of join (union + one ordered window
+    // pass — one shuffle on the key), NOT as the interval join the
+    // oracle spells out: a BETWEEN-condition join degenerates to
+    // O(facts·versions) candidate pairs inside hot keys at 100 TB.
+    // The DuckDB oracle IS the literal interval join, so the hash gate
+    // proves the as-of plan implements exact SCD2 semantics (including
+    // facts before any version → NULL). Versions are LWW-deduped per
+    // (user, ts) first — both engines — so zero-length intervals
+    // can't make the two forms diverge.
+    "j4_temporal_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val wv = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+      // value IS NOT NULL (both engines): the as-of carry uses
+      // last(ignoreNulls) — a null-valued version would be skipped
+      // over where the interval join returns NULL, so null versions
+      // are excluded from the chain by contract
+      val versions = e.filter($"event_type" === "purchase" && $"value".isNotNull)
+        .withColumn("rk", row_number().over(wv)).filter($"rk" === 1)
+        .select($"user_id", $"ts", $"value".as("price"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      graft.operators.AsOfJoin.asOf(clicks, versions, "user_id", "ts", Seq("price"))
+        .select($"event_id", $"user_id", $"asof_price".as("price_asof"))
+        .orderBy($"event_id")
+    }),
+
     // ---- A2: dedup by key, last-writer-wins --------------------------
     "a2_latest_event_per_user" -> ((s, dir) => {
       import s.implicits._
@@ -1147,6 +1179,20 @@ object CoreQueries {
         |   FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts) AS last_click_ts
         |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+
+    "j4_temporal_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |v AS (SELECT user_id, vts AS valid_from,
+        |    lead(vts) OVER (PARTITION BY user_id ORDER BY vts) AS valid_to, value
+        |  FROM p WHERE rk = 1),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, v.value AS price_asof
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.valid_from
+        |  AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+        |ORDER BY c.event_id""".stripMargin,
 
     "a2_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type,
