@@ -279,6 +279,61 @@ object AnalyticsQueries {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // ---- A13: time-weighted average (TWAP / sensor integration) -----
+    // The irregular-sampling average: each observation's value holds
+    // until the next one, so the mean weights by HOLD DURATION, not by
+    // row count (a plain avg over-weights bursty periods). One lead
+    // window per user gives the durations; the weighted mean is then
+    // one exact integer aggregate — value in cents × duration in µs
+    // stays far under 2^63 per user-group, and the final DIV is
+    // integer, so the result hash-matches DuckDB with no float
+    // accumulation anywhere. (At sfs where a single user's Σ(c·µs)
+    // could overflow, the sums route through DECIMAL(38,0) — same
+    // plan, wider accumulator.) One shuffle on user_id.
+    "a13_twap" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id",
+          round($"value" * 100).cast("long").as("vc"))
+        .withColumn("dur_us", unix_micros(lead($"ts", 1).over(byTs)) - unix_micros($"ts"))
+        .filter($"dur_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(sum($"vc" * $"dur_us").as("wsum"), sum($"dur_us").as("total_dur_us"))
+        .filter($"total_dur_us" > 0L)
+        .select($"user_id", expr("wsum div total_dur_us").as("twap_cents"), $"total_dur_us")
+        .orderBy($"user_id")
+    }),
+
+    // ---- A13b: OHLC bars (event-time downsampling) -------------------
+    // The resample-to-bars primitive: per (user, hour), the first /
+    // max / min / last observed value. First/last are resolved by
+    // ranking windows with a TOTAL order (ts, event_id) — built-in
+    // first()/last() aggregates are partition-order-dependent and
+    // ungateable; min_by/max_by tie arbitrarily on equal keys. Values
+    // are carried verbatim (no arithmetic), so doubles hash-match.
+    // One shuffle on (user, hour) for the windows, then the agg
+    // reuses the same partitioning.
+    "a13_ohlc" -> ((s, dir) => {
+      import s.implicits._
+      val bar = date_trunc("hour", $"ts")
+      val asc = Window.partitionBy($"user_id", bar).orderBy($"ts".asc, $"event_id".asc)
+      val desc = Window.partitionBy($"user_id", bar).orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("bar_hour", bar)
+        .withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy($"user_id", $"bar_hour")
+        .agg(
+          max(when($"rn_a" === 1, $"value")).as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max(when($"rn_d" === 1, $"value")).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy($"user_id", $"bar_hour")
+    }),
+
     // ---- A10c: winsorized aggregate (stats-then-apply clipping) -----
     // Robust-mean prep every training-data pipeline runs: clip the
     // tails at [p05, p95], THEN aggregate. Two-phase plan: (1) exact
@@ -465,6 +520,33 @@ object AnalyticsQueries {
         |SELECT r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
         |  CAST((nation_cents * 1000000) // region_cents AS BIGINT) AS share_ppm
         |FROM t ORDER BY r_name, n_name""".stripMargin,
+
+    "a13_twap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |d AS (SELECT user_id, vc,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        |  FROM e),
+        |g AS (SELECT user_id,
+        |    CAST(SUM(vc * dur_us) AS BIGINT) AS wsum,
+        |    CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+        |  FROM d WHERE dur_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(wsum // total_dur_us AS BIGINT) AS twap_cents, total_dur_us
+        |FROM g WHERE total_dur_us > 0 ORDER BY user_id""".stripMargin,
+
+    "a13_ohlc" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bar_hour ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, bar_hour ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT user_id, bar_hour,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_ticks
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a10_winsorize" ->
       """WITH cut AS (
