@@ -74,6 +74,17 @@ object CoreQueries {
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Top-n per group via SQL-standard LATERAL — one text for both
+    * engines. Catalyst decorrelates the correlated-LIMIT subquery
+    * into a ranked join rather than re-running it per outer row. */
+  private val LateralTopNSql =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
   /** TPC-H Q3 shape — one SQL text for both engines (Spark runs it
     * via spark.sql, DuckDB as the oracle). */
   private val ShippingPrioritySql =
@@ -395,6 +406,18 @@ object CoreQueries {
     "sql_inactive_rich" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(InactiveRichSql)
+    }),
+
+    // ---- SQL surface: LATERAL correlated subquery (top-n per group) --
+    // The per-group top-n spelled the SQL-standard way. Catalyst
+    // decorrelates the correlated LIMIT subquery into a ranked join
+    // (no per-row re-execution — the naive reading would be one
+    // customer scan per nation); DuckDB runs the identical text, so
+    // the gate pins both the decorrelation's correctness and the
+    // deterministic (acctbal DESC, name) tie order.
+    "sql_lateral_topn" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LateralTopNSql)
     }),
 
     // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ----
@@ -1243,6 +1266,7 @@ object CoreQueries {
     "sql_order_count_dist" -> OrderCountDistSql,
 
     "sql_inactive_rich" -> InactiveRichSql,
+    "sql_lateral_topn" -> LateralTopNSql,
 
     "sql_top_unshipped" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
