@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Functions, VecCentroid}
@@ -117,6 +118,37 @@ object VectorQueries {
         .orderBy("label", "idx")
     }),
 
+    // ---- X2c: nearest-centroid classifier + confusion matrix --------
+    // The embedding-QA eval loop: label centroids from the corpus,
+    // assign every vector to its nearest centroid, cross-tabulate
+    // predicted vs true label. Made EXACTLY reproducible cross-engine
+    // by doing the whole geometry in integers: values quantize to
+    // 1e-6 ints and SHIFT non-negative (distances are shift-
+    // invariant; non-negativity makes floor-div == trunc-div, so
+    // DuckDB's // and Spark's div agree), centroids are round-half-up
+    // rational means via (2S+n) div 2n, and squared distances are
+    // exact longs (diff² ≤ ~1.5e12 × 64 dims — no overflow at any
+    // corpus size, the bound depends on the VALUE range, not n).
+    // Argmin ties break on label asc. Plan: one explode + two hash
+    // aggregates + a broadcast-sized dims×labels join + one ranking
+    // window over 10 rows/vector — one real shuffle on (vec, label).
+    "x2_centroid_classify" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .select(col("vec_id"), col("label"), col("idx"),
+          (round(col("v").cast("double") * 1000000L).cast("long") + 1000000L).as("x6"))
+      val cent = x.groupBy(col("label").as("c_label"), col("idx"))
+        .agg(expr("(2 * sum(x6) + count(*)) div (2 * count(*))").as("c6"))
+      val d2 = x.join(broadcast(cent), Seq("idx"))
+        .groupBy(col("vec_id"), col("label"), col("c_label"))
+        .agg(sum((col("x6") - col("c6")) * (col("x6") - col("c6"))).as("d2"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+      d2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("label").as("true_label"), col("c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
     // ---- A6 typed Aggregator centroid (the idiomatic fast path) -----
     // No oracle: double accumulation is order-sensitive; pinned against
     // x2_centroid_exact by VecCentroidSpec within 1e-9 instead.
@@ -160,6 +192,22 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "x2_ann_topk" -> topkOracle,
     "x2_ivf_topk" -> topkOracle,
+    "x2_centroid_classify" ->
+      """WITH x AS (SELECT vec_id, label, i AS idx,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x6
+        |  FROM embeddings, generate_series(1, 64) s(i)),
+        |c AS (SELECT label AS c_label, idx,
+        |    CAST((2*SUM(x6) + COUNT(*)) // (2*COUNT(*)) AS BIGINT) AS c6
+        |  FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label, c.c_label,
+        |    CAST(SUM((x.x6 - c.c6)*(x.x6 - c.c6)) AS BIGINT) AS d2
+        |  FROM x JOIN c USING (idx) GROUP BY 1, 2, 3),
+        |p AS (SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        |  FROM d)
+        |SELECT label AS true_label, c_label AS pred_label, COUNT(*) AS n
+        |FROM p WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "x2_range_search" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |sims AS (
