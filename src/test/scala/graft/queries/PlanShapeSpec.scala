@@ -118,6 +118,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!sortBeforeAgg, "bucketing must not sort the fact table")
   }
 
+  test("a5_share_of_parent: all three dims broadcast; the window input is the leaf aggregate") {
+    val p = AnalyticsQueries.all("a5_share_of_parent")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // orders is the only file scan that isn't a broadcast dim: 4 scans total
+    assert("FileScan parquet".r.findAllIn(p).size == 4, p.take(1500))
+  }
+
+  test("x2_centroid_classify: centroid table broadcasts; no cartesian against the vectors") {
+    val p = VectorQueries.all("x2_centroid_classify")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("j4_temporal_join: as-of plan has no range-condition join (one key shuffle, window pass)") {
+    val p = CoreQueries.all("j4_temporal_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("x3_keyword_search: ranked hits are plausible postings (scores descend, terms bounded)") {
     val rows = TextQueries.all("x3_keyword_search")(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
