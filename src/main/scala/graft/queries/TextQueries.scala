@@ -304,6 +304,36 @@ object TextQueries {
     // bin-packing heuristics). Scale: partition-parallel across langs;
     // at 100 TB you shard the window key further (e.g. lang × bucket
     // of doc_id) so no single partition holds a whole language.
+    // ---- X3h: dataset mixture construction ---------------------------
+    // The pretraining data-mixture builder: sources fold into weighted
+    // tiers (40/30/20/10% of a fixed token budget) and each tier
+    // takes documents in a DETERMINISTIC content-hash order until its
+    // token budget is exhausted. Re-running the pipeline — in any
+    // engine, at any parallelism — selects the same documents: the
+    // order is md5(text) (tie-broken by doc_id), the take-while is an
+    // integer cumsum ≤ integer budget. One shuffle on tier for the
+    // cumsum window; token counts are the same single-pass expression
+    // the rest of the text family uses. At 100 TB the tier window is
+    // the only ordered pass, and it carries (hash, n_tok) — not text.
+    "x3_mixture" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).select(
+        (expr("cast(substring(source, 4) as int)") % 4).as("tier"),
+        col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      val w = Window.partitionBy(col("tier")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("budget_tok",
+          (when(col("tier") === 0, 40L).when(col("tier") === 1, 30L)
+            .when(col("tier") === 2, 20L).otherwise(10L)) * 200L)
+        .filter(col("cum") <= col("budget_tok"))
+        .groupBy(col("tier"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .orderBy("tier", "source")
+    }),
+
     "x3_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val win = Window.partitionBy("lang").orderBy("doc_id")
@@ -522,6 +552,17 @@ object TextQueries {
         |SELECT base.doc_id AS doc_id, n_words, dup_words,
         |       CAST(COALESCE(gm.m, 0) AS BIGINT) AS top_bigram_cnt
         |FROM base LEFT JOIN gm ON base.doc_id = gm.doc_id ORDER BY base.doc_id""".stripMargin,
+
+    "x3_mixture" ->
+      """WITH t AS (SELECT CAST(substring(source, 4) AS INT) % 4 AS tier, source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+        |    md5(text) AS h FROM documents),
+        |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY tier ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+        |s AS (SELECT * FROM c WHERE cum <=
+        |    (CASE tier WHEN 0 THEN 40 WHEN 1 THEN 30 WHEN 2 THEN 20 ELSE 10 END) * 200)
+        |SELECT tier, source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x3_pack_sequences" ->
       """WITH t AS (SELECT lang, doc_id,
