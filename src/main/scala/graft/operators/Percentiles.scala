@@ -71,7 +71,8 @@ object Percentiles {
     * unpartitioned window runs over the COUNTS table, never the data.
     */
   def exactDistributed(df: DataFrame, groupCols: Seq[String], valCol: String,
-      ps: Seq[Double], names: Seq[String]): DataFrame = {
+      ps: Seq[Double], names: Seq[String],
+      restoreNullGroups: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)
     val spark = df.sparkSession
     val g = groupCols.map(col)
@@ -108,7 +109,7 @@ object Percentiles {
         max(when(col("r") === ceil(pos(p)), col("v"))).as(s"_hi$i"))
     } :+ max(col("n")).as("_n")
     val agged = ranked.filter(needed).groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
-    restoreAndInterpolate(df, agged, groupCols, ps, names)
+    restoreAndInterpolate(df, agged, groupCols, ps, names, restoreNullGroups)
   }
 
   /** Shared tail: Spark's Percentile.getPercentile interpolation over
@@ -116,9 +117,17 @@ object Percentiles {
     * values are ALL null — the built-in still emits them (with NULL
     * percentiles), but they have no ranked rows. A global aggregate
     * (no group columns) already emits its single row unconditionally.
+    *
+    * `restoreNullGroups = false` skips the restore: it costs a second
+    * scan of `df` (distinct group keys + a left join) that exists ONLY
+    * to re-emit all-null-value groups. A caller whose measure is
+    * non-null by construction (prices, absolute deviations) drops that
+    * scan; the contract change is exactly "groups with zero non-null
+    * values are absent" (pinned by PercentilesSpec).
     */
   private def restoreAndInterpolate(df: DataFrame, agged: DataFrame,
-      groupCols: Seq[String], ps: Seq[Double], names: Seq[String]): DataFrame = {
+      groupCols: Seq[String], ps: Seq[Double], names: Seq[String],
+      restoreNullGroups: Boolean = true): DataFrame = {
     val g = groupCols.map(col)
     val outs = ps.zip(names).zipWithIndex.map { case ((p, name), i) =>
       val position = (col("_n") - 1).cast("double") * lit(p)
@@ -130,6 +139,7 @@ object Percentiles {
         .as(name)
     }
     if (groupCols.isEmpty) agged.select(outs: _*)
+    else if (!restoreNullGroups) agged.select(g ++ outs: _*)
     else df.select(g: _*).distinct()
       .join(agged, groupCols, "left")
       .select(g ++ outs: _*)

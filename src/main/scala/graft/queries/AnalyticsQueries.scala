@@ -349,7 +349,7 @@ object AnalyticsQueries {
       import s.implicits._
       val cuts = graft.operators.Percentiles.exactDistributed(
           Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
-          Seq(0.05, 0.95), Seq("p05", "p95"))
+          Seq(0.05, 0.95), Seq("p05", "p95"), restoreNullGroups = false)
         .select($"l_returnflag",
           floor($"p05" * 100).cast("long").as("lo_c"),
           floor($"p95" * 100).cast("long").as("hi_c"))

@@ -295,7 +295,10 @@ object CoreQueries {
       import s.implicits._
       graft.operators.Percentiles.exactDistributed(
           Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
-          Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
+          Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"),
+          // prices are non-null by construction: skip the extra scan
+          // that only re-emits all-null-value groups
+          restoreNullGroups = false)
         .select($"l_returnflag",
           round($"p50", 4).as("p50"), round($"p90", 4).as("p90"),
           round($"p99", 4).as("p99"))

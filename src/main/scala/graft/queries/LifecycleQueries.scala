@@ -172,12 +172,16 @@ object LifecycleQueries {
       // buffering `percentile` aggregate here would be the a4
       // scale-killer twice
       val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      // both measures are non-null by construction (prices; |x - m|
+      // after an inner join) — skip the null-group restore scans
       val med = graft.operators.Percentiles.exactDistributed(
-        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5), Seq("m"))
+        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5), Seq("m"),
+        restoreNullGroups = false)
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("ad", abs($"l_extendedprice" - $"m"))
       val mad = graft.operators.Percentiles.exactDistributed(
-        dev, Seq("l_returnflag"), "ad", Seq(0.5), Seq("mad"))
+        dev, Seq("l_returnflag"), "ad", Seq(0.5), Seq("mad"),
+        restoreNullGroups = false)
       dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),

@@ -101,6 +101,24 @@ class PercentilesSpec extends SparkSpec {
     assert(t.getDouble(1) == 7.0)
   }
 
+  test("restoreNullGroups=false: identical values, all-null groups absent, no extra scan") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None),
+      ("c", Some(5.0))).toDF("g", "x")
+    val fast = Percentiles.exactDistributed(df, Seq("g"), "x", Seq(0.5), Seq("p50"),
+      restoreNullGroups = false).orderBy("g").collect()
+    // exactly the non-null groups, same values as the restoring form
+    assert(fast.map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(fast(0).getDouble(1) == 2.0 && fast(1).getDouble(1) == 5.0)
+    // the restore's group-universe scan is gone: one scan of the input
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def scans(restore: Boolean) = "FileScan parquet|LocalTableScan".r.findAllIn(
+      Percentiles.exactDistributed(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5), Seq("p50"), restoreNullGroups = restore)
+        .queryExecution.executedPlan.toString).size
+    assert(scans(restore = false) < scans(restore = true))
+  }
+
   test("exactDistributed never sorts a whole group in one task (no unpartitioned data window)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Percentiles.exactDistributed(li, Nil, "l_extendedprice", Seq(0.5), Seq("p50"))
