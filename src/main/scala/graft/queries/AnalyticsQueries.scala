@@ -279,6 +279,39 @@ object AnalyticsQueries {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // ---- A14: market-basket co-purchase (support + lift) ------------
+    // The retail staple: which part pairs appear in the same order
+    // more often than independence predicts. Pair generation is a
+    // WITHIN-BASKET self-join — keyed on the order, so the blow-up is
+    // O(k²) per basket (k = items/order, small and bounded by the
+    // domain), never O(n²) over the catalog; item supports and the
+    // basket count are two cheap aggregates joined back by key. Lift
+    // is integer ppm ((pair_n·N·1e6) div (n_a·n_b)) — exact in both
+    // engines; at extreme scale the numerator routes through
+    // DECIMAL(38,0), the plan is unchanged. Top-25 by support with a
+    // total tie order, so the output is deterministic.
+    "a14_copurchase" -> ((s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val pairs = items.toDF("l_orderkey", "part_a")
+        .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
+        .filter($"part_a" < $"part_b")
+        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("pair_n"))
+      val supp = items.groupBy($"l_partkey").agg(count(lit(1)).as("item_n"))
+      val nOrders = items.select($"l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(supp.toDF("part_a", "n_a")), Seq("part_a"))
+        .join(broadcast(supp.toDF("part_b", "n_b")), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_ppm",
+          expr("(pair_n * n_orders * 1000000) div (n_a * n_b)"))
+        .select($"part_a", $"part_b", $"pair_n", $"n_a", $"n_b", $"lift_ppm")
+        .orderBy($"pair_n".desc, $"lift_ppm".desc, $"part_a", $"part_b")
+        .limit(25)
+    }),
+
     // ---- A13: time-weighted average (TWAP / sensor integration) -----
     // The irregular-sampling average: each observation's value holds
     // until the next one, so the mean weights by HOLD DURATION, not by
@@ -520,6 +553,23 @@ object AnalyticsQueries {
         |SELECT r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
         |  CAST((nation_cents * 1000000) // region_cents AS BIGINT) AS share_ppm
         |FROM t ORDER BY r_name, n_name""".stripMargin,
+
+    "a14_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |supp AS (SELECT l_partkey, COUNT(*) AS item_n FROM items GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+        |SELECT part_a, part_b, pair_n,
+        |  sa.item_n AS n_a, sb.item_n AS n_b,
+        |  CAST((pair_n * n_orders * 1000000) // (sa.item_n * sb.item_n) AS BIGINT) AS lift_ppm
+        |FROM pairs
+        |JOIN supp sa ON sa.l_partkey = part_a
+        |JOIN supp sb ON sb.l_partkey = part_b
+        |CROSS JOIN n
+        |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
 
     "a13_twap" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
