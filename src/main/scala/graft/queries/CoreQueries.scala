@@ -411,6 +411,30 @@ object CoreQueries {
       s.sql(InactiveRichSql)
     }),
 
+    // ---- S14: cross-engine table checksum (data reconciliation) ------
+    // The "did the copy land intact" primitive: per-partition row
+    // counts plus an order-independent content checksum that any
+    // engine can recompute — md5 of a canonical row rendering, folded
+    // with BIT_XOR (commutative, no overflow, no order sensitivity).
+    // The row rendering uses only engine-stable strings (integers and
+    // verbatim text; money pre-quantized to cents) so Spark and DuckDB
+    // produce identical digests byte for byte. One partial+final hash
+    // aggregate over the scan; checksums of a 100 TB table reduce to
+    // one row per partition and compare with an equi-join.
+    "s14_table_checksum" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int").as("p_month"),
+          expr("""cast(conv(substring(md5(concat_ws('|',
+            cast(o_orderkey as string), cast(o_custkey as string), o_orderstatus,
+            cast(cast(round(o_totalprice * 100) as bigint) as string),
+            o_orderpriority)), 1, 15), 16, 10) as bigint)""").as("h"))
+        .groupBy($"p_month")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .orderBy($"p_month")
+    }),
+
     // ---- SQL surface: LATERAL correlated subquery (top-n per group) --
     // The per-group top-n spelled the SQL-standard way. Catalyst
     // decorrelates the correlated LIMIT subquery into a ranked join
@@ -1270,6 +1294,16 @@ object CoreQueries {
 
     "sql_inactive_rich" -> InactiveRichSql,
     "sql_lateral_topn" -> LateralTopNSql,
+    "s14_table_checksum" ->
+      """WITH r AS (SELECT
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 100 + month(CAST(o_orderdate AS DATE)) AS INT) AS p_month,
+        |    CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |      CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |      o_orderpriority)), 1, 15) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT p_month, COUNT(*) AS n_rows, BIT_XOR(h) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sql_top_unshipped" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
