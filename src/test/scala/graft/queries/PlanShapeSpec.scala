@@ -142,6 +142,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("a14_copurchase: the 4-times-referenced distinct item set reuses one exchange") {
+    val df = AnalyticsQueries.all("a14_copurchase")(spark, dir)
+    df.collect() // AQE finalizes exchange reuse at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
   test("x3_keyword_search: ranked hits are plausible postings (scores descend, terms bounded)") {
     val rows = TextQueries.all("x3_keyword_search")(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
