@@ -279,6 +279,30 @@ object AnalyticsQueries {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // ---- W13: rolling 7-day active users (sliding distinct) ---------
+    // WAU over time — the sliding COUNT(DISTINCT) no engine supports
+    // as a window function. Exact via contribute-explode: each (user,
+    // active day) contributes to the 7 report days it falls inside,
+    // the contribution set dedups per (user, report day), one hash agg
+    // counts. Work is O(7·|user-days|) over the PRE-AGGREGATED daily
+    // activity table (already distinct, tiny vs the event firehose) —
+    // never a per-window rescan of events; at 100 TB the window factor
+    // stays a constant 7 and every stage is partial+final.
+    "w13_rolling_wau" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      daily
+        .withColumn("report_day", explode(sequence($"day", date_add($"day", 6))))
+        .select($"user_id", $"report_day").distinct()
+        .join(broadcast(bounds), col("report_day").between(col("d0"), col("d1")))
+        .groupBy($"report_day")
+        .agg(count(lit(1)).as("wau")) // rows are already (user, day)-distinct
+        .select($"report_day".cast("timestamp").as("report_day"), $"wau")
+        .orderBy($"report_day")
+    }),
+
     // ---- A14: market-basket co-purchase (support + lift) ------------
     // The retail staple: which part pairs appear in the same order
     // more often than independence predicts. Pair generation is a
@@ -553,6 +577,15 @@ object AnalyticsQueries {
         |SELECT r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
         |  CAST((nation_cents * 1000000) // region_cents AS BIGINT) AS share_ppm
         |FROM t ORDER BY r_name, n_name""".stripMargin,
+
+    "w13_rolling_wau" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |c AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS report_day
+        |      FROM daily, generate_series(0, 6) s(i)),
+        |f AS (SELECT c.report_day FROM c, b WHERE report_day BETWEEN d0 AND d1)
+        |SELECT CAST(report_day AS TIMESTAMP) AS report_day, COUNT(*) AS wau
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a14_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
