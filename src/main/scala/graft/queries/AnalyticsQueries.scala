@@ -279,6 +279,48 @@ object AnalyticsQueries {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // ---- A15: A/B experiment readout (two-proportion z-test) --------
+    // The experimentation primitive: split users into variants
+    // (deterministic content-hash of the user key — the same
+    // assignment everywhere, like x3_train_test_split), measure a
+    // binary conversion (did the user ever purchase), compute the
+    // pooled two-proportion z statistic. The four sufficient counts
+    // are exact integers from two hash aggregates; the z formula is
+    // one IEEE expression tree over exact-integer-valued doubles —
+    // bit-identical in any engine, same discipline as a10_trend. At
+    // 100 TB this is two partial+final aggs over the event scan.
+    "a15_abtest" -> ((s, dir) => {
+      import s.implicits._
+      // conversion = "ever made a high-value purchase" (every user has
+      // SOME purchase in this corpus — an unconditional flag would put
+      // pooled p at 1.0 and zero the z denominator)
+      val users = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase" && $"value" > 150.0, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2L).cast("int"))
+      val m = users.groupBy($"variant")
+        .agg(count(lit(1)).as("n"), sum($"converted").as("c"))
+      val w = m.groupBy()
+        .agg(
+          max(when($"variant" === 0, $"n")).cast("double").as("n0"),
+          max(when($"variant" === 0, $"c")).cast("double").as("c0"),
+          max(when($"variant" === 1, $"n")).cast("double").as("n1"),
+          max(when($"variant" === 1, $"c")).cast("double").as("c1"))
+      // degenerate pools (p = 0 or 1) null the statistic instead of
+      // dividing by zero — same CASE guard in the oracle
+      val pooled = ($"c0" + $"c1") / ($"n0" + $"n1")
+      w.select(
+        $"n0".cast("long").as("n_control"), $"c0".cast("long").as("conv_control"),
+        $"n1".cast("long").as("n_treat"), $"c1".cast("long").as("conv_treat"),
+        when(pooled > 0.0 && pooled < 1.0,
+          ($"c1" / $"n1" - $"c0" / $"n0") /
+            sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / $"n0" + lit(1.0) / $"n1")))
+          .as("z_score"))
+    }),
+
     // ---- W13: rolling 7-day active users (sliding distinct) ---------
     // WAU over time — the sliding COUNT(DISTINCT) no engine supports
     // as a window function. Exact via contribute-explode: each (user,
@@ -577,6 +619,27 @@ object AnalyticsQueries {
         |SELECT r_name, n_name, CAST(nation_cents AS BIGINT) AS nation_cents,
         |  CAST((nation_cents * 1000000) // region_cents AS BIGINT) AS share_ppm
         |FROM t ORDER BY r_name, n_name""".stripMargin,
+
+    "a15_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS INT) AS variant,
+        |    converted FROM u),
+        |m AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS c FROM v GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(MAX(CASE WHEN variant = 0 THEN n END) AS DOUBLE) AS n0,
+        |    CAST(MAX(CASE WHEN variant = 0 THEN c END) AS DOUBLE) AS c0,
+        |    CAST(MAX(CASE WHEN variant = 1 THEN n END) AS DOUBLE) AS n1,
+        |    CAST(MAX(CASE WHEN variant = 1 THEN c END) AS DOUBLE) AS c1
+        |  FROM m)
+        |SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+        |  CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+        |  CASE WHEN (c0 + c1) / (n0 + n1) > 0.0 AND (c0 + c1) / (n0 + n1) < 1.0 THEN
+        |    (c1/n1 - c0/n0) /
+        |      sqrt(((c0 + c1) / (n0 + n1)) * (1.0 - (c0 + c1) / (n0 + n1)) * (1.0/n0 + 1.0/n1))
+        |  END AS z_score
+        |FROM w""".stripMargin,
 
     "w13_rolling_wau" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
