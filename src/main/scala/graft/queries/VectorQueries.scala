@@ -26,18 +26,20 @@ object VectorQueries {
     // true top-10 on this data, so it shares the exact oracle while
     // doing bucket-collision work only. Build-once / probe-many: the
     // bucket index persists per sf dir and a warm probe is one
-    // broadcast bucket lookup + re-rank (testdata dim=64 passed
-    // explicitly — no probe job to infer it).
+    // broadcast bucket lookup + re-rank; the probe reads the build's
+    // (tables, bits, dim, seed) from the index meta table — no probe
+    // job to infer dim, and corpus-derived bits can't be guessed.
     "x2_ann_topk" -> ((s, dir) => {
       Functions.register(s)
       val emb = Tables.embeddings(s, dir)
-      // v2 path segment = index FORMAT version (v2: sorted (t,b)
-      // layout): bump it whenever build semantics change, or an index
-      // persisted by older code would silently serve a now-oracle-
-      // gated query; indexKey guards against regenerated data
+      // v3 path segment = index FORMAT version (v3: params meta table,
+      // corpus-derived bits; v2 sorted (t,b) layout): bump it whenever
+      // build semantics change, or an index persisted by older code
+      // would silently serve a now-oracle-gated query; indexKey guards
+      // against regenerated data
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/ann-index/v2/${indexKey(s, dir)}")
-      if (!store.exists(s, "ann_buckets"))
+        s"/root/repo/target/tmp/ann-index/v3/${indexKey(s, dir)}")
+      if (!store.exists(s, "ann_buckets") || !store.exists(s, "ann_meta"))
         Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
       Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", queryId = 0L, k = 10)
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))

@@ -64,9 +64,21 @@ class AnnSpec extends SparkSpec {
     assert(probe == ephemeral)
   }
 
-  test("nearDupPairs (LSH-blocked) equals the all-pairs top-20 on testdata") {
+  test("deriveBits: floor 6 on small corpora, +1 bit per doubling, capped") {
+    assert(Ann.deriveBits(500) == 6)    // testdata sf0.01 — spec-pinned regime
+    assert(Ann.deriveBits(2000) == 8)   // testdata sf0.1
+    assert(Ann.deriveBits(1) == 6 && Ann.deriveBits(0) == 6)
+    assert(Ann.deriveBits(1L << 40) == 28) // capped
+    // monotone non-decreasing, never jumps by more than the doubling
+    val bs = (1 to 24).map(i => Ann.deriveBits(1L << i))
+    assert(bs == bs.sorted && bs.sliding(2).forall(p => p.last - p.head <= 1))
+  }
+
+  test("nearDupPairs (LSH-blocked, derived bits) equals the all-pairs top-20 on testdata") {
     Functions.register(spark)
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // sf0.1 matters most: n=2000 derives bits=8 (the other two derive
+    // the old pinned 6), so this pins exactness AT the derived width.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val emb = Tables.embeddings(spark, d)
       val e = emb.select(col("vec_id"), col("embedding"),
         sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
@@ -81,6 +93,27 @@ class AnnSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(blocked == brute, s"blocked != all-pairs at $d")
     }
+  }
+
+  test("candidate-slot volume grows ~linearly with corpus size (derived bits)") {
+    Functions.register(spark)
+    def slots(d: String): (Long, Long) = {
+      val emb = Tables.embeddings(spark, d)
+      val n = emb.count()
+      val idx = Ann.bucketIndex(emb, "vec_id", "embedding",
+        tables = Ann.deriveTables(n), bits = Ann.deriveBits(n))
+      val lhs = idx.select(col("id").as("idA"), col("t"), col("b"))
+      val rhs = idx.select(col("id").as("idB"), col("t").as("tB"), col("b").as("bB"))
+      (n, lhs.join(rhs,
+        col("t") === col("tB") && col("b") === col("bB") && col("idA") < col("idB")).count())
+    }
+    val (n1, c1) = slots("/root/testdata/sf0.01")
+    val (n2, c2) = slots("/root/testdata/sf0.1")
+    // fixed bits=6 would scale slots by (n2/n1)² = 16×; derived bits
+    // must keep growth ~linear in n (2× headroom over proportional
+    // for non-uniform bucket occupancy)
+    assert(c2.toDouble / c1 <= 2.0 * n2.toDouble / n1,
+      s"candidate slots grew super-linearly: n $n1->$n2, slots $c1->$c2")
   }
 
   test("VecCentroid aggregator matches the exact decimal centroid within 1e-5") {
