@@ -178,18 +178,18 @@ object TextQueries {
     // the walk crosses a multiple of (totalW div 20). ALL integer
     // arithmetic — no rand(), no pow/ln — so unlike exponential
     // (A-ES) sampling this is exactly reproducible in any engine and
-    // oracle-gated by hash, not by statistics. One window pass over
-    // one global ordering; at 100 TB the same plan runs per-stratum
-    // (partitionBy) instead of globally.
+    // oracle-gated by hash, not by statistics. The cumulative walk is
+    // the DISTRIBUTED two-pass prefix sum (Partitioning.prefixSum,
+    // VERDICT r2 #2) bucketed by the leading 2 hex chars of the order
+    // hash — 256-way parallel, no task ever holds the whole corpus
+    // (the old global Window.orderBy put every row in ONE partition).
     "x3_weighted_sample" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           size(tokens(col("text"))).cast("long").as("w"),
           md5(col("text").cast("binary")).as("h"))
-      val ord = Window.orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = d.withColumn("cw", sum(col("w")).over(ord))
+      val cum = graft.operators.Partitioning.prefixSum(d, Nil,
+        substring(col("h"), 1, 2), Seq(col("h"), col("doc_id")), col("w"), "cw")
       val total = d.agg(sum(col("w")).as("tw"))
       cum.crossJoin(broadcast(total))
         .withColumn("step", expr("tw div 20"))
@@ -311,20 +311,20 @@ object TextQueries {
     // token budget is exhausted. Re-running the pipeline — in any
     // engine, at any parallelism — selects the same documents: the
     // order is md5(text) (tie-broken by doc_id), the take-while is an
-    // integer cumsum ≤ integer budget. One shuffle on tier for the
-    // cumsum window; token counts are the same single-pass expression
-    // the rest of the text family uses. At 100 TB the tier window is
-    // the only ordered pass, and it carries (hash, n_tok) — not text.
+    // integer cumsum ≤ integer budget. The per-tier cumsum is the
+    // distributed prefix sum (Partitioning.prefixSum) bucketed by the
+    // hash's leading 2 hex chars WITHIN each tier: 4 tiers no longer
+    // mean 4 window tasks each holding a quarter of the corpus
+    // (VERDICT r2 #3) — parallelism is tiers×256, and the ordered
+    // pass carries (hash, n_tok), not text.
     "x3_mixture" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, dir).select(
         (expr("cast(substring(source, 4) as int)") % 4).as("tier"),
         col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         md5(col("text")).as("h"))
-      val w = Window.partitionBy(col("tier")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      t.withColumn("cum", sum(col("n_tok")).over(w))
+      graft.operators.Partitioning.prefixSum(t, Seq("tier"),
+          substring(col("h"), 1, 2), Seq(col("h"), col("doc_id")), col("n_tok"), "cum")
         .withColumn("budget_tok",
           (when(col("tier") === 0, 40L).when(col("tier") === 1, 30L)
             .when(col("tier") === 2, 20L).otherwise(10L)) * 200L)

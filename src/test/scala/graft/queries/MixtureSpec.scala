@@ -18,32 +18,39 @@ class MixtureSpec extends SparkSpec {
   private def budgets: Map[Int, Long] =
     Map(0 -> 40L, 1 -> 30L, 2 -> 20L, 3 -> 10L).map { case (t, w) => t -> w * 200L }
 
-  test("every tier stays within budget AND is maximal (the next doc would overflow)") {
+  test("every tier stays within budget AND selection is exactly the in-budget prefix") {
     val s = spark; import s.implicits._
     val used = selection.groupBy($"tier").agg(sum($"tokens").as("used"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // per-doc view, in the exact selection order the query uses
     val t = Tables.documents(spark, dir).select(
       (expr("cast(substring(source, 4) as int)") % 4).as("tier"),
-      col("doc_id"),
+      col("source"), col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tok"),
-      md5(col("text")).as("h"))
-    val w = Window.partitionBy(col("tier")).orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = t.withColumn("cum", sum(col("n_tok")).over(w)).collect()
-      .map(r => (r.getInt(0), r.getString(3), r.getLong(1), r.getLong(2), r.getLong(4)))
-    for ((tier, budget) <- budgets) {
-      val tierUsed = used.getOrElse(tier, 0L)
-      assert(tierUsed <= budget, s"tier $tier used $tierUsed > budget $budget")
-      // maximality: the first EXCLUDED doc (if any) would have pushed
-      // the cumulative total over budget
-      val ordered = cum.filter(_._1 == tier).sortBy(r => (r._2, r._3))
-      val firstExcluded = ordered.find(_._5 > budget)
-      firstExcluded.foreach { r =>
-        assert(tierUsed + r._4 > budget,
-          s"tier $tier excluded doc ${r._3} (${r._4} tok) though it fits: used $tierUsed, budget $budget")
+      md5(col("text")).as("h")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // recompute the take-while locally: within each tier, walk the
+    // (h, doc_id) order and include every doc whose running total
+    // stays within budget. The selection must equal this set EXACTLY
+    // per (tier, source) — an off-by-one in the query's cum<=budget
+    // filter (e.g. cum<budget, or exclusive window frame) fails this,
+    // unlike the old first-excluded check, which was arithmetically
+    // implied by the budget check (ADVICE r2).
+    val expected = t.groupBy(_._1).toSeq.flatMap { case (tier, rows) =>
+      val budget = budgets(tier)
+      var cum = 0L
+      rows.sortBy(r => (r._5, r._3)).toSeq.flatMap { r =>
+        cum += r._4
+        if (cum <= budget) Some((tier, r._2, r._4)) else None
       }
-    }
+    }.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> ((rs.size.toLong, rs.map(_._3).sum)) }
+    val got = selection.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"selection != in-budget prefix: got $got expected $expected")
+    for ((tier, budget) <- budgets)
+      assert(used.getOrElse(tier, 0L) <= budget,
+        s"tier $tier used ${used(tier)} > budget $budget")
   }
 
   test("selection is invariant to input partitioning") {
