@@ -100,7 +100,7 @@ class TableStoreManifestSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       store.upsertPartitioned(spark, "t", widened, Seq("k"), "p")
     }
-    assert(e.getMessage.contains("note") && e.getMessage.contains("whole-table"))
+    assert(e.getMessage.contains("note") && e.getMessage.contains("widenPartitioned"))
   }
 
   test("IncrementalAgg replay guard: additive fold never double-counts") {

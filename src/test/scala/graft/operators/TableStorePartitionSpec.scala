@@ -109,6 +109,105 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(store.read(spark, "t").count() == 2)
   }
 
+  test("a multi-partition batch commits through ONE manifest: both partitions map to one version") {
+    val store = freshStore()
+    store.upsertPartitioned(spark, "t",
+      batch(1, Seq("a" -> "x")).union(batch(2, Seq("b" -> "y"))), Seq("k"), "p_date")
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new Path(store.livePath("t"), "_pmanifest")
+    assert(f.exists(mp), "partitioned commit must publish a _pmanifest")
+    val in = f.open(mp)
+    val lines = try new String(in.readAllBytes(), "UTF-8").linesIterator.toSeq finally in.close()
+    val vers = lines.map(_.split('\t')).map(a => a(0) -> a(1)).toMap
+    assert(vers.keySet == Set("p_date=1", "p_date=2"))
+    assert(vers.values.toSet.size == 1, s"one batch = one version tag: $vers")
+  }
+
+  test("crash between staging and commit: reader sees the WHOLLY old batch; vacuum cleans") {
+    val store = freshStore()
+    store.upsertPartitioned(spark, "t",
+      batch(1, Seq("a" -> "x")).union(batch(2, Seq("b" -> "y"))), Seq("k"), "p_date",
+      numFiles = Some(1))
+    val before = store.read(spark, "t").collect().map(_.toString).sorted.toSeq
+    val beforeFiles = fileState(store, "t")
+    // simulate a writer that STAGED a new version for both partitions
+    // and died before the single manifest rename: orphan v-dirs exist
+    // under every partition dir, the manifest still names the old ones
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq("p_date=1", "p_date=2")) {
+      val staged = new Path(store.livePath("t"), s"$p/v-crashed1")
+      f.mkdirs(staged)
+      // plant REAL parquet data in the orphan so a reader that wrongly
+      // listed directories (instead of the manifest) would see it
+      batch(99, Seq("z" -> "boom")).drop("p_date")
+        .write.mode("overwrite").parquet(new Path(staged, "inner").toString)
+      f.listStatus(new Path(staged, "inner")).filter(_.isFile)
+        .foreach(s => f.rename(s.getPath, new Path(staged, s.getPath.getName)))
+      f.delete(new Path(staged, "inner"), true)
+    }
+    assert(store.read(spark, "t").collect().map(_.toString).sorted.toSeq == before,
+      "reader must resolve the manifest, not directory listings")
+    store.vacuum(spark)
+    assert(fileState(store, "t") == beforeFiles, "vacuum must remove only the orphans")
+    val leftover = f.listStatus(new Path(store.livePath("t"), "p_date=1"))
+      .map(_.getPath.getName).toSet
+    assert(!leftover.contains("v-crashed1"), "vacuum must collect staged-but-uncommitted versions")
+  }
+
+  test("widenPartitioned: one-time sweep adds a column atomically; implicit widening still rejected") {
+    val store = freshStore()
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")), Seq("k"), "p_date",
+      numFiles = Some(1))
+    store.upsertPartitioned(spark, "t", batch(2, Seq("b" -> "y")), Seq("k"), "p_date",
+      numFiles = Some(1))
+    store.widenPartitioned(spark, "t",
+      Map("score" -> org.apache.spark.sql.functions.lit(0L)), "p_date")
+    // widened column readable across every (old) partition
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("score")).toMap
+    assert(got == Map("a" -> 0L, "b" -> 0L))
+    // the sweep is ONE commit: both partitions carry the same version tag
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(new Path(store.livePath("t"), "_pmanifest"))
+    val vers = (try new String(in.readAllBytes(), "UTF-8").linesIterator.toSeq finally in.close())
+      .map(_.split('\t')).map(a => a(1)).toSet
+    assert(vers.size == 1)
+    // a post-widen single-partition upsert carries the column and
+    // leaves the other partition byte-identical
+    val before1 = fileState(store, "t").filter(_._1.contains("p_date=1"))
+    val s = spark; import s.implicits._
+    store.upsertPartitioned(spark, "t",
+      Seq(("c", "z", 2, 7L)).toDF("k", "v", "p_date", "score"), Seq("k"), "p_date",
+      numFiles = Some(1))
+    assert(fileState(store, "t").filter(_._1.contains("p_date=1")) == before1)
+    assert(store.read(spark, "t").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("score")).toMap
+      == Map("a" -> 0L, "b" -> 0L, "c" -> 7L))
+    // clashing name rejected
+    intercept[IllegalArgumentException] {
+      store.widenPartitioned(spark, "t",
+        Map("v" -> org.apache.spark.sql.functions.lit("")), "p_date")
+    }
+  }
+
+  test("legacy flat hive layout is adopted on first v2 write, data intact") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    // fabricate the OLD layout: files directly under partCol=value dirs
+    Seq(("a", "x", 1, 1L), ("b", "y", 2, 1L)).toDF("k", "v", "p_date", "nupdates")
+      .write.partitionBy("p_date").parquet(store.livePath("t"))
+    assert(store.read(spark, "t").count() == 2) // legacy read path works
+    store.upsertPartitioned(spark, "t", batch(2, Seq("b" -> "y2")),
+      Seq("k"), "p_date", numFiles = Some(1))
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getAs[String]("k") -> (r.getAs[String]("v"), r.getAs[Long]("nupdates"))).toMap
+    assert(got == Map("a" -> ("x", 1L), "b" -> ("y2", 2L)))
+    // adopted partition now lives under a version dir and the manifest
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new Path(store.livePath("t"), "p_date=1/v-adopted")))
+    assert(f.exists(new Path(store.livePath("t"), "_pmanifest")))
+  }
+
   test("compactPartitions folds only fragmented partitions; compact ones stay byte-identical") {
     val store = freshStore()
     // day 5 fragmented (plan-driven parallelism: 4 files), day 6 compact (1 file)
