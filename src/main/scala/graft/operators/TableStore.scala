@@ -62,24 +62,35 @@ final class TableStore(val root: String, val retain: Int = 0) {
 
   private def pmanifest(name: String): Path = new Path(s"$root/$name/_pmanifest")
 
-  /** Partitioned-mode commit state: partition-dir-name → version-dir
-    * name (e.g. "p_date=20250505" → "v-ab12cd34"). None = table is not
-    * in manifest-committed partitioned mode. */
-  private def partitionMap(f: FileSystem, name: String): Option[Map[String, String]] = {
+  /** Raw pmanifest lines (header `#`-lines first), or None if the
+    * table is not in manifest-committed partitioned mode. */
+  private def pmanifestLines(f: FileSystem, name: String): Option[Seq[String]] = {
     val mp = pmanifest(name)
     if (!f.exists(mp)) None
     else {
       val in = f.open(mp)
-      val lines =
-        try new String(in.readAllBytes(), "UTF-8").linesIterator
-          .map(_.trim).filter(_.nonEmpty).toSeq
-        finally in.close()
-      Some(lines.map { l =>
-        val i = l.lastIndexOf('\t')
-        l.substring(0, i) -> l.substring(i + 1)
-      }.toMap)
+      try Some(new String(in.readAllBytes(), "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq)
+      finally in.close()
     }
   }
+
+  /** Partitioned-mode commit state: partition-dir-name → version-dir
+    * name (e.g. "p_date=20250505" → "v-ab12cd34"). None = table is not
+    * in manifest-committed partitioned mode. */
+  private def partitionMap(f: FileSystem, name: String): Option[Map[String, String]] =
+    pmanifestLines(f, name).map(_.filterNot(_.startsWith("#")).map { l =>
+      val i = l.lastIndexOf('\t')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap)
+
+  /** Commit-metadata of the current PARTITIONED commit (the `#meta`
+    * manifest header) — the partitioned counterpart of
+    * `readCommitMeta`, atomic with the data for the same reason: it
+    * rides in the single manifest rename. */
+  def readPartitionedCommitMeta(spark: SparkSession, name: String): Option[String] =
+    pmanifestLines(fs(spark), name)
+      .flatMap(_.find(_.startsWith("#meta\t")).map(_.stripPrefix("#meta\t")))
 
   /** The committed version chain from the manifest, newest first
     * (line 0 = current, line k = k commits back). Empty if the table
@@ -209,11 +220,13 @@ final class TableStore(val root: String, val retain: Int = 0) {
     replace(spark, name, numFiles.fold(merged)(merged.coalesce), batchId.map(_.toString))
   }
 
-  /** True iff `batchId` is defined and the table's current version was
-    * committed by this batch or a later one. */
+  /** True iff `batchId` is defined and the table's current version
+    * (whole-table or partitioned commit) was committed by this batch
+    * or a later one. */
   def alreadyApplied(spark: SparkSession, name: String, batchId: Option[Long]): Boolean =
     batchId.exists(id =>
-      readCommitMeta(spark, name).flatMap(_.toLongOption).exists(_ >= id))
+      readCommitMeta(spark, name).orElse(readPartitionedCommitMeta(spark, name))
+        .flatMap(_.toLongOption).exists(_ >= id))
 
   /** Partition-pruned read: only directories whose `partCol` value is
     * in `values` are listed/scanned — the plan shows the IN filter
@@ -242,10 +255,16 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * partitions and duplicate. Int-valued partition columns round-trip
     * hive partition-type inference losslessly; prefer them (e.g.
     * yyyymmdd) over date/string values. */
+  /** @param batchId replay guard, same contract as `upsert`: the id
+    *   commits atomically inside the partition manifest rename, so an
+    *   at-least-once driver's replayed batch is a no-op instead of
+    *   re-bumping counters in partitions that already committed. */
   def upsertPartitioned(spark: SparkSession, name: String, updates: DataFrame,
       keys: Seq[String], partCol: String,
-      counterCol: String = "nupdates", numFiles: Option[Int] = None): Unit = {
+      counterCol: String = "nupdates", numFiles: Option[Int] = None,
+      batchId: Option[Long] = None): Unit = {
     require(updates.columns.contains(partCol), s"updates must carry $partCol")
+    if (alreadyApplied(spark, name, batchId)) return
     val merged =
       if (!exists(spark, name)) {
         updates.withColumn(counterCol, lit(1L))
@@ -267,7 +286,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val touched = updates.select(partCol).distinct().collect().map(_.get(0)).toSeq
         Upsert.merge(prunedRead(spark, name, partCol, touched), updates, keys, Some(counterCol))
       }
-    replacePartitions(spark, name, numFiles.fold(merged)(merged.coalesce), partCol)
+    replacePartitions(spark, name, numFiles.fold(merged)(merged.coalesce), partCol,
+      meta = batchId.map(_.toString))
   }
 
   /** Swap in `df`'s partitions, BATCH-atomically (VERDICT r2 missing
@@ -294,7 +314,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * migration is NOT crash-atomic — the v2 commit that follows is).
     * Returns the published partition dir names (`partCol=value`). */
   def replacePartitions(spark: SparkSession, name: String, df: DataFrame,
-      partCol: String, dropIfUnwritten: Seq[String] = Nil): Seq[String] = {
+      partCol: String, dropIfUnwritten: Seq[String] = Nil,
+      meta: Option[String] = None): Seq[String] = {
     val f = fs(spark)
     val live = new Path(livePath(name))
     val tag = UUID.randomUUID().toString.take(8)
@@ -326,10 +347,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val written = parts.map(_.getPath.getName).toSeq
     val newMap = (prev -- dropIfUnwritten.filterNot(written.contains)) ++
       written.map(_ -> ver)
+    // commit-meta (replay watermark) carry-forward, same contract as
+    // replaceInternal: maintenance commits must not erase the
+    // last-applied batch id
+    val effMeta = meta.orElse(readPartitionedCommitMeta(spark, name))
     // THE commit point: one atomic pointer overwrite for the whole batch
     val mtmp = new Path(live, s"._pmanifest-$tag")
     val out = f.create(mtmp, true)
-    try out.write(newMap.toSeq.sortBy(_._1).map { case (p, v) => s"$p\t$v" }
+    try out.write((effMeta.map(m => s"#meta\t$m").toSeq ++
+        newMap.toSeq.sortBy(_._1).map { case (p, v) => s"$p\t$v" })
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(

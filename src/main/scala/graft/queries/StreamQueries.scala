@@ -35,6 +35,48 @@ object StreamQueries {
         .select(fmt(col("s_start")).as("s_start"), fmt(col("s_end")).as("s_end"),
           col("user_id"), col("n"))
         .orderBy("user_id", "s_start")
+    }),
+
+    // ---- T1/T4 END-TO-END STREAMED ingest, oracle-gated -------------
+    // The real streaming path, not the batch form: the events corpus
+    // is staged as 4 range-split files, readStream ingests them as 4
+    // AvailableNow micro-batches (maxFilesPerTrigger=1), and each
+    // batch folds per-user deltas into a TableStore through the
+    // exactly-once incrementalAggSink (batch-id replay guard inside
+    // the store commit). The FINAL STORED STATE then hashes against a
+    // one-shot DuckDB GROUP BY over the same events — so watermark-
+    // free ingestion, the micro-batch fold, the store commit, and the
+    // replay guard are all on the oracle gate, whatever the batch
+    // slicing (additive integer measures make the fold order-free).
+    // Value sums ride as exact micro-units (round(value*1e6) longs):
+    // additive across batches, bit-equal cross-engine.
+    "t1_stream_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val base = s"/root/repo/target/tmp/stream-ingest/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = new org.apache.hadoop.fs.Path(s"$base/stage")
+      if (!fs.exists(stage))
+        events.repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(stage.toString)
+      // fresh sink + checkpoint per run: the point is the full replay
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = Streams.incrementalAggSink(stream, store, "user_stats", Seq("user_id"),
+          Seq(graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
+            graft.operators.IncrementalAgg.Measure("v6",
+              sum(round(col("value") * 1000000L).cast("long")))))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$runDir/ckpt")
+        .start()
+      q.awaitTermination()
+      store.read(s, "user_stats")
+        .select(col("user_id"), col("n"), col("v6"))
+        .orderBy("user_id")
     })
   )
 
@@ -71,6 +113,13 @@ object StreamQueries {
         |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
         |       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
         |       user_id, COUNT(*) AS n
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // the streamed ingest's FINAL STATE must equal a one-shot GROUP BY
+    // over the same events, whatever the micro-batch slicing
+    "t1_stream_ingest" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -46,19 +46,18 @@ object Streams {
     * micro-batch MERGEs into (and rewrites) ONLY the partitions its
     * keys touch, so an endless stream never pays a growing-table
     * rewrite. `partCol` must be a column of the stream functionally
-    * determined by the keys (e.g. a date prefix). Note: commits here
-    * are per-partition renames, not one manifest swap, so the
-    * single-table batch-id replay guard does not apply — a replayed
-    * batch re-bumps counters in partitions that already committed.
-    * Use the whole-table `upsertSink` when exact counter semantics
-    * under replay matter more than partition-scoped I/O. */
+    * determined by the keys (e.g. a date prefix). Exactly-once: a
+    * partitioned batch commits through ONE `_pmanifest` rename that
+    * carries the batch id, so a replayed batch is a no-op instead of
+    * re-bumping counters (the r2 caveat — per-partition commits with
+    * no replay guard — is gone with the batch-atomic store commit). */
   def upsertSinkPartitioned(stream: DataFrame, store: TableStore, table: String,
       keys: Seq[String], partCol: String): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         store.upsertPartitioned(batch.sparkSession, table, batch, keys, partCol,
-          numFiles = Some(1))
+          numFiles = Some(1), batchId = Some(id))
       }
 
   /** T1/A1: micro-batch materialized-aggregate sink — each batch folds

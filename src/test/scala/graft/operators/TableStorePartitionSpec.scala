@@ -190,6 +190,21 @@ class TableStorePartitionSpec extends SparkSpec {
     }
   }
 
+  test("partitioned batch-id replay guard: a re-delivered batch is a no-op") {
+    val store = freshStore()
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")), Seq("k"), "p_date",
+      numFiles = Some(1), batchId = Some(0L))
+    val files = fileState(store, "t")
+    // at-least-once driver re-delivers batch 0: must not re-bump
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")), Seq("k"), "p_date",
+      numFiles = Some(1), batchId = Some(0L))
+    assert(fileState(store, "t") == files, "replayed batch must be a no-op on disk")
+    assert(store.read(spark, "t").collect().head.getAs[Long]("nupdates") == 1L)
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")), Seq("k"), "p_date",
+      numFiles = Some(1), batchId = Some(1L))
+    assert(store.read(spark, "t").collect().head.getAs[Long]("nupdates") == 2L)
+  }
+
   test("legacy flat hive layout is adopted on first v2 write, data intact") {
     val store = freshStore()
     val s = spark; import s.implicits._
