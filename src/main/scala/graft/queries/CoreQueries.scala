@@ -890,19 +890,32 @@ object CoreQueries {
     // Parts where no other part is both cheaper-or-equal AND
     // smaller-or-equal (strict somewhere) — the classic multi-criteria
     // shortlist. The 2-D skyline needs NO pairwise work: group per
-    // price (min size), one ordered window for "best size among
-    // strictly cheaper", and a row survives iff it beats that and ties
-    // the best at its own price. One sort-shuffle total, O(n) beyond
-    // it; the oracle is the quadratic NOT-EXISTS DEFINITION, so the
-    // hash gate proves the window plan equals the textbook semantics.
+    // price (min size), a running "best size among strictly cheaper",
+    // and a row survives iff it beats that and ties the best at its
+    // own price. The running min is DECOMPOSED like a prefix sum
+    // (VERDICT r2 #8): price-range buckets (floor(price/100) — a
+    // monotone coarsening) localize the ordered window, and the only
+    // unpartitioned window left runs over the BUCKET SUMMARIES — rows
+    // bounded by the price range, not by price cardinality or data.
+    // least() merges the two legs (it skips nulls, so "no cheaper
+    // price anywhere" stays null exactly as the single-window form).
+    // The oracle is the quadratic NOT-EXISTS DEFINITION, so the hash
+    // gate proves the decomposed plan equals the textbook semantics.
     "o4_skyline" -> ((s, dir) => {
       import s.implicits._
       val p = Tables.part(s, dir).select($"p_partkey", $"p_retailprice", $"p_size")
       val g = p.groupBy($"p_retailprice").agg(min($"p_size").as("gmin"))
-        .withColumn("prev_min", min($"gmin").over(
-          Window.orderBy($"p_retailprice")
-            .rowsBetween(Window.unboundedPreceding, -1)))
-      p.join(g, Seq("p_retailprice"))
+        .withColumn("bkt", floor($"p_retailprice" / 100))
+      val wIn = Window.partitionBy($"bkt").orderBy($"p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBkt = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val bktMin = g.groupBy($"bkt").agg(min($"gmin").as("bmin"))
+        .withColumn("prev_bmin", min($"bmin").over(wBkt))
+        .select($"bkt", $"prev_bmin")
+      val g2 = g.withColumn("in_prev", min($"gmin").over(wIn))
+        .join(broadcast(bktMin), Seq("bkt"))
+        .withColumn("prev_min", least($"in_prev", $"prev_bmin"))
+      p.join(g2, Seq("p_retailprice"))
         .filter($"p_size" === $"gmin" && ($"prev_min".isNull || $"p_size" < $"prev_min"))
         .select($"p_partkey", $"p_retailprice", $"p_size".cast("int").as("p_size"))
         .orderBy($"p_partkey")

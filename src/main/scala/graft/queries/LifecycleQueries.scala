@@ -189,6 +189,36 @@ object LifecycleQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- A9b': robust outliers with KLL cutpoints — the scale swap
+    // the exact query's doc promises (VERDICT r2 #5). Same two-round
+    // median/MAD shape, but each cutpoint comes from a mergeable KLL
+    // sketch: one partial+final hash aggregate per round (the shuffle
+    // carries kilobyte sketches, not rank-selection row traffic), so
+    // the two stats rounds cost two tiny exchanges at ANY group
+    // geometry. The flags themselves are still exact — only the
+    // cutpoints are approximate (KLL rank error <1% at this k), and a
+    // median that is off by a hair moves the 3·1.4826·MAD fence by a
+    // hair: RobustOutliersApproxSpec bounds the per-group flag-count
+    // delta vs the exact query. No DuckDB oracle by design (sketch
+    // internals differ across engines); rows-gated.
+    "a9_robust_outliers_approx" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Functions.register(s)
+      val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      def kllMedian(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
+        df.groupBy($"l_returnflag")
+          .agg(element_at(call_function("kll_quantiles", col(c), lit(0.5)), 1).as(out))
+      val med = kllMedian(li, "l_extendedprice", "m")
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("ad", abs($"l_extendedprice" - $"m"))
+      val mad = kllMedian(dev, "ad", "mad")
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"ad" > lit(3.0) * lit(1.4826) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- A11: declarative expectations report (data-quality) --------
     // dbt-tests / Great-Expectations analog: every row rule folds into
     // ONE aggregate over the scan (a new rule costs an expression, not

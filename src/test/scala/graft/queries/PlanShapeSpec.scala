@@ -67,6 +67,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Expand") || p.contains("Generate"), p.take(800))
   }
 
+  test("o4_skyline: running min is bucket-partitioned; no unpartitioned window over prices") {
+    val p = plan("o4_skyline")
+    // old shape: one window ordered by p_retailprice with NO partition
+    // spec — its task held every distinct price. The decomposed plan
+    // may only run unpartitioned over the bucket summaries.
+    assert(!"windowspecdefinition\\(p_retailprice#\\d+ ASC".r.unanchored.matches(p), p.take(1500))
+    assert(p.contains("bkt"), p.take(1500))
+  }
+
   test("x1_embed_neardup: LSH-blocked plan — no nested-loop or cartesian join") {
     val p = DedupQueries.all("x1_embed_neardup")(spark, dir)
       .queryExecution.executedPlan.toString
