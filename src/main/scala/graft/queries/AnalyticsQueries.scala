@@ -258,7 +258,10 @@ object AnalyticsQueries {
     // to the leaf level, and the parent totals come from a window
     // over the 25-row leaf table — never a second pass over orders.
     // Money routed through integer cents; the share is integer ppm
-    // so the hash is exact cross-engine.
+    // so the hash is exact cross-engine. The ppm numerator rides
+    // DECIMAL(38,0): a nation's cents sum can reach ~1e13+ at large
+    // scale factors and ×1e6 would silently wrap BIGINT (ADVICE r2);
+    // `div` still lands on an exact long, so the hash is unchanged.
     "a5_share_of_parent" -> ((s, dir) => {
       import s.implicits._
       val leaf = Tables.orders(s, dir)
@@ -274,7 +277,8 @@ object AnalyticsQueries {
       val perRegion = Window.partitionBy($"r_name")
       leaf
         .withColumn("region_cents", sum($"nation_cents").over(perRegion))
-        .withColumn("share_ppm", expr("(nation_cents * 1000000) div region_cents"))
+        .withColumn("share_ppm",
+          expr("(cast(nation_cents as decimal(38,0)) * 1000000) div region_cents"))
         .select($"r_name", $"n_name", $"nation_cents", $"share_ppm")
         .orderBy($"r_name", $"n_name")
     }),
@@ -331,18 +335,8 @@ object AnalyticsQueries {
     // never a per-window rescan of events; at 100 TB the window factor
     // stays a constant 7 and every stage is partial+final.
     "w13_rolling_wau" -> ((s, dir) => {
-      import s.implicits._
-      val daily = Tables.events(s, dir)
-        .select($"user_id", to_date($"ts").as("day")).distinct()
-      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
-      daily
-        .withColumn("report_day", explode(sequence($"day", date_add($"day", 6))))
-        .select($"user_id", $"report_day").distinct()
-        .join(broadcast(bounds), col("report_day").between(col("d0"), col("d1")))
-        .groupBy($"report_day")
-        .agg(count(lit(1)).as("wau")) // rows are already (user, day)-distinct
-        .select($"report_day".cast("timestamp").as("report_day"), $"wau")
-        .orderBy($"report_day")
+      rollingWau(Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
     }),
 
     // ---- A14: market-basket co-purchase (support + lift) ------------
@@ -465,6 +459,25 @@ object AnalyticsQueries {
         .orderBy($"l_returnflag")
     })
   )
+
+  /** The W13 core over a deduped (user_id, day) activity table.
+    * CONTRACT (ADVICE r2): a report day whose trailing 7-day window
+    * holds zero active users is ABSENT from the output, not wau=0 —
+    * the result is sparse over [min day, max day], exactly like the
+    * oracle's GROUP BY (both engines agree; RollingWauSpec pins the
+    * gap-day behavior on a fixture with an activity gap). Densify
+    * with a date spine downstream if a chart needs explicit zeros. */
+  def rollingWau(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    daily
+      .withColumn("report_day", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .select(col("user_id"), col("report_day")).distinct()
+      .join(broadcast(bounds), col("report_day").between(col("d0"), col("d1")))
+      .groupBy(col("report_day"))
+      .agg(count(lit(1)).as("wau")) // rows are already (user, day)-distinct
+      .select(col("report_day").cast("timestamp").as("report_day"), col("wau"))
+      .orderBy(col("report_day"))
+  }
 
   val oracle: Map[String, String] = Map(
     "w7_sessionize" ->

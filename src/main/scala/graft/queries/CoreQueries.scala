@@ -192,7 +192,7 @@ object CoreQueries {
     // facts before any version → NULL). Versions are LWW-deduped per
     // (user, ts) first — both engines — so zero-length intervals
     // can't make the two forms diverge.
-    "j4_temporal_join" -> ((s, dir) => {
+    "j5_temporal_join" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.events(s, dir)
       val wv = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
@@ -1243,7 +1243,7 @@ object CoreQueries {
         |   WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts) AS last_click_ts
         |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
 
-    "j4_temporal_join" ->
+    "j5_temporal_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, value,
         |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),

@@ -143,8 +143,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
   }
 
-  test("j4_temporal_join: as-of plan has no range-condition join (one key shuffle, window pass)") {
-    val p = CoreQueries.all("j4_temporal_join")(spark, dir)
+  test("j5_temporal_join: as-of plan has no range-condition join (one key shuffle, window pass)") {
+    val p = CoreQueries.all("j5_temporal_join")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
       !p.contains("SortMergeJoin"), p.take(1500))
