@@ -32,6 +32,57 @@ object CoreQueries {
       |       (SELECT COUNT(DISTINCT event_type) FROM events)
       |ORDER BY user_id""".stripMargin
 
+  /** TPC-H Q7 shape — one SQL text for both engines: bidirectional
+    * two-nation trade volume by ship year. Five joins (two against the
+    * same dim under different roles); the nation filter is pushed into
+    * BOTH nation scans by Catalyst, so the fact side only carries
+    * rows that can survive. Revenue = identical per-row double
+    * product, summed through decimal. */
+  private val VolumeShippingSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |             l_extendedprice * (1 - l_discount) AS volume
+      |      FROM lineitem
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders   ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q5 shape — one SQL text for both engines: revenue from
+    * LOCAL supply chains (customer and supplier in the same nation).
+    * The c_nationkey = s_nationkey equi-condition rides the supplier
+    * join, never a post-join filter over the full product. */
+  private val LocalSupplierVolumeSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q14 shape — one SQL text for both engines: promotion
+    * revenue vs total per ship year. Exact integer cents (identical
+    * per-row double product, rounded once) so the promo share derives
+    * downstream without cross-engine float division. */
+  private val PromoRevenueSql =
+    """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |       ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY l_year ORDER BY l_year""".stripMargin
+
   /** Conditional aggregation (FILTER clauses) — one SQL text for both
     * engines: one scan, many differently-filtered aggregates. */
   private val FilteredAggSql =
@@ -403,6 +454,24 @@ object CoreQueries {
     "sql_order_count_dist" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(OrderCountDistSql)
+    }),
+
+    // ---- SQL surface: two-nation trade volume (TPC-H Q7 shape) --------
+    "sql_volume_shipping" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(VolumeShippingSql)
+    }),
+
+    // ---- SQL surface: local-supply-chain revenue (TPC-H Q5 shape) -----
+    "sql_local_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LocalSupplierVolumeSql)
+    }),
+
+    // ---- SQL surface: promo revenue by year (TPC-H Q14 shape) ---------
+    "sql_promo_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(PromoRevenueSql)
     }),
 
     // ---- SQL surface: scalar subquery + NOT EXISTS (TPC-H Q22 shape) --
@@ -1304,6 +1373,9 @@ object CoreQueries {
     "sql_division" -> DivisionSql,
 
     "sql_order_count_dist" -> OrderCountDistSql,
+    "sql_volume_shipping" -> VolumeShippingSql,
+    "sql_local_supplier" -> LocalSupplierVolumeSql,
+    "sql_promo_revenue" -> PromoRevenueSql,
 
     "sql_inactive_rich" -> InactiveRichSql,
     "sql_lateral_topn" -> LateralTopNSql,

@@ -223,6 +223,55 @@ object DedupQueries {
         .orderBy("lang")
     }),
 
+    // ---- exact 13-gram decontamination (GPT-3/PaLM style) -----------
+    // The OTHER contamination check: x1_contamination finds near-dup
+    // eval docs; this finds eval docs sharing any EXACT 13-token
+    // window with any training doc — the n-gram overlap rule the
+    // GPT-3/PaLM reports applied. Plan: one generator per side
+    // (word_ngrams is the codegen'd distinct-shingle expression), an
+    // equi-join on the md5 of the gram — both engines join on the same
+    // 32-char key, so the shuffle carries fingerprints, not 13-word
+    // strings (~3× narrower; at 100 TB that is the difference in the
+    // one real exchange this query has) — then a per-doc count. The
+    // train side dedups grams BEFORE the join (distinct on the
+    // fingerprint), so a gram repeated across the corpus joins once.
+    "x1_decontam_exact" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        graft.operators.Sampling.splitColumn(col("text")).as("split"),
+        explode(call_function("word_ngrams", col("text"), lit(13))).as("gram"))
+        .select(col("doc_id"), col("split"), md5(col("gram")).as("g"))
+      val te = d.filter(col("split") === "test").select(col("doc_id"), col("g"))
+      val tr = d.filter(col("split") === "train").select(col("g")).distinct()
+      te.join(tr, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+        .select(col("doc_id").as("eval_doc"), col("n_hit_grams"))
+        .orderBy("eval_doc")
+    }),
+
+    // ---- span-level duplication share (RefinedWeb/Gopher signal) ----
+    // Within-corpus repetition measured at SPAN granularity: the share
+    // of a doc's distinct 8-token windows that also occur in at least
+    // one OTHER document — the quality signal line/paragraph dedup
+    // pipelines threshold on (here spans, since the synthetic corpus
+    // has no line structure). Spans are distinct within a doc
+    // (word_ngrams), so the per-span doc count is a plain count; one
+    // explode + two hash aggregates + a fingerprint join back — every
+    // stage partial+final, the only wide row is (doc_id, 16-byte md5).
+    "x1_span_dupshare" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val spans = Tables.documents(s, dir).select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(8))).as("span"))
+        .select(col("doc_id"), md5(col("span")).as("sp"))
+      val counts = spans.groupBy(col("sp")).agg(count(lit(1)).as("nd"))
+      spans.join(counts, "sp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_bp", expr("n_dup_spans * 10000 div n_spans"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Jaro-Winkler blocked linkage -------------------------------
     // Name matching where edit distance is too coarse: the native
     // jaro_winkler expression (pinned bit-identical to DuckDB's)
@@ -336,6 +385,35 @@ object DedupQueries {
         |FROM p WHERE sa != sb GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x1_containment" -> (containmentOracle + "\nORDER BY doc_a, doc_b"),
+
+    "x1_decontam_exact" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |       CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
+        |            THEN 'train' ELSE 'test' END AS split
+        |     FROM documents),
+        |g AS (SELECT doc_id, split,
+        |        CASE WHEN len(w) >= 13
+        |             THEN list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)])
+        |             ELSE [array_to_string(w, ' ')] END AS grams
+        |      FROM d),
+        |te AS (SELECT doc_id, md5(unnest(grams)) AS g FROM g WHERE split = 'test'),
+        |tr AS (SELECT DISTINCT md5(unnest(grams)) AS g FROM g WHERE split = 'train')
+        |SELECT te.doc_id AS eval_doc, COUNT(*) AS n_hit_grams
+        |FROM te JOIN tr USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x1_span_dupshare" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 8
+        |             THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)])
+        |             ELSE [array_to_string(w, ' ')] END AS spans
+        |      FROM d),
+        |e AS (SELECT doc_id, md5(unnest(spans)) AS sp FROM g),
+        |c AS (SELECT sp, COUNT(*) AS nd FROM e GROUP BY 1)
+        |SELECT e.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+        |FROM e JOIN c USING (sp) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x1_containment_clusters" ->
       s"""WITH RECURSIVE pairs AS ($containmentOracle),

@@ -77,6 +77,63 @@ object StreamQueries {
       store.read(s, "user_stats")
         .select(col("user_id"), col("n"), col("v6"))
         .orderBy("user_id")
+    }),
+
+    // ---- T2/T3 STREAMED watermarked windows, oracle-gated -----------
+    // The event-time path end to end: ts-range-ordered files replay as
+    // 4 micro-batches through the WATERMARKED tumbling aggregate in
+    // update mode; each batch's changed windows MERGE into the store
+    // keyed by (w_start, event_type) — exactly the live-dashboard
+    // maintenance loop. Ordered replay means event time only advances,
+    // so the watermark evicts each window's state after its updates
+    // stop, and the FINAL stored table must equal the one-shot batch
+    // aggregate (same oracle as t3_tumbling_stats): eviction timing,
+    // update-mode re-emission, and the keyed MERGE are all on the
+    // hash gate. The nupdates counter varies with batch slicing by
+    // design and stays out of the projection.
+    "t2_stream_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      // v2 = mtime-stamped staging (v1 files replayed in arbitrary order)
+      val base = s"/root/repo/target/tmp/stream-windows/v2/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = new org.apache.hadoop.fs.Path(s"$base/stage")
+      if (!fs.exists(stage)) {
+        events.repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(stage.toString)
+        // the file source replays oldest-MTIME-first, not by name: all
+        // four part files share a write timestamp, so replay order —
+        // and therefore which rows count as "late" — would be
+        // arbitrary. Stamp strictly increasing mtimes in ts-range
+        // order (part-0000k IS the k-th ts range under
+        // repartitionByRange) so event time only advances and the
+        // watermark never retroactively drops a whole file.
+        fs.listStatus(stage)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex
+          .foreach { case (st, i) => fs.setTimes(st.getPath, 1000000L + i * 1000L, -1) }
+      }
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = Streams.tumblingStats(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          store.upsert(b.sparkSession, "win", b, Seq("w_start", "event_type"),
+            numFiles = Some(1), batchId = Some(id))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$runDir/ckpt")
+        .start()
+      q.awaitTermination()
+      store.read(s, "win")
+        .select(fmt(col("w_start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
     })
   )
 
@@ -114,6 +171,14 @@ object StreamQueries {
         |       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
         |       user_id, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // the streamed windowed aggregate's FINAL STATE must equal the
+    // one-shot batch window aggregate (same oracle as t3_tumbling)
+    "t2_stream_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the streamed ingest's FINAL STATE must equal a one-shot GROUP BY
     // over the same events, whatever the micro-batch slicing
