@@ -372,6 +372,44 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A16: PageRank over the co-purchase graph -------------------
+    // Iterative distributed graph compute beyond connected components:
+    // 3 fixed power-iteration rounds of damped PageRank over the
+    // undirected co-purchase edge set, ENTIRELY in integer micro-units
+    // (contrib = rank div degree; next = 150000 + 850000·Σcontrib div
+    // 1e6) so both engines land on identical longs — no float
+    // accumulation, no convergence nondeterminism. Plan per round: the
+    // rank table (one row per part — broadcastable at any sf) joins
+    // the edge list, one partial+final sum per destination; 3 rounds =
+    // 3 cheap shuffles of (node, long). The oracle unrolls the same 3
+    // rounds as CTE stages. Isolated parts (no co-purchase) are out of
+    // the graph by construction, exactly as in the oracle.
+    "a16_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val pairs = items.toDF("l_orderkey", "part_a")
+        .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
+        .filter($"part_a" < $"part_b")
+        .select($"part_a", $"part_b").distinct()
+      val edges = pairs.select($"part_a".as("u"), $"part_b".as("v"))
+        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+      var ranks = deg.select($"u".as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(broadcast(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c"))),
+            edges("u") === col("node"))
+          .groupBy($"v")
+          .agg(sum($"c").as("s"))
+          .select($"v".as("node"), expr("150000 + (850000 * s) div 1000000").as("r"))
+      }
+      ranks.join(deg, $"node" === $"u")
+        .select($"node".as("part"), $"r".as("rank_ppm"), $"d".as("degree"))
+        .orderBy($"rank_ppm".desc, $"part")
+        .limit(25)
+    }),
+
     // ---- A13: time-weighted average (TWAP / sensor integration) -----
     // The irregular-sampling average: each observation's value holds
     // until the next one, so the mean weights by HOLD DURATION, not by
@@ -446,6 +484,36 @@ object AnalyticsQueries {
         .select($"l_returnflag",
           floor($"p05" * 100).cast("long").as("lo_c"),
           floor($"p95" * 100).cast("long").as("hi_c"))
+      val li = Tables.lineitem(s, dir).select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("yc"))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .select($"l_returnflag",
+          least(greatest($"yc", $"lo_c"), $"hi_c").as("wc"),
+          when($"yc" < $"lo_c", 1L).otherwise(0L).as("clip_lo"),
+          when($"yc" > $"hi_c", 1L).otherwise(0L).as("clip_hi"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"wc").as("wsum_cents"), sum($"clip_lo").as("n_clip_lo"),
+          sum($"clip_hi").as("n_clip_hi"), count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- A10c': winsorize with KLL cutpoints — the scale swap the
+    // exact query's phase-1 doc promises, shipped (same pattern as
+    // a9_robust_outliers_approx): cutpoints from one mergeable-sketch
+    // hash aggregate instead of rank selection, phase 2 unchanged and
+    // still exact integer cents against the sketch fence. No DuckDB
+    // oracle (sketch internals differ); WinsorizeApproxSpec bounds the
+    // clamped-mean drift vs the exact query. ------------------------
+    "a10_winsorize_approx" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Functions.register(s)
+      val cuts = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(call_function("kll_quantiles", $"l_extendedprice",
+          lit(0.05), lit(0.95)).as("qs"))
+        .select($"l_returnflag",
+          floor(element_at($"qs", 1) * 100).cast("long").as("lo_c"),
+          floor(element_at($"qs", 2) * 100).cast("long").as("hi_c"))
       val li = Tables.lineitem(s, dir).select($"l_returnflag",
         round($"l_extendedprice" * 100).cast("long").as("yc"))
       li.join(broadcast(cuts), Seq("l_returnflag"))
@@ -662,6 +730,31 @@ object AnalyticsQueries {
         |f AS (SELECT c.report_day FROM c, b WHERE report_day BETWEEN d0 AND d1)
         |SELECT CAST(report_day AS TIMESTAMP) AS report_day, COUNT(*) AS wau
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a16_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT pa AS u, pb AS v FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+        |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT e.v AS node,
+        |         CAST(150000 + (850000 * SUM(r0.r // deg.d)) // 1000000 AS BIGINT) AS r
+        |       FROM edges e JOIN r0 ON r0.node = e.u JOIN deg ON deg.u = e.u
+        |       GROUP BY e.v),
+        |r2 AS (SELECT e.v AS node,
+        |         CAST(150000 + (850000 * SUM(r1.r // deg.d)) // 1000000 AS BIGINT) AS r
+        |       FROM edges e JOIN r1 ON r1.node = e.u JOIN deg ON deg.u = e.u
+        |       GROUP BY e.v),
+        |r3 AS (SELECT e.v AS node,
+        |         CAST(150000 + (850000 * SUM(r2.r // deg.d)) // 1000000 AS BIGINT) AS r
+        |       FROM edges e JOIN r2 ON r2.node = e.u JOIN deg ON deg.u = e.u
+        |       GROUP BY e.v)
+        |SELECT r3.node AS part, r3.r AS rank_ppm, deg.d AS degree
+        |FROM r3 JOIN deg ON deg.u = r3.node
+        |ORDER BY rank_ppm DESC, part LIMIT 25""".stripMargin,
 
     "a14_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -121,6 +121,30 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-ranked cluster representatives ---------------------
+    // keep-one's production sibling: per transitive dup cluster keep
+    // the BEST doc (longest n_chars, doc_id tiebreak), not the lowest
+    // id — what pipelines actually retain when a scrape and its
+    // truncated copy collide. Min-label clusters (shared propagation
+    // op), then one ranking window per cluster — cluster-bounded
+    // state; the oracle re-derives clusters with a recursive CTE and
+    // ranks identically.
+    "x1_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val pairs = nearDupPairs(s, dir).select("idA", "idB")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Dedup.clusterLabels(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars")),
+          Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cluster"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- transitive dedup clusters (connected components) -----------
     // Min-label propagation over the exact near-dup pair graph: every
     // doc gets the min doc_id of its component (chains collapse, the
@@ -466,6 +490,23 @@ object DedupQueries {
          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+
+    "x1_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |ranked AS (
+         |  SELECT d.doc_id, l.cluster, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+         |         row_number() OVER (PARTITION BY l.cluster
+         |                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN lab l USING (doc_id))
+         |SELECT doc_id, cluster, lang, n_chars FROM ranked
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "x1_minhash_lsh" -> jaccardOracle,
     "x1_simhash_pairs" -> jaccardOracle,
     "x1_embed_neardup" ->

@@ -66,13 +66,19 @@ object StreamQueries {
       val store = new graft.operators.TableStore(s"$runDir/store")
       val stream = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-      val q = Streams.incrementalAggSink(stream, store, "user_stats", Seq("user_id"),
-          Seq(graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
-            graft.operators.IncrementalAgg.Measure("v6",
-              sum(round(col("value") * 1000000L).cast("long")))))
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$runDir/ckpt")
-        .start()
+      // micro-batch fold over ~15k keys: 8-way shuffle matches the
+      // state size (see t2_stream_windows note)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        Streams.incrementalAggSink(stream, store, "user_stats", Seq("user_id"),
+            Seq(graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
+              graft.operators.IncrementalAgg.Measure("v6",
+                sum(round(col("value") * 1000000L).cast("long")))))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       store.read(s, "user_stats")
         .select(col("user_id"), col("n"), col("v6"))
@@ -120,15 +126,26 @@ object StreamQueries {
       val store = new graft.operators.TableStore(s"$runDir/store")
       val stream = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-      val q = Streams.tumblingStats(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          store.upsert(b.sparkSession, "win", b, Seq("w_start", "event_type"),
-            numFiles = Some(1), batchId = Some(id))
-        }
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$runDir/ckpt")
-        .start()
+      // streaming state partitioning is fixed at query start from the
+      // session's shuffle partitions; 32 here means 32 state-store
+      // commits (snapshot+delta+crc files) per micro-batch for a few
+      // thousand window keys. Size state parallelism to the STATE, not
+      // the batch: 8 partitions cuts the per-batch state-commit fan-out
+      // 4× (the dominant cost of this replay) — exactly the knob a
+      // real deployment sets per stateful query.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        Streams.tumblingStats(stream)
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            store.upsert(b.sparkSession, "win", b, Seq("w_start", "event_type"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       store.read(s, "win")
         .select(fmt(col("w_start")).as("w_start"), col("event_type"),
