@@ -198,6 +198,85 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- vocabulary induction + corpus encoding ---------------------
+    // The tokenizer-training primitive: build a frequency-ranked vocab
+    // (top 64 tokens, count desc / token asc — deterministic), then
+    // encode every document against it and report exact integer
+    // encoding stats (token count, OOV count, position-weighted id
+    // checksum). The ranking window is unpartitioned but runs over the
+    // token-count AGGREGATE — rows bounded by vocabulary cardinality,
+    // never by corpus size; the encode join broadcasts the 64-row
+    // vocab. At 100 TB: one explode + two hash aggregates + a
+    // broadcast join, all partial+final.
+    "x3_vocab_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))) - 1)
+        .filter(col("id") < 64)
+        .select(col("tok"), col("id"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(-1)).as("id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("id") < 0, 1L).otherwise(0L)).as("n_oov"),
+          sum((col("pos") + 1).cast("long") * (col("id") + 2).cast("long")).as("id_checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus data card (per source × lang) -----------------------
+    // The report a dataset release ships: documents, token volume,
+    // quality-gate pass count, language-confidence count per
+    // (source, lang) cell. Every signal is the same codegen'd
+    // single-pass expression the filter pipeline uses — the whole card
+    // is ONE scan + one partial+final aggregate.
+    "x3_corpus_stats" -> ((s, dir) => {
+      val w = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          size(w).cast("long").as("n_tok"),
+          isGoodDoc(col("text")).as("good"),
+          (langId(col("text")) === col("lang")).as("langmatch"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("langmatch"), 1L).otherwise(0L)).as("n_lang_match"))
+        .orderBy("source", "lang")
+    }),
+
+    // ---- length-curriculum mixture ----------------------------------
+    // Curriculum construction: documents fold into 4 global length
+    // quartile tiers (stats-then-apply — exact distributed cutpoints,
+    // broadcast, compare; never a corpus sort), and each tier takes
+    // docs in content-hash order until a fixed token budget fills.
+    // The per-tier cumulative walk is the distributed prefix sum
+    // (bucketed by the hash prefix within each tier), so no task ever
+    // holds a tier. Deterministic end to end; the oracle re-derives
+    // the same cutpoints via quantile_cont (pinned equal to Spark
+    // percentile) and the same take-while.
+    "x3_curriculum" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir)
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        d0, Nil, "n_chars", Seq(0.25, 0.5, 0.75), Seq("q1", "q2", "q3"))
+      val d = d0.crossJoin(broadcast(cuts))
+        .select(
+          when(col("n_chars") < col("q1"), 0)
+            .when(col("n_chars") < col("q2"), 1)
+            .when(col("n_chars") < col("q3"), 2).otherwise(3).as("tier"),
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+      graft.operators.Partitioning.prefixSum(d, Seq("tier"),
+          substring(col("h"), 1, 2), Seq(col("h"), col("doc_id")), col("n_tok"), "cum")
+        .filter(col("cum") <= 3000L)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .orderBy("tier")
+    }),
+
     // ---- end-to-end quality filter pipeline -------------------------
     // The composed keep/drop verdict a pretraining corpus actually
     // ships: quality gate AND language-confidence gate (predicted ==
@@ -409,6 +488,61 @@ object TextQueries {
         |SELECT lang, CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test,
         |  CAST(abs(n_train * 1000000 // (n_train + n_test) - g_train * 1000000 // g_total) AS BIGINT) AS skew_ppm
         |FROM b, g ORDER BY lang""".stripMargin,
+
+    "x3_vocab_encode" ->
+      """WITH d AS (SELECT doc_id,
+        |       list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |     FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tok
+        |      FROM d),
+        |v0 AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+        |v AS (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS id
+        |      FROM v0 QUALIFY id < 64),
+        |e AS (SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS id
+        |      FROM t LEFT JOIN v USING (tok))
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(CASE WHEN id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM((pos + 1) * (id + 2)) AS BIGINT) AS id_checksum
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x3_corpus_stats" ->
+      s"""WITH d AS (SELECT source, lang, text,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+         |  FROM documents),
+         |q AS (SELECT source, lang,
+         |  len(toks) AS n_tok,
+         |  ((CASE WHEN length(text) = 0 THEN 0
+         |         ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100 // length(text) END) >= 70
+         |   AND len(toks) >= 20) AS good,
+         |  (CASE WHEN length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         |       WHEN len(list_filter(toks, x -> list_contains($langLexEs, x))) > len(list_filter(toks, x -> list_contains($langLex, x)))
+         |        AND len(list_filter(toks, x -> list_contains($langLexEs, x))) >= len(list_filter(toks, x -> list_contains($langLexDe, x))) THEN 'es'
+         |       WHEN len(list_filter(toks, x -> list_contains($langLexDe, x))) > len(list_filter(toks, x -> list_contains($langLex, x)))
+         |        AND len(list_filter(toks, x -> list_contains($langLexDe, x))) > len(list_filter(toks, x -> list_contains($langLexEs, x))) THEN 'de'
+         |       ELSE 'en' END = lang) AS langmatch
+         |  FROM d)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |  CAST(SUM(CASE WHEN langmatch THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x3_curriculum" ->
+      """WITH c AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |                  quantile_cont(n_chars, 0.5)  AS q2,
+        |                  quantile_cont(n_chars, 0.75) AS q3 FROM documents),
+        |d AS (SELECT CASE WHEN n_chars < q1 THEN 0 WHEN n_chars < q2 THEN 1
+        |                  WHEN n_chars < q3 THEN 2 ELSE 3 END AS tier,
+        |             doc_id,
+        |             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+        |             md5(text) AS h
+        |      FROM documents, c),
+        |w AS (SELECT tier, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY tier ORDER BY h, doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT tier, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |FROM w WHERE cum <= 3000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x3_filter_pipeline" ->
       s"""WITH d AS (SELECT doc_id, lang, text,
