@@ -54,10 +54,12 @@ class AnnSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("ann-spec").toString)
     Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
     val probeDf = Ann.probeTopK(emb, "vec_id", "embedding", store, "ann", 0L, 10)
-    // the probe's (t,b) collision predicate reaches the index scan
-    // (rendered as PushedFilters: [IsNotNull(id), Or(Or(...)
+    // the probe's bucket pre-filter reaches the index scan as a pushed
+    // IN (row-group skipping over the sorted layout) and the exact
+    // (t,b) match is a codegen'd broadcast hash join
     val plan = probeDf.queryExecution.executedPlan.toString
-    assert(plan.contains("Or(Or("), plan.take(1200))
+    assert(plan.contains("In(b") || plan.contains("In(B"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     val probe = probeDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val ephemeral = Ann.annTopK(emb, "vec_id", "embedding", 0L, 10, dim = Some(64))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

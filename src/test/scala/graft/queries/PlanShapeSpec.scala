@@ -151,6 +151,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("a16_pagerank: rank table broadcasts into every round; no cartesian against edges") {
+    val p = AnalyticsQueries.all("a16_pagerank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("x1_decontam_exact: gram overlap is an equi-join on fingerprints") {
+    val p = DedupQueries.all("x1_decontam_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("x3_vocab_encode: the vocabulary joins by broadcast; ranking window input is the aggregate") {
+    val p = TextQueries.all("x3_vocab_encode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the only window orders the token-count aggregate by cnt —
+    // never a corpus-sized input
+    assert(!"windowspecdefinition\\(doc_id".r.unanchored.matches(p), p.take(1500))
+  }
+
   test("a14_copurchase: the 4-times-referenced distinct item set reuses one exchange") {
     val df = AnalyticsQueries.all("a14_copurchase")(spark, dir)
     df.collect() // AQE finalizes exchange reuse at runtime
