@@ -692,6 +692,29 @@ object CoreQueries {
         .orderBy($"event_id")
     }),
 
+    // ---- W14: exponentially weighted moving average (exact integer) ----
+    // Trend smoothing with geometric decay — the EWMA every monitoring
+    // stack runs, made hash-exact: α=1/2 over the last 8 observations,
+    // value in cents, weights as powers of two, so the whole smoothed
+    // series is INTEGER (scaled by 2^7·100) — no pow(), no float
+    // recurrence, no cross-engine rounding hazard. Expressed as 8
+    // explicit lag() terms (one window pass, per-user state = 8 rows);
+    // the recursive-form EWMA would chain float error AND be
+    // order-fragile — the truncated-window form is the one that
+    // distributes.
+    "w14_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val c = round($"value" * 100).cast("long")
+      val ewma = (0 to 7).map(k =>
+        coalesce(lag(c, k).over(w), lit(0L)) * lit(1L << (7 - k))).reduce(_ + _)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .withColumn("ewma_scaled", ewma)
+        .select($"event_id", $"user_id", $"ewma_scaled")
+        .orderBy($"event_id")
+    }),
+
     // ---- W5: RANGE frame over event time (trailing 30-day spend) -------
     // The frame is value-based (epoch seconds), so date ties land in
     // the same frame deterministically regardless of physical row
@@ -1448,6 +1471,17 @@ object CoreQueries {
         |      lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |      FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "w14_ewma" ->
+      ("""SELECT event_id, user_id,
+        |  CAST(""".stripMargin +
+        (0 to 7).map(k =>
+          s"COALESCE(lag(CAST(ROUND(value * 100) AS BIGINT), $k) OVER w, 0) * ${1L << (7 - k)}")
+          .mkString(" + ") +
+        """ AS BIGINT) AS ewma_scaled
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin),
 
     "w3_moving_avg" ->
       """SELECT event_id, user_id,

@@ -151,6 +151,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("w1: rank<=k filter plans as partial+final WindowGroupLimit (shuffle carries <=k rows/group)") {
+    val p = plan("w1_top_orders_per_cust")
+    // Spark's rank-limit pushdown: a PARTIAL WindowGroupLimit below
+    // the exchange caps every group's shuffle contribution at k before
+    // any data moves — the property that makes top-k-per-group safe at
+    // 100 TB. Pinned so a query rewrite that silently loses the
+    // pattern (e.g. rank computed in a subquery Spark can't see
+    // through) fails loudly.
+    assert("WindowGroupLimit .*Partial".r.unanchored.matches(p), p.take(1500))
+    assert("WindowGroupLimit .*Final".r.unanchored.matches(p), p.take(1500))
+  }
+
   test("a16_pagerank: rank table broadcasts into every round; no cartesian against edges") {
     val p = AnalyticsQueries.all("a16_pagerank")(spark, dir)
       .queryExecution.executedPlan.toString
