@@ -83,6 +83,45 @@ object CoreQueries {
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |GROUP BY l_year ORDER BY l_year""".stripMargin
 
+  /** TPC-H Q4 shape — one SQL text for both engines: order-priority
+    * counts over orders that have at least one SLOW lineitem (shipped
+    * >90 days after the order date). The correlated EXISTS must plan
+    * as a LEFT SEMI join — one pass over each table, never a per-order
+    * re-scan (PlanShapeSpec pins it). */
+  private val LateShipmentSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q10 shape — one SQL text for both engines: customers
+    * ranked by revenue lost to returned items. Dims broadcast; the
+    * top-20 is TakeOrderedAndProject, never a full sort. */
+  private val ReturnedRevenueSql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS lost_revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q6 shape — one SQL text for both engines: the single-scan
+    * what-if revenue aggregate. Every predicate pushes into the
+    * parquet scan; the whole query is scan → filter → one partial+
+    * final aggregate. */
+  private val ForecastRevenueSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS potential_revenue
+      |FROM lineitem
+      |WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Conditional aggregation (FILTER clauses) — one SQL text for both
     * engines: one scan, many differently-filtered aggregates. */
   private val FilteredAggSql =
@@ -472,6 +511,24 @@ object CoreQueries {
     "sql_promo_revenue" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(PromoRevenueSql)
+    }),
+
+    // ---- SQL surface: EXISTS semi join (TPC-H Q4 shape) ---------------
+    "sql_late_shipment" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LateShipmentSql)
+    }),
+
+    // ---- SQL surface: returned-item revenue (TPC-H Q10 shape) ---------
+    "sql_returned_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(ReturnedRevenueSql)
+    }),
+
+    // ---- SQL surface: single-scan what-if aggregate (TPC-H Q6 shape) --
+    "sql_forecast_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(ForecastRevenueSql)
     }),
 
     // ---- SQL surface: scalar subquery + NOT EXISTS (TPC-H Q22 shape) --
@@ -1399,6 +1456,9 @@ object CoreQueries {
     "sql_volume_shipping" -> VolumeShippingSql,
     "sql_local_supplier" -> LocalSupplierVolumeSql,
     "sql_promo_revenue" -> PromoRevenueSql,
+    "sql_late_shipment" -> LateShipmentSql,
+    "sql_returned_revenue" -> ReturnedRevenueSql,
+    "sql_forecast_revenue" -> ForecastRevenueSql,
 
     "sql_inactive_rich" -> InactiveRichSql,
     "sql_lateral_topn" -> LateralTopNSql,

@@ -108,6 +108,26 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("sql_late_shipment: EXISTS plans as a semi join, never a per-order re-scan") {
+    val p = plan("sql_late_shipment")
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("sql_returned_revenue: dims broadcast, top-20 is TakeOrderedAndProject") {
+    val p = plan("sql_returned_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("sql_forecast_revenue: every predicate pushes into the lineitem scan") {
+    // the plan string truncates long filter lists, so assert on the
+    // stable prefix (the range predicates follow the null checks)
+    val p = plan("sql_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull("), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_discou") || p.contains("LessThan(l_quantity"),
+      p.take(1500))
+  }
+
   test("sql_inactive_rich: NOT EXISTS plans as an anti join") {
     val p = CoreQueries.all("sql_inactive_rich")(spark, dir)
       .queryExecution.executedPlan.toString
