@@ -54,6 +54,32 @@ class PrefixSumSpec extends SparkSpec {
     assert(!"windowspecdefinition\\(h#\\d+ ASC".r.unanchored.matches(p), p.take(1500))
   }
 
+  test("property: random data, random strata — always equals the single-partition window") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark; import s.implicits._
+    val rowGen = for {
+      stratum <- Gen.oneOf("p", "q", "r")
+      key <- Gen.choose(0, 9999)         // order key (may collide across rows)
+      v <- Gen.choose(-1000L, 1000L)     // negatives: prefix sums aren't monotone
+    } yield (stratum, key, v)
+    for (seed <- 1L to 8L) {
+      val rows = Gen.listOfN(300, rowGen)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((g, k, v), i) => (g, k, i.toLong, v) } // unique tiebreak id
+      val df = rows.toDF("g", "k", "id", "v").repartition(7)
+      // bucket = a monotone coarsening of the leading order column
+      val gold = df.withColumn("cum",
+          sum(col("v")).over(Window.partitionBy(col("g")).orderBy(col("k"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Partitioning.prefixSum(df, Seq("g"),
+          (col("k") / 100).cast("int"), Seq(col("k"), col("id")), col("v"), "cum")
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == gold, s"prefixSum diverged at seed $seed")
+    }
+  }
+
   test("x3_weighted_sample / x3_mixture plans have no full-corpus single-partition window") {
     val pw = graft.queries.TextQueries.all("x3_weighted_sample")(spark, dir)
       .queryExecution.executedPlan.toString
