@@ -16,6 +16,34 @@ object StreamQueries {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Stage `df` as `nFiles` event-time-range files with STRICTLY
+    * INCREASING mtimes in ts order (idempotent per path). The file
+    * source replays oldest-mtime-first, so without the stamp the
+    * replay order — and which rows count as "late" — would be
+    * arbitrary, and the watermark could retroactively drop whole
+    * files (see t2_stream_windows). */
+  private def stageOrdered(s: SparkSession, df: DataFrame, tsCol: String,
+      path: String, nFiles: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    df.repartitionByRange(nFiles, col(tsCol)).write.mode("overwrite").parquet(path)
+    fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName) // part-0000k IS the k-th ts range
+      .zipWithIndex
+      .foreach { case (st, i) => fs.setTimes(st.getPath, 1000000L + i * 1000L, -1) }
+  }
+
+  /** Run a streaming write with shuffle/state parallelism sized to
+    * the (small) state instead of the session's 32 (see the
+    * t2_stream_windows note), restoring the session conf after. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); f }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val all: Map[String, Q] = Map(
     "t3_tumbling_stats" -> ((s, dir) => {
       Streams.tumblingStats(Tables.events(s, dir))
@@ -56,21 +84,17 @@ object StreamQueries {
       val base = s"/root/repo/target/tmp/stream-ingest/${Tables.fileKey(s, dir, "events.parquet")}"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val stage = new org.apache.hadoop.fs.Path(s"$base/stage")
-      if (!fs.exists(stage))
-        events.repartitionByRange(4, col("event_id"))
-          .write.mode("overwrite").parquet(stage.toString)
+      val stage = s"$base/stage"
+      stageOrdered(s, events, "event_id", stage, 4)
       // fresh sink + checkpoint per run: the point is the full replay
       val runDir = s"$base/run"
       fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
       val store = new graft.operators.TableStore(s"$runDir/store")
       val stream = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
       // micro-batch fold over ~15k keys: 8-way shuffle matches the
       // state size (see t2_stream_windows note)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = withStatePartitions(s, 8) {
         Streams.incrementalAggSink(stream, store, "user_stats", Seq("user_id"),
             Seq(graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
               graft.operators.IncrementalAgg.Measure("v6",
@@ -78,7 +102,7 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$runDir/ckpt")
           .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       q.awaitTermination()
       store.read(s, "user_stats")
         .select(col("user_id"), col("n"), col("v6"))
@@ -104,28 +128,13 @@ object StreamQueries {
       val base = s"/root/repo/target/tmp/stream-windows/v2/${Tables.fileKey(s, dir, "events.parquet")}"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val stage = new org.apache.hadoop.fs.Path(s"$base/stage")
-      if (!fs.exists(stage)) {
-        events.repartitionByRange(4, col("ts"))
-          .write.mode("overwrite").parquet(stage.toString)
-        // the file source replays oldest-MTIME-first, not by name: all
-        // four part files share a write timestamp, so replay order —
-        // and therefore which rows count as "late" — would be
-        // arbitrary. Stamp strictly increasing mtimes in ts-range
-        // order (part-0000k IS the k-th ts range under
-        // repartitionByRange) so event time only advances and the
-        // watermark never retroactively drops a whole file.
-        fs.listStatus(stage)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName)
-          .zipWithIndex
-          .foreach { case (st, i) => fs.setTimes(st.getPath, 1000000L + i * 1000L, -1) }
-      }
+      val stage = s"$base/stage"
+      stageOrdered(s, events, "ts", stage, 4)
       val runDir = s"$base/run"
       fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
       val store = new graft.operators.TableStore(s"$runDir/store")
       val stream = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
       // streaming state partitioning is fixed at query start from the
       // session's shuffle partitions; 32 here means 32 state-store
       // commits (snapshot+delta+crc files) per micro-batch for a few
@@ -133,9 +142,7 @@ object StreamQueries {
       // the batch: 8 partitions cuts the per-batch state-commit fan-out
       // 4× (the dominant cost of this replay) — exactly the knob a
       // real deployment sets per stateful query.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = withStatePartitions(s, 8) {
         Streams.tumblingStats(stream)
           .writeStream.outputMode("update")
           .foreachBatch { (b: DataFrame, id: Long) =>
@@ -145,12 +152,64 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"$runDir/ckpt")
           .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       q.awaitTermination()
       store.read(s, "win")
         .select(fmt(col("w_start")).as("w_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // ---- T3/J4 STREAM-STREAM interval join, oracle-gated ------------
+    // The attribution join run as an actual two-stream job: clicks and
+    // errors replay as separate watermarked file streams (both sides
+    // ts-range-ordered, mtime-stamped), the interval join buffers and
+    // expires BOTH sides' state off the watermark, and every matched
+    // (click, error-within-30-minutes) pair MERGEs into the store as it
+    // emits. The final pair set must hash-match the one-shot batch
+    // interval join — so cross-batch buffering (a click in file k
+    // matching an error in file k+1), state expiry, and append-mode
+    // exactly-once emission are all on the gate. The join's inclusive
+    // lower bound is tightened to the oracle's strict `>` by a
+    // post-join filter (exact, engine-neutral).
+    "t3_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("r_ts"))
+      val base = s"/root/repo/target/tmp/stream-join/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      stageOrdered(s, clicks, "ts", s"$base/clicks", 3)
+      stageOrdered(s, errors, "r_ts", s"$base/errors", 3)
+      val runDir = s"$base/run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val lstream = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+      val rstream = s.readStream.schema(errors.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/errors")
+      val q = withStatePartitions(s, 8) {
+        Streams.intervalJoin(lstream, rstream, "user_id",
+            leftTs = "ts", rightTs = "r_ts",
+            watermark = "2 hours", maxDelay = "30 minutes")
+          .filter(col("r_ts") > col("ts"))
+          .select(col("click_id"), col("err_id"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            store.upsert(b.sparkSession, "matches", b, Seq("click_id", "err_id"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "matches")
+        .select(col("click_id"), col("err_id"))
+        .orderBy("click_id", "err_id")
     })
   )
 
@@ -188,6 +247,16 @@ object StreamQueries {
         |       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
         |       user_id, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // the streamed two-source interval join's pair set must equal the
+    // one-shot batch interval join
+    "t3_stream_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS err_id
+        |FROM events c JOIN events e
+        |  ON e.user_id = c.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL '30 minutes'
+        |ORDER BY click_id, err_id""".stripMargin,
 
     // the streamed windowed aggregate's FINAL STATE must equal the
     // one-shot batch window aggregate (same oracle as t3_tumbling)
