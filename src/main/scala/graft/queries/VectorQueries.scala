@@ -106,6 +106,41 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- X2 k-NN join within label groups ---------------------------
+    // The embedding-QA neighbor op: every vector's top-3 most-similar
+    // vectors OF THE SAME LABEL (class-compactness checks, hard-
+    // negative candidate mining). The self-join is BLOCKED on the
+    // label (an equi-join — candidate volume is Σ group², never n²),
+    // sims re-use the precomputed-norm codegen'd dot, and the per-
+    // vector top-3 is the rank≤k pattern Spark lowers to partial+
+    // final WindowGroupLimit (≤3 rows per vector cross the shuffle).
+    // At 100 TB a giant label group swaps the within-group step to the
+    // IVF index; the join shape is unchanged. Exact — shares DuckDB's
+    // literal definition. sim is reported ×1e6 as an exact-ish integer
+    // (round of identical doubles) so the hash never rides float
+    // formatting.
+    "x2_knn_within_label" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Functions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.toDF("vec_id", "label", "ea", "na")
+      val b = e.toDF("nb_id", "label", "eb", "nb")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim6").desc, col("nb_id"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .select(col("vec_id"), col("label"), col("nb_id"),
+          round(Functions.dotd(col("ea"), col("eb")) / (col("na") * col("nb")) * 1000000d)
+            .cast("long").as("sim6"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("label"), col("rk").cast("long").as("rk"),
+          col("nb_id"), col("sim6"))
+        .orderBy("vec_id", "rk")
+    }),
+
     // ---- A6 exact centroid (decimal-routed, oracle-checked) ---------
     // Emits (sum, n) rather than sum/n: the exact decimal sum
     // hash-matches any engine, while a rounded double quotient can
@@ -193,6 +228,18 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "x2_ann_topk" -> topkOracle,
+    "x2_knn_within_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+        |        CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS sim6
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, label, nb_id, sim6,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim6 DESC, nb_id) AS rk
+        |      FROM p)
+        |SELECT vec_id, label, rk, nb_id, sim6 FROM r
+        |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "x2_ivf_topk" -> topkOracle,
     "x2_centroid_classify" ->
       """WITH x AS (SELECT vec_id, label, i AS idx,
