@@ -109,6 +109,32 @@ object Partitioning {
       .drop("_z")
   }
 
+  /** Within-partition z-order clustering: rows keep their hive
+    * partition but sort by the Morton interleave of the two keys
+    * INSIDE it, so per-partition parquet row-groups carry tight
+    * min/max stats on both columns (normalization bounds come from
+    * one tiny whole-input aggregate — global bounds are fine, only
+    * the within-partition ORDER matters for skipping). Companion to
+    * `zorderCluster`, which re-ranges the whole layout and would
+    * destroy a hive partitioning. */
+  def zorderWithinPartitions(df: DataFrame, partCol: String, keyX: String,
+      keyY: String): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val r = df.agg(min(col(keyX).cast("long")), max(col(keyX).cast("long")),
+      min(col(keyY).cast("long")), max(col(keyY).cast("long"))).head
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo + 1).toDouble
+      ((col(c).cast("long") - lit(lo)).cast("double") * 1048575.0 / lit(span)).cast("int")
+    }
+    val z = call_function("zorder2",
+      norm(keyX, r.getLong(0), r.getLong(1)), norm(keyY, r.getLong(2), r.getLong(3)))
+    df.withColumn("_z", z)
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col("_z"))
+      .drop("_z")
+  }
+
   /** Distributed inclusive prefix sum (VERDICT r2 missing #2): the
     * global running total that sampling/packing queries need, WITHOUT
     * the classic single-partition `Window.orderBy(...)` (one task

@@ -537,6 +537,21 @@ final class TableStore(val root: String, val retain: Int = 0) {
     replacePartitions(spark, name, df, partCol)
   }
 
+  /** OPTIMIZE ZORDER for PARTITIONED tables: content-identical
+    * re-cluster of each partition by the Morton interleave of two int
+    * keys, published under ONE batch-atomic manifest commit (readers
+    * see the old layout or the new one, never a mix). Pass
+    * `partitions` to re-cluster a subset — the scheduled-maintenance
+    * shape at 100 TB: each night's job touches the partitions whose
+    * clustering eroded, everything else stays byte-identical. */
+  def optimizeZOrderPartitioned(spark: SparkSession, name: String, partCol: String,
+      keyX: String, keyY: String, partitions: Option[Seq[Any]] = None): Unit = {
+    if (!exists(spark, name)) return
+    val base = partitions.fold(read(spark, name))(vs => prunedRead(spark, name, partCol, vs))
+    replacePartitions(spark, name,
+      Partitioning.zorderWithinPartitions(base, partCol, keyX, keyY), partCol)
+  }
+
   /** Remove crash leftovers: store-root `.tmp-*`/`.old-*` staging
     * dirs and, inside each table dir, version dirs and manifest temps
     * not referenced by the current manifest — including orphans in a

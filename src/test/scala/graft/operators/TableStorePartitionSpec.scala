@@ -223,6 +223,31 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(f.exists(new Path(store.livePath("t"), "_pmanifest")))
   }
 
+  test("optimizeZOrderPartitioned: content-identical, one commit; subset mode leaves others byte-identical") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    // shuffled int keys so clustering actually reorders rows
+    val rows = Seq((9, 1, 1), (2, 8, 1), (7, 3, 1), (4, 6, 1), (1, 9, 2), (8, 2, 2))
+      .toDF("a", "b", "p")
+    store.replacePartitions(spark, "t", rows.repartition(3), "p")
+    val contentBefore = store.read(spark, "t").collect().map(_.toString).sorted.toSeq
+    store.optimizeZOrderPartitioned(spark, "t", "p", "a", "b")
+    assert(store.read(spark, "t").collect().map(_.toString).sorted.toSeq == contentBefore,
+      "re-clustering must not change content")
+    // atomic: both partitions publish under ONE version tag
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(new Path(store.livePath("t"), "_pmanifest"))
+    val vers = (try new String(in.readAllBytes(), "UTF-8").linesIterator.toSeq finally in.close())
+      .filterNot(_.startsWith("#")).map(_.split('\t')(1)).toSet
+    assert(vers.size == 1, s"one maintenance pass = one commit: $vers")
+    // subset mode: only p=1 is rewritten
+    val before2 = fileState(store, "t").filter(_._1.contains("p=2"))
+    store.optimizeZOrderPartitioned(spark, "t", "p", "a", "b", partitions = Some(Seq(1)))
+    assert(fileState(store, "t").filter(_._1.contains("p=2")) == before2,
+      "partition outside the maintenance subset must stay byte-identical")
+    assert(store.read(spark, "t").collect().map(_.toString).sorted.toSeq == contentBefore)
+  }
+
   test("compactPartitions folds only fragmented partitions; compact ones stay byte-identical") {
     val store = freshStore()
     // day 5 fragmented (plan-driven parallelism: 4 files), day 6 compact (1 file)
