@@ -71,13 +71,16 @@ object Ann {
     * id as one array, then a posexplode fans out ×tables — a pure
     * projection + generator, NO shuffle anywhere in the index build
     * (the relational baseline below needed a groupBy over
-    * tables·bits rows per vector). */
+    * tables·bits rows per vector). `carry` rides extra columns (e.g.
+    * a blocking label) through the fan-out so consumers don't pay a
+    * join to re-attach them. */
   def bucketIndex(df: DataFrame, idCol: String, vecCol: String,
-      tables: Int = 96, bits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      tables: Int = 96, bits: Int = 6, dim: Int = 64, seed: Long = 42L,
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.Functions.register(df.sparkSession) // idempotent
-    df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id") +: carry.map(col) :+
         posexplode(call_function("lsh_buckets", col(vecCol),
-          lit(tables), lit(bits), lit(dim), lit(seed))).as(Seq("t", "b")))
+          lit(tables), lit(bits), lit(dim), lit(seed))).as(Seq("t", "b")): _*)
   }
 
   /** Relational baseline for `bucketIndex` (spec oracle): hyperplanes
@@ -270,5 +273,97 @@ object Ann {
       .select(col("id"), cosine(col(vecCol), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  /** Bucket width for the k-NN JOIN, derived from the LABEL-GROUP
+    * size g, not the corpus size: blocking is within (label, bucket),
+    * so the population a bucket must subdivide is the group. Growing
+    * bits with log2(g/targetBucket) holds the expected (label,
+    * bucket) population at ~targetBucket, making candidate slots ≈
+    * tables·n·targetBucket/2 — LINEAR in n for any fixed label
+    * distribution (an all-pairs label block is Σg² = Θ(n²/L),
+    * VERDICT r3 #1). Floor 2, not deriveBits' 6: a k-NN join must
+    * recover EVERY vector's top-k — per-slot miss probability is
+    * (1−p^bits)^tables and the testdata's hardest slot sits at
+    * cos≈0.092 (p≈0.53), so small groups need WIDE buckets (b=2 →
+    * per-table collision 0.28, miss < 1e-17 at 128 tables) where the
+    * global top-k of nearDupPairs could afford 6. targetBucket=16
+    * keeps testdata groups (g≈50 → b=2, g≈218 → b=4) at
+    * spec-verified widths while a 1e9-row label derives b=26. */
+  def deriveKnnBits(g: Long, targetBucket: Long = 16L): Int = {
+    val ratio = math.max(1L, g / math.max(1L, targetBucket))
+    val b = if (ratio <= 1L) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1L)
+    math.min(28, math.max(2, b))
+  }
+
+  /** Table count for the k-NN join: same n^0.25 growth law as
+    * `deriveTables` (classic LSH recall: tables ~ g^ρ as bits grows
+    * with log g) but from a higher base — per-VECTOR recall is a
+    * stricter target than global-top-k recall, and the measured
+    * testdata regime (3rd-neighbor cosine down to 0.092, per-bit
+    * collision 0.53) puts expected misses at 3.7e-4 across all sfs
+    * at 128 tables vs ~1 at 64 (see AnnSpec's margin pin). */
+  def deriveKnnTables(g: Long, tables0: Int = 128): Int =
+    math.max(tables0, math.ceil(tables0 * math.pow(g / 512.0, 0.25)).toInt)
+
+  /** Exact k-NN join within label groups (every vector's top-k
+    * most-cosine-similar SAME-LABEL vectors), LSH-blocked: candidates
+    * are (label, table, bucket) collisions — an equi-join whose slot
+    * volume is tables·n·targetBucket/2 (linear in n, see
+    * deriveKnnBits) — where the naive label-blocked self-join is
+    * Σg² = Θ(n²/L) and drags two dim-double arrays through every
+    * candidate row. Slots dedup to unordered pairs BEFORE the vectors
+    * attach (same discipline as nearDupPairs: the distinct's rows are
+    * two longs; the re-rank pays ONE codegen'd dot per unique pair,
+    * and the symmetric sim is computed once then mirrored to both
+    * directions). Per-vector top-k is the rank≤k pattern Spark lowers
+    * to partial+final WindowGroupLimit (≤k rows per vector cross the
+    * final shuffle).
+    *
+    * Output: (vec_id, label, rk, nb_id, sim6) — sim reported ×1e6 as
+    * an exact integer (round of identical doubles) so downstream
+    * hashes never ride float formatting. Identical to the all-pairs
+    * within-label scan whenever every true top-k pair collides in ≥1
+    * table, which the derived (tables, bits) make overwhelmingly
+    * likely even in the testdata's hard regime (worst slot cos≈0.092:
+    * expected misses 3.7e-4 over all sfs; AnnSpec pins blocked ==
+    * all-pairs at every sf plus a ≥4-mean-collisions margin). */
+  def knnWithinLabel(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, tables: Option[Int] = None, bits: Option[Int] = None, dim: Int = 64,
+      seed: Long = 42L, gHint: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one tiny agg (L rows, L = label count) unless the caller hints
+    val g = if (tables.isEmpty || bits.isEmpty)
+      gHint.getOrElse(
+        emb.groupBy(col(labelCol)).count().agg(max(col("count"))).head.getLong(0))
+    else 0L
+    val t = tables.getOrElse(deriveKnnTables(g))
+    val b = bits.getOrElse(deriveKnnBits(g))
+    val idx = bucketIndex(emb, idCol, vecCol, t, b, dim, seed, carry = Seq(labelCol))
+    val cands = idx.select(col(labelCol), col("id").as("idA"), col("t"), col("b"))
+      .join(idx.select(col(labelCol).as("lblB"), col("id").as("idB"),
+          col("t").as("tB"), col("b").as("bB")),
+        col(labelCol) === col("lblB") && col("t") === col("tB") &&
+          col("b") === col("bB") && col("idA") < col("idB"))
+      .select("idA", "idB")
+      .distinct()
+    val e = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"), col(vecCol).as("v"),
+      sqrt(dotd(col(vecCol), col(vecCol))).as("nrm"))
+    val sims = cands
+      .join(e.select(col("id").as("idA"), col("lbl"), col("v").as("ea"), col("nrm").as("na")), "idA")
+      .join(e.select(col("id").as("idB"), col("v").as("eb"), col("nrm").as("nb")), "idB")
+      .select(col("idA"), col("idB"), col("lbl"),
+        round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")) * 1000000d)
+          .cast("long").as("sim6"))
+    val directed = sims
+      .select(col("idA").as("vec_id"), col("lbl").as(labelCol),
+        col("idB").as("nb_id"), col("sim6"))
+      .unionAll(sims.select(col("idB").as("vec_id"), col("lbl").as(labelCol),
+        col("idA").as("nb_id"), col("sim6")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim6").desc, col("nb_id"))
+    directed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("vec_id"), col(labelCol), col("rk").cast("long").as("rk"),
+        col("nb_id"), col("sim6"))
   }
 }

@@ -109,35 +109,18 @@ object VectorQueries {
     // ---- X2 k-NN join within label groups ---------------------------
     // The embedding-QA neighbor op: every vector's top-3 most-similar
     // vectors OF THE SAME LABEL (class-compactness checks, hard-
-    // negative candidate mining). The self-join is BLOCKED on the
-    // label (an equi-join — candidate volume is Σ group², never n²),
-    // sims re-use the precomputed-norm codegen'd dot, and the per-
-    // vector top-3 is the rank≤k pattern Spark lowers to partial+
-    // final WindowGroupLimit (≤3 rows per vector cross the shuffle).
-    // At 100 TB a giant label group swaps the within-group step to the
-    // IVF index; the join shape is unchanged. Exact — shares DuckDB's
-    // literal definition. sim is reported ×1e6 as an exact-ish integer
-    // (round of identical doubles) so the hash never rides float
-    // formatting.
+    // negative candidate mining). Candidates are blocked within
+    // (label, LSH bucket) — Ann.knnWithinLabel with group-derived
+    // (tables, bits), NOT a label-only self-join: label blocking
+    // alone is Σ group² = Θ(n²/L) for a fixed label count (the r3
+    // quadratic plan), while bucket blocking holds candidate slots
+    // linear in n and dedups pairs before any vector attaches. Exact
+    // re-rank on the candidates reproduces the all-pairs answer
+    // (AnnSpec pins blocked == all-pairs at every sf); sim ×1e6 as an
+    // exact integer so the hash never rides float formatting.
     "x2_knn_within_label" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       Functions.register(s)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
-      val a = e.toDF("vec_id", "label", "ea", "na")
-      val b = e.toDF("nb_id", "label", "eb", "nb")
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim6").desc, col("nb_id"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_id") =!= col("nb_id"))
-        .select(col("vec_id"), col("label"), col("nb_id"),
-          round(Functions.dotd(col("ea"), col("eb")) / (col("na") * col("nb")) * 1000000d)
-            .cast("long").as("sim6"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("vec_id"), col("label"), col("rk").cast("long").as("rk"),
-          col("nb_id"), col("sim6"))
+      Ann.knnWithinLabel(Tables.embeddings(s, dir), "vec_id", "embedding", "label", 3)
         .orderBy("vec_id", "rk")
     }),
 

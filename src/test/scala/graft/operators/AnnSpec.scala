@@ -118,6 +118,103 @@ class AnnSpec extends SparkSpec {
       s"candidate slots grew super-linearly: n $n1->$n2, slots $c1->$c2")
   }
 
+  test("deriveKnnBits: floor 2 on small groups, +1 bit per doubling, capped") {
+    assert(Ann.deriveKnnBits(50) == 2)   // testdata sf0.001/0.01 group size
+    assert(Ann.deriveKnnBits(218) == 4)  // testdata sf0.1 group size
+    assert(Ann.deriveKnnBits(1) == 2 && Ann.deriveKnnBits(0) == 2)
+    assert(Ann.deriveKnnBits(1L << 40) == 28) // capped
+    val bs = (1 to 24).map(i => Ann.deriveKnnBits(1L << i))
+    assert(bs == bs.sorted && bs.sliding(2).forall(p => p.last - p.head <= 1))
+  }
+
+  test("knnWithinLabel (LSH-blocked, derived params) equals the all-pairs top-3 on every sf") {
+    Functions.register(spark)
+    // sf0.1 matters most: g≈218 derives bits=4 (the small sfs derive
+    // 2), so this pins per-vector exactness AT the derived width in
+    // the hard regime (3rd-neighbor cosine down to 0.092).
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(spark, d)
+      val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
+      val a = e.toDF("vec_id", "label", "ea", "na")
+      val b = e.toDF("nb_id", "label", "eb", "nb")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim6").desc, col("nb_id"))
+      val brute = a.join(b, Seq("label"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .select(col("vec_id"), col("label"), col("nb_id"),
+          round(Functions.dotd(col("ea"), col("eb")) / (col("na") * col("nb")) * 1000000d)
+            .cast("long").as("sim6"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nb_id"), col("sim6"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+      val blocked = Ann.knnWithinLabel(emb, "vec_id", "embedding", "label", 3)
+        .select(col("vec_id"), col("rk").cast("int"), col("nb_id"), col("sim6"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+      assert(blocked == brute, s"blocked != all-pairs at $d")
+    }
+  }
+
+  test("knnWithinLabel recall margin: true top-3 pairs collide in many tables, mean >= 4") {
+    // Exactness above is a yes/no gate; this pins the MARGIN: at the
+    // derived (tables=128, bits=4) the hardest sf0.1 slot expects
+    // ~13 colliding tables, so a mean anywhere near the >=1 cliff
+    // would flag a parameter regression long before a miss occurs.
+    Functions.register(spark)
+    val d = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, d)
+    val g = emb.groupBy(col("label")).count().agg(max(col("count"))).head.getLong(0)
+    val (t, b) = (Ann.deriveKnnTables(g), Ann.deriveKnnBits(g))
+    val idx = Ann.bucketIndex(emb, "vec_id", "embedding", t, b, 64, 42L, carry = Seq("label"))
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.toDF("vec_id", "label", "ea", "na")
+    val bb = e.toDF("nb_id", "label", "eb", "nb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim6").desc, col("nb_id"))
+    val truePairs = a.join(bb, Seq("label"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(Functions.dotd(col("ea"), col("eb")) / (col("na") * col("nb")) * 1000000d)
+          .cast("long").as("sim6"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(least(col("vec_id"), col("nb_id")).as("idA"),
+        greatest(col("vec_id"), col("nb_id")).as("idB"))
+      .distinct()
+    val collisions = idx.select(col("id").as("idA"), col("t"), col("b"))
+      .join(idx.select(col("id").as("idB"), col("t").as("tB"), col("b").as("bB")),
+        col("t") === col("tB") && col("b") === col("bB") && col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("c"))
+    val stats = truePairs.join(collisions, Seq("idA", "idB"), "left")
+      .agg(min(coalesce(col("c"), lit(0L))).as("mn"),
+        avg(coalesce(col("c"), lit(0L))).as("mean")).head
+    assert(stats.getLong(0) >= 1, "a true top-3 pair never collides — exactness is luck")
+    assert(stats.getDouble(1) >= 4.0, s"mean collision count ${stats.getDouble(1)} too thin")
+  }
+
+  test("knnWithinLabel candidate-slot volume grows ~linearly with corpus size (derived bits)") {
+    Functions.register(spark)
+    def slots(d: String): (Long, Long) = {
+      val emb = Tables.embeddings(spark, d)
+      val g = emb.groupBy(col("label")).count().agg(max(col("count"))).head.getLong(0)
+      val idx = Ann.bucketIndex(emb, "vec_id", "embedding",
+        Ann.deriveKnnTables(g), Ann.deriveKnnBits(g), 64, 42L, carry = Seq("label"))
+      val n = emb.count()
+      (n, idx.select(col("label"), col("id").as("idA"), col("t"), col("b"))
+        .join(idx.select(col("label").as("lB"), col("id").as("idB"),
+            col("t").as("tB"), col("b").as("bB")),
+          col("label") === col("lB") && col("t") === col("tB") &&
+            col("b") === col("bB") && col("idA") < col("idB")).count())
+    }
+    val (n1, c1) = slots("/root/testdata/sf0.01")
+    val (n2, c2) = slots("/root/testdata/sf0.1")
+    // label-only blocking scales slots by (n2/n1)² = 16×; group-
+    // derived bits must keep growth ~linear (2× headroom for
+    // non-uniform bucket occupancy)
+    assert(c2.toDouble / c1 <= 2.0 * n2.toDouble / n1,
+      s"knn candidate slots grew super-linearly: n $n1->$n2, slots $c1->$c2")
+  }
+
   test("VecCentroid aggregator matches the exact decimal centroid within 1e-5") {
     val emb = Tables.embeddings(spark, dir)
     val agg = emb.groupBy(col("label"))
