@@ -210,6 +210,66 @@ object StreamQueries {
       store.read(s, "matches")
         .select(col("click_id"), col("err_id"))
         .orderBy("click_id", "err_id")
+    }),
+
+    // ---- T4 STREAMED arbitrary-state sessionization, oracle-gated ---
+    // The flatMapGroupsWithState path end to end (the last streaming
+    // operator that was spec-only, VERDICT r3 missing #1): events
+    // replay as ts-ordered micro-batches through closedSessions
+    // (event-time timeout state machine), every CLOSED session MERGEs
+    // into the store as it emits, and the final stored set must
+    // hash-match the one-shot batch sessionization oracle — so
+    // in-batch eager splits, cross-batch session extension, timeout
+    // eviction, and append-mode exactly-once emission are all on the
+    // gate. Sessions still open at end-of-stream only close when the
+    // watermark passes their end+gap, so the staged corpus carries ONE
+    // far-future SENTINEL event under a key no user has: it replays
+    // last, pushes the global watermark past every real session, and
+    // the trailing no-data micro-batch (on by default) fires the
+    // timeouts. The sentinel's own session never closes (nothing
+    // advances the watermark past IT), so it cannot reach the store —
+    // the filter below is belt and braces.
+    "t4_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val sentinel = "~wm~"
+      val ev = Tables.events(s, dir)
+      val uidType = ev.schema("user_id").dataType
+      val keyed = ev.select(col("user_id").cast("string").as("key"), col("ts"))
+      val maxTs = keyed.agg(max(col("ts"))).head.getTimestamp(0)
+      val flush = Seq((sentinel, new java.sql.Timestamp(
+        maxTs.getTime + (2 * 3600 + 1800) * 1000L))).toDF("key", "ts")
+      val base = s"/root/repo/target/tmp/stream-sessions/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, keyed.unionAll(flush), "ts", stage, 5)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.closedSessions(stream.as[Streams.KeyedEvent],
+            gap = "30 minutes", watermark = "1 hour")
+          .toDF()
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            store.upsert(b.sparkSession, "sessions", b, Seq("key", "start"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "sessions")
+        .filter(col("key") =!= sentinel)
+        .select(fmt(col("start")).as("s_start"),
+          fmt(col("end") + expr("INTERVAL 30 minutes")).as("s_end"),
+          col("key").cast(uidType).as("user_id"),
+          col("n_events").cast("long").as("n"))
+        .orderBy("user_id", "s_start")
     })
   )
 
@@ -265,6 +325,27 @@ object StreamQueries {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the streamed state-machine sessionization's CLOSED-session set
+    // must equal the one-shot batch sessionization (same oracle shape
+    // as t3_session_stats)
+    "t4_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       user_id, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
 
     // the streamed ingest's FINAL STATE must equal a one-shot GROUP BY
     // over the same events, whatever the micro-batch slicing

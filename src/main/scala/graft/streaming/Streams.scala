@@ -224,7 +224,10 @@ object Streams {
             var acc = state.getOption.getOrElse(SessionAcc(ts.head, ts.head, 0))
             val closed = Vector.newBuilder[ClosedSession]
             ts.foreach { t =>
-              if (t - acc.end > gapMillis) {
+              // >= : a session window is [start, last+gap) — an event AT
+              // last+gap opens a new session, matching batch
+              // session_window (and the w7/t3 oracle's >= split)
+              if (t - acc.end >= gapMillis) {
                 // in-batch split: the previous session is already over
                 closed += ClosedSession(key, new java.sql.Timestamp(acc.start),
                   new java.sql.Timestamp(acc.end), acc.n)

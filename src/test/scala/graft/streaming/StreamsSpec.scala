@@ -301,6 +301,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4: closedSessions boundary — an event EXACTLY gap after the last opens a new session") {
+    // session windows are [start, last+gap): batch session_window (and
+    // the t4 oracle's >= split) start a new session at exactly last+gap
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = Streams.closedSessions(mem.toDS(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("closed_boundary").outputMode("append")
+      .start()
+    try {
+      mem.addData(KeyedEvent("b", ts(0)), KeyedEvent("b", ts(30)))
+      q.processAllAvailable()
+      val got = s.table("closed_boundary").collect().toSeq
+        .map(r => (r.getString(0), r.getInt(3)))
+      assert(got == Seq(("b", 1)),
+        s"ts(30) sits AT last+gap: the first session must close eagerly with 1 event: $got")
+    } finally q.stop()
+  }
+
   test("T1/P3: expectations gate inside foreachBatch — bad batch aborts, store keeps last good state") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
