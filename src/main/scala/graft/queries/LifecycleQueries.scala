@@ -286,10 +286,63 @@ object LifecycleQueries {
         col(s"max_$c").as("max_val")))
       wide.select(inline(array(rows: _*)))
         .orderBy($"column_name")
+    }),
+
+    // ---- S13: time travel, oracle-gated end to end through disk -----
+    // Three keyed MERGE batches land in a version-retaining store,
+    // then readVersionsBack(1) reads the state AS OF the second commit
+    // — and must hash-match DuckDB recomputing the merge of batches
+    // 1..2 only. That puts the whole retention chain on the gate: the
+    // manifest records history, an old version's files survive the
+    // newer commits untouched, and the historical read resolves the
+    // right version dir (batch 3's 'U3' rows must be invisible).
+    // The reference semantics at stake: the upsert history its
+    // nupdates counter encodes (scrapper.py:198).
+    "s13_version_read" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(TimeTravelStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(TimeTravelStorePath, retain = 2)
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      Seq(b1, b2, b3).foreach(b =>
+        store.upsert(s, "orders", b, Seq("o_orderkey"), numFiles = Some(1)))
+      store.readVersionsBack(s, "orders", 1)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
     })
   )
 
+  private val TimeTravelStorePath = "/root/repo/target/tmp/timetravel-oracle"
+
   val oracle: Map[String, String] = Map(
+    // the version-1-back read must equal the merge of batches 1..2
+    // (batch 3 invisible); nupdates counts how many batches touched a
+    // key among the first two
+    "s13_version_read" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |b2 AS (
+        |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS nupdates
+        |FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     "a9_robust_outliers" ->
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
         |            FROM lineitem GROUP BY 1),
