@@ -7,9 +7,10 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column queries (X4). The byte-level stats are exactly
-  * SQL-expressible, so the binary plumbing itself is oracle-checked;
-  * the stubbed decoder's feature rows get the rows-only gate plus
-  * MultimodalSpec. */
+  * SQL-expressible, so the binary plumbing is oracle-checked; and the
+  * decode path is REAL (JDK PNG + WAV codecs over formula-defined
+  * lossless payloads), so the decoded features are oracle-checked
+  * too — DuckDB recomputes them from the generator formulas. */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -44,13 +45,25 @@ object MultimodalQueries {
         .orderBy("fp")
     }),
 
-    // ---- stub-decoded features (rows-only; pinned by MultimodalSpec)
+    // ---- REAL-decode features (oracle-checked) ----------------------
+    // Synthetic-but-REAL payloads: formula-defined grayscale PNGs and
+    // 8-bit PCM WAVs, encoded with the JDK codecs in a narrow map,
+    // then decoded BACK by the batched feature extractor (imageio /
+    // javax.sound — content-sniffed, not kind-trusted). Both formats
+    // are lossless, so every decoded feature (dimensions, pixel sum,
+    // frame count, sample sum) is independently recomputable from the
+    // generator formulas — which is exactly what DuckDB does: a
+    // Spark-side decode bug (wrong band, off-by-one raster walk,
+    // signed/unsigned sample mixup) breaks the hash.
     "x4_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+          Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)))
         .toDF
-        .select(col("mediaId").as("media_id"), col("kind"), col("nBytes").as("n_bytes"),
-          round(col("byteMean"), 4).as("byte_mean"), col("phash"))
+        .select(col("mediaId").as("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("nUnits").as("n_units"), col("unitSum").as("unit_sum"))
         .orderBy("media_id")
     }),
 
@@ -83,6 +96,35 @@ object MultimodalQueries {
       """SELECT md5(substr(text, 1, 80)) AS fp, COUNT(*) AS n_copies,
         |MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    // recompute the decoded features from the generator formulas:
+    // image pixel(x,y) = (id·7+31x+17y)%256 over a (16+id%48) ×
+    // (16+id%32) raster; audio sample(i) = (id·13+7i)%256 over
+    // 256+id%512 frames. SUM(BIGINT) is HUGEINT in DuckDB — cast back.
+    "x4_media_features" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ipx AS (
+        |  SELECT i.doc_id, 'image' AS kind, i.w AS width, i.h AS height,
+        |         CAST(0 AS BIGINT) AS sample_rate, i.w * i.h AS n_units,
+        |         CAST(SUM((i.doc_id * 7 + 31 * x.x + 17 * y.y) % 256) AS BIGINT) AS unit_sum
+        |  FROM img i, range(0, 64) x(x), range(0, 48) y(y)
+        |  WHERE x.x < i.w AND y.y < i.h
+        |  GROUP BY i.doc_id, i.w, i.h),
+        |aud AS (
+        |  SELECT doc_id, 256 + doc_id % 512 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |apx AS (
+        |  SELECT a.doc_id, 'audio' AS kind, CAST(0 AS BIGINT) AS width,
+        |         CAST(0 AS BIGINT) AS height, CAST(16000 AS BIGINT) AS sample_rate,
+        |         a.n AS n_units,
+        |         CAST(SUM((a.doc_id * 13 + 7 * i.i) % 256) AS BIGINT) AS unit_sum
+        |  FROM aud a, range(0, 768) i(i) WHERE i.i < a.n
+        |  GROUP BY a.doc_id, a.n)
+        |SELECT doc_id AS media_id, kind, width, height, sample_rate, n_units, unit_sum
+        |FROM (SELECT * FROM ipx UNION ALL SELECT * FROM apx)
+        |ORDER BY media_id""".stripMargin,
 
     // every 1024-byte stride contributes one 256-byte (or tail) frame;
     // frames start at offsets 0, 1024, 2048, ...

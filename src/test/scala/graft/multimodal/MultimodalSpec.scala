@@ -7,18 +7,49 @@ import graft.multimodal.Multimodal.{MediaFeatures, MediaRecord}
 
 class MultimodalSpec extends SparkSpec {
 
-  private val abc = "abc".getBytes("UTF-8")
+  private def pxSum(id: Long, w: Int, h: Int): Long =
+    (for (y <- 0 until h; x <- 0 until w) yield (id * 7 + 31L * x + 17L * y) % 256).sum
 
-  test("stub decoder: deterministic byte stats and fnv hash") {
-    val out = Multimodal.decodeBatch(Seq(
-      MediaRecord(1L, "image", abc, 3, 3, 0),
-      MediaRecord(2L, "audio", Array.emptyByteArray, 0, 0, 16000)))
-    val f = out.head
-    assert(f.nBytes == 3L && math.abs(f.byteMean - (97 + 98 + 99) / 3.0) < 1e-12)
-    assert(f.histHead == Seq(0L, 0L, 0L, 0L)) // 'a'..'c' land in bucket 6
-    assert(out(1).nBytes == 0L && out(1).byteMean == 0.0)
-    // decode twice → identical (deterministic)
-    assert(Multimodal.decodeBatch(Seq(MediaRecord(1L, "image", abc, 3, 3, 0))).head == f)
+  private def smpSum(id: Long, n: Int): Long =
+    (0 until n).map(i => (id * 13 + 7L * i) % 256).sum
+
+  test("PNG roundtrip: imageio decode recovers the formula pixels exactly") {
+    val (id, w, h) = (6L, 20, 17)
+    val png = Multimodal.synthPng(id, w, h)
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'),
+      "payload must be a real PNG container")
+    val f = Multimodal.decodeBatch(Seq(MediaRecord(id, "image", png, w, h, 0))).head
+    assert(f.width == w && f.height == h && f.nUnits == w.toLong * h)
+    assert(f.unitSum == pxSum(id, w, h), "decoded gray values must equal the formula")
+    // deterministic: encode+decode twice → identical features
+    assert(Multimodal.decodeBatch(
+      Seq(MediaRecord(id, "image", Multimodal.synthPng(id, w, h), w, h, 0))).head == f)
+  }
+
+  test("WAV roundtrip: javax.sound decode recovers rate and the formula samples") {
+    val (id, n) = (7L, 300)
+    val wav = Multimodal.synthWav(id, n)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.decodeBatch(Seq(MediaRecord(id, "audio", wav, 0, 0, 16000))).head
+    assert(f.sampleRate == 16000 && f.nUnits == n.toLong)
+    assert(f.unitSum == smpSum(id, n), "decoded unsigned samples must equal the formula")
+  }
+
+  test("dispatch sniffs content magic, not the claimed kind") {
+    // a PNG mislabeled as video still decodes as an image — bytes
+    // can't be routed to the wrong parser by bad metadata
+    val png = Multimodal.synthPng(3L, 16, 16)
+    val asVideo = Multimodal.decodeBatch(Seq(MediaRecord(9L, "video", png, 0, 0, 0))).head
+    assert(asVideo.width == 16 && asVideo.height == 16 && asVideo.nUnits == 256L)
+    // non-media bytes fall back to byte stats
+    val txt = "abc".getBytes("UTF-8")
+    val f = Multimodal.decodeBatch(Seq(MediaRecord(1L, "video", txt, 0, 0, 0))).head
+    assert(f.nBytes == 3L && f.nUnits == 3L && f.unitSum == 97L + 98 + 99)
+    assert(f.width == 0 && f.height == 0 && f.sampleRate == 0)
+    // empty/null payloads are zero rows, not crashes
+    val z = Multimodal.decodeBatch(Seq(MediaRecord(2L, "audio", null, 0, 0, 0))).head
+    assert(z.nBytes == 0L && z.unitSum == 0L)
   }
 
   test("extractFeatures preserves batch boundaries and every row") {
