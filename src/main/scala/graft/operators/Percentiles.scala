@@ -74,6 +74,27 @@ object Percentiles {
       ps: Seq[Double], names: Seq[String],
       restoreNullGroups: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)
+    val g = groupCols.map(col)
+    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    val ranked = globalRanks(df, groupCols, valCol)
+      .withColumn("rd", col("r").cast("double"))
+    val needed = ps.map(p => col("rd") === floor(pos(p)) || col("rd") === ceil(pos(p)))
+      .reduce(_ || _)
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        max(when(col("rd") === floor(pos(p)), col("v"))).as(s"_lo$i"),
+        max(when(col("rd") === ceil(pos(p)), col("v"))).as(s"_hi$i"))
+    } :+ max(col("n")).as("_n")
+    val agged = ranked.filter(needed).groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+    restoreAndInterpolate(df, agged, groupCols, ps, names, restoreNullGroups)
+  }
+
+  /** The shared rank apparatus: one row per non-null value of `valCol`
+    * with its 0-based in-group global rank `r` (long) and group size
+    * `n`. One range shuffle of the (group, value) projection + a
+    * ≤ groups×chunks counts aggregate — no task ever holds more than
+    * one value-contiguous chunk. */
+  private def globalRanks(df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
     val spark = df.sparkSession
     val g = groupCols.map(col)
     // explicit partition count: AQE must not re-coalesce the exchange
@@ -97,19 +118,87 @@ object Percentiles {
     // across a chunk boundary, but tied rows carry the same v, so any
     // rank permutation among them picks the same value.
     val wLoc = Window.partitionBy(g :+ col("pid"): _*).orderBy(col("v"))
-    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
-    val ranked = ranged.withColumn("lr", row_number().over(wLoc))
+    ranged.withColumn("lr", row_number().over(wLoc))
       .join(broadcast(offsets), groupCols :+ "pid")
-      .withColumn("r", (col("off") + col("lr") - 1).cast("double"))
-    val needed = ps.map(p => col("r") === floor(pos(p)) || col("r") === ceil(pos(p)))
-      .reduce(_ || _)
-    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
-      Seq(
-        max(when(col("r") === floor(pos(p)), col("v"))).as(s"_lo$i"),
-        max(when(col("r") === ceil(pos(p)), col("v"))).as(s"_hi$i"))
-    } :+ max(col("n")).as("_n")
-    val agged = ranked.filter(needed).groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
-    restoreAndInterpolate(df, agged, groupCols, ps, names, restoreNullGroups)
+      .withColumn("r", col("off") + col("lr") - 1)
+  }
+
+  /** Median AND MAD cutpoints from ONE ranked pass (VERDICT r3 #5:
+    * the two-round form paid two full range shuffles and three source
+    * scans). The fuse rests on an order-statistics identity: with the
+    * group's values v_0 ≤ … ≤ v_{n−1} and median m, the p-th smallest
+    * absolute deviation |v − m| (0-based) is
+    *
+    *   d_p = min over windows of p+1 consecutive ranks [i, i+p] of
+    *         max(m − v_i, v_{i+p} − m)
+    *
+    * — the p+1 rows with smallest deviation form a rank-contiguous
+    * window around m, its widest edge IS d_p, and every other window
+    * contains a row outside that set, so its minimax is ≥ d_p. That
+    * turns the deviation median into a RANK-OFFSET EQUI-JOIN on the
+    * already-ranked values (join key: group, r+p vs r — p is the
+    * group's median offset) followed by a per-group min: no second
+    * range shuffle, no deviation re-sort, no source re-scan. The
+    * offset join shuffles (group, rank, v) pairs once and partial
+    * aggregation collapses the windows map-side.
+    *
+    * m − v_i and v_{i+p} − m are IEEE-identical to abs(v − m) on each
+    * side of the median (negation is exact), and the interpolation is
+    * restoreAndInterpolate's tree verbatim — so the cutpoints are
+    * bit-identical to the two-round exactDistributed form
+    * (PercentilesSpec pins it, incl. adversarial geometries).
+    * Output: groupCols :+ names._1 (median) :+ names._2 (MAD). */
+  def medianMad(df: DataFrame, groupCols: Seq[String], valCol: String,
+      names: (String, String) = ("m", "mad")): DataFrame = {
+    val g = groupCols.map(col)
+    // both selections and the final window join re-read the ranks:
+    // persist the one ranked pass instead of recomputing its shuffle
+    val ranked = globalRanks(df, groupCols, valCol)
+      .select(g :+ col("v") :+ col("r") :+ col("n"): _*)
+      .persist()
+    def position = (col("n") - 1).cast("double") * lit(0.5)
+    val med = ranked
+      .filter(col("r").cast("double") === floor(position) ||
+        col("r").cast("double") === ceil(position))
+      .groupBy(g: _*)
+      .agg(
+        max(when(col("r").cast("double") === floor(position), col("v"))).as("_lo0"),
+        max(when(col("r").cast("double") === ceil(position), col("v"))).as("_hi0"),
+        max(col("n")).as("_n"))
+    val medDf = interpOne(med, g, names._1).select(g :+ col(names._1): _*)
+    // window minimax: candidate left edges explode to the (≤2) median
+    // offsets of the deviation rank; the partner row at rank r+p
+    // arrives via the equi-join on (group, rp)
+    val pLo = floor(position).cast("long")
+    val pHi = ceil(position).cast("long")
+    val lefts = ranked.join(broadcast(medDf), groupCols)
+      .withColumn("p", explode(array_distinct(array(pLo, pHi))))
+      .filter(col("r") + col("p") < col("n"))
+      .select(g :+ col(names._1) :+ col("n") :+ col("p") :+
+        col("v").as("vlo") :+ (col("r") + col("p")).as("rp"): _*)
+    val rights = ranked.select(g :+ col("r").as("rp") :+ col("v").as("vhi"): _*)
+    val mad = lefts.join(rights, groupCols :+ "rp")
+      .withColumn("d", greatest(col(names._1) - col("vlo"), col("vhi") - col(names._1)))
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("p") === pLo, col("d"))).as("_lo0"),
+        min(when(col("p") === pHi, col("d"))).as("_hi0"),
+        max(col("n")).as("_n"),
+        max(col(names._1)).as(names._1))
+    interpOne(mad, g, names._2)
+      .select(g :+ col(names._1) :+ col(names._2): _*)
+  }
+
+  /** restoreAndInterpolate's p=0.5 interpolation tree over one
+    * `_lo0`/`_hi0`/`_n` triple, appended as `name`. */
+  private def interpOne(agged: DataFrame, g: Seq[Column], name: String): DataFrame = {
+    val position = (col("_n") - 1).cast("double") * lit(0.5)
+    val lower = floor(position)
+    val higher = ceil(position)
+    agged.withColumn(name,
+      when(lower === higher, col("_lo0"))
+        .otherwise((higher - position) * col("_lo0") +
+          (position - lower) * col("_hi0")))
   }
 
   /** Shared tail: Spark's Percentile.getPercentile interpolation over

@@ -159,30 +159,20 @@ object LifecycleQueries {
 
     // ---- A9b: robust outliers (median/MAD, not mean/sigma) ----------
     // The z-score gate (a9) breaks down when outliers inflate sigma
-    // itself; median absolute deviation is outlier-resistant. Two
-    // stats-then-apply rounds: per-group median (exact percentile —
-    // interpolation proven bit-identical to quantile_cont), broadcast
-    // back for |x - m|, second median over that, broadcast again for
+    // itself; median absolute deviation is outlier-resistant. Both
+    // cutpoints come from Percentiles.medianMad's single ranked pass
+    // (VERDICT r3 #5 — the old two-round form paid a second range
+    // shuffle and re-scanned the source for the deviation sort; the
+    // fused window-minimax MAD doesn't), then one broadcast back for
     // the 3·1.4826·MAD flag. Every float op is the same IEEE tree on
     // identical inputs in both engines, so the flag counts hash-match.
     "a9_robust_outliers" -> ((s, dir) => {
       import s.implicits._
-      // medians via distributed exact rank selection (bit-identical to
-      // the built-in, bounded task state at any group geometry) — the
-      // buffering `percentile` aggregate here would be the a4
-      // scale-killer twice
       val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
-      // both measures are non-null by construction (prices; |x - m|
-      // after an inner join) — skip the null-group restore scans
-      val med = graft.operators.Percentiles.exactDistributed(
-        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5), Seq("m"),
-        restoreNullGroups = false)
-      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      val stats = graft.operators.Percentiles.medianMad(
+        li, Seq("l_returnflag"), "l_extendedprice")
+      li.join(broadcast(stats), Seq("l_returnflag"))
         .withColumn("ad", abs($"l_extendedprice" - $"m"))
-      val mad = graft.operators.Percentiles.exactDistributed(
-        dev, Seq("l_returnflag"), "ad", Seq(0.5), Seq("mad"),
-        restoreNullGroups = false)
-      dev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(when($"ad" > lit(3.0) * lit(1.4826) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
