@@ -92,6 +92,17 @@ final class TableStore(val root: String, val retain: Int = 0) {
     pmanifestLines(fs(spark), name)
       .flatMap(_.find(_.startsWith("#meta\t")).map(_.stripPrefix("#meta\t")))
 
+  /** Committed schema of the current PARTITIONED commit (the
+    * `#schema` manifest header, JSON). Carried so a commit that drops
+    * EVERY partition (a table-emptying delete) still leaves the table
+    * readable: with zero partition paths there is no parquet footer to
+    * infer from, so the schema must ride in the manifest itself. */
+  private def readPartitionedSchema(f: FileSystem, name: String): Option[org.apache.spark.sql.types.StructType] =
+    pmanifestLines(f, name)
+      .flatMap(_.find(_.startsWith("#schema\t")).map(_.stripPrefix("#schema\t")))
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** The committed version chain from the manifest, newest first
     * (line 0 = current, line k = k commits back). Empty if the table
     * is not in whole-table (versioned) mode. */
@@ -159,6 +170,16 @@ final class TableStore(val root: String, val retain: Int = 0) {
         // PartitionFilters behave exactly as a plain hive layout
         val paths = m.toSeq.sortBy(_._1).map { case (p, v) => s"$root/$name/$p/$v" }
         spark.read.option("basePath", livePath(name)).parquet(paths: _*)
+      case Some(_) =>
+        // a delete emptied EVERY partition: zero rows, not a crash.
+        // The schema rides in the manifest header (no data files left
+        // to infer it from); pre-header manifests can only fall back
+        // to the raw read and its inference error.
+        readPartitionedSchema(fs(spark), name) match {
+          case Some(schema) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case None => spark.read.parquet(resolve(spark, name))
+        }
       case _ => spark.read.parquet(resolve(spark, name))
     }
   }
@@ -303,6 +324,17 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * Displaced partition versions are deleted after commit (open
     * posix/HDFS handles survive; on an object store defer instead).
     *
+    * SINGLE WRITER per table, enforced by discipline not by the
+    * filesystem: the commit is a read-modify-write of the partition
+    * map under Rename.OVERWRITE, so two concurrent writers — even on
+    * disjoint partitions — would silently drop whichever manifest
+    * landed first (lost update), and a concurrent vacuum would collect
+    * an in-flight writer's staged version dirs. This is the same
+    * contract as whole-table `replace`; a multi-writer deployment
+    * serializes commits through a lock service or uses
+    * `replaceIfUnchanged`-style CAS on a versioned manifest name —
+    * a filesystem rename alone cannot arbitrate.
+    *
     * `dropIfUnwritten`: partition dir names to REMOVE from the table
     * in this same commit if the batch produced no replacement data for
     * them — how a partition-emptying delete expresses "this partition
@@ -355,6 +387,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val mtmp = new Path(live, s"._pmanifest-$tag")
     val out = f.create(mtmp, true)
     try out.write((effMeta.map(m => s"#meta\t$m").toSeq ++
+        Seq(s"#schema\t${df.schema.json}") ++
         newMap.toSeq.sortBy(_._1).map { case (p, v) => s"$p\t$v" })
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -560,7 +593,17 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * have a manifest, so any such v-dir is uncommitted garbage).
     * Never touches live data or partitioned layouts. Single-writer
     * discipline applies (vacuum from the writer; a concurrent
-    * writer's in-flight staging dir would be collected). */
+    * writer's in-flight staging dir would be collected).
+    *
+    * `.mig-<part>` dirs are NOT garbage: adoptLegacyPartitions moves a
+    * legacy partition through two renames, and a crash between them
+    * leaves the partition's ONLY data copy at `.mig-<part>`. Vacuum
+    * completes the recovery by renaming it BACK to the legacy layout
+    * (the exact pre-adoption state — the next write re-runs adoption)
+    * when the target partition is provably dataless; if the target
+    * holds any committed version or files, the mig dir is left in
+    * place for manual inspection — deletion can never be proven safe
+    * from here, and disk is cheaper than a lost partition. */
   def vacuum(spark: SparkSession): Unit = {
     val f = fs(spark)
     val rootPath = new Path(root)
@@ -574,9 +617,21 @@ final class TableStore(val root: String, val retain: Int = 0) {
         f.listStatus(st.getPath).foreach { c =>
           val cn = c.getPath.getName
           if ((cn.startsWith("v-") && !live.contains(cn)) ||
-              cn.startsWith("._manifest-") || cn.startsWith("._pmanifest-") ||
-              cn.startsWith(".mig-"))
+              cn.startsWith("._manifest-") || cn.startsWith("._pmanifest-"))
             f.delete(c.getPath, true)
+          else if (cn.startsWith(".mig-")) {
+            // crashed legacy-partition adoption: restore, never delete
+            val target = new Path(st.getPath, cn.stripPrefix(".mig-"))
+            val targetDataless = !f.exists(target) || !f.listStatus(target).exists { t =>
+              t.isFile || t.getPath.getName.startsWith("v-")
+            }
+            if (targetDataless && !pmap.contains(target.getName)) {
+              if (f.exists(target)) f.delete(target, true) // mkdirs leftover, empty
+              if (!f.rename(c.getPath, target))
+                throw new java.io.IOException(
+                  s"vacuum: could not restore half-adopted partition $cn in $n")
+            } // else: target has data — keep .mig-* untouched
+          }
           else if (c.isDirectory && cn.contains("=")) {
             // partitioned mode: inside each partition dir, version dirs
             // not referenced by the partition manifest are crash

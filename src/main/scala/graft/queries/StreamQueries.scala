@@ -27,12 +27,22 @@ object StreamQueries {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) return
-    df.repartitionByRange(nFiles, col(tsCol)).write.mode("overwrite").parquet(path)
-    fs.listStatus(p)
+    // write + stamp into a TEMP dir, then one atomic rename: the
+    // exists-check above is the idempotence gate, so the final path
+    // must only ever appear FULLY staged — a crash between the
+    // parquet write and the mtime stamps would otherwise be accepted
+    // forever with arbitrary replay order (the t2/t3 watermark gates
+    // depend on the stamps). A crashed temp dir is re-staged wholesale
+    // on the next run (overwrite mode), never half-trusted.
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".stage-${p.getName}")
+    df.repartitionByRange(nFiles, col(tsCol)).write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName) // part-0000k IS the k-th ts range
       .zipWithIndex
       .foreach { case (st, i) => fs.setTimes(st.getPath, 1000000L + i * 1000L, -1) }
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"stageOrdered: publish rename failed for $path")
   }
 
   /** Run a streaming write with shuffle/state parallelism sized to

@@ -118,7 +118,8 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(f.exists(mp), "partitioned commit must publish a _pmanifest")
     val in = f.open(mp)
     val lines = try new String(in.readAllBytes(), "UTF-8").linesIterator.toSeq finally in.close()
-    val vers = lines.map(_.split('\t')).map(a => a(0) -> a(1)).toMap
+    val vers = lines.filterNot(_.startsWith("#")) // skip meta/schema headers
+      .map(_.split('\t')).map(a => a(0) -> a(1)).toMap
     assert(vers.keySet == Set("p_date=1", "p_date=2"))
     assert(vers.values.toSet.size == 1, s"one batch = one version tag: $vers")
   }
@@ -170,6 +171,7 @@ class TableStorePartitionSpec extends SparkSpec {
     val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = f.open(new Path(store.livePath("t"), "_pmanifest"))
     val vers = (try new String(in.readAllBytes(), "UTF-8").linesIterator.toSeq finally in.close())
+      .filterNot(_.startsWith("#")) // skip meta/schema headers
       .map(_.split('\t')).map(a => a(1)).toSet
     assert(vers.size == 1)
     // a post-widen single-partition upsert carries the column and
@@ -270,5 +272,66 @@ class TableStorePartitionSpec extends SparkSpec {
     val s1 = fileState(store, "t")
     store.compactPartitions(spark, "t", "p_date", maxFiles = 1)
     assert(fileState(store, "t") == s1)
+  }
+
+  test("crash mid-adoption: vacuum RESTORES the .mig partition instead of deleting it") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    Seq(("a", "x", 1, 1L), ("b", "y", 2, 1L)).toDF("k", "v", "p_date", "nupdates")
+      .write.partitionBy("p_date").parquet(store.livePath("t"))
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // inject the adoption crash: first rename done (pd → .mig-pd),
+    // empty target dir recreated, second rename never ran — the ONLY
+    // copy of partition p_date=1 now lives at .mig-p_date=1
+    val pd = new Path(store.livePath("t"), "p_date=1")
+    val mig = new Path(store.livePath("t"), ".mig-p_date=1")
+    assert(f.rename(pd, mig)); f.mkdirs(pd)
+    store.vacuum(spark)
+    // data recovered to the legacy layout, not destroyed
+    assert(!f.exists(mig))
+    assert(store.read(spark, "t").count() == 2)
+    // and the next v2 write re-runs adoption end to end
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x2")),
+      Seq("k"), "p_date", numFiles = Some(1))
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map("a" -> "x2", "b" -> "y"))
+  }
+
+  test("vacuum keeps a .mig dir when the target partition holds data (never provably-unsafe delete)") {
+    val store = freshStore()
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")),
+      Seq("k"), "p_date", numFiles = Some(1))
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stale .mig leftover next to a LIVE committed partition: vacuum
+    // must not delete it (can't prove redundancy) and must not clobber
+    // the committed partition by "restoring" over it
+    val mig = new Path(store.livePath("t"), ".mig-p_date=1")
+    f.mkdirs(mig)
+    val out = f.create(new Path(mig, "orphan.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val before = store.read(spark, "t").collect().toSeq
+    store.vacuum(spark)
+    assert(f.exists(mig), ".mig with a live target partition must be kept for inspection")
+    assert(store.read(spark, "t").collect().toSeq == before)
+  }
+
+  test("a delete that empties EVERY partition leaves a readable zero-row table") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x", "b" -> "y")),
+      Seq("k"), "p_date", numFiles = Some(1))
+    store.deleteWherePartitioned(spark, "t",
+      org.apache.spark.sql.functions.lit(true), "p_date")
+    assert(store.exists(spark, "t"))
+    val emptied = store.read(spark, "t")
+    assert(emptied.count() == 0)
+    // schema survives via the manifest header — columns stay queryable
+    assert(emptied.columns.toSet ==
+      Set("k", "v", "p_date", "nupdates"))
+    // and the table comes back to life on the next upsert
+    store.upsertPartitioned(spark, "t", batch(2, Seq("c" -> "z")),
+      Seq("k"), "p_date", numFiles = Some(1))
+    assert(store.read(spark, "t").count() == 1)
   }
 }
