@@ -280,6 +280,107 @@ object StreamQueries {
           col("key").cast(uidType).as("user_id"),
           col("n_events").cast("long").as("n"))
         .orderBy("user_id", "s_start")
+    }),
+
+    // ---- T4 STREAMED stateful dedup, oracle-gated -------------------
+    // The dropDuplicatesWithinWatermark path end to end (the last T4
+    // leg that was spec-only): the feed is the events corpus with
+    // at-least-once redelivery INJECTED — every third event re-arrives
+    // 5 minutes later under the same event_id — replayed as 4
+    // ts-ordered micro-batches through the watermark-scoped dedup,
+    // then folded per event_type into the store via the exactly-once
+    // incremental-agg sink. The final state hashes against a plain
+    // GROUP BY over the ORIGINAL events: it matches iff every injected
+    // duplicate was dropped (a single survivor inflates n), whatever
+    // file slicing the duplicates straddle. Determinism: a duplicate
+    // trails its original by 5 minutes, the watermark delay is 2
+    // hours, and replay is ts-ordered — so the original's dedup state
+    // is still resident when the duplicate arrives, in this batch or
+    // a later one. Value sums ride as micro-unit longs (t1's exact
+    // cross-engine convention).
+    "t4_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      val dups = events.filter(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 5 minutes"))
+      val feed = events.unionAll(dups)
+      val base = s"/root/repo/target/tmp/stream-dedup/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, feed, "ts", stage, 4)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.incrementalAggSink(
+            Streams.dedupWithinWatermark(stream, Seq("event_id")),
+            store, "type_stats", Seq("event_type"),
+            Seq(graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
+              graft.operators.IncrementalAgg.Measure("v6",
+                sum(round(col("value") * 1000000L).cast("long")))))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "type_stats")
+        .select(col("event_type"), col("n"), col("v6"))
+        .orderBy("event_type")
+    }),
+
+    // ---- S11/T1 STREAMED CDC changelog apply, oracle-gated ----------
+    // s4_cdc_apply run as an actual stream: the snapshot seeds the
+    // store, the three change batches stage as seq-ordered files and
+    // replay one per micro-batch through Streams.cdcSink (Cdc.apply +
+    // batch-id replay guard per commit), and the FINAL stored
+    // dimension must hash-match the one-shot latest-wins apply — so
+    // within-batch last-op-wins, U-insert on absent keys, D-deletes of
+    // both snapshot and earlier-batch rows, and cross-batch sequencing
+    // are all on the gate. (Per-key seq order across files is
+    // guaranteed by the range staging; that in-order delivery is the
+    // CDC transport contract that makes sequential == one-shot.)
+    "t5_stream_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val snapshot = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val upd = o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", lit(1L).as("seq"), lit("U").as("op"),
+          lit("P1").as("c_status"), ($"o_totalprice" + 10.0).as("c_price"))
+      val del = o.filter($"o_orderkey" % 6 === 0)
+        .select($"o_orderkey", lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("c_status"), lit(null).cast("double").as("c_price"))
+      val ins = o.filter($"o_orderkey" % 5 === 0 &&
+          $"o_orderdate" >= lit("1997-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit(3L).as("seq"), lit("U").as("op"),
+          lit("P2").as("c_status"), ($"o_totalprice" * 2.0).as("c_price"))
+      val changes = upd.unionAll(del).unionAll(ins)
+      val base = s"/root/repo/target/tmp/stream-cdc/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, changes, "seq", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      store.replace(s, "orders_dim", snapshot)
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.cdcSink(stream, store, "orders_dim", "o_orderkey", "seq", "op",
+            Map("o_orderstatus" -> col("c_status"), "o_totalprice" -> col("c_price")))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "orders_dim")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -362,6 +463,38 @@ object StreamQueries {
     "t1_stream_ingest" ->
       """SELECT user_id, COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the deduped streamed state must equal a GROUP BY over the
+    // ORIGINAL events — every injected redelivery dropped, none extra
+    "t4_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // one-shot latest-wins apply of the full changelog (the batch
+    // s4_cdc_apply oracle without its applied_op diagnostic column)
+    "t5_stream_cdc" ->
+      """WITH snapshot AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |changes AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op, 'P1' AS c_status,
+        |         o_totalprice + 10.0 AS c_price FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', 'P2', o_totalprice * 2.0 FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderdate >= TIMESTAMP '1997-06-01'),
+        |latest AS (
+        |  SELECT * FROM (SELECT o_orderkey, op, c_status, c_price,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM changes) WHERE rn = 1)
+        |SELECT COALESCE(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.c_status ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN c.op = 'U' THEN c.c_price ELSE t.o_totalprice END AS o_totalprice
+        |FROM snapshot t FULL OUTER JOIN latest c ON t.o_orderkey = c.o_orderkey
+        |WHERE COALESCE(c.op, 'K') != 'D'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

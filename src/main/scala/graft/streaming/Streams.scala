@@ -78,6 +78,28 @@ object Streams {
           batchId = Some(id))
       }
 
+  /** S11/T1: streamed CDC changelog apply — each micro-batch of
+    * change rows folds into the stored snapshot through `Cdc.apply`
+    * (within-batch last-op-wins, U replaces-or-inserts, D deletes),
+    * committed with the batch-id replay guard so an at-least-once
+    * redelivery is a no-op. The streamed dual of the oracle-pinned
+    * batch `s4_cdc_apply`: per-key in-order delivery (the CDC
+    * transport contract) makes sequential micro-batch application
+    * equal the one-shot apply, which is exactly what the
+    * t5_stream_cdc gate hashes. */
+  def cdcSink(changes: DataFrame, store: TableStore, table: String,
+      key: String, seqCol: String, opCol: String,
+      set: Map[String, org.apache.spark.sql.Column]): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        if (!store.alreadyApplied(sp, table, Some(id)))
+          store.replace(sp, table,
+            graft.operators.Cdc.apply(store.read(sp, table), batch, key, seqCol, opCol, set),
+            Some(id.toString))
+      }
+
   /** T2/T3: watermarked tumbling-window aggregate over an event-time
     * column. Late rows within the watermark still update their window;
     * older state is dropped (bounded state at 100 TB/day rates). */
