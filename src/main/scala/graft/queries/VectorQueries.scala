@@ -169,6 +169,67 @@ object VectorQueries {
         .orderBy("true_label", "pred_label")
     }),
 
+    // ---- X2k: distributed k-means (exact-integer Lloyd's) -----------
+    // The clustering primitive for corpus curation: 3 Lloyd rounds
+    // from deterministic seeds (vectors 0..7), whole geometry in
+    // shifted 1e-6 ints so both engines agree bit for bit (the
+    // x2_centroid_classify discipline). Per iteration: one map-side
+    // assignment pass (centroids inlined as a literal k×d array — no
+    // join, no shuffle of vectors) + one partial+final (cid, idx)
+    // aggregate whose exchange carries ≤ parts×k×64 rows. Driver
+    // state k×64 longs. Output: per-cluster size, exact inertia, and
+    // a position-weighted centroid checksum pinning the centroids
+    // themselves.
+    "x2_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cents, a) = graft.operators.Kmeans.fitAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val ck = cents.toIndexedSeq.zipWithIndex.map { case (c, cid) =>
+        (cid.toLong, c.toIndexedSeq.zipWithIndex.map { case (v, i) => v * (i + 1L) }.sum)
+      }
+      val ckDf = s.createDataFrame(ck).toDF("cluster", "c_checksum")
+      a.groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+        .join(broadcast(ckDf), "cluster")
+        .orderBy("cluster")
+    }),
+
+    // ---- X2s: semantic dedup (SemDeDup, Abbas et al. 2023) ----------
+    // Near-dup removal that only compares WITHIN a k-means cluster:
+    // candidate volume is Σ|c|² for k clusters instead of n² — at
+    // 100 TB you pick k ≈ n/10⁴ so clusters stay bounded and the one
+    // vector-carrying shuffle is the hash exchange on cid. Drop rule
+    // (deterministic, chain-free): a vector is dropped iff SOME
+    // smaller-id vector in the same cluster has cosine sim ≥ 0.45
+    // (sim quantized to 1e-6 ints, the knn_within_label discipline).
+    // Output per cluster: size, kept count, and the exact sum of
+    // dropped ids as a membership checksum.
+    "x2_semantic_dedup" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val (_, a0) = graft.operators.Kmeans.fitAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val a = a0.select(col("id").as("vec_id"), col("cid"))
+      val e = emb.select(col("vec_id"), col("embedding").as("v"),
+        sqrt(Functions.dotd(col("embedding"), col("embedding"))).as("nrm"))
+        .join(a, "vec_id")
+      val l = e.select(col("cid"), col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+      val r = e.select(col("cid"), col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+      val dropped = l.join(r, Seq("cid"))
+        .filter(col("ida") < col("idb"))
+        .select(col("cid"), col("idb"),
+          round(Functions.dotd(col("va"), col("vb")) / (col("na") * col("nb")) * 1000000d)
+            .cast("long").as("sim6"))
+        .filter(col("sim6") >= 450000L)
+        .select(col("cid"), col("idb")).distinct()
+      a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .join(dropped.groupBy(col("cid"))
+            .agg(count(lit(1)).as("n_drop"), sum(col("idb")).as("drop_sum")),
+          Seq("cid"), "left")
+        .select(col("cid").as("cluster"), col("n"),
+          (col("n") - coalesce(col("n_drop"), lit(0L))).as("n_kept"),
+          coalesce(col("drop_sum"), lit(0L)).as("drop_sum"))
+        .orderBy("cluster")
+    }),
+
     // ---- A6 typed Aggregator centroid (the idiomatic fast path) -----
     // No oracle: double accumulation is order-sensitive; pinned against
     // x2_centroid_exact by VecCentroidSpec within 1e-9 instead.
@@ -209,7 +270,64 @@ object VectorQueries {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Unrolled exact-integer Lloyd's for the DuckDB oracle: x6 scaled
+    * dims, c0 = seeds (vec_id < 8), then assign/update × 3. Shares
+    * the x2_centroid_classify integer discipline, so every CTE is
+    * engine-exact; `//` on non-negative operands == Spark div. */
+  private def kmAssign(n: Int, c: String): String =
+    s"""a$n AS (SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM (SELECT x.vec_id, c.cid, SUM((x.x6 - c.c6)*(x.x6 - c.c6)) AS d2
+       |        FROM x JOIN $c c USING (idx) GROUP BY 1, 2) t)""".stripMargin
+  private def kmUpdate(n: Int, prev: String, a: String): String =
+    s"""c$n AS (SELECT p.cid, p.idx,
+       |    CAST(COALESCE((2*s.sx + s.n) // (2*s.n), p.c6) AS BIGINT) AS c6
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT a.cid, x.idx, SUM(x.x6) AS sx, COUNT(*) AS n
+       |    FROM $a a JOIN x USING (vec_id) WHERE a.rk = 1 GROUP BY 1, 2) s
+       |  ON p.cid = s.cid AND p.idx = s.idx)""".stripMargin
+  private val kmeansCtes: String =
+    s"""WITH x AS (SELECT vec_id, i AS idx,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x6
+       |  FROM embeddings, generate_series(1, 64) s(i)),
+       |c0 AS (SELECT vec_id AS cid, idx, x6 AS c6 FROM x WHERE vec_id < 8),
+       |${kmAssign(1, "c0")},
+       |${kmUpdate(1, "c0", "a1")},
+       |${kmAssign(2, "c1")},
+       |${kmUpdate(2, "c1", "a2")},
+       |${kmAssign(3, "c2")},
+       |${kmUpdate(3, "c2", "a3")},
+       |${kmAssign(4, "c3")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x2_kmeans" ->
+      s"""$kmeansCtes,
+         |kstats AS (SELECT cid AS cluster, COUNT(*) AS n,
+         |    CAST(SUM(d2) AS BIGINT) AS inertia
+         |  FROM a4 WHERE rk = 1 GROUP BY 1),
+         |ck AS (SELECT cid AS cluster, CAST(SUM(c6 * idx) AS BIGINT) AS c_checksum
+         |  FROM c3 GROUP BY 1)
+         |SELECT k.cluster, k.n, k.inertia, ck.c_checksum
+         |FROM kstats k JOIN ck USING (cluster) ORDER BY cluster""".stripMargin,
+
+    "x2_semantic_dedup" ->
+      s"""$kmeansCtes,
+         |asg AS (SELECT vec_id, cid FROM a4 WHERE rk = 1),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT a.cid, b.vec_id AS idb,
+         |    CAST(ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS sim6
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+         |d AS (SELECT DISTINCT cid, idb FROM p WHERE sim6 >= 450000),
+         |ds AS (SELECT cid, COUNT(*) AS n_drop, CAST(SUM(idb) AS BIGINT) AS drop_sum
+         |  FROM d GROUP BY 1),
+         |sz AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY 1)
+         |SELECT sz.cid AS cluster, sz.n, sz.n - COALESCE(ds.n_drop, 0) AS n_kept,
+         |  COALESCE(ds.drop_sum, 0) AS drop_sum
+         |FROM sz LEFT JOIN ds ON sz.cid = ds.cid ORDER BY cluster""".stripMargin,
+
     "x2_ann_topk" -> topkOracle,
     "x2_knn_within_label" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,

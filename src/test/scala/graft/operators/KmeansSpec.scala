@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class KmeansSpec extends SparkSpec {
+
+  /** Local exact-integer reference: the same Lloyd recurrence in
+    * plain Scala — seeds = k smallest ids, argmin ties → smallest
+    * cid, empty cluster keeps its centroid, round-half-up rational
+    * mean. Distributed vs local must agree LONG-FOR-LONG. */
+  private def localFit(vecs: Seq[(Long, Array[Long])], k: Int, iters: Int)
+      : (Array[Array[Long]], Map[Long, (Int, Long)]) = {
+    var cents = vecs.sortBy(_._1).take(k).map(_._2.clone()).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(): Map[Long, (Int, Long)] = vecs.map { case (id, v) =>
+      val ds = cents.map(c => d2(v, c))
+      val best = ds.indices.minBy(i => (ds(i), i))
+      id -> (best, ds(best))
+    }.toMap
+    for (_ <- 1 to iters) {
+      val a = assign()
+      val next = cents.map(_.clone())
+      for (cid <- 0 until k) {
+        val members = vecs.filter(v => a(v._1)._1 == cid)
+        if (members.nonEmpty) {
+          val n = members.size.toLong
+          for (i <- next(cid).indices) {
+            val s = members.map(_._2(i)).sum
+            next(cid)(i) = (2L * s + n) / (2L * n)
+          }
+        }
+      }
+      cents = next
+    }
+    (cents, assign())
+  }
+
+  private def scaledLocal(v: Seq[Float]): Array[Long] =
+    v.map(x => math.round(x.toDouble * 1e6) + 1000000L).toArray
+
+  test("fit + assign match the local exact-integer reference long-for-long (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val local = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> scaledLocal(r.getSeq[Float](1))).toSeq
+    val (expCents, expAssign) = localFit(local, k = 8, iters = 3)
+    val (gotCents, aDf) = Kmeans.fitAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(gotCents.map(_.toSeq).toSeq == expCents.map(_.toSeq).toSeq)
+    val gotAssign = aDf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2)))).toMap
+    assert(gotAssign == expAssign)
+  }
+
+  test("emptied cluster keeps its previous centroid") {
+    val s = spark; import s.implicits._
+    // seeds are ids 0,1,2; every point coincides with seed 0, so
+    // argmin ties send ALL mass to cid 0 and clusters 1,2 go empty
+    // on the first update — their centroids must stay at the seed
+    val vs = Seq(
+      (0L, Seq(0.1f, 0.1f)), (1L, Seq(0.1f, 0.1f)), (2L, Seq(0.1f, 0.1f)),
+      (3L, Seq(0.1f, 0.1f)), (4L, Seq(0.1f, 0.1f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val cents = Kmeans.fit(df, "vec_id", "embedding", k = 3, iters = 2)
+    val seed = scaledLocal(Seq(0.1f, 0.1f)).toSeq
+    assert(cents(0).toSeq == seed && cents(1).toSeq == seed && cents(2).toSeq == seed)
+    val a = Kmeans.assign(df, "vec_id", "embedding", cents)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+    assert(a == Seq(0L), "ties must all land on the smallest cid")
+  }
+
+  test("assignment is map-side only: no exchange, centroids ride as literals") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Kmeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = Kmeans.assign(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assign must not shuffle — vectors stay in their input partition:\n$plan")
+  }
+}
