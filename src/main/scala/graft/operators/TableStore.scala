@@ -727,8 +727,93 @@ final class TableStore(val root: String, val retain: Int = 0) {
       meta: Option[String]): Unit =
     replaceInternal(spark, name, df, meta, preCommitCheck = () => ())
 
+  /** Zone-mapped write: range-cluster `df` by `statCols` (tight
+    * per-file value ranges are what make zone maps selective), write
+    * through the normal atomic manifest commit, and stage a
+    * `.zonemap` stats table (per-file min/max/null-count for each
+    * stat column) INSIDE the version dir before the manifest swap —
+    * data and its skipping index publish in the same atomic rename,
+    * so a reader can never see a version without its zone map or a
+    * stale map for new data.
+    *
+    * This is Delta/Iceberg-style file skipping re-expressed on the
+    * store: at 100 TB, a range predicate on the cluster column plans
+    * from ~targetFiles rows of driver-side metadata and opens only
+    * the files whose [min, max] intersects — no footer reads, no
+    * listing, and unlike hive partitioning it needs no low-cardinality
+    * partition key. The stats pass is ONE extra scan of the staged
+    * version (aggregated per file map-side; the exchange carries
+    * files × statCols rows). */
+  def replaceZoneMapped(spark: SparkSession, name: String, df: DataFrame,
+      statCols: Seq[String], targetFiles: Int = 32): Unit = {
+    require(statCols.nonEmpty, "zone map needs at least one stats column")
+    val clustered = df
+      .repartitionByRange(targetFiles, statCols.map(col): _*)
+      .sortWithinPartitions(statCols.map(col): _*)
+    replaceInternal(spark, name, clustered, None, preCommitCheck = () => (),
+      prepare = tmp => {
+        val data = spark.read.parquet(tmp.toString)
+        val aggs = statCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+          count(lit(1)).as("rows")
+        data
+          .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/.zonemap")
+      })
+  }
+
+  /** File names of the current version that can contain rows with
+    * `statCol` in [lo, hi] (None = unbounded side), plus the total
+    * file count. Conservative on files the map knows nothing about;
+    * all-null files prune away because a RANGE predicate can never
+    * match a NULL (SQL three-valued logic), which is exactly the
+    * contract `readZonePruned` exposes. */
+  def zonePrunedFiles(spark: SparkSession, name: String, statCol: String,
+      lo: Option[Any], hi: Option[Any]): Option[(Seq[String], Int)] = {
+    val f = fs(spark)
+    currentVersion(f, name).flatMap { ver =>
+      val zmPath = new Path(s"$root/$name/$ver/.zonemap")
+      if (!f.exists(zmPath)) None
+      else {
+        val zm = spark.read.parquet(zmPath.toString)
+        if (!zm.columns.contains(s"min_$statCol")) None
+        else {
+          val cond = (lo.map(v => col(s"max_$statCol") >= lit(v)) ++
+            hi.map(v => col(s"min_$statCol") <= lit(v)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          // bounded collect: one row per FILE of one table version —
+          // planner-side metadata, the same cardinality Delta's file
+          // index holds on the driver
+          val survivors = zm.filter(cond).select("file")
+            .collect().map(_.getString(0)).toIndexedSeq
+          Some((survivors, zm.count().toInt))
+        }
+      }
+    }
+  }
+
+  /** Range-predicate scan through the zone map: reads only files
+    * whose [min, max] for `statCol` intersects [lo, hi]. The result
+    * is a SUPERSET of the matching rows — callers apply the row-level
+    * filter on top (the map prunes I/O, not rows). Falls back to a
+    * full `read` when the table has no zone map for `statCol`. */
+  def readZonePruned(spark: SparkSession, name: String, statCol: String,
+      lo: Option[Any], hi: Option[Any]): DataFrame =
+    zonePrunedFiles(spark, name, statCol, lo, hi) match {
+      case None => read(spark, name)
+      case Some((files, _)) =>
+        val ver = currentVersion(fs(spark), name).get
+        val vdir = s"$root/$name/$ver"
+        if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
+        else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+    }
+
   private def replaceInternal(spark: SparkSession, name: String, df: DataFrame,
-      meta: Option[String], preCommitCheck: () => Unit): Unit = {
+      meta: Option[String], preCommitCheck: () => Unit,
+      prepare: Path => Unit = _ => ()): Unit = {
     val f = fs(spark)
     // commit-meta carry-forward: a rewrite that is NOT a new logical
     // batch (compact, optimizeZOrder, an un-tracked upsert on a table
@@ -741,6 +826,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val tmp = new Path(s"$root/.tmp-$name-$ver")
     try {
       df.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+      // version-dir enrichment (zone maps, future stats) runs against
+      // the staged temp dir: its artifacts ride the SAME dir rename
+      // and manifest swap as the data, so they are atomic with it
+      prepare(tmp)
       effMeta.foreach { m =>
         val out = f.create(new Path(tmp, ".commitmeta"), true)
         try out.write(m.getBytes("UTF-8")) finally out.close()

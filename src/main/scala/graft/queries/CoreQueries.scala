@@ -1194,6 +1194,32 @@ object CoreQueries {
         .orderBy($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
     }),
 
+    // ---- S9: zone-map file skipping (Delta-style data skipping) ----
+    // Write lineitem range-clustered by l_shipdate with a per-file
+    // min/max zone map committed atomically inside the version dir,
+    // then answer a 6-month range aggregate reading ONLY the files
+    // whose range intersects (ZoneMapSpec pins the pruning ratio and
+    // superset safety). Unlike hive partitioning this needs no
+    // low-cardinality key; unlike parquet row-group stats the planner
+    // never opens a footer — at 100 TB the predicate plans from
+    // ~files rows of driver metadata. Build-once / probe-many per sf
+    // dir (the fileKey guards against regenerated testdata).
+    "s9_zonemap_scan" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/zm-store/v1/${Tables.fileKey(s, dir, "lineitem.parquet")}")
+      if (!store.exists(s, "li_zm"))
+        store.replaceZoneMapped(s, "li_zm", Tables.lineitem(s, dir),
+          Seq("l_shipdate"), targetFiles = 16)
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+      store.readZonePruned(s, "li_zm", "l_shipdate", Some(lo), Some(hi))
+        .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), Functions.dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- S9: parquet scan with pushdown + pruning --------------------------
     "s9_scan_pushdown" -> ((s, dir) => {
       import s.implicits._
@@ -1747,6 +1773,14 @@ object CoreQueries {
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey < 1000 AND l_partkey < 500
         |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+
+    "s9_zonemap_scan" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <= TIMESTAMP '1996-06-30 23:59:59'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "s9_scan_pushdown" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
