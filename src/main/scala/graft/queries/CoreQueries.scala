@@ -238,6 +238,34 @@ object CoreQueries {
     }),
 
     // ---- J3: left-semi / left-anti -----------------------------------
+    // ---- J3b: co-located bucketed join (zero-exchange) --------------
+    // orders and lineitem are both written hash-bucketed AND sorted by
+    // orderkey, so the orderkey join needs NO exchange and NO sort on
+    // either side (BucketingSpec pins both out of the plan). This is
+    // the repeated-join answer at 100 TB: the fact-table all-to-all is
+    // paid once at write time and amortized over every subsequent
+    // join/aggregation on that key; the merge hint only forces the
+    // join strategy the big-data case would pick anyway (broadcast
+    // would win at sf0.01 and prove nothing about the exchange).
+    // Build-once / probe-many per sf dir + JVM, like the ANN index.
+    "j3_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val key = Tables.fileKey(s, dir, "orders.parquet")
+      val o = graft.operators.Bucketing.ensureBucketed(s, "graft_buck", s"orders_${key.replace("-", "_").replace(".", "_")}",
+        Tables.orders(s, dir), Seq("o_orderkey"), 8,
+        s"/root/repo/target/tmp/buck/$key/orders_b")
+      val l = graft.operators.Bucketing.ensureBucketed(s, "graft_buck", s"lineitem_${key.replace("-", "_").replace(".", "_")}",
+        Tables.lineitem(s, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        Seq("l_orderkey"), 8,
+        s"/root/repo/target/tmp/buck/$key/lineitem_b")
+      s.table(o).hint("merge")
+        .join(s.table(l), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Functions.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "j3_semi_anti_customers" -> ((s, dir) => {
       import s.implicits._
       val c = Tables.customer(s, dir)
@@ -1401,6 +1429,12 @@ object CoreQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "j3_semi_anti_customers" ->
       """SELECT c_mktsegment,
