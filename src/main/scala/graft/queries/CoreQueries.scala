@@ -32,6 +32,69 @@ object CoreQueries {
       |       (SELECT COUNT(DISTINCT event_type) FROM events)
       |ORDER BY user_id""".stripMargin
 
+  /** TPC-H Q15 shape — one SQL text for both engines: the top
+    * supplier by quarterly revenue via a CTE referenced twice (once
+    * joined, once under a scalar-subquery MAX). Catalyst decorrelates
+    * the scalar subquery to a single-row broadcast and the CTE's
+    * aggregate is computed once per reference from the pushed-down
+    * quarter filter; equality on total_revenue is exact because both
+    * sides route the sum through decimal and cast to double last. */
+  private val TopSupplierSql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q18 shape — one SQL text for both engines: customers with
+    * large-volume orders, the IN-over-grouped-HAVING pattern. The
+    * subquery becomes a left-semi join against a pre-aggregated
+    * lineitem (partial+final, shuffle carries (orderkey, decimal)
+    * pairs), and the outer 3-table join only sees surviving orders.
+    * Quantity sums ride decimal on both sides. */
+  private val LargeOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** TPC-H Q21 shape — one SQL text for both engines: the
+    * sole-blamed-supplier pattern (EXISTS + NOT EXISTS against the
+    * same fact table under two correlated roles), adapted to this
+    * schema: the testdata carries no commit/receipt dates, so
+    * "late" is played by l_returnflag = 'R'. Catalyst turns the
+    * EXISTS into a left-semi and the NOT EXISTS into a left-anti
+    * join on l_orderkey — three passes over lineitem, each pushed
+    * to its own minimal column set. */
+  private val BlamedSupplierSql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
   /** TPC-H Q7 shape — one SQL text for both engines: bidirectional
     * two-nation trade volume by ship year. Five joins (two against the
     * same dim under different roles); the nation filter is pushed into
@@ -606,6 +669,21 @@ object CoreQueries {
     // join; the threshold math (exact integer-valued sums/counts in
     // double, then one multiply) is bit-identical across engines, so
     // the row qualification — and the hash — match DuckDB exactly.
+    "sql_top_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(TopSupplierSql)
+    }),
+
+    "sql_large_orders" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LargeOrdersSql)
+    }),
+
+    "sql_blamed_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(BlamedSupplierSql)
+    }),
+
     "sql_small_qty_revenue" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(s"""
@@ -1739,6 +1817,10 @@ object CoreQueries {
         |  n_name AS nation, CAST(n_nationkey AS BIGINT) AS nation_key
         |FROM nation
         |ORDER BY n_regionkey, nation""".stripMargin,
+
+    "sql_top_supplier" -> TopSupplierSql,
+    "sql_large_orders" -> LargeOrdersSql,
+    "sql_blamed_supplier" -> BlamedSupplierSql,
 
     "sql_small_qty_revenue" ->
       """SELECT p_brand,

@@ -222,4 +222,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(nt >= 1L && nt <= 3L, "a doc can match at most the 3 query terms")
     }
   }
+
+  test("sql_blamed_supplier: EXISTS is a semi join, NOT EXISTS an anti join — one plan, no re-scan loops") {
+    val p = plan("sql_blamed_supplier")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("sql_large_orders: the HAVING subquery decorrelates to a semi join on a pre-aggregate") {
+    val p = plan("sql_large_orders")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    // the semi side is an aggregate over lineitem, not a raw re-scan
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("sql_top_supplier: the MAX lands as a scalar subquery, not a cross join") {
+    val p = plan("sql_top_supplier")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
