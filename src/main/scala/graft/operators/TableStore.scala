@@ -744,8 +744,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * partition key. The stats pass is ONE extra scan of the staged
     * version (aggregated per file map-side; the exchange carries
     * files × statCols rows). */
+  /** @param bloomCols LONG columns to additionally index with a
+    *   per-file bloom filter, for point-lookup skipping on columns
+    *   the layout is NOT clustered by (zone-map ranges on a scattered
+    *   column span everything; a bloom still prunes). Computed in the
+    *   SAME single stats pass and committed in the same sidecar. */
   def replaceZoneMapped(spark: SparkSession, name: String, df: DataFrame,
-      statCols: Seq[String], targetFiles: Int = 32): Unit = {
+      statCols: Seq[String], targetFiles: Int = 32,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedPerFile: Long = 1L << 16): Unit = {
     require(statCols.nonEmpty, "zone map needs at least one stats column")
     val clustered = df
       .repartitionByRange(targetFiles, statCols.map(col): _*)
@@ -755,7 +762,9 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val data = spark.read.parquet(tmp.toString)
         val aggs = statCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+          bloomCols.map(c => graft.functions.BloomAgg
+            .bloomOf(col(c).cast("long"), bloomExpectedPerFile).as(s"bloom_$c")) :+
           count(lit(1)).as("rows")
         data
           .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
@@ -764,6 +773,47 @@ final class TableStore(val root: String, val retain: Int = 0) {
           .write.mode("overwrite").parquet(s"$tmp/.zonemap")
       })
   }
+
+  /** File names of the current version that might contain rows with
+    * `bloomCol` = `value`, plus the total file count. No false
+    * negatives (bloom contract), so the pruned read is always a safe
+    * superset; fpp-sized overshoot only costs extra reads. None if
+    * the table carries no bloom for this column. */
+  def bloomPrunedFiles(spark: SparkSession, name: String, bloomCol: String,
+      value: Long): Option[(Seq[String], Int)] = {
+    val f = fs(spark)
+    currentVersion(f, name).flatMap { ver =>
+      val zmPath = new Path(s"$root/$name/$ver/.zonemap")
+      if (!f.exists(zmPath)) None
+      else {
+        val zm = spark.read.parquet(zmPath.toString)
+        if (!zm.columns.contains(s"bloom_$bloomCol")) None
+        else {
+          val rows = zm.select(col("file"), col(s"bloom_$bloomCol")).collect()
+          val survivors = rows.filter { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            bytes == null || graft.functions.BloomMightContainFn
+              .mightContain(s"$name/$ver/${r.getString(0)}", bytes, value)
+          }.map(_.getString(0)).toIndexedSeq
+          Some((survivors, rows.length))
+        }
+      }
+    }
+  }
+
+  /** Point-lookup scan through the per-file blooms: reads only files
+    * that might contain `bloomCol = value`. Superset contract as
+    * `readZonePruned`; callers apply the row filter. */
+  def readBloomPruned(spark: SparkSession, name: String, bloomCol: String,
+      value: Long): DataFrame =
+    bloomPrunedFiles(spark, name, bloomCol, value) match {
+      case None => read(spark, name)
+      case Some((files, _)) =>
+        val ver = currentVersion(fs(spark), name).get
+        val vdir = s"$root/$name/$ver"
+        if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
+        else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+    }
 
   /** File names of the current version that can contain rows with
     * `statCol` in [lo, hi] (None = unbounded side), plus the total

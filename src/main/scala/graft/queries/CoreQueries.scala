@@ -301,6 +301,23 @@ object CoreQueries {
     }),
 
     // ---- J3: left-semi / left-anti -----------------------------------
+    // ---- J3c: differentiated skew join ------------------------------
+    // Hot keys (top-32 by left frequency, one bounded count aggregate)
+    // take a broadcast path and never shuffle; the cold majority takes
+    // the normal exchange, now straggler-free. Inner-join lossless by
+    // construction (SkewJoinSpec pins equality, the two-plan split,
+    // and null-key semantics). On this data the result must equal the
+    // plain join exactly — the oracle is the plain join.
+    "j3_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"value")
+      val cust = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+      graft.operators.SkewJoin.differentiated(ev, cust, "user_id", "c_custkey", hotKeys = 32)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), Functions.dsum($"value").as("sum_value"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // ---- J3b: co-located bucketed join (zero-exchange) --------------
     // orders and lineitem are both written hash-bucketed AND sorted by
     // orderkey, so the orderkey join needs NO exchange and NO sort on
@@ -1326,6 +1343,31 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- S9: bloom-sidecar point lookup -----------------------------
+    // The complement of the zone map: events is clustered by ts, so a
+    // point lookup on event_id (scattered across every file) gets
+    // nothing from min/max ranges — but the per-file bloom (built in
+    // the SAME stats pass, committed in the same sidecar) prunes to
+    // the files that might hold the key. No false negatives, so the
+    // pruned read is a safe superset and the row filter on top makes
+    // it exact; fpp (1%) only ever costs extra reads. At 100 TB this
+    // is the needle-in-haystack path: ~files × filter-size bytes of
+    // driver metadata instead of a full scan.
+    "s9_bloom_scan" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/bloom-store/v1/${Tables.fileKey(s, dir, "events.parquet")}")
+      if (!store.exists(s, "ev_bloom"))
+        store.replaceZoneMapped(s, "ev_bloom",
+          Tables.events(s, dir).select($"event_id", $"user_id", $"event_type", $"value"),
+          Seq("user_id"), targetFiles = 16, bloomCols = Seq("event_id"))
+      store.readBloomPruned(s, "ev_bloom", "event_id", 1234L)
+        .filter($"event_id" === 1234L)
+        .select($"event_id", $"user_id", $"event_type",
+          round($"value", 6).as("value"))
+        .orderBy($"event_id")
+    }),
+
     // ---- S9: parquet scan with pushdown + pruning --------------------------
     "s9_scan_pushdown" -> ((s, dir) => {
       import s.implicits._
@@ -1507,6 +1549,12 @@ object CoreQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_skew_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |${dsumSql("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "j3_bucketed_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
@@ -1889,6 +1937,10 @@ object CoreQueries {
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey < 1000 AND l_partkey < 500
         |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+
+    "s9_bloom_scan" ->
+      """SELECT event_id, user_id, event_type, round(value, 6) AS value
+        |FROM events WHERE event_id = 1234 ORDER BY event_id""".stripMargin,
 
     "s9_zonemap_scan" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

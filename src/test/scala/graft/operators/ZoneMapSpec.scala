@@ -86,4 +86,35 @@ class ZoneMapSpec extends SparkSpec {
     val Some((newDomain, _)) = store.zonePrunedFiles(spark, "t", "v", Some(1001L), Some(1050L))
     assert(newDomain.nonEmpty)
   }
+
+  test("bloom sidecar: point lookup on an unclustered column prunes files, no false negatives") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // clustered by g (contiguous), id scattered mod-N across the range:
+    // zone ranges on id are useless, the bloom is the only prune
+    val df = (0L until 4000L).map(i => (i / 1000L, (i * 2654435761L) % 100000L))
+      .toDF("g", "id")
+    store.replaceZoneMapped(spark, "t", df, Seq("g"), targetFiles = 8,
+      bloomCols = Seq("id"))
+    val probe = ((1234L * 2654435761L) % 100000L)
+    val Some((files, total)) = store.bloomPrunedFiles(spark, "t", "id", probe)
+    assert(files.nonEmpty && files.length < total,
+      s"expected bloom pruning, got ${files.length}/$total")
+    val got = store.readBloomPruned(spark, "t", "id", probe)
+      .filter(col("id") === probe).collect().map(_.getLong(0)).toSeq
+    val exp = store.read(spark, "t")
+      .filter(col("id") === probe).collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == exp.sorted && exp.nonEmpty)
+    // absent key: every file may legally bloom-match (fpp), but the
+    // filtered result must be empty
+    assert(store.readBloomPruned(spark, "t", "id", 99999999L)
+      .filter(col("id") === 99999999L).count() == 0L)
+  }
+
+  test("bloomPrunedFiles is None when the column has no bloom") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    store.replaceZoneMapped(spark, "t", (1L to 10L).toDF("v"), Seq("v"), targetFiles = 2)
+    assert(store.bloomPrunedFiles(spark, "t", "v", 3L).isEmpty)
+  }
 }
