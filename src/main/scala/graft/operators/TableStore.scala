@@ -199,6 +199,37 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def versionDepth(spark: SparkSession, name: String): Int =
     versionChain(fs(spark), name).length
 
+  /** Change data feed: the keyed diff between the table `stepsBack`
+    * commits ago and the current version — one row per key whose
+    * image changed, with `op` ∈ I (insert: key absent before), U
+    * (update: any non-key column differs, post-image emitted), D
+    * (delete: key absent now, pre-image emitted). Unchanged keys
+    * emit nothing. This is time travel's consumer-facing dual: a
+    * downstream sync reads the feed instead of re-diffing two full
+    * snapshots itself, and the diff is ONE full-outer merge join on
+    * the key (both sides shuffle once; the row-compare is a null-safe
+    * struct equality, no per-column join). Requires `retain >=
+    * stepsBack` at the commits in question, like `readVersionsBack`. */
+  def changesBetween(spark: SparkSession, name: String, keys: Seq[String],
+      stepsBack: Int): DataFrame = {
+    val old = readVersionsBack(spark, name, stepsBack)
+    val cur = read(spark, name)
+    val nonKeys = cur.columns.filterNot(keys.contains).toIndexedSeq
+    require(old.columns.sorted.sameElements(cur.columns.sorted),
+      s"changefeed across a schema change is ambiguous: ${old.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    val k = keys.map(col)
+    val pre = old.select(k :+ struct(nonKeys.map(col): _*).as("_pre"): _*)
+    val post = cur.select(k :+ struct(nonKeys.map(col): _*).as("_post"): _*)
+    val j = pre.join(post, keys, "full_outer")
+      .withColumn("op",
+        when(col("_pre").isNull, lit("I"))
+          .when(col("_post").isNull, lit("D"))
+          .when(!(col("_pre") <=> col("_post")), lit("U")))
+      .filter(col("op").isNotNull)
+      .withColumn("_img", coalesce(col("_post"), col("_pre")))
+    j.select(col("op") +: k ++: nonKeys.map(c => col(s"_img.$c").as(c)): _*)
+  }
+
   /** The commit-metadata string attached to the CURRENT version (via
     * `replace(.., meta)`), if any. Atomic with the data: a version and
     * its meta publish together in the manifest swap, so a replay guard

@@ -308,10 +308,41 @@ object LifecycleQueries {
       store.readVersionsBack(s, "orders", 1)
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- S13b: change data feed (time travel's consumer dual) -------
+    // The keyed diff between the previous commit and the current one:
+    // one row per changed key, op ∈ I/U (no deletes here — upsert
+    // never removes keys), post-image columns. A downstream sync
+    // reads this instead of re-diffing two snapshots; the diff itself
+    // is ONE full-outer merge join with a null-safe struct compare.
+    // Same 3-batch build as s13_version_read on its own store path;
+    // the oracle recomputes both states from raw parquet and diffs.
+    "s13_changefeed" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(ChangefeedStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(ChangefeedStorePath, retain = 2)
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      Seq(b1, b2, b3).foreach(b =>
+        store.upsert(s, "orders", b, Seq("o_orderkey"), numFiles = Some(1)))
+      store.changesBetween(s, "orders", Seq("o_orderkey"), stepsBack = 1)
+        .select($"op", $"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
     })
   )
 
   private val TimeTravelStorePath = "/root/repo/target/tmp/timetravel-oracle"
+  private val ChangefeedStorePath = "/root/repo/target/tmp/changefeed-oracle"
 
   val oracle: Map[String, String] = Map(
     // the version-1-back read must equal the merge of batches 1..2
@@ -331,6 +362,31 @@ object LifecycleQueries {
         |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
         |            ELSE 1 END AS BIGINT) AS nupdates
         |FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // every b3 key changes (its status literal can't equal any prior
+    // status), so the feed is exactly: b3 ∩ state12 → U, b3 \ state12
+    // → I, with post-image values and nupdates bumped
+    "s13_changefeed" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |b2 AS (
+        |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b3 AS (
+        |  SELECT o_orderkey, 'U3' AS o_orderstatus, o_totalprice * 3.0 AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
+        |s12 AS (
+        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
+        |              ELSE 1 END AS BIGINT) AS nupdates
+        |  FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey)
+        |SELECT CASE WHEN s12.o_orderkey IS NOT NULL THEN 'U' ELSE 'I' END AS op,
+        |  b3.o_orderkey, b3.o_orderstatus, b3.o_totalprice,
+        |  CAST(COALESCE(s12.nupdates, 0) + 1 AS BIGINT) AS nupdates
+        |FROM b3 LEFT JOIN s12 USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "a9_robust_outliers" ->
