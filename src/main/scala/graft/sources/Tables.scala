@@ -32,16 +32,24 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a long (legacy conf) and truncate ns → µs,
-    * matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation so oracle
-    * comparisons line up. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark 4
+    * rejects it by default — read as long via the legacy conf and
+    * truncate ns → µs) and, in later testdata generations, as
+    * TIMESTAMP(MICROS) without timezone (Spark reads TIMESTAMP_NTZ,
+    * which event-time streaming and unix_micros reject). Normalize
+    * BOTH to plain TIMESTAMP: sessions run UTC, so the NTZ cast
+    * re-tags the same wall-clock microseconds as an instant —
+    * matching DuckDB, which reads the column as a naive timestamp
+    * either way. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
