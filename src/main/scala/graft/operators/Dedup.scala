@@ -343,6 +343,98 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster")).union(singletons)
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the scale path for `clusterLabels`.
+    * Min-label propagation converges in O(component diameter) rounds;
+    * a pathological chain of D near-dup docs (scrape → mirror →
+    * mirror-of-mirror …) costs D shuffle rounds. Star contraction
+    * converges in O(log² n) rounds REGARDLESS of diameter — each
+    * round both flattens trees (large-star hangs every
+    * larger-than-parent node directly under the neighborhood min) and
+    * contracts chains (small-star re-points a node's smaller
+    * neighbors at the neighborhood min), so path length roughly
+    * halves per round.
+    *
+    * Per round: two groupBy-min shuffles over the EDGE set (not the
+    * corpus — singletons never enter), each followed by one narrow
+    * join; edges are `localCheckpoint`ed so lineage stays O(1).
+    * Convergence = edge-set fixpoint, checked with one (count,
+    * xor-of-hash) aggregate per round — a signature compare, not a
+    * set compare. At fixpoint the graph is a forest of depth-1 stars:
+    * every node points at its component min.
+    *
+    * Same contract as `clusterLabels`: returns (id, cluster) for
+    * EVERY doc, cluster = min doc id of the component.
+    * `ConnectedComponentsSpec` pins equality with `clusterLabels` on
+    * chains, cliques, stars, binary trees, and seeded random graphs. */
+  def clusterLabelsStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // Directed convention throughout: (u, v) with v < u ("child →
+    // smaller parent"). Initial orientation: larger endpoint first.
+    var edges = pairs
+      .select(greatest(col("idA").cast("long"), col("idB").cast("long")).as("u"),
+        least(col("idA").cast("long"), col("idB").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+
+    // One-job edge-set signature: order-independent sum of row hashes
+    // (decimal(38,0) — long sums overflow under ANSI) plus the count;
+    // over a distinct edge set the pair is collision-safe in practice.
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var sig = signature(edges)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // LARGE-STAR over the symmetrized graph: for each node n with
+      // closed neighborhood min m(n), every strictly LARGER neighbor w
+      // re-points at m(n). Output edges are (w, m(n)) with
+      // m(n) <= n < w — orientation is preserved by construction.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("n"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, sym("u") === mins("n"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // SMALL-STAR over the directed graph: each node u's out-
+      // neighbors are all < u; with m = their min, re-point u and
+      // every out-neighbor (except m itself) at m.
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val joined = large.join(smins, "u")
+      val small = joined
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+
+      val nsig = signature(small)
+      done = nsig == sig
+      sig = nsig
+      edges = small
+      it += 1
+    }
+
+    // Fixpoint stars: non-roots are the `u` side, roots appear only as
+    // `v`. Roots label themselves; singleton docs never entered.
+    val members = edges.select(col("u").as("id"), col("v").as("cluster"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(edges.select(col("u").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    val inGraph = members.unionByName(roots)
+    val singletons = docs.select(col(idCol).cast("long").as("id"))
+      .join(inGraph.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    inGraph.unionByName(singletons)
+  }
+
   /** 64-bit SimHash over character n-gram shingles WITH multiplicity
     * (sequence-sensitive, so word-order changes register). Returns
     * (id, simhash: long with bit 63 kept zero — 63 usable bits).

@@ -159,7 +159,7 @@ object DedupQueries {
       val pairs = nearDupPairs(s, dir).select("idA", "idB")
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      Dedup.clusterLabels(docs, "doc_id", pairs)
+      Dedup.clusterLabelsStar(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster"))
         .join(docs.select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars")),
           Seq("doc_id"))
@@ -170,14 +170,18 @@ object DedupQueries {
     }),
 
     // ---- transitive dedup clusters (connected components) -----------
-    // Min-label propagation over the exact near-dup pair graph: every
-    // doc gets the min doc_id of its component (chains collapse, the
-    // corpus-dedup semantics SlimPajama-style pipelines use). Oracle:
-    // DuckDB recursive-CTE transitive closure over the same pairs.
+    // Large-star/small-star contraction over the exact near-dup pair
+    // graph: every doc gets the min doc_id of its component (chains
+    // collapse, the corpus-dedup semantics SlimPajama-style pipelines
+    // use). O(log² n) rounds regardless of component diameter — the
+    // min-label baseline (Dedup.clusterLabels, spec-pinned equal)
+    // pays O(diameter) rounds, which a mirror-of-mirror chain makes
+    // unbounded at 100 TB. Oracle: DuckDB recursive-CTE transitive
+    // closure over the same pairs.
     "x1_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = nearDupPairs(s, dir).select("idA", "idB")
-      Dedup.clusterLabels(docs, "doc_id", pairs)
+      Dedup.clusterLabelsStar(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     }),
@@ -240,7 +244,7 @@ object DedupQueries {
     "x1_containment_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = containmentPairStore(s, dir).select("idA", "idB")
-      Dedup.clusterLabels(docs, "doc_id", pairs)
+      Dedup.clusterLabelsStar(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     }),
