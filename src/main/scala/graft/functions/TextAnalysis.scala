@@ -136,6 +136,48 @@ object TextAnalysis {
   def dupWordCount(toks: Column): Column =
     (size(toks) - size(array_distinct(toks))).cast("long")
 
+  // ---- Gopher rules (Rae et al. 2021, App. A) -----------------------
+  // The published heuristic-quality gate large-scale pretraining
+  // pipelines standardize on. Every rule is INTEGER arithmetic
+  // (ratio thresholds become cross-multiplied comparisons), so the
+  // rule bits hash-match any engine. All rules are row-local —
+  // the whole report is one codegen'd map over the scan.
+
+  /** The 8 "required words" of Gopher rule 7. */
+  val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Lines of a document (split on \n; empty text is one empty line,
+    * in both engines). */
+  def lines(text: Column): Column = split(text, "\n", -1)
+
+  /** Sum of token lengths (for the mean-word-length rule, kept as an
+    * exact integer numerator). */
+  def tokenCharSum(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Count of '#' characters plus non-overlapping '...' runs — the
+    * numerator of Gopher's symbol-to-word ratio. */
+  def symbolCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
+      regexp_count(text, lit("\\.\\.\\.")).cast("long")
+
+  /** Lines that open with a bullet ('-' or '*' after indent). */
+  def bulletLineCount(text: Column): Column =
+    size(filter(lines(text), l => l.rlike("^\\s*[-*]"))).cast("long")
+
+  /** Lines that close with an ellipsis. */
+  def ellipsisLineCount(text: Column): Column =
+    size(filter(lines(text), l => rtrim(l).endsWith("..."))).cast("long")
+
+  /** Tokens containing at least one ASCII letter. */
+  def alphaWordCount(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+
+  /** Distinct required-stopword hits (iterate the 8-word lexicon, not
+    * the document — order-free and duplicate-free by construction). */
+  def gopherStopHits(toks: Column): Column =
+    size(filter(array(gopherStops.map(lit): _*), w => array_contains(toks, w))).cast("long")
+
   // ---- content fingerprinting ---------------------------------------
 
   /** Whole-document fingerprint: md5 of the exact text (md5 exists in

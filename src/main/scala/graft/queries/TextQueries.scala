@@ -375,6 +375,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher quality rules (Rae et al. 2021, Appendix A) ---------
+    // The full published rule battery as one row-local report: word
+    // count in [50, 100k], mean word length in [3, 10], symbol-to-
+    // word ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis lines,
+    // ≥ 80% alpha-bearing words, ≥ 2 distinct required stopwords.
+    // Ratio thresholds are cross-multiplied to integers so the rule
+    // bits hash-match across engines; the whole report is one
+    // whole-stage-codegen map over the scan — at 100 TB, pure scan
+    // bandwidth, zero shuffle before the ordered dump.
+    "x3_gopher_rules" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        toks.as("w"), lines(col("text")).as("ls"))
+      val nW = size(col("w")).cast("long")
+      val nL = size(col("ls")).cast("long")
+      d.select(
+          col("doc_id"), nW.as("n_words"),
+          (nW >= 50L && nW <= 100000L).as("r_wc"),
+          (tokenCharSum(col("w")) >= nW * 3 && tokenCharSum(col("w")) <= nW * 10).as("r_mwl"),
+          (symbolCount(col("text")) * 10 <= nW).as("r_sym"),
+          (bulletLineCount(col("text")) * 10 <= nL * 9).as("r_bullet"),
+          (ellipsisLineCount(col("text")) * 10 <= nL * 3).as("r_ellipsis"),
+          (alphaWordCount(col("w")) * 5 >= nW * 4).as("r_alpha"),
+          (gopherStopHits(col("w")) >= 2L).as("r_stop"))
+        .withColumn("pass",
+          col("r_wc") && col("r_mwl") && col("r_sym") && col("r_bullet") &&
+            col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+        .orderBy("doc_id")
+    }),
+
     // ---- token-budget sequence packing ------------------------------
     // Chunked packing for LLM training batches: within each lang
     // shard, docs (ordered by doc_id) are laid head-to-tail and cut
@@ -686,6 +716,36 @@ object TextQueries {
         |SELECT base.doc_id AS doc_id, n_words, dup_words,
         |       CAST(COALESCE(gm.m, 0) AS BIGINT) AS top_bigram_cnt
         |FROM base LEFT JOIN gm ON base.doc_id = gm.doc_id ORDER BY base.doc_id""".stripMargin,
+
+    "x3_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w,
+        |  string_split(text, chr(10)) AS ls FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS wchars,
+        |  CAST(length(text) - length(replace(text, '#', ''))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+        |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*]'))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ell,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |       s -> list_contains(w, s))) AS BIGINT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_wc,
+        |  wchars >= n_words * 3 AND wchars <= n_words * 10 AS r_mwl,
+        |  n_sym * 10 <= n_words AS r_sym,
+        |  n_bullet * 10 <= n_lines * 9 AS r_bullet,
+        |  n_ell * 10 <= n_lines * 3 AS r_ellipsis,
+        |  n_alpha * 5 >= n_words * 4 AS r_alpha,
+        |  n_stop >= 2 AS r_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AND (wchars >= n_words * 3 AND wchars <= n_words * 10)
+        |    AND n_sym * 10 <= n_words AND n_bullet * 10 <= n_lines * 9
+        |    AND n_ell * 10 <= n_lines * 3 AND n_alpha * 5 >= n_words * 4
+        |    AND n_stop >= 2 AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "x3_mixture" ->
       """WITH t AS (SELECT CAST(substring(source, 4) AS INT) % 4 AS tier, source, doc_id,
