@@ -232,6 +232,45 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // ---- X2p: product quantization (Jégou et al. 2011) --------------
+    // The memory-scale similarity path: 64 float dims compress to 8
+    // 2-bit codes via per-subspace integer k-means (all 8 subspaces
+    // trained in ONE pass per Lloyd round — subspace is a grouping
+    // key, not a loop). The codebook persists build-once/probe-many
+    // like the ANN/IVF indexes; encode is a map-side projection (no
+    // shuffle — at 100 TB this is the compression pass the corpus
+    // store runs once). Output: per-vector code checksum + exact
+    // integer quantization error, vs an unrolled-CTE oracle running
+    // the identical integer Lloyd rounds.
+    "x2_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Pq.encode(emb, "vec_id", "embedding", fittedBooks(s, dir, emb))
+        .groupBy(col("id").as("vec_id"))
+        .agg(sum((col("m") + 1) * (col("code") + 1)).as("code_checksum"),
+          sum("d2").as("q_err"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- X2p: asymmetric-distance (ADC) top-k over PQ codes ---------
+    // The PQ search story: the query vector becomes an 8×4 integer
+    // lookup table (driver-computed from the persisted codebook); per
+    // stored vector the distance is 8 literal-array lookups + a sum
+    // over the CODES — the embedding column is never scanned at query
+    // time. At 100 TB the codes table is ~64× smaller than the
+    // vectors and the whole search is one aggregate + top-k.
+    "x2_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = fittedBooks(s, dir, emb)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        .map(x => Math.round(x * 1000000d) + 1000000L).toArray
+      val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding", books)
+        .filter(col("id") =!= 0L).select("id", "m", "code")
+      graft.operators.Pq.adcTopK(codes, graft.operators.Pq.adcTable(q, books), 10)
+        .select(col("id").as("vec_id"), col("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+    }),
+
     // ---- A6 typed Aggregator centroid (the idiomatic fast path) -----
     // No oracle: double accumulation is order-sensitive; pinned against
     // x2_centroid_exact by VecCentroidSpec within 1e-9 instead.
@@ -299,6 +338,58 @@ object VectorQueries {
     }
   }
 
+  /** Build-once / probe-many PQ codebook: M×K×(d/M) exact longs in a
+    * tiny store table keyed by the embeddings fingerprint (the
+    * `fittedCentroids` pattern) — both PQ consumers and warm bench
+    * passes skip the 2 Lloyd rounds and just encode. */
+  private def fittedBooks(s: SparkSession, dir: String,
+      emb: DataFrame): Array[Array[Array[Long]]] = {
+    import graft.operators.Pq
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/pq-model/v1/${indexKey(s, dir)}")
+    val books = Array.ofDim[Long](Pq.M, Pq.K, Pq.subDim)
+    if (store.exists(s, "codebook")) {
+      store.read(s, "codebook").collect().foreach(r =>
+        books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+      books
+    } else {
+      val fitted = Pq.fit(emb, "vec_id", "embedding", iters = 2)
+      val flat = for {
+        m <- 0 until Pq.M; c <- 0 until Pq.K; i <- 0 until Pq.subDim
+      } yield (m, c, i, fitted(m)(c)(i))
+      store.replace(s, "codebook", s.createDataFrame(flat).toDF("m", "code", "idx", "c6"))
+      fitted
+    }
+  }
+
+  /** Unrolled exact-integer per-subspace Lloyd's for the PQ oracle —
+    * the `kmeansCtes` discipline with (m, idx) in place of idx:
+    * subspace m owns dims [8m, 8m+8), seeds are vec_id < 4 sliced per
+    * subspace, 2 assign/update rounds then a final assign. */
+  private def pqAssign(n: Int, c: String): String =
+    s"""pa$n AS (SELECT vec_id, m, code, d2,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+       |  FROM (SELECT x.vec_id, x.m, c.code, SUM((x.x6 - c.c6)*(x.x6 - c.c6)) AS d2
+       |        FROM px x JOIN $c c ON x.m = c.m AND x.idx = c.idx GROUP BY 1, 2, 3) t)""".stripMargin
+  private def pqUpdate(n: Int, prev: String, a: String): String =
+    s"""pc$n AS (SELECT p.m, p.code, p.idx,
+       |    CAST(COALESCE((2*s.sx + s.n) // (2*s.n), p.c6) AS BIGINT) AS c6
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT a.m, a.code, x.idx, SUM(x.x6) AS sx, COUNT(*) AS n
+       |    FROM $a a JOIN px x ON x.vec_id = a.vec_id AND x.m = a.m
+       |    WHERE a.rk = 1 GROUP BY 1, 2, 3) s
+       |  ON p.m = s.m AND p.code = s.code AND p.idx = s.idx)""".stripMargin
+  private val pqCtes: String =
+    s"""WITH px AS (SELECT vec_id, (i-1) // 8 AS m, (i-1) % 8 AS idx,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x6
+       |  FROM embeddings, generate_series(1, 64) s(i)),
+       |pc0 AS (SELECT m, vec_id AS code, idx, x6 AS c6 FROM px WHERE vec_id < 4),
+       |${pqAssign(1, "pc0")},
+       |${pqUpdate(1, "pc0", "pa1")},
+       |${pqAssign(2, "pc1")},
+       |${pqUpdate(2, "pc1", "pa2")},
+       |${pqAssign(3, "pc2")}""".stripMargin
+
   /** Unrolled exact-integer Lloyd's for the DuckDB oracle: x6 scaled
     * dims, c0 = seeds (vec_id < 8), then assign/update × 3. Shares
     * the x2_centroid_classify integer discipline, so every CTE is
@@ -356,6 +447,22 @@ object VectorQueries {
          |SELECT sz.cid AS cluster, sz.n, sz.n - COALESCE(ds.n_drop, 0) AS n_kept,
          |  COALESCE(ds.drop_sum, 0) AS drop_sum
          |FROM sz LEFT JOIN ds ON sz.cid = ds.cid ORDER BY cluster""".stripMargin,
+
+    "x2_pq_encode" ->
+      s"""$pqCtes
+         |SELECT vec_id, CAST(SUM((m+1)*(code+1)) AS BIGINT) AS code_checksum,
+         |  CAST(SUM(d2) AS BIGINT) AS q_err
+         |FROM pa3 WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "x2_pq_adc_topk" ->
+      s"""$pqCtes,
+         |lut AS (SELECT c.m, c.code, SUM((q.x6 - c.c6)*(q.x6 - c.c6)) AS d2
+         |  FROM pc2 c JOIN px q ON q.vec_id = 0 AND q.m = c.m AND q.idx = c.idx
+         |  GROUP BY 1, 2),
+         |codes AS (SELECT vec_id, m, code FROM pa3 WHERE rk = 1 AND vec_id <> 0)
+         |SELECT codes.vec_id AS vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+         |FROM codes JOIN lut l ON codes.m = l.m AND codes.code = l.code
+         |GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
 
     "x2_ann_topk" -> topkOracle,
     "x2_knn_within_label" ->
