@@ -325,6 +325,53 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- substring-dedup REWRITE (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better") -------------------
+    // x1_span_dupshare measures duplication; this one REMOVES it: any
+    // 13-token window occurring in ≥ 2 distinct documents marks its
+    // positions, covered tokens are dropped, and each doc is rebuilt
+    // from the surviving tokens (output pins the rebuilt text's md5,
+    // so the oracle verifies the actual rewritten corpus, not just
+    // counts). Plan: positional gram explode → fingerprint count
+    // (distinct-doc ≥ 2) → semi-join marks covered spans → the 13×
+    // position explode happens ONLY on duplicated spans (~O(true
+    // duplication), not the corpus) → anti-join keeps tokens → one
+    // ordered-rebuild aggregate. Every exchange carries (doc_id,
+    // int) or (doc_id, 16-byte md5); the corpus text itself is
+    // never shuffled — at 100 TB the rewrite is two narrow joins on
+    // top of what span-counting already paid.
+    "x1_dedup_rewrite" -> ((s, dir) => {
+      val w = graft.functions.TextAnalysis.tokens(col("text"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), w.as("w"))
+      val toks = d.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      val grams = d.select(col("doc_id"),
+          explode(when(size(col("w")) >= 13,
+            transform(sequence(lit(0), size(col("w")) - 13), p =>
+              struct(p.as("p"),
+                md5(concat_ws(" ", slice(col("w"), p + 1, lit(13))).cast("binary")).as("fp"))))
+            .otherwise(array().cast("array<struct<p:int,fp:string>>"))).as("g"))
+        .select(col("doc_id"), col("g.p").as("p"), col("g.fp").as("fp"))
+      val dup = grams.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val covered = grams.join(dup, "fp")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 12)).as("cpos"))
+        .distinct()
+      val kept = toks.join(covered,
+        toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"),
+        "left_anti")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).cast("binary")).as("clean_fp"))
+      d.select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_fp"), md5(lit("").cast("binary"))).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Jaro-Winkler blocked linkage -------------------------------
     // Name matching where edit distance is too coarse: the native
     // jaro_winkler expression (pinned bit-identical to DuckDB's)
@@ -486,6 +533,27 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |  CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
         |FROM e JOIN c USING (sp) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x1_dedup_rewrite" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w FROM documents),
+        |gp AS (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS p FROM d),
+        |g AS (SELECT doc_id, p, md5(array_to_string(w[p:p+12], ' ')) AS fp FROM gp),
+        |dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.p + offs.o AS cpos
+        |        FROM g JOIN dup USING (fp)
+        |        CROSS JOIN (SELECT unnest(range(0, 13)) AS o) offs),
+        |t AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM d),
+        |kept AS (SELECT doc_id, pos, tok FROM t
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                           WHERE cov.doc_id = t.doc_id AND cov.cpos = t.pos)),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |        md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+        |      FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |  CAST(len(w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(r.clean_fp, md5('')) AS clean_fp
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "x1_containment_clusters" ->
       s"""WITH RECURSIVE pairs AS ($containmentOracle),
