@@ -95,6 +95,89 @@ object CoreQueries {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** TPC-H Q2 shape — one SQL text for both engines: the min-cost
+    * supplier per part via a correlated scalar-MIN subquery over a
+    * CTE referenced twice (this schema has no partsupp; the
+    * part×supplier cost relation derives from lineitem as
+    * MIN(l_extendedprice) — an exact double MIN, no arithmetic, so
+    * the correlated equality is engine-exact). Catalyst decorrelates
+    * the scalar subquery into an aggregate re-joined on partkey;
+    * the p_size filter pushes below both CTE references. */
+  private val MinCostSupplierSql =
+    """WITH pc AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |         MIN(l_extendedprice) AS cost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p_partkey, p_brand, s_suppkey, s_name, cost
+      |FROM part JOIN pc ON p_partkey = partkey
+      |JOIN supplier ON s_suppkey = suppkey
+      |WHERE p_size <= 3
+      |  AND cost = (SELECT MIN(pc2.cost) FROM pc pc2 WHERE pc2.partkey = p_partkey)
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  /** TPC-H Q8 shape — one SQL text for both engines: national market
+    * share within a region by order year. Eight-table join tree (two
+    * nation roles); the region/type/date filters all push to their
+    * scans, numerator and denominator both ride decimal and cast to
+    * double only at the end, and the share itself is rounded at 1e-6
+    * (the sim-column convention) so the division can't smear ulps
+    * across engines. */
+  private val MktShareSql =
+    """WITH base AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+      |         n2.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+      |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+      |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+      |        CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q19 shape — one SQL text for both engines: three OR'd
+    * brackets each combining part attributes and lineitem measures.
+    * The optimizer must extract the common join key equi-condition
+    * from under the disjunction (CNF conversion) to plan a hash join
+    * with the brackets as a post-join filter — the plan-shape trap
+    * Q19 exists to test; a planner that can't extract it degrades to
+    * a nested-loop. */
+  private val DisjunctiveRevenueSql =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 45)
+      |ORDER BY n_lines""".stripMargin
+
+  /** TPC-H Q20 shape — one SQL text for both engines: double-nested
+    * IN (suppliers of heavily-shipped red parts; partsupp's role
+    * played by the grouped lineitem with a decimal HAVING). Catalyst
+    * stacks two left-semi joins; the inner part filter prunes the
+    * lineitem aggregate's input before the shuffle. */
+  private val PromoSupplierSql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 100)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** TPC-H Q7 shape — one SQL text for both engines: bidirectional
     * two-nation trade volume by ship year. Five joins (two against the
     * same dim under different roles); the nation filter is pushed into
@@ -694,6 +777,26 @@ object CoreQueries {
     "sql_large_orders" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(LargeOrdersSql)
+    }),
+
+    "sql_mincost_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(MinCostSupplierSql)
+    }),
+
+    "sql_mkt_share" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(MktShareSql)
+    }),
+
+    "sql_disjunctive_revenue" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(DisjunctiveRevenueSql)
+    }),
+
+    "sql_promo_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(PromoSupplierSql)
     }),
 
     "sql_blamed_supplier" -> ((s, dir) => {
@@ -1868,6 +1971,10 @@ object CoreQueries {
 
     "sql_top_supplier" -> TopSupplierSql,
     "sql_large_orders" -> LargeOrdersSql,
+    "sql_mincost_supplier" -> MinCostSupplierSql,
+    "sql_mkt_share" -> MktShareSql,
+    "sql_disjunctive_revenue" -> DisjunctiveRevenueSql,
+    "sql_promo_supplier" -> PromoSupplierSql,
     "sql_blamed_supplier" -> BlamedSupplierSql,
 
     "sql_small_qty_revenue" ->

@@ -241,4 +241,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("sql_mincost_supplier: correlated MIN decorrelates — joins only, no per-part re-scan") {
+    val p = plan("sql_mincost_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+    // the decorrelated per-part MIN is an aggregate joined back on partkey
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("sql_disjunctive_revenue: the equi-key escapes the OR brackets — hash join, brackets as filter") {
+    val p = plan("sql_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_promo_supplier: both INs stack as semi joins over the pre-aggregated lineitem") {
+    val p = plan("sql_promo_supplier")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_mkt_share: eight-table tree plans with broadcast dims, no nested loops") {
+    val p = plan("sql_mkt_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
 }
