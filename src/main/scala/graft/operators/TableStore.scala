@@ -180,19 +180,31 @@ final class TableStore(val root: String, val retain: Int = 0) {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           case None => spark.read.parquet(resolve(spark, name))
         }
-      case _ => spark.read.parquet(resolve(spark, name))
+      case _ =>
+        val f = fs(spark)
+        currentVersion(f, name) match {
+          case Some(ver) =>
+            // versioned mode: apply the version's pending merge-on-read
+            // deletes (deletion-vector sidecar), if any
+            applyDv(spark, f, name, ver, spark.read.parquet(s"$root/$name/$ver"))
+          case None => spark.read.parquet(livePath(name))
+        }
     }
   }
 
   /** Time-travel read: the table as of `stepsBack` commits ago
     * (0 = current). Requires the store to have been constructed with
     * `retain >= stepsBack` when those commits ran — older versions are
-    * physically gone past the retention window. */
+    * physically gone past the retention window. Each version carries
+    * its own deletion-vector state: a MOR delete against the current
+    * version never rewrites history. */
   def readVersionsBack(spark: SparkSession, name: String, stepsBack: Int): DataFrame = {
-    val chain = versionChain(fs(spark), name)
+    val f = fs(spark)
+    val chain = versionChain(f, name)
     require(stepsBack >= 0 && stepsBack < chain.length,
       s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
-    spark.read.parquet(s"$root/$name/${chain(stepsBack)}")
+    applyDv(spark, f, name, chain(stepsBack),
+      spark.read.parquet(s"$root/$name/${chain(stepsBack)}"))
   }
 
   /** Number of readable committed versions (1 = just the current). */
@@ -650,6 +662,18 @@ final class TableStore(val root: String, val retain: Int = 0) {
           if ((cn.startsWith("v-") && !live.contains(cn)) ||
               cn.startsWith("._manifest-") || cn.startsWith("._pmanifest-"))
             f.delete(c.getPath, true)
+          else if (cn.startsWith("v-") && live.contains(cn)) {
+            // live version: DV dirs not referenced by the committed
+            // pointer, and ptr-staging leftovers, are crash debris
+            val ref = dvInfo(f, n, cn).map(_._2.stripPrefix(".dv/"))
+            val dvd = new Path(c.getPath, ".dv")
+            if (f.exists(dvd)) f.listStatus(dvd).foreach { d =>
+              if (!ref.contains(d.getPath.getName)) f.delete(d.getPath, true)
+            }
+            f.listStatus(c.getPath).foreach { d =>
+              if (d.getPath.getName.startsWith("._dvptr-")) f.delete(d.getPath, true)
+            }
+          }
           else if (cn.startsWith(".mig-")) {
             // crashed legacy-partition adoption: restore, never delete
             val target = new Path(st.getPath, cn.stripPrefix(".mig-"))
@@ -701,6 +725,111 @@ final class TableStore(val root: String, val retain: Int = 0) {
       targetFiles: Int = 8): Unit =
     replace(spark, name,
       Partitioning.zorderCluster(read(spark, name), keyX, keyY, targetFiles))
+
+  // ---- merge-on-read deletes (deletion-vector sidecar) --------------
+
+  private def dvPtr(name: String, ver: String): Path =
+    new Path(s"$root/$name/$ver/._dvptr")
+
+  /** Committed deletion-vector state of a version: (key columns,
+    * DV path relative to the version dir). None = no deletes pending. */
+  private def dvInfo(f: FileSystem, name: String, ver: String): Option[(Seq[String], String)] = {
+    val p = dvPtr(name, ver)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq finally in.close()
+      val keys = lines.find(_.startsWith("#keys\t"))
+        .map(_.stripPrefix("#keys\t").split(",").toSeq).getOrElse(Seq.empty)
+      lines.find(!_.startsWith("#")).map(rel => (keys, rel))
+    }
+  }
+
+  /** Apply a version's committed deletion vector (if any): one
+    * anti-join on the stored key columns. The DV is tiny relative to
+    * the data (deleted keys only), so Catalyst broadcasts it and the
+    * read stays a single scan + broadcast anti-join. */
+  private def applyDv(spark: SparkSession, f: FileSystem, name: String,
+      ver: String, base: DataFrame): DataFrame =
+    dvInfo(f, name, ver) match {
+      case Some((keys, rel)) =>
+        base.join(spark.read.parquet(s"$root/$name/$ver/$rel"), keys, "left_anti")
+      case None => base
+    }
+
+  /** DELETE FROM name WHERE pred — MERGE-ON-READ. Instead of
+    * rewriting the table (`deleteWhere`'s copy-on-write, priced at a
+    * full rewrite), the matching rows' KEYS are appended to a
+    * deletion-vector sidecar inside the current version dir, and
+    * every read anti-joins it. Cost is O(matched keys): the
+    * right-to-be-forgotten shape — a handful of point deletes against
+    * a 100 TB table costs a column-pruned probe plus a KB-sized DV
+    * write, not a table rewrite. Reads pay one broadcast anti-join
+    * until `compactDeletes` (or any upsert/replace) folds the DV into
+    * a rewrite.
+    *
+    * Commit protocol (the store's usual shape): the CUMULATIVE key
+    * set (old DV ∪ new matches) writes to a staged `.dv/dv-<tag>`
+    * dir — invisible, nothing references it — then `._dvptr`
+    * atomically swings to it. Crash before the swing: the old DV (or
+    * none) stays live. Deletes compose: the probe runs against the
+    * DV-applied view, and the cumulative rewrite means a reader
+    * resolves exactly ONE DV file.
+    *
+    * Contract: whole-table versioned mode only; `keys` must be the
+    * table's unique merge keys (the anti-join removes every row
+    * sharing a matched key) and may not contain nulls; repeated calls
+    * must pass the same `keys`. */
+  def deleteWhereMor(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column, keys: Seq[String]): Unit = {
+    val f = fs(spark)
+    val ver = currentVersion(f, name).getOrElse(throw new IllegalArgumentException(
+      s"deleteWhereMor: '$name' is not a whole-table versioned table"))
+    val existing = dvInfo(f, name, ver)
+    existing.foreach { case (ks, _) => require(ks == keys,
+      s"deleteWhereMor: pending DV is keyed by ${ks.mkString(",")}, not ${keys.mkString(",")}") }
+    val newKeys = read(spark, name).filter(coalesce(pred, lit(false)))
+      .select(keys.map(col): _*).distinct()
+    val combined = existing match {
+      case Some((_, rel)) =>
+        spark.read.parquet(s"$root/$name/$ver/$rel").unionByName(newKeys).distinct()
+      case None => newKeys
+    }
+    val tag = UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$root/.tmp-$name-dv-$tag")
+    try combined.coalesce(1).write.mode("overwrite")
+      .option("compression", "zstd").parquet(tmp.toString)
+    catch { case e: Throwable => f.delete(tmp, true); throw e }
+    val dvDir = new Path(s"$root/$name/$ver/.dv")
+    f.mkdirs(dvDir)
+    if (!f.rename(tmp, new Path(dvDir, s"dv-$tag"))) {
+      f.delete(tmp, true)
+      throw new java.io.IOException(s"deleteWhereMor: could not stage DV for $name/$ver")
+    }
+    val ptrTmp = new Path(s"$root/$name/$ver/._dvptr-$tag")
+    val out = f.create(ptrTmp, true)
+    try out.write(s"#keys\t${keys.mkString(",")}\n.dv/dv-$tag".getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(ptrTmp), f.makeQualified(dvPtr(name, ver)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    existing.foreach { case (_, rel) =>
+      f.delete(new Path(s"$root/$name/$ver/$rel"), true)
+    }
+  }
+
+  /** Fold pending merge-on-read deletes into a physical rewrite (the
+    * scheduled-maintenance half of the MOR bargain): materializes the
+    * DV-applied view through the normal manifest commit — the new
+    * version carries no DV, so reads drop the anti-join. No-op if no
+    * DV is pending. */
+  def compactDeletes(spark: SparkSession, name: String): Unit = {
+    val f = fs(spark)
+    if (currentVersion(f, name).exists(dvInfo(f, name, _).isDefined))
+      replace(spark, name, read(spark, name))
+  }
 
   /** Replace a table's contents with `df` (manifest commit). `df` may
     * read from the table's own current version: the new version is

@@ -345,6 +345,7 @@ object CoreQueries {
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
+  private val MorStorePath = "/root/repo/target/tmp/mor-oracle"
   private val UpdateStorePath = "/root/repo/target/tmp/update-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
@@ -1204,6 +1205,33 @@ object CoreQueries {
         .orderBy($"p_year")
     }),
 
+    // ---- S4e: merge-on-read DELETE (deletion vectors), end to end ---
+    // The right-to-be-forgotten shape: two successive DELETEs against
+    // a versioned orders store that never rewrite the data files —
+    // each appends matched keys to the deletion-vector sidecar
+    // (O(matched keys) write + atomic pointer swing) and reads apply
+    // one broadcast anti-join. TableStoreMorSpec pins the data files
+    // byte-identical across both deletes and the compaction
+    // equivalence; the oracle is the complement filter over the
+    // source, which also proves the two DVs COMPOSE. At 100 TB this
+    // is a GDPR erasure priced at a probe + a KB, vs deleteWhere's
+    // full rewrite.
+    "s4_delete_mor" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(MorStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(MorStorePath)
+      store.replace(s, "orders", Tables.orders(s, dir))
+      store.deleteWhereMor(s, "orders",
+        $"o_orderstatus" === "F" && year($"o_orderdate") < 1995, Seq("o_orderkey"))
+      store.deleteWhereMor(s, "orders",
+        $"o_orderstatus" === "P" && $"o_totalprice" > 400000.0, Seq("o_orderkey"))
+      store.read(s, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // ---- S4d: partition-scoped UPDATE, end to end through disk ------
     // Same store as the delete test-bench, other verb: bump P-status
     // order values ×2 and retag them, touching only the partitions
@@ -1952,6 +1980,13 @@ object CoreQueries {
          |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s4_delete_mor" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+         |  AND NOT (o_orderstatus = 'P' AND o_totalprice > 400000.0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s4_update_where" ->

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the merge-on-read delete contract the oracle can't see:
+  * data files stay byte-identical across deletes (the whole point),
+  * deletes compose through one cumulative DV, compaction folds the DV
+  * into an equivalent rewrite, SQL null-predicate semantics hold, MOR
+  * deletes never rewrite history, and vacuum collects staged-but-
+  * uncommitted DV debris without touching the committed one. */
+class TableStoreMorSpec extends SparkSpec {
+  private val root = "/root/repo/target/tmp/mor-spec"
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshStore(retain: Int = 0): TableStore = {
+    fs.delete(new Path(root), true)
+    new TableStore(root, retain)
+  }
+
+  private def seed(store: TableStore): Unit = {
+    val s = spark; import s.implicits._
+    store.replace(s, "t",
+      (1 to 100).map(i => (i.toLong, i % 7, s"row$i")).toDF("k", "grp", "payload"))
+  }
+
+  /** (name, length, mtime) of every DATA file under the current version. */
+  private def dataFiles(store: TableStore): Set[(String, Long, Long)] = {
+    val ver = store.currentVersionId(spark, "t").get
+    fs.listStatus(new Path(s"$root/t/$ver")).filter(_.isFile)
+      .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+  }
+
+  test("MOR delete removes rows without touching data files; deletes compose") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    seed(store)
+    val before = dataFiles(store)
+    store.deleteWhereMor(s, "t", $"grp" === 3, Seq("k"))
+    assert(dataFiles(store) == before, "first MOR delete rewrote data files")
+    assert(store.read(s, "t").filter($"grp" === 3).count() == 0)
+    store.deleteWhereMor(s, "t", $"k" <= 10, Seq("k"))
+    assert(dataFiles(store) == before, "second MOR delete rewrote data files")
+    val kept = store.read(s, "t").select("k").as[Long].collect().toSet
+    val expect = (1 to 100).map(_.toLong).filterNot(i => i % 7 == 3 || i <= 10).toSet
+    assert(kept == expect)
+    // cumulative DV: exactly one committed dv dir
+    val ver = store.currentVersionId(s, "t").get
+    val dvs = fs.listStatus(new Path(s"$root/t/$ver/.dv")).map(_.getPath.getName)
+    assert(dvs.length == 1, dvs.mkString(","))
+  }
+
+  test("NULL predicate rows survive (SQL DELETE semantics)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.replace(s, "t",
+      Seq((1L, Some(1)), (2L, None), (3L, Some(3))).toDF("k", "v"))
+    store.deleteWhereMor(s, "t", $"v" > 1, Seq("k"))
+    assert(store.read(s, "t").select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("compactDeletes folds the DV: same content, pointer gone, anti-join dropped") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    seed(store)
+    store.deleteWhereMor(s, "t", $"grp" === 0, Seq("k"))
+    val viaDv = store.read(s, "t").orderBy("k").collect().toSeq
+    store.compactDeletes(s, "t")
+    val ver = store.currentVersionId(s, "t").get
+    assert(!fs.exists(new Path(s"$root/t/$ver/._dvptr")), "compaction left a DV pointer")
+    assert(store.read(s, "t").orderBy("k").collect().toSeq == viaDv)
+    assert(!store.read(s, "t").queryExecution.executedPlan.toString.contains("Anti"))
+  }
+
+  test("upsert after MOR delete starts from the deleted view") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    store.upsert(s, "t", base, Seq("k"))
+    store.deleteWhereMor(s, "t", $"k" === 2, Seq("k"))
+    store.upsert(s, "t", Seq((3L, "c2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    val got = store.read(s, "t").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 3L -> "c2", 4L -> "d"), got)
+  }
+
+  test("time travel: a MOR delete on the current version never edits history") {
+    val s = spark; import s.implicits._
+    val store = freshStore(retain = 1)
+    seed(store)
+    store.replace(s, "t", store.read(s, "t").withColumn("payload", upper(col("payload"))))
+    store.deleteWhereMor(s, "t", $"k" <= 50, Seq("k"))
+    assert(store.read(s, "t").count() == 50)
+    assert(store.readVersionsBack(s, "t", 1).count() == 100,
+      "history changed under a MOR delete")
+  }
+
+  test("vacuum: uncommitted DV debris collected, committed DV kept") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    seed(store)
+    store.deleteWhereMor(s, "t", $"k" === 1, Seq("k"))
+    val ver = store.currentVersionId(s, "t").get
+    // fake crash leftovers: a staged DV dir nothing references + a ptr tmp
+    fs.mkdirs(new Path(s"$root/t/$ver/.dv/dv-deadbeef"))
+    val out = fs.create(new Path(s"$root/t/$ver/._dvptr-deadbeef"), true)
+    out.write("junk".getBytes("UTF-8")); out.close()
+    store.vacuum(s)
+    val left = fs.listStatus(new Path(s"$root/t/$ver/.dv")).map(_.getPath.getName).toSet
+    assert(left.size == 1 && !left.contains("dv-deadbeef"), left.mkString(","))
+    assert(!fs.exists(new Path(s"$root/t/$ver/._dvptr-deadbeef")))
+    assert(store.read(s, "t").count() == 99, "vacuum broke the committed DV")
+  }
+}
