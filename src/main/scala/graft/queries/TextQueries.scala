@@ -144,6 +144,42 @@ object TextQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion (RRF) -------------
+    // The RAG-stack fusion step: the lexical leg (persisted-index BM25
+    // top-20) and the vector leg (cosine top-20 vs query vec 0) merge
+    // by RRF with the standard k=60 — score contribution = 10⁶ div
+    // (60 + rank), INTEGER division, so fused scores hash-match.
+    // Each leg is the already-scale-correct operator (pushed-IN index
+    // probe; broadcast query vector); fusion itself touches 40 rows —
+    // a full-outer join of two top-k lists, at any corpus size. */
+    "x3_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.Functions.register(s)
+      val bm = graft.operators.TextIndex.bm25Search(s, kwIndex(s, dir), "kw",
+          Seq("vector", "stream", "merge"), k = 20)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vec = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.Functions.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(20)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_vec"))
+      bm.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("CAST(1000000 div (60 + r_lex) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000 div (60 + r_vec) AS BIGINT)"), lit(0L))).as("rrf"),
+          coalesce(col("r_lex"), lit(0)).cast("long").as("r_lex"),
+          coalesce(col("r_vec"), lit(0)).cast("long").as("r_vec"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // ---- k-fold cross-validation assignment -------------------------
     "x3_kfold" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -477,6 +513,27 @@ object TextQueries {
        |        list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
        |      FROM documents) d""".stripMargin
 
+  /** The BM25 top-20 oracle text — standalone entry AND the lexical
+    * leg of the hybrid-RRF oracle (nested as a CTE there, so the two
+    * gates can never drift apart). */
+  private val Bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |       WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |              (SELECT COUNT(*) FROM toks) AS total_tokens)
+      |SELECT tf.doc_id AS doc_id,
+      |  CAST(SUM(CAST(ROUND(CAST((n_docs * 1000) // df AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 /
+      |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+      |    CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score,
+      |  COUNT(*) AS n_terms
+      |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x3_lang_id" ->
       s"""SELECT lang, predicted, COUNT(*) AS n FROM ($perDocLang) p
@@ -632,23 +689,26 @@ object TextQueries {
 
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
-    "x3_bm25_search" ->
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-        |       WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
-        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-        |              (SELECT COUNT(*) FROM toks) AS total_tokens)
-        |SELECT tf.doc_id AS doc_id,
-        |  CAST(SUM(CAST(ROUND(CAST((n_docs * 1000) // df AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 /
-        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
-        |    CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score,
-        |  COUNT(*) AS n_terms
-        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_hybrid_rrf" ->
+      s"""WITH bm AS ($Bm25OracleSql),
+         |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |sims AS (SELECT vec_id AS doc_id,
+         |    round(list_dot_product(embedding::DOUBLE[], q.qv) /
+         |          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY sim DESC, doc_id LIMIT 20),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec FROM sims)
+         |SELECT COALESCE(br.doc_id, vr.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000 // (60 + br.r_lex), 0)
+         |     + COALESCE(1000000 // (60 + vr.r_vec), 0) AS BIGINT) AS rrf,
+         |  CAST(COALESCE(br.r_lex, 0) AS BIGINT) AS r_lex,
+         |  CAST(COALESCE(vr.r_vec, 0) AS BIGINT) AS r_vec
+         |FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "x3_keyword_search" ->
       """WITH toks AS (SELECT doc_id,
