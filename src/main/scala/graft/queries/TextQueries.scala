@@ -180,6 +180,40 @@ object TextQueries {
         .limit(10)
     }),
 
+    // ---- DSIR-style importance selection (Xie et al. 2023) ----------
+    // Data Selection via Importance Resampling, made engine-exact: a
+    // doc scores by how much its hashed-bigram profile looks like the
+    // TARGET domain (source src0) vs the raw corpus. Per feature
+    // bucket b (md5-hashed bigrams mod 1024), the add-one-smoothed
+    // frequency ratio ((ct+1)(Nr+B)·10³) div ((cr+1)(Nt+B)) plays the
+    // likelihood ratio in INTEGER arithmetic (a log would leave the
+    // oracle's reach; ratio ranking is monotone in the same evidence);
+    // a doc's score sums its buckets' weights with multiplicity, and
+    // the top-25 is the selected batch. Plan: one gram explode feeds
+    // BOTH distributions (sum(CASE) splits target/raw in a single
+    // 1024-row aggregate); the weight table broadcasts; the only
+    // corpus-scale exchanges carry (doc_id, bucket) ints. */
+    "x3_dsir_select" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(wordBigramsAll(col("text"))).as("gram"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(conv(substring(md5(CAST(gram AS BINARY)), 1, 4), 16, 10) AS INT) % 1024").as("b"))
+      val perBucket = grams.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      val totals = perBucket.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      val weights = perBucket.crossJoin(broadcast(totals))
+        .select(col("b"),
+          expr("(ct + 1) * (nr + 1024) * 1000 div ((cr + 1) * (nt + 1024))").as("w"))
+      grams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("n") * col("w")).as("score"), sum("n").as("n_grams"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(25)
+    }),
+
     // ---- k-fold cross-validation assignment -------------------------
     "x3_kfold" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -776,6 +810,23 @@ object TextQueries {
         |SELECT base.doc_id AS doc_id, n_words, dup_words,
         |       CAST(COALESCE(gm.m, 0) AS BIGINT) AS top_bigram_cnt
         |FROM base LEFT JOIN gm ON base.doc_id = gm.doc_id ORDER BY base.doc_id""".stripMargin,
+
+    "x3_dsir_select" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |      FROM d WHERE len(w) >= 2),
+        |bk AS (SELECT doc_id, source, ('0x' || substr(md5(gram), 1, 4))::INT % 1024 AS b FROM g),
+        |pb AS (SELECT b, COUNT(*) AS cr,
+        |         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+        |       FROM bk GROUP BY 1),
+        |t AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM pb),
+        |wt AS (SELECT b, (ct + 1) * (nr + 1024) * 1000 // ((cr + 1) * (nt + 1024)) AS w FROM pb, t),
+        |db AS (SELECT doc_id, b, COUNT(*) AS n FROM bk GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n * w) AS BIGINT) AS score, CAST(SUM(n) AS BIGINT) AS n_grams
+        |FROM db JOIN wt USING (b)
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     "x3_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text,
