@@ -214,6 +214,35 @@ object TextQueries {
         .limit(25)
     }),
 
+    // ---- corpus drift monitor (token-share ppm shift) ---------------
+    // The training-data monitoring op: as a corpus rolls from one
+    // generation to the next (here: the doc_id<400 base vs the
+    // arriving batch, the x1_incremental_dedup split), report how the
+    // unigram distribution moved. Per token in the overall top-30:
+    // share in each generation as INTEGER ppm (count·10⁶ div total)
+    // and the absolute drift. A spiking token is a scraper bug or an
+    // injection; a flat report certifies the refresh. One explode +
+    // one sum(CASE) aggregate + a 30-row ranked cut — at 100 TB the
+    // only corpus-scale exchange carries (token, two longs). */
+    "x3_corpus_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select((col("doc_id") < 400).as("base"), explode(tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(
+        sum(when(col("base"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(col("base"), 0L).otherwise(1L)).as("c_new"))
+      val totals = counts.agg(sum("c_base").as("t_base"), sum("c_new").as("t_new"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("rk", row_number().over(
+          Window.orderBy((col("c_base") + col("c_new")).desc, col("tok"))))
+        .filter(col("rk") <= 30)
+        .select(col("tok"),
+          expr("c_base * 1000000 div t_base").as("ppm_base"),
+          expr("c_new * 1000000 div t_new").as("ppm_new"),
+          abs(expr("c_base * 1000000 div t_base") - expr("c_new * 1000000 div t_new")).as("drift_ppm"))
+        .orderBy("tok")
+    }),
+
     // ---- k-fold cross-validation assignment -------------------------
     "x3_kfold" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -810,6 +839,24 @@ object TextQueries {
         |SELECT base.doc_id AS doc_id, n_words, dup_words,
         |       CAST(COALESCE(gm.m, 0) AS BIGINT) AS top_bigram_cnt
         |FROM base LEFT JOIN gm ON base.doc_id = gm.doc_id ORDER BY base.doc_id""".stripMargin,
+
+    "x3_corpus_drift" ->
+      """WITH t AS (SELECT doc_id < 400 AS base,
+        |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok,
+        |        SUM(CASE WHEN base THEN 1 ELSE 0 END) AS c_base,
+        |        SUM(CASE WHEN base THEN 0 ELSE 1 END) AS c_new
+        |      FROM t GROUP BY 1),
+        |g AS (SELECT SUM(c_base) AS t_base, SUM(c_new) AS t_new FROM c),
+        |r AS (SELECT tok, c_base, c_new,
+        |        row_number() OVER (ORDER BY c_base + c_new DESC, tok) AS rk
+        |      FROM c)
+        |SELECT tok,
+        |  CAST(c_base * 1000000 // t_base AS BIGINT) AS ppm_base,
+        |  CAST(c_new * 1000000 // t_new AS BIGINT) AS ppm_new,
+        |  CAST(abs(c_base * 1000000 // t_base - c_new * 1000000 // t_new) AS BIGINT) AS drift_ppm
+        |FROM r, g WHERE rk <= 30 ORDER BY tok""".stripMargin,
 
     "x3_dsir_select" ->
       """WITH d AS (SELECT doc_id, source,
