@@ -225,17 +225,16 @@ object TextQueries {
     // one sum(CASE) aggregate + a 30-row ranked cut — at 100 TB the
     // only corpus-scale exchange carries (token, two longs). */
     "x3_corpus_drift" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, dir)
         .select((col("doc_id") < 400).as("base"), explode(tokens(col("text"))).as("tok"))
       val counts = toks.groupBy("tok").agg(
         sum(when(col("base"), 1L).otherwise(0L)).as("c_base"),
         sum(when(col("base"), 0L).otherwise(1L)).as("c_new"))
       val totals = counts.agg(sum("c_base").as("t_base"), sum("c_new").as("t_new"))
-      counts.crossJoin(broadcast(totals))
-        .withColumn("rk", row_number().over(
-          Window.orderBy((col("c_base") + col("c_new")).desc, col("tok"))))
-        .filter(col("rk") <= 30)
+      // top-30 cut is orderBy+limit (TakeOrderedAndProject: per-
+      // partition heaps, no vocab-sized single-partition window)
+      counts.orderBy((col("c_base") + col("c_new")).desc, col("tok")).limit(30)
+        .crossJoin(broadcast(totals))
         .select(col("tok"),
           expr("c_base * 1000000 div t_base").as("ppm_base"),
           expr("c_new * 1000000 div t_new").as("ppm_new"),
