@@ -87,6 +87,59 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2m: Matryoshka truncation fidelity (MRL QA) ---------------
+    // The embedding-store compression QA: if vectors truncate to their
+    // first 32 dims (Matryoshka representation learning's nesting
+    // contract), does the top-10 neighborhood survive? Reports the
+    // full-dim top-10 with each hit's truncated-dim similarity and
+    // whether it stays in the truncated top-10 — the recall@10
+    // evidence a store needs before switching its serving tier to the
+    // cheap prefix. Both legs are the broadcast-query cosine scan;
+    // nothing new shuffles. */
+    "x2_matryoshka" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val sims = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(Functions.cosine(col("embedding"), col("qv")), 6).as("sim"),
+          round(Functions.cosine(slice(col("embedding"), 1, 32),
+            slice(col("qv"), 1, 32)), 6).as("sim32"))
+      val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(10)
+      val t32 = sims.orderBy(col("sim32").desc, col("vec_id")).limit(10)
+        .select(col("vec_id").as("v32"))
+      top.join(t32, top("vec_id") === t32("v32"), "left")
+        .select(col("vec_id"), col("sim"), col("sim32"),
+          col("v32").isNotNull.as("in_trunc_top10"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // ---- X2n: hard-negative mining for contrastive training ---------
+    // Per query (vecs 0-4): the 3 most-similar candidates BELOW the
+    // positive threshold (sim6 < 450000, the SemDeDup cutoff) — the
+    // "hard negatives" a contrastive batch wants. Similarities
+    // quantize to 1e-6 ints (the knn discipline) so ranking is
+    // engine-exact; the query batch broadcasts, and the rank≤k filter
+    // lowers to WindowGroupLimit so the exchange carries ≤ k rows per
+    // query. */
+    "x2_hard_negatives" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("embedding").as("qv"))
+      val sims = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id").as("cand"),
+          round(Functions.cosine(col("embedding"), col("qv")) * 1000000d)
+            .cast("long").as("sim6"))
+        .filter(col("sim6") < 450000L)
+      val w = Window.partitionBy(col("q")).orderBy(col("sim6").desc, col("cand"))
+      sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("q"), col("rk").cast("long").as("rk"), col("cand"), col("sim6"))
+        .orderBy("q", "rk")
+    }),
+
     // ---- X2 int8 quantization (compression for embedding stores) ----
     // Symmetric per-vector int8 quantization, reported as integer
     // stats (dims / position-weighted checksum / saturation count) so
@@ -463,6 +516,33 @@ object VectorQueries {
          |SELECT codes.vec_id AS vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
          |FROM codes JOIN lut l ON codes.m = l.m AND codes.code = l.code
          |GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
+    "x2_matryoshka" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |  round(list_dot_product(v, qv) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim,
+        |  round(list_dot_product(v[1:32], qv[1:32]) /
+        |        (sqrt(list_dot_product(v[1:32], v[1:32])) * sqrt(list_dot_product(qv[1:32], qv[1:32]))), 6) AS sim32
+        |  FROM e, q WHERE vec_id <> 0),
+        |top AS (SELECT * FROM s ORDER BY sim DESC, vec_id LIMIT 10),
+        |t32 AS (SELECT vec_id FROM s ORDER BY sim32 DESC, vec_id LIMIT 10)
+        |SELECT top.vec_id AS vec_id, sim, sim32, t32.vec_id IS NOT NULL AS in_trunc_top10
+        |FROM top LEFT JOIN t32 ON top.vec_id = t32.vec_id
+        |ORDER BY sim DESC, top.vec_id""".stripMargin,
+
+    "x2_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.q, e.vec_id AS cand,
+        |        CAST(ROUND(list_dot_product(e.v, q.qv) / (e.nrm * q.qn) * 1000000) AS BIGINT) AS sim6
+        |      FROM e, q WHERE e.vec_id <> q.q),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY sim6 DESC, cand) AS rk
+        |      FROM s WHERE sim6 < 450000)
+        |SELECT q, CAST(rk AS BIGINT) AS rk, cand, sim6 FROM f WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
 
     "x2_ann_topk" -> topkOracle,
     "x2_knn_within_label" ->
