@@ -432,9 +432,12 @@ object AnalyticsQueries {
       val pairs = copurchasePairs(s, dir)
       val deg = pairs.select($"part_a".as("n")).union(pairs.select($"part_b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("d"))
+      // NO broadcast hint on the degree table: it is O(nodes), which
+      // at catalog scale outgrows a broadcast — AQE picks broadcast
+      // when it fits and the plan degrades to a hash join otherwise
       val oriented = pairs
-        .join(broadcast(deg.toDF("part_a", "da")), Seq("part_a"))
-        .join(broadcast(deg.toDF("part_b", "db")), Seq("part_b"))
+        .join(deg.toDF("part_a", "da"), Seq("part_a"))
+        .join(deg.toDF("part_b", "db"), Seq("part_b"))
         .select(
           when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
             $"part_a").otherwise($"part_b").as("src"),
