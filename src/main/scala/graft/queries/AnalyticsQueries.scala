@@ -387,6 +387,24 @@ object AnalyticsQueries {
     // 3 cheap shuffles of (node, long). The oracle unrolls the same 3
     // rounds as CTE stages. Isolated parts (no co-purchase) are out of
     // the graph by construction, exactly as in the oracle.
+    // ---- A18: k-anonymity audit (privacy governance) ----------------
+    // The release-gate dual of PII redaction: before a keyed extract
+    // ships, how identifying is the quasi-identifier combination?
+    // Reports the dataset's k (min group size over the QI columns),
+    // group counts, and the re-identification exposure (groups under
+    // k=10 and the customers inside them). Two nested aggregates —
+    // the first is the only corpus-scale exchange and it carries
+    // (QI key, long). */
+    "a18_kanonymity" -> ((s, dir) => {
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(min("n").as("k_min"), count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 10, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("n") < 10, col("n")).otherwise(0L)).as("n_exposed"))
+        .orderBy("k_min")
+    }),
+
     "a16_pagerank" -> ((s, dir) => {
       import s.implicits._
       val pairs = copurchasePairs(s, dir)
@@ -618,6 +636,14 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "a18_kanonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT MIN(n) AS k_min, COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_exposed
+        |FROM g ORDER BY k_min""".stripMargin,
+
     "a17_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
