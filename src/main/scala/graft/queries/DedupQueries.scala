@@ -302,6 +302,37 @@ object DedupQueries {
         .orderBy("eval_doc")
     }),
 
+    // ---- bloom-pruned decontamination (the 100 TB plan) -------------
+    // Same answer, better asymmetric plan: the eval set is small (a
+    // benchmark's worth of grams), the train-gram store is the corpus.
+    // The exact join shuffles BOTH sides; here a bloom over the eval
+    // grams (one bounded aggregation, megabytes) prunes the TRAIN
+    // scan scan-locally — train fingerprints that can't match die
+    // before the exchange, so the train-side shuffle collapses from
+    // corpus-scale to matches + fpp overshoot, and blooms have no
+    // false negatives so the exact join after returns exactly the
+    // plain join's rows. SAME oracle as x1_decontam_exact — the gate
+    // proves the pruned plan is answer-identical. */
+    "x1_decontam_bloom" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val te = Tables.documents(s, dir)
+        .filter(graft.operators.Sampling.splitColumn(col("text")) === "test")
+        .select(col("doc_id"),
+          explode(call_function("word_ngrams", col("text"), lit(13))).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("g"))
+      // the bloom keys on a LONG hash of the fingerprint (the filter's
+      // native key type); a hash collision is just one more false
+      // positive, and all false positives die in the exact join below
+      val bf = graft.operators.BloomPrune
+        .buildFilter(te.select(xxhash64(col("g")).as("gh")), "gh")
+      val train = graft.operators.BloomPrune
+        .filterMightContain(trainGramStore(s, dir), xxhash64(col("g")), bf)
+      te.join(train, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_grams"))
+        .select(col("doc_id").as("eval_doc"), col("n_hit_grams"))
+        .orderBy("eval_doc")
+    }),
+
     // ---- span-level duplication share (RefinedWeb/Gopher signal) ----
     // Within-corpus repetition measured at SPAN granularity: the share
     // of a doc's distinct 8-token windows that also occur in at least
@@ -483,6 +514,23 @@ object DedupQueries {
       |WHERE len(list_intersect(a.grams, b.grams)) * 5 >= len(list_distinct(a.grams || b.grams)) * 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared by x1_decontam_exact and its bloom-pruned sibling — one
+    * text, two plans, provably the same answer. */
+  private val DecontamOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+      |       CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
+      |            THEN 'train' ELSE 'test' END AS split
+      |     FROM documents),
+      |g AS (SELECT doc_id, split,
+      |        CASE WHEN len(w) >= 13
+      |             THEN list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)])
+      |             ELSE [array_to_string(w, ' ')] END AS grams
+      |      FROM d),
+      |te AS (SELECT doc_id, md5(unnest(grams)) AS g FROM g WHERE split = 'test'),
+      |tr AS (SELECT DISTINCT md5(unnest(grams)) AS g FROM g WHERE split = 'train')
+      |SELECT te.doc_id AS eval_doc, COUNT(*) AS n_hit_grams
+      |FROM te JOIN tr USING (g) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x1_ngram_jaccard" -> jaccardOracle,
     "x1_contamination" ->
@@ -505,20 +553,9 @@ object DedupQueries {
 
     "x1_containment" -> (containmentOracle + "\nORDER BY doc_a, doc_b"),
 
-    "x1_decontam_exact" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
-        |       CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
-        |            THEN 'train' ELSE 'test' END AS split
-        |     FROM documents),
-        |g AS (SELECT doc_id, split,
-        |        CASE WHEN len(w) >= 13
-        |             THEN list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)])
-        |             ELSE [array_to_string(w, ' ')] END AS grams
-        |      FROM d),
-        |te AS (SELECT doc_id, md5(unnest(grams)) AS g FROM g WHERE split = 'test'),
-        |tr AS (SELECT DISTINCT md5(unnest(grams)) AS g FROM g WHERE split = 'train')
-        |SELECT te.doc_id AS eval_doc, COUNT(*) AS n_hit_grams
-        |FROM te JOIN tr USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x1_decontam_exact" -> DecontamOracleSql,
+
+    "x1_decontam_bloom" -> DecontamOracleSql,
 
     "x1_span_dupshare" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
