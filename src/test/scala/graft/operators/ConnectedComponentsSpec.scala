@@ -78,4 +78,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = labels(Seq(1L, 2L, 3L), Seq.empty, star = true)
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("real near-dup graph: star == min-label on the sf0.001 pair store") {
+    val s = spark
+    val docs = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+    val pairs = Dedup.prefixFilteredNgram(docs, "doc_id", "text", n = 3)
+      .select(org.apache.spark.sql.functions.col("idA"),
+        org.apache.spark.sql.functions.col("idB"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Dedup.clusterLabelsStar(docs, "doc_id", pairs)) ==
+      m(Dedup.clusterLabels(docs, "doc_id", pairs)))
+  }
 }
