@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   val M = 8       // sub-quantizers
-  val K = 4       // codes per sub-quantizer
+  val K = 4       // default codes per sub-quantizer (the oracle-gated
+                  // x2_pq_* queries pin this — their unrolled Lloyd
+                  // CTEs seed vec_id < 4); callers needing a finer
+                  // codebook (e.g. the IVF-PQ shortlist stage) pass k
   val subDim = 8  // dims per subspace (M * subDim = 64)
 
   /** (id, m, sub) — scaled sub-vectors, one row per subspace. */
@@ -59,7 +62,7 @@ object Pq {
   def encode(emb: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Long]]]): DataFrame = {
     val b = books.map(_.map(_.toSeq).toSeq).toSeq
-    val dists = array((0 until K).map(c => d2Book(col("sub"), col("m"), b, c)): _*)
+    val dists = array((0 until books(0).length).map(c => d2Book(col("sub"), col("m"), b, c)): _*)
     subVectors(emb, idCol, vecCol)
       .select(col("id"), col("m"), dists.as("dists"))
       .select(col("id"), col("m"),
@@ -71,19 +74,19 @@ object Pq {
     * the K smallest-id vectors, sliced per subspace. Emptied codes
     * keep their previous centroid (the `Kmeans.fit` rule). */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
-      iters: Int): Array[Array[Array[Long]]] = {
+      iters: Int, k: Int = K): Array[Array[Array[Long]]] = {
     val x = subVectors(emb, idCol, vecCol).localCheckpoint(true)
-    val seeds = x.filter(col("id") < K).collect()
-    var books = Array.ofDim[Long](M, K, subDim)
+    val seeds = x.filter(col("id") < k).collect()
+    var books = Array.ofDim[Long](M, k, subDim)
     seeds.foreach { r =>
       val sub = r.getSeq[Long](2)
       var i = 0
       while (i < subDim) { books(r.getInt(1))(r.getLong(0).toInt)(i) = sub(i); i += 1 }
     }
-    require(seeds.length == M * K, s"corpus has < $K vectors")
+    require(seeds.length == M * k, s"corpus has < $k vectors")
     for (_ <- 1 to iters) {
       val b = books.map(_.map(_.toSeq).toSeq).toSeq
-      val dists = array((0 until K).map(c => d2Book(col("sub"), col("m"), b, c)): _*)
+      val dists = array((0 until k).map(c => d2Book(col("sub"), col("m"), b, c)): _*)
       // two-step select: "dists" referenced twice → child projection
       // evaluates the K-distance array once per row (Kmeans idiom)
       val withCode = x.select(col("m"), col("sub"), dists.as("dists"))
@@ -107,7 +110,7 @@ object Pq {
   /** Per-query ADC lookup table: lut(m)(c) = exact d2 between the
     * query's m-th scaled sub-vector and codebook entry (m, c). */
   def adcTable(query: Array[Long], books: Array[Array[Array[Long]]]): Array[Array[Long]] =
-    Array.tabulate(M, K) { (m, c) =>
+    Array.tabulate(M, books(0).length) { (m, c) =>
       var acc = 0L; var i = 0
       while (i < subDim) {
         val d = query(m * subDim + i) - books(m)(c)(i); acc += d * d; i += 1
