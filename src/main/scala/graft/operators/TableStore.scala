@@ -84,6 +84,32 @@ final class TableStore(val root: String, val retain: Int = 0) {
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap)
 
+  /** Partitioned deletion-vector state from the manifest headers:
+    * (key columns, partition-dir → DV path relative to the table
+    * dir). Empty = no merge-on-read deletes pending. */
+  private def pDvState(f: FileSystem, name: String): (Seq[String], Map[String, String]) =
+    pmanifestLines(f, name).map { ls =>
+      val keys = ls.find(_.startsWith("#dvkeys\t"))
+        .map(_.stripPrefix("#dvkeys\t").split(",").toSeq).getOrElse(Seq.empty)
+      val m = ls.filter(_.startsWith("#dv\t")).map { l =>
+        val a = l.split("\t"); a(1) -> a(2)
+      }.toMap
+      (keys, m)
+    }.getOrElse((Seq.empty, Map.empty))
+
+  /** Write + atomically publish a partitioned manifest. */
+  private def commitPmanifestLines(spark: SparkSession, f: FileSystem, name: String,
+      tag: String, lines: Seq[String]): Unit = {
+    val live = new Path(livePath(name))
+    val mtmp = new Path(live, s"._pmanifest-$tag")
+    val out = f.create(mtmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(mtmp), f.makeQualified(pmanifest(name)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Commit-metadata of the current PARTITIONED commit (the `#meta`
     * manifest header) — the partitioned counterpart of
     * `readCommitMeta`, atomic with the data for the same reason: it
@@ -169,7 +195,17 @@ final class TableStore(val root: String, val retain: Int = 0) {
         // basePath keeps partCol a partition column, so pruning and
         // PartitionFilters behave exactly as a plain hive layout
         val paths = m.toSeq.sortBy(_._1).map { case (p, v) => s"$root/$name/$p/$v" }
-        spark.read.option("basePath", livePath(name)).parquet(paths: _*)
+        val base = spark.read.option("basePath", livePath(name)).parquet(paths: _*)
+        // pending partitioned merge-on-read deletes: keys are unique
+        // table-wide (the store's merge contract), so ONE anti-join
+        // against the union of all partitions' DV files is exactly
+        // per-partition application
+        val (dvKeys, dvMap) = pDvState(fs(spark), name)
+        if (dvMap.isEmpty) base
+        else base.join(
+          spark.read.parquet(dvMap.values.map(rel => s"$root/$name/$rel").toSeq: _*)
+            .select(dvKeys.map(col): _*),
+          dvKeys, "left_anti")
       case Some(_) =>
         // a delete emptied EVERY partition: zero rows, not a crash.
         // The schema rides in the manifest header (no data files left
@@ -426,18 +462,20 @@ final class TableStore(val root: String, val retain: Int = 0) {
     // replaceInternal: maintenance commits must not erase the
     // last-applied batch id
     val effMeta = meta.orElse(readPartitionedCommitMeta(spark, name))
+    // deletion-vector carry: rewritten partitions got their deletes
+    // folded in by the read above (or replaced wholesale), so their
+    // DV rows clear; untouched partitions keep theirs
+    val (exDvKeys, exDvMap) = pDvState(f, name)
+    val keptDv = exDvMap -- written -- dropIfUnwritten
+    val dvLines =
+      if (keptDv.isEmpty) Seq.empty
+      else s"#dvkeys\t${exDvKeys.mkString(",")}" +:
+        keptDv.toSeq.sortBy(_._1).map { case (p, rel) => s"#dv\t$p\t$rel" }
     // THE commit point: one atomic pointer overwrite for the whole batch
-    val mtmp = new Path(live, s"._pmanifest-$tag")
-    val out = f.create(mtmp, true)
-    try out.write((effMeta.map(m => s"#meta\t$m").toSeq ++
-        Seq(s"#schema\t${df.schema.json}") ++
+    commitPmanifestLines(spark, f, name, tag,
+      effMeta.map(m => s"#meta\t$m").toSeq ++
+        Seq(s"#schema\t${df.schema.json}") ++ dvLines ++
         newMap.toSeq.sortBy(_._1).map { case (p, v) => s"$p\t$v" })
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(mtmp), f.makeQualified(pmanifest(name)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // post-commit cleanup: displaced versions of rewritten partitions,
     // and the dirs of partitions this commit dropped
     written.foreach { pn =>
@@ -692,9 +730,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
             // not referenced by the partition manifest are crash
             // leftovers (staged by a writer that died before its commit)
             val cur = pmap.get(cn)
+            val dvRef = pDvState(f, n)._2.get(cn)
             f.listStatus(c.getPath).foreach { v =>
               val vn = v.getPath.getName
               if (vn.startsWith("v-") && !cur.contains(vn)) f.delete(v.getPath, true)
+              else if (vn.startsWith("v-") && cur.contains(vn)) {
+                // live version: DV files not referenced by the manifest
+                // are debris from a delete that died before its commit
+                val dvd = new Path(v.getPath, ".dv")
+                if (f.exists(dvd)) f.listStatus(dvd).foreach { d =>
+                  if (!dvRef.contains(s"$cn/$vn/.dv/${d.getPath.getName}"))
+                    f.delete(d.getPath, true)
+                }
+              }
             }
           }
         }
@@ -829,6 +877,91 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val f = fs(spark)
     if (currentVersion(f, name).exists(dvInfo(f, name, _).isDefined))
       replace(spark, name, read(spark, name))
+  }
+
+  /** Merge-on-read DELETE for a PARTITIONED table — the shape a
+    * 100 TB store actually needs: a GDPR-style erasure of a few keys
+    * scattered across partitions costs a partition-pruned probe plus
+    * per-touched-partition KB-sized DV writes; NO partition is
+    * rewritten (`deleteWherePartitioned` stays the right verb for
+    * dense retention deletes, where dropping whole partitions beats
+    * accumulating corpus-sized DVs). Per touched partition the
+    * CUMULATIVE key set stages invisibly inside that partition's
+    * current version dir; the whole batch then publishes through the
+    * store's usual single atomic `_pmanifest` rename (`#dvkeys`/`#dv`
+    * header lines), so a reader sees all of the delete or none of it.
+    * Reads and pruned reads apply one anti-join over the union of
+    * committed DV files (keys are unique table-wide by the merge
+    * contract). Contract: sparse deletes (per-touched-partition
+    * staging jobs are bounded by the touched count); `keys` must be
+    * the table's unique, non-null merge keys; repeated calls pass the
+    * same `keys`. */
+  def deleteWhereMorPartitioned(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column, keys: Seq[String], partCol: String): Unit = {
+    if (!exists(spark, name)) return
+    val f = fs(spark)
+    val pmap = partitionMap(f, name).getOrElse(throw new IllegalArgumentException(
+      s"deleteWhereMorPartitioned: '$name' is not in manifest-committed partitioned mode"))
+    val (exKeys, exDv) = pDvState(f, name)
+    if (exDv.nonEmpty) require(exKeys == keys,
+      s"pending DV is keyed by ${exKeys.mkString(",")}, not ${keys.mkString(",")}")
+    val cur = read(spark, name)
+    val matched = cur.filter(coalesce(pred, lit(false)))
+      .select((keys :+ partCol).map(col): _*).localCheckpoint(true)
+    // bounded collect: one value per touched partition (sparse-delete contract)
+    val touched = matched.select(partCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val tag = UUID.randomUUID().toString.take(8)
+    val newDv = touched.map { v =>
+      val pn = s"$partCol=$v"
+      val ver = pmap.getOrElse(pn, throw new IllegalStateException(
+        s"matched rows in unmanifested partition $pn"))
+      val old = exDv.get(pn).map(rel => spark.read.parquet(s"$root/$name/$rel"))
+      val fresh = matched.filter(col(partCol) === v).select(keys.map(col): _*)
+      val cumulative = old.fold(fresh)(_.unionByName(fresh).distinct())
+      val tmp = new Path(s"$root/.tmp-$name-dv-$tag-$pn")
+      try cumulative.coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd").parquet(tmp.toString)
+      catch { case e: Throwable => f.delete(tmp, true); throw e }
+      val dvDir = new Path(s"$root/$name/$pn/$ver/.dv")
+      f.mkdirs(dvDir)
+      if (!f.rename(tmp, new Path(dvDir, s"dv-$tag"))) {
+        f.delete(tmp, true)
+        throw new java.io.IOException(s"could not stage DV for $name/$pn")
+      }
+      pn -> s"$pn/$ver/.dv/dv-$tag"
+    }.toMap
+    val allDv = exDv ++ newDv
+    val carried = pmanifestLines(f, name).getOrElse(Seq.empty)
+      .filter(l => l.startsWith("#meta\t") || l.startsWith("#schema\t"))
+    commitPmanifestLines(spark, f, name, tag,
+      carried ++
+        (s"#dvkeys\t${keys.mkString(",")}" +:
+          allDv.toSeq.sortBy(_._1).map { case (p, rel) => s"#dv\t$p\t$rel" }) ++
+        pmap.toSeq.sortBy(_._1).map { case (p, v) => s"$p\t$v" })
+    // displaced cumulative DVs of re-deleted partitions
+    newDv.keys.foreach { pn =>
+      exDv.get(pn).filter(_ != newDv(pn))
+        .foreach(rel => f.delete(new Path(s"$root/$name/$rel"), true))
+    }
+  }
+
+  /** Fold pending partitioned MOR deletes: rewrites ONLY the
+    * partitions holding a DV (their reads apply it), dropping any the
+    * deletes emptied, in one batch-atomic commit that also clears
+    * their DV rows. Untouched partitions stay byte-identical. */
+  def compactDeletesPartitioned(spark: SparkSession, name: String, partCol: String): Unit = {
+    val f = fs(spark)
+    val (_, dvMap) = pDvState(f, name)
+    if (dvMap.isEmpty) return
+    val touchedVals = dvMap.keySet.map(_.stripPrefix(s"$partCol=")).toSeq
+    // values arrive as strings from dir names; compare on the string
+    // form of the partition column (lossless for the int-valued
+    // partition columns the store recommends)
+    val kept = read(spark, name)
+      .filter(col(partCol).cast("string").isInCollection(touchedVals))
+    replacePartitions(spark, name, kept, partCol,
+      dropIfUnwritten = dvMap.keySet.toSeq)
   }
 
   /** Replace a table's contents with `df` (manifest commit). `df` may

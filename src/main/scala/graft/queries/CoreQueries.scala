@@ -346,6 +346,7 @@ object CoreQueries {
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
   private val MorStorePath = "/root/repo/target/tmp/mor-oracle"
+  private val MorPartStorePath = "/root/repo/target/tmp/mor-part-oracle"
   private val UpdateStorePath = "/root/repo/target/tmp/update-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
@@ -1232,6 +1233,34 @@ object CoreQueries {
         .orderBy($"o_orderstatus")
     }),
 
+    // ---- S4f: PARTITIONED merge-on-read DELETE, end to end ----------
+    // The 100 TB erasure shape: a year-partitioned orders store takes
+    // two sparse MOR deletes — per touched partition a KB-sized
+    // cumulative DV stages inside the partition's current version dir
+    // and the whole batch publishes through the store's ONE atomic
+    // _pmanifest rename; no partition is rewritten
+    // (TableStoreMorSpec pins the data files byte-identical, DV
+    // carry across unrelated upserts, and compaction clearing). The
+    // oracle is the complement filter, proving the per-partition DVs
+    // compose exactly.
+    "s4_delete_mor_part" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(MorPartStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(MorPartStorePath)
+      val o = Tables.orders(s, dir)
+        .withColumn("p_year", year($"o_orderdate").cast("int"))
+      store.replacePartitions(s, "orders", o.repartition($"p_year"), "p_year")
+      store.deleteWhereMorPartitioned(s, "orders",
+        $"o_orderstatus" === "F" && year($"o_orderdate") < 1995, Seq("o_orderkey"), "p_year")
+      store.deleteWhereMorPartitioned(s, "orders",
+        $"o_orderstatus" === "P" && $"o_totalprice" > 400000.0, Seq("o_orderkey"), "p_year")
+      store.read(s, "orders")
+        .groupBy($"p_year".cast("int").as("p_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"p_year")
+    }),
+
     // ---- S4d: partition-scoped UPDATE, end to end through disk ------
     // Same store as the delete test-bench, other verb: bump P-status
     // order values ×2 and retag them, touching only the partitions
@@ -1980,6 +2009,14 @@ object CoreQueries {
          |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s4_delete_mor_part" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS p_year,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+         |  AND NOT (o_orderstatus = 'P' AND o_totalprice > 400000.0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s4_delete_mor" ->

@@ -99,6 +99,82 @@ class TableStoreMorSpec extends SparkSpec {
       "history changed under a MOR delete")
   }
 
+  private def seedPartitioned(store: TableStore): Unit = {
+    val s = spark; import s.implicits._
+    store.replacePartitions(s, "t",
+      (1 to 100).map(i => (i.toLong, i % 5, s"row$i")).toDF("k", "p", "payload")
+        .repartition(col("p")), "p")
+  }
+
+  /** (partition-dir, file, length, mtime) of every DATA file across
+    * all committed partition versions. */
+  private def pDataFiles(store: TableStore): Set[(String, String, Long, Long)] = {
+    val s = spark
+    fs.listStatus(new Path(s"$root/t")).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("p="))
+      .flatMap { pd =>
+        fs.listStatus(pd.getPath).filter(_.isDirectory).flatMap { vd =>
+          fs.listStatus(vd.getPath).filter(_.isFile)
+            .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+            .map(f => (pd.getPath.getName, f.getPath.getName, f.getLen, f.getModificationTime))
+        }
+      }.toSet
+  }
+
+  test("partitioned MOR: no partition rewritten, deletes compose, atomically committed") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    seedPartitioned(store)
+    val before = pDataFiles(store)
+    store.deleteWhereMorPartitioned(s, "t", $"p" === 2 && $"k" <= 50, Seq("k"), "p")
+    assert(pDataFiles(store) == before, "first partitioned MOR delete moved data files")
+    store.deleteWhereMorPartitioned(s, "t", $"k" === 99, Seq("k"), "p")
+    assert(pDataFiles(store) == before, "second partitioned MOR delete moved data files")
+    val kept = store.read(s, "t").select("k").as[Long].collect().toSet
+    val expect = (1 to 100).map(_.toLong)
+      .filterNot(i => (i % 5 == 2 && i <= 50) || i == 99).toSet
+    assert(kept == expect)
+    // pruned reads apply the DV too
+    assert(store.prunedRead(s, "t", "p", Seq(2)).filter($"k" <= 50).count() == 0)
+  }
+
+  test("partitioned MOR + compaction: only DV'd partitions rewrite, DV rows clear") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    seedPartitioned(store)
+    store.deleteWhereMorPartitioned(s, "t", $"p" === 1 && $"k" < 30, Seq("k"), "p")
+    val untouched = pDataFiles(store).filterNot(_._1 == "p=1")
+    val viaDv = store.read(s, "t").orderBy("k").collect().toSeq
+    store.compactDeletesPartitioned(s, "t", "p")
+    assert(pDataFiles(store).filterNot(_._1 == "p=1") == untouched,
+      "compaction rewrote partitions without deletes")
+    assert(store.read(s, "t").orderBy("k").collect().toSeq == viaDv)
+    assert(!store.read(s, "t").queryExecution.executedPlan.toString.contains("Anti"))
+  }
+
+  test("partitioned MOR survives an unrelated upsert batch (DV rows carried)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // seed through the upsert path so the counter column exists from
+    // batch 1 (mixing replacePartitions seeding with upserts would
+    // fork the schema across partitions)
+    store.upsertPartitioned(s, "t",
+      (1 to 100).map(i => (i.toLong, i % 5, s"row$i")).toDF("k", "p", "payload"),
+      Seq("k"), "p")
+    store.deleteWhereMorPartitioned(s, "t", $"k" === 7, Seq("k"), "p") // partition p=2
+    // upsert touching a DIFFERENT partition must not lose p=2's DV
+    store.upsertPartitioned(s, "t",
+      Seq((101L, 1, "new")).toDF("k", "p", "payload"), Seq("k"), "p")
+    val kept = store.read(s, "t").select("k").as[Long].collect().toSet
+    assert(!kept.contains(7L), "an unrelated upsert resurrected a MOR-deleted key")
+    assert(kept.contains(101L))
+    // and an upsert INTO the DV'd partition folds the delete in
+    store.upsertPartitioned(s, "t",
+      Seq((102L, 2, "new2")).toDF("k", "p", "payload"), Seq("k"), "p")
+    val kept2 = store.read(s, "t").select("k").as[Long].collect().toSet
+    assert(!kept2.contains(7L) && kept2.contains(102L))
+  }
+
   test("vacuum: uncommitted DV debris collected, committed DV kept") {
     val s = spark; import s.implicits._
     val store = freshStore()
