@@ -445,33 +445,22 @@ object AnalyticsQueries {
     // edges, triangles). */
     "a17_triangles" -> ((s, dir) => {
       import s.implicits._
-      val store = copurchaseStore(s, dir)
-      // the ORIENTED edge list is itself pure input-derived state —
-      // persist it beside the pairs (lazily: v2 stores built before
-      // this table gain it on first triangle run) so repeat runs skip
-      // the degree aggregate and both orientation joins
-      if (!store.exists(s, "oriented")) {
-        val pairs = copurchasePairs(s, dir)
-        val deg = pairs.select($"part_a".as("n")).union(pairs.select($"part_b".as("n")))
-          .groupBy($"n").agg(count(lit(1)).as("d"))
-        // NO broadcast hint on the degree table: it is O(nodes), which
-        // at catalog scale outgrows a broadcast — AQE picks broadcast
-        // when it fits and the plan degrades to a hash join otherwise
-        store.replace(s, "oriented", pairs
-          .join(deg.toDF("part_a", "da"), Seq("part_a"))
-          .join(deg.toDF("part_b", "db"), Seq("part_b"))
-          .select(
-            when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
-              $"part_a").otherwise($"part_b").as("src"),
-            when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
-              struct($"part_b".as("x"), $"db".as("xd")))
-              .otherwise(struct($"part_a".as("x"), $"da".as("xd"))).as("ds"))
-          .select($"src", $"ds".getField("x").as("dst"), $"ds".getField("xd").as("dd")))
-      }
-      val oriented = store.read(s, "oriented")
       val pairs = copurchasePairs(s, dir)
-      val deg = oriented.select($"src".as("n")).union(oriented.select($"dst".as("n")))
+      val deg = pairs.select($"part_a".as("n")).union(pairs.select($"part_b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("d"))
+      // NO broadcast hint on the degree table: it is O(nodes), which
+      // at catalog scale outgrows a broadcast — AQE picks broadcast
+      // when it fits and the plan degrades to a hash join otherwise
+      val oriented = pairs
+        .join(deg.toDF("part_a", "da"), Seq("part_a"))
+        .join(deg.toDF("part_b", "db"), Seq("part_b"))
+        .select(
+          when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
+            $"part_a").otherwise($"part_b").as("src"),
+          when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
+            struct($"part_b".as("x"), $"db".as("xd")))
+            .otherwise(struct($"part_a".as("x"), $"da".as("xd"))).as("ds"))
+        .select($"src", $"ds".getField("x").as("dst"), $"ds".getField("xd").as("dd"))
       val wedges = oriented.toDF("apex", "b", "bd")
         .join(oriented.toDF("apex", "c", "cd"), Seq("apex"))
         .filter($"bd" < $"cd" || ($"bd" === $"cd" && $"b" < $"c"))
