@@ -446,32 +446,29 @@ object AnalyticsQueries {
     "a17_triangles" -> ((s, dir) => {
       import s.implicits._
       val pairs = copurchasePairs(s, dir)
-      val deg = pairs.select($"part_a".as("n")).union(pairs.select($"part_b".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("d"))
-      // NO broadcast hint on the degree table: it is O(nodes), which
-      // at catalog scale outgrows a broadcast — AQE picks broadcast
-      // when it fits and the plan degrades to a hash join otherwise
-      val oriented = pairs
-        .join(deg.toDF("part_a", "da"), Seq("part_a"))
-        .join(deg.toDF("part_b", "db"), Seq("part_b"))
-        .select(
-          when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
-            $"part_a").otherwise($"part_b").as("src"),
-          when($"da" < $"db" || ($"da" === $"db" && $"part_a" < $"part_b"),
-            struct($"part_b".as("x"), $"db".as("xd")))
-            .otherwise(struct($"part_a".as("x"), $"da".as("xd"))).as("ds"))
-        .select($"src", $"ds".getField("x").as("dst"), $"ds".getField("xd").as("dd"))
-      val wedges = oriented.toDF("apex", "b", "bd")
-        .join(oriented.toDF("apex", "c", "cd"), Seq("apex"))
-        .filter($"bd" < $"cd" || ($"bd" === $"cd" && $"b" < $"c"))
-        .select($"b", $"c")
-      val tri = wedges
-        .join(oriented.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val nNodes = pairs.select($"part_a".as("n")).union(pairs.select($"part_b".as("n")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
       val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
-      nNodes.crossJoin(nEdges).crossJoin(tri)
+      nNodes.crossJoin(nEdges).crossJoin(orientedTriangleCount(pairs))
         .orderBy($"n_nodes")
+    }),
+
+    // ---- A17b: DOULION edge-sampled triangle estimate ---------------
+    // The sampling scale path (Tsourakakis et al., KDD'09): keep each
+    // edge with p = 1/4 and scale the sampled-subgraph count by 1/p³.
+    // Work drops ~64×. The coin flip is a CONTENT HASH of the edge
+    // (md5 of "a_b"), not rand() — the estimate is deterministic and
+    // engine-portable, so even the APPROXIMATE path sits on the full
+    // DuckDB oracle gate (the oracle replays the identical sample).
+    "a17_triangles_approx" -> ((s, dir) => {
+      import s.implicits._
+      val sampled = copurchasePairs(s, dir)
+        .filter(expr("CAST(conv(substring(md5(CAST(concat_ws('_', part_a, part_b) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 4") === 0L)
+      val nSampled = sampled.agg(count(lit(1)).as("n_sampled_edges"))
+      nSampled.crossJoin(orientedTriangleCount(sampled)
+          .select($"n_triangles".as("tri_sampled"),
+            ($"n_triangles" * 64L).as("est_triangles")))
+        .orderBy($"n_sampled_edges")
     }),
 
     // ---- A13: time-weighted average (TWAP / sensor integration) -----
@@ -644,7 +641,50 @@ object AnalyticsQueries {
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     copurchaseStore(s, dir).read(s, "pairs").select("part_a", "part_b")
 
+  /** Degree-ordered triangle count of an undirected (a < b) pair set
+    * as a one-row frame — shared by the exact query and the DOULION
+    * sampled estimate. Orientation from the (degree, id)-smaller
+    * endpoint bounds out-degrees at O(√m); wedges + one closing
+    * semi-join = O(m^1.5) work. No broadcast hint on the O(nodes)
+    * degree table — AQE broadcasts it when it fits. */
+  private def orientedTriangleCount(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("part_a").as("n")).union(pairs.select(col("part_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val rankLt = col("da") < col("db") ||
+      (col("da") === col("db") && col("part_a") < col("part_b"))
+    val oriented = pairs
+      .join(deg.toDF("part_a", "da"), Seq("part_a"))
+      .join(deg.toDF("part_b", "db"), Seq("part_b"))
+      .select(
+        when(rankLt, col("part_a")).otherwise(col("part_b")).as("src"),
+        when(rankLt, struct(col("part_b").as("x"), col("db").as("xd")))
+          .otherwise(struct(col("part_a").as("x"), col("da").as("xd"))).as("ds"))
+      .select(col("src"), col("ds").getField("x").as("dst"), col("ds").getField("xd").as("dd"))
+    val wedges = oriented.toDF("apex", "b", "bd")
+      .join(oriented.toDF("apex", "c", "cd"), Seq("apex"))
+      .filter(col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c")))
+      .select(col("b"), col("c"))
+    wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "a17_triangles_approx" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM items a JOIN items b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a, b FROM e0
+        |      WHERE ('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+        |m AS (SELECT COUNT(*) AS n_sampled_edges FROM e),
+        |t AS (SELECT COUNT(*) AS tri_sampled
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n_sampled_edges, tri_sampled,
+        |  CAST(tri_sampled * 64 AS BIGINT) AS est_triangles
+        |FROM m, t ORDER BY n_sampled_edges""".stripMargin,
+
     "a18_kanonymity" ->
       """WITH g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
         |           FROM customer GROUP BY 1, 2)
