@@ -75,7 +75,10 @@ object Pq {
     * keep their previous centroid (the `Kmeans.fit` rule). */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
       iters: Int, k: Int = K): Array[Array[Array[Long]]] = {
-    val x = subVectors(emb, idCol, vecCol).localCheckpoint(true)
+    // NO checkpoint/persist of the sub-vector frame: it is corpus-
+    // sized, and materializing it would cost more storage than the
+    // 1-2 extra deterministic scans the Lloyd rounds re-run
+    val x = subVectors(emb, idCol, vecCol)
     val seeds = x.filter(col("id") < k).collect()
     var books = Array.ofDim[Long](M, k, subDim)
     seeds.foreach { r =>

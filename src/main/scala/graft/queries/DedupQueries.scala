@@ -367,10 +367,11 @@ object DedupQueries {
     // (distinct-doc ≥ 2) → semi-join marks covered spans → the 13×
     // position explode happens ONLY on duplicated spans (~O(true
     // duplication), not the corpus) → anti-join keeps tokens → one
-    // ordered-rebuild aggregate. Every exchange carries (doc_id,
-    // int) or (doc_id, 16-byte md5); the corpus text itself is
-    // never shuffled — at 100 TB the rewrite is two narrow joins on
-    // top of what span-counting already paid.
+    // ordered-rebuild aggregate. The dup-detection exchanges carry
+    // only (doc_id, int) / (doc_id, 16-byte md5); the REBUILD
+    // aggregate necessarily ships the kept tokens once — that is the
+    // rewritten corpus itself, the same bytes any plan must move to
+    // produce the output, and they move exactly once.
     "x1_dedup_rewrite" -> ((s, dir) => {
       val w = graft.functions.TextAnalysis.tokens(col("text"))
       val d = Tables.documents(s, dir).select(col("doc_id"), w.as("w"))
