@@ -178,6 +178,22 @@ object CoreQueries {
       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 100)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q16 shape — one SQL text for both engines: supplier
+    * diversity per part group under a NOT IN exclusion (partsupp's
+    * role played by the lineitem part×supplier relation). NOT IN is
+    * the null-AWARE anti join — semantically "no match AND no null
+    * could match", a different operator from NOT EXISTS's plain
+    * anti join — plus a COUNT(DISTINCT) over the surviving pairs.
+    * PlanShapeSpec pins that the exclusion plans as a single
+    * null-aware/anti build, not a per-row re-scan. */
+  private val PartsSupplierCntSql =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   /** TPC-H Q7 shape — one SQL text for both engines: bidirectional
     * two-nation trade volume by ship year. Five joins (two against the
     * same dim under different roles); the nation filter is pushed into
@@ -799,6 +815,11 @@ object CoreQueries {
     "sql_promo_supplier" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(PromoSupplierSql)
+    }),
+
+    "sql_parts_supplier_cnt" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(PartsSupplierCntSql)
     }),
 
     "sql_blamed_supplier" -> ((s, dir) => {
@@ -2047,6 +2068,7 @@ object CoreQueries {
     "sql_mkt_share" -> MktShareSql,
     "sql_disjunctive_revenue" -> DisjunctiveRevenueSql,
     "sql_promo_supplier" -> PromoSupplierSql,
+    "sql_parts_supplier_cnt" -> PartsSupplierCntSql,
     "sql_blamed_supplier" -> BlamedSupplierSql,
 
     "sql_small_qty_revenue" ->

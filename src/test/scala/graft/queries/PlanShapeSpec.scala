@@ -261,6 +261,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("sql_parts_supplier_cnt: NOT IN plans as a NULL-AWARE anti join, not a re-scan") {
+    val p = plan("sql_parts_supplier_cnt")
+    // the trailing `true` on a BroadcastHashJoin LeftAnti is the
+    // isNullAwareAntiJoin flag — NOT IN's "no match and no null"
+    // semantics as one hash join
+    assert(p.contains("LeftAnti, BuildRight, true"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("sql_mkt_share: eight-table tree plans with broadcast dims, no nested loops") {
     val p = plan("sql_mkt_share")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
