@@ -385,6 +385,52 @@ object AnalyticsQueries {
     // 3 cheap shuffles of (node, long). The oracle unrolls the same 3
     // rounds as CTE stages. Isolated parts (no co-purchase) are out of
     // the graph by construction, exactly as in the oracle.
+    // ---- A19: degree distribution (graph health card) ---------------
+    // Log-bucketed degree histogram of the co-purchase graph — the
+    // first thing a graph pipeline checks before running compute on
+    // a new snapshot (a fat head means skew mitigation, a truncated
+    // tail means broken extraction). Bucket = binary digit count of
+    // the degree (exact integer in both engines: conv/bin string
+    // length — no float log2 at bucket boundaries). Two aggregates,
+    // the first being the only corpus-scale exchange. */
+    "a19_degree_dist" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchasePairs(s, dir)
+      val deg = pairs.select($"part_a".as("n")).union(pairs.select($"part_b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      deg.groupBy(length(conv($"d", 10, 2)).cast("long").as("bucket_bits"))
+        .agg(count(lit(1)).as("n_nodes"), min($"d").as("min_deg"), max($"d").as("max_deg"))
+        .orderBy("bucket_bits")
+    }),
+
+    // ---- A19b: k-core peel (bounded rounds) -------------------------
+    // Dense-core extraction: 3 deterministic peel rounds each drop
+    // nodes of degree < 80 and their edges — the spam/noise filter
+    // graph pipelines run before community detection (a node's core
+    // membership needs its neighbors to ALSO be dense). Fixed unroll
+    // keeps it engine-exact (the oracle replays the same 3 rounds);
+    // per round one degree aggregate + two semi-joins over the
+    // surviving edge set, lineage cut per round. Full k-core runs
+    // peels to fixpoint — O(peel depth) rounds, same per-round plan. */
+    "a19_kcore" -> ((s, dir) => {
+      import s.implicits._
+      var edges = copurchasePairs(s, dir)
+        .select($"part_a".as("a"), $"part_b".as("b")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val deg = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("d"))
+        val keep = deg.filter($"d" >= 80).select($"n")
+        edges = edges
+          .join(keep.toDF("a"), Seq("a"), "left_semi")
+          .join(keep.toDF("b"), Seq("b"), "left_semi")
+          .select($"a", $"b").localCheckpoint(true)
+      }
+      val nNodes = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
+        .distinct().agg(count(lit(1)).as("n_core_nodes"))
+      nNodes.crossJoin(edges.agg(count(lit(1)).as("n_core_edges")))
+        .orderBy("n_core_nodes")
+    }),
+
     // ---- A18: k-anonymity audit (privacy governance) ----------------
     // The release-gate dual of PII redaction: before a keyed extract
     // ships, how identifying is the quasi-identifier combination?
@@ -670,6 +716,35 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "a19_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT CAST(length(bin(d)) AS BIGINT) AS bucket_bits,
+        |  COUNT(*) AS n_nodes, MIN(d) AS min_deg, MAX(d) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a19_kcore" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM items a JOIN items b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d1 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 80),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k2 AS (SELECT n FROM d2 WHERE d >= 80),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |k3 AS (SELECT n FROM d3 WHERE d >= 80),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3))
+        |SELECT (SELECT COUNT(*) FROM (SELECT a FROM e3 UNION SELECT b FROM e3)) AS n_core_nodes,
+        |       (SELECT COUNT(*) FROM e3) AS n_core_edges
+        |ORDER BY n_core_nodes""".stripMargin,
+
     "a17_triangles_approx" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
