@@ -776,6 +776,27 @@ final class TableStore(val root: String, val retain: Int = 0) {
 
   // ---- merge-on-read deletes (deletion-vector sidecar) --------------
 
+  /** True iff the current committed state carries a pending
+    * merge-on-read deletion vector (whole-table `._dvptr` or any
+    * partitioned `#dv` manifest line). Readers that scan raw parquet
+    * paths (the SQL catalog, external engines) must check this: a raw
+    * path scan silently skips the dot-prefixed DV sidecar and would
+    * resurrect deleted rows. */
+  def hasPendingDv(spark: SparkSession, name: String): Boolean = {
+    val f = fs(spark)
+    currentVersion(f, name).exists(dvInfo(f, name, _).isDefined) ||
+      pDvState(f, name)._2.nonEmpty
+  }
+
+  /** Committed partition/version leaf dirs from the `_pmanifest`
+    * (sorted), or None if the table is not in manifest-committed
+    * partitioned mode. Path-based readers (the SQL catalog) scan these
+    * with `basePath = livePath` so partition pruning works and staged
+    * in-flight version dirs stay invisible. */
+  def partitionedLeafPaths(spark: SparkSession, name: String): Option[Seq[String]] =
+    partitionMap(fs(spark), name).map(_.toSeq.sortBy(_._1)
+      .map { case (p, v) => s"$root/$name/$p/$v" })
+
   private def dvPtr(name: String, ver: String): Path =
     new Path(s"$root/$name/$ver/._dvptr")
 
@@ -913,7 +934,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
     if (touched.isEmpty) return
     val tag = UUID.randomUUID().toString.take(8)
     val newDv = touched.map { v =>
-      val pn = s"$partCol=$v"
+      // hive path escaping (':' → %3A etc.) so the dir-name lookup
+      // matches what partitionBy wrote for non-alphanumeric values
+      val pn = s"$partCol=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
       val ver = pmap.getOrElse(pn, throw new IllegalStateException(
         s"matched rows in unmanifested partition $pn"))
       val old = exDv.get(pn).map(rel => spark.read.parquet(s"$root/$name/$rel"))
@@ -952,14 +976,23 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * their DV rows. Untouched partitions stay byte-identical. */
   def compactDeletesPartitioned(spark: SparkSession, name: String, partCol: String): Unit = {
     val f = fs(spark)
-    val (_, dvMap) = pDvState(f, name)
+    val (dvKeys, dvMap) = pDvState(f, name)
     if (dvMap.isEmpty) return
-    val touchedVals = dvMap.keySet.map(_.stripPrefix(s"$partCol=")).toSeq
-    // values arrive as strings from dir names; compare on the string
-    // form of the partition column (lossless for the int-valued
-    // partition columns the store recommends)
-    val kept = read(spark, name)
-      .filter(col(partCol).cast("string").isInCollection(touchedVals))
+    val pmap = partitionMap(f, name).getOrElse(throw new IllegalStateException(
+      s"compactDeletesPartitioned: '$name' carries DVs but no partition manifest"))
+    // Read ONLY the DV'd partitions, addressed by their manifest leaf
+    // dirs — the dir names the DVs were committed under are the
+    // authoritative partition identity, so no value has to round-trip
+    // through a string cast (dates / escaped strings rendered
+    // differently would silently miss the partition, and the
+    // dropIfUnwritten below would then DROP its surviving rows).
+    val base = spark.read.option("basePath", livePath(name))
+      .parquet(dvMap.keySet.toSeq.sorted.map(pn => s"$root/$name/$pn/${pmap.getOrElse(pn,
+        throw new IllegalStateException(s"DV references unmanifested partition $pn"))}"): _*)
+    val dv = spark.read
+      .parquet(dvMap.values.map(rel => s"$root/$name/$rel").toSeq: _*)
+      .select(dvKeys.map(col): _*)
+    val kept = base.join(dv, dvKeys, "left_anti")
     replacePartitions(spark, name, kept, partCol,
       dropIfUnwritten = dvMap.keySet.toSeq)
   }
@@ -1102,10 +1135,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
     bloomPrunedFiles(spark, name, bloomCol, value) match {
       case None => read(spark, name)
       case Some((files, _)) =>
-        val ver = currentVersion(fs(spark), name).get
+        val f = fs(spark)
+        val ver = currentVersion(f, name).get
         val vdir = s"$root/$name/$ver"
-        if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
-        else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+        // pending merge-on-read deletes apply here too: the DV is
+        // keys-only, so the anti-join composes with the superset
+        // contract (a deleted row must not resurface via a pruned path)
+        val base = if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
+          else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+        applyDv(spark, f, name, ver, base)
     }
 
   /** File names of the current version that can contain rows with
@@ -1148,10 +1186,14 @@ final class TableStore(val root: String, val retain: Int = 0) {
     zonePrunedFiles(spark, name, statCol, lo, hi) match {
       case None => read(spark, name)
       case Some((files, _)) =>
-        val ver = currentVersion(fs(spark), name).get
+        val f = fs(spark)
+        val ver = currentVersion(f, name).get
         val vdir = s"$root/$name/$ver"
-        if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
-        else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+        // DV-applied for the same reason as readBloomPruned: pruning
+        // selects FILES, the deletion vector still removes ROWS
+        val base = if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
+          else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+        applyDv(spark, f, name, ver, base)
     }
 
   private def replaceInternal(spark: SparkSession, name: String, df: DataFrame,

@@ -64,10 +64,33 @@ class GraftCatalog extends TableCatalog {
     if (!store.exists(spark, t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catalogName) ++ ident.namespace() :+ t)
-    // resolve the committed snapshot path NOW: the returned table scans
-    // this version even if a writer swaps the manifest mid-query
-    ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
-      Seq(store.resolve(spark, t)), None, classOf[ParquetFileFormat])
+    // MERGE-ON-READ consistency: this catalog serves raw parquet paths,
+    // and a raw path scan silently skips the dot-prefixed deletion-vector
+    // sidecar — it would resurrect rows a committed deleteWhereMor
+    // erased (the right-to-be-forgotten contract). Refuse loudly rather
+    // than serve the wrong answer; compaction folds the DV into a clean
+    // version and SQL reads resume. (`TableStore.read` applies the DV
+    // as an anti-join and stays the always-consistent programmatic path.)
+    if (store.hasPendingDv(spark, t))
+      throw new IllegalStateException(
+        s"graft table '$t' has pending merge-on-read deletes (deletion-vector " +
+          "sidecar) that a SQL parquet scan cannot apply; run " +
+          "TableStore.compactDeletes (or compactDeletesPartitioned) first")
+    store.partitionedLeafPaths(spark, t) match {
+      case Some(paths) if paths.nonEmpty =>
+        // partitioned mode: scan exactly the manifest's committed leaf
+        // dirs (staged in-flight versions are invisible); basePath keeps
+        // partCol a partition column so SQL predicates partition-prune
+        val opts = new util.HashMap[String, String]()
+        opts.put("basePath", store.livePath(t))
+        ParquetTable(t, spark, new CaseInsensitiveStringMap(opts),
+          paths, None, classOf[ParquetFileFormat])
+      case _ =>
+        // resolve the committed snapshot path NOW: the returned table scans
+        // this version even if a writer swaps the manifest mid-query
+        ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+          Seq(store.resolve(spark, t)), None, classOf[ParquetFileFormat])
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =

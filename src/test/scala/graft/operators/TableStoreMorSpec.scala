@@ -175,6 +175,39 @@ class TableStoreMorSpec extends SparkSpec {
     assert(!kept2.contains(7L) && kept2.contains(102L))
   }
 
+  test("zone/bloom pruned reads apply the pending DV (no resurrection via pruned paths)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong % 50, s"row$i")).toDF("k", "v", "payload")
+    store.replaceZoneMapped(s, "t", df, Seq("v"), targetFiles = 8, bloomCols = Seq("k"))
+    store.deleteWhereMor(s, "t", $"k" <= 100, Seq("k"))
+    val zp = store.readZonePruned(s, "t", "v", Some(0L), Some(10L))
+    assert(zp.filter($"k" <= 100).count() == 0, "zone-pruned read resurrected MOR-deleted rows")
+    assert(zp.filter($"v".between(0, 10)).count() ==
+      (101 to 1000).count(i => i % 50 <= 10).toLong)
+    val bp = store.readBloomPruned(s, "t", "k", 50L)
+    assert(bp.filter($"k" === 50L).count() == 0, "bloom-pruned read resurrected a MOR-deleted key")
+    val bp2 = store.readBloomPruned(s, "t", "k", 500L)
+    assert(bp2.filter($"k" === 500L).count() == 1)
+  }
+
+  test("partitioned MOR + compaction round-trips hive-escaped partition values") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // ':' is hive-escaped to %3A in the partition dir name — the exact
+    // class of value where a string-cast dir-name match silently misses
+    store.replacePartitions(s, "t",
+      (1 to 40).map(i => (i.toLong, s"h=${i % 4}:00", s"row$i")).toDF("k", "p", "payload")
+        .repartition(col("p")), "p")
+    store.deleteWhereMorPartitioned(s, "t", $"p" === "h=1:00" && $"k" <= 20, Seq("k"), "p")
+    val expect = (1 to 40).map(_.toLong).filterNot(i => i % 4 == 1 && i <= 20).toSet
+    assert(store.read(s, "t").select("k").as[Long].collect().toSet == expect)
+    store.compactDeletesPartitioned(s, "t", "p")
+    assert(store.read(s, "t").select("k").as[Long].collect().toSet == expect,
+      "compaction lost surviving rows of an escaped-value partition")
+    assert(!store.read(s, "t").queryExecution.executedPlan.toString.contains("Anti"))
+  }
+
   test("vacuum: uncommitted DV debris collected, committed DV kept") {
     val s = spark; import s.implicits._
     val store = freshStore()

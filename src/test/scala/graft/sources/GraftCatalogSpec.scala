@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.operators.TableStore
 
@@ -38,6 +40,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!store.exists(s, "t2"))
     val after = s.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
     assert(!after.contains("t2"))
+  }
+
+  test("SQL reads refuse a pending MOR deletion vector; compaction restores them") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.replace(s, "t4", (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    store.deleteWhereMor(s, "t4", $"k" <= 3, Seq("k"))
+    // programmatic read applies the DV...
+    assert(store.read(s, "t4").count() == 7)
+    // ...but a raw parquet-path SQL scan cannot — it must refuse, not
+    // resurrect the deleted rows (right-to-be-forgotten contract)
+    val e = intercept[IllegalStateException] {
+      s.sql("SELECT count(*) FROM graft.t4").head
+    }
+    assert(e.getMessage.contains("merge-on-read") && e.getMessage.contains("compactDeletes"),
+      e.getMessage)
+    store.compactDeletes(s, "t4")
+    assert(s.sql("SELECT count(*) AS n FROM graft.t4").head.getLong(0) == 7L)
+  }
+
+  test("partitioned tables read through SQL with partition pruning; MOR refusal applies") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.replacePartitions(s, "t5",
+      (1 to 40).map(i => (i.toLong, i % 4, s"row$i")).toDF("k", "p", "payload")
+        .repartition(col("p")), "p")
+    assert(s.sql("SELECT count(*) AS n FROM graft.t5").head.getLong(0) == 40L)
+    // partition predicate prunes at the source, not post-scan
+    val qe = s.sql("SELECT k FROM graft.t5 WHERE p = 2").queryExecution
+    assert(qe.executedPlan.toString.contains("PartitionFilters"), qe.executedPlan.toString.take(800))
+    assert(s.sql("SELECT count(*) AS n FROM graft.t5 WHERE p = 2").head.getLong(0) == 10L)
+    // a staged-but-uncommitted writer version is invisible: only
+    // manifest leaf dirs are scanned
+    store.deleteWhereMorPartitioned(s, "t5", $"k" === 6, Seq("k"), "p")
+    val e = intercept[IllegalStateException] {
+      s.sql("SELECT count(*) FROM graft.t5").head
+    }
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    store.compactDeletesPartitioned(s, "t5", "p")
+    assert(s.sql("SELECT count(*) AS n FROM graft.t5").head.getLong(0) == 39L)
   }
 
   test("upserts through the store surface in SQL with counter semantics") {
