@@ -48,19 +48,26 @@ object Bench {
       name -> (if (a._1 < 0 || b._1 < 0) (-1.0, -1.0)
                else if (a._1 + a._2 <= b._1 + b._2) a else b)
     }
-    def jmap(f: ((Double, Double)) => Double) = results
-      .map { case (k, v) => s"\"" + k + "\":" + (if (v._1 < 0) -1.0 else f(v)) }
+    def jmap(f: ((Double, Double)) => Double, digits: Int) = results
+      .map { case (k, v) =>
+        val x = if (v._1 < 0) -1.0 else f(v)
+        val r = BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_UP)
+        s"\"" + k + "\":" + r.bigDecimal.stripTrailingZeros.toPlainString
+      }
       .mkString("{", ",", "}")
-    val qs = jmap(v => v._1 + v._2)
-    val construct = jmap(_._1)
     val total = results.values.filter(_._1 >= 0).map(v => v._1 + v._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"construct":$construct,"sf":"$sfDir"}"""
-    println(line)
-    // the driver captures stdout TAILS, which truncates ~60% of the
-    // per-query map on a 150-query run (VERDICT r3 next #8) — persist
-    // the full line as an artifact too
+    // The driver captures a bounded stdout TAIL: a full-precision line
+    // with both maps (~8 KB at 150 queries) gets its head truncated and
+    // parses as null (VERDICT r3 #8, r6 #4). Two artifacts instead:
+    //  - stdout: ONE compact line (3-decimal times, no construct map,
+    //    ~3.5 KB) printed LAST so the tail holds it entirely;
+    //  - target/bench.json: the full-precision line incl. per-query
+    //    construct times, for plan-audit archaeology.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(v => v._1 + v._2, 6)},"construct":${jmap(_._1, 6)},"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
+    val line = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":${jmap(v => v._1 + v._2, 3)},"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -274,6 +274,79 @@ object Dedup {
       .filter(col("n_common") * tDen >= col("n_min") * tNum)
   }
 
+  /** Jaro-Winkler linkage at scale: prefix-filtered CHARACTER-multiset
+    * overlap join as candidate generator, the native `jaro_winkler`
+    * scorer as verifier — the high-entropy-key plan the blocked
+    * x1_jaro_linkage query documents (fixed blocking keys are the
+    * right move at ~650 blocks; at 100 TB with high-entropy keys the
+    * block histogram flattens and THIS is the scale path; VERDICT r6
+    * #7 wired it).
+    *
+    * Candidate bound (provable, so recall is EXACT with maxDf off):
+    * with the boost capped at ℓ≤4·p=0.1, jw ≤ 0.4 + 0.6·jaro; and
+    * jaro ≤ (2·m/min + 1)/3 with m ≤ the char-multiset overlap. So
+    * jw > t forces overlap > ((5t−3)/2)·min — for t=0.9 a 3/4-overlap
+    * multiset join — and (via jaro ≤ (2 + min/max)/3) min/max >
+    * 5t−4, the length-ratio prune. Multiset semantics ride the
+    * standard occurrence-indexing trick (i-th 'a' → token "a#i"), so
+    * the overlap join is the `containmentPairs` min-side prefix
+    * scheme verbatim: the smaller key posts its (sz − ⌈c·sz⌉ + 1)
+    * rarest indexed chars, the join probes them against full postings.
+    * Threshold is the rational tNum/tDen (needs 5·tNum > 3·tDen for a
+    * usable bound, i.e. t > 0.6). Scorer units are CODEPOINTS — keys
+    * are compared char-by-char exactly as `jaro_winkler` sees them.
+    *
+    * Output: (idA, idB, sim) with idA < idB and sim > tNum/tDen.
+    * JaroLinkageSpec pins equality with the all-pairs scorer on a
+    * high-entropy fixture. */
+  def jaroLinkage(docs: DataFrame, idCol: String, keyCol: String,
+      tNum: Int = 9, tDen: Int = 10, maxDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(5 * tNum > 3 * tDen, s"jaroLinkage needs t > 0.6, got $tNum/$tDen")
+    graft.functions.Functions.register(docs.sparkSession) // idempotent
+    // overlap fraction c = (5t − 3)/2 as the exact rational cN/cD
+    val (cN, cD) = (5 * tNum - 3 * tDen, 2 * tDen)
+    val keyed = docs.select(col(idCol).as("gid"), col(keyCol).as("key"))
+    val sized = keyed.select(col("gid"), length(col("key")).as("sz"))
+    // occurrence-indexed characters: multiset intersection == set
+    // intersection of (char, occurrence#) tokens
+    val occ = keyed
+      .select(col("gid"), posexplode(split(col("key"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .withColumn("oi", row_number().over(Window.partitionBy("gid", "ch").orderBy("pos")))
+      .select(col("gid"), concat_ws("#", col("ch"), col("oi")).as("g"))
+    val posts = occ.join(sized, "gid")
+    val dfreq = posts.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val posted = posts.join(dfreq, "g")
+      .filter(if (maxDf > 0) col("gdf") <= maxDf else lit(true))
+    val w = Window.partitionBy("gid").orderBy(col("gdf").asc, col("g").asc)
+    val prefix = posted
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - (col("sz") * cN + cD - 1).divide(cD).cast("long") + 1)
+      .select(col("gid"), col("sz"), col("g"))
+    // min-side prefixes probe full postings (containmentPairs
+    // orientation), with the provable length-ratio prune inline when
+    // the bound is informative (5t − 4 > 0)
+    val lenOk =
+      if (5 * tNum > 4 * tDen)
+        col("a.sz") * (5 * tNum - 4 * tDen) < col("b.sz") * tDen &&
+          col("b.sz") * (5 * tNum - 4 * tDen) < col("a.sz") * tDen
+      else lit(true)
+    val cands = prefix.alias("a")
+      .join(posted.alias("b"), col("a.g") === col("b.g") &&
+        (col("a.sz") < col("b.sz") ||
+          (col("a.sz") === col("b.sz") && col("a.gid") < col("b.gid"))) && lenOk)
+      .select(least(col("a.gid"), col("b.gid")).as("idA"),
+        greatest(col("a.gid"), col("b.gid")).as("idB"))
+      .distinct()
+    cands
+      .join(keyed.toDF("idA", "key_a"), "idA")
+      .join(keyed.toDF("idB", "key_b"), "idB")
+      .withColumn("sim", call_function("jaro_winkler", col("key_a"), col("key_b")))
+      .filter(col("sim") * tDen > tNum)
+      .select(col("idA"), col("idB"), col("sim"))
+  }
+
   /** Near-dup REMOVAL (the materializer a training pipeline actually
     * runs): keep every doc that is never the HIGHER id of a near-dup
     * pair — i.e. keep the LOCAL MINIMA of the pair graph. One
@@ -421,6 +494,11 @@ object Dedup {
       edges = small
       it += 1
     }
+    // Loud failure over silent wrong answers: a non-fixpoint edge set
+    // would label non-roots with an intermediate parent, not the
+    // component min. O(log² n) convergence makes this unreachable in
+    // practice (30 rounds covers ~2^(2^5) nodes), so the check is free.
+    require(done, s"clusterLabelsStar did not converge in $maxIter rounds")
 
     // Fixpoint stars: non-roots are the `u` side, roots appear only as
     // `v`. Roots label themselves; singleton docs never entered.

@@ -71,22 +71,31 @@ object Pq {
   }
 
   /** `iters` Lloyd rounds per subspace, all subspaces per pass. Seeds:
-    * the K smallest-id vectors, sliced per subspace. Emptied codes
-    * keep their previous centroid (the `Kmeans.fit` rule). */
+    * the k TRUE smallest-id vectors (ids need not be contiguous or
+    * 0-based — seed c is the rank-c id; with 0..k-1 ids this is the
+    * identity, which is what the oracle-gated queries pin), sliced per
+    * subspace. Emptied codes keep their previous centroid (the
+    * `Kmeans.fit` rule). */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
       iters: Int, k: Int = K): Array[Array[Array[Long]]] = {
     // NO checkpoint/persist of the sub-vector frame: it is corpus-
     // sized, and materializing it would cost more storage than the
     // 1-2 extra deterministic scans the Lloyd rounds re-run
     val x = subVectors(emb, idCol, vecCol)
-    val seeds = x.filter(col("id") < k).collect()
+    // bounded collects: k ids (TakeOrderedAndProject), then M·k seed
+    // rows — driver state stays K·d longs
+    val seedIds = x.select(col("id")).distinct().orderBy(col("id")).limit(k)
+      .collect().map(_.getLong(0))
+    require(seedIds.length == k, s"corpus has < $k distinct vector ids")
+    val idToCode = seedIds.zipWithIndex.toMap
+    val seeds = x.filter(col("id").isin(seedIds.map(Long.box): _*)).collect()
     var books = Array.ofDim[Long](M, k, subDim)
     seeds.foreach { r =>
       val sub = r.getSeq[Long](2)
       var i = 0
-      while (i < subDim) { books(r.getInt(1))(r.getLong(0).toInt)(i) = sub(i); i += 1 }
+      while (i < subDim) { books(r.getInt(1))(idToCode(r.getLong(0)))(i) = sub(i); i += 1 }
     }
-    require(seeds.length == M * k, s"corpus has < $k vectors")
+    require(seeds.length == M * k, s"expected ${M * k} seed sub-vectors, got ${seeds.length}")
     for (_ <- 1 to iters) {
       val b = books.map(_.map(_.toSeq).toSeq).toSeq
       val dists = array((0 until k).map(c => d2Book(col("sub"), col("m"), b, c)): _*)

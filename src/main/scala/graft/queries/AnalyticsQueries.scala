@@ -380,8 +380,10 @@ object AnalyticsQueries {
     // (contrib = rank div degree; next = 150000 + 850000·Σcontrib div
     // 1e6) so both engines land on identical longs — no float
     // accumulation, no convergence nondeterminism. Plan per round: the
-    // rank table (one row per part — broadcastable at any sf) joins
-    // the edge list, one partial+final sum per destination; 3 rounds =
+    // O(nodes) rank table joins the edge list UNHINTED — AQE
+    // broadcasts it while it fits and shuffles when it doesn't (a
+    // forced broadcast of one-row-per-node is an OOM at billion-node
+    // scale); one partial+final sum per destination; 3 rounds =
     // 3 cheap shuffles of (node, long). The oracle unrolls the same 3
     // rounds as CTE stages. Isolated parts (no co-purchase) are out of
     // the graph by construction, exactly as in the oracle.
@@ -431,6 +433,25 @@ object AnalyticsQueries {
         .orderBy("n_core_nodes")
     }),
 
+    // ---- A19c: FULL k-core — peel to FIXPOINT (`Graph.kcore`) -------
+    // The real operator behind the bounded a19_kcore card: rounds are
+    // data-driven (peel depth), not a fixed unroll — a deep-chain
+    // graph that 3 rounds leaves half-peeled converges here
+    // (GraphSpec pins exactly that fixture). Oracle: an 8-round
+    // unrolled CTE — peeling is idempotent past fixpoint, and the
+    // measured depth on the co-purchase graph is 5 peels (+1 confirm)
+    // at BOTH sf0.01 and sf0.1, so 8 unrolled rounds == fixpoint with
+    // margin. */
+    "a19_kcore_full" -> ((s, dir) => {
+      import s.implicits._
+      val core = graft.operators.Graph.kcore(
+        copurchasePairs(s, dir).select($"part_a".as("a"), $"part_b".as("b")), k = 80)
+      val nNodes = core.select($"a".as("n")).union(core.select($"b".as("n")))
+        .distinct().agg(count(lit(1)).as("n_core_nodes"))
+      nNodes.crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
+        .orderBy("n_core_nodes")
+    }),
+
     // ---- A18: k-anonymity audit (privacy governance) ----------------
     // The release-gate dual of PII redaction: before a keyed extract
     // ships, how identifying is the quasi-identifier combination?
@@ -462,8 +483,13 @@ object AnalyticsQueries {
       val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).localCheckpoint()
       var ranks = deg.select($"u".as("node"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
+        // No broadcast hint on the O(nodes) rank table — AQE broadcasts
+        // it while it fits and degrades to a shuffle join when a
+        // billion-node graph outgrows the threshold (same rule as the
+        // triangle plan's degree join). Edges are checkpointed and
+        // hash-partition cleanly on u, so the shuffle path co-locates.
         ranks = edges
-          .join(broadcast(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c"))),
+          .join(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c")),
             edges("u") === col("node"))
           .groupBy($"v")
           .agg(sum($"c").as("s"))
@@ -744,6 +770,27 @@ object AnalyticsQueries {
         |SELECT (SELECT COUNT(*) FROM (SELECT a FROM e3 UNION SELECT b FROM e3)) AS n_core_nodes,
         |       (SELECT COUNT(*) FROM e3) AS n_core_edges
         |ORDER BY n_core_nodes""".stripMargin,
+
+    // 8-round unroll ≥ the measured fixpoint depth (5 peels + confirm
+    // at every shipped sf); rounds past fixpoint are identity CTEs.
+    // Every e_i is MATERIALIZED: each is referenced 3× by round i+1,
+    // so DuckDB's default inlining would expand e8 into ~3^8 scans of
+    // lineitem ("too many open files" long before wrong answers)
+    "a19_kcore_full" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+           |k$i AS (SELECT n FROM d$i WHERE d >= 80),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1} WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |       FROM items a JOIN items b
+         |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |$rounds
+         |SELECT (SELECT COUNT(*) FROM (SELECT a FROM e8 UNION SELECT b FROM e8)) AS n_core_nodes,
+         |       (SELECT COUNT(*) FROM e8) AS n_core_edges
+         |ORDER BY n_core_nodes""".stripMargin
+    },
 
     "a17_triangles_approx" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -203,9 +203,16 @@ object TextQueries {
         count(lit(1)).as("cr"),
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
       val totals = perBucket.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+      // numerator in DECIMAL(38,0): (ct+1)(nr+1024)·10³ is O(nr²·10³)
+      // in the worst bucket and would wrap BIGINT near nr≈3e6 grams —
+      // far below corpus scale (non-ANSI Spark wraps silently, DuckDB
+      // errors). Spark computes the exact decimal quotient (div on
+      // decimals is still integral → BIGINT); the oracle routes the
+      // numerator through HUGEINT, NOT decimal — DuckDB's // on
+      // DECIMAL degrades to DOUBLE division and isn't even floored.
       val weights = perBucket.crossJoin(broadcast(totals))
         .select(col("b"),
-          expr("(ct + 1) * (nr + 1024) * 1000 div ((cr + 1) * (nt + 1024))").as("w"))
+          expr("(cast(ct + 1 as decimal(38,0)) * (nr + 1024) * 1000) div ((cr + 1) * (nt + 1024))").as("w"))
       grams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
         .join(broadcast(weights), "b")
         .groupBy("doc_id")
@@ -868,7 +875,7 @@ object TextQueries {
         |         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
         |       FROM bk GROUP BY 1),
         |t AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM pb),
-        |wt AS (SELECT b, (ct + 1) * (nr + 1024) * 1000 // ((cr + 1) * (nt + 1024)) AS w FROM pb, t),
+        |wt AS (SELECT b, (CAST(ct + 1 AS HUGEINT) * (nr + 1024) * 1000) // ((cr + 1) * (nt + 1024)) AS w FROM pb, t),
         |db AS (SELECT doc_id, b, COUNT(*) AS n FROM bk GROUP BY 1, 2)
         |SELECT doc_id, CAST(SUM(n * w) AS BIGINT) AS score, CAST(SUM(n) AS BIGINT) AS n_grams
         |FROM db JOIN wt USING (b)

@@ -94,8 +94,11 @@ object VectorQueries {
         graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
       // finer 16-code (4-bit) codebook than the oracle-pinned K=4 one:
       // the shortlist stage needs ADC rank fidelity, and the gate below
-      // proves the funnel answer-identical at this resolution
-      val books = fittedBooks(s, dir, emb, k = 16)
+      // proves the funnel answer-identical at this resolution. Codes
+      // come from the PERSISTED pq_codes table (built once per corpus
+      // fingerprint) — the shortlist stage is code-resident: probed
+      // candidate ids semi-join the stored codes, no re-encode
+      val (stored16, books) = storedCodes(s, dir, emb, k = 16)
       val centroids = store.read(s, "ivf_centroids")
       val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
       val probeCids: Seq[Any] = centroids.crossJoin(broadcast(qv))
@@ -107,9 +110,10 @@ object VectorQueries {
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
         .map(x => Math.round(x * 1000000d) + 1000000L).toArray
+      val candCodes = stored16.select("id", "m", "code")
+        .join(cands.select(col("id")).distinct(), Seq("id"), "left_semi")
       val shortlist = graft.operators.Pq.adcTopK(
-        graft.operators.Pq.encode(cands, "id", "v", books),
-        graft.operators.Pq.adcTable(q, books), 150)
+        candCodes, graft.operators.Pq.adcTable(q, books), 150)
       emb.join(shortlist.select(col("id").as("vec_id")), Seq("vec_id"), "left_semi")
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), round(Functions.cosine(col("embedding"), col("qv")), 6).as("sim"))
@@ -344,8 +348,10 @@ object VectorQueries {
     // integer quantization error, vs an unrolled-CTE oracle running
     // the identical integer Lloyd rounds.
     "x2_pq_encode" -> ((s, dir) => {
+      // builds (or reuses) the persisted code table, then reports off
+      // the STORED codes — the encode pass runs once per corpus
       val emb = Tables.embeddings(s, dir)
-      graft.operators.Pq.encode(emb, "vec_id", "embedding", fittedBooks(s, dir, emb))
+      storedCodes(s, dir, emb)._1
         .groupBy(col("id").as("vec_id"))
         .agg(sum((col("m") + 1) * (col("code") + 1)).as("code_checksum"),
           sum("d2").as("q_err"))
@@ -361,12 +367,14 @@ object VectorQueries {
     // vectors and the whole search is one aggregate + top-k.
     "x2_pq_adc_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val books = fittedBooks(s, dir, emb)
+      // probe the PERSISTED code table: the query touches only stored
+      // (id, m, code) rows + one driver-side lookup table — no
+      // per-query re-encode, no embedding scan beyond the 1-row query
+      val (stored, books) = storedCodes(s, dir, emb)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
         .map(x => Math.round(x * 1000000d) + 1000000L).toArray
-      val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding", books)
-        .filter(col("id") =!= 0L).select("id", "m", "code")
+      val codes = stored.filter(col("id") =!= 0L).select("id", "m", "code")
       graft.operators.Pq.adcTopK(codes, graft.operators.Pq.adcTable(q, books), 10)
         .select(col("id").as("vec_id"), col("adc_d2"))
         .orderBy("adc_d2", "vec_id")
@@ -461,6 +469,25 @@ object VectorQueries {
       store.replace(s, "codebook", s.createDataFrame(flat).toDF("m", "code", "idx", "c6"))
       fitted
     }
+  }
+
+  /** Build-once / probe-many PQ CODE table — the compressed
+    * representation a 100 TB corpus actually stores (codebook alone
+    * was persisted before r7; the corpus-sized (id, m, code, d2)
+    * table was recomputed per query, VERDICT r6 #3). Lives beside its
+    * codebook in the fingerprint-keyed store: regenerated data →
+    * fresh key → both rebuild together. ADC search then reads CODES
+    * off disk — the embedding column is scanned once at build, never
+    * at query time. Returns (codes, books). */
+  private[queries] def storedCodes(s: SparkSession, dir: String, emb: DataFrame,
+      k: Int = graft.operators.Pq.K): (DataFrame, Array[Array[Array[Long]]]) = {
+    val books = fittedBooks(s, dir, emb, k)
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/pq-model/v1-k$k/${indexKey(s, dir)}")
+    if (!store.exists(s, "pq_codes"))
+      store.replace(s, "pq_codes",
+        graft.operators.Pq.encode(emb, "vec_id", "embedding", books))
+    (store.read(s, "pq_codes"), books)
   }
 
   /** Unrolled exact-integer per-subspace Lloyd's for the PQ oracle —

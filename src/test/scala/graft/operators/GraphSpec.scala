@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins `Graph.kcore`'s FIXPOINT contract on fixtures where a bounded
+  * 3-round peel (the a19_kcore card shape) is provably not converged:
+  * a chain unravels two endpoints per round, so depth scales with
+  * chain length — exactly the case a fixed unroll silently gets
+  * wrong. A Scala reference peel is the oracle. */
+class GraphSpec extends SparkSpec {
+
+  private def refKcore(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var e = edges
+    var changed = true
+    while (changed) {
+      val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2)).groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter(p => keep(p._1) && keep(p._2))
+      changed = next != e
+      e = next
+    }
+    e
+  }
+
+  private def run(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    val s = spark; import s.implicits._
+    Graph.kcore(edges.toDF("a", "b"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("deep chain: 12-node path at k=2 needs 6 peels and ends empty") {
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    assert(refKcore(chain.toSet, 2).isEmpty)
+    assert(run(chain, 2).isEmpty)
+    // bounded 3-round peel provably non-converged on this fixture:
+    // round r removes only the two current endpoints
+    var e = chain.toSet
+    for (_ <- 1 to 3) {
+      val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2)).groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+    }
+    assert(e.nonEmpty, "3 rounds must NOT reach fixpoint on the deep chain")
+  }
+
+  test("clique core survives while an attached deep chain peels away") {
+    // K5 on nodes 100..104 (every degree 4) + a 10-node chain hanging
+    // off node 100: at k=3 the chain (degrees ≤ 2) unravels over
+    // several rounds, the clique is the exact 3-core
+    val clique = for { i <- 100L to 104L; j <- (i + 1) to 104L } yield (i, j)
+    val chain = (1L to 9L).map(i => (i, i + 1)) :+ (9L, 100L)
+    val all = clique ++ chain
+    val expected = refKcore(all.toSet, 3)
+    assert(expected == clique.toSet)
+    assert(run(all, 3) == expected)
+  }
+
+  test("already-converged input returns unchanged in one confirm round") {
+    val clique = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    assert(run(clique, 3) == clique.toSet)
+  }
+
+  test("empty graph and all-peeled graph return empty") {
+    val s = spark; import s.implicits._
+    assert(Graph.kcore(Seq.empty[(Long, Long)].toDF("a", "b"), 2).count() == 0)
+    assert(run(Seq((1L, 2L), (2L, 3L)), 5).isEmpty)
+  }
+}

@@ -208,6 +208,78 @@ class TableStoreMorSpec extends SparkSpec {
     assert(!store.read(s, "t").queryExecution.executedPlan.toString.contains("Anti"))
   }
 
+  test("time travel × MOR: version reads under a pending DV see surviving rows only") {
+    val s = spark; import s.implicits._
+    val store = freshStore(retain = 1)
+    seed(store)
+    store.deleteWhereMor(s, "t", $"k" <= 50, Seq("k"))
+    // stepsBack=0 is the current version WITH its pending DV — the
+    // committed VIEW, not the raw files
+    assert(store.readVersionsBack(s, "t", 0).count() == 50)
+    // a later commit displaces the DV'd version into retention; its DV
+    // travels with it, so history shows the as-of-commit view
+    store.replace(s, "t", store.read(s, "t").filter($"k" <= 75))
+    assert(store.read(s, "t").count() == 25)
+    assert(store.readVersionsBack(s, "t", 1).count() == 50,
+      "retained version lost (or re-grew) its deletion vector")
+    // vacuum keeps the RETAINED version's committed DV (time travel
+    // still needs it) while collecting nothing it shouldn't
+    store.vacuum(s)
+    assert(store.readVersionsBack(s, "t", 1).count() == 50,
+      "vacuum collected a retained version's committed DV")
+  }
+
+  test("time travel × compaction: pre-compaction history keeps the DV-applied view") {
+    val s = spark; import s.implicits._
+    val store = freshStore(retain = 1)
+    seed(store)
+    store.deleteWhereMor(s, "t", $"grp" === 3, Seq("k"))
+    val viaDv = store.read(s, "t").orderBy("k").collect().toSeq
+    store.compactDeletes(s, "t")
+    // current: physically compacted; 1 back: raw files + retained DV —
+    // both must be the same VIEW
+    assert(store.read(s, "t").orderBy("k").collect().toSeq == viaDv)
+    assert(store.readVersionsBack(s, "t", 1).orderBy("k").collect().toSeq == viaDv)
+    // changefeed across the compaction commit: pure rewrite, no
+    // row-level changes — the DV'd history diffs as empty
+    assert(store.changesBetween(s, "t", Seq("k"), 1).count() == 0,
+      "compaction must be change-free in the feed (history view includes its DV)")
+    store.vacuum(s)
+    assert(store.readVersionsBack(s, "t", 1).orderBy("k").collect().toSeq == viaDv)
+  }
+
+  test("retain=0 compaction: displaced version AND its DV are physically gone") {
+    val s = spark
+    val store = freshStore()
+    seed(store)
+    store.deleteWhereMor(s, "t", col("grp") === 0, Seq("k"))
+    val oldVer = store.currentVersionId(s, "t").get
+    store.compactDeletes(s, "t")
+    store.vacuum(s)
+    assert(!fs.exists(new Path(s"$root/t/$oldVer")),
+      "retain=0 left the displaced DV'd version on disk")
+    assert(store.read(s, "t").filter(col("grp") === 0).count() == 0)
+  }
+
+  test("partitioned compaction × vacuum: displaced DV'd partition versions collected") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    seedPartitioned(store)
+    store.deleteWhereMorPartitioned(s, "t", $"p" === 1 && $"k" < 30, Seq("k"), "p")
+    val dvdVersions = fs.listStatus(new Path(s"$root/t/p=1")).map(_.getPath.getName)
+      .filter(_.startsWith("v-")).toSet
+    val expect = store.read(s, "t").select("k").as[Long].collect().toSet
+    store.compactDeletesPartitioned(s, "t", "p")
+    store.vacuum(s)
+    // the pre-compaction p=1 version (which carried the DV) is no
+    // longer manifest-referenced — vacuum must collect it, dir and DV
+    val left = fs.listStatus(new Path(s"$root/t/p=1")).map(_.getPath.getName)
+      .filter(_.startsWith("v-")).toSet
+    assert(left.intersect(dvdVersions).isEmpty,
+      s"vacuum kept displaced DV'd partition versions: ${left.intersect(dvdVersions)}")
+    assert(store.read(s, "t").select("k").as[Long].collect().toSet == expect)
+  }
+
   test("vacuum: uncommitted DV debris collected, committed DV kept") {
     val s = spark; import s.implicits._
     val store = freshStore()
