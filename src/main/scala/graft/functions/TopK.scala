@@ -75,4 +75,53 @@ object TopK {
   /** Two-column form: `topK(3)(col("o_totalprice"), col("o_orderkey"))`. */
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopK(k), ExpressionEncoder[(Double, Long)]())
+
+  /** Payload form: `topKPay(10)(sortVal, tiebreakId, payload)`. */
+  def payUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKPay(k), ExpressionEncoder[(Double, Long, Double)]())
+}
+
+/** TopK with a carried payload column: ranks by (_1 desc, _2 asc) —
+  * identical total order to [[TopK]], NaN largest — and keeps `_3`
+  * attached to each kept entry. The point: a query that needs top-k
+  * BY one score but must REPORT a second per-row value (e.g. the
+  * full-dim top-10 annotated with each hit's truncated-dim
+  * similarity) gets both from ONE partial+final ObjectHashAggregate
+  * pass instead of a second scan + join-back. State stays O(k). */
+class TopKPay(k: Int) extends Aggregator[(Double, Long, Double), Seq[(Double, Long, Double)], Seq[(Double, Long, Double)]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def before(a: (Double, Long, Double), b: (Double, Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  override def zero: Seq[(Double, Long, Double)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long, Double)], in: (Double, Long, Double)): Seq[(Double, Long, Double)] = {
+    if (buf.length >= k && !before(in, buf.last)) buf
+    else {
+      val at = buf.indexWhere(e => before(in, e)) match {
+        case -1 => buf.length
+        case i  => i
+      }
+      (buf.take(at) :+ in) ++ buf.drop(at).take(k - at - 1)
+    }
+  }
+
+  override def merge(a: Seq[(Double, Long, Double)], b: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] = {
+    val out = Vector.newBuilder[(Double, Long, Double)]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && before(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Double)]] = ExpressionEncoder[Seq[(Double, Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Double)]] = ExpressionEncoder[Seq[(Double, Long, Double)]]()
 }

@@ -326,6 +326,67 @@ object CoreQueries {
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q9 shape — one SQL text for both engines: product-line
+    * profit by supplier nation and ship year. The part-name LIKE
+    * filter prunes the part dim BEFORE it joins the fact (Catalyst
+    * pushes it into the scan; the join then broadcasts the surviving
+    * slice), and profit is exact integer cents per row — revenue
+    * minus a retail-cost proxy (the synthetic schema carries no
+    * partsupp, so p_retailprice x quantity stands in for
+    * ps_supplycost x quantity; the 4-way join + substring-filtered
+    * dim + signed-sum shape is what Q9 exercises). */
+  private val ProductProfitSql =
+    """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+      |         - CAST(ROUND(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2 DESC""".stripMargin
+
+  /** TPC-H Q11 shape — one SQL text for both engines: parts whose
+    * shipped value within a nation group exceeds a fixed fraction of
+    * the group total. The same aggregate feeds both the per-part
+    * values and the global threshold through one CTE (one scan, not
+    * two); the share test is an INTEGER cross-multiply
+    * (value x 1000 > total), so no float fraction ever enters the
+    * comparison. No partsupp in the synthetic schema — shipped
+    * lineitem value stands in for stock value; the
+    * aggregate-vs-scalar-over-same-aggregate shape is what Q11
+    * exercises. */
+  private val ImportantPartsSql =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pv)
+      |SELECT l_partkey, value_cents
+      |FROM pv, tot
+      |WHERE value_cents * 1000 > total_cents
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12 shape — one SQL text for both engines: late-shipped
+    * lines bucketed by line status, counting critical- vs
+    * normal-priority orders via FILTER clauses (one scan, two
+    * conditional counts — the CASE-sum shape Q12 exercises; the
+    * synthetic schema has no l_shipmode/commitdate, so l_linestatus
+    * and shipdate-vs-orderdate lateness stand in). The date predicate
+    * is fact-side only, so it pushes below the join. */
+  private val LatePrioritySql =
+    """SELECT l_linestatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+      |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Top-n per group via SQL-standard LATERAL — one text for both
     * engines. Catalyst decorrelates the correlated-LIMIT subquery
     * into a ranked join rather than re-running it per outer row. */
@@ -744,6 +805,24 @@ object CoreQueries {
     "sql_inactive_rich" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(InactiveRichSql)
+    }),
+
+    // ---- SQL surface: product-line profit (TPC-H Q9 shape) ------------
+    "sql_product_profit" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(ProductProfitSql)
+    }),
+
+    // ---- SQL surface: high-value parts (TPC-H Q11 shape) --------------
+    "sql_important_parts" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(ImportantPartsSql)
+    }),
+
+    // ---- SQL surface: late-line priority counts (TPC-H Q12 shape) -----
+    "sql_late_priority" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LatePrioritySql)
     }),
 
     // ---- S14: cross-engine table checksum (data reconciliation) ------
@@ -2062,6 +2141,9 @@ object CoreQueries {
         |FROM nation
         |ORDER BY n_regionkey, nation""".stripMargin,
 
+    "sql_product_profit" -> ProductProfitSql,
+    "sql_important_parts" -> ImportantPartsSql,
+    "sql_late_priority" -> LatePrioritySql,
     "sql_top_supplier" -> TopSupplierSql,
     "sql_large_orders" -> LargeOrdersSql,
     "sql_mincost_supplier" -> MinCostSupplierSql,

@@ -146,8 +146,13 @@ object VectorQueries {
     // full-dim top-10 with each hit's truncated-dim similarity and
     // whether it stays in the truncated top-10 — the recall@10
     // evidence a store needs before switching its serving tier to the
-    // cheap prefix. Both legs are the broadcast-query cosine scan;
-    // nothing new shuffles. */
+    // cheap prefix. ONE broadcast-query cosine scan feeds BOTH legs:
+    // a payload-carrying bounded heap (TopKPay) keeps the full-dim
+    // top-10 with each hit's sim32 attached, and a sibling TopK heap
+    // keeps the truncated top-10 id set — one partial+final
+    // ObjectHashAggregate, O(k) state, the exchange carries two
+    // 10-entry arrays. The r6 form ran the corpus scan twice (one per
+    // global sort); at 100 TB that's the whole cost of the query. */
     "x2_matryoshka" -> ((s, dir) => {
       Functions.register(s)
       val emb = Tables.embeddings(s, dir)
@@ -158,12 +163,15 @@ object VectorQueries {
           round(Functions.cosine(col("embedding"), col("qv")), 6).as("sim"),
           round(Functions.cosine(slice(col("embedding"), 1, 32),
             slice(col("qv"), 1, 32)), 6).as("sim32"))
-      val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(10)
-      val t32 = sims.orderBy(col("sim32").desc, col("vec_id")).limit(10)
-        .select(col("vec_id").as("v32"))
-      top.join(t32, top("vec_id") === t32("v32"), "left")
-        .select(col("vec_id"), col("sim"), col("sim32"),
-          col("v32").isNotNull.as("in_trunc_top10"))
+      val topPay = graft.functions.TopK.payUdaf(10)
+      val top32 = graft.functions.TopK.udaf(10)
+      sims.agg(
+          topPay(col("sim"), col("vec_id"), col("sim32")).as("top"),
+          top32(col("sim32"), col("vec_id")).as("t32"))
+        .select(explode(col("top")).as("e"), col("t32"))
+        .select(col("e._2").as("vec_id"), col("e._1").as("sim"),
+          col("e._3").as("sim32"),
+          exists(col("t32"), t => t("_2") === col("e._2")).as("in_trunc_top10"))
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
