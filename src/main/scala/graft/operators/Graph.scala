@@ -56,4 +56,46 @@ object Graph {
     require(done || n == 0L, s"kcore did not converge in $maxIter rounds")
     e
   }
+
+  /** BFS levels from the graph's minimum node id: (node, lvl) for
+    * every node REACHABLE from the source, lvl = unweighted hop
+    * distance. Frontier-at-a-time expansion (the distributed-standard
+    * plan): each round semi-joins the undirected adjacency against
+    * the current frontier, anti-joins nodes already levelled, and the
+    * new frontier becomes next round's seed — per-round exchanges
+    * carry bare (node) longs, rounds = graph eccentricity (not node
+    * count), and both the frontier and the level table are
+    * `localCheckpoint`ed so lineage stays O(1) however deep the
+    * graph. Termination: an empty frontier IS the fixpoint (levels
+    * only grow by unseen nodes); `maxIter` is a loud backstop against
+    * adversarial-depth inputs, never a silent truncation. */
+  def bfsLevels(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    // one-value driver collect: the deterministic source
+    val src = edges.select(least(col("a"), col("b")).as("n"))
+      .agg(min(col("n"))).head.getLong(0)
+    var levels = Seq((src, 0L)).toDF("node", "lvl").localCheckpoint(true)
+    var frontier = levels.select(col("node").as("u"))
+    var lvl = 0L
+    var grew = true
+    while (grew && lvl < maxIter) {
+      lvl += 1
+      val next = und.join(frontier, Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .select(col("node"), lit(lvl).as("lvl"))
+        .localCheckpoint(true)
+      grew = next.count() > 0
+      if (grew) {
+        levels = levels.union(next).localCheckpoint(true)
+        frontier = next.select(col("node").as("u"))
+      }
+    }
+    require(!grew, s"bfsLevels did not drain the frontier in $maxIter rounds")
+    levels
+  }
 }

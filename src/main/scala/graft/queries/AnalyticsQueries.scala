@@ -452,6 +452,27 @@ object AnalyticsQueries {
         .orderBy("n_core_nodes")
     }),
 
+    // ---- A19d: BFS hop-distance profile (Graph.bfsLevels) -----------
+    // The fourth graph primitive: unweighted shortest-path levels from
+    // a deterministic source (the min node id) over the REPEAT
+    // co-purchase graph (pair_n ≥ 2 — the full graph is near-cliquish
+    // and two hops deep; the thresholded one is 10 levels at sf0.01,
+    // a real frontier expansion). Rounds = eccentricity; per-round
+    // exchanges carry bare node ids (see bfsLevels). Oracle: a
+    // recursive CTE walk capped at 16 levels (> measured depth 10,
+    // and the UNION-dedup on (node, lvl) bounds re-expansion), then
+    // MIN(lvl) per node — level-by-level equality is on the hash. */
+    "a19_bfs_levels" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchaseStore(s, dir).read(s, "pairs")
+        .filter($"pair_n" >= 2).select($"part_a".as("a"), $"part_b".as("b"))
+      graft.operators.Graph.bfsLevels(pairs)
+        .groupBy($"lvl")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"node").as("min_node"), max($"node").as("max_node"))
+        .orderBy($"lvl")
+    }),
+
     // ---- A18: k-anonymity audit (privacy governance) ----------------
     // The release-gate dual of PII redaction: before a keyed extract
     // ships, how identifying is the quasi-identifier combination?
@@ -752,6 +773,24 @@ object AnalyticsQueries {
         |SELECT CAST(length(bin(d)) AS BIGINT) AS bucket_bits,
         |  COUNT(*) AS n_nodes, MIN(d) AS min_deg, MAX(d) AS max_deg
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a19_bfs_levels" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |src AS (SELECT MIN(a) AS s FROM e),
+        |walk(node, lvl) AS (
+        |  SELECT s, 0 FROM src
+        |  UNION
+        |  SELECT u.b, w.lvl + 1 FROM walk w JOIN und u ON u.a = w.node WHERE w.lvl < 16
+        |)
+        |SELECT CAST(lvl AS BIGINT) AS lvl, COUNT(*) AS n_nodes,
+        |       MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a19_kcore" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -132,6 +132,26 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- weighted TF-IDF cosine pairs (Bayardo prefix filter) -------
+    // The WEIGHTED sibling of x1_ngram_jaccard: trigram terms carry
+    // tf × reciprocal-df weights (integer-exact — ln(N/df) is not
+    // bit-stable cross-engine, see TfIdf), similarity is sparse
+    // cosine, and candidate generation is the weight-ordered prefix
+    // filter: only terms whose rare-first tail still holds ≥ t² of a
+    // doc's unit mass index into the posting join — provably lossless
+    // (Cauchy-Schwarz bound in TfIdf's doc, TfIdfSpec pins filtered ==
+    // quadratic baseline). Dots/norms stay BIGINT; the single float
+    // division at the edge is IEEE-identical in DuckDB.
+    "x1_tfidf_pairs" -> ((s, dir) => {
+      graft.operators.TfIdf.cosinePairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, simT = 0.5)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
+          round(col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))
+            * 1000000d).cast("long").as("sim6"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- near-dup REMOVAL: the keep-one materializer ----------------
     // Pairs from the scale path (PPJoin prefix filter), then one
     // anti-join keeps the lowest-id representative of each clique —
@@ -532,7 +552,26 @@ object DedupQueries {
       |SELECT te.doc_id AS eval_doc, COUNT(*) AS n_hit_grams
       |FROM te JOIN tr USING (g) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val tfidfOracle =
+    """WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS grams
+      |      FROM dd WHERE len(w) >= 3),
+      |t AS (SELECT doc_id, tok, COUNT(*) AS tf
+      |      FROM (SELECT doc_id, unnest(grams) AS tok FROM g) GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+      |wt AS (SELECT doc_id, t.tok, CAST(tf * (100000 // df) AS BIGINT) AS w
+      |       FROM t JOIN dfreq USING (tok)),
+      |nrm AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM wt GROUP BY doc_id),
+      |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.w*b.w) AS BIGINT) AS dp
+      |        FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(ROUND(CAST(dp AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000) AS BIGINT) AS sim6
+      |FROM dot JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+      |WHERE CAST(dp AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x1_tfidf_pairs" -> tfidfOracle,
     "x1_ngram_jaccard" -> jaccardOracle,
     "x1_contamination" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,

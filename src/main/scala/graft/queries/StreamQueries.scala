@@ -119,6 +119,51 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // ---- T1/J3 STREAMED stream-static enrichment, oracle-gated ------
+    // The dimension-attach loop every ingest pipeline runs: events
+    // replay as 4 micro-batches, each batch joins the STATIC customer
+    // dim through Streams.enrich (broadcast per batch — the stream
+    // side never shuffles for the join and carries no join state,
+    // unlike a stream-stream join there is nothing to watermark), and
+    // the enriched rows fold into the store keyed by
+    // (segment, event_type). Final state hashes against a one-shot
+    // batch join + GROUP BY — so per-batch dim planning, the
+    // broadcast join, and the additive fold are all on the gate.
+    // user_id ⊂ c_custkey on this data, so the left enrich equals the
+    // oracle's inner join row for row.
+    "t1_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val base = s"/root/repo/target/tmp/stream-enrich/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, events, "event_id", stage, 4)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.incrementalAggSink(
+            Streams.enrich(stream, dim, "user_id"),
+            store, "seg_stats", Seq("c_mktsegment", "event_type"),
+            Seq(graft.operators.IncrementalAgg.Measure("n", count(lit(1))),
+              graft.operators.IncrementalAgg.Measure("v6",
+                sum(round(col("value") * 1000000L).cast("long")))))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "seg_stats")
+        .select(col("c_mktsegment"), col("event_type"), col("n"), col("v6"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // ---- T2/T3 STREAMED watermarked windows, oracle-gated -----------
     // The event-time path end to end: ts-range-ordered files replay as
     // 4 micro-batches through the WATERMARKED tumbling aggregate in
@@ -464,6 +509,14 @@ object StreamQueries {
       """SELECT user_id, COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the streamed enrichment's FINAL STATE must equal a one-shot
+    // batch dim join + GROUP BY, whatever the micro-batch slicing
+    "t1_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the deduped streamed state must equal a GROUP BY over the
     // ORIGINAL events — every injected redelivery dropped, none extra

@@ -65,4 +65,42 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kcore(Seq.empty[(Long, Long)].toDF("a", "b"), 2).count() == 0)
     assert(run(Seq((1L, 2L), (2L, 3L)), 5).isEmpty)
   }
+
+  /** Brute-force hop distances from the min node (Dijkstra on unit
+    * weights = BFS) as the bfsLevels oracle. */
+  private def refBfs(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val src = edges.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(src -> 0L)
+    var frontier = Seq(src)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Seq.empty)).distinct
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> (dist(frontier.head) + 1))
+      frontier = next
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    Graph.bfsLevels(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfsLevels: 12-node chain from min node yields levels 0..11") {
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val got = runBfs(chain)
+    assert(got == (1L to 12L).map(i => i -> (i - 1)).toMap)
+  }
+
+  test("bfsLevels: branches, a cycle shortcut, and an unreachable island") {
+    // 0-1-2-3-4 path, shortcut 0-3 (so 3 is at level 1, 4 at level 2),
+    // branch 1-10, island 50-51 (unreachable from 0 — must be absent)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (1L, 10L), (50L, 51L))
+    val got = runBfs(edges)
+    assert(got == refBfs(edges))
+    assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L, 10L -> 2L))
+    assert(!got.contains(50L) && !got.contains(51L))
+  }
 }
