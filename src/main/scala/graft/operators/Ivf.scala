@@ -110,6 +110,40 @@ object Ivf {
       .limit(k)
   }
 
+  /** BATCH serving probe: top-k for EVERY row of a query frame in one
+    * pass over the index — the shape an ANN service actually runs
+    * (per-query probeTopK would re-plan and re-scan per query). Per
+    * query the nprobe nearest cells come from one broadcast-query
+    * cosine over the K-row centroid table (rank ≤ nprobe lowers to
+    * WindowGroupLimit); the union of probed cids partition-prunes the
+    * postings read ONCE (bounded driver collect: ≤ nprobe·|queries|
+    * ints — same contract as the single-query probe); candidates
+    * re-rank exactly per query. Exchanges carry (q, id, sim6) — the
+    * only corpus-scale work is the pruned postings scan, shared by
+    * the whole batch. Similarities quantize to 1e-6 ints (the knn
+    * discipline) so ranking is engine-exact. */
+  def probeTopKBatch(spark: org.apache.spark.sql.SparkSession, store: TableStore,
+      name: String, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = store.read(spark, s"${name}_centroids")
+    val cw = Window.partitionBy(col("q")).orderBy(col("csim").desc, col("cid"))
+    val probe = centroids.crossJoin(broadcast(queries))
+      .select(col("q"), col("cid"), cosine(col("cvec"), col("qv")).as("csim"))
+      .withColumn("crk", row_number().over(cw)).filter(col("crk") <= nprobe)
+      .select("q", "cid")
+    val cids: Seq[Any] = probe.select("cid").distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    val w = Window.partitionBy(col("q")).orderBy(col("sim6").desc, col("id"))
+    store.prunedRead(spark, s"${name}_postings", "cid", cids)
+      .join(broadcast(probe), "cid")
+      .filter(col("id") =!= col("q"))
+      .join(broadcast(queries), "q")
+      .select(col("q"), col("id"),
+        round(cosine(col("v"), col("qv")) * 1000000d).cast("long").as("sim6"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q"), col("rk").cast("long").as("rk"), col("id"), col("sim6"))
+  }
+
   /** One-shot small-scale form: trains an ephemeral index per call.
     * Convenience/baseline only — the scale path is buildIndex +
     * probeTopK, which amortizes training across queries. */

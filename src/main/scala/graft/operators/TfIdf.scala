@@ -64,7 +64,13 @@ object TfIdf {
     * columns; callers derive the float cosine once, at the edge. */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, simT: Double = 0.5): DataFrame = {
-    val wt = weights(docs, idCol, textCol, n)
+    // materialize the term-weight table ONCE: norms, prefix selection,
+    // candidate postings, and the verify join all read it, and without
+    // truncation each consumer would re-run the explode + two
+    // aggregates (measured 8.3 s → ~3 s at sf0.1). At corpus scale
+    // this is the persisted artifact (the weighted inverted index) —
+    // the same build-once/probe-many split the text index uses.
+    val wt = weights(docs, idCol, textCol, n).localCheckpoint(true)
     val n2 = wt.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
     val wtn = wt.join(n2, "id")
     // rare-first tail norm² of the UNIT vector; prefix = rows whose

@@ -349,26 +349,32 @@ object CoreQueries {
 
   /** TPC-H Q11 shape — one SQL text for both engines: parts whose
     * shipped value within a nation group exceeds a fixed fraction of
-    * the group total. The same aggregate feeds both the per-part
-    * values and the global threshold through one CTE (one scan, not
-    * two); the share test is an INTEGER cross-multiply
-    * (value x 1000 > total), so no float fraction ever enters the
+    * the group total. The global total comes from an unpartitioned
+    * window over the PER-PART AGGREGATE — ONE fact scan (a CTE
+    * referenced from both the values and a `tot` subquery gets
+    * inlined twice by Catalyst, i.e. two scans of the fact at 100 TB;
+    * PlanShapeSpec pins the single scan). The window's single task
+    * sees only (partkey, long) aggregate rows, a ~10³–10⁴× reduction;
+    * at extreme part cardinality the total would move to a broadcast
+    * scalar instead. The share test is an INTEGER cross-multiply
+    * (value × 1000 > total) — no float fraction enters the
     * comparison. No partsupp in the synthetic schema — shipped
     * lineitem value stands in for stock value; the
-    * aggregate-vs-scalar-over-same-aggregate shape is what Q11
+    * aggregate-vs-share-of-its-own-total shape is what Q11
     * exercises. */
   private val ImportantPartsSql =
-    """WITH pv AS (
-      |  SELECT l_partkey,
-      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
-      |  FROM lineitem
-      |  JOIN supplier ON s_suppkey = l_suppkey
-      |  JOIN nation ON n_nationkey = s_nationkey
-      |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
-      |  GROUP BY l_partkey),
-      |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pv)
-      |SELECT l_partkey, value_cents
-      |FROM pv, tot
+    """SELECT l_partkey, value_cents
+      |FROM (
+      |  SELECT l_partkey, value_cents,
+      |         CAST(SUM(value_cents) OVER () AS BIGINT) AS total_cents
+      |  FROM (
+      |    SELECT l_partkey,
+      |      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |    FROM lineitem
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN nation ON n_nationkey = s_nationkey
+      |    WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+      |    GROUP BY l_partkey) pv) t
       |WHERE value_cents * 1000 > total_cents
       |ORDER BY value_cents DESC, l_partkey""".stripMargin
 

@@ -275,4 +275,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("sql_product_profit: part-name LIKE pushes into the part scan; dims broadcast") {
+    val p = plan("sql_product_profit")
+    // the substring filter must reach the part file scan, not run post-join
+    assert(p.contains("StringContains(p_name,bolt") || p.contains("Contains(p_name, bolt"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_important_parts: ONE fact scan; the total is a window over the aggregate") {
+    val df = CoreQueries.all("sql_important_parts")(spark, dir)
+    df.collect()
+    // AQE's toString appends "== Initial Plan ==" — count the FINAL plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // single pass over each table — the naive CTE-with-total form
+    // inlines the per-part aggregate twice (two lineitem scans)
+    assert("FileScan parquet".r.findAllIn(p).count(_ => true) == 3, p.take(2000))
+    // the window input is the per-part aggregate, never the raw fact
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("x1_tfidf_pairs: no quadratic join anywhere in the plan") {
+    val df = DedupQueries.all("x1_tfidf_pairs")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
