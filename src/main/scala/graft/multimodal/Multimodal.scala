@@ -45,6 +45,10 @@ object Multimodal {
       width: Int, height: Int, sampleRate: Int,
       nUnits: Long, unitSum: Long, phash: Long)
 
+  /** Perceptual difference-hash of a decoded image (see
+    * [[perceptualHash]]). */
+  final case class MediaHash(mediaId: Long, width: Int, height: Int, dhash: Long)
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
   private def hasMagic(bytes: Array[Byte], magic: Array[Byte]): Boolean =
     bytes.length >= magic.length && magic.indices.forall(i => bytes(i) == magic(i))
@@ -131,6 +135,47 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+  }
+
+  /** Perceptual difference-hash (dHash) over REAL decoded rasters —
+    * the CV-pipeline fingerprint that survives re-encoding (exact
+    * payload-byte dedup cannot): two byte-different encodings of the
+    * same pixels produce the same dhash. Grid sample
+    * g(i,j) = raster(i·w div 9, j·h div 8) for i∈0..8, j∈0..7 —
+    * NEAREST-NEIGHBOR on integer grid points, deliberately: it is
+    * exactly recomputable by any engine from the pixel formula (the
+    * x4 oracle discipline), where area-average resampling would drag
+    * in rounding-mode trivia. Bit k = j·8+i is set iff
+    * g(i+1,j) > g(i,j); bit 63 stays clear (BIGINT sign — the
+    * simhash64 convention), so the hash is 63 horizontal-gradient
+    * comparisons packed into a non-negative long. Batched
+    * mapPartitions like extractFeatures; payloads never shuffle. */
+  def perceptualHash(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "image").mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val k = j * 8 + i
+            if (k < 63) {
+              val g0 = raster.getSample(i * w / 9, j * h / 8, 0)
+              val g1 = raster.getSample((i + 1) * w / 9, j * h / 8, 0)
+              if (g1 > g0) hash |= 1L << k
+            }
+            i += 1
+          }
+          j += 1
+        }
+        Some(MediaHash(r.mediaId, w, h, hash))
+      }
+    }))
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th

@@ -452,6 +452,34 @@ object AnalyticsQueries {
         .orderBy("n_core_nodes")
     }),
 
+    // ---- A17c: LOCAL clustering coefficient -------------------------
+    // The per-node sibling of the global triangle count: how clustered
+    // is each node's neighborhood? coeff = 2·tri(v) / (d(v)·(d(v)−1)),
+    // reported as exact integer ppm. Per-node triangle counts come
+    // from exploding the SAME degree-oriented O(m^1.5) triangle set
+    // the global count aggregates (each closed triangle credits its
+    // three corners); degrees from one hash aggregate. On the REPEAT
+    // co-purchase graph (pair_n ≥ 2 — the full graph is near-cliquish
+    // and every coefficient saturates). Oracle: the id-ordered triple
+    // join per node — orientation-invariance per triangle is on the
+    // hash, corner by corner. */
+    "a17_clustering_coeff" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchaseStore(s, dir).read(s, "pairs")
+        .filter($"pair_n" >= 2).select($"part_a", $"part_b")
+      val perNode = orientedTriangles(pairs)
+        .select(explode(array($"apex", $"b", $"c")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+      val deg = pairs.select($"part_a".as("node")).union(pairs.select($"part_b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("degree"))
+      deg.join(perNode, Seq("node"), "left")
+        .select($"node", $"degree", coalesce($"n_tri", lit(0L)).as("n_tri"), $"degree".as("d"))
+        .select($"node", $"degree", $"n_tri",
+          when($"d" >= 2, expr("2 * n_tri * 1000000 div (d * (d - 1))"))
+            .otherwise(0L).as("coeff_ppm"))
+        .orderBy("node")
+    }),
+
     // ---- A19d: BFS hop-distance profile (Graph.bfsLevels) -----------
     // The fourth graph primitive: unweighted shortest-path levels from
     // a deterministic source (the min node id) over the REPEAT
@@ -740,7 +768,14 @@ object AnalyticsQueries {
     * endpoint bounds out-degrees at O(√m); wedges + one closing
     * semi-join = O(m^1.5) work. No broadcast hint on the O(nodes)
     * degree table — AQE broadcasts it when it fits. */
-  private def orientedTriangleCount(pairs: DataFrame): DataFrame = {
+  private def orientedTriangleCount(pairs: DataFrame): DataFrame =
+    orientedTriangles(pairs).agg(count(lit(1)).as("n_triangles"))
+
+  /** The closed (apex, b, c) triangle SET under the degree-ordered
+    * orientation — each triangle exactly once. Exposed separately so
+    * per-node consumers (local clustering coefficient) explode the
+    * same O(m^1.5) plan the global count aggregates. */
+  private def orientedTriangles(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(col("part_a").as("n")).union(pairs.select(col("part_b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val rankLt = col("da") < col("db") ||
@@ -756,10 +791,9 @@ object AnalyticsQueries {
     val wedges = oriented.toDF("apex", "b", "bd")
       .join(oriented.toDF("apex", "c", "cd"), Seq("apex"))
       .filter(col("bd") < col("cd") || (col("bd") === col("cd") && col("b") < col("c")))
-      .select(col("b"), col("c"))
+      .select(col("apex"), col("b"), col("c"))
     wedges
       .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -773,6 +807,27 @@ object AnalyticsQueries {
         |SELECT CAST(length(bin(d)) AS BIGINT) AS bucket_bits,
         |  COUNT(*) AS n_nodes, MIN(d) AS min_deg, MAX(d) AS max_deg
         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a17_clustering_coeff" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT x.a AS n1, x.b AS n2, y.b AS n3
+        |        FROM e x JOIN e y ON y.a = x.b
+        |        JOIN e z ON z.a = x.a AND z.b = y.b),
+        |tc AS (SELECT n, COUNT(*) AS n_tri
+        |       FROM (SELECT n1 AS n FROM tri UNION ALL SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri)
+        |       GROUP BY 1),
+        |deg AS (SELECT n, COUNT(*) AS d
+        |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT deg.n AS node, CAST(d AS BIGINT) AS degree,
+        |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d >= 2 THEN (2 * COALESCE(n_tri, 0) * 1000000) // (d * (d - 1))
+        |       ELSE 0 END AS BIGINT) AS coeff_ppm
+        |FROM deg LEFT JOIN tc ON tc.n = deg.n
+        |ORDER BY node""".stripMargin,
 
     "a19_bfs_levels" ->
       """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -67,6 +67,24 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- perceptual dHash over REAL decoded rasters -----------------
+    // The CV-pipeline fingerprint: nearest-neighbor 9×8 grid sample of
+    // the DECODED pixels, 63 horizontal-gradient comparisons packed
+    // into a non-negative long (Multimodal.perceptualHash). The
+    // oracle recomputes every grid sample and comparison from the
+    // pixel formula — a wrong resample index, a flipped comparison,
+    // or a band mixup in the decode path breaks the hash.
+    "x4_dhash" -> ((s, dir) => {
+      Multimodal.perceptualHash(
+          Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF
+        .select(col("mediaId").as("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("dhash"))
+        .orderBy("media_id")
+    }),
+
     // ---- video frame sampling (oracle-checked byte arithmetic) ------
     "x4_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -96,6 +114,24 @@ object MultimodalQueries {
       """SELECT md5(substr(text, 1, 80)) AS fp, COUNT(*) AS n_copies,
         |MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+
+    // recompute the dHash grid from the pixel formula: grid sample
+    // (i,j) reads pixel((i*w)//9, (j*h)//8); bit k=j*8+i (k<63) set
+    // iff the (i+1) sample exceeds the i sample. 1<<k needs BIGINT.
+    "x4_dhash" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        |  SELECT i.doc_id, CAST(j.j * 8 + x.i AS BIGINT) AS k
+        |  FROM img i, range(0, 8) x(i), range(0, 8) j(j)
+        |  WHERE j.j * 8 + x.i < 63
+        |    AND ((i.doc_id * 7 + 31 * (((x.i + 1) * i.w) // 9) + 17 * ((j.j * i.h) // 8)) % 256)
+        |      > ((i.doc_id * 7 + 31 * ((x.i * i.w) // 9) + 17 * ((j.j * i.h) // 8)) % 256))
+        |SELECT i.doc_id AS media_id, CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+        |  CAST(COALESCE(SUM(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS dhash
+        |FROM img i LEFT JOIN bits b ON b.doc_id = i.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     // recompute the decoded features from the generator formulas:
     // image pixel(x,y) = (id·7+31x+17y)%256 over a (16+id%48) ×

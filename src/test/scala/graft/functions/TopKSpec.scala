@@ -59,4 +59,30 @@ class TopKSpec extends SparkSpec {
     assert(p.contains("partial_topk") || p.contains("partial_TopK"), p.take(1200))
     assert(!p.contains("Window"), p.take(1200))
   }
+
+  test("TopKPay: payload rides along; ranking identical to TopK at any split") {
+    val pay = new TopKPay(3)
+    val plain = new TopK(3)
+    val rnd = new Random(7)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(20)
+      // distinct tiebreak keys: a duplicated (value, key) would make
+      // the payload-ownership check below ambiguous
+      val xs = rnd.shuffle(Vector.tabulate(n)(i =>
+        (rnd.nextInt(5).toDouble, i.toLong, rnd.nextDouble())))
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = pay.merge(
+        a.foldLeft(pay.zero)(pay.reduce),
+        b.foldLeft(pay.zero)(pay.reduce))
+      // same (value, tiebreak) ranking as the payload-free form
+      val ref = xs.map(t => (t._1, t._2))
+        .splitAt(cut) match { case (l, r) =>
+          plain.merge(l.foldLeft(plain.zero)(plain.reduce), r.foldLeft(plain.zero)(plain.reduce)) }
+      assert(merged.map(t => (t._1, t._2)) == ref, s"ranking diverged on $xs at $cut")
+      // each kept entry carries ITS OWN payload, not a neighbor's
+      val byKey = xs.map(t => (t._1, t._2) -> t._3).toMap
+      merged.foreach(t => assert(t._3 == byKey((t._1, t._2)), s"payload mixed up on $xs"))
+    }
+  }
 }

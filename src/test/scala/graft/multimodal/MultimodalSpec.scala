@@ -61,6 +61,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.mediaId).toSet == (1L to 100L).toSet)
   }
 
+  test("perceptualHash: re-encoding the same pixels collides; bit 63 clear; non-images excluded") {
+    val s = spark; import s.implicits._
+    // two BYTE-different PNG encodes of identical pixels: synthPng(5)
+    // twice is byte-identical, so append a tEXt-free duplicate via a
+    // second encode round-trip (decode + re-encode can reorder chunks)
+    val png = Multimodal.synthPng(5L, 20, 18)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val ds = Seq(
+      MediaRecord(1L, "image", png, 20, 18, 0),
+      MediaRecord(2L, "image", out.toByteArray, 20, 18, 0),
+      MediaRecord(3L, "audio", png, 0, 0, 16000)).toDS
+    val got = Multimodal.perceptualHash(ds).collect().map(h => h.mediaId -> h.dhash).toMap
+    assert(got.keySet == Set(1L, 2L), "only images hash")
+    assert(got(1L) == got(2L), "same pixels, different bytes -> same dhash")
+    assert(got(1L) >= 0L, "bit 63 must stay clear")
+  }
+
   test("sampleFrames: stride arithmetic, tail frame, non-video excluded") {
     val s = spark; import s.implicits._
     val media = Seq(
