@@ -60,6 +60,27 @@ object Expectations {
     (rowReport.toSeq ++ uniqReport.toSeq).reduce(_ unionByName _).orderBy("rule")
   }
 
+  /** Referential-integrity expectation — the two-table rule `report`
+    * can't express: child rows whose (non-null) foreign key has no
+    * match in the parent. SQL FK semantics: a NULL foreign key always
+    * passes. One anti-join on the key columns — the plan a 100 TB
+    * fact-vs-dim check wants (dim side broadcasts or bloom-prunes;
+    * the child is never materialized beyond its key projection).
+    * Same report shape as `report`, so callers union the frames. */
+  def foreignKeyReport(child: DataFrame, fkCols: Seq[String],
+      parent: DataFrame, pkCols: Seq[String], label: String): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.length == pkCols.length, "key arity mismatch")
+    val spark = child.sparkSession
+    import spark.implicits._
+    val n = child.count()
+    val keyed = child.select(fkCols.map(col): _*).toDF(pkCols: _*)
+      .filter(pkCols.map(col(_).isNotNull).reduce(_ && _))
+    val orphans = keyed
+      .join(parent.select(pkCols.map(col): _*).distinct(), pkCols, "left_anti")
+      .count()
+    Seq((s"fk:$label", n, orphans)).toDF("rule", "n_rows", "n_violations")
+  }
+
   /** Enforcement: throw unless all expectations hold. The report is in
     * the exception, so the failing batch is diagnosable from the log. */
   def gate(df: DataFrame, rules: Seq[Rule], uniqueKeys: Seq[String] = Nil): DataFrame = {

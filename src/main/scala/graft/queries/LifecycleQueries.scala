@@ -223,6 +223,49 @@ object LifecycleQueries {
         uniqueKeys = Seq("o_orderkey"))
     }),
 
+    // ---- A11b: referential-integrity audit (FK orphan check) --------
+    // The two-table expectation `report` can't express: child rows
+    // whose non-null foreign key misses the parent. Three FK edges of
+    // the star schema in one report — two clean by construction, one
+    // (events.user_id → nation) violated on purpose so the gate pins
+    // a real nonzero orphan count, not just zeros. Each check is one
+    // key-projected anti-join (dim broadcasts; at 100 TB the child
+    // never materializes past its key column).
+    "a11_fk_orphans" -> ((s, dir) => {
+      import graft.operators.Expectations.foreignKeyReport
+      foreignKeyReport(Tables.orders(s, dir), Seq("o_custkey"),
+          Tables.customer(s, dir), Seq("c_custkey"), "orders.o_custkey->customer.c_custkey")
+        .union(foreignKeyReport(Tables.lineitem(s, dir), Seq("l_partkey"),
+          Tables.part(s, dir), Seq("p_partkey"), "lineitem.l_partkey->part.p_partkey"))
+        .union(foreignKeyReport(Tables.events(s, dir), Seq("user_id"),
+          Tables.nation(s, dir), Seq("n_nationkey"), "events.user_id->nation.n_nationkey"))
+        .orderBy("rule")
+    }),
+
+    // ---- S14b: keyed semantic diff between two table states ---------
+    // The checksum's sibling: WHAT changed between a backfill
+    // candidate and the live table. Old/new states are deterministic
+    // slices of orders (drop-every-7th vs drop-every-5th, prices
+    // doubled on every 3rd key), so all four statuses are populated;
+    // TableDiff's one full-outer key join classifies every key, and
+    // the report aggregates statuses with key ranges. Oracle: the
+    // literal FULL OUTER JOIN. */
+    "s14_table_diff" -> ((s, dir) => {
+      import graft.operators.TableDiff
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val oldState = o.filter(col("o_orderkey") % 7 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("cents") * 2).otherwise(col("cents")).as("cents"))
+      TableDiff.diff(oldState, newState, Seq("o_orderkey"))
+        .groupBy(col("diff_status"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy("diff_status")
+    }),
+
     // ---- A9: z-score outlier detection (data-quality gate) ----------
     // Per-group mean/variance from EXACT integer moments: prices are
     // quantized to cents (BIGINT), so Σx and Σx² are exact (Σx² rides
@@ -419,6 +462,40 @@ object LifecycleQueries {
         |  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
         |FROM n
         |ORDER BY rule""".stripMargin,
+
+    "a11_fk_orphans" ->
+      """SELECT 'fk:events.user_id->nation.n_nationkey' AS rule,
+        |  (SELECT COUNT(*) FROM events) AS n_rows,
+        |  (SELECT COUNT(*) FROM events e LEFT JOIN nation n ON e.user_id = n.n_nationkey
+        |   WHERE e.user_id IS NOT NULL AND n.n_nationkey IS NULL) AS n_violations
+        |UNION ALL
+        |SELECT 'fk:lineitem.l_partkey->part.p_partkey',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |   WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'fk:orders.o_custkey->customer.c_custkey',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |   WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+        |ORDER BY rule""".stripMargin,
+
+    "s14_table_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |new AS (SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN cents * 2 ELSE cents END AS cents
+        |       FROM base WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |             WHEN n.o_orderkey IS NULL THEN 'removed'
+        |             WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |               OR o.cents IS DISTINCT FROM n.cents THEN 'changed'
+        |             ELSE 'unchanged' END AS diff_status
+        |      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT diff_status, COUNT(*) AS n_keys, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s4_cdc_apply" ->
       """WITH snapshot AS (
