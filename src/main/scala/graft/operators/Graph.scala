@@ -98,4 +98,71 @@ object Graph {
     require(!grew, s"bfsLevels did not drain the frontier in $maxIter rounds")
     levels
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * deterministic): every node starts labeled with its own id; each
+    * round every node adopts the label carried by the MOST of its
+    * neighbors, ties broken toward the smallest label. All updates in
+    * a round read the PREVIOUS round's labels (synchronous), so the
+    * result is a pure function of the edge set — no traversal-order
+    * nondeterminism (`a16_communities` unrolls the same rounds as a
+    * DuckDB CTE on exactly this property).
+    *
+    * Input: (a, b) edge frame, one row per undirected edge.
+    * Output: (node, label) for every node with ≥1 neighbor.
+    *
+    * Termination: synchronous LPA famously does NOT always reach a
+    * fixpoint — bipartite-ish neighborhoods oscillate with period 2
+    * (a single edge {u,v} swaps labels forever). The loop therefore
+    * stops on EITHER a fixpoint (signature unchanged) or a detected
+    * period-2 cycle (signature equal to the round-before-last), both
+    * deterministic; `maxIter` stays a loud backstop. Signature is the
+    * `clusterLabelsStar` idiom — (count, Σ xxhash64(node, label)) in
+    * DECIMAL(38,0), one tiny aggregate job, never a set compare.
+    *
+    * Per-round plan (the 100 TB shape): labels join the symmetric
+    * adjacency on the neighbor key (AQE broadcasts the O(nodes) label
+    * frame while it fits, shuffles when it doesn't — no forced hint,
+    * the `a16_pagerank` rule), then two hash aggregates keyed on the
+    * node; every exchange carries (long, long[, long]) rows. Label
+    * state is `localCheckpoint`ed per round so lineage stays O(1). */
+  def labelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+
+    def signature(l: DataFrame): (Long, BigDecimal) = {
+      val r = l.agg(count(lit(1)),
+        sum(xxhash64(col("node"), col("label")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var prev = signature(labels)
+    var prev2: Option[(Long, BigDecimal)] = None
+    var done = false
+    var it = 0
+    while (!done && it < maxIter) {
+      // argmax-count with min-label tie-break as ONE aggregate:
+      // max(struct(c, -label)) picks the largest count, then the
+      // largest negated label == the smallest label — no ranking
+      // window, the per-node state is a single (long, long) pair.
+      val next = und
+        .join(labels.select(col("node").as("v"), col("label").as("lab")), Seq("v"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u")).agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      val s = signature(next)
+      done = s == prev || prev2.contains(s)
+      prev2 = Some(prev)
+      prev = s
+      labels = next
+      it += 1
+    }
+    require(done, s"labelPropagation did not converge in $maxIter rounds")
+    labels
+  }
 }

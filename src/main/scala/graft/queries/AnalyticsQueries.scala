@@ -70,6 +70,38 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- X5b: event-sequence pattern match (MATCH_RECOGNIZE shape) --
+    // The general form of the funnel: per user, does the ordered event
+    // stream contain PATTERN (view (click|error)* purchase)? Each
+    // user's history compiles to a code string (one char per event,
+    // (ts, event_id)-ordered) and the pattern runs as a regex —
+    // non-overlapping leftmost matches, so `v[ce]*p` is unambiguous
+    // under both Java and RE2 semantics ([ce]* cannot absorb the
+    // closing 'p', backtracking never changes the matched span).
+    // Plan: ONE shuffle on user_id (groupBy collect_list, sorted
+    // in-memory per user — state bounded by per-user activity, the
+    // same bound sessionization carries), then the regex scan is a
+    // codegen'd map over one compact string per user; no windows, no
+    // self-joins. At unbounded per-user history the string chunks by
+    // session — the pattern here spans a user's whole timeline by
+    // declared semantics.
+    "x5_pattern_match" -> ((s, dir) => {
+      import s.implicits._
+      val coded = Tables.events(s, dir).select($"user_id", $"ts", $"event_id",
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' " +
+          "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END").as("code"))
+      coded.groupBy($"user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"ts", $"event_id", $"code"))),
+            x => x.getField("code")), "").as("seq"))
+        .select($"user_id",
+          regexp_count($"seq", lit("v[ce]*p")).cast("long").as("n_matches"),
+          try_element_at(regexp_extract_all($"seq", lit("v[ce]*p"), lit(0)), lit(1))
+            .as("first_match"),
+          length($"seq").cast("long").as("n_events"))
+        .orderBy($"user_id")
+    }),
+
     // ---- W8: cumulative distinct count over time --------------------
     // "How many distinct event types has each user touched by day d?"
     // COUNT(DISTINCT) isn't a window function in either engine; the
@@ -550,6 +582,38 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A16b: label-propagation communities ------------------------
+    // The fifth graph primitive: community labels by SYNCHRONOUS label
+    // propagation — each round every node adopts its neighbors'
+    // most-frequent previous-round label, ties toward the smallest
+    // (Raghavan et al. 2007 made deterministic; `Graph.
+    // labelPropagation` is the run-to-convergence operator with
+    // period-2 oscillation detection — GraphSpec pins it; this gate
+    // unrolls 2 fixed rounds so the DuckDB CTE replays them exactly).
+    // Per-round plan: the O(nodes) label frame joins the adjacency
+    // UNHINTED (AQE broadcasts while it fits — the a16_pagerank
+    // rule), one (node, label) count aggregate, then argmax-with-
+    // min-tie as a single max(struct(c, -label)) aggregate — no
+    // ranking window, exchanges carry only (long, long, long) rows.
+    "a16_communities" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchasePairs(s, dir)
+      val und = pairs.select($"part_a".as("u"), $"part_b".as("v"))
+        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
+        .localCheckpoint()
+      var labels = und.select($"u".as("node")).distinct()
+        .select($"node", $"node".as("label"))
+      for (_ <- 1 to 2) {
+        labels = und
+          .join(labels.select($"node".as("v"), $"label".as("lab")), Seq("v"))
+          .groupBy($"u", $"lab").agg(count(lit(1)).as("c"))
+          .groupBy($"u").agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
+          .select($"u".as("node"), (-$"m.nl").as("label"))
+          .localCheckpoint()
+      }
+      labels.orderBy($"node")
+    }),
+
     // ---- A17: triangle counting (degree-ordered orientation) --------
     // The third graph primitive (after components and PageRank):
     // count closed triads in the co-purchase graph. The naive plan is
@@ -964,6 +1028,20 @@ object AnalyticsQueries {
         |  ts_view, ts_click, ts_purchase
         |FROM agg ORDER BY user_id""".stripMargin,
 
+    "x5_pattern_match" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS code
+        |  FROM events),
+        |s AS (SELECT user_id, string_agg(code, '' ORDER BY ts, event_id) AS seq
+        |  FROM e GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_matches,
+        |  CASE WHEN len(regexp_extract_all(seq, 'v[ce]*p')) > 0
+        |    THEN regexp_extract_all(seq, 'v[ce]*p')[1] END AS first_match,
+        |  CAST(len(seq) AS BIGINT) AS n_events
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "w8_cume_distinct" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
         |  FROM events WHERE user_id < 25),
@@ -1128,6 +1206,27 @@ object AnalyticsQueries {
         |SELECT r3.node AS part, r3.r AS rank_ppm, deg.d AS degree
         |FROM r3 JOIN deg ON deg.u = r3.node
         |ORDER BY rank_ppm DESC, part LIMIT 25""".stripMargin,
+
+    "a16_communities" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT part_a AS u, part_b AS v FROM p
+        |  UNION ALL SELECT part_b, part_a FROM p),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+        |c1 AS (SELECT und.u, l0.label AS lab, COUNT(*) AS c
+        |  FROM und JOIN l0 ON l0.node = und.v GROUP BY 1, 2),
+        |l1 AS (SELECT u AS node, lab AS label FROM (
+        |  SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT und.u, l1.label AS lab, COUNT(*) AS c
+        |  FROM und JOIN l1 ON l1.node = und.v GROUP BY 1, 2),
+        |l2 AS (SELECT u AS node, lab AS label FROM (
+        |  SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
     "a14_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -248,6 +248,43 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // ---- X2 SQ funnel: stored int8 codes → integer shortlist →
+    // exact re-rank. The scalar-quantization sibling of the PQ/ADC
+    // funnel: per-vector symmetric int8 codes (the x2_quantize_int8
+    // representation, 64 B/vector vs 256 B float32) persist in the
+    // fingerprint-keyed store; a query scans ONLY the code table with
+    // pure integer dot products — the per-vector scale cancels in
+    // cosine (cos ≈ intdot/√(Σa²·Σb²)), so no float reconstruction —
+    // takes a 50-candidate shortlist (TakeOrderedAndProject, 50 rows
+    // cross the wire), and re-ranks exactly against the 50 touched
+    // embeddings. On this corpus the shortlist provably contains the
+    // true top-10 (SqFunnelSpec pins recall at every sf), so the gate
+    // shares the brute-force oracle — the standard funnel contract
+    // (x2_ann_topk, x2_ivf_topk). Embeddings are scanned once at code
+    // build, never per query.
+    "x2_sq_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val codes = storedSqCodes(s, dir, emb)
+      val q = codes.filter(col("vec_id") === 0)
+        .select(col("code").as("qcode"), col("csq").as("qsq"))
+      val shortlist = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("intdot", expr(
+          "aggregate(zip_with(code, qcode, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"))
+        // approximate cosine steers the SHORTLIST only (never the
+        // gate): exact-integer inputs → deterministic double → a
+        // deterministic candidate set
+        .withColumn("approx", col("intdot") / sqrt((col("csq") * col("qsq")).cast("double")))
+        .orderBy(col("approx").desc, col("vec_id")).limit(50)
+        .select(col("vec_id"))
+      emb.join(shortlist, Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))))
+        .select(col("vec_id"), round(Functions.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
     // ---- X2 k-NN join within label groups ---------------------------
     // The embedding-QA neighbor op: every vector's top-3 most-similar
     // vectors OF THE SAME LABEL (class-compactness checks, hard-
@@ -527,6 +564,31 @@ object VectorQueries {
     (store.read(s, "pq_codes"), books)
   }
 
+  /** Build-once / probe-many scalar-quantization code table for the
+    * `x2_sq_topk` funnel: (vec_id, code: array<bigint> of int8 values,
+    * csq = Σ code²). No training — encode is a pure codegen'd map over
+    * one corpus scan (q_d = ⌊x_d·127/maxabs + ½⌋, the
+    * x2_quantize_int8 formula; `ma` bound OUTSIDE the per-element
+    * lambda — Catalyst does no CSE inside HOF lambdas). Fingerprint-
+    * keyed like every index artifact: regenerated data → fresh key →
+    * rebuild. */
+  private[queries] def storedSqCodes(s: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/sq-codes/v1/${indexKey(s, dir)}")
+    if (!store.exists(s, "sq_codes"))
+      store.replace(s, "sq_codes", emb
+        .withColumn("ma", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .withColumn("code", expr(
+          "CASE WHEN ma > 0 THEN transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 127 / ma + 0.5d) as bigint)) " +
+            "ELSE transform(embedding, x -> cast(0 as bigint)) END"))
+        .withColumn("csq", expr(
+          "aggregate(code, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+        .select("vec_id", "code", "csq"))
+    store.read(s, "sq_codes")
+  }
+
   /** Unrolled exact-integer per-subspace Lloyd's for the PQ oracle —
     * the `kmeansCtes` discipline with (m, idx) in place of idx:
     * subspace m owns dims [8m, 8m+8), seeds are vec_id < 4 sliced per
@@ -657,6 +719,7 @@ object VectorQueries {
         |SELECT q, CAST(rk AS BIGINT) AS rk, cand, sim6 FROM f WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
 
     "x2_ann_topk" -> topkOracle,
+    "x2_sq_topk" -> topkOracle,
     "x2_knn_within_label" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
         |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -103,4 +103,62 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L, 10L -> 2L))
     assert(!got.contains(50L) && !got.contains(51L))
   }
+
+  /** Scala reference for SYNCHRONOUS label propagation: each round
+    * every node takes its neighbors' most-frequent previous-round
+    * label, ties toward the smallest. Mirrors Graph.labelPropagation's
+    * declared semantics exactly (including period-2 oscillation stop). */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (u, nbrs) =>
+        val cnt = nbrs.map(labels).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        u -> cnt.toSeq.maxBy { case (l, c) => (c.toLong, -l) }._1
+      }
+    }
+    labels
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    Graph.labelPropagation(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: two cliques with one bridge resolve to two communities") {
+    // K4 on 1..4 and K4 on 10..13, bridged 4-10. Fixpoint: each clique
+    // keeps its own min label; the bridge is outvoted on both sides.
+    val c1 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val c2 = for { i <- 10L to 13L; j <- (i + 1) to 13L } yield (i, j)
+    val edges = c1 ++ c2 :+ (4L, 10L)
+    val got = runLpa(edges)
+    // converged labels must equal the synchronous reference at ANY
+    // round count past convergence — iterate reference to stability
+    var ref = refLpa(edges, 1); var r = 2
+    while (ref != refLpa(edges, r) && r < 20) { ref = refLpa(edges, r); r += 1 }
+    assert(got == ref)
+    assert(got.view.filterKeys(_ <= 4L).values.toSet.size == 1)
+    assert(got.view.filterKeys(_ >= 10L).values.toSet.size == 1)
+    assert(got(1L) != got(10L), "cliques must land in different communities")
+  }
+
+  test("labelPropagation: star adopts the hub's neighborhood-majority label") {
+    // hub 5 with leaves 1,2,3,9: leaves all see only the hub; the hub
+    // sees four distinct leaf labels and tie-breaks to the minimum
+    val edges = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 9L))
+    val got = runLpa(edges)
+    assert(got.keySet == Set(1L, 2L, 3L, 5L, 9L))
+  }
+
+  test("labelPropagation terminates on a single edge (period-2 oscillation)") {
+    // {u,v} swap labels every synchronous round and never reach a
+    // fixpoint — the operator must detect the 2-cycle and stop, not
+    // exhaust maxIter
+    val got = runLpa(Seq((7L, 8L)))
+    assert(got.keySet == Set(7L, 8L))
+    // the stop state is deterministic (round 2 == round 0, the
+    // identity labeling, detected as a 2-cycle)
+    assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
 }
