@@ -102,6 +102,39 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- X5c: last-touch conversion attribution ---------------------
+    // The marketing-analytics staple: each purchase's revenue credits
+    // the user's LAST preceding touch (click or view) within a 7-day
+    // lookback, else 'none'. Resolved per user inside ONE sorted
+    // window pass — running max of click/view timestamps over the
+    // strictly-preceding frame (ROWS .. 1 PRECEDING, so a touch at
+    // the purchase's own instant never self-attributes), then a CASE
+    // picks the later qualifying touch (ties prefer 'click'). One
+    // shuffle on user_id, no per-touch self-joins — the x5_funnel
+    // plan discipline; revenue in exact integer cents.
+    "x5_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val prior = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lookback = 604800000000L // 7 days in µs
+      val staged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("vc"))
+        .withColumn("lc", max(when($"event_type" === "click", $"ts")).over(prior))
+        .withColumn("lv", max(when($"event_type" === "view", $"ts")).over(prior))
+      staged.filter($"event_type" === "purchase")
+        .withColumn("qc", $"lc".isNotNull &&
+          unix_micros($"ts") - unix_micros($"lc") <= lookback)
+        .withColumn("qv", $"lv".isNotNull &&
+          unix_micros($"ts") - unix_micros($"lv") <= lookback)
+        .withColumn("touch",
+          when($"qc" && (!$"qv" || $"lc" >= $"lv"), "click")
+            .when($"qv", "view").otherwise("none"))
+        .groupBy($"user_id", $"touch")
+        .agg(count(lit(1)).as("n_purchases"), sum($"vc").as("rev_cents"))
+        .orderBy($"user_id", $"touch")
+    }),
+
     // ---- W8: cumulative distinct count over time --------------------
     // "How many distinct event types has each user touched by day d?"
     // COUNT(DISTINCT) isn't a window function in either engine; the
@@ -1041,6 +1074,25 @@ object AnalyticsQueries {
         |    THEN regexp_extract_all(seq, 'v[ce]*p')[1] END AS first_match,
         |  CAST(len(seq) AS BIGINT) AS n_events
         |FROM s ORDER BY user_id""".stripMargin,
+
+    "x5_attribution" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |s AS (SELECT user_id, ts, event_type, vc,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER w AS lc,
+        |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w AS lv
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT user_id, vc,
+        |    (lc IS NOT NULL AND epoch_us(ts) - epoch_us(lc) <= 604800000000) AS qc,
+        |    (lv IS NOT NULL AND epoch_us(ts) - epoch_us(lv) <= 604800000000) AS qv,
+        |    lc, lv
+        |  FROM s WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  CASE WHEN qc AND (NOT qv OR lc >= lv) THEN 'click'
+        |       WHEN qv THEN 'view' ELSE 'none' END AS touch,
+        |  COUNT(*) AS n_purchases, CAST(SUM(vc) AS BIGINT) AS rev_cents
+        |FROM p GROUP BY 1, 2 ORDER BY user_id, touch""".stripMargin,
 
     "w8_cume_distinct" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type

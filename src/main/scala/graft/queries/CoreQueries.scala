@@ -544,6 +544,30 @@ object CoreQueries {
         .orderBy($"event_id")
     }),
 
+    // ---- J4c: NEAREST as-of with tolerance --------------------------
+    // merge_asof(direction='nearest'): every purchase matches its
+    // closest click by the same user within ±1 h, distance ties
+    // preferring the backward side; clicks LWW-dedup per (user, ts)
+    // by max event_id first so the match is a pure function of the
+    // data. Executed as the union + two-directional window carry (one
+    // shuffle, no range-predicate join — see AsOfJoin.asOfNearest);
+    // the oracle is the LITERAL quadratic tolerance join ranked by
+    // (|Δ|, direction), so the hash gate proves the window plan
+    // implements exactly those semantics, nulls included.
+    "j4_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val probes = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_event_id"))
+      graft.operators.AsOfJoin.asOfNearest(probes, clicks, "user_id", "ts",
+          Seq("click_event_id"), tolUs = 3600000000L)
+        .select($"event_id", $"user_id", $"asof_dir", $"asof_delta_us",
+          $"asof_click_event_id")
+        .orderBy($"event_id")
+    }),
+
     // ---- J5: temporal (point-in-time / SCD2 interval) join -----------
     // The feature-store correctness primitive: each fact row joins the
     // dimension VERSION valid at the fact's timestamp — purchases per
@@ -1857,6 +1881,27 @@ object CoreQueries {
         |FROM c LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.valid_from
         |  AND (v.valid_to IS NULL OR c.ts < v.valid_to)
         |ORDER BY c.event_id""".stripMargin,
+
+    "j4_asof_nearest" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_event_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT p.event_id, c.click_event_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS delta_us,
+        |    abs(epoch_us(p.ts) - epoch_us(c.ts)) AS adiff,
+        |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dirp
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY adiff, dirp) AS rn
+        |  FROM j)
+        |SELECT p.event_id, p.user_id,
+        |  CASE r.dirp WHEN 0 THEN 'backward' WHEN 1 THEN 'forward' END AS asof_dir,
+        |  r.delta_us AS asof_delta_us,
+        |  r.click_event_id AS asof_click_event_id
+        |FROM p LEFT JOIN r ON r.event_id = p.event_id AND r.rn = 1
+        |ORDER BY p.event_id""".stripMargin,
 
     "a2_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type,

@@ -242,6 +242,29 @@ object LifecycleQueries {
         .orderBy("rule")
     }),
 
+    // ---- A11c: Benford leading-digit audit --------------------------
+    // The forensic data-quality check: the first-significant-digit
+    // distribution of a naturally-occurring monetary column (fabricated
+    // or truncated feeds bend it). Values route through integer cents
+    // and the digit comes off the BIGINT's decimal string — never a
+    // float's engine-specific formatting; shares are integer ppm
+    // (n·10⁶ div total, the a14 discipline). One partial+final
+    // aggregate over the scan + a 9-row broadcast of the total —
+    // scan-bound at any scale. (Expected Benford ppm is log10(1+1/d),
+    // a reporting-layer constant — deliberately not emitted: libm
+    // log10 is not bit-stable cross-engine.)
+    "a11_benford" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.orders(s, dir)
+        .select(round($"o_totalprice" * 100).cast("long").as("vc"))
+        .filter($"vc" > 0)
+        .select(substring($"vc".cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum($"n").as("total"))))
+        .select($"digit", $"n", expr("n * 1000000 div total").as("share_ppm"))
+        .orderBy($"digit")
+    }),
+
     // ---- S14b: keyed semantic diff between two table states ---------
     // The checksum's sibling: WHAT changed between a backfill
     // candidate and the live table. Old/new states are deterministic
@@ -479,6 +502,15 @@ object LifecycleQueries {
         |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |   WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
         |ORDER BY rule""".stripMargin,
+
+    "a11_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM g)
+        |SELECT digit, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
 
     "s14_table_diff" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus,

@@ -116,4 +116,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out("p3").isEmpty)         // only later build rows for user 2
     assert(out("p4").isEmpty)         // no build rows for user 3
   }
+
+  test("asOfNearest: closest build within tolerance, ties backward, LWW dedup") {
+    val s = spark; import s.implicits._
+    def t(sec: Int) = Timestamp.valueOf(s"2025-05-05 10:00:${"%02d".format(sec)}")
+    val probe = Seq((1L, t(10), "p1"), (1L, t(30), "p2"), (2L, t(10), "p3"),
+      (3L, t(10), "p4"), (4L, t(10), "p5"))
+      .toDF("user_id", "ts", "tag")
+    val build = Seq(
+      (1L, t(7), 100L),   // 3s back from p1
+      (1L, t(13), 200L),  // 3s fwd from p1 — exact tie: backward must win
+      (1L, t(29), 300L),  // 1s back from p2
+      (1L, t(29), 301L),  // same instant: LWW keeps max value (301)
+      (2L, t(12), 400L),  // 2s fwd from p3, nearer than nothing backward
+      (3L, t(40), 500L))  // 30s away from p4 — outside 5s tolerance
+      .toDF("user_id", "ts", "bval")
+    val out = AsOfJoin.asOfNearest(probe, build, "user_id", "ts", Seq("bval"), tolUs = 5000000L)
+      .collect().map(r => (r.getString(2),
+        (Option(r.get(3)).map(_.asInstanceOf[String]).orNull,
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("p1") == (("backward", Some(3000000L), Some(100L))))
+    assert(out("p2") == (("backward", Some(1000000L), Some(301L))))
+    assert(out("p3") == (("forward", Some(-2000000L), Some(400L))))
+    assert(out("p4") == ((null, None, None)))   // outside tolerance
+    assert(out("p5") == ((null, None, None)))   // no build rows at all
+  }
 }
