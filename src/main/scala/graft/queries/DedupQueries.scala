@@ -43,6 +43,26 @@ object DedupQueries {
     store.read(s, "pairs")
   }
 
+  /** Persisted TF-IDF cosine pair set at t=0.5 — the weighted sibling
+    * of `nearDupPairs`, same build-once / probe-many contract: the
+    * weighted inverted index (id, tok, w, df) AND the verified pair
+    * set both live in the fingerprint-keyed store; the index is the
+    * reusable corpus artifact (other thresholds/probes re-enter at
+    * `cosinePairsFromWeights`), the pair table is what every consumer
+    * reads. v1 = (word trigrams, reciprocal-IDF ×1e5, t=0.5, Bayardo
+    * prefix filter) semantics. */
+  private def tfidfPairs(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/tfidf-pairs/v1/${docsKey(s, dir)}")
+    if (!store.exists(s, "weights"))
+      store.replace(s, "weights",
+        graft.operators.TfIdf.weights(Tables.documents(s, dir), "doc_id", "text", n = 3))
+    if (!store.exists(s, "pairs05"))
+      store.replace(s, "pairs05",
+        graft.operators.TfIdf.cosinePairsFromWeights(store.read(s, "weights"), simT = 0.5))
+    store.read(s, "pairs05")
+  }
+
   /** Distinct 13-gram md5 fingerprints of the TRAIN split (VERDICT r3
     * #7) — the decontamination index, materialized ONCE per corpus
     * like the pair stores above. The expensive side of exact decontam
@@ -143,8 +163,7 @@ object DedupQueries {
     // quadratic baseline). Dots/norms stay BIGINT; the single float
     // division at the edge is IEEE-identical in DuckDB.
     "x1_tfidf_pairs" -> ((s, dir) => {
-      graft.operators.TfIdf.cosinePairs(
-          Tables.documents(s, dir), "doc_id", "text", n = 3, simT = 0.5)
+      tfidfPairs(s, dir)
         .select(col("idA").as("doc_a"), col("idB").as("doc_b"),
           round(col("dot").cast("double") /
             (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))
