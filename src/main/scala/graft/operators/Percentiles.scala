@@ -89,6 +89,25 @@ object Percentiles {
     restoreAndInterpolate(df, agged, groupCols, ps, names, restoreNullGroups)
   }
 
+  /** Equi-depth (equal-frequency) histogram: `b` buckets per group
+    * with (count, lo, hi) each — the binning that survives skew where
+    * the fixed-width a4_histogram saturates one bin. Bucket of a row
+    * is `(rank·b) div n` over the SAME distributed rank apparatus the
+    * exact percentiles use (one range shuffle, no per-group sort
+    * buffer, no unpartitioned window). Ties may straddle a boundary;
+    * bucket sizes are rank-determined and the boundary VALUE is the
+    * same on both sides, so (count, lo, hi) per bucket is a pure
+    * function of the multiset — tie-rank-invariant, hence
+    * engine-exact. */
+  def equiDepth(df: DataFrame, groupCols: Seq[String], valCol: String,
+      b: Int): DataFrame = {
+    val g = groupCols.map(col)
+    globalRanks(df, groupCols, valCol)
+      .withColumn("bucket", expr(s"(r * $b) div n"))
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** The shared rank apparatus: one row per non-null value of `valCol`
     * with its 0-based in-group global rank `r` (long) and group size
     * `n`. One range shuffle of the (group, value) projection + a

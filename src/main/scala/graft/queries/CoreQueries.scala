@@ -655,6 +655,21 @@ object CoreQueries {
         .orderBy($"bin")
     }),
 
+    // ---- A4h: equi-depth histogram (per return flag) ----------------
+    // The skew-proof sibling of a4_histogram: 8 equal-frequency
+    // buckets per group from the Percentiles distributed-rank
+    // apparatus (one range shuffle, no per-group sort buffer). The
+    // oracle derives the identical buckets from row_number ranks —
+    // boundary ties carry the same value on both sides, so the
+    // (count, lo, hi) report is tie-rank-invariant (see
+    // Percentiles.equiDepth).
+    "a4_eqdepth_hist" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Percentiles.equiDepth(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice", b = 8)
+        .orderBy($"l_returnflag", $"bucket")
+    }),
+
     // ---- J3b: bloom-filter pre-join pruning (runtime row filter) -------
     // Selective build side (≈20% of orders) + huge probe side: prune
     // lineitem by a bloom of qualifying orderkeys BEFORE its shuffle,
@@ -1922,6 +1937,15 @@ object CoreQueries {
       s"""SELECT CAST(floor(l_extendedprice / 500) * 500 AS BIGINT) AS bin,
          |COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a4_eqdepth_hist" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS r,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT l_returnflag, CAST((r * 8) // n AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "j3_bloom_prune" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql(revenueExpr)} AS revenue

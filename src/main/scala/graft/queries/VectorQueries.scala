@@ -285,6 +285,49 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
+    // ---- X2 retrieval eval: recall@10 + MRR vs exact ground truth ---
+    // The index-QA loop every retrieval pipeline runs before swapping
+    // an ANN config into production: for a 20-query batch, grade the
+    // DEGRADED retriever (int8 code ranking, no re-rank — the raw
+    // shortlist quality the x2_sq_topk funnel papers over) against the
+    // exact cosine top-10. recall@10 = overlap count; reciprocal rank
+    // of the true nearest neighbor in integer ppm (1e6 div rank) —
+    // both pure functions of the deterministic rankings, so the gate
+    // is the full DuckDB replay of quantization + both rankings. Plan:
+    // queries broadcast (20 rows); ground truth is one corpus scan ×
+    // 20, the system ranking scans only the stored code table;
+    // rank≤10 lowers to WindowGroupLimit so each exchange carries
+    // ≤ 10 rows per query.
+    "x2_eval_recall" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val codes = storedSqCodes(s, dir, emb)
+      val qe = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("embedding").as("qv"))
+      val qc = codes.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("code").as("qcode"), col("csq").as("qsq"))
+      val wg = Window.partitionBy(col("q")).orderBy(col("sim6").desc, col("vec_id"))
+      val gt = emb.crossJoin(broadcast(qe)).filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          round(Functions.cosine(col("embedding"), col("qv")) * 1000000d)
+            .cast("long").as("sim6"))
+        .withColumn("grk", row_number().over(wg)).filter(col("grk") <= 10)
+        .select(col("q"), col("vec_id"), col("grk"))
+      val ws = Window.partitionBy(col("q")).orderBy(col("approx").desc, col("vec_id"))
+      val sys = codes.crossJoin(broadcast(qc)).filter(col("vec_id") =!= col("q"))
+        .withColumn("intdot", expr(
+          "aggregate(zip_with(code, qcode, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("approx", col("intdot") / sqrt((col("csq") * col("qsq")).cast("double")))
+        .withColumn("srk", row_number().over(ws)).filter(col("srk") <= 10)
+        .select(col("q"), col("vec_id"), col("srk"))
+      gt.join(sys, Seq("q", "vec_id"), "left")
+        .groupBy(col("q"))
+        .agg(count(col("srk")).as("n_hits"),
+          coalesce(max(when(col("grk") === 1, expr("1000000 div srk"))), lit(0L))
+            .as("rr_ppm"))
+        .orderBy("q")
+    }),
+
     // ---- X2 k-NN join within label groups ---------------------------
     // The embedding-QA neighbor op: every vector's top-3 most-similar
     // vectors OF THE SAME LABEL (class-compactness checks, hard-
@@ -720,6 +763,34 @@ object VectorQueries {
 
     "x2_ann_topk" -> topkOracle,
     "x2_sq_topk" -> topkOracle,
+
+    "x2_eval_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q, v AS qv, nrm AS qn FROM e WHERE vec_id < 20),
+        |gt0 AS (SELECT q.q, e.vec_id,
+        |    CAST(ROUND(list_dot_product(e.v, q.qv) / (e.nrm * q.qn) * 1000000) AS BIGINT) AS sim6
+        |  FROM e, q WHERE e.vec_id <> q.q),
+        |gt AS (SELECT q, vec_id, grk FROM (
+        |    SELECT q, vec_id, row_number() OVER (PARTITION BY q ORDER BY sim6 DESC, vec_id) AS grk
+        |    FROM gt0) WHERE grk <= 10),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |c AS (SELECT vec_id,
+        |    CASE WHEN ma > 0 THEN [CAST(floor(x * 127 / ma + 0.5) AS BIGINT) FOR x IN v]
+        |         ELSE [CAST(0 AS BIGINT) FOR x IN v] END AS code FROM m),
+        |cs AS (SELECT vec_id, code, CAST(list_sum([x * x FOR x IN code]) AS BIGINT) AS csq FROM c),
+        |qc AS (SELECT vec_id AS q, code AS qcode, csq AS qsq FROM cs WHERE vec_id < 20),
+        |sys0 AS (SELECT qc.q, cs.vec_id,
+        |    list_dot_product(cs.code::DOUBLE[], qc.qcode::DOUBLE[]) / sqrt(cs.csq * qc.qsq) AS approx
+        |  FROM cs, qc WHERE cs.vec_id <> qc.q),
+        |sys AS (SELECT q, vec_id, srk FROM (
+        |    SELECT q, vec_id, row_number() OVER (PARTITION BY q ORDER BY approx DESC, vec_id) AS srk
+        |    FROM sys0) WHERE srk <= 10)
+        |SELECT gt.q, COUNT(sys.srk) AS n_hits,
+        |  CAST(COALESCE(MAX(CASE WHEN gt.grk = 1 THEN 1000000 // sys.srk END), 0) AS BIGINT) AS rr_ppm
+        |FROM gt LEFT JOIN sys ON sys.q = gt.q AND sys.vec_id = gt.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x2_knn_within_label" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
         |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
