@@ -57,6 +57,80 @@ object TextIndex {
           .agg(sum(col("dl")).as("total_tokens"))))
   }
 
+  /** Incremental maintenance: fold a batch of NEW docs into an
+    * existing index as a Lucene-style SEGMENT — O(batch) work, the
+    * base postings are never rewritten. The batch's postings, doclen,
+    * df, and stats land in segment-local tables
+    * (`<name>_{postings,doclen,df,stats}_s<k>`), and the segment id is
+    * PUBLISHED LAST via the `<name>_segs` table: probes aggregate
+    * base + published segments (df/stats are additive; postings and
+    * doclen union), so an unpublished half-written fold is invisible
+    * and retrying the fold overwrites its orphan tables under the
+    * same id before publishing — each table commit is the store's
+    * atomic rename, and publication is the single commit point.
+    * Batch ids must be NEW (checked against the published doc set —
+    * replacing a doc means delete + refold, out of scope); rebuilding
+    * from scratch IS segment compaction. */
+  def fold(docs: DataFrame, idCol: String, textCol: String,
+      store: TableStore, name: String, numFiles: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    val overlap = docs.select(col(idCol).as("doc_id"))
+      .join(doclenAll(spark, store, name).select("doc_id"), Seq("doc_id"), "left_semi")
+      .count()
+    require(overlap == 0, s"fold: $overlap doc ids already indexed in '$name'")
+    val seg = nextSeg(spark, store, name)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    store.replace(spark, s"${name}_postings_s$seg",
+      tf.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
+    val posted = store.read(spark, s"${name}_postings_s$seg")
+    store.replace(spark, s"${name}_doclen_s$seg",
+      posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    store.replace(spark, s"${name}_df_s$seg",
+      posted.groupBy("term").agg(count(lit(1)).as("df")))
+    store.replace(spark, s"${name}_stats_s$seg",
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(store.read(spark, s"${name}_doclen_s$seg")
+          .agg(coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))))
+    val segRow = spark.range(1).select(lit(seg).as("seg"))
+    store.replace(spark, s"${name}_segs",
+      if (store.exists(spark, s"${name}_segs"))
+        store.read(spark, s"${name}_segs").unionByName(segRow)
+      else segRow)
+  }
+
+  /** Published segment ids (empty for a never-folded index). The
+    * driver-side collect is segment-count-bounded — folds per
+    * compaction cycle, not corpus size. */
+  private def segIds(spark: SparkSession, store: TableStore, name: String): Seq[Int] =
+    if (!store.exists(spark, s"${name}_segs")) Seq.empty
+    else store.read(spark, s"${name}_segs").collect().map(_.getInt(0)).toSeq.sorted
+
+  private def nextSeg(spark: SparkSession, store: TableStore, name: String): Int =
+    segIds(spark, store, name).lastOption.map(_ + 1).getOrElse(1)
+
+  private def unionAll(spark: SparkSession, store: TableStore, name: String,
+      table: String): DataFrame =
+    segIds(spark, store, name)
+      .map(k => store.read(spark, s"${name}_${table}_s$k"))
+      .foldLeft(store.read(spark, s"${name}_$table"))(_ unionByName _)
+
+  private def doclenAll(spark: SparkSession, store: TableStore, name: String): DataFrame =
+    unionAll(spark, store, name, "doclen")
+
+  /** df across base + segments for the probed terms: each table's
+    * term filter pushes to its scan; the sum touches probed-term rows
+    * only. */
+  private def dfAll(spark: SparkSession, store: TableStore, name: String,
+      terms: Seq[String]): DataFrame =
+    unionAll(spark, store, name, "df").filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+
+  private def statsAll(spark: SparkSession, store: TableStore, name: String): DataFrame =
+    unionAll(spark, store, name, "stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tokens")).as("total_tokens"))
+
   /** Top-k docs by BM25-shaped score (k1=1.2, b=0.75) over the probed
     * terms: the classic saturating-tf, length-normalized ranking that
     * separates "mentions the term" from "is about the term". The idf
@@ -71,10 +145,10 @@ object TextIndex {
   def bm25Search(spark: SparkSession, store: TableStore, name: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one probe term")
-    val post = store.read(spark, s"${name}_postings").filter(col("term").isin(terms: _*))
-    val dfreq = store.read(spark, s"${name}_df").filter(col("term").isin(terms: _*))
-    val stats = store.read(spark, s"${name}_stats")
-    val doclen = store.read(spark, s"${name}_doclen")
+    val post = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
+    val dfreq = dfAll(spark, store, name, terms)
+    val stats = statsAll(spark, store, name)
+    val doclen = doclenAll(spark, store, name)
     post.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .join(doclen, Seq("doc_id"))
@@ -94,9 +168,9 @@ object TextIndex {
   def search(spark: SparkSession, store: TableStore, name: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one probe term")
-    val post = store.read(spark, s"${name}_postings").filter(col("term").isin(terms: _*))
-    val dfreq = store.read(spark, s"${name}_df").filter(col("term").isin(terms: _*))
-    val n = store.read(spark, s"${name}_stats")
+    val post = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
+    val dfreq = dfAll(spark, store, name, terms)
+    val n = statsAll(spark, store, name)
     post.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("w", expr("(n_docs * 1000) div df"))

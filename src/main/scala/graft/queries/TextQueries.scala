@@ -144,6 +144,29 @@ object TextQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- incrementally-maintained index: fold, then probe -----------
+    // The index-maintenance story at corpus-growth scale: build over
+    // the even half of the corpus, FOLD the odd half as a Lucene-style
+    // segment (O(batch) — base postings never rewritten, publication
+    // is one atomic segs-table commit; TextIndex.fold), then run the
+    // SAME BM25 probe. Shares x3_bm25_search's oracle text verbatim:
+    // the segmented index must be answer-identical to the one-shot
+    // build over the full corpus — lost postings, double-counted df,
+    // or stale stats would all shift scores and break the hash.
+    "x3_index_incremental" -> ((s, dir) => {
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/text-index-incr/v1/${docsKey(s, dir)}")
+      if (!store.exists(s, "kw_postings")) {
+        val docs = Tables.documents(s, dir)
+        graft.operators.TextIndex.build(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store, "kw")
+        graft.operators.TextIndex.fold(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store, "kw")
+      }
+      graft.operators.TextIndex.bm25Search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 20)
+    }),
+
     // ---- hybrid retrieval: reciprocal-rank fusion (RRF) -------------
     // The RAG-stack fusion step: the lexical leg (persisted-index BM25
     // top-20) and the vector leg (cosine top-20 vs query vec 0) merge
@@ -759,6 +782,8 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+    // the segmented fold must reproduce the one-shot build bit for bit
+    "x3_index_incremental" -> Bm25OracleSql,
 
     "x3_hybrid_rrf" ->
       s"""WITH bm AS ($Bm25OracleSql),

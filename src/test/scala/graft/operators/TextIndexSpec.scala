@@ -80,4 +80,39 @@ class TextIndexSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("fold: segmented index answers identically to a one-shot full build") {
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    val full = freshStore()
+    TextIndex.build(docs, "doc_id", "text", full, "kw")
+    val seg = freshStore()
+    TextIndex.build(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", seg, "kw")
+    TextIndex.fold(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", seg, "kw")
+    TextIndex.fold(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", seg, "kw")
+    val terms = Seq("vector", "stream", "merge")
+    assert(TextIndex.bm25Search(s, seg, "kw", terms, 20).collect().toSeq ==
+      TextIndex.bm25Search(s, full, "kw", terms, 20).collect().toSeq)
+    assert(TextIndex.search(s, seg, "kw", terms, 20).collect().toSeq ==
+      TextIndex.search(s, full, "kw", terms, 20).collect().toSeq)
+  }
+
+  test("fold rejects a batch whose doc ids are already indexed") {
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    val store = freshStore()
+    TextIndex.build(docs.filter(col("doc_id") < 50), "doc_id", "text", store, "kw")
+    TextIndex.fold(docs.filter(col("doc_id") >= 50 && col("doc_id") < 60),
+      "doc_id", "text", store, "kw")
+    // overlaps the BASE half
+    val e1 = intercept[IllegalArgumentException] {
+      TextIndex.fold(docs.filter(col("doc_id") < 10), "doc_id", "text", store, "kw")
+    }
+    assert(e1.getMessage.contains("already indexed"))
+    // overlaps a published SEGMENT
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.fold(docs.filter(col("doc_id") === 55), "doc_id", "text", store, "kw")
+    }
+    assert(e2.getMessage.contains("already indexed"))
+  }
 }
