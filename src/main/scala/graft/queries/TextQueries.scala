@@ -144,6 +144,66 @@ object TextQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- BPE merge-rule training (3 unrolled rounds) ----------------
+    // The tokenizer-training core: start from characters, repeatedly
+    // merge the corpus-wide most frequent ADJACENT symbol pair
+    // (occurrence-weighted by word frequency, ties lexicographic).
+    // Scale shape: ONE corpus scan builds the (word, freq) table;
+    // every merge round then works on the VOCABULARY (weighted by
+    // freq), never the corpus — exactly how production BPE trainers
+    // scale. The merge itself is greedy left-to-right non-overlapping,
+    // implemented as plain string `replace` over a wrapped-symbol
+    // encoding ("ab" → "<a><b>"; pair (A,B) matches "<A><B>" — wraps
+    // make interior false matches impossible and both engines' replace
+    // is the same greedy scan, so "aaa" merges to ["aa","a"] in both).
+    // Scope: lowercase-alpha words (the wrap chars are then provably
+    // absent). Output: the 3 chosen merge rules + the top-20 resulting
+    // symbols by weighted count — any lost/extra/mis-ordered merge
+    // shifts both sections of the hash.
+    "x3_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.functions.TextAnalysis.tokens($"text")).as("word"))
+        .filter($"word".rlike("^[a-z]+$"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .withColumn("enc", regexp_replace($"word", "(.)", "<$1>"))
+        .localCheckpoint()
+      def syms(c: org.apache.spark.sql.Column) =
+        split(expr("substring(enc, 2, length(enc) - 2)"), "><")
+      def round1(enc: DataFrame): DataFrame = {
+        val pairs = enc.withColumn("s", syms($"enc"))
+          .filter(size($"s") >= 2)
+          .select($"freq", explode(expr(
+            "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"freq").as("c"))
+        val top = pairs.orderBy($"c".desc, $"a", $"b").limit(1)
+        enc.crossJoin(broadcast(top))
+          .select($"word", $"freq",
+            expr("replace(enc, '<' || a || '><' || b || '>', '<' || a || b || '>')").as("enc"),
+            $"a", $"b", $"c")
+          .localCheckpoint()
+      }
+      val e1 = round1(words)
+      val e2 = round1(e1.select($"word", $"freq", $"enc"))
+      val e3 = round1(e2.select($"word", $"freq", $"enc"))
+      // every e_k row carries the same (a, b, c) — the broadcast top-1
+      // pair — so distinct() is exactly one row per round
+      val merges = e1.select(lit("merge").as("kind"), lit(1L).as("rk"),
+          concat($"a", lit("+"), $"b").as("txt"), $"c".as("n")).distinct()
+        .unionByName(e2.select(lit("merge").as("kind"), lit(2L).as("rk"),
+          concat($"a", lit("+"), $"b").as("txt"), $"c".as("n")).distinct())
+        .unionByName(e3.select(lit("merge").as("kind"), lit(3L).as("rk"),
+          concat($"a", lit("+"), $"b").as("txt"), $"c".as("n")).distinct())
+      val top20 = e3.withColumn("s", syms($"enc"))
+        .select($"freq", explode($"s").as("sym"))
+        .groupBy($"sym").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"sym").limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"sym")).cast("long"))
+        .select(lit("symbol").as("kind"), $"rk", $"sym".as("txt"), $"n")
+      merges.unionByName(top20).orderBy($"kind", $"rk")
+    }),
+
     // ---- incrementally-maintained index: fold, then probe -----------
     // The index-maintenance story at corpus-growth scale: build over
     // the even half of the corpus, FOLD the odd half as a Lucene-style
@@ -784,6 +844,41 @@ object TextQueries {
     "x3_bm25_search" -> Bm25OracleSql,
     // the segmented fold must reproduce the one-shot build bit for bit
     "x3_index_incremental" -> Bm25OracleSql,
+
+    "x3_bpe_train" ->
+      """WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS word
+        |    FROM documents) WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1),
+        |e0 AS (SELECT word, freq, regexp_replace(word, '(.)', '<\1>', 'g') AS enc FROM w),
+        |p1 AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS c FROM (
+        |    SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS p FROM (
+        |      SELECT freq, string_split(substr(enc, 2, length(enc) - 2), '><') AS s FROM e0))
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+        |e1 AS (SELECT word, freq, replace(enc, '<' || t1.a || '><' || t1.b || '>', '<' || t1.a || t1.b || '>') AS enc FROM e0, t1),
+        |p2 AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS c FROM (
+        |    SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS p FROM (
+        |      SELECT freq, string_split(substr(enc, 2, length(enc) - 2), '><') AS s FROM e1))
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+        |e2 AS (SELECT word, freq, replace(enc, '<' || t2.a || '><' || t2.b || '>', '<' || t2.a || t2.b || '>') AS enc FROM e1, t2),
+        |p3 AS (SELECT p.a AS a, p.b AS b, SUM(freq) AS c FROM (
+        |    SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS p FROM (
+        |      SELECT freq, string_split(substr(enc, 2, length(enc) - 2), '><') AS s FROM e2))
+        |  GROUP BY 1, 2),
+        |t3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+        |e3 AS (SELECT word, freq, replace(enc, '<' || t3.a || '><' || t3.b || '>', '<' || t3.a || t3.b || '>') AS enc FROM e2, t3),
+        |sym AS (SELECT sym, SUM(freq) AS n FROM (
+        |    SELECT freq, unnest(string_split(substr(enc, 2, length(enc) - 2), '><')) AS sym FROM e3)
+        |  GROUP BY 1 ORDER BY n DESC, sym LIMIT 20),
+        |syr AS (SELECT 'symbol' AS kind, CAST(row_number() OVER (ORDER BY n DESC, sym) AS BIGINT) AS rk,
+        |  sym AS txt, n FROM sym)
+        |SELECT kind, CAST(rk AS BIGINT) AS rk, txt, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'merge' AS kind, 1 AS rk, a || '+' || b AS txt, c AS n FROM t1
+        |  UNION ALL SELECT 'merge', 2, a || '+' || b, c FROM t2
+        |  UNION ALL SELECT 'merge', 3, a || '+' || b, c FROM t3
+        |  UNION ALL SELECT kind, rk, txt, n FROM syr)
+        |ORDER BY kind, rk""".stripMargin,
 
     "x3_hybrid_rrf" ->
       s"""WITH bm AS ($Bm25OracleSql),
