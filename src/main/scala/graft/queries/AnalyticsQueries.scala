@@ -438,6 +438,27 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A14b: frequent triples (market-basket, order 3) ------------
+    // One level past pair co-purchase: the top part TRIPLES by basket
+    // support. Generation is the within-basket 3-way self-join keyed
+    // on the order — blow-up is O(k³) per basket (k = items/order,
+    // domain-bounded), never catalog-cubed; the global top-25 lowers
+    // to TakeOrderedAndProject. At a mined-threshold workload the
+    // apriori prune applies (a triple's support ≤ its weakest pair's,
+    // so only frequent-pair extensions need counting); a global top-k
+    // has no a-priori threshold, so the bounded basket join IS the
+    // plan.
+    "a14_triples" -> ((s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      items.toDF("ok", "pa")
+        .join(items.toDF("ok", "pb"), "ok").filter($"pa" < $"pb")
+        .join(items.toDF("ok", "pc"), "ok").filter($"pb" < $"pc")
+        .groupBy($"pa", $"pb", $"pc").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pa", $"pb", $"pc").limit(25)
+    }),
+
     // ---- A16: PageRank over the co-purchase graph -------------------
     // Iterative distributed graph compute beyond connected components:
     // 3 fixed power-iteration rounds of damped PageRank over the
@@ -608,6 +629,43 @@ object AnalyticsQueries {
           .groupBy($"v")
           .agg(sum($"c").as("s"))
           .select($"v".as("node"), expr("150000 + (850000 * s) div 1000000").as("r"))
+      }
+      ranks.join(deg, $"node" === $"u")
+        .select($"node".as("part"), $"r".as("rank_ppm"), $"d".as("degree"))
+        .orderBy($"rank_ppm".desc, $"part")
+        .limit(25)
+    }),
+
+    // ---- A16c: PERSONALIZED PageRank (random walk with restart) -----
+    // The recommender primitive PageRank's global prior can't give:
+    // relevance RELATIVE TO a seed node. Same integer micro-unit
+    // power iteration as a16_pagerank, except the 15% teleport mass
+    // returns ONLY to the source (the graph's min node id — the
+    // bfs-levels determinism convention) instead of spreading
+    // uniformly: r⁰ = 1e6·1[src]; rᵏ(v) = 150000·1[v=src] +
+    // (850000·Σ r(u) div d(u)) div 1e6. Plan identical to PageRank —
+    // unhinted rank⋈edges per round (AQE decides), one (node, long)
+    // shuffle each; the single-value source collect is the bfsLevels
+    // precedent. Top-25 by personalized rank.
+    "a16_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs.select($"part_a".as("u"), $"part_b".as("v"))
+        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
+        .localCheckpoint()
+      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).localCheckpoint()
+      val src = deg.agg(min($"u")).head.getLong(0)
+      var ranks = deg.select($"u".as("node"),
+        when($"u" === src, 1000000L).otherwise(0L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = edges
+          .join(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c")),
+            edges("u") === col("node"))
+          .groupBy($"v")
+          .agg(sum($"c").as("s"))
+          .select($"v".as("node"),
+            (when($"v" === src, 150000L).otherwise(0L) +
+              expr("(850000 * s) div 1000000")).as("r"))
       }
       ranks.join(deg, $"node" === $"u")
         .select($"node".as("part"), $"r".as("rank_ppm"), $"d".as("degree"))
@@ -1265,6 +1323,36 @@ object AnalyticsQueries {
         |FROM r3 JOIN deg ON deg.u = r3.node
         |ORDER BY rank_ppm DESC, part LIMIT 25""".stripMargin,
 
+    "a16_ppr" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT pa AS u, pb AS v FROM pairs
+        |          UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY 1),
+        |s AS (SELECT MIN(u) AS src FROM deg),
+        |r0 AS (SELECT u AS node, CAST(CASE WHEN u = s.src THEN 1000000 ELSE 0 END AS BIGINT) AS r
+        |       FROM deg, s),
+        |r1 AS (SELECT e.v AS node,
+        |         CAST(CASE WHEN e.v = s.src THEN 150000 ELSE 0 END
+        |           + (850000 * SUM(r0.r // deg.d)) // 1000000 AS BIGINT) AS r
+        |       FROM edges e JOIN r0 ON r0.node = e.u JOIN deg ON deg.u = e.u, s
+        |       GROUP BY e.v, s.src),
+        |r2 AS (SELECT e.v AS node,
+        |         CAST(CASE WHEN e.v = s.src THEN 150000 ELSE 0 END
+        |           + (850000 * SUM(r1.r // deg.d)) // 1000000 AS BIGINT) AS r
+        |       FROM edges e JOIN r1 ON r1.node = e.u JOIN deg ON deg.u = e.u, s
+        |       GROUP BY e.v, s.src),
+        |r3 AS (SELECT e.v AS node,
+        |         CAST(CASE WHEN e.v = s.src THEN 150000 ELSE 0 END
+        |           + (850000 * SUM(r2.r // deg.d)) // 1000000 AS BIGINT) AS r
+        |       FROM edges e JOIN r2 ON r2.node = e.u JOIN deg ON deg.u = e.u, s
+        |       GROUP BY e.v, s.src)
+        |SELECT r3.node AS part, r3.r AS rank_ppm, deg.d AS degree
+        |FROM r3 JOIN deg ON deg.u = r3.node
+        |ORDER BY rank_ppm DESC, part LIMIT 25""".stripMargin,
+
     "a16_communities" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
@@ -1302,6 +1390,13 @@ object AnalyticsQueries {
         |JOIN supp sb ON sb.l_partkey = part_b
         |CROSS JOIN n
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
+
+    "a14_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS pa, b.pk AS pb, c.pk AS pc, COUNT(*) AS n
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, pa, pb, pc LIMIT 25""".stripMargin,
 
     "a13_twap" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
