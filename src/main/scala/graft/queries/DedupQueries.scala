@@ -171,6 +171,26 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- threshold-sweep diagnostics over the stored pair set -------
+    // "How aggressive is dedup at threshold t?" — the knob-tuning
+    // report a pipeline runs BEFORE committing to a cut. Every pair
+    // ≥ 0.6 is already in the persisted artifact with its exact
+    // (n_common, n_union) evidence, so the sweep is a zero-scan
+    // integer bucketing of stored rows: pairs per 5-point Jaccard
+    // band plus the cumulative count at-or-above each band (what a
+    // threshold of that band would remove). The unpartitioned window
+    // runs over ≤ 9 band rows post-aggregation.
+    "x1_dedup_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket_pct".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      nearDupPairs(s, dir)
+        .select(expr("((n_common * 100) div n_union) div 5 * 5").as("bucket_pct"))
+        .groupBy($"bucket_pct").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs", sum($"n_pairs").over(w))
+        .orderBy($"bucket_pct")
+    }),
+
     // ---- near-dup REMOVAL: the keep-one materializer ----------------
     // Pairs from the scale path (PPJoin prefix filter), then one
     // anti-join keeps the lowest-id representative of each clique —
@@ -592,6 +612,25 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "x1_tfidf_pairs" -> tfidfOracle,
     "x1_ngram_jaccard" -> jaccardOracle,
+
+    "x1_dedup_sweep" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |             ELSE [array_to_string(w, ' ')] END AS grams
+        |      FROM d),
+        |p AS (SELECT len(list_intersect(a.grams, b.grams)) AS c,
+        |             len(list_distinct(a.grams || b.grams)) AS u
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.grams, b.grams)) * 5
+        |            >= len(list_distinct(a.grams || b.grams)) * 3),
+        |h AS (SELECT CAST(((c * 100) // u) // 5 * 5 AS BIGINT) AS bucket_pct,
+        |             COUNT(*) AS n_pairs FROM p GROUP BY 1)
+        |SELECT bucket_pct, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bucket_pct DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
+        |FROM h ORDER BY bucket_pct""".stripMargin,
     "x1_contamination" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
         |        CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
