@@ -26,6 +26,35 @@ object MultimodalQueries {
         .orderBy("kind")
     }),
 
+    // ---- container-header metadata parse (no decode) ----------------
+    // The ingest-time metadata extractor: sniff each payload's REAL
+    // magic bytes (never trust the claimed kind), then parse the
+    // container header relationally — PNG IHDR width/height/bit-depth/
+    // color-type as big-endian byte fields, WAV fmt-chunk sample rate
+    // and data-chunk size as little-endian — all via substring+hex
+    // over the binary column, a pure codegen'd map (payloads never
+    // shuffle, no codec invoked). The oracle recomputes every field
+    // from the synthesis formulas, so a mis-parsed offset or
+    // endianness flip breaks the hash on real container bytes.
+    "x4_container_meta" -> ((s, dir) => {
+      def be(p: Int, len: Int) =
+        expr(s"cast(conv(hex(substring(payload, $p, $len)), 16, 10) as bigint)")
+      def b(p: Int) = be(p, 1)
+      def le4(p: Int) = b(p) + b(p + 1) * 256L + b(p + 2) * 65536L + b(p + 3) * 16777216L
+      val isPng = expr("hex(substring(payload, 1, 4))") === "89504E47"
+      val isRiff = expr("hex(substring(payload, 1, 4))") === "52494646"
+      Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)).toDF
+        .select(col("mediaId").as("media_id"),
+          when(isPng, "image").when(isRiff, "audio").otherwise("unknown").as("kind"),
+          when(isPng, be(17, 4)).otherwise(0L).as("width"),
+          when(isPng, be(21, 4)).otherwise(0L).as("height"),
+          when(isPng, b(25)).otherwise(0L).as("bit_depth"),
+          when(isPng, b(26)).otherwise(0L).as("color_type"),
+          when(isRiff, le4(25)).otherwise(0L).as("sample_rate"),
+          when(isRiff, le4(41)).otherwise(0L).as("n_samples"))
+        .orderBy("media_id")
+    }),
+
     // ---- content-hash dedup over binary payloads --------------------
     // Exact media dedup never decodes: hash a leading chunk of the
     // bytes (same-header detection — full-payload digests also work
@@ -100,6 +129,22 @@ object MultimodalQueries {
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracle: Map[String, String] = Map(
+    "x4_container_meta" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)
+        |SELECT media_id, kind, width, height, bit_depth, color_type, sample_rate, n_samples
+        |FROM (
+        |  SELECT doc_id AS media_id, 'image' AS kind,
+        |    CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |    CAST(16 + doc_id % 32 AS BIGINT) AS height,
+        |    CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type,
+        |    CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS n_samples
+        |  FROM img
+        |  UNION ALL
+        |  SELECT doc_id, 'audio', 0, 0, 0, 0, 16000, CAST(256 + doc_id % 512 AS BIGINT)
+        |  FROM aud)
+        |ORDER BY media_id""".stripMargin,
+
     "x4_media_stats" ->
       s"""SELECT $kindExpr AS kind, COUNT(*) AS n,
          |CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
