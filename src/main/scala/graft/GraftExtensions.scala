@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (children: Seq[Expression]) => KllQuantileExpr(children(0), children(1))))
+    // whole-plan rewrite, not a function: every high-threshold
+    // jaro_winkler filter gets the provable length-ratio prune
+    // injected ahead of the O(len²) scorer (see JaroPruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.JaroPruneRule)
   }
 }
