@@ -532,10 +532,54 @@ object StreamQueries {
       store.read(s, "orders_dim")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- T6: STREAMED incremental index maintenance -----------------
+    // Index-building as an ingestion side effect: documents replay as
+    // 3 micro-batches and each batch folds into the inverted index as
+    // a published SEGMENT (TextIndex.fold — O(batch), base postings
+    // never rewritten, one atomic segs-table commit per batch; a
+    // crashed fold is invisible and the checkpoint replays it). The
+    // base index is built EMPTY, so the entire corpus arrives through
+    // the streamed fold path; the final BM25 probe shares the
+    // one-shot-build oracle text — lost/duplicated segments, stale
+    // df, or a half-published fold all shift scores and break the
+    // hash.
+    "t6_stream_index" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val base = s"/root/repo/target/tmp/stream-index/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, docs, "doc_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      graft.operators.TextIndex.build(docs.limit(0), "doc_id", "text", store, "kw")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              graft.operators.TextIndex.fold(batch, "doc_id", "text", store, "kw")
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      graft.operators.TextIndex.bm25Search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 20)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the streamed segment folds must answer exactly like a one-shot
+    // full index build — same text as x3_bm25_search
+    "t6_stream_index" -> TextQueries.Bm25OracleSql,
+
     "t3_tumbling_stats" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
         |event_type, COUNT(*) AS n,

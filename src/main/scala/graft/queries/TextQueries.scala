@@ -668,7 +668,7 @@ object TextQueries {
   /** The BM25 top-20 oracle text — standalone entry AND the lexical
     * leg of the hybrid-RRF oracle (nested as a CTE there, so the two
     * gates can never drift apart). */
-  private val Bm25OracleSql: String =
+  private[queries] val Bm25OracleSql: String =
     """WITH toks AS (SELECT doc_id,
       |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
       |  FROM documents),
