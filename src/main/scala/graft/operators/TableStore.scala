@@ -247,6 +247,29 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def versionDepth(spark: SparkSession, name: String): Int =
     versionChain(fs(spark), name).length
 
+  /** Raw path of the version `stepsBack` commits ago — for path-based
+    * readers (the SQL catalog's `VERSION AS OF`). Callers MUST pair
+    * this with `hasPendingDvBack`: a raw path scan cannot apply a
+    * deletion-vector sidecar (the `hasPendingDv` contract, per
+    * retained version). Whole-table mode only — partitioned tables
+    * have no whole-table version chain and fail the retention check
+    * here. */
+  def versionPathBack(spark: SparkSession, name: String, stepsBack: Int): String = {
+    val chain = versionChain(fs(spark), name)
+    require(stepsBack >= 0 && stepsBack < chain.length,
+      s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
+    s"$root/$name/${chain(stepsBack)}"
+  }
+
+  /** Whether the version `stepsBack` commits ago carries a committed
+    * deletion vector (which a raw path scan would silently skip). */
+  def hasPendingDvBack(spark: SparkSession, name: String, stepsBack: Int): Boolean = {
+    val f = fs(spark)
+    val chain = versionChain(f, name)
+    stepsBack >= 0 && stepsBack < chain.length &&
+      dvInfo(f, name, chain(stepsBack)).isDefined
+  }
+
   /** Change data feed: the keyed diff between the table `stepsBack`
     * commits ago and the current version — one row per key whose
     * image changed, with `op` ∈ I (insert: key absent before), U

@@ -376,6 +376,40 @@ object LifecycleQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S13c: SQL time travel through the V2 catalog ---------------
+    // The same 3-batch history read back in PLAIN SQL:
+    // `VERSION AS OF 1` = one commit back (the store's native
+    // steps-back notion — version dirs carry no absolute numbering),
+    // served by GraftCatalog.loadTable(ident, version) over the
+    // retained chain, with the merge-on-read refusal guard per
+    // historical version. Shares s13_version_read's oracle text: the
+    // SQL path must see exactly the programmatic time-travel snapshot.
+    "s13_sql_version" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/timetravel-sql"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path, retain = 2)
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      Seq(b1, b2, b3).foreach(b =>
+        store.upsert(s, "orders", b, Seq("o_orderkey"), numFiles = Some(1)))
+      s.conf.set("spark.sql.catalog.graft_tt",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tt.root", path)
+      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice, nupdates
+              |FROM graft_tt.orders VERSION AS OF 1
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- S13b: change data feed (time travel's consumer dual) -------
     // The keyed diff between the previous commit and the current one:
     // one row per changed key, op ∈ I/U (no deletes here — upsert
@@ -408,27 +442,34 @@ object LifecycleQueries {
   )
 
   private val TimeTravelStorePath = "/root/repo/target/tmp/timetravel-oracle"
+
+  /** One text, two read APIs: the programmatic `readVersionsBack` gate
+    * and the SQL `VERSION AS OF` gate replay the same b1+b2 state. */
+  private val VersionBackOracleSql =
+    """WITH b1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+      |b2 AS (
+      |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
+      |            ELSE 1 END AS BIGINT) AS nupdates
+      |FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
   private val ChangefeedStorePath = "/root/repo/target/tmp/changefeed-oracle"
 
   val oracle: Map[String, String] = Map(
     // the version-1-back read must equal the merge of batches 1..2
     // (batch 3 invisible); nupdates counts how many batches touched a
     // key among the first two
-    "s13_version_read" ->
-      """WITH b1 AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
-        |b2 AS (
-        |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
-        |    AND o_orderdate < TIMESTAMP '1997-01-01')
-        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
-        |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
-        |            ELSE 1 END AS BIGINT) AS nupdates
-        |FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
+    "s13_version_read" -> VersionBackOracleSql,
+    // the SQL VERSION AS OF path must see exactly the programmatic
+    // time-travel snapshot — one text, two read APIs
+    "s13_sql_version" -> VersionBackOracleSql,
 
     // every b3 key changes (its status literal can't equal any prior
     // status), so the feed is exactly: b3 ∩ state12 → U, b3 \ state12

@@ -93,6 +93,35 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** SQL time travel: `SELECT * FROM graft.t VERSION AS OF k` reads
+    * the snapshot k commits BACK from current (0 = current) — the
+    * store's native `readVersionsBack` notion (version dirs carry no
+    * absolute numbering; retention bounds how far back k may reach).
+    * Same merge-on-read guard as the current-version path: a raw
+    * parquet scan cannot apply a deletion-vector sidecar, so a
+    * DV-carrying historical version refuses loudly rather than
+    * resurrect deleted rows. Whole-table mode only (partitioned
+    * tables have no whole-table chain — the retention check fails
+    * with its own message). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = ident.name()
+    if (!store.exists(spark, t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ t)
+    val back =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        throw new UnsupportedOperationException(
+          s"graft VERSION AS OF takes an integer (commits back from current), got '$version'")
+      }
+    if (store.hasPendingDvBack(spark, t, back))
+      throw new IllegalStateException(
+        s"graft table '$t' version $back back carries merge-on-read deletion " +
+          "vectors a SQL parquet scan cannot apply; run compactDeletes first")
+    ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+      Seq(store.versionPathBack(spark, t, back)), None, classOf[ParquetFileFormat])
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     store.exists(spark, ident.name())
 

@@ -91,4 +91,31 @@ class GraftCatalogSpec extends SparkSpec {
     val r = s.sql("SELECT k, nupdates FROM graft.t3").head
     assert(r.getLong(0) == 10L && r.getLong(1) == 2L)
   }
+
+  test("VERSION AS OF k reads k commits back; retention bounds it; DV history refuses") {
+    val s = spark; import s.implicits._
+    // separate retained store under its own catalog name
+    val dir = Files.createTempDirectory(Paths.get("target"), "catalog-tt-").toString
+    s.conf.set("spark.sql.catalog.gtt", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gtt.root", dir)
+    val store = new TableStore(dir, retain = 2)
+    store.upsert(s, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    store.upsert(s, "t", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    store.upsert(s, "t", Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    def ks(q: String): Set[Long] =
+      s.sql(q).collect().map(_.getLong(0)).toSet
+    assert(ks("SELECT k FROM gtt.t VERSION AS OF 0") == Set(1L, 2L, 3L))
+    assert(ks("SELECT k FROM gtt.t VERSION AS OF 1") == Set(1L, 2L))
+    assert(ks("SELECT k FROM gtt.t VERSION AS OF 2") == Set(1L))
+    // past retention: loud, names the chain depth
+    val e = intercept[Exception](ks("SELECT k FROM gtt.t VERSION AS OF 3"))
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    // a MOR delete against current leaves history readable; once the
+    // DV'd version itself IS history, the SQL path refuses it
+    store.deleteWhereMor(s, "t", col("k") === 2L, Seq("k"))
+    assert(ks("SELECT k FROM gtt.t VERSION AS OF 1") == Set(1L, 2L),
+      "pre-delete history must stay readable")
+    val e2 = intercept[Exception](ks("SELECT k FROM gtt.t VERSION AS OF 0"))
+    assert(e2.getMessage.contains("deletion"), e2.getMessage)
+  }
 }
