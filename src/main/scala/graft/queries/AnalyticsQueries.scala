@@ -945,9 +945,11 @@ object AnalyticsQueries {
       .select(col("src"), col("ds").getField("x").as("dst"), col("ds").getField("xd").as("dd"))
       // materialize the oriented edge list ONCE: both wedge sides and
       // the closing semi-join read it — without truncation the pairs
-      // scan + double degree join re-executes three times (measured
-      // ~6.1 s → ~4 s at sf0.1). m rows of three longs — edge-set
-      // sized, the same bound the CC/PageRank checkpoints carry.
+      // scan + double degree join re-executes three times (a modest
+      // win here: the 41 M-wedge join dominates at sf0.1; DOULION is
+      // the documented sampling path when the exact count is too
+      // expensive). m rows of three longs — edge-set sized, the same
+      // bound the CC/PageRank checkpoints carry.
       .localCheckpoint(true)
     val wedges = oriented.toDF("apex", "b", "bd")
       .join(oriented.toDF("apex", "c", "cd"), Seq("apex"))
