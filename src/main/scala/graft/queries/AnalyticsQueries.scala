@@ -694,13 +694,16 @@ object AnalyticsQueries {
         .localCheckpoint()
       var labels = und.select($"u".as("node")).distinct()
         .select($"node", $"node".as("label"))
+      // no per-round checkpoint for the FIXED 2-round unroll: lineage
+      // depth is bounded and one linear plan executes each round once
+      // (the run-to-convergence operator checkpoints per round because
+      // its depth is unbounded — different contract)
       for (_ <- 1 to 2) {
         labels = und
           .join(labels.select($"node".as("v"), $"label".as("lab")), Seq("v"))
           .groupBy($"u", $"lab").agg(count(lit(1)).as("c"))
           .groupBy($"u").agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
           .select($"u".as("node"), (-$"m.nl").as("label"))
-          .localCheckpoint()
       }
       labels.orderBy($"node")
     }),

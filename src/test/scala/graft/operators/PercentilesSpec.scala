@@ -190,4 +190,31 @@ class PercentilesSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"))
     assert(plan.contains("windowspecdefinition(pid"))
   }
+
+  test("equiDepth matches a per-group sorted reference, sizes within one quantum") {
+    val s = spark
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+    val b = 8
+    val got = Percentiles.equiDepth(li, Seq("l_returnflag"), "l_extendedprice", b)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // reference: per-group sort in Scala, bucket = (rank·b) div n
+    val raw = li.select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val ref = raw.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length.toLong
+      vs.zipWithIndex.map { case (v, i) => (g, i.toLong * b / n, v) }.toSeq
+    }.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+      k -> ((ts.size.toLong, ts.map(_._3).min, ts.map(_._3).max))
+    }
+    assert(got == ref)
+    // equal-frequency contract: within a group, bucket sizes differ by
+    // at most ⌈n/b⌉ − ⌊n/b⌋ + boundary ties' rounding — here ≤ 1
+    got.keys.map(_._1).toSet.foreach { g: String =>
+      val sizes = got.collect { case ((gg, _), (n, _, _)) if gg == g => n }
+      assert(sizes.max - sizes.min <= 1, s"group $g sizes: $sizes")
+    }
+  }
 }
