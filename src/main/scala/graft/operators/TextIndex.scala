@@ -34,16 +34,20 @@ object TextIndex {
   def build(docs: DataFrame, idCol: String, textCol: String,
       store: TableStore, name: String, numFiles: Int = 8): Unit = {
     val spark = docs.sparkSession
-    // tokenize + explode + aggregate happens ONCE: every derived table
-    // (df, doclen, stats) reads back the just-committed postings
-    // parquet instead of re-running the corpus scan — without this,
-    // four actions over the same lineage would recompute the corpus
-    // tokenization four times.
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    // tokenize + explode happens ONCE: the POSITIONAL postings land
+    // first (term, doc_id, pos — the phrase-query substrate), and
+    // every derived table (tf postings, df, doclen, stats) reads back
+    // the just-committed parquet instead of re-running the corpus
+    // scan — without this, five actions over the same lineage would
+    // recompute the corpus tokenization five times.
+    val pos = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    store.replace(spark, s"${name}_pos",
+      pos.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
+    val posTable = store.read(spark, s"${name}_pos")
     store.replace(spark, s"${name}_postings",
-      tf.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
+      posTable.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
     val posted = store.read(spark, s"${name}_postings")
     store.replace(spark, s"${name}_df",
       posted.groupBy("term").agg(count(lit(1)).as("df")))
@@ -79,11 +83,14 @@ object TextIndex {
       .count()
     require(overlap == 0, s"fold: $overlap doc ids already indexed in '$name'")
     val seg = nextSeg(spark, store, name)
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val pos = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    store.replace(spark, s"${name}_pos_s$seg",
+      pos.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
     store.replace(spark, s"${name}_postings_s$seg",
-      tf.repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
+      store.read(spark, s"${name}_pos_s$seg")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
     val posted = store.read(spark, s"${name}_postings_s$seg")
     store.replace(spark, s"${name}_doclen_s$seg",
       posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
@@ -161,6 +168,28 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(sum(col("ts")).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Phrase query over the POSITIONAL postings — the IR-textbook
+    * positional intersection: each phrase term's leg reads ONLY that
+    * term's (doc_id, pos) rows (pushed scan filter over the
+    * term-sorted layout), normalizes to the phrase start position
+    * (pos − i), and the legs equi-join on (doc_id, start) — a row
+    * survives exactly when all terms sit adjacent in order.
+    * Overlapping occurrences count individually. Per-query cost is
+    * proportional to the probed terms' posting lists at any corpus
+    * size; nothing corpus-sized shuffles. */
+  def phraseSearch(spark: SparkSession, store: TableStore, name: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least two terms")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      unionAll(spark, store, name, "pos").filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(k)
   }
 

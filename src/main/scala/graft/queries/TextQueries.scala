@@ -24,7 +24,7 @@ object TextQueries {
     * layout change or a stale index poisons oracle-gated probes. */
   private def kwIndex(s: SparkSession, dir: String): graft.operators.TableStore = {
     val store = new graft.operators.TableStore(
-      s"/root/repo/target/tmp/text-index/v2/${docsKey(s, dir)}")
+      s"/root/repo/target/tmp/text-index/v3/${docsKey(s, dir)}")
     if (!store.exists(s, "kw_postings"))
       graft.operators.TextIndex.build(Tables.documents(s, dir), "doc_id", "text", store, "kw")
     store
@@ -144,6 +144,21 @@ object TextQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- phrase query over the positional index ---------------------
+    // "table hash" as an exact-adjacency phrase: each term's leg reads
+    // ONLY its (doc_id, pos) postings (pushed scan filter over the
+    // term-sorted layout), normalizes to the phrase start (pos − i),
+    // and the legs equi-join on (doc_id, start) — the IR-textbook
+    // positional intersection, per-query cost proportional to the two
+    // probed posting lists at any corpus size. Overlapping occurrences
+    // count individually; the oracle re-derives every adjacency from
+    // raw text, so lost or off-by-one positions break the hash.
+    "x3_phrase_search" -> ((s, dir) => {
+      val store = kwIndex(s, dir)
+      graft.operators.TextIndex.phraseSearch(s, store, "kw",
+        Seq("table", "hash"), k = 20)
+    }),
+
     // ---- BPE merge-rule training (3 unrolled rounds) ----------------
     // The tokenizer-training core: start from characters, repeatedly
     // merge the corpus-wide most frequent ADJACENT symbol pair
@@ -215,7 +230,7 @@ object TextQueries {
     // or stale stats would all shift scores and break the hash.
     "x3_index_incremental" -> ((s, dir) => {
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/text-index-incr/v1/${docsKey(s, dir)}")
+        s"/root/repo/target/tmp/text-index-incr/v2/${docsKey(s, dir)}")
       if (!store.exists(s, "kw_postings")) {
         val docs = Tables.documents(s, dir)
         graft.operators.TextIndex.build(
@@ -842,6 +857,17 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len([i FOR i IN range(1, len(w)) IF w[i] = 'table' AND w[i+1] = 'hash']) AS n_occurrences
+        |  FROM d)
+        |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+        |FROM m WHERE n_occurrences > 0
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
     // the segmented fold must reproduce the one-shot build bit for bit
     "x3_index_incremental" -> Bm25OracleSql,
 

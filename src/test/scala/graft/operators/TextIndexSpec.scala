@@ -97,6 +97,29 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.search(s, full, "kw", terms, 20).collect().toSeq)
   }
 
+  test("phraseSearch: adjacency, order, overlap counting, segment crossing") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "x a b y a b"),     // 2 occurrences of "a b"
+      (2L, "a a a"),            // overlapping "a a" twice; no "a b"
+      (3L, "b a"),              // reversed — must NOT match "a b"
+      (4L, "a c b"),            // gap — must NOT match
+      (5L, "a b c d")).toDF("doc_id", "text")
+    val store = freshStore()
+    // build on part, fold the rest: phrase legs must cross base+segment
+    TextIndex.build(docs.filter(col("doc_id") <= 2), "doc_id", "text", store, "kw")
+    TextIndex.fold(docs.filter(col("doc_id") > 2), "doc_id", "text", store, "kw")
+    val ab = TextIndex.phraseSearch(s, store, "kw", Seq("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab == Map(1L -> 2L, 5L -> 1L), ab)
+    val aa = TextIndex.phraseSearch(s, store, "kw", Seq("a", "a"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(2L -> 2L), s"overlapping occurrences count individually: $aa")
+    val abc = TextIndex.phraseSearch(s, store, "kw", Seq("a", "b", "c"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc == Map(5L -> 1L), abc)
+  }
+
   test("fold rejects a batch whose doc ids are already indexed") {
     val s = spark
     val docs = Tables.documents(s, dir)
