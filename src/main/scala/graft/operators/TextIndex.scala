@@ -193,6 +193,27 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Proximity query: docs where `a` and `b` occur within `window`
+    * positions (either order), with the pair count and the closest
+    * distance. Same two-leg positional read as `phraseSearch`; the
+    * per-doc join is bounded by the two terms' posting sizes, the
+    * |Δpos| ≤ window filter applies post-join — no corpus-sized work
+    * at query time. */
+  def nearSearch(spark: SparkSession, store: TableStore, name: String,
+      a: String, b: String, window: Int, k: Int): DataFrame = {
+    val pa = unionAll(spark, store, name, "pos").filter(col("term") === a)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = unionAll(spark, store, name, "pos").filter(col("term") === b)
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .withColumn("d", abs(col("pa") - col("pb")))
+      .filter(col("d") <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), min(col("d")).cast("long").as("min_dist"))
+      .orderBy(col("n_pairs").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Top-k docs by integer-scaled tf·idf over the probed terms. */
   def search(spark: SparkSession, store: TableStore, name: String,
       terms: Seq[String], k: Int): DataFrame = {

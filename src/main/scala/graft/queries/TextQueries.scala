@@ -159,6 +159,18 @@ object TextQueries {
         Seq("table", "hash"), k = 20)
     }),
 
+    // ---- proximity query over the same positional index -------------
+    // "vector NEAR/5 merge": both terms within 5 positions, either
+    // order — the relevance signal between bag-of-words and exact
+    // phrase. Two positional legs, per-doc pair join bounded by the
+    // posting sizes; reports pair count + closest distance. Oracle
+    // re-derives every (pos_a, pos_b) pair from raw text.
+    "x3_near_search" -> ((s, dir) => {
+      val store = kwIndex(s, dir)
+      graft.operators.TextIndex.nearSearch(s, store, "kw",
+        "vector", "merge", window = 5, k = 20)
+    }),
+
     // ---- BPE merge-rule training (3 unrolled rounds) ----------------
     // The tokenizer-training core: start from characters, repeatedly
     // merge the corpus-wide most frequent ADJACENT symbol pair
@@ -857,6 +869,20 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_near_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |pa AS (SELECT doc_id, unnest([i FOR i IN range(1, len(w) + 1) IF w[i] = 'vector']) AS p
+        |  FROM d),
+        |pb AS (SELECT doc_id, unnest([i FOR i IN range(1, len(w) + 1) IF w[i] = 'merge']) AS p
+        |  FROM d),
+        |j AS (SELECT pa.doc_id, abs(pa.p - pb.p) AS dist
+        |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+        |  WHERE abs(pa.p - pb.p) <= 5)
+        |SELECT doc_id, COUNT(*) AS n_pairs, CAST(MIN(dist) AS BIGINT) AS min_dist
+        |FROM j GROUP BY 1 ORDER BY n_pairs DESC, doc_id LIMIT 20""".stripMargin,
 
     "x3_phrase_search" ->
       """WITH d AS (SELECT doc_id,
