@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis._
@@ -157,6 +158,62 @@ object TextQueries {
       val store = kwIndex(s, dir)
       graft.operators.TextIndex.phraseSearch(s, store, "kw",
         Seq("table", "hash"), k = 20)
+    }),
+
+    // ---- collocation mining: bigram lift in integer ppm -------------
+    // Which adjacent token pairs co-occur more than independence
+    // predicts — the collocation statistic phrase-aware tokenizers
+    // and stopword lists are tuned with. PMI's log is not cross-
+    // engine bit-stable, so the statistic is LIFT in exact integer
+    // ppm: n(ab)·N·10⁶ div (n(a)·n(b)), numerator routed through
+    // DECIMAL(38,0) (the a14 discipline). One token explode feeds
+    // both the unigram and bigram counts; min-support 20 keeps the
+    // report statistical, top-25 by lift with a total tie order.
+    "x3_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(graft.functions.TextAnalysis.tokens($"text")).as(Seq("pos", "tok")))
+        .localCheckpoint()
+      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n1"))
+      val n = toks.agg(count(lit(1)).as("nn"))
+      val bi = toks.select($"doc_id", $"pos", $"tok".as("a"))
+        .join(toks.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("b")),
+          Seq("doc_id", "pos"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("nab"))
+        .filter($"nab" >= 20)
+      bi.join(uni.select($"tok".as("a"), $"n1".as("na")), Seq("a"))
+        .join(uni.select($"tok".as("b"), $"n1".as("nb")), Seq("b"))
+        .crossJoin(broadcast(n))
+        .withColumn("lift_ppm",
+          expr("(cast(nab as decimal(38,0)) * nn * 1000000) div (na * nb)"))
+        .select($"a", $"b", $"nab", $"lift_ppm")
+        .orderBy($"lift_ppm".desc, $"a", $"b")
+        .limit(25)
+    }),
+
+    // ---- bigram next-token model (the simplest LM) ------------------
+    // P(next | tok) as integer ppm over the corpus bigrams: for the
+    // 10 most frequent head tokens, the top-3 continuations with
+    // n(ab)·10⁶ div n(a·) probabilities (n(a·) = bigrams headed by a,
+    // so rows per head sum to ≤ 1e6 exactly). Rank ≤ k lowers to
+    // WindowGroupLimit; all exchanges carry (token, long) rows.
+    "x3_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(graft.functions.TextAnalysis.tokens($"text")).as(Seq("pos", "tok")))
+        .localCheckpoint()
+      val bi = toks.select($"doc_id", $"pos", $"tok".as("a"))
+        .join(toks.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("b")),
+          Seq("doc_id", "pos"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("nab"))
+      val heads = bi.groupBy($"a").agg(sum($"nab").as("na"))
+        .orderBy($"na".desc, $"a").limit(10)
+      val w = Window.partitionBy($"a").orderBy($"nab".desc, $"b")
+      bi.join(broadcast(heads), Seq("a"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"a", $"rk", $"b", $"nab", expr("(nab * 1000000) div na").as("p_ppm"))
+        .orderBy($"a", $"rk")
     }),
 
     // ---- proximity query over the same positional index -------------
@@ -869,6 +926,36 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_collocations" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |uni AS (SELECT tok, COUNT(*) AS n1 FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM t),
+        |bi AS (SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS nab
+        |  FROM d, LATERAL unnest(range(1, len(w))) r(i)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT a, b, nab,
+        |  CAST((nab * nn * 1000000) // (na.n1 * nb.n1) AS BIGINT) AS lift_ppm
+        |FROM bi JOIN uni na ON na.tok = a JOIN uni nb ON nb.tok = b CROSS JOIN n
+        |ORDER BY lift_ppm DESC, a, b LIMIT 25""".stripMargin,
+
+    "x3_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |bi AS (SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS nab
+        |  FROM d, LATERAL unnest(range(1, len(w))) r(i) GROUP BY 1, 2),
+        |heads AS (SELECT a, SUM(nab) AS na FROM bi GROUP BY 1
+        |  ORDER BY na DESC, a LIMIT 10),
+        |r AS (SELECT bi.a, bi.b, bi.nab, heads.na,
+        |    row_number() OVER (PARTITION BY bi.a ORDER BY bi.nab DESC, bi.b) AS rk
+        |  FROM bi JOIN heads ON heads.a = bi.a)
+        |SELECT a, CAST(rk AS BIGINT) AS rk, b, nab,
+        |  CAST((nab * 1000000) // na AS BIGINT) AS p_ppm
+        |FROM r WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
 
     "x3_near_search" ->
       """WITH d AS (SELECT doc_id,
