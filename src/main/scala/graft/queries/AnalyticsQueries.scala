@@ -636,6 +636,29 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A16d: connected components (size distribution) -------------
+    // The graph-side consumer of the same star-contraction operator
+    // the dedup clusters run on (`Dedup.clusterLabelsStar`, Kiveris
+    // SoCC'14 — O(log² n) rounds at any component diameter): component
+    // count by size over the REPEAT co-purchase graph (pair_n ≥ 2 —
+    // the full graph is one near-clique; the thresholded one has real
+    // structure: a giant component plus satellites). Oracle: the
+    // recursive-CTE reachability closure with MIN labels — quadratic
+    // in component size, fine as a spec, which is exactly why the
+    // engine runs contraction instead.
+    "a16_components" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchaseStore(s, dir).read(s, "pairs")
+        .filter($"pair_n" >= 2)
+        .select($"part_a".as("idA"), $"part_b".as("idB"))
+      val nodes = pairs.select($"idA".as("part"))
+        .union(pairs.select($"idB".as("part"))).distinct()
+      graft.operators.Dedup.clusterLabelsStar(nodes, "part", pairs)
+        .groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+        .groupBy($"n_members").agg(count(lit(1)).as("n_components"))
+        .orderBy($"n_members")
+    }),
+
     // ---- A16c: PERSONALIZED PageRank (random walk with restart) -----
     // The recommender primitive PageRank's global prior can't give:
     // relevance RELATIVE TO a seed node. Same integer micro-unit
@@ -1327,6 +1350,23 @@ object AnalyticsQueries {
         |SELECT r3.node AS part, r3.r AS rank_ppm, deg.d AS degree
         |FROM r3 JOIN deg ON deg.u = r3.node
         |ORDER BY rank_ppm DESC, part LIMIT 25""".stripMargin,
+
+    "a16_components" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nodes AS (SELECT DISTINCT n FROM (SELECT pa AS n FROM p UNION ALL SELECT pb FROM p)),
+        |edges AS (SELECT pa AS a, pb AS b FROM p UNION SELECT pb, pa FROM p),
+        |reach(src, dst) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src),
+        |sz AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT CAST(n_members AS BIGINT) AS n_members, COUNT(*) AS n_components
+        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a16_ppr" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
