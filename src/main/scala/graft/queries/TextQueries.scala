@@ -160,6 +160,26 @@ object TextQueries {
         Seq("table", "hash"), k = 20)
     }),
 
+    // ---- feature hashing: 64-dim hashed bag-of-words vectors --------
+    // The trick that turns unbounded vocabularies into fixed-width
+    // features without a dictionary (Weinberger et al. 2009): dim =
+    // md5 bucket of the token (the DSIR bucketing discipline — md5 is
+    // the cross-engine-stable hash), value = token count. Sparse
+    // (doc, dim, x) rows for a 40-doc slice; the full-corpus form is
+    // the same one explode + aggregate, and the output feeds the X2
+    // vector operators directly. Collisions are the method's point —
+    // both engines collide identically.
+    "x3_hash_embed" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter($"doc_id" < 40)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .select($"doc_id",
+          expr("CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 4), 16, 10) AS INT) % 64")
+            .cast("long").as("dim"))
+        .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("x"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // ---- collocation mining: bigram lift in integer ppm -------------
     // Which adjacent token pairs co-occur more than independence
     // predicts — the collocation statistic phrase-aware tokenizers
@@ -926,6 +946,15 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_hash_embed" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 4))::INT % 64 AS BIGINT) AS dim,
+        |  COUNT(*) AS x
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
 
     "x3_collocations" ->
       """WITH d AS (SELECT doc_id,
