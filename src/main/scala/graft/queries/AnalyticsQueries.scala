@@ -70,6 +70,41 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- X5d: CONVERSION-WINDOW funnel (1 h step deadlines) ---------
+    // The funnel marketers actually run: steps only count within a
+    // deadline. Declared semantics: anchor at the user's FIRST view;
+    // a qualifying click must land within 1 h of that view; the
+    // purchase within 1 h of that click. Same one-pass staged-window
+    // plan as x5_funnel (running min per stage over the (ts,
+    // event_id)-ordered frame) with the deadline folded into each
+    // stage's qualifying condition — still ONE shuffle on user_id,
+    // no self-joins; the oracle replays the identical staged CTEs.
+    "x5_funnel_windowed" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hour = 3600000000L
+      val staged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t_view", min(when($"event_type" === "view", $"ts")).over(byTs))
+        .withColumn("t_click", min(when($"event_type" === "click" &&
+          $"ts" > $"t_view" &&
+          unix_micros($"ts") - unix_micros($"t_view") <= hour, $"ts")).over(byTs))
+        .withColumn("t_purchase", min(when($"event_type" === "purchase" &&
+          $"ts" > $"t_click" &&
+          unix_micros($"ts") - unix_micros($"t_click") <= hour, $"ts")).over(byTs))
+      staged.groupBy($"user_id")
+        .agg(min($"t_view").as("ts_view"), min($"t_click").as("ts_click"),
+          min($"t_purchase").as("ts_purchase"))
+        .select($"user_id",
+          when($"ts_purchase".isNotNull, "purchase")
+            .when($"ts_click".isNotNull, "click")
+            .when($"ts_view".isNotNull, "view")
+            .otherwise("none").as("reached"),
+          $"ts_view", $"ts_click", $"ts_purchase")
+        .orderBy($"user_id")
+    }),
+
     // ---- X5b: event-sequence pattern match (MATCH_RECOGNIZE shape) --
     // The general form of the funnel: per user, does the ordered event
     // stream contain PATTERN (view (click|error)* purchase)? Each
@@ -1141,6 +1176,32 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s3 AS (SELECT user_id, ts, event_id, t_view, t_click,
         |  MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) OVER w AS t_purchase
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT user_id, MIN(t_view) AS ts_view, MIN(t_click) AS ts_click,
+        |  MIN(t_purchase) AS ts_purchase FROM s3 GROUP BY 1)
+        |SELECT user_id,
+        |  CASE WHEN ts_purchase IS NOT NULL THEN 'purchase'
+        |       WHEN ts_click IS NOT NULL THEN 'click'
+        |       WHEN ts_view IS NOT NULL THEN 'view'
+        |       ELSE 'none' END AS reached,
+        |  ts_view, ts_click, ts_purchase
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    "x5_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |s1 AS (SELECT user_id, ts, event_id, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT user_id, ts, event_id, event_type, t_view,
+        |  MIN(CASE WHEN event_type = 'click' AND ts > t_view
+        |    AND epoch_us(ts) - epoch_us(t_view) <= 3600000000 THEN ts END) OVER w AS t_click
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT user_id, ts, event_id, t_view, t_click,
+        |  MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+        |    AND epoch_us(ts) - epoch_us(t_click) <= 3600000000 THEN ts END) OVER w AS t_purchase
         |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |agg AS (SELECT user_id, MIN(t_view) AS ts_view, MIN(t_click) AS ts_click,

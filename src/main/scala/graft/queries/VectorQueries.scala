@@ -328,6 +328,29 @@ object VectorQueries {
         .orderBy("q")
     }),
 
+    // ---- X2 MIPS: maximum-inner-product top-k -----------------------
+    // Recommendation scoring's native objective — rank by RAW dot
+    // product, not cosine (a long, popular item should outrank a
+    // short, perfectly-aligned one). Brute force here (one corpus
+    // scan × broadcast query, codegen'd vec_dot, TakeOrderedAndProject
+    // cut); the scale path is the standard norm-augmentation
+    // reduction (Bachrach et al., RecSys'14): append
+    // √(M² − ‖x‖²) to every vector and MIPS becomes cosine NN, served
+    // by the existing LSH/IVF indexes — same funnel discipline, one
+    // extra dimension. Dots are IEEE array-order sums over the same
+    // float inputs in both engines, hence hash-exact at 1e-6 scale.
+    "x2_mips_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))))
+        .select(col("vec_id"),
+          round(Functions.dotd(col("embedding"), col("qv")) * 1000000d)
+            .cast("long").as("dot6"))
+        .orderBy(col("dot6").desc, col("vec_id")).limit(10)
+    }),
+
     // ---- X2 k-NN join within label groups ---------------------------
     // The embedding-QA neighbor op: every vector's top-3 most-similar
     // vectors OF THE SAME LABEL (class-compactness checks, hard-
@@ -763,6 +786,13 @@ object VectorQueries {
 
     "x2_ann_topk" -> topkOracle,
     "x2_sq_topk" -> topkOracle,
+
+    "x2_mips_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(ROUND(list_dot_product(embedding::DOUBLE[], q.qv) * 1000000) AS BIGINT) AS dot6
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY dot6 DESC, vec_id LIMIT 10""".stripMargin,
 
     "x2_eval_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
