@@ -473,6 +473,37 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A9c: CUSUM drift detection per series ----------------------
+    // Sequential change detection (Page 1954) on each user's daily
+    // event counts: S_k = max(0, S_{k-1} + x_k·nd − total) — the
+    // positive-drift statistic with the user's own mean as reference,
+    // kept EXACT by scaling deviations through nd (= active days, so
+    // x·nd − total is an integer). The fold is inherently sequential,
+    // so it runs as a codegen'd aggregate() over each user's
+    // day-sorted array — per-user state bounded by the calendar, ONE
+    // shuffle on user_id; at longer horizons the array chunks by
+    // month and S carries across chunks (the fold is associative
+    // given the carried state). Oracle: a recursive CTE replays the
+    // identical recurrence day by day.
+    "a9_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("xs"),
+          sum($"x").as("total"), count(lit(1)).as("nd"))
+        .withColumn("mx", expr(
+          "aggregate(xs, named_struct('d', cast(0 as bigint), 'mx', cast(0 as bigint)), " +
+            "(acc, e) -> named_struct(" +
+            "'d', greatest(cast(0 as bigint), acc.d + e.x * nd - total), " +
+            "'mx', greatest(acc.mx, greatest(cast(0 as bigint), acc.d + e.x * nd - total))))")
+          .getField("mx"))
+        .select($"user_id", $"nd", $"total", $"mx".as("max_cusum"),
+          when($"mx" >= $"total" * 2, 1L).otherwise(0L).as("alarmed"))
+        .orderBy($"user_id")
+    }),
+
     // ---- A14b: frequent triples (market-basket, order 3) ------------
     // One level past pair co-purchase: the top part TRIPLES by basket
     // support. Generation is the within-basket 3-way self-join keyed
@@ -1496,6 +1527,29 @@ object AnalyticsQueries {
         |JOIN supp sb ON sb.l_partkey = part_b
         |CROSS JOIN n
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
+
+    "a9_cusum" ->
+      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT user_id, SUM(x) AS total, COUNT(*) AS nd FROM daily GROUP BY 1),
+        |di AS (SELECT d.user_id, row_number() OVER (PARTITION BY d.user_id ORDER BY d.day) AS i,
+        |    d.x, st.total, st.nd
+        |  FROM daily d JOIN st ON st.user_id = d.user_id),
+        |rec(user_id, i, s, mx) AS (
+        |  SELECT user_id, i, greatest(0, x * nd - total), greatest(0, x * nd - total)
+        |  FROM di WHERE i = 1
+        |  UNION ALL
+        |  SELECT di.user_id, di.i, greatest(0, rec.s + di.x * di.nd - di.total),
+        |         greatest(rec.mx, greatest(0, rec.s + di.x * di.nd - di.total))
+        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
+        |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1),
+        |o AS (SELECT rec.user_id, rec.mx, st.total, st.nd
+        |  FROM rec JOIN fin ON fin.user_id = rec.user_id AND fin.n = rec.i
+        |  JOIN st ON st.user_id = rec.user_id)
+        |SELECT user_id, CAST(nd AS BIGINT) AS nd, CAST(total AS BIGINT) AS total,
+        |  CAST(mx AS BIGINT) AS max_cusum,
+        |  CAST(CASE WHEN mx >= 2 * total THEN 1 ELSE 0 END AS BIGINT) AS alarmed
+        |FROM o ORDER BY user_id""".stripMargin,
 
     "a14_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
