@@ -285,6 +285,39 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
+    // ---- X2 embedding drift monitor (centroid shift per label) ------
+    // The vector-side corpus drift check: did each label's centroid
+    // move between two corpus halves (old snapshot vs new, here the
+    // deterministic vec_id parity split)? Per (label, dim):
+    // drift = S₁/n₁ − S₂/n₂ over 1e-6-quantized coordinates, computed
+    // EXACTLY as the integer (S₁·n₂ − S₂·n₁)·10⁶ div (n₁·n₂) — no
+    // float means, no order-sensitive double sums, so the report
+    // hash-matches at any partition count. Two hash aggregates over
+    // one explode; corpus-scale exchanges carry (label, dim, long).
+    "x2_centroid_drift" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .select(col("vec_id"), col("label"), col("idx").cast("long").as("idx"),
+          (round(col("v").cast("double") * 1000000L).cast("long") + 1000000L).as("x6"))
+      val h = x.groupBy(col("label"), col("idx"))
+        .agg(sum(when(col("vec_id") % 2 === 0, col("x6"))).as("s1"),
+          count(when(col("vec_id") % 2 === 0, lit(1))).as("n1"),
+          sum(when(col("vec_id") % 2 === 1, col("x6"))).as("s2"),
+          count(when(col("vec_id") % 2 === 1, lit(1))).as("n2"))
+      // numerator through DECIMAL(38,0): S·n·10⁶ wraps BIGINT past
+      // ~1e3 vectors/label (the a14_copurchase discipline). Drift is
+      // SIGNED and floor-division (DuckDB //) disagrees with
+      // truncation on negatives, so divide |num| and reapply the sign
+      // — identical in both engines by construction.
+      h.filter(col("n1") > 0 && col("n2") > 0)
+        .withColumn("num",
+          expr("cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1"))
+        .select(col("label"), col("idx"),
+          expr("case when num < 0 then -((-num * 1000000) div (n1 * n2)) " +
+            "else (num * 1000000) div (n1 * n2) end").cast("long").as("drift6"))
+        .orderBy("label", "idx")
+    }),
+
     // ---- X2 retrieval eval: recall@10 + MRR vs exact ground truth ---
     // The index-QA loop every retrieval pipeline runs before swapping
     // an ANN config into production: for a 20-query batch, grade the
@@ -786,6 +819,23 @@ object VectorQueries {
 
     "x2_ann_topk" -> topkOracle,
     "x2_sq_topk" -> topkOracle,
+
+    "x2_centroid_drift" ->
+      """WITH x AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS idx,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x6
+        |  FROM embeddings, generate_series(1, 64) s(i)),
+        |h AS (SELECT label, idx,
+        |    SUM(CASE WHEN vec_id % 2 = 0 THEN x6 END) AS s1,
+        |    COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n1,
+        |    SUM(CASE WHEN vec_id % 2 = 1 THEN x6 END) AS s2,
+        |    COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n2
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, idx,
+        |  CAST(CASE WHEN (s1 * n2 - s2 * n1) < 0
+        |    THEN -((-(s1 * n2 - s2 * n1) * 1000000) // (n1 * n2))
+        |    ELSE ((s1 * n2 - s2 * n1) * 1000000) // (n1 * n2) END AS BIGINT) AS drift6
+        |FROM h WHERE n1 > 0 AND n2 > 0
+        |ORDER BY label, idx""".stripMargin,
 
     "x2_mips_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
