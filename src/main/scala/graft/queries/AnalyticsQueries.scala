@@ -986,6 +986,32 @@ object AnalyticsQueries {
     * project it away for free thanks to column pruning), per-item
     * `supports`, and the basket-count `stats` row. fileKey abandons
     * the artifact if the testdata is regenerated. */
+  /** One text, two engines' folds: the batch a9_cusum aggregate and
+    * the streamed t7_stream_cusum state machine replay this same
+    * day-by-day recurrence. */
+  private[queries] val CusumOracleSql =
+    """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+      |st AS (SELECT user_id, SUM(x) AS total, COUNT(*) AS nd FROM daily GROUP BY 1),
+      |di AS (SELECT d.user_id, row_number() OVER (PARTITION BY d.user_id ORDER BY d.day) AS i,
+      |    d.x, st.total, st.nd
+      |  FROM daily d JOIN st ON st.user_id = d.user_id),
+      |rec(user_id, i, s, mx) AS (
+      |  SELECT user_id, i, greatest(0, x * nd - total), greatest(0, x * nd - total)
+      |  FROM di WHERE i = 1
+      |  UNION ALL
+      |  SELECT di.user_id, di.i, greatest(0, rec.s + di.x * di.nd - di.total),
+      |         greatest(rec.mx, greatest(0, rec.s + di.x * di.nd - di.total))
+      |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
+      |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1),
+      |o AS (SELECT rec.user_id, rec.mx, st.total, st.nd
+      |  FROM rec JOIN fin ON fin.user_id = rec.user_id AND fin.n = rec.i
+      |  JOIN st ON st.user_id = rec.user_id)
+      |SELECT user_id, CAST(nd AS BIGINT) AS nd, CAST(total AS BIGINT) AS total,
+      |  CAST(mx AS BIGINT) AS max_cusum,
+      |  CAST(CASE WHEN mx >= 2 * total THEN 1 ELSE 0 END AS BIGINT) AS alarmed
+      |FROM o ORDER BY user_id""".stripMargin
+
   private def copurchaseStore(s: SparkSession, dir: String): graft.operators.TableStore = {
     import s.implicits._
     val store = new graft.operators.TableStore(
@@ -1528,28 +1554,7 @@ object AnalyticsQueries {
         |CROSS JOIN n
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
 
-    "a9_cusum" ->
-      """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
-        |st AS (SELECT user_id, SUM(x) AS total, COUNT(*) AS nd FROM daily GROUP BY 1),
-        |di AS (SELECT d.user_id, row_number() OVER (PARTITION BY d.user_id ORDER BY d.day) AS i,
-        |    d.x, st.total, st.nd
-        |  FROM daily d JOIN st ON st.user_id = d.user_id),
-        |rec(user_id, i, s, mx) AS (
-        |  SELECT user_id, i, greatest(0, x * nd - total), greatest(0, x * nd - total)
-        |  FROM di WHERE i = 1
-        |  UNION ALL
-        |  SELECT di.user_id, di.i, greatest(0, rec.s + di.x * di.nd - di.total),
-        |         greatest(rec.mx, greatest(0, rec.s + di.x * di.nd - di.total))
-        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
-        |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1),
-        |o AS (SELECT rec.user_id, rec.mx, st.total, st.nd
-        |  FROM rec JOIN fin ON fin.user_id = rec.user_id AND fin.n = rec.i
-        |  JOIN st ON st.user_id = rec.user_id)
-        |SELECT user_id, CAST(nd AS BIGINT) AS nd, CAST(total AS BIGINT) AS total,
-        |  CAST(mx AS BIGINT) AS max_cusum,
-        |  CAST(CASE WHEN mx >= 2 * total THEN 1 ELSE 0 END AS BIGINT) AS alarmed
-        |FROM o ORDER BY user_id""".stripMargin,
+    "a9_cusum" -> CusumOracleSql,
 
     "a14_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)

@@ -572,6 +572,64 @@ object StreamQueries {
       q.awaitTermination()
       graft.operators.TextIndex.bm25Search(s, store, "kw",
         Seq("vector", "stream", "merge"), k = 20)
+    }),
+
+    // ---- T7: STREAMED CUSUM drift monitor ---------------------------
+    // The sequential statistic a9_cusum computes in one batch pass,
+    // maintained live across micro-batches: events replay in ts
+    // order, each batch stream-static joins the per-user reference
+    // (total, nd — the "configured target" a monitoring service
+    // ships), and mapGroupsWithState folds completed days into
+    // S = max(0, S + cnt·nd − total). Day-straddling batches are safe
+    // (an open day accumulates in state until a later day arrives);
+    // one far-future sentinel per user folds the final real day. The
+    // upsert sink keyed on user keeps the last emitted state — and
+    // the gate SHARES a9_cusum's recursive-CTE oracle, so the
+    // streamed fold must reproduce the batch statistic exactly.
+    "t7_stream_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val keyed = ev.select($"user_id".cast("string").as("key"),
+        unix_micros(date_trunc("day", $"ts")).as("dayUs"), $"ts")
+      val ref = ev.groupBy($"user_id".cast("string").as("key"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(date_trunc("day", $"ts")).as("nd"))
+      val maxTs = keyed.agg(max($"ts")).head.getTimestamp(0)
+      val flush = keyed.select($"key").distinct()
+        .select($"key", lit(Long.MaxValue / 2).as("dayUs"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 3600000L)).as("ts"))
+      val base = s"/root/repo/target/tmp/stream-cusum/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, keyed.unionAll(flush), "ts", stage, 4)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.cusumStates(
+            Streams.enrich(stream.drop("ts"), ref, "key")
+              .select($"key", $"dayUs", $"total", $"nd")
+              .as[Streams.CusumEvent])
+          .toDF()
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            store.upsert(b.sparkSession, "cusum", b, Seq("key"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "cusum").join(ref, Seq("key"))
+        .select($"key".cast(ev.schema("user_id").dataType).as("user_id"),
+          $"nd", $"total", $"mx".as("max_cusum"),
+          when($"mx" >= $"total" * 2, 1L).otherwise(0L).as("alarmed"))
+        .orderBy($"user_id")
     })
   )
 
@@ -579,6 +637,8 @@ object StreamQueries {
     // the streamed segment folds must answer exactly like a one-shot
     // full index build — same text as x3_bm25_search
     "t6_stream_index" -> TextQueries.Bm25OracleSql,
+    // the streamed state machine must reproduce the batch CUSUM
+    "t7_stream_cusum" -> AnalyticsQueries.CusumOracleSql,
 
     "t3_tumbling_stats" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,

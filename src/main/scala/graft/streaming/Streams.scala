@@ -265,9 +265,50 @@ object Streams {
       }
   }
 
+  /** T4/A9: streamed CUSUM — the sequential drift statistic
+    * maintained ACROSS micro-batches per key. Each event carries its
+    * day and the series' reference (total, nd — a static dim attached
+    * per batch via the stream-static join, the `enrich` discipline);
+    * state is one (open day, count so far, S, max S) tuple per key —
+    * bounded regardless of stream length. A day FOLDS into
+    * S ← max(0, S + cnt·nd − total) when its first successor event
+    * arrives, which makes day-straddling micro-batches safe: a day
+    * split across batches keeps accumulating in state until a later
+    * day shows up. The caller appends one far-future sentinel row per
+    * key so the final real day folds before the stream drains (the
+    * t3/t4 sentinel discipline); the sentinel's own "day" stays open
+    * and never contributes. Emits the running (key, S, mx) each
+    * batch — an upsert sink keyed on `key` leaves exactly the final
+    * state. Replayed over a backfill this reproduces the batch
+    * a9_cusum statistic bit for bit (the shared oracle proves it). */
+  def cusumStates(events: Dataset[CusumEvent]): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[CusumState, CusumRow](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          val sorted = rows.toArray.sortBy(_.dayUs)
+          var st = state.getOption.getOrElse(
+            CusumState(sorted.head.dayUs, 0L, 0L, 0L, sorted.head.total, sorted.head.nd))
+          sorted.foreach { e =>
+            if (e.total > 0L) st = st.copy(total = e.total, nd = e.nd)
+            if (e.dayUs == st.dayUs) st = st.copy(cnt = st.cnt + 1L)
+            else {
+              val s2 = math.max(0L, st.s + st.cnt * st.nd - st.total)
+              st = CusumState(e.dayUs, 1L, s2, math.max(st.mx, s2), st.total, st.nd)
+            }
+          }
+          state.update(st)
+          CusumRow(key, st.s, st.mx)
+      }
+  }
+
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
   final case class KeyCount(key: String, n: Long)
   final case class SessionAcc(start: Long, end: Long, n: Int)
   final case class ClosedSession(key: String, start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Int)
+  final case class CusumEvent(key: String, dayUs: Long, total: Long, nd: Long)
+  final case class CusumState(dayUs: Long, cnt: Long, s: Long, mx: Long,
+      total: Long, nd: Long)
+  final case class CusumRow(key: String, s: Long, mx: Long)
 }
