@@ -142,4 +142,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out("p4") == ((null, None, None)))   // outside tolerance
     assert(out("p5") == ((null, None, None)))   // no build rows at all
   }
+
+  test("asOfNearest: random fixtures match the brute-force reference") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    def t(sec: Int) = Timestamp.valueOf(s"2025-05-05 10:${"%02d".format(sec / 60)}:${"%02d".format(sec % 60)}")
+    for (trial <- 1 to 5) {
+      val probes = (1 to 30).map(i =>
+        (rnd.nextInt(4).toLong, t(rnd.nextInt(600)), s"p$trial-$i"))
+      val builds = (1 to 40).map(_ =>
+        (rnd.nextInt(4).toLong, t(rnd.nextInt(600)), rnd.nextInt(1000).toLong))
+      val tol = 60000000L // 60 s
+      val got = AsOfJoin.asOfNearest(
+          probes.toDF("user_id", "ts", "tag"),
+          builds.toDF("user_id", "ts", "bval"), "user_id", "ts", Seq("bval"), tol)
+        .collect().map(r => r.getString(2) ->
+          (Option(r.get(3)).map(_.asInstanceOf[String]),
+            Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+      // brute force: LWW dedup per (key, ts) by max bval, then the
+      // min-|Δ| candidate within tolerance, distance ties backward
+      val lww = builds.groupBy(b => (b._1, b._2)).map { case (k, bs) =>
+        (k._1, k._2, bs.map(_._3).max)
+      }.toSeq
+      probes.foreach { case (u, ts, tag) =>
+        val cands = lww.filter(b => b._1 == u &&
+          math.abs(b._2.getTime - ts.getTime) * 1000L <= tol)
+        val expect =
+          if (cands.isEmpty) (None, None)
+          else {
+            val best = cands.minBy(b => (math.abs(b._2.getTime - ts.getTime),
+              if (b._2.getTime <= ts.getTime) 0 else 1))
+            (Some(if (best._2.getTime <= ts.getTime) "backward" else "forward"),
+              Some(best._3))
+          }
+        assert(got(tag) == expect, s"trial $trial probe $tag: ${got(tag)} vs $expect")
+      }
+    }
+  }
 }

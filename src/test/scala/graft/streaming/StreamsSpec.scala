@@ -366,4 +366,35 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
+
+  test("T7/A9: cusumStates folds split days across batches; sentinel flushes the last day") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import Streams.{CusumEvent, CusumRow}
+    // reference series for key "u": days 1,2,3 with counts 3,1,4;
+    // nd=3, total=8 → deviations x·3−8: day1 +1, day2 −5, day3 +4.
+    // CUSUM: S1=max(0,1)=1, S2=max(0,1−5)=0, S3=max(0,0+4)=4 → mx=4.
+    def e(day: Long) = CusumEvent("u", day, 8L, 3L)
+    val mem = MemoryStream[CusumEvent]
+    val q = Streams.cusumStates(mem.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("cus").start()
+    try {
+      // day 1 SPLIT across two batches (2 events, then 1 more), then
+      // day 2 arrives mid-batch with part of day 3
+      mem.addData(e(1), e(1))
+      q.processAllAvailable()
+      mem.addData(e(1), e(2), e(3), e(3))
+      q.processAllAvailable()
+      mem.addData(e(3), e(3))
+      q.processAllAvailable()
+      // without a sentinel, day 3 is still OPEN — mx (nondecreasing)
+      // must not yet include its fold anywhere in the emitted history
+      val openMx = s.sql("select max(mx) from cus").head.getLong(0)
+      assert(openMx == 1L, s"open day must not fold early: mx=$openMx")
+      mem.addData(CusumEvent("u", Long.MaxValue / 2, 0L, 0L)) // sentinel
+      q.processAllAvailable()
+    } finally q.stop()
+    val finMx = s.sql("select max(mx) from cus").head.getLong(0)
+    assert(finMx == 4L, s"sentinel must fold day 3: mx=$finMx")
+  }
 }
