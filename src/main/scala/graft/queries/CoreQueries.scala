@@ -1145,6 +1145,25 @@ object CoreQueries {
         .orderBy($"event_id")
     }),
 
+    // ---- W16: rolling MEDIAN over a bounded frame ----------------------
+    // The robust sibling of the moving average: per user, the lower
+    // median of the trailing 7 values in integer cents — a rolling
+    // window has no built-in median in either engine, so the bounded
+    // frame collects into an in-row array (≤ 7 elements, state bounded
+    // by the FRAME, not the partition) and a codegen'd sort + pick
+    // does the rest. Exact integers; one shuffle on user_id.
+    "w16_rolling_median" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-6, 0)
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts", round($"value" * 100).cast("long").as("vc"))
+        .withColumn("win", collect_list($"vc").over(w))
+        .select($"event_id", $"user_id",
+          expr("element_at(array_sort(win), cast((size(win) + 1) div 2 as int))").as("med_cents"))
+        .orderBy($"event_id")
+    }),
+
     // ---- W5: RANGE frame over event time (trailing 30-day spend) -------
     // The frame is value-based (epoch seconds), so date ties land in
     // the same frame deterministically regardless of physical row
@@ -2063,6 +2082,17 @@ object CoreQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin),
+
+    "w16_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT event_id, user_id,
+        |    list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS med_cents
+        |FROM r ORDER BY event_id""".stripMargin,
 
     "w3_moving_avg" ->
       """SELECT event_id, user_id,
