@@ -473,6 +473,23 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A13c: hour-of-week activity profile ------------------------
+    // The seasonality card: event share by (day-of-week, hour) cell in
+    // integer ppm — the first look at any event stream (load shaping,
+    // anomaly baselines, send-time optimization). dayofweek/hour are
+    // calendar-exact in both engines under the session's UTC; one
+    // partial+final aggregate + a 168-row broadcast total.
+    "a13_hourly_profile" -> ((s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .groupBy(dayofweek($"ts").cast("long").as("dow"),
+          hour($"ts").cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      cells.crossJoin(broadcast(cells.agg(sum($"n").as("total"))))
+        .select($"dow", $"hod", $"n", expr("(n * 1000000) div total").as("share_ppm"))
+        .orderBy($"dow", $"hod")
+    }),
+
     // ---- A9c: CUSUM drift detection per series ----------------------
     // Sequential change detection (Page 1954) on each user's daily
     // event counts: S_k = max(0, S_{k-1} + x_k·nd − total) — the
@@ -1555,6 +1572,15 @@ object AnalyticsQueries {
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
 
     "a9_cusum" -> CusumOracleSql,
+
+    "a13_hourly_profile" ->
+      """WITH c AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS total FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
+        |  CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY dow, hod""".stripMargin,
 
     "a14_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
