@@ -1714,6 +1714,30 @@ object CoreQueries {
         .orderBy($"n_nationkey")
     }),
 
+    // ---- S10: schema evolution on read (mergeSchema) --------------------------
+    // The additive-column migration every long-lived dataset hits: old
+    // files lack a later column; a mergeSchema read must surface the
+    // union schema with NULLs where history predates the column — not
+    // fail, not drop files. Two generations written side by side
+    // (nation slice without/with n_regionkey), read back through ONE
+    // mergeSchema scan; the oracle recomputes the union with explicit
+    // NULLs, so a dropped generation, a misaligned column, or a
+    // non-null backfill all break the hash.
+    "s10_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = s"/root/repo/target/tmp/s10_evo_${java.util.UUID.randomUUID().toString.take(8)}"
+      val n = Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("long").as("n_regionkey"))
+      n.filter($"n_nationkey" % 2 === 0).drop("n_regionkey")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      n.filter($"n_nationkey" % 2 === 1)
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .orderBy($"n_nationkey")
+    }),
+
     // ---- S10: ORC round-trip (columnar alt-format fidelity) -------------------
     // Write orders through ORC and aggregate the read-back; the oracle
     // computes the same aggregate straight from the source parquet, so
@@ -2350,6 +2374,11 @@ object CoreQueries {
 
     "s10_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "s10_schema_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 2 = 1 THEN CAST(n_regionkey AS BIGINT) END AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "s10_json_roundtrip" ->
