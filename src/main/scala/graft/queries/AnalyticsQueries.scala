@@ -473,6 +473,39 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // ---- A22: revenue-concentration (Pareto) report -----------------
+    // "Do 20% of customers carry 80% of revenue?" — per-customer spend
+    // deciles by the stats-then-apply discipline (a10_winsorize):
+    // exact distributed p10..p90 cutpoints floored to integer cents,
+    // decile = 1 + #cutpoints ≤ spend (pure integer comparisons — no
+    // ntile, no global sort of the fact table), then per-decile spend
+    // shares and the cumulative top-share curve in integer ppm
+    // (DECIMAL-routed numerators; the windows run over ≤ 10 rows).
+    "a22_pareto" -> ((s, dir) => {
+      import s.implicits._
+      val spend = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("spend_c"))
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        spend.withColumn("sd", $"spend_c".cast("double")), Nil, "sd",
+        (1 to 9).map(_ / 10.0), (1 to 9).map(k => s"c$k"))
+      val cutsF = cuts.select((1 to 9).map(k =>
+        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+      val dec = spend.crossJoin(broadcast(cutsF))
+        .withColumn("decile", (1 to 9).map(k =>
+          when($"spend_c" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L))
+      val byDec = dec.groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"), sum($"spend_c").as("sum_cents"))
+      val w = Window.orderBy($"decile".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDec.crossJoin(broadcast(byDec.agg(sum($"sum_cents").as("total"))))
+        .withColumn("cum_cents", sum($"sum_cents").over(w))
+        .select($"decile", $"n_customers", $"sum_cents",
+          expr("(cast(sum_cents as decimal(38,0)) * 1000000) div total").as("share_ppm"),
+          expr("(cast(cum_cents as decimal(38,0)) * 1000000) div total").as("top_share_ppm"))
+        .orderBy($"decile")
+    }),
+
     // ---- A13c: hour-of-week activity profile ------------------------
     // The seasonality card: event share by (day-of-week, hour) cell in
     // integer ppm — the first look at any event stream (load shaping,
@@ -1572,6 +1605,43 @@ object AnalyticsQueries {
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
 
     "a9_cusum" -> CusumOracleSql,
+
+    "a22_pareto" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT
+        |    CAST(floor(quantile_cont(spend_c, 0.1)) AS BIGINT) AS c1,
+        |    CAST(floor(quantile_cont(spend_c, 0.2)) AS BIGINT) AS c2,
+        |    CAST(floor(quantile_cont(spend_c, 0.3)) AS BIGINT) AS c3,
+        |    CAST(floor(quantile_cont(spend_c, 0.4)) AS BIGINT) AS c4,
+        |    CAST(floor(quantile_cont(spend_c, 0.5)) AS BIGINT) AS c5,
+        |    CAST(floor(quantile_cont(spend_c, 0.6)) AS BIGINT) AS c6,
+        |    CAST(floor(quantile_cont(spend_c, 0.7)) AS BIGINT) AS c7,
+        |    CAST(floor(quantile_cont(spend_c, 0.8)) AS BIGINT) AS c8,
+        |    CAST(floor(quantile_cont(spend_c, 0.9)) AS BIGINT) AS c9
+        |  FROM spend),
+        |d AS (SELECT s.o_custkey, s.spend_c, 1
+        |    + (CASE WHEN spend_c >= c1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN spend_c >= c9 THEN 1 ELSE 0 END) AS decile
+        |  FROM spend s CROSS JOIN cut),
+        |b AS (SELECT decile, COUNT(*) AS n_customers, SUM(spend_c) AS sum_cents
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT SUM(sum_cents) AS total FROM b)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        |  CAST(sum_cents AS BIGINT) AS sum_cents,
+        |  CAST((sum_cents * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((SUM(sum_cents) OVER (ORDER BY decile DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) // total AS BIGINT)
+        |    AS top_share_ppm
+        |FROM b CROSS JOIN t ORDER BY decile""".stripMargin,
 
     "a13_hourly_profile" ->
       """WITH c AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
