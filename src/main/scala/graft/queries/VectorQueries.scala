@@ -285,6 +285,25 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
+    // ---- X2 norm audit (vector data-quality card) -------------------
+    // The first check on any embedding delivery: are the vectors on
+    // the expected norm scale, per label? ‖x‖² in exact integer 1e-12
+    // units (coordinates quantized to 1e-6 BEFORE squaring, so both
+    // engines square identical longs); min/max/truncated-mean per
+    // label from one codegen'd map + one aggregate. An unnormalized
+    // or zero-padded batch shows up as an out-of-band min or max.
+    "x2_norm_audit" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), expr(
+          "aggregate(transform(embedding, v -> cast(round(cast(v as double) * 1000000) as bigint)), " +
+            "cast(0 as bigint), (acc, e) -> acc + e * e)").as("n2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("n2")).as("min_n2"),
+          max(col("n2")).as("max_n2"),
+          expr("sum(n2) div count(*)").as("avg_n2"))
+        .orderBy("label")
+    }),
+
     // ---- X2 embedding drift monitor (centroid shift per label) ------
     // The vector-side corpus drift check: did each label's centroid
     // move between two corpus halves (old snapshot vs new, here the
@@ -819,6 +838,15 @@ object VectorQueries {
 
     "x2_ann_topk" -> topkOracle,
     "x2_sq_topk" -> topkOracle,
+
+    "x2_norm_audit" ->
+      """WITH x AS (SELECT label,
+        |    CAST(list_sum([CAST(ROUND(v * 1000000) AS BIGINT) * CAST(ROUND(v * 1000000) AS BIGINT)
+        |      FOR v IN embedding::DOUBLE[]]) AS BIGINT) AS n2
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, MIN(n2) AS min_n2, MAX(n2) AS max_n2,
+        |  CAST(SUM(n2) // COUNT(*) AS BIGINT) AS avg_n2
+        |FROM x GROUP BY 1 ORDER BY label""".stripMargin,
 
     "x2_centroid_drift" ->
       """WITH x AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS idx,
