@@ -105,6 +105,39 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- X5e: funnel step-timing report -----------------------------
+    // How long do conversions take? For every user who completed the
+    // funnel, the view→click and click→purchase latencies in exact
+    // integer µs, aggregated to (n, min, max, truncated mean) per
+    // step — the time-to-convert card next to the conversion-rate
+    // card. Same one-pass staged windows as x5_funnel; the final
+    // aggregate is 2 rows.
+    "x5_funnel_timing" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t_view", min(when($"event_type" === "view", $"ts")).over(byTs))
+        .withColumn("t_click", min(when($"event_type" === "click" &&
+          $"ts" > $"t_view", $"ts")).over(byTs))
+        .withColumn("t_purchase", min(when($"event_type" === "purchase" &&
+          $"ts" > $"t_click", $"ts")).over(byTs))
+      val conv = staged.groupBy($"user_id")
+        .agg(min($"t_view").as("tv"), min($"t_click").as("tc"),
+          min($"t_purchase").as("tp"))
+        .filter($"tp".isNotNull)
+        .select($"user_id",
+          (unix_micros($"tc") - unix_micros($"tv")).as("d1"),
+          (unix_micros($"tp") - unix_micros($"tc")).as("d2"))
+      conv.select(lit("view_to_click").as("step"), $"d1".as("d"))
+        .unionByName(conv.select(lit("click_to_purchase").as("step"), $"d2".as("d")))
+        .groupBy($"step")
+        .agg(count(lit(1)).as("n"), min($"d").as("min_us"), max($"d").as("max_us"),
+          expr("sum(d) div count(*)").as("avg_us"))
+        .orderBy($"step")
+    }),
+
     // ---- X5b: event-sequence pattern match (MATCH_RECOGNIZE shape) --
     // The general form of the funnel: per user, does the ordered event
     // stream contain PATTERN (view (click|error)* purchase)? Each
@@ -1294,6 +1327,30 @@ object AnalyticsQueries {
         |       ELSE 'none' END AS reached,
         |  ts_view, ts_click, ts_purchase
         |FROM agg ORDER BY user_id""".stripMargin,
+
+    "x5_funnel_timing" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |s1 AS (SELECT user_id, ts, event_id, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT user_id, ts, event_id, event_type, t_view,
+        |  MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) OVER w AS t_click
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT user_id, ts, event_id, t_view, t_click,
+        |  MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) OVER w AS t_purchase
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT user_id, MIN(t_view) AS tv, MIN(t_click) AS tc,
+        |  MIN(t_purchase) AS tp FROM s3 GROUP BY 1),
+        |conv AS (SELECT user_id, epoch_us(tc) - epoch_us(tv) AS d1,
+        |  epoch_us(tp) - epoch_us(tc) AS d2 FROM agg WHERE tp IS NOT NULL),
+        |u AS (SELECT 'view_to_click' AS step, d1 AS d FROM conv
+        |  UNION ALL SELECT 'click_to_purchase', d2 FROM conv)
+        |SELECT step, COUNT(*) AS n, MIN(d) AS min_us, MAX(d) AS max_us,
+        |  CAST(SUM(d) // COUNT(*) AS BIGINT) AS avg_us
+        |FROM u GROUP BY 1 ORDER BY step""".stripMargin,
 
     "x5_funnel_windowed" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
