@@ -26,6 +26,29 @@ object MultimodalQueries {
         .orderBy("kind")
     }),
 
+    // ---- claimed-kind vs sniffed-magic audit ------------------------
+    // The "never trust the claimed kind" rule as a REPORT: per claimed
+    // kind, how many payloads actually carry that container's magic
+    // bytes? Run over BOTH media tables — the decodable one (real
+    // PNG/WAV payloads: claims verify) and the text-bytes one (claims
+    // are all wrong: every row flags) — so the gate pins a clean AND a
+    // fully-mismatched corpus. Sniffing is substring+hex on the first
+    // bytes, a codegen map; payloads never shuffle.
+    "x4_kind_audit" -> ((s, dir) => {
+      def sniff = expr(
+        "CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN 'image' " +
+          "WHEN hex(substring(payload, 1, 4)) = '52494646' THEN 'audio' " +
+          "ELSE 'unknown' END")
+      def audit(df: org.apache.spark.sql.DataFrame, src: String) = df
+        .select(lit(src).as("source"), col("kind"), sniff.as("sniffed"))
+        .groupBy(col("source"), col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kind") === col("sniffed"), 1L).otherwise(0L)).as("n_verified"))
+      audit(Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)).toDF, "decodable")
+        .unionByName(audit(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF, "textbytes"))
+        .orderBy("source", "kind")
+    }),
+
     // ---- container-header metadata parse (no decode) ----------------
     // The ingest-time metadata extractor: sniff each payload's REAL
     // magic bytes (never trust the claimed kind), then parse the
@@ -129,6 +152,21 @@ object MultimodalQueries {
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
   val oracle: Map[String, String] = Map(
+    "x4_kind_audit" ->
+      """SELECT source, kind, n, n_verified FROM (
+        |  SELECT 'decodable' AS source, 'image' AS kind,
+        |    COUNT(*) AS n, COUNT(*) AS n_verified
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'decodable', 'audio', COUNT(*), COUNT(*)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'textbytes',
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END,
+        |    COUNT(*), 0
+        |  FROM documents GROUP BY 2)
+        |ORDER BY source, kind""".stripMargin,
+
     "x4_container_meta" ->
       """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
         |aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)

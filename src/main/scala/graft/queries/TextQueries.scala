@@ -160,6 +160,24 @@ object TextQueries {
         Seq("table", "hash"), k = 20)
     }),
 
+    // ---- Zipf curve: token frequency × rank -------------------------
+    // The corpus-linguistics sanity card: natural text keeps
+    // freq·rank roughly constant; a synthetic or deduplicated-to-
+    // death corpus bends the curve. Top-50 tokens by frequency with
+    // the exact integer freq·rank product — rank ≤ 50 lowers to
+    // TakeOrderedAndProject, the product needs no floats.
+    "x3_zipf_curve" -> ((s, dir) => {
+      import s.implicits._
+      val freq = Tables.documents(s, dir)
+        .select(explode(tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"tok").limit(50)
+      freq.withColumn("rank", row_number().over(
+          Window.orderBy($"freq".desc, $"tok")).cast("long"))
+        .select($"rank", $"tok", $"freq", ($"freq" * $"rank").as("fr"))
+        .orderBy($"rank")
+    }),
+
     // ---- feature hashing: 64-dim hashed bag-of-words vectors --------
     // The trick that turns unbounded vocabularies into fixed-width
     // features without a dictionary (Weinberger et al. 2009): dim =
@@ -946,6 +964,14 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_zipf_curve" ->
+      """WITH f AS (SELECT tok, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+        |    FROM documents) GROUP BY 1 ORDER BY freq DESC, tok LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+        |  tok, freq, CAST(freq * row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS fr
+        |FROM f ORDER BY rank""".stripMargin,
 
     "x3_hash_embed" ->
       """WITH t AS (SELECT doc_id,
