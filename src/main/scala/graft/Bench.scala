@@ -68,6 +68,15 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
     val line = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":${jmap(v => v._1 + v._2, 3)},"sf":"$sfDir"}"""
     println(line)
+    // The compact map line above has outgrown the driver's ~2 KB stdout
+    // tail (~5 KB at 239 queries), so four rounds of BENCH_r*.json parsed
+    // as null (VERDICT r7 missing #1). The LAST line must therefore be
+    // tiny and self-contained: a total-only summary (~90 bytes) that
+    // always fits the tail whole. Per-query detail stays one line up and
+    // in target/bench.json.
+    val nFailed = results.values.count(_._1 < 0)
+    val tiny = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}"""
+    println(tiny)
     spark.stop()
   }
 }
