@@ -880,6 +880,31 @@ object AnalyticsQueries {
       labels.orderBy($"node")
     }),
 
+    // ---- A16b2: FULL label propagation — run to FIXPOINT ------------
+    // The real operator behind the bounded a16_communities card
+    // (`Graph.labelPropagation`): rounds are data-driven, not a fixed
+    // unroll. Gated the a19_kcore_full way: measured convergence on
+    // the co-purchase graph is a TRUE fixpoint (not the period-2
+    // oscillation stop) at depth 4 / 6 / 7 for sf0.001/0.01/0.1
+    // (tools/LpaProbe), and synchronous LPA rounds are idempotent
+    // PAST a fixpoint, so the oracle's 10 unrolled rounds == the
+    // fixpoint with margin at every sf. (The pair_n≥2 repeat graph
+    // oscillates at sf≥0.01 — measured — so an sf-independent
+    // unrolled oracle is only sound on the full graph; the
+    // oscillation-stop semantics stay pinned by GraphSpec's fixture.)
+    // Output is the community card (label, n_members) — on this
+    // near-cliquish graph LPA collapses to one giant community, the
+    // documented Raghavan-et-al behavior on dense graphs; the gate's
+    // value is proving the data-driven loop lands EXACTLY on the
+    // synchronous replay.
+    "a16_communities_full" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Graph.labelPropagation(
+        copurchasePairs(s, dir).select($"part_a".as("a"), $"part_b".as("b")))
+        .groupBy($"label").agg(count(lit(1)).as("n_members"))
+        .orderBy($"label")
+    }),
+
     // ---- A17: triangle counting (degree-ordered orientation) --------
     // The third graph primitive (after components and PageRank):
     // count closed triads in the co-purchase graph. The naive plan is
@@ -1643,6 +1668,30 @@ object AnalyticsQueries {
         |  SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
         |  FROM c2) WHERE rn = 1)
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+
+    // 10 unrolled synchronous rounds — measured fixpoint depth is
+    // 4/6/7 at sf0.001/0.01/0.1 (tools/LpaProbe) and rounds past a
+    // fixpoint are idempotent, so 10 == the fixpoint with margin at
+    // every sf (the a19_kcore_full discipline)
+    "a16_communities_full" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""c$i AS (SELECT und.u, l${i - 1}.label AS lab, COUNT(*) AS c
+           |  FROM und JOIN l${i - 1} ON l${i - 1}.node = und.v GROUP BY 1, 2),
+           |l$i AS (SELECT u AS node, lab AS label FROM (
+           |  SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |und AS (SELECT part_a AS u, part_b AS v FROM p
+         |  UNION ALL SELECT part_b, part_a FROM p),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+         |$rounds
+         |SELECT label, COUNT(*) AS n_members FROM l10 GROUP BY 1 ORDER BY label""".stripMargin
+    },
 
     "a14_copurchase" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
