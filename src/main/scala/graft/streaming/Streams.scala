@@ -274,31 +274,60 @@ object Streams {
     * S ← max(0, S + cnt·nd − total) when its first successor event
     * arrives, which makes day-straddling micro-batches safe: a day
     * split across batches keeps accumulating in state until a later
-    * day shows up. The caller appends one far-future sentinel row per
-    * key so the final real day folds before the stream drains (the
-    * t3/t4 sentinel discipline); the sentinel's own "day" stays open
-    * and never contributes. Emits the running (key, S, mx) each
-    * batch — an upsert sink keyed on `key` leaves exactly the final
-    * state. Replayed over a backfill this reproduces the batch
-    * a9_cusum statistic bit for bit (the shared oracle proves it). */
-  def cusumStates(events: Dataset[CusumEvent]): Dataset[CusumRow] = {
+    * day shows up.
+    *
+    * EVICTION (r7 verdict #5 — the production-monitor requirement):
+    * each key arms an EVENT-TIME TIMEOUT at its open day's end. When
+    * the global watermark passes that boundary — driven by any later
+    * event on ANY key — the quiescent key's open day folds via the
+    * timeout path, its final (S, mx) row is emitted, and the state is
+    * REMOVED: live state is bounded by keys with a still-open day,
+    * never total key cardinality. This also removes the per-key
+    * sentinel dependence for the final day — ONE watermark-advancing
+    * row (any key) at end of stream folds every open day via
+    * timeouts. A key seen again after eviction starts a fresh series
+    * (standard watermark semantics: its history was already final).
+    * Emits the running (key, S, mx) each batch — an upsert sink keyed
+    * on `key` leaves exactly the final state. Replayed over a
+    * backfill this reproduces the batch a9_cusum statistic bit for
+    * bit (the shared oracle proves it). */
+  def cusumStates(events: Dataset[CusumEvent], delay: String = "0 seconds"): Dataset[CusumRow] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.key)
-      .mapGroupsWithState[CusumState, CusumRow](GroupStateTimeout.NoTimeout) {
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .mapGroupsWithState[CusumState, CusumRow](GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) =>
-          val sorted = rows.toArray.sortBy(_.dayUs)
-          var st = state.getOption.getOrElse(
-            CusumState(sorted.head.dayUs, 0L, 0L, 0L, sorted.head.total, sorted.head.nd))
-          sorted.foreach { e =>
-            if (e.total > 0L) st = st.copy(total = e.total, nd = e.nd)
-            if (e.dayUs == st.dayUs) st = st.copy(cnt = st.cnt + 1L)
-            else {
-              val s2 = math.max(0L, st.s + st.cnt * st.nd - st.total)
-              st = CusumState(e.dayUs, 1L, s2, math.max(st.mx, s2), st.total, st.nd)
+          if (state.hasTimedOut) {
+            // watermark passed the open day's end: fold it, emit the
+            // key's FINAL row, release the state
+            val st = state.get
+            val s2 = math.max(0L, st.s + st.cnt * st.nd - st.total)
+            state.remove()
+            CusumRow(key, s2, math.max(st.mx, s2))
+          } else {
+            val sorted = rows.toArray.sortBy(_.dayUs)
+            var st = state.getOption.getOrElse(
+              CusumState(sorted.head.dayUs, 0L, 0L, 0L, sorted.head.total, sorted.head.nd))
+            sorted.foreach { e =>
+              if (e.total > 0L) st = st.copy(total = e.total, nd = e.nd)
+              if (e.dayUs == st.dayUs) st = st.copy(cnt = st.cnt + 1L)
+              else {
+                val s2 = math.max(0L, st.s + st.cnt * st.nd - st.total)
+                st = CusumState(e.dayUs, 1L, s2, math.max(st.mx, s2), st.total, st.nd)
+              }
             }
+            state.update(st)
+            // fold moment = end of the open day (> wm for on-time
+            // events: ts >= wm and ts < its day's end). The max()
+            // clamp covers a LATE event re-opening an already-passed
+            // day — FMGWS receives late rows (no auto-filter) and an
+            // earlier-than-watermark timeout would throw; clamped, the
+            // re-opened day folds at the next watermark tick instead
+            // of crashing the stream.
+            state.setTimeoutTimestamp(
+              math.max(st.dayUs / 1000L + 86400000L, state.getCurrentWatermarkMs() + 1L))
+            CusumRow(key, st.s, st.mx)
           }
-          state.update(st)
-          CusumRow(key, st.s, st.mx)
       }
   }
 
@@ -307,7 +336,8 @@ object Streams {
   final case class SessionAcc(start: Long, end: Long, n: Int)
   final case class ClosedSession(key: String, start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Int)
-  final case class CusumEvent(key: String, dayUs: Long, total: Long, nd: Long)
+  final case class CusumEvent(key: String, dayUs: Long, total: Long, nd: Long,
+      ts: java.sql.Timestamp)
   final case class CusumState(dayUs: Long, cnt: Long, s: Long, mx: Long,
       total: Long, nd: Long)
   final case class CusumRow(key: String, s: Long, mx: Long)

@@ -367,34 +367,55 @@ class StreamsSpec extends SparkSpec {
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
 
-  test("T7/A9: cusumStates folds split days across batches; sentinel flushes the last day") {
+  test("T7/A9: cusumStates folds split days across batches; watermark timeout folds the last day and EVICTS") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
     import Streams.{CusumEvent, CusumRow}
     // reference series for key "u": days 1,2,3 with counts 3,1,4;
     // nd=3, total=8 → deviations x·3−8: day1 +1, day2 −5, day3 +4.
     // CUSUM: S1=max(0,1)=1, S2=max(0,1−5)=0, S3=max(0,0+4)=4 → mx=4.
-    def e(day: Long) = CusumEvent("u", day, 8L, 3L)
+    def e(day: Long, hour: Int) = CusumEvent("u", day * 86400000000L, 8L, 3L,
+      new java.sql.Timestamp(day * 86400000L + hour * 3600000L))
     val mem = MemoryStream[CusumEvent]
     val q = Streams.cusumStates(mem.toDS()).toDF()
       .writeStream.outputMode("update").format("memory").queryName("cus").start()
     try {
       // day 1 SPLIT across two batches (2 events, then 1 more), then
       // day 2 arrives mid-batch with part of day 3
-      mem.addData(e(1), e(1))
+      mem.addData(e(1, 1), e(1, 2))
       q.processAllAvailable()
-      mem.addData(e(1), e(2), e(3), e(3))
+      mem.addData(e(1, 3), e(2, 1), e(3, 1), e(3, 2))
       q.processAllAvailable()
-      mem.addData(e(3), e(3))
+      mem.addData(e(3, 3), e(3, 4))
       q.processAllAvailable()
-      // without a sentinel, day 3 is still OPEN — mx (nondecreasing)
-      // must not yet include its fold anywhere in the emitted history
+      // the watermark (day 3, 04:00) has not passed day 3's end — the
+      // open day must not fold early, anywhere in the emitted history
       val openMx = s.sql("select max(mx) from cus").head.getLong(0)
       assert(openMx == 1L, s"open day must not fold early: mx=$openMx")
-      mem.addData(CusumEvent("u", Long.MaxValue / 2, 0L, 0L)) // sentinel
+      // ONE watermark-advancing row on a DIFFERENT key pushes the
+      // watermark past day 3's end: "u"'s day folds via its
+      // EVENT-TIME TIMEOUT (no per-key sentinel), and its state evicts
+      mem.addData(CusumEvent("w", 30L * 86400000000L, 0L, 0L,
+        new java.sql.Timestamp(30L * 86400000L)))
       q.processAllAvailable()
+      val finMx = s.sql("select max(mx) from cus").head.getLong(0)
+      assert(finMx == 4L, s"watermark timeout must fold day 3: mx=$finMx")
+      // eviction: only the advancer key's state remains live
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows == 1L, s"quiescent key must be evicted: state rows=$stateRows")
+      // a key seen AFTER eviction starts a FRESH series: 3 events on
+      // day 31 then one on day 32 fold to s=1 — carried state would
+      // have emitted mx=4 again (a second mx=4 row); fresh emits
+      // (s=1, mx=1)
+      mem.addData(e(31, 1), e(31, 2), e(31, 3))
+      q.processAllAvailable()
+      mem.addData(e(32, 1))
+      q.processAllAvailable()
+      val n4 = s.sql("select count(*) from cus where mx = 4").head.getLong(0)
+      assert(n4 == 1L, s"folded history must not leak into the re-seen key: $n4 rows with mx=4")
+      val nFresh = s.sql("select count(*) from cus where s = 1 and mx = 1").head.getLong(0)
+      assert(nFresh >= 1L, "re-seen key must fold its fresh day to (1, 1)")
     } finally q.stop()
-    val finMx = s.sql("select max(mx) from cus").head.getLong(0)
-    assert(finMx == 4L, s"sentinel must fold day 3: mx=$finMx")
   }
 }
