@@ -811,6 +811,36 @@ final class TableStore(val root: String, val retain: Int = 0) {
       pDvState(f, name)._2.nonEmpty
   }
 
+  /** Committed deletion-vector application info for PATH-based readers
+    * (the SQL catalog's DV-applying scan): (key columns, absolute DV
+    * parquet paths). None = no pending DV — a raw path scan is
+    * consistent. Covers both whole-table versioned mode (one `._dvptr`
+    * sidecar) and manifest-committed partitioned mode (per-partition
+    * `#dv` lines; keys are unique table-wide, so the union of all
+    * partitions' DV files applies exactly, the `read` contract). */
+  def pendingDvFiles(spark: SparkSession, name: String): Option[(Seq[String], Seq[String])] = {
+    val f = fs(spark)
+    currentVersion(f, name).flatMap(ver => dvInfo(f, name, ver).map {
+      case (keys, rel) => (keys, Seq(s"$root/$name/$ver/$rel"))
+    }).orElse {
+      val (keys, m) = pDvState(f, name)
+      if (m.isEmpty) None
+      else Some((keys, m.values.map(rel => s"$root/$name/$rel").toSeq.sorted))
+    }
+  }
+
+  /** Same, for the version `stepsBack` commits ago (whole-table mode
+    * only — the `versionPathBack` contract). */
+  def pendingDvFilesBack(spark: SparkSession, name: String,
+      stepsBack: Int): Option[(Seq[String], Seq[String])] = {
+    val f = fs(spark)
+    val chain = versionChain(f, name)
+    if (stepsBack < 0 || stepsBack >= chain.length) None
+    else dvInfo(f, name, chain(stepsBack)).map { case (keys, rel) =>
+      (keys, Seq(s"$root/$name/${chain(stepsBack)}/$rel"))
+    }
+  }
+
   /** Committed partition/version leaf dirs from the `_pmanifest`
     * (sorted), or None if the table is not in manifest-committed
     * partitioned mode. Path-based readers (the SQL catalog) scan these

@@ -1397,6 +1397,35 @@ object CoreQueries {
         .orderBy($"o_orderstatus")
     }),
 
+    // ---- S6/S14: SQL read of a PENDING-DV table through the catalog -
+    // The same two MOR deletes, but the read runs in PLAIN SQL through
+    // GraftCatalog while the deletion vectors are still pending (no
+    // compaction): the catalog serves the table through DvParquetTable,
+    // which applies the DV keys as an anti-join-semantics row filter
+    // inside the V2 scan (r7 verdict item #6 — previously the SQL path
+    // refused until compactDeletes). Shares s4_delete_mor's oracle
+    // text: SQL and programmatic reads must see the identical
+    // surviving-row state.
+    "s13_sql_mor" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/mor-sql-store"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path)
+      store.replace(s, "orders", Tables.orders(s, dir))
+      store.deleteWhereMor(s, "orders",
+        $"o_orderstatus" === "F" && year($"o_orderdate") < 1995, Seq("o_orderkey"))
+      store.deleteWhereMor(s, "orders",
+        $"o_orderstatus" === "P" && $"o_totalprice" > 400000.0, Seq("o_orderkey"))
+      s.conf.set("spark.sql.catalog.graft_mor",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mor.root", path)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+               |  ${graft.functions.Functions.dsumSql("o_totalprice")} AS sum_price
+               |FROM graft_mor.orders
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // ---- S4f: PARTITIONED merge-on-read DELETE, end to end ----------
     // The 100 TB erasure shape: a year-partitioned orders store takes
     // two sparse MOR deletes — per touched partition a KB-sized
@@ -2249,6 +2278,15 @@ object CoreQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s4_delete_mor" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+         |  AND NOT (o_orderstatus = 'P' AND o_totalprice > 400000.0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the SQL-path read of the pending-DV table must see exactly the
+    // programmatic surviving-row state
+    "s13_sql_mor" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)

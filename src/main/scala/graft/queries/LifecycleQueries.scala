@@ -381,9 +381,10 @@ object LifecycleQueries {
     // `VERSION AS OF 1` = one commit back (the store's native
     // steps-back notion — version dirs carry no absolute numbering),
     // served by GraftCatalog.loadTable(ident, version) over the
-    // retained chain, with the merge-on-read refusal guard per
-    // historical version. Shares s13_version_read's oracle text: the
-    // SQL path must see exactly the programmatic time-travel snapshot.
+    // retained chain; a DV-carrying historical version serves its
+    // surviving rows through DvParquetTable (per-version DV state).
+    // Shares s13_version_read's oracle text: the SQL path must see
+    // exactly the programmatic time-travel snapshot.
     "s13_sql_version" -> ((s, dir) => {
       import s.implicits._
       val path = "/root/repo/target/tmp/timetravel-sql"

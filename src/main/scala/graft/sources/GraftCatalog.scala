@@ -64,19 +64,7 @@ class GraftCatalog extends TableCatalog {
     if (!store.exists(spark, t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catalogName) ++ ident.namespace() :+ t)
-    // MERGE-ON-READ consistency: this catalog serves raw parquet paths,
-    // and a raw path scan silently skips the dot-prefixed deletion-vector
-    // sidecar — it would resurrect rows a committed deleteWhereMor
-    // erased (the right-to-be-forgotten contract). Refuse loudly rather
-    // than serve the wrong answer; compaction folds the DV into a clean
-    // version and SQL reads resume. (`TableStore.read` applies the DV
-    // as an anti-join and stays the always-consistent programmatic path.)
-    if (store.hasPendingDv(spark, t))
-      throw new IllegalStateException(
-        s"graft table '$t' has pending merge-on-read deletes (deletion-vector " +
-          "sidecar) that a SQL parquet scan cannot apply; run " +
-          "TableStore.compactDeletes (or compactDeletesPartitioned) first")
-    store.partitionedLeafPaths(spark, t) match {
+    val base = store.partitionedLeafPaths(spark, t) match {
       case Some(paths) if paths.nonEmpty =>
         // partitioned mode: scan exactly the manifest's committed leaf
         // dirs (staged in-flight versions are invisible); basePath keeps
@@ -91,18 +79,30 @@ class GraftCatalog extends TableCatalog {
         ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
           Seq(store.resolve(spark, t)), None, classOf[ParquetFileFormat])
     }
+    // MERGE-ON-READ consistency: a raw path scan silently skips the
+    // dot-prefixed deletion-vector sidecar — it would resurrect rows a
+    // committed deleteWhereMor erased (the right-to-be-forgotten
+    // contract). A DV-pending table therefore serves through
+    // DvParquetTable, which applies the DV's keys as an anti-join-
+    // semantics row filter inside the scan (same answer as
+    // `TableStore.read`); once compaction folds the DV, the plain
+    // ParquetTable path resumes.
+    store.pendingDvFiles(spark, t) match {
+      case Some((keys, dvPaths)) => new DvParquetTable(base, keys, dvPaths)
+      case None => base
+    }
   }
 
   /** SQL time travel: `SELECT * FROM graft.t VERSION AS OF k` reads
     * the snapshot k commits BACK from current (0 = current) — the
     * store's native `readVersionsBack` notion (version dirs carry no
     * absolute numbering; retention bounds how far back k may reach).
-    * Same merge-on-read guard as the current-version path: a raw
-    * parquet scan cannot apply a deletion-vector sidecar, so a
-    * DV-carrying historical version refuses loudly rather than
-    * resurrect deleted rows. Whole-table mode only (partitioned
-    * tables have no whole-table chain — the retention check fails
-    * with its own message). */
+    * Same merge-on-read handling as the current-version path: a
+    * DV-carrying historical version serves through DvParquetTable
+    * (each version owns its DV state — a MOR delete never rewrites
+    * history). Whole-table mode only (partitioned tables have no
+    * whole-table chain — the retention check fails with its own
+    * message). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = ident.name()
     if (!store.exists(spark, t))
@@ -114,12 +114,12 @@ class GraftCatalog extends TableCatalog {
         throw new UnsupportedOperationException(
           s"graft VERSION AS OF takes an integer (commits back from current), got '$version'")
       }
-    if (store.hasPendingDvBack(spark, t, back))
-      throw new IllegalStateException(
-        s"graft table '$t' version $back back carries merge-on-read deletion " +
-          "vectors a SQL parquet scan cannot apply; run compactDeletes first")
-    ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+    val base = ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
       Seq(store.versionPathBack(spark, t, back)), None, classOf[ParquetFileFormat])
+    store.pendingDvFilesBack(spark, t, back) match {
+      case Some((keys, dvPaths)) => new DvParquetTable(base, keys, dvPaths)
+      case None => base
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =

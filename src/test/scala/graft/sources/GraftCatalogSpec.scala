@@ -42,25 +42,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!after.contains("t2"))
   }
 
-  test("SQL reads refuse a pending MOR deletion vector; compaction restores them") {
+  test("SQL reads APPLY a pending MOR deletion vector (DvParquetTable); compaction restores the plain scan") {
     val s = spark; import s.implicits._
     val store = new TableStore(root)
     store.replace(s, "t4", (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
     store.deleteWhereMor(s, "t4", $"k" <= 3, Seq("k"))
     // programmatic read applies the DV...
     assert(store.read(s, "t4").count() == 7)
-    // ...but a raw parquet-path SQL scan cannot — it must refuse, not
-    // resurrect the deleted rows (right-to-be-forgotten contract)
-    val e = intercept[IllegalStateException] {
-      s.sql("SELECT count(*) FROM graft.t4").head
-    }
-    assert(e.getMessage.contains("merge-on-read") && e.getMessage.contains("compactDeletes"),
-      e.getMessage)
-    store.compactDeletes(s, "t4")
+    // ...and so does the SQL path now: the catalog serves the pending-
+    // DV table through DvParquetTable — surviving rows only, never the
+    // resurrected deletes, with no compaction required first
+    // (right-to-be-forgotten contract, both read paths)
     assert(s.sql("SELECT count(*) AS n FROM graft.t4").head.getLong(0) == 7L)
+    assert(s.sql("SELECT k FROM graft.t4 ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == (4L to 10L))
+    // column-pruned and filtered reads still answer through the DV
+    // (keys are force-included in the scan, then projected away)
+    assert(s.sql("SELECT v FROM graft.t4 WHERE k = 2").count() == 0L)
+    assert(s.sql("SELECT v FROM graft.t4 WHERE k = 5").head.getString(0) == "v5")
+    // a second MOR delete composes (cumulative DV)
+    store.deleteWhereMor(s, "t4", $"v" === "v9", Seq("k"))
+    assert(s.sql("SELECT count(*) AS n FROM graft.t4").head.getLong(0) == 6L)
+    store.compactDeletes(s, "t4")
+    assert(s.sql("SELECT count(*) AS n FROM graft.t4").head.getLong(0) == 6L)
   }
 
-  test("partitioned tables read through SQL with partition pruning; MOR refusal applies") {
+  test("partitioned tables read through SQL with partition pruning; MOR DV applies in the scan") {
     val s = spark; import s.implicits._
     val store = new TableStore(root)
     store.replacePartitions(s, "t5",
@@ -71,13 +78,15 @@ class GraftCatalogSpec extends SparkSpec {
     val qe = s.sql("SELECT k FROM graft.t5 WHERE p = 2").queryExecution
     assert(qe.executedPlan.toString.contains("PartitionFilters"), qe.executedPlan.toString.take(800))
     assert(s.sql("SELECT count(*) AS n FROM graft.t5 WHERE p = 2").head.getLong(0) == 10L)
-    // a staged-but-uncommitted writer version is invisible: only
-    // manifest leaf dirs are scanned
+    // a pending partitioned MOR delete applies in the SQL scan too
+    // (union of per-partition DV files — keys unique table-wide)
     store.deleteWhereMorPartitioned(s, "t5", $"k" === 6, Seq("k"), "p")
-    val e = intercept[IllegalStateException] {
-      s.sql("SELECT count(*) FROM graft.t5").head
-    }
-    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    assert(s.sql("SELECT count(*) AS n FROM graft.t5").head.getLong(0) == 39L)
+    assert(s.sql("SELECT count(*) AS n FROM graft.t5 WHERE k = 6").head.getLong(0) == 0L)
+    // partition pruning survives the DV wrapper
+    val qe2 = s.sql("SELECT k FROM graft.t5 WHERE p = 2").queryExecution
+    assert(qe2.executedPlan.toString.contains("PartitionFilters"), qe2.executedPlan.toString.take(800))
+    assert(s.sql("SELECT count(*) AS n FROM graft.t5 WHERE p = 2").head.getLong(0) == 9L)
     store.compactDeletesPartitioned(s, "t5", "p")
     assert(s.sql("SELECT count(*) AS n FROM graft.t5").head.getLong(0) == 39L)
   }
@@ -92,7 +101,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r.getLong(0) == 10L && r.getLong(1) == 2L)
   }
 
-  test("VERSION AS OF k reads k commits back; retention bounds it; DV history refuses") {
+  test("VERSION AS OF k reads k commits back; retention bounds it; DV history serves surviving rows") {
     val s = spark; import s.implicits._
     // separate retained store under its own catalog name
     val dir = Files.createTempDirectory(Paths.get("target"), "catalog-tt-").toString
@@ -110,12 +119,13 @@ class GraftCatalogSpec extends SparkSpec {
     // past retention: loud, names the chain depth
     val e = intercept[Exception](ks("SELECT k FROM gtt.t VERSION AS OF 3"))
     assert(e.getMessage.contains("not retained"), e.getMessage)
-    // a MOR delete against current leaves history readable; once the
-    // DV'd version itself IS history, the SQL path refuses it
+    // a MOR delete against current leaves history readable, and the
+    // DV'd version itself serves its SURVIVING rows through
+    // DvParquetTable — each version owns its DV state
     store.deleteWhereMor(s, "t", col("k") === 2L, Seq("k"))
     assert(ks("SELECT k FROM gtt.t VERSION AS OF 1") == Set(1L, 2L),
       "pre-delete history must stay readable")
-    val e2 = intercept[Exception](ks("SELECT k FROM gtt.t VERSION AS OF 0"))
-    assert(e2.getMessage.contains("deletion"), e2.getMessage)
+    assert(ks("SELECT k FROM gtt.t VERSION AS OF 0") == Set(1L, 3L),
+      "the DV-carrying version must serve surviving rows, not resurrect k=2")
   }
 }
