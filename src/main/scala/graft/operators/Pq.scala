@@ -142,4 +142,29 @@ object Pq {
       .orderBy(col("adc_d2"), col("id"))
       .limit(k)
   }
+
+  /** BATCH ADC: top-k for EVERY query of a batch in ONE pass over the
+    * code table (the Ivf.probeTopKBatch shape — per-query adcTopK
+    * would re-plan and re-scan the codes |batch| times). `luts` pairs
+    * each query id with its adcTable; all tables travel as one
+    * 3-level literal (|batch|·M·K longs — model-sized), indexed per
+    * row by the broadcast (q, qidx) frame. rank ≤ k lowers to
+    * WindowGroupLimit, so each exchange carries ≤ k rows per query;
+    * each query's own codes are excluded from its ranking. */
+  def adcTopKBatch(codes: DataFrame, luts: Seq[(Long, Array[Array[Long]])], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val l3: Seq[Seq[Seq[Long]]] = luts.map(_._2.map(_.toSeq).toSeq)
+    val qdf = luts.map(_._1).zipWithIndex.toDF("q", "qidx")
+    val w = Window.partitionBy(col("q")).orderBy(col("adc_d2"), col("id"))
+    codes.crossJoin(broadcast(qdf))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("id"),
+        element_at(element_at(element_at(typedLit(l3), col("qidx") + 1),
+          col("m") + 1), col("code").cast("int") + 1).as("d2"))
+      .groupBy("q", "id").agg(sum("d2").as("adc_d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q"), col("rk").cast("long").as("rk"), col("id"), col("adc_d2"))
+  }
 }

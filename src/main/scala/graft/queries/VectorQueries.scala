@@ -285,6 +285,68 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
+    // ---- X2 BATCH SQ funnel (the serving shape) ---------------------
+    // Top-5 for a 5-query batch through the int8-code funnel in ONE
+    // pass over the stored code table (r7 verdict #8 — per-query
+    // x2_sq_topk would re-plan and re-scan the codes 5×): per query a
+    // 50-candidate integer shortlist (rank ≤ 50 lowers to
+    // WindowGroupLimit, ≤ 50 rows per query cross the wire), then
+    // exact cosine re-rank of the ≤ 250 touched embeddings. Shares
+    // the brute-force batch oracle (same text as x2_ivf_batch_topk) —
+    // the gate proves batch funnel recall 1.0, not just plumbing;
+    // SqFunnelSpec pins per-query shortlist ⊇ exact top-5 at every sf.
+    "x2_sq_batch_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val codes = storedSqCodes(s, dir, emb)
+      val qc = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("code").as("qcode"), col("csq").as("qsq"))
+      val ws = Window.partitionBy(col("q")).orderBy(col("approx").desc, col("vec_id"))
+      val shortlist = codes.crossJoin(broadcast(qc)).filter(col("vec_id") =!= col("q"))
+        .withColumn("intdot", expr(
+          "aggregate(zip_with(code, qcode, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("approx", col("intdot") / sqrt((col("csq") * col("qsq")).cast("double")))
+        .withColumn("srk", row_number().over(ws)).filter(col("srk") <= 50)
+        .select(col("q"), col("vec_id"))
+      val qe = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("embedding").as("qv"))
+      val wr = Window.partitionBy(col("q")).orderBy(col("sim6").desc, col("vec_id"))
+      emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qe), "q")
+        .select(col("q"), col("vec_id"),
+          round(Functions.cosine(col("embedding"), col("qv")) * 1000000d)
+            .cast("long").as("sim6"))
+        .withColumn("rk", row_number().over(wr)).filter(col("rk") <= 5)
+        .select(col("q"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim6"))
+        .orderBy("q", "rk")
+    }),
+
+    // ---- X2 BATCH ADC over PQ codes ---------------------------------
+    // The ADC stage in serving shape: asymmetric-distance top-5 for a
+    // 5-query batch in ONE scan of the persisted (id, m, code) table
+    // (Pq.adcTopKBatch) — all 5 lookup tables travel as one literal,
+    // each code row scores against every query in the same pass, and
+    // rank ≤ 5 per query lowers to WindowGroupLimit. The oracle
+    // replays quantization + codebook + per-query LUT + ranking in
+    // DuckDB — exact integers end to end, the x2_pq_adc_topk
+    // discipline batched.
+    "x2_adc_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (stored, books) = storedCodes(s, dir, emb)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).map(x => Math.round(x * 1000000d) + 1000000L).toArray))
+        .sortBy(_._1)
+      val luts = qs.map { case (q, arr) =>
+        (q, graft.operators.Pq.adcTable(arr, books)) }.toSeq
+      graft.operators.Pq.adcTopKBatch(stored.select("id", "m", "code"), luts, 5)
+        .select(col("q"), col("rk"), col("id").as("vec_id"), col("adc_d2"))
+        .orderBy("q", "rk")
+    }),
+
     // ---- X2 norm audit (vector data-quality card) -------------------
     // The first check on any embedding delivery: are the vectors on
     // the expected norm scale, per label? ‖x‖² in exact integer 1e-12
@@ -633,6 +695,22 @@ object VectorQueries {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Brute-force per-query top-5 for the 5-query batch gates — shared
+    * by x2_ivf_batch_topk and x2_sq_batch_topk: both batch funnels
+    * must reproduce the exact per-query ranking (recall 1.0). */
+  private val batchTopkOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |p AS (SELECT q.vec_id AS q, c.vec_id AS cand,
+      |        CAST(ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) AS BIGINT) AS sim6
+      |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT q, cand, sim6,
+      |        row_number() OVER (PARTITION BY q ORDER BY sim6 DESC, cand) AS rk
+      |      FROM p)
+      |SELECT q, CAST(rk AS BIGINT) AS rk, cand AS vec_id, sim6 FROM r
+      |WHERE rk <= 5 ORDER BY q, rk""".stripMargin
+
   /** Build-once / probe-many k-means model: the fitted centroids
     * persist in a tiny store table (k×d rows) keyed by the embeddings
     * fingerprint, so the two consumers (x2_kmeans, x2_semantic_dedup)
@@ -947,18 +1025,28 @@ object VectorQueries {
 
     // brute-force per-query top-5 over the batch — the gate proves the
     // one-pass pruned-postings batch probe has recall 1.0
-    "x2_ivf_batch_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |           FROM embeddings),
-        |p AS (SELECT q.vec_id AS q, c.vec_id AS cand,
-        |        CAST(ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) AS BIGINT) AS sim6
-        |      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
-        |r AS (SELECT q, cand, sim6,
-        |        row_number() OVER (PARTITION BY q ORDER BY sim6 DESC, cand) AS rk
-        |      FROM p)
-        |SELECT q, CAST(rk AS BIGINT) AS rk, cand AS vec_id, sim6 FROM r
-        |WHERE rk <= 5 ORDER BY q, rk""".stripMargin,
+    "x2_ivf_batch_topk" -> batchTopkOracle,
+    // the one-pass batched int8-code funnel must reproduce the same
+    // exact per-query top-5 (recall 1.0 through shortlist + re-rank)
+    "x2_sq_batch_topk" -> batchTopkOracle,
+
+    // batch ADC: per-query LUT from the replayed codebook, every
+    // code row scored against all 5 queries, rank per query
+    "x2_adc_batch_topk" ->
+      s"""$pqCtes,
+         |lut AS (SELECT q.vec_id AS q, c.m, c.code, SUM((q.x6 - c.c6)*(q.x6 - c.c6)) AS d2
+         |  FROM pc2 c JOIN px q ON q.vec_id < 5 AND q.m = c.m AND q.idx = c.idx
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, code FROM pa3 WHERE rk = 1),
+         |scored AS (SELECT l.q, codes.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+         |  FROM codes JOIN lut l ON codes.m = l.m AND codes.code = l.code
+         |    AND codes.vec_id <> l.q
+         |  GROUP BY 1, 2),
+         |rb AS (SELECT q, vec_id, adc_d2,
+         |    row_number() OVER (PARTITION BY q ORDER BY adc_d2, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q, CAST(rk AS BIGINT) AS rk, vec_id, adc_d2 FROM rb
+         |WHERE rk <= 5 ORDER BY q, rk""".stripMargin,
     "x2_centroid_classify" ->
       """WITH x AS (SELECT vec_id, label, i AS idx,
         |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x6

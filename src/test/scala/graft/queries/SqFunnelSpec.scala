@@ -49,6 +49,40 @@ class SqFunnelSpec extends SparkSpec {
         s"missing from shortlist: ${top.filterNot(cand.contains)}")
     }
 
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"))
+    test(s"BATCH funnel: per-query int8 shortlist contains each exact top-5 at $sf") {
+      val s = spark
+      graft.functions.Functions.register(s)
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(s, dir)
+      // exact per-query top-5 (the batch oracle's ranking)
+      val qe = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q")).orderBy(col("sim6").desc, col("vec_id"))
+      val top5 = emb.crossJoin(broadcast(qe)).filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          round(Functions.cosine(col("embedding"), col("qv")) * 1000000d)
+            .cast("long").as("sim6"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // per-query 50-candidate shortlist from the stored codes
+      val codes = VectorQueries.storedSqCodes(s, dir, emb)
+      val qc = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("code").as("qcode"), col("csq").as("qsq"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q")).orderBy(col("approx").desc, col("vec_id"))
+      val short = codes.crossJoin(broadcast(qc)).filter(col("vec_id") =!= col("q"))
+        .withColumn("intdot", expr(
+          "aggregate(zip_with(code, qcode, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("approx", col("intdot") / sqrt((col("csq") * col("qsq")).cast("double")))
+        .withColumn("srk", row_number().over(ws)).filter(col("srk") <= 50)
+        .select(col("q"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missing = top5.filterNot(short.contains)
+      assert(missing.isEmpty, s"missing from per-query shortlists: ${missing.toSeq}")
+    }
+
   test("codes are int8-ranged with exact csq; build-once warm reuse") {
     val s = spark
     val dir = "/root/testdata/sf0.001"
