@@ -51,8 +51,18 @@ object TextIndex {
     val posted = store.read(spark, s"${name}_postings")
     store.replace(spark, s"${name}_df",
       posted.groupBy("term").agg(count(lit(1)).as("df")))
+    // doclen carries EVERY indexed doc, token-less ones at dl=0: the
+    // doclen table doubles as the index's doc-id registry (fold's
+    // duplicate check reads it), so a doc whose text tokenizes to
+    // nothing must still leave a row — otherwise refolding it would
+    // pass the overlap check and double-count n_docs, skewing
+    // idf/avgdl. dl=0 rows never join a probe (no postings) and add
+    // nothing to total_tokens, so scores are unchanged.
     store.replace(spark, s"${name}_doclen",
-      posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+      docs.select(col(idCol).as("doc_id"))
+        .join(posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl")))
     // n_docs counts ALL docs (token-less docs too — they're corpus
     // members for idf purposes even though they have no posting)
     store.replace(spark, s"${name}_stats",
@@ -92,8 +102,13 @@ object TextIndex {
         .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
         .repartitionByRange(numFiles, col("term")).sortWithinPartitions("term"))
     val posted = store.read(spark, s"${name}_postings_s$seg")
+    // same dl=0 registry contract as build(): every batch doc leaves
+    // a doclen row, so the NEXT fold's overlap check sees it
     store.replace(spark, s"${name}_doclen_s$seg",
-      posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+      docs.select(col(idCol).as("doc_id"))
+        .join(posted.groupBy("doc_id").agg(sum(col("tf")).as("dl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl")))
     store.replace(spark, s"${name}_df_s$seg",
       posted.groupBy("term").agg(count(lit(1)).as("df")))
     store.replace(spark, s"${name}_stats_s$seg",

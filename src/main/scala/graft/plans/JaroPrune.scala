@@ -59,6 +59,11 @@ object JaroPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val additions = conjuncts
         .flatMap(jaroThreshold)
+        // the guard re-evaluates both operand expressions; duplicating
+        // a NON-deterministic operand (e.g. built from rand()) would
+        // give the guard and the scorer different values and change
+        // filter semantics — inject only for deterministic operands
+        .filter { case (a, b, _) => a.deterministic && b.deterministic }
         .flatMap { case (a, b, t) => boundFor(t).map(prune(a, b, _)) }
         .filterNot(p => conjuncts.exists(_.semanticEquals(p)))
       if (additions.isEmpty) f

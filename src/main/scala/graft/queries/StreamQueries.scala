@@ -548,7 +548,7 @@ object StreamQueries {
     "t6_stream_index" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val base = s"/root/repo/target/tmp/stream-index/v2/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val base = s"/root/repo/target/tmp/stream-index/v3/${Tables.fileKey(s, dir, "documents.parquet")}"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val stage = s"$base/stage"

@@ -25,7 +25,7 @@ object TextQueries {
     * layout change or a stale index poisons oracle-gated probes. */
   private def kwIndex(s: SparkSession, dir: String): graft.operators.TableStore = {
     val store = new graft.operators.TableStore(
-      s"/root/repo/target/tmp/text-index/v3/${docsKey(s, dir)}")
+      s"/root/repo/target/tmp/text-index/v4/${docsKey(s, dir)}")
     if (!store.exists(s, "kw_postings"))
       graft.operators.TextIndex.build(Tables.documents(s, dir), "doc_id", "text", store, "kw")
     store
@@ -337,8 +337,16 @@ object TextQueries {
     // or stale stats would all shift scores and break the hash.
     "x3_index_incremental" -> ((s, dir) => {
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/text-index-incr/v2/${docsKey(s, dir)}")
-      if (!store.exists(s, "kw_postings")) {
+        s"/root/repo/target/tmp/text-index-incr/v3/${docsKey(s, dir)}")
+      // the warm-skip guard keys on kw_segs — the table fold() commits
+      // LAST — not just the base build's kw_postings: a crash between
+      // build() and fold() would otherwise leave an even-half-only
+      // store that every later run trusts as complete, permanently
+      // serving wrong BM25 answers. Rebuilding on a missing kw_segs is
+      // safe: build() replaces the base tables idempotently and the
+      // retried fold() overwrites its own orphan segment tables before
+      // publishing (the TextIndex.fold commit contract).
+      if (!store.exists(s, "kw_postings") || !store.exists(s, "kw_segs")) {
         val docs = Tables.documents(s, dir)
         graft.operators.TextIndex.build(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store, "kw")

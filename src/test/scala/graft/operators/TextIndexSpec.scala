@@ -138,4 +138,29 @@ class TextIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("already indexed"))
   }
+
+  test("a token-less doc still registers: refolding it is rejected, n_docs counts it once") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // doc 2's text tokenizes to NOTHING — it must still land in the
+    // doclen registry (dl=0), or a refold would pass the overlap
+    // check and double-count it in n_docs, skewing BM25 idf/avgdl
+    TextIndex.build(Seq((1L, "alpha beta"), (2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", store, "kw")
+    val dl = store.read(s, "kw_doclen").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(1L -> 2L, 2L -> 0L), dl.toString)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.fold(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        "doc_id", "text", store, "kw")
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // same registry contract through the SEGMENT path
+    TextIndex.fold(Seq((3L, " ")).toDF("doc_id", "text"), "doc_id", "text", store, "kw")
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.fold(Seq((3L, "delta")).toDF("doc_id", "text"),
+        "doc_id", "text", store, "kw")
+    }
+    assert(e2.getMessage.contains("already indexed"))
+  }
 }

@@ -58,6 +58,22 @@ class JaroPruneRuleSpec extends SparkSpec {
     assert(got == Set(("martha", "marhta"), ("identical", "identical")))
   }
 
+  test("a non-deterministic operand suppresses injection (guard would re-evaluate it)") {
+    val s = spark
+    graft.functions.Functions.register(s)
+    // the guard duplicates the operand expressions; with a rand()-built
+    // operand INLINE in the predicate the guard and scorer would see
+    // DIFFERENT values, changing filter semantics — the rule must
+    // leave such filters alone. (An ATTRIBUTE fed by a non-
+    // deterministic projection below stays safe: the attribute is one
+    // per-row value, and injection on attributes is fine.)
+    val cond = s.range(4).select(lit("x1").as("b"))
+      .filter(expr(
+        "jaro_winkler(concat('x', cast(cast(rand() * 10 as int) as string)), b) >= 0.9"))
+      .queryExecution.optimizedPlan.toString
+    assert(!cond.contains("octet_length"), cond)
+  }
+
   test("reversed operand order (t <= jw) and strict > are matched too") {
     val c1 = fixture.filter(expr("0.9 <= jaro_winkler(a, b)"))
       .queryExecution.optimizedPlan.toString
