@@ -548,6 +548,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing (concat-then-chunk) -----------------------
+    // The step that turns a cleaned corpus into training batches:
+    // concatenate documents in a deterministic order and chunk the
+    // token stream into fixed-capacity packs (C=256 here; 2k-8k in
+    // production) — every LLM pretraining pipeline runs exactly this.
+    // Each doc's token span [cum−w, cum) comes from the DISTRIBUTED
+    // two-pass prefix sum (Partitioning.prefixSum — never a global
+    // single-partition window); a doc spanning a pack boundary
+    // contributes one segment per touched pack (explode bounded by
+    // span/C + 1), and the pack report is one hash aggregate. Output
+    // per pack: segment count, token fill (== C except the tail),
+    // first/last doc. Exact integers end to end; the oracle replays
+    // the same chunking with a window sum + generate_series.
+    "x3_seq_pack" -> ((s, dir) => {
+      val C = 256L
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("w"))
+        .filter(col("w") > 0)
+      val cum = graft.operators.Partitioning.prefixSum(d, Nil,
+        expr("doc_id div 64"), Seq(col("doc_id")), col("w"), "cum")
+      cum.withColumn("strt", col("cum") - col("w"))
+        .withColumn("pack", explode(sequence(expr(s"strt div $C"), expr(s"(cum - 1) div $C"))))
+        .withColumn("seg_tokens",
+          least(col("cum"), (col("pack") + 1) * C) - greatest(col("strt"), col("pack") * C))
+        .groupBy("pack")
+        .agg(count(lit(1)).as("n_segments"), sum("seg_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("pack")
+    }),
+
     // ---- corpus data card (per source × lang) -----------------------
     // The report a dataset release ships: documents, token volume,
     // quality-gate pass count, language-confidence count per
@@ -1131,6 +1161,23 @@ object TextQueries {
         |SELECT doc_id, lang, w FROM c
         |WHERE (cw // (tw // 20)) > ((cw - w) // (tw // 20))
         |ORDER BY doc_id""".stripMargin,
+
+    "x3_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d WHERE w > 0),
+        |seg AS (SELECT doc_id, w, cum, cum - w AS strt,
+        |        unnest(range(CAST((cum - w) // 256 AS BIGINT), CAST((cum - 1) // 256 + 1 AS BIGINT))) AS pack
+        |        FROM c),
+        |st AS (SELECT pack, doc_id,
+        |        least(cum, (pack + 1) * 256) - greatest(strt, pack * 256) AS seg_tokens
+        |       FROM seg)
+        |SELECT pack, COUNT(*) AS n_segments, CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM st GROUP BY 1 ORDER BY pack""".stripMargin,
 
     "x3_sample_per_group" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id

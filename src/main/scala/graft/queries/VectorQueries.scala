@@ -486,6 +486,74 @@ object VectorQueries {
         store, "mips", queryId = 0L, k = 10)
     }),
 
+    // ---- X2 BATCH MIPS through the augmented index ------------------
+    // MIPS in serving shape: inner-product top-5 for a 5-query batch
+    // through the SAME persisted augmented-IVF index x2_mips_indexed
+    // builds — per-query probe cells from one broadcast cosine over
+    // the centroid table, the union of probed cids partition-prunes
+    // the postings read ONCE for the whole batch (Ivf.probeTopKBatch),
+    // then exact inner-product re-rank of each query's 50-candidate
+    // shortlist. The oracle is the brute-force per-query dot ranking;
+    // MipsIndexedSpec pins batch shortlist ⊇ true top-5 at every sf.
+    "x2_mips_batch" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/mips-index/v1/${indexKey(s, dir)}")
+      if (!store.exists(s, "mips_centroids") || !store.exists(s, "mips_postings"))
+        graft.operators.Ivf.buildIndex(
+          graft.operators.Mips.augment(emb, "vec_id", "embedding"),
+          "vec_id", "aug", store, "mips")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"),
+          concat(col("embedding").cast("array<double>"), array(lit(0d))).as("qv"))
+      val shortlist = graft.operators.Ivf.probeTopKBatch(s, store, "mips",
+          queries, k = 50, nprobe = 14)
+        .select(col("q"), col("id").as("vec_id"))
+      val qe = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("embedding").as("qraw"))
+      val wr = Window.partitionBy(col("q")).orderBy(col("dot6").desc, col("vec_id"))
+      emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qe), "q")
+        .select(col("q"), col("vec_id"),
+          round(Functions.dotd(col("embedding"), col("qraw")) * 1000000d)
+            .cast("long").as("dot6"))
+        .withColumn("rk", row_number().over(wr)).filter(col("rk") <= 5)
+        .select(col("q"), col("rk").cast("long").as("rk"), col("vec_id"), col("dot6"))
+        .orderBy("q", "rk")
+    }),
+
+    // ---- X2 FILTERED vector search (attribute-pruned) ---------------
+    // "Top-k most similar WHERE label = 1" — the filtered-ANN shape
+    // every retrieval deployment needs (tenant / language / license
+    // filters). Post-filtering an unfiltered ANN shortlist loses
+    // recall when the filter is selective; the scale-honest design is
+    // to make the filter attribute the index's PARTITION key: the
+    // store lives hive-partitioned by label, so the probe's
+    // partition-pruned read touches ONLY the matching label's files
+    // (PartitionFilters in the plan, zero I/O elsewhere — exactly the
+    // IVF cid-pruning mechanism pointed at a metadata column), and
+    // the exact re-rank within the partition gives recall 1.0 by
+    // construction. At 100 TB with L labels the probe scans corpus/L;
+    // compose with the IVF index inside each partition when one
+    // label is itself huge.
+    "x2_filtered_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/label-part/v1/${indexKey(s, dir)}")
+      if (!store.exists(s, "flt_postings"))
+        store.replacePartitions(s, "flt_postings",
+          emb.repartition(col("label")), "label")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      store.prunedRead(s, "flt_postings", "label", Seq(1))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(Functions.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
     // ---- X2 k-NN join within label groups ---------------------------
     // The embedding-QA neighbor op: every vector's top-3 most-similar
     // vectors OF THE SAME LABEL (class-compactness checks, hard-
@@ -980,6 +1048,29 @@ object VectorQueries {
         |  CAST(ROUND(list_dot_product(embedding::DOUBLE[], q.qv) * 1000000) AS BIGINT) AS dot6
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY dot6 DESC, vec_id LIMIT 10""".stripMargin,
+
+    // brute-force per-query INNER-PRODUCT top-5 — the batched MIPS
+    // funnel must reproduce it exactly
+    "x2_mips_batch" ->
+      """WITH q AS (SELECT vec_id AS q, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT q.q, e.vec_id,
+        |    CAST(ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) * 1000000) AS BIGINT) AS dot6
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q),
+        |r AS (SELECT q, vec_id, dot6,
+        |    row_number() OVER (PARTITION BY q ORDER BY dot6 DESC, vec_id) AS rk
+        |  FROM p)
+        |SELECT q, CAST(rk AS BIGINT) AS rk, vec_id, dot6 FROM r
+        |WHERE rk <= 5 ORDER BY q, rk""".stripMargin,
+
+    // the label-pruned read + exact re-rank must equal the brute
+    // filtered ranking (recall 1.0 by construction)
+    "x2_filtered_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |round(list_dot_product(embedding::DOUBLE[], q.qv) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0 AND label = 1
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "x2_eval_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

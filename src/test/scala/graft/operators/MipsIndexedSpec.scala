@@ -50,6 +50,37 @@ class MipsIndexedSpec extends SparkSpec {
         s"missing from shortlist: ${top.filterNot(cand.contains)}")
     }
 
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"))
+    test(s"BATCH probe: per-query shortlist contains each exact MIPS top-5 at $sf") {
+      val s = spark
+      Functions.register(s)
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(s, dir)
+      val store = new TableStore(s"/root/repo/target/tmp/mips-index/v1/${key(dir)}")
+      if (!store.exists(s, "mips_centroids") || !store.exists(s, "mips_postings"))
+        Ivf.buildIndex(Mips.augment(emb, "vec_id", "embedding"), "vec_id", "aug", store, "mips")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"),
+          concat(col("embedding").cast("array<double>"), array(lit(0d))).as("qv"))
+      val short = Ivf.probeTopKBatch(s, store, "mips", queries, 50, 14)
+        .select(col("q"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact per-query inner-product top-5
+      val qe = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q"), col("embedding").as("qraw"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q")).orderBy(col("dot6").desc, col("vec_id"))
+      val top5 = emb.crossJoin(broadcast(qe)).filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          round(Functions.dotd(col("embedding"), col("qraw")) * 1000000d)
+            .cast("long").as("dot6"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val missing = top5.filterNot(short.contains)
+      assert(missing.isEmpty, s"missing from batch shortlists: ${missing.toSeq}")
+    }
+
   test("reduction invariants: constant augmented norm M; augmented dot == raw inner product") {
     val s = spark
     Functions.register(s)

@@ -310,6 +310,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("x2_filtered_topk: the label filter prunes at the PARTITION level, never post-scan") {
+    val df = VectorQueries.all("x2_filtered_topk")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the filtered-search contract: label=1 is a PartitionFilter on
+    // the hive-partitioned store — only that label's files are read
+    assert(p.contains("PartitionFilters") && p.contains("label"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("x1_tfidf_pairs: no quadratic join anywhere in the plan") {
     val df = DedupQueries.all("x1_tfidf_pairs")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
