@@ -754,6 +754,28 @@ object AnalyticsQueries {
         .orderBy("k_min")
     }),
 
+    // ---- A18b: l-diversity audit (k-anonymity's sharper sibling) ----
+    // A k-anonymous group still leaks when everyone in it SHARES the
+    // sensitive value (homogeneity attack — Machanavajjhala et al.
+    // 2006): l-diversity requires each QI group to carry ≥ l distinct
+    // sensitive values. Sensitive attribute = account-balance band
+    // (2000-unit buckets, IEEE-identical floor division in both
+    // engines); report the dataset's l (min distinct bands over the
+    // same QI columns as a18_kanonymity), group count, and the
+    // exposure of groups under l=3. Same two-nested-aggregate shape —
+    // the only corpus-scale exchange carries (QI key, bucket).
+    "a18_ldiversity" -> ((s, dir) => {
+      val g = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          expr("cast(floor(c_acctbal / 2000) as bigint)").as("s_bucket"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(countDistinct(col("s_bucket")).as("l"), count(lit(1)).as("n"))
+      g.agg(min("l").as("l_min"), count(lit(1)).as("n_groups"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_weak_groups"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_exposed"))
+        .orderBy("l_min")
+    }),
+
     "a16_pagerank" -> ((s, dir) => {
       import s.implicits._
       val pairs = copurchasePairs(s, dir)
@@ -1297,6 +1319,15 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
         |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_exposed
         |FROM g ORDER BY k_min""".stripMargin,
+
+    "a18_ldiversity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey,
+        |    COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS l, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT MIN(l) AS l_min, COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_groups,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_exposed
+        |FROM g ORDER BY l_min""".stripMargin,
 
     "a17_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
