@@ -89,6 +89,38 @@ object Ivf {
     store.replacePartitions(spark, s"${name}_postings", postings, "cid")
   }
 
+  /** Incremental index maintenance: fold a batch of NEW vectors into
+    * a persisted index WITHOUT retraining — the vector sibling of
+    * TextIndex.fold. Each batch vector is assigned to its nearest
+    * STORED centroid (centroids stay fixed; the serving-side
+    * practice — retraining is a rebuild, and `x2_centroid_drift` is
+    * the monitor that tells you when it's due) and the touched cid
+    * partitions are rewritten as (existing ∪ new) through ONE atomic
+    * `replacePartitions` commit — untouched cids keep their manifest
+    * entry, their files never move. Cost is O(touched partitions +
+    * batch): at 100 TB with 65k cells a batch touches few; a
+    * half-written fold is invisible (the old manifest stays live).
+    * Batch ids must be NEW — the overlap probe is a column-pruned
+    * id scan, the TextIndex.fold contract. */
+  def fold(spark: org.apache.spark.sql.SparkSession, store: TableStore, name: String,
+      emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    val overlap = emb.select(col(idCol).as("id"))
+      .join(store.read(spark, s"${name}_postings").select("id"), Seq("id"), "left_semi")
+      .count()
+    require(overlap == 0, s"fold: $overlap vector ids already indexed in '$name'")
+    val centroids = store.read(spark, s"${name}_centroids")
+    val fresh = assign(emb, idCol, vecCol, centroids)
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .withColumn("cid", col("cid").cast("int"))
+    // bounded driver collect: the batch's touched cell ids (≤ K)
+    val touched: Seq[Any] = fresh.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val merged = store.prunedRead(spark, s"${name}_postings", "cid", touched)
+      .unionByName(fresh)
+    store.replacePartitions(spark, s"${name}_postings",
+      merged.repartition(col("cid")), "cid")
+  }
+
   /** Probe a persisted index: rank stored centroids by similarity to
     * the probe vector (bounded nprobe-row collect — the same
     * model-sized driver traffic as centroid training), then scan ONLY

@@ -98,6 +98,40 @@ object VectorQueries {
         .orderBy("q", "rk")
     }),
 
+    // ---- X2 INCREMENTAL IVF: fold new vectors, then probe -----------
+    // The index-maintenance story on the vector side (TextIndex.fold's
+    // sibling, r8): train + build over 90% of the corpus, FOLD the
+    // held-out 10% batch against the STORED centroids (Ivf.fold —
+    // touched cid partitions rewritten as existing ∪ new through one
+    // atomic manifest commit, untouched cids never move, no retrain —
+    // the production shape: bulk build, small-batch arrivals), then
+    // run the standard probe. Shares the brute-force oracle: the
+    // folded index must serve the exact full-corpus top-10 — a lost
+    // fold, double-indexed id, or mis-assigned cell shifts the
+    // candidate set and breaks the hash. Measured recall cliff of the
+    // 90%-trained centroids on this geometry: the truth set spans
+    // probe-ranked cells ≤6 at every sf (IvfFoldSpec pins shortlist ⊇
+    // truth), so the stock nprobe=8 carries margin; centroid drift
+    // past that is what x2_centroid_drift monitors, and retrain ==
+    // rebuild.
+    "x2_ivf_fold_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/ivf-fold/v2/${indexKey(s, dir)}")
+      if (!store.exists(s, "ivf_centroids") || !store.exists(s, "ivf_postings")) {
+        graft.operators.Ivf.buildIndex(
+          emb.filter(col("vec_id") % 10 =!= 9), "vec_id", "embedding", store, "ivf")
+        graft.operators.Ivf.fold(s, store, "ivf",
+          emb.filter(col("vec_id") % 10 === 9), "vec_id", "embedding")
+      }
+      graft.operators.Ivf.probeTopK(s, store, "ivf",
+          emb.filter(col("vec_id") === 0L).select("embedding"),
+          queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // ---- X2pq+ivf: the production ANN stack (IVF-PQ + re-rank) ------
     // FAISS's IVF-PQ layout composed from the two persisted indexes:
     // (1) coarse probe — the nprobe nearest IVF cells, partition-
@@ -755,7 +789,7 @@ object VectorQueries {
             size(filter(v, x => abs(floor(x * lit(127d) / m + lit(0.5d))) === lit(127L))).cast("long"))
             .otherwise(lit(0L)))), 1)), 1)
 
-  private val topkOracle =
+  private[queries] val TopkOracleSql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
       |round(list_dot_product(embedding::DOUBLE[], q.qv) /
@@ -1003,8 +1037,8 @@ object VectorQueries {
         |      FROM s WHERE sim6 < 450000)
         |SELECT q, CAST(rk AS BIGINT) AS rk, cand, sim6 FROM f WHERE rk <= 3 ORDER BY q, rk""".stripMargin,
 
-    "x2_ann_topk" -> topkOracle,
-    "x2_sq_topk" -> topkOracle,
+    "x2_ann_topk" -> TopkOracleSql,
+    "x2_sq_topk" -> TopkOracleSql,
 
     "x2_norm_audit" ->
       """WITH x AS (SELECT label,
@@ -1111,8 +1145,12 @@ object VectorQueries {
         |      FROM p)
         |SELECT vec_id, label, rk, nb_id, sim6 FROM r
         |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
-    "x2_ivf_topk" -> topkOracle,
-    "x2_ivfpq_topk" -> topkOracle,
+    "x2_ivf_topk" -> TopkOracleSql,
+    "x2_ivfpq_topk" -> TopkOracleSql,
+    // the half-built + folded index must serve the exact full-corpus
+    // ranking (lost folds / double-indexing / mis-assignment all
+    // break the hash)
+    "x2_ivf_fold_topk" -> TopkOracleSql,
 
     // brute-force per-query top-5 over the batch — the gate proves the
     // one-pass pruned-postings batch probe has recall 1.0
