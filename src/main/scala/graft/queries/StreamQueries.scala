@@ -636,6 +636,53 @@ object StreamQueries {
           $"nd", $"total", $"mx".as("max_cusum"),
           when($"mx" >= $"total" * 2, 1L).otherwise(0L).as("alarmed"))
         .orderBy($"user_id")
+    }),
+
+    // ---- T8: STREAMED IVF index maintenance -------------------------
+    // Ivf.fold driven from micro-batches — the vector sibling of
+    // t6_stream_index, and the live half of the x2_ivf_fold_topk
+    // story: the index is BUILT once over the 90% bulk, then the
+    // held-out 10% arrives as 3 file-source micro-batches, each
+    // folded against the STORED centroids inside foreachBatch (only
+    // the touched cid partitions rewrite, one atomic manifest commit
+    // per fold — a crash between batches leaves the last published
+    // manifest live, and a replayed batch trips fold's overlap
+    // rejection loudly instead of double-indexing). The gate probes
+    // the final index at stock nprobe=8 and SHARES the brute-force
+    // top-10 oracle: a lost batch, double fold, or mis-assigned cell
+    // breaks the hash.
+    "t8_stream_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.functions.Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val base = s"/root/repo/target/tmp/stream-ivf/v1/${Tables.fileKey(s, dir, "embeddings.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, emb.filter(col("vec_id") % 10 === 9), "vec_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      graft.operators.Ivf.buildIndex(
+        emb.filter(col("vec_id") % 10 =!= 9), "vec_id", "embedding", store, "ivf")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              graft.operators.Ivf.fold(batch.sparkSession, store, "ivf",
+                batch, "vec_id", "embedding")
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      graft.operators.Ivf.probeTopK(s, store, "ivf",
+          emb.filter(col("vec_id") === 0L).select("embedding"), queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     })
   )
 
@@ -645,6 +692,9 @@ object StreamQueries {
     "t6_stream_index" -> TextQueries.Bm25OracleSql,
     // the streamed state machine must reproduce the batch CUSUM
     "t7_stream_cusum" -> AnalyticsQueries.CusumOracleSql,
+    // the streamed folds must serve the exact full-corpus ranking —
+    // same text as x2_topk_cosine
+    "t8_stream_ivf" -> VectorQueries.TopkOracleSql,
 
     "t3_tumbling_stats" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
