@@ -121,6 +121,38 @@ object Ivf {
       merged.repartition(col("cid")), "cid")
   }
 
+  /** Erasure: remove vectors from a persisted index — the GDPR path
+    * for the ANN store (an erased user's embedding must stop being
+    * SERVABLE, not just deleted from the source table). One
+    * column-pruned (id, cid) scan locates the touched cells, only
+    * those partitions rewrite as survivors, and a cell whose every
+    * vector dies is DROPPED from the manifest in the same atomic
+    * commit (`dropIfUnwritten`) — untouched cells' files never move.
+    * Idempotent by design (a crash-after-commit retry, or an id that
+    * was never indexed, is a no-op), so callers can re-run it until
+    * the returned count hits zero. Returns the number of postings
+    * actually removed. Cost: one id-column scan + O(touched
+    * partitions) rewrite — centroids are untouched (K fixed cells;
+    * a shrinking corpus drifts them, which `x2_centroid_drift`
+    * flags toward a rebuild). */
+  def remove(spark: org.apache.spark.sql.SparkSession, store: TableStore, name: String,
+      ids: DataFrame, idCol: String): Long = {
+    val del = ids.select(col(idCol).as("id")).distinct()
+    val hit = store.read(spark, s"${name}_postings").select("id", "cid")
+      .join(broadcast(del), Seq("id"), "left_semi")
+    // bounded driver collect: the delete set's touched cell ids (≤ K)
+    val touched = hit.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return 0L
+    val removed = hit.count()
+    val survivors = store.prunedRead(spark, s"${name}_postings", "cid", touched: Seq[Any])
+      .join(broadcast(del), Seq("id"), "left_anti")
+    store.replacePartitions(spark, s"${name}_postings",
+      survivors.repartition(col("cid")), "cid",
+      dropIfUnwritten = touched.map(c => s"cid=$c"))
+    removed
+  }
+
   /** Probe a persisted index: rank stored centroids by similarity to
     * the probe vector (bounded nprobe-row collect — the same
     * model-sized driver traffic as centroid training), then scan ONLY

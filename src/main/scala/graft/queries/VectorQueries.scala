@@ -132,6 +132,39 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2 IVF ERASURE: delete vectors, then probe -----------------
+    // The GDPR path for the ANN store (r8): an erased user's embedding
+    // must stop being SERVABLE, not just vanish from the source table.
+    // Build the full-corpus index once, then Ivf.remove the erased ids
+    // (~6% here — erasure batches are small): one column-pruned
+    // (id, cid) scan locates the touched cells, only those partitions
+    // rewrite as survivors, a fully-emptied cell is dropped from the
+    // manifest in the same atomic commit, untouched cells never move.
+    // remove is IDEMPOTENT, so it runs unconditionally after the
+    // build guard — a crash between build and remove self-heals on
+    // the next run instead of serving erased vectors forever (the
+    // x3_index_incremental half-built-store lesson). Oracle is the
+    // brute-force top-10 over the SURVIVING corpus: a leaked posting
+    // (deleted id still served) or an over-deleted survivor breaks
+    // the hash. Measured post-delete cell-rank cliff ≤ 6 at every sf
+    // (IvfRemoveSpec pins shortlist ⊇ truth), so stock nprobe=8
+    // carries margin.
+    "x2_ivf_delete_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/ivf-delete/v1/${indexKey(s, dir)}")
+      if (!store.exists(s, "ivf_centroids") || !store.exists(s, "ivf_postings"))
+        graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
+      graft.operators.Ivf.remove(s, store, "ivf",
+        emb.filter(col("vec_id") % 17 === 3).select("vec_id"), "vec_id")
+      graft.operators.Ivf.probeTopK(s, store, "ivf",
+          emb.filter(col("vec_id") === 0L).select("embedding"),
+          queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // ---- X2pq+ivf: the production ANN stack (IVF-PQ + re-rank) ------
     // FAISS's IVF-PQ layout composed from the two persisted indexes:
     // (1) coarse probe — the nprobe nearest IVF cells, partition-
@@ -1151,6 +1184,16 @@ object VectorQueries {
     // ranking (lost folds / double-indexing / mis-assignment all
     // break the hash)
     "x2_ivf_fold_topk" -> TopkOracleSql,
+    // erasure: the served ranking is the brute-force top-10 over the
+    // SURVIVING corpus only — a deleted id appearing (or a survivor
+    // missing) breaks the hash
+    "x2_ivf_delete_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |round(list_dot_product(embedding::DOUBLE[], q.qv) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0 AND vec_id % 17 <> 3
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // brute-force per-query top-5 over the batch — the gate proves the
     // one-pass pruned-postings batch probe has recall 1.0
