@@ -556,6 +556,53 @@ object AnalyticsQueries {
         .orderBy($"dow", $"hod")
     }),
 
+    // ---- A9d: PSI drift report --------------------------------------
+    // Population stability index — the standard "did the feature
+    // distribution move" card every model-serving pipeline watches:
+    // the event value distribution of the SECOND half of the time
+    // range scored against decile bins fit on the FIRST half.
+    // Bin cutpoints are exact distributed deciles of the reference
+    // half floored to 1e-6-quantized integers (the a22_pareto
+    // stats-then-apply shape — no global sort), binning is integer
+    // comparisons, and both halves count bins in ONE partial+final
+    // aggregate over a single scan. Shares are add-one smoothed over
+    // the 10 bins (an empty current bin must not produce ln 0) and
+    // reported in exact integer ppm; only the final per-bin PSI
+    // contribution (p₂−p₁)·ln(p₂/p₁) is double math, rounded to 1e-6
+    // after exactly-rounded divisions of exact integers. At 100 TB:
+    // one scan + the exactDistributed cutpoint pass, 10-row frames
+    // broadcast everywhere.
+    "a9_psi" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(unix_micros($"ts").as("us"),
+        round($"value" * 1000000).cast("long").as("v6"))
+      val mid = broadcast(ev.agg(expr("(min(us) + max(us)) div 2").as("mid")))
+      val tagged = ev.crossJoin(mid).withColumn("is_ref", $"us" < $"mid")
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        tagged.filter($"is_ref").withColumn("vd", $"v6".cast("double")), Nil, "vd",
+        (1 to 9).map(_ / 10.0), (1 to 9).map(k => s"c$k"))
+      val cutsF = cuts.select((1 to 9).map(k =>
+        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+      val counts = tagged.crossJoin(broadcast(cutsF))
+        .withColumn("bin", (1 to 9).map(k =>
+          when($"v6" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L))
+        .groupBy($"bin").agg(
+          sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when($"is_ref", 0L).otherwise(1L)).as("n_cur"))
+      val full = s.range(1, 11).select($"id".as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
+          coalesce($"n_cur", lit(0L)).as("n_cur"))
+      full.crossJoin(broadcast(full.agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))))
+        .select($"bin", $"n_ref", $"n_cur",
+          expr("((n_ref + 1) * 1000000) div (tr + 10)").as("ref_ppm"),
+          expr("((n_cur + 1) * 1000000) div (tc + 10)").as("cur_ppm"),
+          expr("""round(((n_cur + 1) / cast(tc + 10 as double) - (n_ref + 1) / cast(tr + 10 as double))
+            * ln(((n_cur + 1) / cast(tc + 10 as double)) / ((n_ref + 1) / cast(tr + 10 as double))), 6)""")
+            .as("psi_contrib"))
+        .orderBy($"bin")
+    }),
+
     // ---- A9c: CUSUM drift detection per series ----------------------
     // Sequential change detection (Page 1954) on each user's daily
     // event counts: S_k = max(0, S_{k-1} + x_k·nd − total) — the
@@ -1742,6 +1789,47 @@ object AnalyticsQueries {
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
 
     "a9_cusum" -> CusumOracleSql,
+
+    "a9_psi" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us,
+        |    CAST(ROUND(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        |tagged AS (SELECT v6, us < mid AS is_ref FROM ev CROSS JOIN mid),
+        |cut AS (SELECT
+        |    CAST(floor(quantile_cont(v6, 0.1)) AS BIGINT) AS c1,
+        |    CAST(floor(quantile_cont(v6, 0.2)) AS BIGINT) AS c2,
+        |    CAST(floor(quantile_cont(v6, 0.3)) AS BIGINT) AS c3,
+        |    CAST(floor(quantile_cont(v6, 0.4)) AS BIGINT) AS c4,
+        |    CAST(floor(quantile_cont(v6, 0.5)) AS BIGINT) AS c5,
+        |    CAST(floor(quantile_cont(v6, 0.6)) AS BIGINT) AS c6,
+        |    CAST(floor(quantile_cont(v6, 0.7)) AS BIGINT) AS c7,
+        |    CAST(floor(quantile_cont(v6, 0.8)) AS BIGINT) AS c8,
+        |    CAST(floor(quantile_cont(v6, 0.9)) AS BIGINT) AS c9
+        |  FROM tagged WHERE is_ref),
+        |b AS (SELECT 1
+        |    + (CASE WHEN v6 >= c1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v6 >= c9 THEN 1 ELSE 0 END) AS bin,
+        |    CASE WHEN is_ref THEN 1 ELSE 0 END AS r
+        |  FROM tagged CROSS JOIN cut),
+        |c AS (SELECT bin, SUM(r) AS n_ref, SUM(1 - r) AS n_cur FROM b GROUP BY 1),
+        |f AS (SELECT g.bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |  FROM (SELECT * FROM range(1, 11) t(bin)) g LEFT JOIN c USING (bin)),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM f)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(((n_ref + 1) * 1000000) // (tr + 10) AS BIGINT) AS ref_ppm,
+        |  CAST(((n_cur + 1) * 1000000) // (tc + 10) AS BIGINT) AS cur_ppm,
+        |  round(((n_cur + 1) / CAST(tc + 10 AS DOUBLE) - (n_ref + 1) / CAST(tr + 10 AS DOUBLE))
+        |    * ln(((n_cur + 1) / CAST(tc + 10 AS DOUBLE)) / ((n_ref + 1) / CAST(tr + 10 AS DOUBLE))), 6)
+        |    AS psi_contrib
+        |FROM f CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "a22_pareto" ->
       """WITH spend AS (SELECT o_custkey,
