@@ -603,6 +603,56 @@ object AnalyticsQueries {
         .orderBy($"bin")
     }),
 
+    // ---- A9e: exact two-sample Kolmogorov–Smirnov -------------------
+    // PSI's binned view (a9_psi) can hide a shift that stays inside a
+    // decile; KS is the bin-free companion: D = max |F_ref − F_cur|
+    // over the same first-half/second-half split. EXACT and
+    // engine-portable: ECDF steps only at observed 1e-6-quantized
+    // values, so D's numerator is the integer max |cr·nc − cc·nr|
+    // (cumulative counts cross-multiplied — no float ECDFs), routed
+    // through DECIMAL(38,0) against BIGINT wrap at 100 TB counts, and
+    // reported as exact integer ppm (Spark decimal `div` truncates
+    // and DuckDB HUGEINT `//` floors — identical on non-negatives;
+    // decimal `//` in DuckDB ROUNDS, measured, so the oracle routes
+    // through HUGEINT). The cumulative counts come from the
+    // DISTRIBUTED two-pass prefix sum over the distinct-value frame,
+    // bucketed by 32 exact percentile cutpoints of the value domain
+    // (stats-then-apply — balanced parallelism whatever the domain
+    // spread, no global sort, no single-partition window); the final
+    // argmax is a 1-row TakeOrderedAndProject.
+    "a9_ks" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(unix_micros($"ts").as("us"),
+        round($"value" * 1000000).cast("long").as("v6"))
+      val mid = broadcast(ev.agg(expr("(min(us) + max(us)) div 2").as("mid")))
+      val g = ev.crossJoin(mid).withColumn("is_ref", $"us" < $"mid")
+        .groupBy($"v6").agg(
+          sum(when($"is_ref", 1L).otherwise(0L)).as("dr"),
+          sum(when($"is_ref", 0L).otherwise(1L)).as("dc"))
+      val bcuts = graft.operators.Percentiles.exactDistributed(
+        g.withColumn("vd", $"v6".cast("double")), Nil, "vd",
+        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"b$k"))
+      val bcutsF = bcuts.select((1 to 31).map(k =>
+        floor(col(s"b$k")).cast("long").as(s"b$k")): _*)
+      val gb = g.crossJoin(broadcast(bcutsF))
+        .withColumn("bk", (1 to 31).map(k =>
+          when($"v6" >= col(s"b$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .select($"v6", $"dr", $"dc", $"bk")
+      val cum1 = graft.operators.Partitioning.prefixSum(
+        gb, Nil, $"bk", Seq($"v6"), $"dr", "cr")
+      val cum = graft.operators.Partitioning.prefixSum(
+        cum1, Nil, $"bk", Seq($"v6"), $"dc", "cc")
+      val tot = broadcast(g.agg(sum($"dr").as("nr"), sum($"dc").as("nc")))
+      cum.crossJoin(tot)
+        .withColumn("devn",
+          abs($"cr".cast("decimal(38,0)") * $"nc" - $"cc".cast("decimal(38,0)") * $"nr"))
+        .orderBy($"devn".desc, $"v6")
+        .limit(1)
+        .select($"v6".as("at_v6"), $"nr".as("n_ref"), $"nc".as("n_cur"),
+          expr("cast((devn * 1000000) div (cast(nr as decimal(38,0)) * nc) as bigint)")
+            .as("ks_ppm"))
+    }),
+
     // ---- A9c: CUSUM drift detection per series ----------------------
     // Sequential change detection (Page 1954) on each user's daily
     // event counts: S_k = max(0, S_{k-1} + x_k·nd − total) — the
@@ -1830,6 +1880,25 @@ object AnalyticsQueries {
         |    * ln(((n_cur + 1) / CAST(tc + 10 AS DOUBLE)) / ((n_ref + 1) / CAST(tr + 10 AS DOUBLE))), 6)
         |    AS psi_contrib
         |FROM f CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "a9_ks" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us,
+        |    CAST(ROUND(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        |g AS (SELECT v6,
+        |    SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS dr,
+        |    SUM(CASE WHEN us < mid THEN 0 ELSE 1 END) AS dc
+        |  FROM ev CROSS JOIN mid GROUP BY 1),
+        |c AS (SELECT v6,
+        |    SUM(dr) OVER w AS cr, SUM(dc) OVER w AS cc FROM g
+        |  WINDOW w AS (ORDER BY v6 ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT SUM(dr) AS nr, SUM(dc) AS nc FROM g),
+        |d AS (SELECT v6, nr, nc,
+        |    ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr) AS devn
+        |  FROM c CROSS JOIN t)
+        |SELECT v6 AS at_v6, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        |  CAST((devn * 1000000) // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_ppm
+        |FROM d ORDER BY devn DESC, v6 LIMIT 1""".stripMargin,
 
     "a22_pareto" ->
       """WITH spend AS (SELECT o_custkey,
