@@ -432,6 +432,7 @@ object CoreQueries {
   private val MorPartStorePath = "/root/repo/target/tmp/mor-part-oracle"
   private val UpdateStorePath = "/root/repo/target/tmp/update-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
+  private val IncrJoinStorePath = "/root/repo/target/tmp/incrjoin-oracle"
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
   private val KllStorePath = "/root/repo/target/tmp/kll-store"
 
@@ -1573,6 +1574,39 @@ object CoreQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- S4 family: incremental materialized-JOIN maintenance ----------
+    // IncrementalAgg's two-sided sibling (delta-join IVM, Blakeley
+    // SIGMOD'86): orders arrive year-sliced while customers arrive
+    // custkey-mod-sliced, and each batch pair folds into a maintained
+    // orders x customer join as dA JOIN B_prev UNION A_prev JOIN dB
+    // UNION dA JOIN dB — the stored-vs-stored term is never
+    // recomputed, appends are partition-per-batch manifest commits,
+    // and the bn<batch read discipline makes any crash/replay
+    // idempotent (IncrementalJoinSpec). Cross-batch matches (an order
+    // whose customer arrives two batches later) are exactly what the
+    // A_prev/B_prev terms catch; the final state must equal the
+    // one-shot join.
+    "s4_incremental_join" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(IncrJoinStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(IncrJoinStorePath)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_totalprice", year($"o_orderdate").as("yy"))
+      val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"),
+        $"c_name", $"c_acctbal")
+      val oBat = Seq(o.filter($"yy" <= 1994), o.filter($"yy" === 1995 || $"yy" === 1996),
+        o.filter($"yy" >= 1997)).map(_.drop("yy"))
+      val cBat = (0 to 2).map(i => c.filter($"o_custkey" % 3 === i))
+      (0 until 3).foreach(i => graft.operators.IncrementalJoin.applyBatch(
+        s, store, "oc", oBat(i), cBat(i), Seq("o_custkey"), i.toLong))
+      graft.operators.IncrementalJoin.read(s, store, "oc")
+        .select($"o_orderkey", $"o_custkey", $"c_name",
+          round($"o_totalprice" * 100).cast("long").as("price_c"),
+          round($"c_acctbal" * 100).cast("long").as("acctbal_c"))
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- A4: two-phase stats-then-apply (quartile assignment) ----------
     // Compute global quartile cutpoints (one stats pass → 3 doubles),
     // broadcast them, bucket every order with plain comparisons, and
@@ -2382,6 +2416,13 @@ object CoreQueries {
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "s4_incremental_join" ->
+      """SELECT o_orderkey, o_custkey, c_name,
+        |CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+        |CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "s9_zorder_scan" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
