@@ -75,4 +75,26 @@ object IncrementalJoin {
   /** The maintained join — every batch's output rows, no recompute. */
   def read(spark: SparkSession, store: TableStore, name: String): DataFrame =
     store.read(spark, side(name, "out")).drop("_ij_bn")
+
+  /** Compact batches 0..upto of all three tables into one partition
+    * each (`bn = upto`), dropping the subsumed partitions in the same
+    * atomic commit — after 10k hourly batches the store would
+    * otherwise carry 10k tiny partitions per table, and every
+    * stored-side read would list them all. Per-table atomic; a crash
+    * between tables is safe because compaction only MOVES rows to a
+    * bn that every future `bn < batch` read still includes. Contract:
+    * the next applyBatch's bn must be > upto (compaction folds
+    * history forward, so a bn at-or-below `upto` would see its own
+    * delta in the stored side). Idempotent — re-running is a same-
+    * content rewrite. */
+  def compact(spark: SparkSession, store: TableStore, name: String, upto: Long): Unit =
+    Seq("left", "right", "out").foreach { w =>
+      val t = side(name, w)
+      if (store.exists(spark, t)) {
+        val all = store.read(spark, t).filter(col("_ij_bn") <= upto)
+        store.replacePartitions(spark, t,
+          all.withColumn("_ij_bn", lit(upto)), "_ij_bn",
+          dropIfUnwritten = (0L until upto).map(b => s"_ij_bn=$b"))
+      }
+    }
 }

@@ -65,6 +65,27 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(canon(IncrementalJoin.read(s, store, "oc")) == canon(o.join(c, "o_custkey")))
   }
 
+  test("compaction folds history into one partition per table, preserves reads, and later batches still land") {
+    val s = spark
+    val (o, c, oBat, cBat) = frames()
+    val store = freshStore()
+    (0 until 2).foreach(i =>
+      IncrementalJoin.applyBatch(s, store, "oc", oBat(i), cBat(i), Seq("o_custkey"), i.toLong))
+    val beforeCompact = canon(IncrementalJoin.read(s, store, "oc"))
+    IncrementalJoin.compact(s, store, "oc", 1L)
+    assert(canon(IncrementalJoin.read(s, store, "oc")) == beforeCompact)
+    // exactly one partition value survives per table
+    for (t <- Seq("oc_left", "oc_right", "oc_out"))
+      assert(store.read(s, t).select(col("_ij_bn").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+    // idempotent
+    IncrementalJoin.compact(s, store, "oc", 1L)
+    assert(canon(IncrementalJoin.read(s, store, "oc")) == beforeCompact)
+    // the next batch folds against the compacted history correctly
+    IncrementalJoin.applyBatch(s, store, "oc", oBat(2), cBat(2), Seq("o_custkey"), 2L)
+    assert(canon(IncrementalJoin.read(s, store, "oc")) == canon(o.join(c, "o_custkey")))
+  }
+
   test("empty deltas are fine; overlapping non-key columns are rejected") {
     val s = spark; import s.implicits._
     val (_, _, oBat, cBat) = frames()
