@@ -229,6 +229,51 @@ object TextQueries {
         .limit(25)
     }),
 
+    // ---- LM-perplexity quality scoring (CCNet-style) ----------------
+    // THE classic pretraining quality filter (Wenzek et al., CCNet
+    // 2020): score each document by its negative log-likelihood under
+    // a reference language model — here the simplest real one, an
+    // add-one-smoothed bigram LM trained on the even half of the
+    // corpus, scoring the odd half. High avg NLL = out-of-domain /
+    // garbled text, the rows a quality pipeline drops or buckets.
+    // Exactness discipline: P(b|a) = (nab+1)/(na+V) is a ratio of
+    // exact integers (V = train vocab, one scalar collect), each
+    // bigram's ln is quantized to 1e-6 BEFORE summing — so the
+    // per-doc sum is exact integer arithmetic, immune to double
+    // accumulation order across partitions (the dsum lesson), and the
+    // avg is integer `div` on non-negatives (truncate == floor in
+    // both engines). Scale shape: train counts are vocab²-bounded
+    // aggregates, scoring is two left joins on (a,b)/(a) — all
+    // shuffles carry token pairs + longs, no windows, no collects
+    // beyond V.
+    "x3_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(graft.functions.TextAnalysis.tokens($"text")).as(Seq("pos", "tok")))
+        .localCheckpoint()
+      val bigrams = toks.select($"doc_id", $"pos", $"tok".as("a"))
+        .join(toks.select($"doc_id", ($"pos" - 1).as("pos"), $"tok".as("b")),
+          Seq("doc_id", "pos"))
+      val train = bigrams.filter($"doc_id" % 2 === 0)
+        .groupBy($"a", $"b").agg(count(lit(1)).as("nab"))
+        .localCheckpoint()
+      val heads = train.groupBy($"a").agg(sum($"nab").as("na"))
+      // train vocab size: ONE bounded scalar collect (the LM's |V|)
+      val vocab = toks.filter($"doc_id" % 2 === 0).select($"tok").distinct().count()
+      bigrams.filter($"doc_id" % 2 === 1)
+        .join(train, Seq("a", "b"), "left")
+        .join(heads, Seq("a"), "left")
+        .select($"doc_id", coalesce($"nab", lit(0L)).as("nab"),
+          coalesce($"na", lit(0L)).as("na"))
+        .withColumn("lp",
+          expr(s"cast(round(ln((nab + 1) / cast(na + $vocab as double)) * 1000000) as bigint)"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("nb"), (-sum($"lp")).as("nll_u6"))
+        .select($"doc_id", $"nb", $"nll_u6",
+          expr("nll_u6 div nb").as("avg_nll_u6"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- bigram next-token model (the simplest LM) ------------------
     // P(next | tok) as integer ppm over the corpus bigrams: for the
     // 10 most frequent head tokens, the top-3 continuations with
@@ -1038,6 +1083,28 @@ object TextQueries {
         |  CAST((nab * nn * 1000000) // (na.n1 * nb.n1) AS BIGINT) AS lift_ppm
         |FROM bi JOIN uni na ON na.tok = a JOIN uni nb ON nb.tok = b CROSS JOIN n
         |ORDER BY lift_ppm DESC, a, b LIMIT 25""".stripMargin,
+
+    "x3_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+        |  FROM d, LATERAL unnest(range(1, len(w))) r(i)),
+        |train AS (SELECT a, b, COUNT(*) AS nab FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |heads AS (SELECT a, SUM(nab) AS na FROM train GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vs
+        |  FROM (SELECT unnest(w) AS tok FROM d WHERE doc_id % 2 = 0)),
+        |sc AS (SELECT bg.doc_id,
+        |    COALESCE(train.nab, 0) AS nab, COALESCE(heads.na, 0) AS na
+        |  FROM bg LEFT JOIN train ON train.a = bg.a AND train.b = bg.b
+        |    LEFT JOIN heads ON heads.a = bg.a
+        |  WHERE bg.doc_id % 2 = 1),
+        |l AS (SELECT doc_id,
+        |    CAST(ROUND(ln((nab + 1) / CAST(na + vs AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+        |  FROM sc CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS nb, CAST(-SUM(lp) AS BIGINT) AS nll_u6,
+        |  CAST((-SUM(lp)) // COUNT(*) AS BIGINT) AS avg_nll_u6
+        |FROM l GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "x3_bigram_lm" ->
       """WITH d AS (SELECT doc_id,
