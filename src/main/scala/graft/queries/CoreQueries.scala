@@ -433,6 +433,15 @@ object CoreQueries {
   private val UpdateStorePath = "/root/repo/target/tmp/update-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val IncrJoinStorePath = "/root/repo/target/tmp/incrjoin-oracle"
+
+  // shared with t9_stream_ivm: the streamed IVM folds must serve the
+  // identical one-shot join
+  private[queries] val IncrJoinOracleSql =
+    """SELECT o_orderkey, o_custkey, c_name,
+      |CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+      |CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
   private val KllStorePath = "/root/repo/target/tmp/kll-store"
 
@@ -2417,12 +2426,7 @@ object CoreQueries {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
-    "s4_incremental_join" ->
-      """SELECT o_orderkey, o_custkey, c_name,
-        |CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
-        |CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin,
+    "s4_incremental_join" -> IncrJoinOracleSql,
 
     "s9_zorder_scan" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

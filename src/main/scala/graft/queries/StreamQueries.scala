@@ -683,6 +683,75 @@ object StreamQueries {
           emb.filter(col("vec_id") === 0L).select("embedding"), queryId = 0L, k = 10)
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // ---- T9: STREAMED incremental-join maintenance ------------------
+    // The live half of the delta-join IVM story (s4_incremental_join):
+    // a CDC-pair FEED — each staged file carries one batch pair's
+    // rows for BOTH relations, side-tagged in one union schema (how a
+    // multi-table changefeed actually arrives) — replays as
+    // micro-batches, and foreachBatch splits each pair and folds it
+    // via IncrementalJoin.applyBatch. The bn comes from the DATA, not
+    // the stream's batch id (robust to retries coalescing files), and
+    // a replayed batch is a same-partition overwrite — idempotent by
+    // the bn<batch read discipline. Shares the one-shot join oracle:
+    // a lost pair, reordered fold, or double-counted dA JOIN dB term
+    // breaks the hash.
+    "t9_stream_ivm" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        $"o_totalprice", year($"o_orderdate").as("yy"))
+      val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"),
+        $"c_name", $"c_acctbal")
+      val oBat = Seq(o.filter($"yy" <= 1994), o.filter($"yy" === 1995 || $"yy" === 1996),
+        o.filter($"yy" >= 1997)).map(_.drop("yy"))
+      val cBat = (0 to 2).map(i => c.filter($"o_custkey" % 3 === i))
+      val feed = (0 to 2).map { i =>
+        oBat(i).select(lit(i.toLong).as("bn"), lit("o").as("side"),
+            $"o_orderkey", $"o_custkey", $"o_totalprice",
+            lit(null).cast("string").as("c_name"), lit(null).cast("double").as("c_acctbal"))
+          .unionByName(cBat(i).select(lit(i.toLong).as("bn"), lit("c").as("side"),
+            lit(null).cast("long").as("o_orderkey"), $"o_custkey",
+            lit(null).cast("double").as("o_totalprice"), $"c_name", $"c_acctbal"))
+      }.reduce(_ unionByName _)
+      val base = s"/root/repo/target/tmp/stream-ivm/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, feed, "bn", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sb = batch.sparkSession
+            import sb.implicits._
+            val bns = batch.select($"bn").distinct()
+              .collect().map(_.getLong(0)).sorted
+            bns.foreach { b =>
+              val sub = batch.filter($"bn" === b)
+              graft.operators.IncrementalJoin.applyBatch(sb, store, "oc",
+                sub.filter($"side" === "o")
+                  .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+                sub.filter($"side" === "c")
+                  .select($"o_custkey", $"c_name", $"c_acctbal"),
+                Seq("o_custkey"), b)
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      graft.operators.IncrementalJoin.read(s, store, "oc")
+        .select($"o_orderkey", $"o_custkey", $"c_name",
+          round($"o_totalprice" * 100).cast("long").as("price_c"),
+          round($"c_acctbal" * 100).cast("long").as("acctbal_c"))
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -695,6 +764,9 @@ object StreamQueries {
     // the streamed folds must serve the exact full-corpus ranking —
     // same text as x2_topk_cosine
     "t8_stream_ivf" -> VectorQueries.TopkOracleSql,
+    // the streamed IVM folds must serve the identical one-shot join —
+    // same text as s4_incremental_join
+    "t9_stream_ivm" -> CoreQueries.IncrJoinOracleSql,
 
     "t3_tumbling_stats" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
