@@ -1066,6 +1066,47 @@ object AnalyticsQueries {
         .orderBy($"n_sampled_edges")
     }),
 
+    // ---- A23: peak concurrency (sweep line) -------------------------
+    // Capacity planning's first question: the maximum number of
+    // simultaneously-open sessions, and when it first occurs. Sessions
+    // are the 30-min-gap kind (t3_session_stats semantics, inclusive
+    // [first_ts, last_ts] span); each contributes +1/−1 boundary
+    // events and concurrency is the running net — the classical sweep
+    // line. Determinism trap handled: per-row cumulative values are
+    // AMBIGUOUS when several boundaries share a timestamp (equal
+    // window order keys permute freely), so boundaries collapse to one
+    // row per distinct timestamp first (starts, net), the running net
+    // C comes from the DISTRIBUTED prefix sum (bucketed by day — a
+    // monotone coarsening of the order, no single-partition window),
+    // and the peak at a timestamp is the exact C − net + starts
+    // (all starts apply before any end at the same instant). Max +
+    // argmin timestamp is a 1-row TakeOrderedAndProject.
+    "a23_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val byTs = Window.partitionBy($"user_id").orderBy($"ts")
+      val sess = Tables.events(s, dir)
+        .select($"user_id", $"ts")
+        .withColumn("prev_ts", lag($"ts", 1).over(byTs))
+        .withColumn("new_s", when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") >= 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum($"new_s").over(
+          byTs.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sid")
+        .agg(unix_micros(min($"ts")).as("st"), unix_micros(max($"ts")).as("en"))
+      val bounds = sess.select($"st".as("us"), lit(1L).as("d"))
+        .unionByName(sess.select($"en".as("us"), lit(-1L).as("d")))
+        .groupBy($"us").agg(sum(when($"d" === 1L, 1L).otherwise(0L)).as("starts"),
+          sum($"d").as("net"))
+      val cum = graft.operators.Partitioning.prefixSum(
+        bounds, Nil, expr("us div 86400000000"), Seq($"us"), $"net", "c")
+      val nSess = broadcast(sess.groupBy().agg(count(lit(1)).as("n_sessions")))
+      cum.withColumn("peak", $"c" - $"net" + $"starts")
+        .orderBy($"peak".desc, $"us")
+        .limit(1)
+        .crossJoin(nSess)
+        .select($"peak".as("max_concurrent"), $"us".as("at_us"), $"n_sessions")
+    }),
+
     // ---- A13: time-weighted average (TWAP / sensor integration) -----
     // The irregular-sampling average: each observation's value holds
     // until the next one, so the mean weights by HOLD DURATION, not by
@@ -1899,6 +1940,34 @@ object AnalyticsQueries {
         |SELECT v6 AS at_v6, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
         |  CAST((devn * 1000000) // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_ppm
         |FROM d ORDER BY devn DESC, v6 LIMIT 1""".stripMargin,
+
+    "a23_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sgrp AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |), sess AS (
+        |  SELECT user_id, sid, epoch_us(MIN(ts)) AS st, epoch_us(MAX(ts)) AS en
+        |  FROM sgrp GROUP BY 1, 2
+        |), b AS (
+        |  SELECT us, SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS starts, SUM(d) AS net
+        |  FROM (SELECT st AS us, 1 AS d FROM sess UNION ALL SELECT en, -1 FROM sess)
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT us, starts, net,
+        |    SUM(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS cnet
+        |  FROM b
+        |), t AS (SELECT COUNT(*) AS n_sessions FROM sess)
+        |SELECT CAST(cnet - net + starts AS BIGINT) AS max_concurrent, us AS at_us, n_sessions
+        |FROM c CROSS JOIN t
+        |ORDER BY max_concurrent DESC, us LIMIT 1""".stripMargin,
 
     "a22_pareto" ->
       """WITH spend AS (SELECT o_custkey,
