@@ -1066,6 +1066,43 @@ object AnalyticsQueries {
         .orderBy($"n_sampled_edges")
     }),
 
+    // ---- A24: Gini coefficient (inequality index) -------------------
+    // The one-number companion to a22_pareto's decile curve:
+    // G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending
+    // per-customer spend — EXACT, because ties make Σ i·xᵢ
+    // order-invariant (equal x under permuted ranks sums identically)
+    // and everything is integer cents routed through DECIMAL(38,0)
+    // (n²·x·10⁶ ~ 1e33 at 1e9 customers — past BIGINT, inside
+    // decimal). The global rank i comes from the DISTRIBUTED prefix
+    // sum of 1s, bucketed by 32 exact percentile cutpoints of spend
+    // (stats-then-apply — no single-partition row_number over the
+    // customer base). Reported as exact integer ppm; oracle replays
+    // with row_number + HUGEINT (DuckDB decimal `//` rounds — the
+    // a9_ks finding — so the oracle stays on HUGEINT).
+    "a24_gini" -> ((s, dir) => {
+      import s.implicits._
+      val spend = Tables.orders(s, dir).groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        spend.withColumn("xd", $"x".cast("double")), Nil, "xd",
+        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"c$k"))
+      val cutsF = cuts.select((1 to 31).map(k =>
+        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+      val bucketed = spend.crossJoin(broadcast(cutsF))
+        .withColumn("bk", (1 to 31).map(k =>
+          when($"x" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .select($"o_custkey", $"x", $"bk")
+      val ranked = graft.operators.Partitioning.prefixSum(
+        bucketed, Nil, $"bk", Seq($"x", $"o_custkey"), lit(1L), "i")
+      ranked.agg(count(lit(1)).as("n"),
+          sum($"x".cast("decimal(38,0)")).as("s0"),
+          sum($"i".cast("decimal(38,0)") * $"x").as("s1"))
+        .select($"n", $"s0".cast("long").as("total_cents"),
+          expr("cast(((2 * s1 - (n + 1) * s0) * 1000000) div (n * s0) as bigint)")
+            .as("gini_ppm"))
+        .orderBy($"n")
+    }),
+
     // ---- A23: peak concurrency (sweep line) -------------------------
     // Capacity planning's first question: the maximum number of
     // simultaneously-open sessions, and when it first occurs. Sessions
@@ -1940,6 +1977,18 @@ object AnalyticsQueries {
         |SELECT v6 AS at_v6, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
         |  CAST((devn * 1000000) // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_ppm
         |FROM d ORDER BY devn DESC, v6 LIMIT 1""".stripMargin,
+
+    "a24_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend),
+        |a AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s0,
+        |    SUM(CAST(i AS HUGEINT) * x) AS s1 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(s0 AS BIGINT) AS total_cents,
+        |  CAST(((2 * s1 - (n + 1) * s0) * 1000000) // (CAST(n AS HUGEINT) * s0) AS BIGINT)
+        |    AS gini_ppm
+        |FROM a ORDER BY n""".stripMargin,
 
     "a23_concurrency" ->
       """WITH x AS (
