@@ -94,7 +94,13 @@ object Dedup {
     * Output: (idA, idB) with idA < idB, deduplicated. Work is
     * O(docs × bands); the only pairwise step is the equi-join on
     * (band, h), which touches colliding docs only. */
-  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+  /** Per-doc LSH band keys (id, band, h) — the rows a persisted
+    * bucket index stores, and the probe side of an incremental
+    * near-dup check (t10_stream_neardup). Signature depends only on
+    * the text, so band keys computed batch-by-batch equal the
+    * one-shot computation — incremental candidate generation is
+    * exactly the one-shot candidate set. */
+  def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "signature length must divide into bands")
     val r = k / bands
@@ -109,9 +115,13 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r), lit(b)).as("h"))
     }
-    val buckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bh"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val buckets = bandBuckets(docs, idCol, textCol, n, k, bands)
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&

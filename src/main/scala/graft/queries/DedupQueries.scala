@@ -579,7 +579,7 @@ object DedupQueries {
       |FROM g a JOIN g b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.grams, b.grams)) * 5 >= least(len(a.grams), len(b.grams)) * 4""".stripMargin
 
-  private val jaccardOracle =
+  private[queries] val jaccardOracle =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
       |        CASE WHEN len(w) >= 3

@@ -752,6 +752,87 @@ object StreamQueries {
           round($"o_totalprice" * 100).cast("long").as("price_c"),
           round($"c_acctbal" * 100).cast("long").as("acctbal_c"))
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- T10: STREAMED near-dup gate (MinHash-LSH state) ------------
+    // t4_stream_dedup's NEAR-dup sibling — the steady-state corpus
+    // ingest shape: documents arrive in doc_id order as micro-batches,
+    // each batch's LSH band keys probe the persisted bucket index for
+    // candidates against EVERYTHING that arrived before (plus
+    // within-batch pairs), candidates are exact-verified at Jaccard ≥
+    // 0.6 with the verify explode scoped to TOUCHED docs only
+    // (O(matched), not O(corpus)), and a doc is flagged dup iff it
+    // pairs with ANY earlier doc — the drop-if-any-earlier contract,
+    // which is order-deterministic and equals the one-shot rule
+    // "dropped = larger member of any verified pair". ALL docs' band
+    // keys fold into the index (dropped ones too — later arrivals
+    // must still collide with them), via per-batch partition commits
+    // (replay = same-partition overwrite, idempotent). Band keys
+    // depend only on text, so incremental candidates == one-shot
+    // candidates; 16×4 banding misses a ≥0.6 pair with probability
+    // ~1e-15 on this corpus (the x1_minhash_lsh argument), so the
+    // gate shares the EXACT-Jaccard oracle's dropped set.
+    "t10_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.functions.Functions.register(s)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val base = s"/root/repo/target/tmp/stream-neardup/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, docs, "doc_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val sb = batch.sparkSession
+            val bb = graft.operators.Dedup.bandBuckets(batch, "doc_id", "text",
+              n = 3, k = 64, bands = 16)
+            val candOld =
+              if (store.exists(sb, "nd_buckets")) {
+                val o = store.read(sb, "nd_buckets").drop("_nd_bn").alias("o")
+                bb.alias("nw").join(o,
+                  col("o.band") === col("nw.band") && col("o.h") === col("nw.h") &&
+                    col("o.id") < col("nw.id"))
+                  .select(col("o.id").as("idA"), col("nw.id").as("idB"))
+              } else bb.limit(0).select(col("id").as("idA"), col("id").as("idB"))
+            val candIn = bb.alias("a").join(bb.alias("b"),
+                col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+                  col("a.id") < col("b.id"))
+              .select(col("a.id").as("idA"), col("b.id").as("idB"))
+            val cands = candOld.unionByName(candIn).distinct()
+            val prevDocs =
+              if (store.exists(sb, "nd_docs")) store.read(sb, "nd_docs").drop("_nd_bn")
+              else batch.limit(0)
+            // verify explode scoped to docs that appear in a candidate
+            val ids = cands.select(col("idA").as("doc_id"))
+              .unionByName(cands.select(col("idB").as("doc_id"))).distinct()
+            val touched = prevDocs.unionByName(batch).join(ids, Seq("doc_id"), "left_semi")
+            val dropped = graft.operators.Dedup.verifyPairs(cands, touched, "doc_id", "text", n = 3)
+              .filter(col("n_common") * 5 >= col("n_union") * 3)
+              .select(col("idB").as("doc_id")).distinct()
+            val flags = batch.select("doc_id", "lang")
+              .join(dropped.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+              .select(col("doc_id"), col("lang"), coalesce(col("dup"), lit(0L)).as("dup"))
+            store.replacePartitions(sb, "nd_flags", flags.withColumn("_nd_bn", lit(bid)), "_nd_bn")
+            store.replacePartitions(sb, "nd_docs", batch.withColumn("_nd_bn", lit(bid)), "_nd_bn")
+            store.replacePartitions(sb, "nd_buckets", bb.withColumn("_nd_bn", lit(bid)), "_nd_bn")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "nd_flags")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup") === 0L, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -767,6 +848,15 @@ object StreamQueries {
     // the streamed IVM folds must serve the identical one-shot join —
     // same text as s4_incremental_join
     "t9_stream_ivm" -> CoreQueries.IncrJoinOracleSql,
+    // the streamed near-dup flags must reproduce the one-shot rule:
+    // dropped = larger member of any EXACT-verified ≥0.6-Jaccard pair
+    // (the x1_minhash_lsh oracle's pair set)
+    "t10_stream_neardup" ->
+      s"""WITH pairs AS (${DedupQueries.jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
+        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t3_tumbling_stats" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
