@@ -219,6 +219,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"Sort \\[cnt".r.unanchored.matches(p), p.take(1500))
   }
 
+  for (q <- Seq("a9_ks", "a23_concurrency", "a24_gini"))
+    test(s"$q: every cumulative window is bucket-partitioned (distributed prefix sum, no global sort)") {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      val plan = AnalyticsQueries.all(q)(spark, dir).queryExecution.executedPlan
+      // AQE wraps the tree: collect must descend through every
+      // AdaptiveSparkPlanExec's current physical plan
+      def winNodes(p: SparkPlan): Seq[WindowExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => winNodes(a.executedPlan)
+        case w: WindowExec            => Seq(w)
+      }.flatten
+      // the r8 sweep/rank queries must never degenerate into ONE
+      // unpartitioned window over the value/boundary frame — the
+      // geometry VERDICT r7 flagged in x3_vocab_encode. Structural
+      // rule: every WindowExec is either PARTITIONED (pid chunks, user
+      // sessions, …) or runs over the bucket-SUBTOTAL frame — ordered
+      // by the bucket id itself (pid / _ps_bucket), whose row count is
+      // the partition count, bounded by construction, never the data.
+      val wins = winNodes(plan)
+      assert(wins.nonEmpty, plan.toString.take(1500))
+      wins.foreach { w =>
+        val ok = w.partitionSpec.nonEmpty ||
+          w.orderSpec.forall { so =>
+            val s = so.child.sql
+            s.contains("pid") || s.contains("_ps_bucket")
+          }
+        assert(ok, s"unpartitioned window over a data-sized frame: $w")
+      }
+      // the sweep queries' final max/argmax is a 1-row partial top-k,
+      // not a global sort (gini ends in a partial+final scalar
+      // aggregate instead; its only sorts are the range-partitioned
+      // local sorts inside the distributed ranking)
+      if (q != "a24_gini")
+        assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString.take(1500))
+    }
+
   test("a14_copurchase: the 4-times-referenced distinct item set reuses one exchange") {
     val df = AnalyticsQueries.all("a14_copurchase")(spark, dir)
     df.collect() // AQE finalizes exchange reuse at runtime
