@@ -165,4 +165,59 @@ object Graph {
     require(done, s"labelPropagation did not converge in $maxIter rounds")
     labels
   }
+
+  /** Weighted single-source shortest paths from the graph's minimum
+    * node id: (node, dist) for every node reachable from the source,
+    * dist = minimum total edge weight. Frontier-based Bellman–Ford
+    * (the distributed-standard SSSP plan — Δ-stepping's degenerate
+    * single-bucket form): each round relaxes only edges OUT OF nodes
+    * whose distance improved last round, takes the per-target min in
+    * one hash aggregate, and keeps the candidates that BEAT the
+    * current distance table. Unlike [[bfsLevels]] a node can re-enter
+    * the frontier (a longer-hop path may be lighter), so the round
+    * count is bounded by the weighted-path hop depth, not the
+    * unweighted eccentricity — still graph-shaped, never node-count.
+    *
+    * Input: (a, b, w) edge frame, one row per undirected edge,
+    * integer weight w ≥ 0. Output: (node, dist), longs.
+    *
+    * Scale shape: per-round exchanges carry (long, long) rows; the
+    * distance table updates by anti-join ∪ improved (never a full
+    * rebuild); frontier and distances `localCheckpoint` per round so
+    * lineage stays O(1). An empty improvement set IS the fixpoint
+    * (triangle inequality: once no candidate beats its current
+    * distance, none ever will); `maxIter` is a loud backstop. */
+  def sssp(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(true)
+    // one-value driver collect: the deterministic source
+    val src = edges.select(least(col("a"), col("b")).as("n"))
+      .agg(min(col("n"))).head.getLong(0)
+    var dist = Seq((src, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = dist
+    var active = 1L
+    var it = 0
+    while (active > 0 && it < maxIter) {
+      val cand = und
+        .join(frontier.select(col("node").as("u"), col("dist").as("fd")), Seq("u"))
+        .select(col("v").as("node"), (col("fd") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      active = improved.count()
+      if (active > 0) {
+        dist = dist.join(improved, Seq("node"), "left_anti")
+          .union(improved).localCheckpoint(true)
+        frontier = improved
+      }
+      it += 1
+    }
+    require(active == 0, s"sssp did not converge in $maxIter rounds")
+    dist
+  }
 }

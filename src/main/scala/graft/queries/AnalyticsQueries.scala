@@ -684,6 +684,42 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- A25: Holt double-exponential forecast (α = β = ½) ----------
+    // The time-series companion to CUSUM: per-user daily activity
+    // smoothed by Holt's linear-trend recurrence and projected 7 days
+    // out — the capacity-planning / anomaly-baseline query every
+    // activity monitor runs. α = β = ½ makes both updates an integer
+    // halving over milli-unit counts: l_t = (x_t + l_{t−1} + b_{t−1})
+    // div 2, b_t = (l_t − l_{t−1} + b_{t−1}) div 2, init (l_1, b_1) =
+    // (x_1, 0); division is SYMMETRIC truncation via CASE on the
+    // negated-positive operand, which reads identically in both
+    // engines whatever their negative-div convention. Same plan shape
+    // as a9_cusum: one daily aggregate, then the per-user fold as a
+    // codegen'd `aggregate` over the day-sorted list — state is one
+    // (l, b) pair, the shuffle carries (user, day, count) rows, and
+    // series length is bounded by the time range, never event volume.
+    // Oracle: the CusumOracleSql recursive-CTE discipline.
+    "a25_holt" -> ((s, dir) => {
+      import s.implicits._
+      val t2 = (v: String) =>
+        s"case when ($v) < 0 then -((-($v)) div 2) else ($v) div 2 end"
+      val lNew = t2("e.x * 1000 + acc.l + acc.b")
+      val daily = Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("xs"),
+          count(lit(1)).as("nd"))
+        .withColumn("lb", expr(
+          "aggregate(slice(xs, 2, size(xs) - 1), " +
+            "named_struct('l', element_at(xs, 1).x * 1000, 'b', cast(0 as bigint)), " +
+            s"(acc, e) -> named_struct('l', $lNew, 'b', ${t2(s"($lNew) - acc.l + acc.b")}))"))
+        .select($"user_id", $"nd",
+          $"lb.l".as("level_m"), $"lb.b".as("trend_m"),
+          ($"lb.l" + $"lb.b" * 7L).as("fc7_m"))
+        .orderBy($"user_id")
+    }),
+
     // ---- A14b: frequent triples (market-basket, order 3) ------------
     // One level past pair co-purchase: the top part TRIPLES by basket
     // support. Generation is the within-basket 3-way self-join keyed
@@ -831,6 +867,35 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_nodes"),
           min($"node").as("min_node"), max($"node").as("max_node"))
         .orderBy($"lvl")
+    }),
+
+    // ---- A19e: weighted shortest paths (Graph.sssp) -----------------
+    // BFS's weighted sibling: hop count is the wrong metric when
+    // edges carry strength — here distance = 1e6 div pair_n (strong
+    // co-purchase links are short), so the result ranks parts by
+    // weighted AFFINITY to the min-id source, and a multi-hop chain
+    // of strong links beats a direct weak edge (3309 of sf0.1's
+    // 20000 distances are non-multiples of 1e6 — weighted ≠ hop count
+    // for them). Frontier Bellman–Ford (see Graph.sssp: rounds =
+    // weighted hop depth, per-round exchanges carry (long, long)).
+    // The FULL co-purchase graph, not the pair_n ≥ 2 repeat graph —
+    // the repeat graph shatters at sf0.1 (largest component 14 nodes,
+    // a trivial gate); the full graph keeps the entire catalog in one
+    // component at every sf. Weights are exact integer division in
+    // both engines. Oracle: unrolled full-table relaxation rounds
+    // d0..d10 — each round is min(prev ∪ prev⋈edges) per node, so one
+    // CTE per round at ≤|V|+|E| rows, NO path enumeration (a
+    // recursive walk dedups on (node, dist) and explodes
+    // combinatorially on a dense graph); measured convergence depth
+    // is ≤4 improving rounds (+1 confirm) at sf0.001/0.01/0.1, so 10
+    // unrolled rounds == fixpoint with 2× margin (rounds past
+    // fixpoint are identity).
+    "a19_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val edges = copurchaseStore(s, dir).read(s, "pairs")
+        .select($"part_a".as("a"), $"part_b".as("b"),
+          expr("1000000 div pair_n").cast("long").as("w"))
+      graft.operators.Graph.sssp(edges).orderBy($"node")
     }),
 
     // ---- A18: k-anonymity audit (privacy governance) ----------------
@@ -1291,6 +1356,33 @@ object AnalyticsQueries {
     * project it away for free thanks to column pruning), per-item
     * `supports`, and the basket-count `stats` row. fileKey abandons
     * the artifact if the testdata is regenerated. */
+  /** One text, two engines' folds: the batch x5_funnel staged windows
+    * and the streamed t11_stream_funnel state machine resolve this
+    * same per-user stage progression. */
+  private[queries] val FunnelOracleSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |s1 AS (SELECT user_id, ts, event_id, event_type,
+      |  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s2 AS (SELECT user_id, ts, event_id, event_type, t_view,
+      |  MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) OVER w AS t_click
+      |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s3 AS (SELECT user_id, ts, event_id, t_view, t_click,
+      |  MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) OVER w AS t_purchase
+      |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |agg AS (SELECT user_id, MIN(t_view) AS ts_view, MIN(t_click) AS ts_click,
+      |  MIN(t_purchase) AS ts_purchase FROM s3 GROUP BY 1)
+      |SELECT user_id,
+      |  CASE WHEN ts_purchase IS NOT NULL THEN 'purchase'
+      |       WHEN ts_click IS NOT NULL THEN 'click'
+      |       WHEN ts_view IS NOT NULL THEN 'view'
+      |       ELSE 'none' END AS reached,
+      |  ts_view, ts_click, ts_purchase
+      |FROM agg ORDER BY user_id""".stripMargin
+
   /** One text, two engines' folds: the batch a9_cusum aggregate and
     * the streamed t7_stream_cusum state machine replay this same
     * day-by-day recurrence. */
@@ -1433,6 +1525,36 @@ object AnalyticsQueries {
         |FROM (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // 10 unrolled Bellman–Ford relaxation rounds ≥ the measured
+    // fixpoint depth (≤4 improving rounds + confirm at every shipped
+    // sf); rounds past fixpoint are identity CTEs. Full-table
+    // relaxation per round (min over prev ∪ prev⋈und), NEVER a
+    // recursive path walk — a dense graph enumerates exponentially
+    // many (node, dist) pairs under UNION-dedup. Every d_i is
+    // MATERIALIZED: each is referenced twice by round i+1, so default
+    // inlining would expand d10 into ~2^10 scans of lineitem.
+    "a19_sssp" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT u.v, p.dist + u.w FROM d${i - 1} p JOIN und u ON u.u = p.node
+           |) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS pair_n
+         |      FROM items a JOIN items b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |      GROUP BY 1, 2),
+         |we AS MATERIALIZED (SELECT a, b, 1000000 // pair_n AS w FROM e),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v, w FROM we
+         |                     UNION ALL SELECT b, a, w FROM we),
+         |src AS (SELECT MIN(a) AS s FROM we),
+         |d0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src),
+         |$rounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d10 ORDER BY node""".stripMargin
+    },
+
     "a19_kcore" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -1535,29 +1657,7 @@ object AnalyticsQueries {
         |  COUNT(*) AS n_events, MIN(ts) AS s_start, MAX(ts) AS s_end
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "x5_funnel" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
-        |s1 AS (SELECT user_id, ts, event_id, event_type,
-        |  MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_view
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |s2 AS (SELECT user_id, ts, event_id, event_type, t_view,
-        |  MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END) OVER w AS t_click
-        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |s3 AS (SELECT user_id, ts, event_id, t_view, t_click,
-        |  MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END) OVER w AS t_purchase
-        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |agg AS (SELECT user_id, MIN(t_view) AS ts_view, MIN(t_click) AS ts_click,
-        |  MIN(t_purchase) AS ts_purchase FROM s3 GROUP BY 1)
-        |SELECT user_id,
-        |  CASE WHEN ts_purchase IS NOT NULL THEN 'purchase'
-        |       WHEN ts_click IS NOT NULL THEN 'click'
-        |       WHEN ts_view IS NOT NULL THEN 'view'
-        |       ELSE 'none' END AS reached,
-        |  ts_view, ts_click, ts_purchase
-        |FROM agg ORDER BY user_id""".stripMargin,
+    "x5_funnel" -> FunnelOracleSql,
 
     "x5_funnel_timing" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
@@ -1917,6 +2017,29 @@ object AnalyticsQueries {
         |ORDER BY pair_n DESC, lift_ppm DESC, part_a, part_b LIMIT 25""".stripMargin,
 
     "a9_cusum" -> CusumOracleSql,
+
+    // Holt recurrence replayed day by day; the big CASE is l_t twice
+    // (SQL can't name a sibling field) — symmetric-truncation halving
+    // on a positive operand, so both engines' div conventions agree
+    "a25_holt" -> {
+      val t2 = (v: String) =>
+        s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
+      val lNew = t2("di.xm + rec.l + rec.b")
+      s"""WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |di AS (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+        |    x * 1000 AS xm FROM daily),
+        |rec(user_id, i, l, b) AS (
+        |  SELECT user_id, i, xm, CAST(0 AS BIGINT) FROM di WHERE i = 1
+        |  UNION ALL
+        |  SELECT di.user_id, di.i, $lNew, ${t2(s"($lNew) - rec.l + rec.b")}
+        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
+        |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1)
+        |SELECT r.user_id, CAST(fin.n AS BIGINT) AS nd, r.l AS level_m, r.b AS trend_m,
+        |       r.l + 7 * r.b AS fc7_m
+        |FROM rec r JOIN fin ON fin.user_id = r.user_id AND r.i = fin.n
+        |ORDER BY r.user_id""".stripMargin
+    },
 
     "a9_psi" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us,

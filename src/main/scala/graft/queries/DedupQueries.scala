@@ -505,6 +505,49 @@ object DedupQueries {
         .orderBy(col("k_a"), col("k_b"))
     }),
 
+    // ---- Fellegi–Sunter probabilistic record linkage ----------------
+    // The decision layer classic record linkage puts ON TOP of blocked
+    // candidates (Fellegi & Sunter JASA'69): each field comparison
+    // contributes log2(m/u) milli-bits on agreement and
+    // log2((1−m)/(1−u)) on disagreement; the summed score classifies
+    // link / possible / nonlink against declared thresholds. Bench
+    // fixture in the FEBRL tradition: a deterministic DIRTY copy of
+    // part (3rd name char dropped, attributes kept) linked back
+    // against the clean table, so ground truth is the key itself and
+    // the report carries true-match counts per decision. Weights are
+    // DECLARED integer constants (m/u per field: name-jw≥0.9
+    // .97/.02 → +5600/−5030, type .97/.17 → +2513/−4790, size
+    // .97/.02 → +5600/−5030; production fits them by EM — Winkler
+    // '88); everything after the one jaro_winkler call per candidate
+    // is integer CASE arithmetic, identical in both engines. Plan:
+    // within-brand equi-join (Σ block², never n²), one codegen pass,
+    // one 3-row aggregate. The JaroPruneRule length guard
+    // auto-injects on the ≥0.9 filter threshold exactly as in
+    // x1_jaro_linkage.
+    "x1_fs_linkage" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val p = Tables.part(s, dir)
+      val clean = p.select(col("p_partkey").as("ck"), col("p_name").as("cname"),
+        col("p_brand"), col("p_type").as("ctype"), col("p_size").as("csize"))
+      val dirty = p.select(col("p_partkey").as("dk"),
+        expr("substr(p_name, 1, 2) || substr(p_name, 4)").as("dname"),
+        col("p_brand"), col("p_type").as("dtype"), col("p_size").as("dsize"))
+      clean.join(dirty, Seq("p_brand"))
+        .withColumn("score",
+          when(call_function("jaro_winkler", col("cname"), col("dname")) >= 0.9,
+            5600L).otherwise(-5030L)
+          + when(col("ctype") === col("dtype"), 2513L).otherwise(-4790L)
+          + when(col("csize") === col("dsize"), 5600L).otherwise(-5030L))
+        .withColumn("decision",
+          when(col("score") >= 9000L, "link")
+            .when(col("score") < 0L, "nonlink").otherwise("possible"))
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ck") === col("dk"), 1L).otherwise(0L)).as("n_true"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("decision"))
+    }),
+
     // ---- edit-distance near-dup (blocked, never all-pairs) ----------
     // Fuzzy-match part names within p_brand blocks: the self-join is
     // an EQUI-join on the blocking key (shuffle-hash by brand), so
@@ -735,6 +778,23 @@ object DedupQueries {
         |  ON a.p_brand = b.p_brand AND a.c1 = b.c1 AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.9
         |ORDER BY k_a, k_b""".stripMargin,
+
+    "x1_fs_linkage" ->
+      """WITH dirty AS (SELECT p_partkey AS dk, substr(p_name, 1, 2) || substr(p_name, 4) AS dname,
+        |                      p_brand, p_type AS dtype, p_size AS dsize FROM part),
+        |sc AS (SELECT c.p_partkey AS ck, d.dk,
+        |         (CASE WHEN jaro_winkler_similarity(c.p_name, d.dname) >= 0.9 THEN 5600 ELSE -5030 END
+        |        + CASE WHEN c.p_type = d.dtype THEN 2513 ELSE -4790 END
+        |        + CASE WHEN c.p_size = d.dsize THEN 5600 ELSE -5030 END) AS score
+        |       FROM part c JOIN dirty d ON c.p_brand = d.p_brand),
+        |dec AS (SELECT ck, dk, score,
+        |         CASE WHEN score >= 9000 THEN 'link' WHEN score < 0 THEN 'nonlink'
+        |              ELSE 'possible' END AS decision
+        |        FROM sc)
+        |SELECT decision, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CASE WHEN ck = dk THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |       CAST(MIN(score) AS BIGINT) AS min_score, CAST(MAX(score) AS BIGINT) AS max_score
+        |FROM dec GROUP BY 1 ORDER BY decision""".stripMargin,
 
     "x1_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)

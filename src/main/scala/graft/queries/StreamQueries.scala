@@ -833,6 +833,59 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("dup") === 0L, 1L).otherwise(0L)).as("n_kept"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
+    // x5_funnel's per-user stage machine maintained LIVE
+    // (Streams.funnelStates): the events corpus replays as 4
+    // ts-ordered micro-batches, each batch advances every touched
+    // user's (view, click, purchase) triple in (ts, event_id) order,
+    // and the running snapshot upserts into the store keyed on user —
+    // so stage transitions that STRADDLE batch boundaries (a view in
+    // batch 1 whose click lands in batch 3) are exactly what the gate
+    // exercises. The final store must hash-match the one-shot batch
+    // staged-window oracle (shared text): a lost transition, a
+    // re-anchored view, or an out-of-order stage advance breaks it.
+    "t11_stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val uidType = ev.schema("user_id").dataType
+      val keyed = ev.select($"user_id".cast("string").as("key"),
+        unix_micros($"ts").as("tsUs"), $"event_id".cast("long").as("eid"),
+        $"event_type".as("etype"), $"ts")
+      val base = s"/root/repo/target/tmp/stream-funnel/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, keyed, "ts", stage, 4)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.funnelStates(
+            stream.select($"key", $"tsUs", $"eid", $"etype").as[Streams.FunnelEvent])
+          .toDF()
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            store.upsert(b.sparkSession, "funnel", b, Seq("key"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "funnel")
+        .select($"key".cast(uidType).as("user_id"),
+          when($"tp" >= 0, "purchase").when($"tc" >= 0, "click")
+            .when($"tv" >= 0, "view").otherwise("none").as("reached"),
+          when($"tv" >= 0, timestamp_micros($"tv")).as("ts_view"),
+          when($"tc" >= 0, timestamp_micros($"tc")).as("ts_click"),
+          when($"tp" >= 0, timestamp_micros($"tp")).as("ts_purchase"))
+        .orderBy($"user_id")
     })
   )
 
@@ -842,6 +895,9 @@ object StreamQueries {
     "t6_stream_index" -> TextQueries.Bm25OracleSql,
     // the streamed state machine must reproduce the batch CUSUM
     "t7_stream_cusum" -> AnalyticsQueries.CusumOracleSql,
+    // the streamed stage machine must reproduce the batch staged
+    // windows — same text as x5_funnel
+    "t11_stream_funnel" -> AnalyticsQueries.FunnelOracleSql,
     // the streamed folds must serve the exact full-corpus ranking —
     // same text as x2_topk_cosine
     "t8_stream_ivf" -> VectorQueries.TopkOracleSql,

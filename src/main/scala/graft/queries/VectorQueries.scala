@@ -235,6 +235,60 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2r: MMR-diversified top-k (Carbonell & Goldstein '98) -----
+    // The serving-side re-rank every retrieval stack runs between ANN
+    // and the consumer: plain top-k returns 5 near-copies of the same
+    // answer; MMR greedily picks argmax λ·rel − (1−λ)·max sim-to-
+    // selected, trading relevance for coverage. λ = ½ here, scaled ×2
+    // so the marginal score is the INTEGER rel6 − maxsim6 — ties to
+    // the smaller vec_id, deterministic in both engines. Scale shape:
+    // the only corpus-side work is the shortlist scan (one broadcast-
+    // query cosine pass, top-20 by TakeOrderedAndProject); the 20-row
+    // shortlist and its 380-entry pairwise sim6 matrix are computed by
+    // the SAME Spark expressions as every other x2 gate (floats are
+    // rounded to int64 BEFORE leaving the executors), and the greedy
+    // O(k·m) integer argmax runs over that bounded frame on the
+    // driver — m is a knob (20), never corpus-sized, the "8 probe
+    // cids" bounded-collect class. Oracle: recursive-CTE greedy over
+    // the identical shortlist, picks carried as a list.
+    "x2_mmr_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      val short = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          round(Functions.cosine(col("embedding"), col("qv")) * 1000000d)
+            .cast("long").as("rel6"))
+        .orderBy(col("rel6").desc, col("vec_id")).limit(20)
+        .localCheckpoint(true)
+      val rel = short.select(col("vec_id"), col("rel6"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val pairSim = short.toDF("i", "iv", "ir")
+        .join(short.toDF("j", "jv", "jr"), col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          round(Functions.cosine(col("iv"), col("jv")) * 1000000d)
+            .cast("long").as("sim6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (vec_id, rel6)
+      var remaining = rel.sortBy { case (id, r6) => (-r6, id) }.toVector
+      for (_ <- 1 to 5) {
+        val best =
+          if (picks.isEmpty) remaining.head
+          else remaining.minBy { case (id, r6) =>
+            val maxSim = picks.map(p => pairSim((id, p._1))).max
+            (-(r6 - maxSim), id) // max marginal score, ties to min id
+          }
+        picks += best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      import s.implicits._
+      picks.toSeq.zipWithIndex
+        .map { case ((id, r6), k) => (k + 1L, id, r6) }
+        .toDF("rk", "vec_id", "rel6")
+        .orderBy("rk")
+    }),
+
     // ---- X2m: Matryoshka truncation fidelity (MRL QA) ---------------
     // The embedding-store compression QA: if vectors truncate to their
     // first 32 dims (Matryoshka representation learning's nesting
@@ -1234,6 +1288,38 @@ object VectorQueries {
         |  FROM d)
         |SELECT label AS true_label, c_label AS pred_label, COUNT(*) AS n
         |FROM p WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // recursive-CTE greedy MMR: the picks list grows one argmax per
+    // step; every float rounds to int64 (rel6/sim6) before the greedy
+    // compares anything, so both engines tie-break identically
+    "x2_mmr_topk" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |short AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CAST(ROUND(list_dot_product(embedding::DOUBLE[], q.qv) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT) AS rel6
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY rel6 DESC, vec_id LIMIT 20),
+        |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |    CAST(ROUND(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 1000000) AS BIGINT) AS sim6
+        |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+        |sel(step, picks) AS (
+        |  SELECT 1, [(SELECT vec_id FROM short ORDER BY rel6 DESC, vec_id LIMIT 1)]
+        |  UNION ALL
+        |  SELECT step + 1, list_append(picks, (
+        |      SELECT c.vec_id FROM short c WHERE NOT list_contains(picks, c.vec_id)
+        |      ORDER BY c.rel6 - (SELECT MAX(p.sim6) FROM pairs p
+        |                         WHERE p.i = c.vec_id AND list_contains(picks, p.j)) DESC,
+        |               c.vec_id
+        |      LIMIT 1))
+        |  FROM sel WHERE step < 5),
+        |fin AS (SELECT picks FROM sel WHERE step = 5),
+        |ranked AS (SELECT g.i AS rk, fin.picks[g.i] AS vec_id
+        |           FROM fin, generate_series(1, 5) AS g(i))
+        |SELECT CAST(r.rk AS BIGINT) AS rk, r.vec_id, s.rel6
+        |FROM ranked r JOIN short s ON s.vec_id = r.vec_id
+        |ORDER BY rk""".stripMargin,
 
     "x2_range_search" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -331,6 +331,53 @@ object Streams {
       }
   }
 
+  /** T4/X5: streamed ordered funnel — x5_funnel's staged state machine
+    * maintained LIVE per user across micro-batches. State is one
+    * (t_view, t_click, t_purchase) triple in µs (-1 = stage not
+    * reached); each batch's events apply in (ts, event_id) order, and
+    * a stage only advances off the PREVIOUS stage's recorded time
+    * (strict >, the x5_funnel window semantics), so a view→click
+    * straddling a batch boundary resolves exactly as the one-shot
+    * batch windows do. Emits the running snapshot per batch — an
+    * upsert sink keyed on user makes the stored row the user's
+    * current funnel position at all times.
+    *
+    * State discipline: `NoTimeout` is the DECLARED semantics here,
+    * not a deferred TTL (contrast `cusumStates`, whose per-day folds
+    * gave the watermark a natural eviction point): the horizon-free
+    * funnel is a pure monotone fold — a completed user's triple is
+    * immutable, an incomplete user's next stage may arrive arbitrarily
+    * late — and evicting EITHER loses the fact that re-creation must
+    * not re-anchor (a post-eviction view would restart the funnel and
+    * overwrite the stored truth). Per-key state is one fixed 24-byte
+    * triple bounded by DISTINCT users (the `runningKeyCounts` class,
+    * not per-event growth); a deployment that wants bounded keys runs
+    * the deadline variant (x5_funnel_windowed's semantics), whose
+    * anchor+2·deadline horizon makes rows provably final and
+    * watermark-evictable. */
+  def funnelStates(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toArray.sortBy(e => (e.tsUs, e.eid)).foreach { e =>
+            e.etype match {
+              case "view" if st.tv < 0 =>
+                st = st.copy(tv = e.tsUs)
+              case "click" if st.tv >= 0 && e.tsUs > st.tv && st.tc < 0 =>
+                st = st.copy(tc = e.tsUs)
+              case "purchase" if st.tc >= 0 && e.tsUs > st.tc && st.tp < 0 =>
+                st = st.copy(tp = e.tsUs)
+              case _ => // stage already reached, out of order, or other type
+            }
+          }
+          state.update(st)
+          FunnelRow(key, st.tv, st.tc, st.tp)
+      }
+  }
+
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
   final case class KeyCount(key: String, n: Long)
   final case class SessionAcc(start: Long, end: Long, n: Int)
@@ -341,4 +388,7 @@ object Streams {
   final case class CusumState(dayUs: Long, cnt: Long, s: Long, mx: Long,
       total: Long, nd: Long)
   final case class CusumRow(key: String, s: Long, mx: Long)
+  final case class FunnelEvent(key: String, tsUs: Long, eid: Long, etype: String)
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+  final case class FunnelRow(key: String, tv: Long, tc: Long, tp: Long)
 }

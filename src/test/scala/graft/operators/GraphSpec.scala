@@ -161,4 +161,53 @@ class GraphSpec extends SparkSpec {
     // identity labeling, detected as a 2-cycle)
     assert(got == Map(7L -> 7L, 8L -> 8L))
   }
+
+  /** Brute-force Dijkstra from the min node as the sssp oracle. */
+  private def refSssp(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    val adj = (edges.map { case (a, b, w) => (a, b, w) } ++
+        edges.map { case (a, b, w) => (b, a, w) })
+      .groupBy(_._1).map { case (u, es) => u -> es.map(e => (e._2, e._3)) }
+    val src = edges.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(src -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d)
+        adj.getOrElse(u, Seq.empty).foreach { case (v, w) =>
+          if (!dist.contains(v) || d + w < dist(v)) {
+            dist = dist.updated(v, d + w); pq.enqueue((d + w, v))
+          }
+        }
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    Graph.sssp(edges.toDF("a", "b", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp: a light multi-hop chain beats a heavy direct edge") {
+    // 1→4 direct costs 10; 1-2-3-4 costs 2+2+2=6 — the weighted
+    // answer differs from the BFS answer (which would take the direct
+    // hop), which is exactly what the operator adds over bfsLevels.
+    // Node 4's improvement arrives in a LATER round than its first
+    // distance, so this also pins frontier re-entry.
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))
+    val got = runSssp(edges)
+    assert(got == refSssp(edges))
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+  }
+
+  test("sssp: cycles, zero weights, and an unreachable island") {
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 0L), (2L, 0L, 1L), // cycle w/ zero edge
+      (2L, 3L, 7L), (0L, 3L, 9L), (50L, 51L, 1L))             // island unreachable
+    val got = runSssp(edges)
+    assert(got == refSssp(edges))
+    // 0→2 goes around the cycle backwards: 0-2 direct costs 1
+    assert(got(2L) == 1L && got(3L) == 8L)
+    assert(!got.contains(50L) && !got.contains(51L))
+  }
 }

@@ -418,4 +418,45 @@ class StreamsSpec extends SparkSpec {
       assert(nFresh >= 1L, "re-seen key must fold its fresh day to (1, 1)")
     } finally q.stop()
   }
+
+  test("T11/X5: funnelStates — stages straddle batches, no re-anchor, in-batch order by (ts, eid)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import Streams.{FunnelEvent, FunnelRow}
+    val mem = MemoryStream[FunnelEvent]
+    val q = Streams.funnelStates(mem.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("fun").start()
+    def last(): Map[String, (Long, Long, Long)] = {
+      // the freshest snapshot per key == the row of the latest batch;
+      // stages only ever advance, so max(struct) per field is it
+      s.sql("select key, max(tv), max(tc), max(tp) from fun group by key")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    try {
+      // u1: view in batch 1, click arrives two batches later, purchase
+      // in batch 3 — the cross-batch transition is the whole point.
+      // u2: click BEFORE any view (must not count), then view.
+      // u3: arrives out of order within one batch — sorted by (ts,
+      // eid) the view(10) precedes the click(20) despite add order.
+      mem.addData(FunnelEvent("u1", 100L, 1L, "view"),
+        FunnelEvent("u2", 100L, 2L, "click"),
+        FunnelEvent("u3", 20L, 4L, "click"), FunnelEvent("u3", 10L, 3L, "view"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent("u2", 200L, 5L, "view"))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent("u1", 300L, 6L, "click"),
+        FunnelEvent("u1", 400L, 7L, "purchase"))
+      q.processAllAvailable()
+      assert(last() == Map(
+        "u1" -> ((100L, 300L, 400L)),
+        "u2" -> ((200L, -1L, -1L)),   // the pre-view click never counts
+        "u3" -> ((10L, 20L, -1L))))
+      // completed funnel is immutable: a later view/click/purchase
+      // must not re-anchor or advance anything
+      mem.addData(FunnelEvent("u1", 500L, 8L, "view"),
+        FunnelEvent("u1", 600L, 9L, "purchase"))
+      q.processAllAvailable()
+      assert(last()("u1") == ((100L, 300L, 400L)))
+    } finally q.stop()
+  }
 }
