@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -718,6 +718,58 @@ object AnalyticsQueries {
           $"lb.l".as("level_m"), $"lb.b".as("trend_m"),
           ($"lb.l" + $"lb.b" * 7L).as("fc7_m"))
         .orderBy($"user_id")
+    }),
+
+    // ---- A26: RFM customer segmentation -----------------------------
+    // The CRM-analytics staple: per-customer Recency (days since last
+    // order vs the corpus max date), Frequency (order count), Monetary
+    // (lifetime spend in cents), each banded into value-quintiles, and
+    // a declared CASE label on the band triple. The banding is the
+    // scale-honest part: quintile CUTPOINTS come from
+    // Percentiles.equiDepth (one range shuffle per metric, no
+    // customer-count window anywhere — ntile() over all customers is
+    // the a24_gini-class degenerate geometry this repo never ships),
+    // and each cut is the MAX value of rank-bucket k, a pure function
+    // of the sorted multiset (value-at-rank is permutation-invariant
+    // under ties), so both engines derive identical cuts however they
+    // break rank ties. Banding is then value-vs-cut comparison — tied
+    // customers always share a band. The 4-cuts-per-metric collect is
+    // the bounded driver-collect class (12 longs total). Bands are
+    // 1..5 ascending by VALUE (r_band 1 = most recent, f/m_band 5 =
+    // most active/valuable); the segment CASE reads identically in
+    // both engines.
+    "a26_rfm" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val anchor = o.agg(max(to_date($"o_orderdate")).as("maxd"))
+      val rfm = o.groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("lastd"),
+          count(lit(1)).as("f"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("m"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("r", datediff($"maxd", $"lastd").cast("long"))
+        .select($"o_custkey", $"r", $"f", $"m")
+        .localCheckpoint()
+      def cuts(metric: String): Seq[Long] =
+        graft.operators.Percentiles.equiDepth(rfm, Nil, metric, b = 5)
+          .filter(col("bucket") < 4).orderBy(col("bucket"))
+          .select(col("hi").cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+      def band(metric: String): Column =
+        cuts(metric).map(c => when(col(metric) > c, 1L).otherwise(0L))
+          .reduce(_ + _) + 1L
+      val banded = rfm
+        .withColumn("r_band", band("r"))
+        .withColumn("f_band", band("f"))
+        .withColumn("m_band", band("m"))
+      banded.withColumn("segment",
+          when($"r_band" <= 2 && $"f_band" >= 4 && $"m_band" >= 4, "champion")
+            .when($"r_band" >= 4 && $"f_band" >= 4, "at_risk")
+            .when($"f_band" >= 4, "loyal")
+            .when($"m_band" >= 4, "big_spender")
+            .when($"r_band" >= 4, "dormant")
+            .otherwise("regular"))
+        .orderBy($"o_custkey")
     }),
 
     // ---- A14b: frequent triples (market-basket, order 3) ------------
@@ -2039,6 +2091,41 @@ object AnalyticsQueries {
         |       r.l + 7 * r.b AS fc7_m
         |FROM rec r JOIN fin ON fin.user_id = r.user_id AND r.i = fin.n
         |ORDER BY r.user_id""".stripMargin
+    },
+
+    // quintile cuts replayed as MAX(v) of rank-bucket k — value-at-
+    // rank is tie-permutation-invariant, so the cuts (and hence every
+    // band) agree with Spark's equiDepth however row_number breaks
+    // ties; banding is value-vs-cut, so tied customers share a band
+    "a26_rfm" -> {
+      def bands(metric: String, out: String): String =
+        s"""r_$metric AS (SELECT o_custkey, $metric AS v,
+           |    row_number() OVER (ORDER BY $metric) - 1 AS rk, COUNT(*) OVER () AS n FROM rfm),
+           |c_$metric AS (SELECT MAX(v) AS cut FROM r_$metric WHERE (rk * 5) // n < 4 GROUP BY (rk * 5) // n),
+           |b_$metric AS (SELECT o_custkey,
+           |    1 + SUM(CASE WHEN rfm.$metric > c.cut THEN 1 ELSE 0 END) AS $out
+           |  FROM rfm CROSS JOIN c_$metric c GROUP BY 1)""".stripMargin
+      s"""WITH rfm AS (SELECT o_custkey,
+         |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+         |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS r,
+         |    COUNT(*) AS f,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+         |  FROM orders GROUP BY 1),
+         |${bands("r", "r_band")},
+         |${bands("f", "f_band")},
+         |${bands("m", "m_band")}
+         |SELECT rfm.o_custkey, rfm.r, rfm.f, rfm.m,
+         |  CAST(br.r_band AS BIGINT) AS r_band, CAST(bf.f_band AS BIGINT) AS f_band,
+         |  CAST(bm.m_band AS BIGINT) AS m_band,
+         |  CASE WHEN br.r_band <= 2 AND bf.f_band >= 4 AND bm.m_band >= 4 THEN 'champion'
+         |       WHEN br.r_band >= 4 AND bf.f_band >= 4 THEN 'at_risk'
+         |       WHEN bf.f_band >= 4 THEN 'loyal'
+         |       WHEN bm.m_band >= 4 THEN 'big_spender'
+         |       WHEN br.r_band >= 4 THEN 'dormant'
+         |       ELSE 'regular' END AS segment
+         |FROM rfm JOIN b_r br USING (o_custkey) JOIN b_f bf USING (o_custkey)
+         |     JOIN b_m bm USING (o_custkey)
+         |ORDER BY rfm.o_custkey""".stripMargin
     },
 
     "a9_psi" ->
