@@ -772,6 +772,160 @@ object AnalyticsQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- A16c: modularity of a declared partition --------------------
+    // The community-QUALITY metric the a16 detectors need: Newman
+    // modularity Q of the brand partition over the co-purchase graph
+    // ("are co-purchases intra-brand?"). Q = Σ_c [e_c/m − (d_c/2m)²]
+    // is rational; multiplying by 4m² makes every per-community
+    // contribution an EXACT integer: q_contrib = 4·m·e_c − d_c², so
+    // the gate is hash-exact with no float anywhere. One pass over the
+    // labeled edge list computes both d_c (each edge contributes one
+    // endpoint-row per side) and e_c (each intra edge contributes two
+    // flagged endpoint-rows — div 2 recovers the edge count exactly):
+    // explode-to-endpoints then ONE hash aggregate keyed by community
+    // — no per-community subqueries, no second scan of the edges. The
+    // brand dimension joins on partkey (shuffle-side at 100 TB; AQE
+    // broadcasts it at this size), m is a 1-row broadcast, and the
+    // 4·m·e_c product routes through DECIMAL(38,0) (m ~ 1e12 edges ×
+    // e_c wraps BIGINT long before it wraps decimal).
+    "a16_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchasePairs(s, dir)
+      val brand = Tables.part(s, dir).select($"p_partkey", $"p_brand")
+      val lab = pairs
+        .join(brand.toDF("part_a", "brand_a"), Seq("part_a"))
+        .join(brand.toDF("part_b", "brand_b"), Seq("part_b"))
+      val ends = lab.select(explode(array(
+          struct($"brand_a".as("brand"), ($"brand_a" === $"brand_b").as("intra")),
+          struct($"brand_b".as("brand"), ($"brand_a" === $"brand_b").as("intra")))).as("e"))
+        .select($"e.brand".as("brand"), $"e.intra".as("intra"))
+      val byBrand = ends.groupBy($"brand").agg(
+        count(lit(1)).as("d_sum"),
+        expr("sum(if(intra, cast(1 as bigint), cast(0 as bigint))) div 2").as("e_in"))
+      val nn = pairs.select($"part_a".as("p_partkey"))
+        .union(pairs.select($"part_b")).distinct()
+        .join(brand, Seq("p_partkey"))
+        .groupBy($"p_brand").agg(count(lit(1)).as("n_nodes"))
+        .withColumnRenamed("p_brand", "brand")
+      val m = pairs.agg(count(lit(1)).as("m"))
+      byBrand.join(nn, Seq("brand"))
+        .crossJoin(broadcast(m))
+        .select($"brand", $"n_nodes", $"e_in", $"d_sum",
+          expr("cast(4 * cast(m as decimal(38,0)) * e_in - cast(d_sum as decimal(38,0)) * d_sum as bigint)")
+            .as("q_contrib"))
+        .orderBy($"brand")
+    }),
+
+    // ---- A27: association rules (directional confidence) ------------
+    // a14_copurchase's lift is symmetric; the RULE form is not:
+    // confidence(A→B) = P(B|A) = pair_n / item_n(A), so each
+    // undirected pair yields TWO candidate rules with different
+    // confidences. Support floor pair_n ≥ 3 prunes the noise tail
+    // BEFORE the per-rule math (the classic Apriori anti-monotone
+    // prune — at 100 TB this floor is what keeps the rule set
+    // polynomial). All three metrics in exact integer ppm via
+    // DECIMAL(38,0) numerators; top-40 by confidence is a bounded-heap
+    // TakeOrderedAndProject under a total (ante, cons) tiebreak.
+    "a27_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      val store = copurchaseStore(s, dir)
+      val pairs = store.read(s, "pairs").filter($"pair_n" >= 3)
+      val supp = store.read(s, "supports")
+      val nOrders = store.read(s, "stats")
+      val rules = pairs.select($"part_a".as("ante"), $"part_b".as("cons"), $"pair_n")
+        .unionByName(pairs.select($"part_b".as("ante"), $"part_a".as("cons"), $"pair_n"))
+      rules
+        .join(broadcast(supp.toDF("ante", "n_ante")), Seq("ante"))
+        .join(broadcast(supp.toDF("cons", "n_cons")), Seq("cons"))
+        .crossJoin(broadcast(nOrders))
+        .select($"ante", $"cons", $"pair_n", $"n_ante",
+          expr("(cast(pair_n as decimal(38,0)) * 1000000) div n_orders").as("supp_ppm"),
+          expr("(cast(pair_n as decimal(38,0)) * 1000000) div n_ante").as("conf_ppm"),
+          expr("(cast(pair_n as decimal(38,0)) * n_orders * 1000000) div (n_ante * n_cons)").as("lift_ppm"))
+        .orderBy($"conf_ppm".desc, $"lift_ppm".desc, $"ante", $"cons")
+        .limit(40)
+    }),
+
+    // ---- A28: link prediction (common-neighbor family) --------------
+    // The "recommend an edge" primitive: for NON-adjacent node pairs
+    // of the co-purchase graph, the three classic scores — common
+    // neighbors |Γ(u)∩Γ(w)|, Jaccard |∩|/|∪| (exact integer ppm:
+    // |∪| = d_u + d_w − cn), preferential attachment d_u·d_w. Pair
+    // generation is the wedge self-join on the shared middle node
+    // (u < w canonicalizes), minus existing edges via LEFT ANTI —
+    // Θ(Σ deg²) wedges, the same budget a17_triangles' closure pays.
+    // At 100 TB the standard production guard is a hub cap (drop
+    // middles above a degree ceiling before wedging — hubs contribute
+    // quadratically and predict nothing); the full-graph form is gated
+    // here and the cap is one filter on the degree table. Top-30 by
+    // (cn, jaccard) under a total tiebreak = bounded heap, no global
+    // sort.
+    "a28_linkpred" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchasePairs(s, dir)
+      val und = pairs.select($"part_a".as("u"), $"part_b".as("v"))
+        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
+      val deg = und.groupBy($"u").agg(count(lit(1)).as("d"))
+      val cand = und.toDF("a", "mid").join(und.toDF("b", "mid"), Seq("mid"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
+        .join(pairs.toDF("a", "b"), Seq("a", "b"), "left_anti")
+      cand
+        .join(deg.toDF("a", "d_a"), Seq("a"))
+        .join(deg.toDF("b", "d_b"), Seq("b"))
+        .select($"a", $"b", $"cn", $"d_a", $"d_b",
+          expr("(cast(cn as decimal(38,0)) * 1000000) div (d_a + d_b - cn)").as("jaccard_ppm"),
+          ($"d_a" * $"d_b").as("pref_attach"))
+        .orderBy($"cn".desc, $"jaccard_ppm".desc, $"a", $"b")
+        .limit(30)
+    }),
+
+    // ---- A29: autocorrelation function (lags 1..7) -------------------
+    // The seasonality detector behind every forecasting model choice
+    // (a25_holt assumes no weekly cycle — this query is how you CHECK
+    // that): ACF of the daily order-count series at lags 1..7. The
+    // series lives on an explicit day spine (sequence over the
+    // [min, max] date range — absent days are true zeros, and both
+    // engines materialize the same spine), the lag pairing is an
+    // equi-join on day index t ↔ t+k (one shuffle keyed by t; never a
+    // single-partition window over the calendar), and the estimator is
+    // made hash-exact by clearing denominators: with S = Σx, Q = Σx²,
+    // and windowed sums P_k = Σ'x_t·x_{t+k}, A_k = Σ'x_t,
+    // B_k = Σ'x_{t+k}, the lag-k autocovariance × n² is
+    //   num_k = n²·P_k − n·S·(A_k + B_k) + (n−k)·S²
+    // and the variance × n² is den = n²·Q − n·S² — both exact
+    // integers (DECIMAL-routed: n²·Q ~ 1e23 at 100 TB). num may be
+    // negative, so NO integer division anywhere (Spark div truncates,
+    // DuckDB // floors — they disagree below zero): the gate pins the
+    // exact (num, den) pair.
+    "a29_acf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
+        .crossJoin(broadcast(bounds.select($"d0")))
+        .withColumn("t", datediff($"day", $"d0").cast("long"))
+        .join(daily, Seq("day"), "left")
+        .select($"t", coalesce($"x", lit(0L)).as("x"))
+        .localCheckpoint()
+      val glob = spine.agg(count(lit(1)).as("n"),
+        sum($"x").as("s"), sum($"x" * $"x").as("q"))
+      val ks = s.range(1, 8).select($"id".as("k"))
+      val shifted = spine.crossJoin(broadcast(ks))
+        .select(($"t" - $"k").as("t"), $"x".as("xb"), $"k")
+      val lags = spine.toDF("t", "xa")
+        .join(shifted, Seq("t"))
+        .groupBy($"k").agg(sum($"xa" * $"xb").as("p"),
+          sum($"xa").as("a"), sum($"xb").as("b"))
+      lags.crossJoin(broadcast(glob))
+        .select($"k",
+          expr("cast(cast(n as decimal(38,0)) * n * p - cast(n as decimal(38,0)) * s * (a + b) + (n - k) * cast(s as decimal(38,0)) * s as bigint)").as("num"),
+          expr("cast(cast(n as decimal(38,0)) * n * q - cast(n as decimal(38,0)) * s * s as bigint)").as("den"))
+        .orderBy($"k")
+    }),
+
     // ---- A14b: frequent triples (market-basket, order 3) ------------
     // One level past pair co-purchase: the top part TRIPLES by basket
     // support. Generation is the within-basket 3-way self-join keyed
@@ -2127,6 +2281,94 @@ object AnalyticsQueries {
          |     JOIN b_m bm USING (o_custkey)
          |ORDER BY rfm.o_custkey""".stripMargin
     },
+
+    // endpoint-explode replayed as UNION ALL; SUM(intra)//2 recovers
+    // the intra-edge count exactly (each intra edge flags both ends)
+    "a16_modularity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |lab AS (SELECT pa.p_brand AS brand_a, pb.p_brand AS brand_b
+        |  FROM p JOIN part pa ON pa.p_partkey = p.part_a
+        |         JOIN part pb ON pb.p_partkey = p.part_b),
+        |m AS (SELECT COUNT(*) AS m FROM lab),
+        |ends AS (SELECT brand_a AS brand, brand_a = brand_b AS intra FROM lab
+        |  UNION ALL SELECT brand_b, brand_a = brand_b FROM lab),
+        |bb AS (SELECT brand, COUNT(*) AS d_sum,
+        |    SUM(CASE WHEN intra THEN 1 ELSE 0 END) // 2 AS e_in FROM ends GROUP BY 1),
+        |nn AS (SELECT p_brand AS brand, COUNT(*) AS n_nodes FROM (
+        |    SELECT DISTINCT nd FROM (SELECT part_a AS nd FROM p UNION SELECT part_b FROM p)) n
+        |  JOIN part ON p_partkey = n.nd GROUP BY 1)
+        |SELECT bb.brand, nn.n_nodes, CAST(bb.e_in AS BIGINT) AS e_in, bb.d_sum,
+        |  CAST(4 * m.m * bb.e_in - bb.d_sum * bb.d_sum AS BIGINT) AS q_contrib
+        |FROM bb JOIN nn USING (brand) CROSS JOIN m
+        |ORDER BY bb.brand""".stripMargin,
+
+    "a27_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |supp AS (SELECT l_partkey, COUNT(*) AS item_n FROM items GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+        |rules AS (SELECT part_a AS ante, part_b AS cons, pair_n FROM pairs
+        |  UNION ALL SELECT part_b, part_a, pair_n FROM pairs)
+        |SELECT ante, cons, pair_n, sa.item_n AS n_ante,
+        |  CAST((pair_n * 1000000) // n_orders AS BIGINT) AS supp_ppm,
+        |  CAST((pair_n * 1000000) // sa.item_n AS BIGINT) AS conf_ppm,
+        |  CAST((pair_n * n_orders * 1000000) // (sa.item_n * sb.item_n) AS BIGINT) AS lift_ppm
+        |FROM rules
+        |JOIN supp sa ON sa.l_partkey = ante
+        |JOIN supp sb ON sb.l_partkey = cons
+        |CROSS JOIN n
+        |ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 40""".stripMargin,
+
+    "a28_linkpred" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT part_a AS u, part_b AS v FROM p
+        |  UNION ALL SELECT part_b, part_a FROM p),
+        |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+        |cand AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS cn
+        |  FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+        |  GROUP BY 1, 2),
+        |nonadj AS (SELECT cand.* FROM cand
+        |  LEFT JOIN p ON p.part_a = cand.a AND p.part_b = cand.b
+        |  WHERE p.part_a IS NULL)
+        |SELECT a, b, cn, da.d AS d_a, db.d AS d_b,
+        |  CAST((cn * 1000000) // (da.d + db.d - cn) AS BIGINT) AS jaccard_ppm,
+        |  da.d * db.d AS pref_attach
+        |FROM nonadj
+        |JOIN deg da ON da.u = a
+        |JOIN deg db ON db.u = b
+        |ORDER BY cn DESC, jaccard_ppm DESC, a, b LIMIT 30""".stripMargin,
+
+    // denominators cleared — the gate pins exact integer (num, den);
+    // no division anywhere (num can be negative and the engines'
+    // integer-division conventions disagree below zero)
+    "a29_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |spine AS (SELECT date_diff('day', b.d0, s.day) AS t, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM b) s
+        |  CROSS JOIN b LEFT JOIN daily USING (day)),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM spine),
+        |ks AS (SELECT unnest(range(1, 8)) AS k),
+        |sh AS (SELECT spine.t - ks.k AS t, spine.x AS xb, ks.k AS k
+        |  FROM spine CROSS JOIN ks),
+        |lg AS (SELECT k, SUM(a.x * sh.xb) AS p, SUM(a.x) AS aa, SUM(sh.xb) AS bb
+        |  FROM spine a JOIN sh ON sh.t = a.t GROUP BY 1)
+        |SELECT k, CAST(n * n * p - n * s * (aa + bb) + (n - k) * s * s AS BIGINT) AS num,
+        |  CAST(n * n * q - n * s * s AS BIGINT) AS den
+        |FROM lg CROSS JOIN g ORDER BY k""".stripMargin,
 
     "a9_psi" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us,
