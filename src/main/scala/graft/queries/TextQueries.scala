@@ -593,6 +593,51 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- RAKE keyword extraction ------------------------------------
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+    // phrases are maximal runs of content tokens between stopword /
+    // non-alpha boundaries; word score = degree/frequency where
+    // freq(w) = #occurrences in candidates and deg(w) = Σ length of
+    // every candidate containing w (itself included); phrase score =
+    // Σ word scores. The run-grouping is the gaps-and-islands trick
+    // (grp = pos − row_number, windowed PER DOCUMENT — bounded by doc
+    // length, never corpus-sized), word stats are ONE corpus-wide hash
+    // aggregate keyed by token, and scores are exact integer ppm
+    // (deg·1e6 div freq — both positive, so Spark's truncation and
+    // DuckDB's floor agree; the numerator routes through
+    // DECIMAL(38,0): deg is corpus-token-bounded). Top-30 phrases by
+    // (score, phrase) is a bounded heap. Stopword list = the lang-id
+    // lexicon (TextAnalysis.stopEn) so both engines embed the same 10
+    // words.
+    "x3_rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = graft.functions.TextAnalysis.stopEn
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok0")))
+        .select(col("doc_id"), col("pos"), lower(col("tok0")).as("tok"))
+      val content = toks
+        .filter(col("tok").rlike("^[a-z]+$") && !col("tok").isInCollection(stop))
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val phrases = content.groupBy(col("doc_id"), col("grp"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")), " ").as("phrase"),
+          count(lit(1)).as("len"))
+      val words = content.join(phrases, Seq("doc_id", "grp"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .withColumn("wscore", expr("(cast(deg as decimal(38,0)) * 1000000) div freq"))
+      content.join(words.select(col("tok"), col("wscore")), Seq("tok"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(sum(col("wscore")).as("score_ppm"))
+        .join(phrases, Seq("doc_id", "grp"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occur"), max(col("len")).as("n_words"),
+          max(col("score_ppm")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(30)
+    }),
+
     // ---- sequence packing (concat-then-chunk) -----------------------
     // The step that turns a cleaned corpus into training batches:
     // concatenate documents in a deterministic order and chunk the
@@ -936,6 +981,32 @@ object TextQueries {
         |SELECT lang, CAST(n_train AS BIGINT) AS n_train, CAST(n_test AS BIGINT) AS n_test,
         |  CAST(abs(n_train * 1000000 // (n_train + n_test) - g_train * 1000000 // g_total) AS BIGINT) AS skew_ppm
         |FROM b, g ORDER BY lang""".stripMargin,
+
+    // same islands trick; phrase text via ordered string_agg; scores
+    // are positive-integer division so // and div agree
+    "x3_rake_keywords" ->
+      """WITH d AS (SELECT doc_id,
+        |       list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |     FROM documents),
+        |t AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, lower(unnest(w)) AS tok
+        |      FROM d),
+        |c AS (SELECT doc_id, pos, tok,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM t WHERE regexp_full_match(tok, '[a-z]+')
+        |    AND tok NOT IN ('the','and','of','to','a','in','is','that','it','for')),
+        |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    COUNT(*) AS len
+        |  FROM c GROUP BY 1, 2),
+        |wd AS (SELECT c.tok, COUNT(*) AS freq, SUM(ph.len) AS deg
+        |  FROM c JOIN ph USING (doc_id, grp) GROUP BY 1),
+        |ws AS (SELECT tok, (deg * 1000000) // freq AS wscore FROM wd),
+        |sc AS (SELECT c.doc_id, c.grp, SUM(ws.wscore) AS score_ppm
+        |  FROM c JOIN ws USING (tok) GROUP BY 1, 2)
+        |SELECT ph.phrase, COUNT(*) AS n_occur,
+        |  CAST(MAX(ph.len) AS BIGINT) AS n_words,
+        |  CAST(MAX(sc.score_ppm) AS BIGINT) AS score_ppm
+        |FROM sc JOIN ph USING (doc_id, grp)
+        |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 30""".stripMargin,
 
     "x3_vocab_encode" ->
       """WITH d AS (SELECT doc_id,
