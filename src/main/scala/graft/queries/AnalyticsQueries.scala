@@ -900,16 +900,7 @@ object AnalyticsQueries {
     // exact (num, den) pair.
     "a29_acf" -> ((s, dir) => {
       import s.implicits._
-      val daily = Tables.orders(s, dir)
-        .groupBy(to_date($"o_orderdate").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
-      val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
-        .crossJoin(broadcast(bounds.select($"d0")))
-        .withColumn("t", datediff($"day", $"d0").cast("long"))
-        .join(daily, Seq("day"), "left")
-        .select($"t", coalesce($"x", lit(0L)).as("x"))
-        .localCheckpoint()
+      val spine = dailyOrderSpine(s, dir)
       val glob = spine.agg(count(lit(1)).as("n"),
         sum($"x").as("s"), sum($"x" * $"x").as("q"))
       val ks = s.range(1, 8).select($"id".as("k"))
@@ -924,6 +915,37 @@ object AnalyticsQueries {
           expr("cast(cast(n as decimal(38,0)) * n * p - cast(n as decimal(38,0)) * s * (a + b) + (n - k) * cast(s as decimal(38,0)) * s as bigint)").as("num"),
           expr("cast(cast(n as decimal(38,0)) * n * q - cast(n as decimal(38,0)) * s * s as bigint)").as("den"))
         .orderBy($"k")
+    }),
+
+    // ---- A30: seasonal-naive forecast + MASE --------------------------
+    // The forecast-eval companion to a25_holt/a29_acf: score the
+    // seasonal-naive model x̂_t = x_{t−7} on the daily order-count
+    // spine with MASE (Hyndman & Koehler 2006) — seasonal absolute
+    // error scaled by the naive-1 error, the standard
+    // unit-free forecast benchmark. Both error sums come from ONE
+    // lag join (the a29 shifted-spine shape, k ∈ {1,7}; one shuffle
+    // keyed by day index), everything stays integer (counts and
+    // absolute differences of counts), and the ratio lands as exact
+    // ppm: all terms positive, so Spark's truncating div and DuckDB's
+    // floor // agree. mase_ppm < 1e6 ⇒ weekly seasonality is real
+    // (the seasonal model beats the naive walk).
+    "a30_seasonal_mase" -> ((s, dir) => {
+      import s.implicits._
+      val spine = dailyOrderSpine(s, dir)
+      val ks = s.range(0, 2).select(when($"id" === 0, 1L).otherwise(7L).as("k"))
+      val shifted = spine.crossJoin(broadcast(ks))
+        .select(($"t" - $"k").as("t"), $"x".as("xb"), $"k")
+      spine.toDF("t", "xa")
+        .join(shifted, Seq("t"))
+        .groupBy().agg(
+          sum(when($"k" === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when($"k" === 1, abs($"xb" - $"xa")).otherwise(0L)).as("sae1"),
+          sum(when($"k" === 7, 1L).otherwise(0L)).as("n7"),
+          sum(when($"k" === 7, abs($"xb" - $"xa")).otherwise(0L)).as("sae7"))
+        .select($"n1", $"sae1", $"n7", $"sae7",
+          expr("(cast(sae7 as decimal(38,0)) * n1 * 1000000) div (cast(n7 as decimal(38,0)) * sae1)")
+            .as("mase_ppm"))
+        .orderBy($"n1")
     }),
 
     // ---- A14b: frequent triples (market-basket, order 3) ------------
@@ -1614,6 +1636,27 @@ object AnalyticsQueries {
       |  CAST(mx AS BIGINT) AS max_cusum,
       |  CAST(CASE WHEN mx >= 2 * total THEN 1 ELSE 0 END AS BIGINT) AS alarmed
       |FROM o ORDER BY user_id""".stripMargin
+
+  /** Daily order-count series on an explicit day spine over the
+    * [min, max] o_orderdate range — absent days are true zeros. The
+    * day index t (days since min) is the join key every lag consumer
+    * (a29_acf, a30_seasonal_mase) pairs on: one shuffle keyed by t,
+    * never a single-partition window over the calendar. The spine is
+    * calendar-bounded (rows = days in range — summary-sized at any
+    * corpus scale), so the 1-row explode is safe. */
+  private def dailyOrderSpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    bounds.select(explode(sequence($"d0", $"d1")).as("day"))
+      .crossJoin(broadcast(bounds.select($"d0")))
+      .withColumn("t", datediff($"day", $"d0").cast("long"))
+      .join(daily, Seq("day"), "left")
+      .select($"t", coalesce($"x", lit(0L)).as("x"))
+      .localCheckpoint()
+  }
 
   private def copurchaseStore(s: SparkSession, dir: String): graft.operators.TableStore = {
     import s.implicits._
@@ -2369,6 +2412,28 @@ object AnalyticsQueries {
         |SELECT k, CAST(n * n * p - n * s * (aa + bb) + (n - k) * s * s AS BIGINT) AS num,
         |  CAST(n * n * q - n * s * s AS BIGINT) AS den
         |FROM lg CROSS JOIN g ORDER BY k""".stripMargin,
+
+    "a30_seasonal_mase" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |spine AS (SELECT date_diff('day', b.d0, s.day) AS t, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM b) s
+        |  CROSS JOIN b LEFT JOIN daily USING (day)),
+        |ks AS (SELECT unnest([1, 7]) AS k),
+        |sh AS (SELECT spine.t - ks.k AS t, spine.x AS xb, ks.k AS k
+        |  FROM spine CROSS JOIN ks),
+        |e AS (SELECT
+        |    SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN k = 1 THEN abs(sh.xb - a.x) ELSE 0 END) AS sae1,
+        |    SUM(CASE WHEN k = 7 THEN 1 ELSE 0 END) AS n7,
+        |    SUM(CASE WHEN k = 7 THEN abs(sh.xb - a.x) ELSE 0 END) AS sae7
+        |  FROM spine a JOIN sh ON sh.t = a.t)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(sae1 AS BIGINT) AS sae1,
+        |  CAST(n7 AS BIGINT) AS n7, CAST(sae7 AS BIGINT) AS sae7,
+        |  CAST((sae7 * n1 * 1000000) // (n7 * sae1) AS BIGINT) AS mase_ppm
+        |FROM e ORDER BY n1""".stripMargin,
 
     "a9_psi" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us,

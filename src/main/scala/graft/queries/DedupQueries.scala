@@ -132,6 +132,53 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- LSH recall/precision eval (the dedup-QA loop) --------------
+    // x2_eval_recall for the DEDUP stack: how much of the exact
+    // τ=0.6 pair set does a candidate LSH config catch, and how much
+    // junk does it admit? The config under test is DELIBERATELY weak
+    // (2 bands × 4 rows — expected recall at j=0.6 is 1−(1−j⁴)² ≈ 24%,
+    // vs ~100% for the production 16×4), so the gate measures a real
+    // recall cliff, not a vacuous 1.0. Because the output depends on
+    // the LSH INTERNALS (not just the verified set), the signature
+    // must be engine-portable: min over md5(seed || '_' || gram) per
+    // seed — md5 hex and lexicographic VARCHAR min are identical in
+    // Spark and DuckDB, so the oracle replays the exact band keys.
+    // (The production path keeps the codegen'd xxhash64 MinHashSigExpr;
+    // this portable variant exists for the eval gate, same shape: one
+    // explode + one 8-accumulator hash aggregate + a bucket self-join,
+    // O(docs·bands) not O(docs²).) Truth comes from the persisted
+    // exact pair store; recall/precision land as exact integer ppm.
+    "x1_lsh_recall_eval" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val docs = Tables.documents(s, dir)
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.wordGrams(col("text"), 3)).as("g"))
+      val mins = (0 until 8).map(i =>
+        min(md5(concat(lit(s"${i}_"), col("g")))).as(s"h$i"))
+      val sig = grams.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bands = sig.select(col("doc_id"), lit(0L).as("band"),
+          concat(col("h0"), col("h1"), col("h2"), col("h3")).as("key"))
+        .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+          concat(col("h4"), col("h5"), col("h6"), col("h7")).as("key")))
+      val cand = bands.toDF("doc_a", "band", "key")
+        .join(bands.toDF("doc_b", "band", "key"), Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint()
+      val truth = nearDupPairs(s, dir)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"))
+        .localCheckpoint()
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      nTrue.crossJoin(nCaught).crossJoin(nCand)
+        .select(col("n_true"), col("n_caught"), col("n_cand"),
+          expr("(cast(n_caught as decimal(38,0)) * 1000000) div n_true").as("recall_ppm"),
+          expr("(cast(n_caught as decimal(38,0)) * 1000000) div n_cand").as("precision_ppm"))
+        .orderBy("n_true")
+    }),
+
     // ---- SimHash-blocked near-dup + exact verify --------------------
     // Char-5-gram SimHash as the blocker (testdata: planted pairs at
     // Hamming ≤ 6, background ≥ 5 — overlap is fine, the verify step
@@ -838,6 +885,34 @@ object DedupQueries {
          |SELECT doc_id, cluster, lang, n_chars FROM ranked
          |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "x1_minhash_lsh" -> jaccardOracle,
+
+    // replays the portable md5 minhash exactly: same seeds, same hex,
+    // same lexicographic min, same ordered band-key concat
+    "x1_lsh_recall_eval" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |             ELSE [array_to_string(w, ' ')] END AS grams
+        |      FROM d),
+        |gr AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |sig AS (SELECT doc_id, s, MIN(md5(CAST(s AS VARCHAR) || '_' || gram)) AS h
+        |  FROM gr CROSS JOIN (SELECT unnest(range(0, 8)) AS s) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, s // 4 AS band, string_agg(h, '' ORDER BY s) AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id),
+        |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 5 >= len(list_distinct(a.grams || b.grams)) * 3),
+        |ct AS (SELECT COUNT(*) AS n_true FROM truth),
+        |cc AS (SELECT COUNT(*) AS n_cand FROM cand),
+        |ch AS (SELECT COUNT(*) AS n_caught FROM truth JOIN cand USING (doc_a, doc_b))
+        |SELECT n_true, n_caught, n_cand,
+        |  CAST((n_caught * 1000000) // n_true AS BIGINT) AS recall_ppm,
+        |  CAST((n_caught * 1000000) // n_cand AS BIGINT) AS precision_ppm
+        |FROM ct CROSS JOIN ch CROSS JOIN cc""".stripMargin,
     "x1_simhash_pairs" -> jaccardOracle,
     "x1_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
