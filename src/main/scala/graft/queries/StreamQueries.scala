@@ -886,10 +886,62 @@ object StreamQueries {
           when($"tc" >= 0, timestamp_micros($"tc")).as("ts_click"),
           when($"tp" >= 0, timestamp_micros($"tp")).as("ts_purchase"))
         .orderBy($"user_id")
+    }),
+
+    // ---- T12: STREAMED bottom-k sample (deterministic reservoir) ----
+    // The streaming form of uniform sampling that actually distributes:
+    // keep the k events with the SMALLEST md5(event_id) — the bottom-k
+    // sketch (Cohen & Kaplan). Unlike a classic reservoir it needs no
+    // randomness and no arrival-order state: the merge is an
+    // associative, commutative, idempotent min-k of hashes, so any
+    // shard/batch/replay order lands on the SAME sample, per-batch
+    // work is a partial bottom-k on every partition
+    // (TakeOrderedAndProject) merged against k stored rows, and state
+    // is O(k) forever. That idempotence is the exactly-once story: a
+    // replayed micro-batch re-merges the same candidates into the
+    // same set. The gate is EXACT (not rows-only): the final sample
+    // must equal the one-shot batch bottom-k, which DuckDB replays as
+    // ORDER BY md5 LIMIT k — hash-portable because md5 hex of the
+    // decimal id string is engine-independent.
+    "t12_stream_bottomk" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val k = 64
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"ts",
+          md5($"event_id".cast("string")).as("h"))
+      val base = s"/root/repo/target/tmp/stream-bottomk/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, ev, "ts", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Streams.bottomKMerge(store, "sample",
+            batch.select(col("event_id"), col("user_id"), col("event_type"), col("h")), k)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$runDir/ckpt")
+        .start()
+      q.awaitTermination()
+      store.read(s, "sample")
+        .select($"event_id", $"user_id", $"event_type", $"h")
+        .orderBy($"h", $"event_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the streamed bottom-k merge must land on the one-shot batch
+    // bottom-k — the sketch's merge is order-insensitive by design
+    "t12_stream_bottomk" ->
+      """SELECT event_id, user_id, event_type, md5(CAST(event_id AS VARCHAR)) AS h
+        |FROM events
+        |ORDER BY h, event_id LIMIT 64""".stripMargin,
     // the streamed segment folds must answer exactly like a one-shot
     // full index build — same text as x3_bm25_search
     "t6_stream_index" -> TextQueries.Bm25OracleSql,

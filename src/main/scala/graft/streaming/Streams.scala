@@ -378,6 +378,33 @@ object Streams {
       }
   }
 
+  /** T12: fold one micro-batch into a persisted bottom-k sample — the
+    * deterministic streaming reservoir. The sample is the k rows with
+    * the smallest (hashCol, tieCol); because min-k is associative,
+    * commutative, and IDEMPOTENT, any batch order, shard split, or
+    * at-least-once replay lands on the same sample as the one-shot
+    * batch bottom-k (StreamsSpec pins all three). Per-batch cost is a
+    * partial bottom-k on every partition (TakeOrderedAndProject)
+    * merged against k stored rows; state is O(k) forever. hashCol
+    * should be a content hash (e.g. md5 of the row key) so the sample
+    * is uniform and engine-portable. */
+  def bottomKMerge(store: TableStore, table: String, batch: DataFrame,
+      k: Int, hashCol: String = "h", tieCol: String = "event_id"): Unit = {
+    val sb = batch.sparkSession
+    val cand = batch.orderBy(col(hashCol), col(tieCol)).limit(k)
+    // distinct BEFORE the final min-k: an at-least-once replay
+    // re-contributes rows already in the stored sample, and a min-k
+    // over the multiset would keep the duplicates (pinned by
+    // StreamsSpec's replay case) — identical rows collapse, so the
+    // merge is idempotent, not just order-insensitive
+    val merged =
+      (if (store.exists(sb, table)) store.read(sb, table).unionByName(cand)
+       else cand)
+        .distinct()
+        .orderBy(col(hashCol), col(tieCol)).limit(k)
+    store.replace(sb, table, merged)
+  }
+
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
   final case class KeyCount(key: String, n: Long)
   final case class SessionAcc(start: Long, end: Long, n: Int)

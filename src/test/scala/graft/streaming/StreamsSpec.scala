@@ -459,4 +459,25 @@ class StreamsSpec extends SparkSpec {
       assert(last()("u1") == ((100L, 300L, 400L)))
     } finally q.stop()
   }
+
+  test("T12: bottomKMerge — order-insensitive, idempotent, equals one-shot bottom-k") {
+    val s = spark; import s.implicits._
+    def frame(ids: Seq[Long]) = ids.toDF("event_id")
+      .select(col("event_id"), lit("e").as("event_type"),
+        md5(col("event_id").cast("string")).as("h"))
+    val all = (1L to 40L)
+    val oneShot = frame(all).orderBy(col("h"), col("event_id")).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    def runBatches(batches: Seq[Seq[Long]]): Seq[Long] = {
+      val store = new TableStore(
+        Files.createTempDirectory(Paths.get("target"), "bottomk-").toString)
+      batches.foreach(b => Streams.bottomKMerge(store, "sample", frame(b), 8))
+      store.read(s, "sample").orderBy(col("h"), col("event_id"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val split = Seq(all.slice(0, 15), all.slice(15, 30), all.slice(30, 40))
+    assert(runBatches(split) == oneShot)                 // == one-shot batch
+    assert(runBatches(split.reverse) == oneShot)         // batch order irrelevant
+    assert(runBatches(split ++ Seq(split(1))) == oneShot) // replayed batch is a no-op
+  }
 }
