@@ -1166,6 +1166,58 @@ object AnalyticsQueries {
         .orderBy("l_min")
     }),
 
+    // ---- A18c: t-closeness audit (the governance trio's third leg) --
+    // l-diversity still leaks when a group's sensitive DISTRIBUTION
+    // skews far from the corpus (skewness attack — Li et al., ICDE
+    // 2007): t-closeness bounds the Earth Mover's Distance between
+    // each QI group's sensitive distribution and the global one. For
+    // an ORDERED attribute (the acctbal bands a18_ldiversity uses),
+    // EMD = (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| over the m sorted
+    // buckets; clearing denominators (p_j = c_gj/n_g, q_j = C_j/N)
+    // makes the per-group statistic EXACT: emd_num =
+    // Σᵢ|cum_g(i)·N − cum_all(i)·n_g|, and
+    // emd_ppm = emd_num·1e6 div ((m−1)·n_g·N) — all positive, so both
+    // engines' integer division agrees. Shape at 100 TB: one
+    // corpus-scale aggregate to (QI, bucket) cells; everything after
+    // runs on the QI-domain × bucket-domain GRID (zero-filled via a
+    // groups × buckets cross join — both domain-bounded, never
+    // row-count-bounded), with the cumulative window partitioned per
+    // group over m bucket rows. Products route through DECIMAL(38,0)
+    // (cum·N ~ n² at corpus scale).
+    "a18_tcloseness" -> ((s, dir) => {
+      import s.implicits._
+      val cells = Tables.customer(s, dir)
+        .select($"c_mktsegment", $"c_nationkey",
+          expr("cast(floor(c_acctbal / 2000) as bigint)").as("b"))
+        .groupBy($"c_mktsegment", $"c_nationkey", $"b")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val grp = cells.groupBy($"c_mktsegment", $"c_nationkey")
+        .agg(sum($"c").as("n_g"))
+      val gb = cells.groupBy($"b").agg(sum($"c").as("cg"))
+      val tot = gb.agg(sum($"cg").as("n"), count(lit(1)).as("m"))
+      val grid = grp.crossJoin(gb)
+        .join(cells, Seq("c_mktsegment", "c_nationkey", "b"), "left")
+        .select($"c_mktsegment", $"c_nationkey", $"b", $"n_g",
+          coalesce($"c", lit(0L)).as("c"), $"cg")
+      val w = Window.partitionBy($"c_mktsegment", $"c_nationkey")
+        .orderBy($"b").rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("cum_g", sum($"c").over(w))
+        .withColumn("cum_all", sum($"cg").over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy($"c_mktsegment", $"c_nationkey")
+        .agg(max($"n_g").as("n"),
+          sum(abs($"cum_g".cast("decimal(38,0)") * $"n" -
+            $"cum_all".cast("decimal(38,0)") * $"n_g")).as("emd_num0"),
+          max($"m").as("m"), max(col("n")).as("nn"))
+        .select($"c_mktsegment", $"c_nationkey", $"n",
+          $"emd_num0".cast("bigint").as("emd_num"),
+          expr("(emd_num0 * 1000000) div ((m - 1) * cast(n as decimal(38,0)) * nn)")
+            .as("emd_ppm"))
+        .orderBy($"c_mktsegment", $"c_nationkey")
+    }),
+
     "a16_pagerank" -> ((s, dir) => {
       import s.implicits._
       val pairs = copurchasePairs(s, dir)
@@ -1874,6 +1926,33 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_groups,
         |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_exposed
         |FROM g ORDER BY l_min""".stripMargin,
+
+    // ordered-attribute EMD with cleared denominators — the cumulative
+    // diff at the last bucket is identically 0, so summing all m
+    // buckets equals the textbook m−1 terms
+    "a18_tcloseness" ->
+      """WITH cells AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS b, COUNT(*) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_mktsegment, c_nationkey, SUM(c) AS n_g FROM cells GROUP BY 1, 2),
+        |gb AS (SELECT b, SUM(c) AS cg FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(cg) AS nn, COUNT(*) AS m FROM gb),
+        |grid AS (SELECT grp.c_mktsegment, grp.c_nationkey, gb.b, grp.n_g,
+        |    COALESCE(cells.c, 0) AS c, gb.cg
+        |  FROM grp CROSS JOIN gb
+        |  LEFT JOIN cells ON cells.c_mktsegment = grp.c_mktsegment
+        |    AND cells.c_nationkey = grp.c_nationkey AND cells.b = gb.b),
+        |cum AS (SELECT c_mktsegment, c_nationkey, n_g,
+        |    SUM(c) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY b) AS cum_g,
+        |    SUM(cg) OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY b) AS cum_all
+        |  FROM grid),
+        |emd AS (SELECT c_mktsegment, c_nationkey, MAX(n_g) AS n,
+        |    SUM(abs(cum_g * nn - cum_all * n_g)) AS emd_num, MAX(m) AS m, MAX(nn) AS nn
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+        |  CAST(emd_num AS BIGINT) AS emd_num,
+        |  CAST((emd_num * 1000000) // ((m - 1) * n * nn) AS BIGINT) AS emd_ppm
+        |FROM emd ORDER BY c_mktsegment, c_nationkey""".stripMargin,
 
     "a17_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
