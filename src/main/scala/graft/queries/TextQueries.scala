@@ -638,6 +638,44 @@ object TextQueries {
         .limit(30)
     }),
 
+    // ---- readability scoring (Flesch reading ease, exact) ------------
+    // The quality-filter dimension x3_quality/x3_gopher_rules don't
+    // cover: is the prose READABLE, not just clean? Flesch (1948)
+    // reading ease = 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words), with the standard deterministic
+    // heuristics: sentences = runs of [.!?] (min 1), syllables = vowel
+    // runs [aeiouy]+ per lowercased word (min 1/word). Both run counts
+    // come from the two-regexp_replace length trick (collapse runs to
+    // one char vs delete them — the difference IS the run count),
+    // which is codegen'd in Spark and global-flagged in DuckDB. The
+    // score itself is rational and can go NEGATIVE, so no division
+    // anywhere: clearing denominators gives the exact integer
+    // f_num = 206835·s·w − 1015·w² − 84600·y·s (milli-scaled by s·w),
+    // and the filter bit "Flesch ≥ 60" (plain English) is the pure
+    // integer comparison f_num ≥ 60000·s·w. One explode + one hash
+    // aggregate per doc — embarrassingly parallel at any corpus size.
+    "x3_readability" -> ((s, dir) => {
+      def runs(c: org.apache.spark.sql.Column, pat: String) =
+        greatest(length(regexp_replace(c, pat, "#")) -
+          length(regexp_replace(c, pat, "")), lit(1)).cast("long")
+      val docs = Tables.documents(s, dir)
+      val sents = docs.select(col("doc_id"), runs(col("text"), "[.!?]+").as("n_sents"))
+      val words = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w0"))
+        .select(col("doc_id"), runs(lower(col("w0")), "[aeiouy]+").as("syl"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syll"))
+      words.join(sents, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          (lit(206835L) * col("n_sents") * col("n_words") -
+            lit(1015L) * col("n_words") * col("n_words") -
+            lit(84600L) * col("n_syll") * col("n_sents")).as("f_num"))
+        .withColumn("readable",
+          when(col("f_num") >= lit(60000L) * col("n_sents") * col("n_words"), 1L)
+            .otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sequence packing (concat-then-chunk) -----------------------
     // The step that turns a cleaned corpus into training batches:
     // concatenate documents in a deterministic order and chunk the
@@ -1007,6 +1045,29 @@ object TextQueries {
         |  CAST(MAX(sc.score_ppm) AS BIGINT) AS score_ppm
         |FROM sc JOIN ph USING (doc_id, grp)
         |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 30""".stripMargin,
+
+    "x3_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |       list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |     FROM documents),
+        |se AS (SELECT doc_id, greatest(
+        |    length(regexp_replace(text, '[.!?]+', '#', 'g')) -
+        |    length(regexp_replace(text, '[.!?]+', '', 'g')), 1) AS n_sents FROM d),
+        |t AS (SELECT doc_id, lower(unnest(w)) AS tok FROM d),
+        |sy AS (SELECT doc_id, COUNT(*) AS n_words,
+        |    SUM(greatest(
+        |      length(regexp_replace(tok, '[aeiouy]+', '#', 'g')) -
+        |      length(regexp_replace(tok, '[aeiouy]+', '', 'g')), 1)) AS n_syll
+        |  FROM t GROUP BY 1)
+        |SELECT sy.doc_id, sy.n_words, CAST(se.n_sents AS BIGINT) AS n_sents,
+        |  CAST(sy.n_syll AS BIGINT) AS n_syll,
+        |  CAST(206835 * se.n_sents * sy.n_words - 1015 * sy.n_words * sy.n_words
+        |    - 84600 * sy.n_syll * se.n_sents AS BIGINT) AS f_num,
+        |  CAST(CASE WHEN 206835 * se.n_sents * sy.n_words - 1015 * sy.n_words * sy.n_words
+        |    - 84600 * sy.n_syll * se.n_sents >= 60000 * se.n_sents * sy.n_words
+        |    THEN 1 ELSE 0 END AS BIGINT) AS readable
+        |FROM sy JOIN se USING (doc_id)
+        |ORDER BY sy.doc_id""".stripMargin,
 
     "x3_vocab_encode" ->
       """WITH d AS (SELECT doc_id,
