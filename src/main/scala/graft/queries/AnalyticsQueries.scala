@@ -816,6 +816,38 @@ object AnalyticsQueries {
         .orderBy($"brand")
     }),
 
+    // ---- A16d: degree assortativity -----------------------------------
+    // Newman's 2002 mixing coefficient: do high-degree parts co-purchase
+    // with high-degree parts? Pearson r over the 2m symmetrized edge
+    // endpoint-degree points (x, y); by symmetry Σx = Σy and
+    // Σx² = Σy², so r = num/den with num = 2m·Σxy − (Σx)² and
+    // den = 2m·Σx² − (Σx)² — both EXACT integers (DECIMAL-routed:
+    // 2m·Σx² ~ m²·d̄² at corpus scale). num can be negative
+    // (disassortative graphs), so the gate pins (num, den) and no
+    // division happens anywhere. Plan: the degree table joins the edge
+    // list twice (AQE broadcasts it while it fits — the a16_pagerank
+    // rule), then ONE global aggregate; exchanges carry (long, long).
+    "a16_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchasePairs(s, dir)
+      val und = pairs.select($"part_a".as("u"), $"part_b".as("v"))
+        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
+      val deg = und.groupBy($"u").agg(count(lit(1)).as("d"))
+      val pts = und
+        .join(deg.toDF("u", "dx"), Seq("u"))
+        .join(deg.toDF("v", "dy"), Seq("v"))
+        .select($"dx".cast("decimal(38,0)").as("x"), $"dy".cast("decimal(38,0)").as("y"))
+      pts.agg(count(lit(1)).as("m2"), sum($"x").as("sx0"),
+          sum($"x" * $"y").as("sxy0"), sum($"x" * $"x").as("sxx0"))
+        .select($"m2",
+          $"sx0".cast("bigint").as("sx"),
+          $"sxy0".cast("bigint").as("sxy"),
+          $"sxx0".cast("bigint").as("sxx"),
+          expr("cast(m2 * sxy0 - sx0 * sx0 as bigint)").as("num"),
+          expr("cast(m2 * sxx0 - sx0 * sx0 as bigint)").as("den"))
+        .orderBy($"m2")
+    }),
+
     // ---- A27: association rules (directional confidence) ------------
     // a14_copurchase's lift is symmetric; the RULE form is not:
     // confidence(A→B) = P(B|A) = pair_n / item_n(A), so each
@@ -2427,6 +2459,25 @@ object AnalyticsQueries {
         |  CAST(4 * m.m * bb.e_in - bb.d_sum * bb.d_sum AS BIGINT) AS q_contrib
         |FROM bb JOIN nn USING (brand) CROSS JOIN m
         |ORDER BY bb.brand""".stripMargin,
+
+    "a16_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT part_a AS u, part_b AS v FROM p
+        |  UNION ALL SELECT part_b, part_a FROM p),
+        |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+        |pts AS (SELECT du.d AS x, dv.d AS y FROM und
+        |  JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v),
+        |agg AS (SELECT COUNT(*) AS m2, SUM(x) AS sx, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx FROM pts)
+        |SELECT m2, CAST(sx AS BIGINT) AS sx, CAST(sxy AS BIGINT) AS sxy,
+        |  CAST(sxx AS BIGINT) AS sxx,
+        |  CAST(m2 * sxy - sx * sx AS BIGINT) AS num,
+        |  CAST(m2 * sxx - sx * sx AS BIGINT) AS den
+        |FROM agg ORDER BY m2""".stripMargin,
 
     "a27_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
