@@ -763,6 +763,47 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // ---- X2k2: k-center seeding (farthest-first traversal) ----------
+    // The DETERMINISTIC alternative to k-means++ sampling (Gonzalez
+    // 1985, the 2-approximation for the k-center objective): seed 1 =
+    // min vec_id, each next seed is the vector FARTHEST from the
+    // chosen set, and the final row reports the coverage radius
+    // (max-min distance) the 4 seeds achieve. Exactly the seeds a
+    // production k-means would want instead of x2_kmeans' first-8-ids
+    // init — and fully replayable, because farthest-first has no
+    // randomness to coordinate across engines. Shape at 100 TB: k
+    // passes, each a join-free literal-centroid distance projection
+    // over the quantized coords (the Kmeans.assign discipline) + a
+    // running least() against the maintained min-distance column; the
+    // only driver traffic is k bounded argmax collects (1 row each,
+    // the "8 probe cids" class). All distances are exact integers on
+    // 1e-6-quantized coords. (For k in the thousands you'd switch to
+    // kmeans||-style oversampling to batch the passes; at seed-count
+    // k this IS the scale plan.)
+    "x2_kcenter_seed" -> ((s, dir) => {
+      import s.implicits._
+      val x = Tables.embeddings(s, dir)
+        .select($"vec_id", graft.operators.Kmeans.scaledVec($"embedding").as("x6"))
+        .localCheckpoint()
+      def d2To(c: Seq[Long]) = aggregate(
+        zip_with($"x6", typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val first = x.orderBy($"vec_id").limit(1).head()
+      var picks = Vector((1L, first.getLong(0), 0L))
+      var center: Seq[Long] = first.getSeq[Long](1)
+      var m = x.select($"vec_id", d2To(center).as("m"), $"x6")
+      for (rk <- 2L to 4L) {
+        val p = m.orderBy($"m".desc, $"vec_id").limit(1).head()
+        picks = picks :+ ((rk, p.getLong(0), p.getLong(1)))
+        center = p.getSeq[Long](2)
+        m = m.select($"vec_id", least($"m", d2To(center)).as("m"), $"x6")
+          .localCheckpoint()
+      }
+      val r = m.orderBy($"m".desc, $"vec_id").limit(1).head()
+      picks = picks :+ ((5L, r.getLong(0), r.getLong(1)))
+      picks.toDF("rk", "vec_id", "sel_d2").orderBy($"rk")
+    }),
+
     // ---- X2s: semantic dedup (SemDeDup, Abbas et al. 2023) ----------
     // Near-dup removal that only compares WITHIN a k-means cluster:
     // candidate volume is Σ|c|² for k clusters instead of n² — at
@@ -1052,7 +1093,40 @@ object VectorQueries {
        |${kmUpdate(3, "c2", "a3")},
        |${kmAssign(4, "c3")}""".stripMargin
 
+  /** Farthest-first rounds unrolled: pick_r = argmax of the maintained
+    * min-distance, then fold the new center in via LEAST. */
+  private val kcenterCtes: String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT vec_id, m FROM m${r - 1} ORDER BY m DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT idx, x6 AS c6 FROM x JOIN p$r ON x.vec_id = p$r.vec_id),
+         |d$r AS (SELECT v.vec_id, SUM((v.x6 - c.c6) * (v.x6 - c.c6)) AS d
+         |  FROM x v JOIN c$r c USING (idx) GROUP BY 1),
+         |m$r AS (SELECT m${r - 1}.vec_id, LEAST(m${r - 1}.m, d$r.d) AS m
+         |  FROM m${r - 1} JOIN d$r USING (vec_id))""".stripMargin
+    s"""WITH x AS (SELECT vec_id, i AS idx,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x6
+       |  FROM embeddings, generate_series(1, 64) s(i)),
+       |s1 AS (SELECT MIN(vec_id) AS id FROM x),
+       |c1 AS (SELECT idx, x6 AS c6 FROM x JOIN s1 ON x.vec_id = s1.id),
+       |m1 AS (SELECT v.vec_id, SUM((v.x6 - c.c6) * (v.x6 - c.c6)) AS m
+       |  FROM x v JOIN c1 c USING (idx) GROUP BY 1),
+       |${round(2)},
+       |${round(3)},
+       |${round(4)},
+       |r AS (SELECT vec_id, m FROM m4 ORDER BY m DESC, vec_id LIMIT 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x2_kcenter_seed" ->
+      s"""$kcenterCtes
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS rk, s1.id AS vec_id, CAST(0 AS BIGINT) AS sel_d2 FROM s1
+         |  UNION ALL SELECT 2, vec_id, CAST(m AS BIGINT) FROM p2
+         |  UNION ALL SELECT 3, vec_id, CAST(m AS BIGINT) FROM p3
+         |  UNION ALL SELECT 4, vec_id, CAST(m AS BIGINT) FROM p4
+         |  UNION ALL SELECT 5, vec_id, CAST(m AS BIGINT) FROM r)
+         |ORDER BY rk""".stripMargin,
+
     "x2_kmeans" ->
       s"""$kmeansCtes,
          |kstats AS (SELECT cid AS cluster, COUNT(*) AS n,
