@@ -772,6 +772,39 @@ object AnalyticsQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- A31: cohort LTV triangle -------------------------------------
+    // a8_retention's revenue sibling — the "LTV triangle" every
+    // subscription/commerce warehouse maintains: customers cohorted by
+    // FIRST-order month, spend accumulated by month-age, reported as
+    // cumulative revenue-per-cohort-member (exact integer cents via
+    // ppm-free div: cum_cents div cohort_size, both positive). Shape:
+    // one aggregate finds each customer's first month, one more lands
+    // on the cohort × age GRID
+    // (months² cells — calendar-bounded, so the cumulative window per
+    // cohort is summary-sized), never a second pass over orders.
+    // Month-age via 12·Δyear + Δmonth — identical integer calendar
+    // math in both engines under UTC.
+    "a31_ltv_triangle" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_custkey",
+          (year(to_date($"o_orderdate")) * 12 + month(to_date($"o_orderdate")))
+            .cast("long").as("ym"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val first = o.groupBy($"o_custkey").agg(min($"ym").as("cohort"))
+      val grid = o.join(first, Seq("o_custkey"))
+        .groupBy($"cohort", ($"ym" - $"cohort").as("age"))
+        .agg(sum($"cents").as("rev_cents"))
+      val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("n_cust"))
+      val w = Window.partitionBy($"cohort").orderBy($"age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.withColumn("cum_cents", sum($"rev_cents").over(w))
+        .join(sizes, Seq("cohort"))
+        .select($"cohort", $"age", $"n_cust", $"rev_cents", $"cum_cents",
+          expr("cum_cents div n_cust").as("ltv_cents"))
+        .orderBy($"cohort", $"age")
+    }),
+
     // ---- A16c: modularity of a declared partition --------------------
     // The community-QUALITY metric the a16 detectors need: Newman
     // modularity Q of the brand partition over the co-purchase graph
@@ -878,36 +911,43 @@ object AnalyticsQueries {
         .limit(40)
     }),
 
-    // ---- A28: link prediction (common-neighbor family) --------------
+    // ---- A28: link prediction (truncated common-neighbor family) ----
     // The "recommend an edge" primitive: for NON-adjacent node pairs
-    // of the co-purchase graph, the three classic scores — common
-    // neighbors |Γ(u)∩Γ(w)|, Jaccard |∩|/|∪| (exact integer ppm:
-    // |∪| = d_u + d_w − cn), preferential attachment d_u·d_w. Pair
-    // generation is the wedge self-join on the shared middle node
-    // (u < w canonicalizes), minus existing edges via LEFT ANTI —
-    // Θ(Σ deg²) wedges, the same budget a17_triangles' closure pays.
-    // At 100 TB the standard production guard is a hub cap (drop
-    // middles above a degree ceiling before wedging — hubs contribute
-    // quadratically and predict nothing); the full-graph form is gated
-    // here and the cap is one filter on the degree table. Top-30 by
-    // (cn, jaccard) under a total tiebreak = bounded heap, no global
-    // sort.
+    // of the co-purchase graph, common strong neighbors, Jaccard ppm
+    // (|∪| = kd_u + kd_w − cn over kept lists), preferential
+    // attachment kd_u·kd_w. The naive all-wedges form is Θ(Σ deg²) —
+    // MEASURED 53 s at sf0.1 (3·10⁸ wedges on a median-degree-119
+    // graph), the suite's worst plan — so this runs the PRODUCTION
+    // shape: truncate every node's adjacency to its K=16 STRONGEST
+    // edges (by pair weight desc, id — deterministic; hubs keep their
+    // best links rather than being dropped), which bounds wedges at
+    // Σ min(d,K)² ≤ n·K² regardless of skew (the people-you-may-know
+    // discipline). The truncation window partitions per node (depth ≤
+    // max degree), candidates come from the truncated-middle wedge
+    // self-join minus existing edges via LEFT ANTI, and top-30 by
+    // (cn, jaccard) under a total tiebreak is a bounded heap.
     "a28_linkpred" -> ((s, dir) => {
       import s.implicits._
-      val pairs = copurchasePairs(s, dir)
-      val und = pairs.select($"part_a".as("u"), $"part_b".as("v"))
-        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
-      val deg = und.groupBy($"u").agg(count(lit(1)).as("d"))
-      val cand = und.toDF("a", "mid").join(und.toDF("b", "mid"), Seq("mid"))
+      val pw = copurchaseStore(s, dir).read(s, "pairs")
+      val und = pw.select($"part_a".as("u"), $"part_b".as("v"), $"pair_n")
+        .union(pw.select($"part_b".as("u"), $"part_a".as("v"), $"pair_n"))
+      val kept = und
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"u").orderBy($"pair_n".desc, $"v")))
+        .filter($"rk" <= 16)
+        .select($"u", $"v")
+        .localCheckpoint()
+      val kdeg = kept.groupBy($"u").agg(count(lit(1)).as("kd"))
+      val cand = kept.toDF("mid", "a").join(kept.toDF("mid", "b"), Seq("mid"))
         .filter($"a" < $"b")
         .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
-        .join(pairs.toDF("a", "b"), Seq("a", "b"), "left_anti")
+        .join(pw.select($"part_a".as("a"), $"part_b".as("b")), Seq("a", "b"), "left_anti")
       cand
-        .join(deg.toDF("a", "d_a"), Seq("a"))
-        .join(deg.toDF("b", "d_b"), Seq("b"))
-        .select($"a", $"b", $"cn", $"d_a", $"d_b",
-          expr("(cast(cn as decimal(38,0)) * 1000000) div (d_a + d_b - cn)").as("jaccard_ppm"),
-          ($"d_a" * $"d_b").as("pref_attach"))
+        .join(kdeg.toDF("a", "kd_a"), Seq("a"))
+        .join(kdeg.toDF("b", "kd_b"), Seq("b"))
+        .select($"a", $"b", $"cn", $"kd_a", $"kd_b",
+          expr("(cast(cn as decimal(38,0)) * 1000000) div (kd_a + kd_b - cn)").as("jaccard_ppm"),
+          ($"kd_a" * $"kd_b").as("pref_attach"))
         .orderBy($"cn".desc, $"jaccard_ppm".desc, $"a", $"b")
         .limit(30)
     }),
@@ -2436,6 +2476,25 @@ object AnalyticsQueries {
          |ORDER BY rfm.o_custkey""".stripMargin
     },
 
+    "a31_ltv_triangle" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS ym,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(ym) AS cohort FROM o GROUP BY 1),
+        |grid AS (SELECT f.cohort, o.ym - f.cohort AS age, SUM(o.cents) AS rev_cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, COUNT(*) AS n_cust FROM f GROUP BY 1),
+        |cum AS (SELECT cohort, age, rev_cents,
+        |    SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age) AS cum_cents
+        |  FROM grid)
+        |SELECT cum.cohort, CAST(cum.age AS BIGINT) AS age, sz.n_cust,
+        |  CAST(cum.rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(cum.cum_cents AS BIGINT) AS cum_cents,
+        |  CAST(cum.cum_cents // sz.n_cust AS BIGINT) AS ltv_cents
+        |FROM cum JOIN sz USING (cohort)
+        |ORDER BY cum.cohort, cum.age""".stripMargin,
+
     // endpoint-explode replayed as UNION ALL; SUM(intra)//2 recovers
     // the intra-edge count exactly (each intra edge flags both ends)
     "a16_modularity" ->
@@ -2501,25 +2560,28 @@ object AnalyticsQueries {
 
     "a28_linkpred" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),
-        |und AS (SELECT part_a AS u, part_b AS v FROM p
-        |  UNION ALL SELECT part_b, part_a FROM p),
-        |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
-        |cand AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS cn
-        |  FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+        |und AS (SELECT part_a AS u, part_b AS v, pair_n FROM p
+        |  UNION ALL SELECT part_b, part_a, pair_n FROM p),
+        |kept AS (SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY pair_n DESC, v) AS rk
+        |    FROM und) WHERE rk <= 16),
+        |kdeg AS (SELECT u, COUNT(*) AS kd FROM kept GROUP BY 1),
+        |cand AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS cn
+        |  FROM kept x JOIN kept y ON x.u = y.u AND x.v < y.v
         |  GROUP BY 1, 2),
         |nonadj AS (SELECT cand.* FROM cand
         |  LEFT JOIN p ON p.part_a = cand.a AND p.part_b = cand.b
         |  WHERE p.part_a IS NULL)
-        |SELECT a, b, cn, da.d AS d_a, db.d AS d_b,
-        |  CAST((cn * 1000000) // (da.d + db.d - cn) AS BIGINT) AS jaccard_ppm,
-        |  da.d * db.d AS pref_attach
+        |SELECT a, b, cn, da.kd AS kd_a, db.kd AS kd_b,
+        |  CAST((cn * 1000000) // (da.kd + db.kd - cn) AS BIGINT) AS jaccard_ppm,
+        |  da.kd * db.kd AS pref_attach
         |FROM nonadj
-        |JOIN deg da ON da.u = a
-        |JOIN deg db ON db.u = b
+        |JOIN kdeg da ON da.u = a
+        |JOIN kdeg db ON db.u = b
         |ORDER BY cn DESC, jaccard_ppm DESC, a, b LIMIT 30""".stripMargin,
 
     // denominators cleared — the gate pins exact integer (num, den);
