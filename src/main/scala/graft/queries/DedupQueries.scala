@@ -408,6 +408,43 @@ object DedupQueries {
         .orderBy("eval_doc")
     }),
 
+    // ---- NEAR-dup decontamination (the fuzzy sibling) ----------------
+    // x1_decontam_exact catches verbatim 13-gram leakage; a lightly
+    // paraphrased or truncated benchmark slips through it. This is the
+    // modern fuzzy pass: MinHash-LSH candidates restricted to
+    // CROSS-SPLIT (test ↔ train) pairs, exact-verified at Jaccard ≥
+    // 0.6, reported per eval doc (match count, strongest overlap,
+    // smallest offending train id). Same 16×4 banding whose τ=0.6
+    // completeness on this corpus is already load-bearing for
+    // x1_minhash_lsh's oracle gate (planted dups sit ≥ 0.97, where
+    // P(miss) ≈ 1e-15); the cross-split filter only SUBSETS those
+    // pairs, so the argument carries over verbatim. Shape at 100 TB:
+    // candidates are O(docs·bands), the split test is a scan-local
+    // projection on the hash the split was defined by, and verify
+    // touches candidate pairs only — never train × test.
+    "x1_neardup_decontam" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val docs = Tables.documents(s, dir)
+      val sp = docs.select(col("doc_id"),
+        graft.operators.Sampling.splitColumn(col("text")).as("sp"))
+      val cross = Dedup.lshCandidates(docs, "doc_id", "text", n = 3, k = 64, bands = 16)
+        .join(sp.toDF("idA", "spA"), Seq("idA"))
+        .join(sp.toDF("idB", "spB"), Seq("idB"))
+        .filter(col("spA") =!= col("spB"))
+        .select(col("idA"), col("idB"), col("spA"))
+      Dedup.verifyPairs(cross.select("idA", "idB"), docs, "doc_id", "text", n = 3)
+        .filter(nearDupFilter)
+        .join(cross, Seq("idA", "idB"))
+        .select(
+          when(col("spA") === "test", col("idA")).otherwise(col("idB")).as("eval_doc"),
+          when(col("spA") === "test", col("idB")).otherwise(col("idA")).as("train_doc"),
+          col("n_common"))
+        .groupBy(col("eval_doc"))
+        .agg(count(lit(1)).as("n_neardups"), max(col("n_common")).as("max_common"),
+          min(col("train_doc")).as("min_train_doc"))
+        .orderBy("eval_doc")
+    }),
+
     // ---- bloom-pruned decontamination (the 100 TB plan) -------------
     // Same answer, better asymmetric plan: the eval set is small (a
     // benchmark's worth of grams), the train-gram store is the corpus.
@@ -885,6 +922,26 @@ object DedupQueries {
          |SELECT doc_id, cluster, lang, n_chars FROM ranked
          |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "x1_minhash_lsh" -> jaccardOracle,
+
+    "x1_neardup_decontam" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+        |       CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
+        |            THEN 'train' ELSE 'test' END AS split
+        |     FROM documents),
+        |g AS (SELECT doc_id, split,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+        |             ELSE [array_to_string(w, ' ')] END AS grams
+        |      FROM d),
+        |pr AS (SELECT t.doc_id AS eval_doc, r.doc_id AS train_doc,
+        |    len(list_intersect(t.grams, r.grams)) AS n_common,
+        |    len(list_distinct(t.grams || r.grams)) AS n_union
+        |  FROM g t JOIN g r ON t.split = 'test' AND r.split = 'train')
+        |SELECT eval_doc, COUNT(*) AS n_neardups,
+        |  CAST(MAX(n_common) AS BIGINT) AS max_common,
+        |  MIN(train_doc) AS min_train_doc
+        |FROM pr WHERE n_common * 5 >= n_union * 3
+        |GROUP BY 1 ORDER BY eval_doc""".stripMargin,
 
     // replays the portable md5 minhash exactly: same seeds, same hex,
     // same lexicographic min, same ordered band-key concat

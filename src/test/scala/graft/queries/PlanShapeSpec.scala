@@ -361,4 +361,35 @@ class PlanShapeSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("a28_linkpred: truncated-adjacency wedges — per-node window, bounded top-30 heap") {
+    val df = AnalyticsQueries.all("a28_linkpred")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the r8 fix: the 53s all-wedges form is gone — adjacency truncates
+    // through a PER-NODE window (partitioned by u, never global), and
+    // the final top-30 is a bounded heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!"windowspecdefinition\\(pair_n#\\d+ DESC".r.unanchored.matches(p), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("x3_rake_keywords: islands window is per-document; top-30 is a bounded heap") {
+    val df = TextQueries.all("x3_rake_keywords")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // every window partitions by doc_id — no corpus-wide ordering task
+    assert(!"windowspecdefinition\\(pos#\\d+ ASC".r.unanchored.matches(p), p.take(2000))
+  }
+
+  test("a27_assoc_rules: rule ranking is a bounded heap over the pruned pair store") {
+    val df = AnalyticsQueries.all("a27_assoc_rules")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("a29_acf: lag pairing is an equi-join on day index — no unpartitioned calendar window") {
+    val df = AnalyticsQueries.all("a29_acf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
