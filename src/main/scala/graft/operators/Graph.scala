@@ -99,6 +99,47 @@ object Graph {
     levels
   }
 
+  /** Multi-source BFS: exact hop distances from the `nSources`
+    * smallest node ids, all frontiers advancing in the SAME rounds —
+    * one (src, node) frame instead of nSources sequential traversals,
+    * so the round count stays the max eccentricity, not its sum. The
+    * building block for pivot-sampled centralities (harmonic /
+    * closeness): exact per-pivot distances at nSources× the BFS cost;
+    * for all-sources estimates at 100 TB the published path is
+    * HyperANF-style sketched frontiers, with this as the exact
+    * verifier on sampled pivots. Per-round exchanges carry
+    * (long, long) rows; same localCheckpoint + loud-backstop
+    * discipline as [[bfsLevels]]. Output: (src, node, lvl). */
+  def bfsLevelsMulti(edges: DataFrame, nSources: Int = 4, maxIter: Int = 100): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    // deterministic pivots: the nSources smallest node ids present in
+    // the graph (bounded TakeOrdered, nSources rows on the driver path)
+    val srcs = und.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nSources)
+    var levels = srcs.select(col("node").as("src"), col("node"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    var frontier = levels.select(col("src"), col("node").as("u"))
+    var lvl = 0L
+    var grew = true
+    while (grew && lvl < maxIter) {
+      lvl += 1
+      val next = und.join(frontier, Seq("u"))
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(levels, Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(lvl).as("lvl"))
+        .localCheckpoint(true)
+      grew = next.count() > 0
+      if (grew) {
+        levels = levels.union(next).localCheckpoint(true)
+        frontier = next.select(col("src"), col("node").as("u"))
+      }
+    }
+    require(!grew, s"bfsLevelsMulti did not drain the frontier in $maxIter rounds")
+    levels
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, made
     * deterministic): every node starts labeled with its own id; each
     * round every node adopts the label carried by the MOST of its

@@ -1169,6 +1169,31 @@ object AnalyticsQueries {
         .orderBy($"lvl")
     }),
 
+    // ---- A19f: harmonic centrality, pivot-sampled --------------------
+    // The centrality family's distance leg (PageRank is flow, k-core
+    // is cohesion — this is REACH): harmonic centrality (Marchiori &
+    // Latora 2000) Σ 1/d(s, v), which unlike closeness is defined on
+    // disconnected graphs (unreached nodes contribute 0) — exactly
+    // right for the repeat co-purchase graph, which shatters at
+    // sf0.1. Exact all-pairs is O(n·BFS); the production form is
+    // pivot sampling (Eppstein–Wang): here the 4 smallest node ids
+    // via ONE multi-source BFS whose frontiers share rounds
+    // (Graph.bfsLevelsMulti), per-pivot reach, eccentricity, and the
+    // harmonic sum as exact integer ppm (1e6 div d — positive, both
+    // engines truncate alike). HyperANF-style sketched frontiers are
+    // the documented all-sources path at 100 TB.
+    "a19_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchaseStore(s, dir).read(s, "pairs")
+        .filter($"pair_n" >= 2).select($"part_a".as("a"), $"part_b".as("b"))
+      graft.operators.Graph.bfsLevelsMulti(pairs, nSources = 4)
+        .filter($"lvl" >= 1)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n_reached"), max($"lvl").as("ecc"),
+          sum(expr("1000000 div lvl")).as("harmonic_num"))
+        .orderBy($"src")
+    }),
+
     // ---- A19e: weighted shortest paths (Graph.sssp) -----------------
     // BFS's weighted sibling: hop count is the wrong metric when
     // edges carry strength — here distance = 1e6 div pair_n (strong
@@ -1897,6 +1922,29 @@ object AnalyticsQueries {
         |       MIN(node) AS min_node, MAX(node) AS max_node
         |FROM (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY node)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bfs_levels walk with a src dimension: 4 pivot frontiers in
+    // one recursive CTE, UNION-dedup on (src, node, lvl), 16-level cap
+    // > measured depth; unreached nodes simply absent (harmonic's
+    // point)
+    "a19_harmonic" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |srcs AS (SELECT DISTINCT a AS s FROM und ORDER BY s LIMIT 4),
+        |walk(src, node, lvl) AS (
+        |  SELECT s, s, 0 FROM srcs
+        |  UNION
+        |  SELECT w.src, u.b, w.lvl + 1 FROM walk w JOIN und u ON u.a = w.node
+        |  WHERE w.lvl < 16
+        |),
+        |d AS (SELECT src, node, MIN(lvl) AS lvl FROM walk GROUP BY 1, 2)
+        |SELECT src, COUNT(*) AS n_reached, CAST(MAX(lvl) AS BIGINT) AS ecc,
+        |  CAST(SUM(1000000 // lvl) AS BIGINT) AS harmonic_num
+        |FROM d WHERE lvl >= 1 GROUP BY 1 ORDER BY src""".stripMargin,
 
     // 10 unrolled Bellman–Ford relaxation rounds ≥ the measured
     // fixpoint depth (≤4 improving rounds + confirm at every shipped
