@@ -104,6 +104,39 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains(50L) && !got.contains(51L))
   }
 
+  test("bfsLevelsMulti: 4 shared-round pivots each match an independent BFS; islands reachable from their own pivot only") {
+    val s = spark; import s.implicits._
+    // chain 0-1-2-3-4 with branch 1-10; separate island 50-51-52: pivots
+    // (4 smallest node ids) = 0, 1, 2, 3 — all in the chain component,
+    // so the island must be absent from EVERY pivot's distances
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 10L), (50L, 51L), (51L, 52L))
+    val got = Graph.bfsLevelsMulti(edges.toDF("a", "b"), nSources = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val srcs = got.keys.map(_._1).toSet
+    assert(srcs == Set(0L, 1L, 2L, 3L))
+    // per-pivot distances equal an independent single-source reference
+    def ref(src: Long): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2) }
+      var dist = Map(src -> 0L)
+      var frontier = Seq(src)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Seq.empty)).distinct
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> d)
+        frontier = next
+      }
+      dist
+    }
+    for (src <- srcs) {
+      val mine = got.collect { case ((s0, n), l) if s0 == src => n -> l }
+      assert(mine == ref(src), s"src=$src")
+      assert(!mine.contains(50L) && !mine.contains(52L))
+    }
+  }
+
   /** Scala reference for SYNCHRONOUS label propagation: each round
     * every node takes its neighbors' most-frequent previous-round
     * label, ties toward the smallest. Mirrors Graph.labelPropagation's
