@@ -888,6 +888,45 @@ object StreamQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- T13: STREAMED SCD2 dimension maintenance -------------------
+    // The batch s4_scd2_history derivation, maintained LIVE: order
+    // events stream in o_orderdate-ordered micro-batches and each
+    // batch MERGEs into the dimension store — closing the changed
+    // keys' current versions and opening new ones in one keyed upsert
+    // (Streams.scd2Sink). stageOrdered's range split guarantees the
+    // sink's two preconditions (batches date-ordered, no date
+    // straddles a batch), so the folded history must equal the
+    // one-shot derivation — the gate SHARES s4_scd2_history's oracle
+    // text, the t7/t11 discipline. Replays are no-ops via the upsert
+    // batch id.
+    "t13_stream_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val feed = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderpriority", $"o_orderkey")
+      val base = s"/root/repo/target/tmp/stream-scd2/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, feed, "o_orderdate", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = Streams.scd2Sink(stream, store, "dim",
+          key = "o_custkey", ts = "o_orderdate", attr = "o_orderpriority",
+          ord = "o_orderkey")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$runDir/ckpt")
+        .start()
+      q.awaitTermination()
+      store.read(s, "dim")
+        .select($"o_custkey", $"version", $"o_orderpriority",
+          $"valid_from", $"valid_to", $"is_current")
+        .orderBy($"o_custkey", $"version")
+    }),
+
     // ---- T12: STREAMED bottom-k sample (deterministic reservoir) ----
     // The streaming form of uniform sampling that actually distributes:
     // keep the k events with the SMALLEST md5(event_id) — the bottom-k
@@ -936,6 +975,10 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the streamed MERGE folds must reproduce the one-shot SCD2
+    // derivation — same text as s4_scd2_history
+    "t13_stream_scd2" -> LifecycleQueries.oracle("s4_scd2_history"),
+
     // the streamed bottom-k merge must land on the one-shot batch
     // bottom-k — the sketch's merge is order-insensitive by design
     "t12_stream_bottomk" ->

@@ -460,6 +460,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T13: scd2Sink — same-day dedup, cross-batch close/open, same-attr no-op") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "scd2-").toString)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = Streams.scd2Sink(mem.toDF.toDF("k", "d", "attr", "ord"),
+      store, "dim", "k", "d", "attr", "ord").start()
+    def dim() = store.read(s, "dim")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), Option(r.getString(4)), r.getBoolean(5)))).toMap
+    try {
+      // same-day duplicate: ord=2 wins → k1 opens at B, never A
+      mem.addData((1L, "2024-01-01", "A", 1L), (1L, "2024-01-01", "B", 2L),
+        (2L, "2024-01-01", "X", 3L))
+      q.processAllAvailable()
+      assert(dim() == Map(
+        (1L, 1L) -> (("B", "2024-01-01", None, true)),
+        (2L, 1L) -> (("X", "2024-01-01", None, true))))
+      // k1 re-sees its CURRENT attr → no version; k2 changes → v1
+      // closes at the new valid_from, v2 opens current
+      mem.addData((1L, "2024-01-02", "B", 4L), (2L, "2024-01-02", "Y", 5L))
+      q.processAllAvailable()
+      assert(dim() == Map(
+        (1L, 1L) -> (("B", "2024-01-01", None, true)),
+        (2L, 1L) -> (("X", "2024-01-01", Some("2024-01-02"), false)),
+        (2L, 2L) -> (("Y", "2024-01-02", None, true))))
+      // within-batch chain: two changes in one batch close each other
+      mem.addData((1L, "2024-01-03", "C", 6L), (1L, "2024-01-04", "D", 7L))
+      q.processAllAvailable()
+      assert(dim()((1L, 1L)) == (("B", "2024-01-01", Some("2024-01-03"), false)))
+      assert(dim()((1L, 2L)) == (("C", "2024-01-03", Some("2024-01-04"), false)))
+      assert(dim()((1L, 3L)) == (("D", "2024-01-04", None, true)))
+    } finally q.stop()
+  }
+
   test("T12: bottomKMerge — order-insensitive, idempotent, equals one-shot bottom-k") {
     val s = spark; import s.implicits._
     def frame(ids: Seq[Long]) = ids.toDF("event_id")
