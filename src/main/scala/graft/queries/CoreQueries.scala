@@ -1289,6 +1289,34 @@ object CoreQueries {
         .orderBy($"c_custkey")
     }),
 
+    // ---- P15: Luhn checksum validation -----------------------------------
+    // The mod-10 check every ingest pipeline runs on card/account/IMEI
+    // fields, here over the digits of the customer identifier (the
+    // synthetic schema has no phone column): strip non-digits, double
+    // every second digit from the RIGHT (−9 when it overflows), valid
+    // ⇔ sum ≡ 0 (mod 10). Pure codegen-friendly HOF arithmetic over
+    // the digit string — no explode, no UDF, embarrassingly parallel;
+    // the per-nation rollup pins every digit via the checksum sum.
+    "p15_luhn" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_nationkey",
+          regexp_replace($"c_name", "[^0-9]", "").as("dg"))
+        .select($"c_nationkey", expr(
+          """aggregate(transform(sequence(1, length(dg)), i ->
+            |  CASE WHEN i % 2 = 0
+            |       THEN IF(CAST(substring(dg, length(dg) - i + 1, 1) AS INT) * 2 > 9,
+            |               CAST(substring(dg, length(dg) - i + 1, 1) AS INT) * 2 - 9,
+            |               CAST(substring(dg, length(dg) - i + 1, 1) AS INT) * 2)
+            |       ELSE CAST(substring(dg, length(dg) - i + 1, 1) AS INT) END),
+            |  0, (acc, v) -> acc + v)""".stripMargin).as("lsum"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when($"lsum" % 10 === 0, 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum($"lsum").cast("long").as("sum_check"))
+        .orderBy($"c_nationkey")
+    }),
+
     // ---- P12: date/time function family ---------------------------------
     "p12_date_parts" -> ((s, dir) => {
       import s.implicits._
@@ -2259,6 +2287,22 @@ object CoreQueries {
       """SELECT c_custkey, replace(lower(c_name), ' ', '_') AS norm_name,
         |replace(lower(c_mktsegment), ' ', '_') AS norm_segment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "p15_luhn" ->
+      """WITH d AS (SELECT c_nationkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS dg
+        |  FROM customer),
+        |s AS (SELECT c_nationkey, list_sum(
+        |    [CASE WHEN i % 2 = 0
+        |          THEN CASE WHEN CAST(substr(dg, length(dg) - i + 1, 1) AS INT) * 2 > 9
+        |                    THEN CAST(substr(dg, length(dg) - i + 1, 1) AS INT) * 2 - 9
+        |                    ELSE CAST(substr(dg, length(dg) - i + 1, 1) AS INT) * 2 END
+        |          ELSE CAST(substr(dg, length(dg) - i + 1, 1) AS INT) END
+        |     FOR i IN range(1, CAST(length(dg) AS BIGINT) + 1)]) AS lsum
+        |  FROM d)
+        |SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN lsum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+        |  CAST(SUM(lsum) AS BIGINT) AS sum_check
+        |FROM s GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
     "p12_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,

@@ -242,6 +242,36 @@ object LifecycleQueries {
         .orderBy("rule")
     }),
 
+    // ---- A11d: header↔detail reconciliation audit --------------------
+    // The classic two-grain consistency check FK orphans don't catch:
+    // does each order header's total equal the sum its lines imply
+    // (extprice·(1−disc)·(1+tax))? Both sides quantize to integer
+    // cents BEFORE aggregation (per-line ROUND of an IEEE-identical
+    // double product — the engines agree on positives), so diffs are
+    // exact longs; orders with no lines reconcile against 0 via the
+    // left join. One line-side aggregate + one key join; report by
+    // status. On this synthetic corpus headers genuinely disagree with
+    // lines, so the gate pins real nonzero counts.
+    "a11_reconcile" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o_orderkey"),
+          round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax") * 100)
+            .cast("long").as("lc"))
+        .groupBy($"o_orderkey").agg(sum($"lc").as("line_c"))
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus",
+          round($"o_totalprice" * 100).cast("long").as("hdr_c"))
+        .join(lines, Seq("o_orderkey"), "left")
+        .select($"o_orderstatus", ($"hdr_c" - coalesce($"line_c", lit(0L))).as("diff"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when($"diff" =!= 0L, 1L).otherwise(0L)).as("n_mismatch"),
+          sum(abs($"diff")).as("sum_abs_diff"),
+          max(abs($"diff")).as("max_abs_diff"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // ---- A11c: Benford leading-digit audit --------------------------
     // The forensic data-quality check: the first-significant-digit
     // distribution of a naturally-occurring monetary column (fabricated
@@ -527,6 +557,19 @@ object LifecycleQueries {
         |  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
         |FROM n
         |ORDER BY rule""".stripMargin,
+
+    "a11_reconcile" ->
+      """WITH lines AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_c
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT o.o_orderstatus,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - COALESCE(lines.line_c, 0) AS diff
+        |  FROM orders o LEFT JOIN lines USING (o_orderkey))
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN diff != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(SUM(abs(diff)) AS BIGINT) AS sum_abs_diff,
+        |  CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff
+        |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "a11_fk_orphans" ->
       """SELECT 'fk:events.user_id->nation.n_nationkey' AS rule,
