@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, KllMergeExpr, KllQuantileExpr, KllQuantilesAgg, KllSketchAgg, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
+import graft.functions.{BloomMightContainExpr, Functions, HyperplaneBucketsExpr, JaroWinklerExpr, KllMergeExpr, KllQuantileExpr, KllQuantilesAgg, KllSketchAgg, LuhnSumExpr, MinHashSigExpr, NormalizeTextExpr, QuantizeInt8Expr, SimHashExpr, VecDot, WordNgramsExpr, ZOrder2Expr}
 
 /** SparkSessionExtensions installer — makes graft's native expressions
   * first-class session functions without any per-query registration:
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("luhn_sum"),
+      new ExpressionInfo(classOf[LuhnSumExpr].getName, "luhn_sum"),
+      (children: Seq[Expression]) => LuhnSumExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),

@@ -25,6 +25,8 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "luhn_sum", exprs => LuhnSumExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHashExpr(exprs.head,
         if (exprs.length > 1) litInt(exprs(1), "simhash64 charN") else 5,
         if (exprs.length > 2) litInt(exprs(2), "simhash64 bits") else 63), "scala_udf")

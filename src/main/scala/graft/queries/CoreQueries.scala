@@ -1292,24 +1292,19 @@ object CoreQueries {
     // ---- P15: Luhn checksum validation -----------------------------------
     // The mod-10 check every ingest pipeline runs on card/account/IMEI
     // fields, here over the digits of the customer identifier (the
-    // synthetic schema has no phone column): strip non-digits, double
-    // every second digit from the RIGHT (−9 when it overflows), valid
-    // ⇔ sum ≡ 0 (mod 10). Pure codegen-friendly HOF arithmetic over
-    // the digit string — no explode, no UDF, embarrassingly parallel;
-    // the per-nation rollup pins every digit via the checksum sum.
+    // synthetic schema has no phone column): double every second digit
+    // from the RIGHT (−9 when it overflows), valid ⇔ sum ≡ 0 (mod 10).
+    // `luhn_sum` is a native codegen'd Catalyst expression (one byte
+    // loop per row inside whole-stage codegen, non-digits skipped in
+    // place — no strip pass, no interpreted HOF, no UDF; LuhnSpec pins
+    // it against the transform/aggregate baseline and known card
+    // numbers); the per-nation rollup pins every digit via the
+    // checksum sum.
     "p15_luhn" -> ((s, dir) => {
       import s.implicits._
+      Functions.register(s)
       Tables.customer(s, dir)
-        .select($"c_nationkey",
-          regexp_replace($"c_name", "[^0-9]", "").as("dg"))
-        .select($"c_nationkey", expr(
-          """aggregate(transform(sequence(1, length(dg)), i ->
-            |  CASE WHEN i % 2 = 0
-            |       THEN IF(CAST(substring(dg, length(dg) - i + 1, 1) AS INT) * 2 > 9,
-            |               CAST(substring(dg, length(dg) - i + 1, 1) AS INT) * 2 - 9,
-            |               CAST(substring(dg, length(dg) - i + 1, 1) AS INT) * 2)
-            |       ELSE CAST(substring(dg, length(dg) - i + 1, 1) AS INT) END),
-            |  0, (acc, v) -> acc + v)""".stripMargin).as("lsum"))
+        .select($"c_nationkey", call_function("luhn_sum", $"c_name").as("lsum"))
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n_customers"),
           sum(when($"lsum" % 10 === 0, 1L).otherwise(0L)).as("n_luhn_valid"),
