@@ -772,6 +772,37 @@ object AnalyticsQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- A32: audience overlap matrix ----------------------------------
+    // "How much do the view-ers and the purchase-rs overlap?" — the
+    // set-intersection card behind every segmentation dashboard: for
+    // each unordered pair of event types, |users(A) ∩ users(B)| and
+    // the Jaccard overlap in exact ppm. ONE distinct projection to
+    // (user, type), then a self-join keyed on user — intersection
+    // counts come out of the join, union by inclusion–exclusion, no
+    // per-pair rescans. The user-keyed join is the only corpus-scale
+    // exchange and carries (long, small-string); type count is
+    // domain-bounded so the output is a tiny matrix. (At extreme
+    // cardinalities the sketch path is HLL unions + inclusion–
+    // exclusion — a12's sketch cube machinery; this is the exact
+    // form.)
+    "a32_audience_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ut = Tables.events(s, dir)
+        .select($"user_id", $"event_type").distinct()
+        .localCheckpoint()
+      val sizes = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val inter = ut.toDF("user_id", "ta").join(ut.toDF("user_id", "tb"), Seq("user_id"))
+        .filter($"ta" < $"tb")
+        .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.toDF("ta", "n_a")), Seq("ta"))
+        .join(broadcast(sizes.toDF("tb", "n_b")), Seq("tb"))
+        .select($"ta", $"tb", $"n_a", $"n_b", $"n_both",
+          expr("(cast(n_both as decimal(38,0)) * 1000000) div (n_a + n_b - n_both)")
+            .as("jaccard_ppm"))
+        .orderBy($"ta", $"tb")
+    }),
+
     // ---- A31: cohort LTV triangle -------------------------------------
     // a8_retention's revenue sibling — the "LTV triangle" every
     // subscription/commerce warehouse maintains: customers cohorted by
@@ -2523,6 +2554,19 @@ object AnalyticsQueries {
          |     JOIN b_m bm USING (o_custkey)
          |ORDER BY rfm.o_custkey""".stripMargin
     },
+
+    "a32_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |inter AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  CAST((n_both * 1000000) // (sa.n + sb.n - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM inter
+        |JOIN sz sa ON sa.event_type = ta
+        |JOIN sz sb ON sb.event_type = tb
+        |ORDER BY ta, tb""".stripMargin,
 
     "a31_ltv_triangle" ->
       """WITH o AS (SELECT o_custkey,
