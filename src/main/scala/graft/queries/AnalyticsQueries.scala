@@ -492,9 +492,14 @@ object AnalyticsQueries {
       val pairs = store.read(s, "pairs")
       val supp = store.read(s, "supports")
       val nOrders = store.read(s, "stats")
+      // supports is CATALOG-sized (one row per item) — no broadcast
+      // hint: AQE broadcasts it while it fits and degrades to a
+      // shuffle join when a 1e8-item catalog outgrows the threshold
+      // (the a16_pagerank rule; only the 1-row stats frame keeps its
+      // hint)
       pairs
-        .join(broadcast(supp.toDF("part_a", "n_a")), Seq("part_a"))
-        .join(broadcast(supp.toDF("part_b", "n_b")), Seq("part_b"))
+        .join(supp.toDF("part_a", "n_a"), Seq("part_a"))
+        .join(supp.toDF("part_b", "n_b"), Seq("part_b"))
         .crossJoin(broadcast(nOrders))
         // numerator through DECIMAL(38,0): pair_n·N·1e6 would wrap
         // BIGINT at extreme scale (same fix as a5_share_of_parent,
@@ -772,6 +777,38 @@ object AnalyticsQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- A33: inter-arrival (time-between-orders) distribution ---------
+    // Purchase-frequency analysis's first plot: the distribution of
+    // days between a customer's consecutive orders, banded into the
+    // standard recency buckets. The lag window partitions per customer
+    // (state bounded by a customer's order count, never corpus-wide),
+    // gaps band via integer comparisons, and the histogram is one
+    // partial+final aggregate with shares in exact ppm. Same-day
+    // repeat orders land in the 0-7 band (gap 0 is a real signal, not
+    // a dropped row).
+    "a33_interarrival" -> ((s, dir) => {
+      import s.implicits._
+      val byCust = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+      val gaps = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("d"))
+        .withColumn("prev", lag($"d", 1).over(byCust))
+        .filter($"prev".isNotNull)
+        .select(datediff($"d", $"prev").cast("long").as("gap"))
+      val banded = gaps.select(
+        when($"gap" <= 7, "a_0_7d").when($"gap" <= 30, "b_8_30d")
+          .when($"gap" <= 90, "c_31_90d").when($"gap" <= 365, "d_91_365d")
+          .otherwise("e_over_1y").as("band"),
+        $"gap")
+      val tot = banded.agg(count(lit(1)).as("n_gaps"))
+      banded.groupBy($"band")
+        .agg(count(lit(1)).as("n"), min($"gap").as("min_gap"),
+          max($"gap").as("max_gap"), sum($"gap").as("sum_gap"))
+        .crossJoin(broadcast(tot))
+        .select($"band", $"n", $"min_gap", $"max_gap", $"sum_gap",
+          expr("(cast(n as decimal(38,0)) * 1000000) div n_gaps").as("share_ppm"))
+        .orderBy($"band")
+    }),
+
     // ---- A32: audience overlap matrix ----------------------------------
     // "How much do the view-ers and the purchase-rs overlap?" — the
     // set-intersection card behind every segmentation dashboard: for
@@ -930,9 +967,10 @@ object AnalyticsQueries {
       val nOrders = store.read(s, "stats")
       val rules = pairs.select($"part_a".as("ante"), $"part_b".as("cons"), $"pair_n")
         .unionByName(pairs.select($"part_b".as("ante"), $"part_a".as("cons"), $"pair_n"))
+      // supports is catalog-sized — unhinted, AQE decides (a14's rule)
       rules
-        .join(broadcast(supp.toDF("ante", "n_ante")), Seq("ante"))
-        .join(broadcast(supp.toDF("cons", "n_cons")), Seq("cons"))
+        .join(supp.toDF("ante", "n_ante"), Seq("ante"))
+        .join(supp.toDF("cons", "n_cons"), Seq("cons"))
         .crossJoin(broadcast(nOrders))
         .select($"ante", $"cons", $"pair_n", $"n_ante",
           expr("(cast(pair_n as decimal(38,0)) * 1000000) div n_orders").as("supp_ppm"),
@@ -2554,6 +2592,24 @@ object AnalyticsQueries {
          |     JOIN b_m bm USING (o_custkey)
          |ORDER BY rfm.o_custkey""".stripMargin
     },
+
+    // gap multiset is tie-invariant: all gaps among same-day orders
+    // are 0 and boundary gaps see the same date either side, so any
+    // (d, orderkey) tie order yields the same histogram
+    "a33_interarrival" ->
+      """WITH g AS (SELECT datediff('day', prev, d) AS gap FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS d,
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        |    FROM orders) WHERE prev IS NOT NULL),
+        |b AS (SELECT CASE WHEN gap <= 7 THEN 'a_0_7d' WHEN gap <= 30 THEN 'b_8_30d'
+        |       WHEN gap <= 90 THEN 'c_31_90d' WHEN gap <= 365 THEN 'd_91_365d'
+        |       ELSE 'e_over_1y' END AS band, gap FROM g),
+        |t AS (SELECT COUNT(*) AS n_gaps FROM b)
+        |SELECT band, COUNT(*) AS n, CAST(MIN(gap) AS BIGINT) AS min_gap,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap, CAST(SUM(gap) AS BIGINT) AS sum_gap,
+        |  CAST((COUNT(*) * 1000000) // t.n_gaps AS BIGINT) AS share_ppm
+        |FROM b CROSS JOIN t GROUP BY band, t.n_gaps ORDER BY band""".stripMargin,
 
     "a32_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
