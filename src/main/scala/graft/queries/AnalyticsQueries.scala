@@ -397,9 +397,13 @@ object AnalyticsQueries {
     // `div` still lands on an exact long, so the hash is unchanged.
     "a5_share_of_parent" -> ((s, dir) => {
       import s.implicits._
+      // customer is FACT-dimension-sized (one row per customer) — no
+      // hint; AQE broadcasts the 2-column projection while it fits and
+      // shuffles when a 1e9-customer base outgrows it. Only the
+      // domain-bounded nation/region dims keep their hints.
       val leaf = Tables.orders(s, dir)
         .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("yc"))
-        .join(broadcast(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")),
+        .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
           $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")),
           $"c_nationkey" === $"n_nationkey")

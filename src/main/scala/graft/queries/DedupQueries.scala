@@ -312,17 +312,19 @@ object DedupQueries {
     // x3_train_test_split, same near-dup pair semantics as
     // x1_ngram_jaccard). Reuses the materialized pair store — the
     // contamination report is a filter + aggregate over an artifact
-    // that already exists, not a second O(candidate·verify) pass; the
-    // doc→split map is a broadcast (two narrow columns). At 100 TB
-    // this runs after every eval refresh at the cost of reading the
-    // pair table.
+    // that already exists, not a second O(candidate·verify) pass. The
+    // doc→split map is CORPUS-sized (one narrow row per doc), so the
+    // joins are unhinted — AQE broadcasts the 2-column projection
+    // while it fits and shuffles on the (small) pair side when a
+    // 1e10-doc corpus outgrows it. At 100 TB this runs after every
+    // eval refresh at the cost of reading the pair table.
     "x1_contamination" -> ((s, dir) => {
       val splits = Tables.documents(s, dir)
         .select(col("doc_id"), graft.operators.Sampling.splitColumn(col("text")).as("split"))
       val pairs = nearDupPairs(s, dir).filter(nearDupFilter)
       pairs
-        .join(broadcast(splits.toDF("idA", "split_a")), Seq("idA"))
-        .join(broadcast(splits.toDF("idB", "split_b")), Seq("idB"))
+        .join(splits.toDF("idA", "split_a"), Seq("idA"))
+        .join(splits.toDF("idB", "split_b"), Seq("idB"))
         .filter(col("split_a") =!= col("split_b"))
         .select(when(col("split_a") === "test", col("idA")).otherwise(col("idB")).as("eval_doc"))
         .groupBy("eval_doc").agg(count(lit(1)).as("n_train_dups"))
