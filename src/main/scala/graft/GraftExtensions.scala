@@ -90,9 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       (children: Seq[Expression]) => KllQuantileExpr(children(0), children(1))))
-    // whole-plan rewrite, not a function: every high-threshold
-    // jaro_winkler filter gets the provable length-ratio prune
-    // injected ahead of the O(len²) scorer (see JaroPruneRule)
+    // whole-plan rewrites, not functions: every high-threshold
+    // jaro_winkler filter gets the provable length-ratio prune, and
+    // every levenshtein ≤ k filter the provable length-difference
+    // prune, injected ahead of the O(len²) scorers (see JaroPruneRule
+    // / LevenshteinPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.JaroPruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruneRule)
   }
 }
