@@ -418,7 +418,11 @@ object Streams {
             .join(cur.select(col(key), col(attr).as("cur_attr")), Seq(key), "left")
             .withColumn("prev", coalesce(lag(col(attr), 1).over(byTime), col("cur_attr")))
             .filter(col("prev").isNull || col("prev") =!= col(attr))
-          val maxv = hist.groupBy(col(key)).agg(max(col("version")).as("v0"))
+          // the open version is always a key's LATEST (close/open is the
+          // only transition), so the max version comes from the CURRENT
+          // slice — reading full history here would silently make each
+          // batch O(history) instead of O(current)
+          val maxv = cur.select(col(key), col("version").as("v0"))
           val opened = changes
             .join(maxv, Seq(key), "left")
             .withColumn("version",
