@@ -888,6 +888,80 @@ object StreamQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- T14: STREAMED PSI drift monitor ----------------------------
+    // a9_psi run the way production actually runs it: the REFERENCE
+    // side is a frozen batch artifact (decile cutpoints + ref bucket
+    // counts, built once and persisted), and the CURRENT side streams
+    // — each micro-batch bins against the stored cuts and folds
+    // per-bin counts through IncrementalAgg (additive, batch-id
+    // replay-guarded ⇒ exactly-once), so monitor state is 10 rows
+    // forever and a batch costs O(batch). After the replay the
+    // assembled report must equal the one-shot a9_psi — same oracle
+    // text. Only the add-one-smoothed (p₂−p₁)·ln ratio at the very
+    // edge is float math, rounded 1e-6 (the batch query's own
+    // discipline).
+    "t14_stream_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"ts", unix_micros($"ts").as("us"),
+        round($"value" * 1000000).cast("long").as("v6"))
+      val base = s"/root/repo/target/tmp/stream-psi/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      val stage = s"$base/stage"
+      stageOrdered(s, tagged.filter($"us" >= $"mid").select($"ts", $"v6"), "ts", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      // frozen reference artifact: cutpoints from the ref half + its
+      // bucket counts — built once, persisted, never recomputed
+      val ref = tagged.filter($"us" < $"mid")
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        ref.withColumn("vd", $"v6".cast("double")), Nil, "vd",
+        (1 to 9).map(_ / 10.0), (1 to 9).map(k => s"c$k"))
+      val cutsF = cuts.select((1 to 9).map(k =>
+        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+      store.replace(s, "cuts", cutsF)
+      def bin(df: DataFrame, cf: DataFrame): org.apache.spark.sql.Column =
+        (1 to 9).map(k => when(col("v6") >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _) + lit(1L)
+      store.replace(s, "ref_counts",
+        ref.crossJoin(broadcast(cutsF)).withColumn("bin", bin(ref, cutsF))
+          .groupBy($"bin").agg(count(lit(1)).as("n_ref")))
+      val stream = s.readStream
+        .schema(tagged.select($"ts", $"v6").schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val sb = b.sparkSession
+          val cf = store.read(sb, "cuts")
+          val binned = b.crossJoin(org.apache.spark.sql.functions.broadcast(cf))
+            .withColumn("bin", bin(b, cf))
+          graft.operators.IncrementalAgg.applyBatchM(sb, store, "cur_counts",
+            binned, Seq("bin"),
+            Seq(graft.operators.IncrementalAgg.Measure("n_cur", count(lit(1)))),
+            batchId = Some(id))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$runDir/ckpt")
+        .start()
+      q.awaitTermination()
+      val full = s.range(1, 11).select($"id".as("bin"))
+        .join(store.read(s, "ref_counts"), Seq("bin"), "left")
+        .join(store.read(s, "cur_counts").select($"bin", $"n_cur"), Seq("bin"), "left")
+        .select($"bin", coalesce($"n_ref", lit(0L)).as("n_ref"),
+          coalesce($"n_cur", lit(0L)).as("n_cur"))
+      full.crossJoin(broadcast(full.agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))))
+        .select($"bin", $"n_ref", $"n_cur",
+          expr("((n_ref + 1) * 1000000) div (tr + 10)").as("ref_ppm"),
+          expr("((n_cur + 1) * 1000000) div (tc + 10)").as("cur_ppm"),
+          expr("""round(((n_cur + 1) / cast(tc + 10 as double) - (n_ref + 1) / cast(tr + 10 as double))
+            * ln(((n_cur + 1) / cast(tc + 10 as double)) / ((n_ref + 1) / cast(tr + 10 as double))), 6)""")
+            .as("psi_contrib"))
+        .orderBy($"bin")
+    }),
+
     // ---- T13: STREAMED SCD2 dimension maintenance -------------------
     // The batch s4_scd2_history derivation, maintained LIVE: order
     // events stream in o_orderdate-ordered micro-batches and each
@@ -978,6 +1052,10 @@ object StreamQueries {
     // the streamed MERGE folds must reproduce the one-shot SCD2
     // derivation — same text as s4_scd2_history
     "t13_stream_scd2" -> LifecycleQueries.oracle("s4_scd2_history"),
+
+    // frozen-reference + incrementally-folded current counts must
+    // assemble into the one-shot PSI report — same text as a9_psi
+    "t14_stream_psi" -> AnalyticsQueries.oracle("a9_psi"),
 
     // the streamed bottom-k merge must land on the one-shot batch
     // bottom-k — the sketch's merge is order-insensitive by design
