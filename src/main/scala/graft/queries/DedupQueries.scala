@@ -292,6 +292,35 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- cluster purity (dedup-QA) ----------------------------------
+    // Are the near-dup clusters HOMOGENEOUS? A cluster that mixes
+    // languages usually means the blocker over-merged (template/
+    // boilerplate collisions) — this is the standard label-purity
+    // audit over the transitive clusters: per multi-member cluster,
+    // majority-language share in exact ppm (ties → smallest lang,
+    // deterministic). The ranking window partitions per cluster over
+    // its LANGUAGE counts (≤ #langs rows — domain-bounded), and
+    // everything upstream is the already-materialized pair store +
+    // the O(log² n) star contraction.
+    "x1_cluster_purity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.clusterLabelsStar(docs, "doc_id",
+          nearDupPairs(s, dir).select("idA", "idB"))
+        .select(col("id").as("doc_id"), col("cluster"))
+      val byLang = labels.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("cluster"), col("lang")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("cluster")).orderBy(col("c").desc, col("lang"))
+      val top = byLang.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cluster"), col("lang").as("top_lang"), col("c").as("n_top"))
+      byLang.groupBy(col("cluster")).agg(sum(col("c")).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .join(top, Seq("cluster"))
+        .select(col("cluster"), col("n_members"), col("top_lang"), col("n_top"),
+          expr("(n_top * 1000000) div n_members").as("purity_ppm"))
+        .orderBy(col("cluster"))
+    }),
+
     // ---- embedding-cosine: top-20 most-similar pairs ----------------
     // LSH-blocked (hyperplane buckets → equi-join candidates → exact
     // re-rank) — same oracle as the old all-pairs scan because every
@@ -924,6 +953,29 @@ object DedupQueries {
          |SELECT doc_id, cluster, lang, n_chars FROM ranked
          |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "x1_minhash_lsh" -> jaccardOracle,
+
+    "x1_cluster_purity" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |bl AS (SELECT l.cluster, d.lang, COUNT(*) AS c
+         |  FROM lab l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |top AS (SELECT cluster, lang AS top_lang, c AS n_top FROM (
+         |    SELECT cluster, lang, c,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY c DESC, lang) AS rk
+         |    FROM bl) WHERE rk = 1),
+         |sz AS (SELECT cluster, SUM(c) AS n_members FROM bl GROUP BY 1)
+         |SELECT sz.cluster, CAST(sz.n_members AS BIGINT) AS n_members,
+         |  top.top_lang, CAST(top.n_top AS BIGINT) AS n_top,
+         |  CAST((top.n_top * 1000000) // sz.n_members AS BIGINT) AS purity_ppm
+         |FROM sz JOIN top USING (cluster)
+         |WHERE sz.n_members >= 2
+         |ORDER BY sz.cluster""".stripMargin,
 
     "x1_neardup_decontam" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
