@@ -1774,6 +1774,128 @@ object AnalyticsQueries {
         .agg(sum($"wc").as("wsum_cents"), sum($"clip_lo").as("n_clip_lo"),
           sum($"clip_hi").as("n_clip_hi"), count(lit(1)).as("n_rows"))
         .orderBy($"l_returnflag")
+    }),
+
+    // ---- A34: Kaplan–Meier repurchase survival ----------------------
+    // "How long until a customer orders again?" with censoring done
+    // right: each consecutive-order gap is an observed event, each
+    // customer's tail (last order → corpus end) is a CENSORED
+    // duration — dropping the tails (what a naive avg-gap does)
+    // biases survival low. Durations bucket to weeks, so the risk
+    // table is calendar-bounded (≤ #weeks rows) no matter the corpus
+    // size; the only corpus-scale ops are one customer-partitioned
+    // lead window and one groupBy(wk). The KM product
+    //   S_i = S_{i-1} · (n_i − d_i) / n_i
+    // is inherently sequential, so it folds over the SORTED step
+    // array (summary-sized) with integer div at every step — both
+    // engines walk the identical recurrence (DuckDB: recursive CTE),
+    // all terms positive so truncating div == floor //. Overflow:
+    // s_ppm ≤ 1e6 times n_risk ≤ #orders — 1e6·1.5e9 ≈ 1.5e15 at
+    // 100 TB, well inside BIGINT.
+    "a34_survival" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_custkey", to_date($"o_orderdate").as("d"), $"o_orderkey")
+      val maxd = o.agg(max($"d").as("maxd"))
+      val byCust = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+      val dur = o.withColumn("nx", lead($"d", 1).over(byCust))
+        .crossJoin(broadcast(maxd))
+        .select(
+          when($"nx".isNotNull, datediff($"nx", $"d"))
+            .otherwise(datediff($"maxd", $"d")).cast("long").as("t"),
+          when($"nx".isNotNull, 1L).otherwise(0L).as("ev"))
+        .select(expr("t div 7").as("wk"), $"ev")
+      val h = dur.groupBy($"wk")
+        .agg(sum($"ev").as("de"), count(lit(1)).as("c"))
+      // cumulative-before window over the week histogram: ≤ #weeks
+      // rows (calendar-bounded summary), never corpus-sized.
+      val wCum = Window.orderBy($"wk").rowsBetween(Window.unboundedPreceding, -1)
+      val tot = h.agg(sum($"c").as("n"))
+      val steps = h.crossJoin(broadcast(tot))
+        .select($"wk", $"de",
+          ($"n" - coalesce(sum($"c").over(wCum), lit(0L))).as("n_risk"))
+        .filter($"de" > 0)
+        .select(struct($"wk", $"n_risk", $"de").as("st"))
+        .agg(sort_array(collect_list($"st")).as("a"))
+      steps.select($"a", posexplode($"a"))
+        .select($"col.wk".as("wk"), $"col.n_risk".as("n_risk"),
+          $"col.de".as("n_event"),
+          expr("aggregate(slice(a, 1, pos + 1), cast(1000000 as bigint), " +
+            "(acc, x) -> (acc * (x.n_risk - x.de)) div x.n_risk)").as("s_ppm"))
+        .orderBy($"wk")
+    }),
+
+    // ---- A35: sequential patterns (gapped ordered triples) ----------
+    // One level past a12_transitions (contiguous pairs): which ordered
+    // type-triples A→B→C appear as a GAPPED subsequence of a user's
+    // event stream, and in how many users' streams (sequence-level
+    // support, the SPADE/PrefixSpan notion)? Existence of a gapped
+    // subsequence is decided by the classic greedy: earliest A, then
+    // earliest B after it, then any C after that — so three bounded
+    // relational steps replace pattern enumeration: (user,type)
+    // min-pos (U·T rows), events ⋈ that frame for earliest-B-after
+    // (≤ T× the corpus, user-keyed), events ⋈ that for C-existence
+    // (≤ T²× the corpus — T is the event-type DOMAIN, ~dozens, so
+    // both joins stay linear in the corpus with a small constant;
+    // never per-user position³). Output ≤ T³ rows before the top-25
+    // bounded heap.
+    "a35_seqpat" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          row_number().over(Window.partitionBy($"user_id")
+            .orderBy($"ts", $"event_id")).cast("long").as("pos"))
+        .localCheckpoint()
+      val nUsers = ev.agg(countDistinct($"user_id").as("n_users_tot"))
+      val p1 = ev.groupBy($"user_id", $"event_type")
+        .agg(min($"pos").as("pa"))
+        .select($"user_id", $"event_type".as("a"), $"pa")
+      val p2 = ev.as("e")
+        .join(p1.as("p"), $"e.user_id" === $"p.user_id" && $"e.pos" > $"p.pa")
+        .groupBy($"p.user_id".as("user_id"), $"p.a".as("a"),
+          $"e.event_type".as("b"))
+        .agg(min($"e.pos").as("pb"))
+      val p3 = ev.as("e")
+        .join(p2.as("q"), $"e.user_id" === $"q.user_id" && $"e.pos" > $"q.pb")
+        .select($"q.user_id".as("user_id"), $"q.a".as("a"), $"q.b".as("b"),
+          $"e.event_type".as("c"))
+        .distinct()
+      p3.groupBy($"a", $"b", $"c").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(nUsers))
+        .select($"a", $"b", $"c", $"n_users",
+          expr("(n_users * 1000000) div n_users_tot").as("support_ppm"))
+        .orderBy($"n_users".desc, $"a", $"b", $"c").limit(25)
+    }),
+
+    // ---- A36: join-key skew report ----------------------------------
+    // The planning diagnostic behind every salting/AQE-skew decision
+    // at 100 TB: per candidate join key of the fact table, how hot is
+    // the hottest key vs the mean, and how many keys exceed 10× mean?
+    // ONE scan (stack unpivots the three key columns in place), one
+    // shuffle keyed (col, key) for the frequency table; the hot-key
+    // recount joins the 3-row totals back broadcast. max_f·n_keys·1e6
+    // can reach ~1e22 at scale — DECIMAL-routed like a29.
+    "a36_key_skew" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = Tables.lineitem(s, dir).select(expr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, " +
+          "'l_suppkey', l_suppkey) as (col_name, k)"))
+      val freq = keyed.groupBy($"col_name", $"k")
+        .agg(count(lit(1)).as("f")).localCheckpoint()
+      val tot = freq.groupBy($"col_name")
+        .agg(sum($"f").as("n_rows"), count(lit(1)).as("n_keys"),
+          max($"f").as("max_f"))
+      val hot = freq.join(broadcast(tot), Seq("col_name"))
+        .filter($"f" * $"n_keys" > $"n_rows" * 10)
+        .groupBy($"col_name").agg(count(lit(1)).as("n_hot"))
+      tot.join(hot, Seq("col_name"), "left")
+        .select($"col_name", $"n_rows", $"n_keys", $"max_f",
+          expr("(cast(n_rows as decimal(38,0)) * 1000000) div n_keys")
+            .cast("long").as("mean_ppm"),
+          expr("(cast(max_f as decimal(38,0)) * n_keys * 1000000) div n_rows")
+            .cast("long").as("skew_ppm"),
+          coalesce($"n_hot", lit(0L)).as("n_hot"))
+        .orderBy($"col_name")
     })
   )
 
@@ -2973,6 +3095,71 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN yc > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
         |  COUNT(*) AS n_rows
         |FROM li JOIN cut USING (l_returnflag)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a34_survival" ->
+      """WITH RECURSIVE o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |         o_orderkey FROM orders),
+        |mx AS (SELECT MAX(d) AS maxd FROM o),
+        |nx AS (SELECT d, lead(d) OVER (PARTITION BY o_custkey
+        |         ORDER BY d, o_orderkey) AS nd FROM o),
+        |dur AS (SELECT (CASE WHEN nd IS NOT NULL THEN datediff('day', d, nd)
+        |          ELSE datediff('day', d, (SELECT maxd FROM mx)) END) // 7 AS wk,
+        |        CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev FROM nx),
+        |h AS (SELECT wk, SUM(ev) AS de, COUNT(*) AS c FROM dur GROUP BY wk),
+        |t AS (SELECT SUM(c) AS n FROM h),
+        |r AS (SELECT wk, de, (SELECT n FROM t) - COALESCE(SUM(c) OVER
+        |        (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS n_risk FROM h),
+        |ord AS (SELECT wk, n_risk, de,
+        |          row_number() OVER (ORDER BY wk) AS i FROM r WHERE de > 0),
+        |rec AS (
+        |  SELECT i, wk, n_risk, de,
+        |    (1000000 * (n_risk - de)) // n_risk AS s_ppm FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.wk, o.n_risk, o.de,
+        |    (r.s_ppm * (o.n_risk - o.de)) // o.n_risk
+        |  FROM rec r JOIN ord o ON o.i = r.i + 1)
+        |SELECT wk, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(de AS BIGINT) AS n_event, CAST(s_ppm AS BIGINT) AS s_ppm
+        |FROM rec ORDER BY wk""".stripMargin,
+
+    "a35_seqpat" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS pos FROM events),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users_tot FROM ev),
+        |p1 AS (SELECT user_id, event_type AS a, MIN(pos) AS pa
+        |       FROM ev GROUP BY 1, 2),
+        |p2 AS (SELECT p.user_id, p.a, e.event_type AS b, MIN(e.pos) AS pb
+        |       FROM ev e JOIN p1 p
+        |         ON e.user_id = p.user_id AND e.pos > p.pa
+        |       GROUP BY 1, 2, 3),
+        |p3 AS (SELECT DISTINCT q.user_id, q.a, q.b, e.event_type AS c
+        |       FROM ev e JOIN p2 q
+        |         ON e.user_id = q.user_id AND e.pos > q.pb)
+        |SELECT a, b, c, COUNT(*) AS n_users,
+        |  CAST((COUNT(*) * 1000000) // nu.n_users_tot AS BIGINT) AS support_ppm
+        |FROM p3 CROSS JOIN nu GROUP BY a, b, c, nu.n_users_tot
+        |ORDER BY n_users DESC, a, b, c LIMIT 25""".stripMargin,
+
+    "a36_key_skew" ->
+      """WITH keyed AS (
+        |  SELECT 'l_orderkey' AS col_name, l_orderkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |freq AS (SELECT col_name, k, COUNT(*) AS f FROM keyed GROUP BY 1, 2),
+        |tot AS (SELECT col_name, SUM(f) AS n_rows, COUNT(*) AS n_keys,
+        |          MAX(f) AS max_f FROM freq GROUP BY 1),
+        |hot AS (SELECT f.col_name, COUNT(*) AS n_hot
+        |        FROM freq f JOIN tot t USING (col_name)
+        |        WHERE f.f * t.n_keys > t.n_rows * 10 GROUP BY 1)
+        |SELECT t.col_name, CAST(t.n_rows AS BIGINT) AS n_rows,
+        |  CAST(t.n_keys AS BIGINT) AS n_keys, CAST(t.max_f AS BIGINT) AS max_f,
+        |  CAST((t.n_rows * 1000000) // t.n_keys AS BIGINT) AS mean_ppm,
+        |  CAST((t.max_f * t.n_keys * 1000000) // t.n_rows AS BIGINT) AS skew_ppm,
+        |  CAST(COALESCE(h.n_hot, 0) AS BIGINT) AS n_hot
+        |FROM tot t LEFT JOIN hot h USING (col_name)
+        |ORDER BY t.col_name""".stripMargin
   )
 }
