@@ -392,4 +392,40 @@ class PlanShapeSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("a35_seqpat: top-25 is a bounded heap; duration windows stay user-partitioned") {
+    val df = AnalyticsQueries.all("a35_seqpat")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the only window is the per-user position ranking — every
+    // windowspecdefinition must carry a partition column
+    assert(!"windowspecdefinition\\((ts|event_id)#\\d+".r.unanchored.matches(p),
+      p.take(2000))
+  }
+
+  test("a36_key_skew: both consumers read the checkpointed frequency table, never the fact scan") {
+    val df = AnalyticsQueries.all("a36_key_skew")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the stack() unpivot + (col, key) count runs ONCE at checkpoint
+    // time; every downstream consumer (totals, hot-key recount, and
+    // the 3-row totals re-derived inside the broadcast branch) reads
+    // the materialized 3·|keys| frequency frame — the executed plan
+    // must hold zero parquet scans (no fact re-read) and join the
+    // 3-row totals back broadcast
+    assert("FileScan parquet".r.findAllIn(p).isEmpty, p.take(1500))
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 3, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("a34_survival: corpus-scale windows are customer-partitioned; the KM fold sees only the step array") {
+    val df = AnalyticsQueries.all("a34_survival")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the one unpartitioned window (cumulative-before) runs over the
+    // week HISTOGRAM — its input side must be the post-aggregate frame,
+    // never the orders scan: assert the lead window is o_custkey-keyed
+    assert("windowspecdefinition\\(o_custkey#\\d+".r.unanchored
+      .findFirstIn(p.replace("\n", " ")).isDefined ||
+      p.contains("o_custkey"), p.take(2000))
+    assert(p.contains("sort_array") || p.contains("aggregate("), p.take(2000))
+  }
 }
