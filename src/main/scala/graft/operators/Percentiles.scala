@@ -108,12 +108,28 @@ object Percentiles {
       .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** Exact LOWER median — the element at 0-based rank (n−1) div 2 of
+    * the in-group ascending order. Never an interpolation, so integer
+    * inputs come back as EXACT integers of the original type (the
+    * Theil–Sen consumer's contract; `keepType` ranks the native value
+    * instead of the double projection, so magnitudes past 2^53 stay
+    * exact). Same one-range-shuffle rank apparatus as the exact
+    * percentiles — no single-partition sort at any size. */
+  def lowerMedian(df: DataFrame, groupCols: Seq[String], valCol: String,
+      name: String): DataFrame = {
+    val g = groupCols.map(col)
+    globalRanks(df, groupCols, valCol, keepType = true)
+      .filter(col("r") === expr("(n - 1) div 2"))
+      .groupBy(g: _*).agg(max(col("v")).as(name))
+  }
+
   /** The shared rank apparatus: one row per non-null value of `valCol`
     * with its 0-based in-group global rank `r` (long) and group size
     * `n`. One range shuffle of the (group, value) projection + a
     * ≤ groups×chunks counts aggregate — no task ever holds more than
     * one value-contiguous chunk. */
-  private def globalRanks(df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
+  private def globalRanks(df: DataFrame, groupCols: Seq[String], valCol: String,
+      keepType: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val g = groupCols.map(col)
     // explicit partition count: AQE must not re-coalesce the exchange
@@ -121,8 +137,9 @@ object Percentiles {
     // boundaries ⇒ chunk ids agree; in practice the exchange is built
     // once and reused)
     val chunks = spark.sessionState.conf.numShufflePartitions
+    val vcol = if (keepType) col(valCol) else col(valCol).cast("double")
     val vals = df.filter(col(valCol).isNotNull)
-      .select(g :+ col(valCol).cast("double").as("v"): _*)
+      .select(g :+ vcol.as("v"): _*)
     val ranged = vals.repartitionByRange(chunks, g :+ col("v"): _*)
       .withColumn("pid", spark_partition_id())
     // per-(group, chunk) row counts — the whole "index" is ≤ G·P rows

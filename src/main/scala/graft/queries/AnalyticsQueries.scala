@@ -1896,6 +1896,145 @@ object AnalyticsQueries {
             .cast("long").as("skew_ppm"),
           coalesce($"n_hot", lit(0L)).as("n_hot"))
         .orderBy($"col_name")
+    }),
+
+    // ---- X5f: Markov removal-effect attribution ---------------------
+    // The principled multi-touch companion to x5_attribution's last-
+    // touch rule (Anderl et al. 2014): per-user journeys — events up
+    // to and including the FIRST purchase, non-converters absorbed in
+    // NULL — feed a first-order Markov chain over the touch-type
+    // states, and each channel's credit is its REMOVAL EFFECT: how
+    // much the START→CONV absorption probability drops when every
+    // path through that channel is cut. Corpus-scale work is ONE
+    // user-partitioned window pass (truncation + lag + last-row mark,
+    // all on the same sort) and one (src, dst) count; the chain
+    // itself is DOMAIN-bounded (≤ (T+1)·(T+2) cells, T = event-type
+    // domain), so the matrix collects driver-side (the x2_mmr_topk
+    // bounded-frame class) and the absorption solve is 96 Jacobi
+    // rounds of exact integer-ppm arithmetic. The iterate is monotone
+    // nondecreasing and bounded (removal can only lower pv inputs, so
+    // p_removed ≤ p_base at every k — removal_ppm stays nonnegative
+    // and div conventions agree), hence any k past the fixpoint depth
+    // is idempotent; BOTH engines replay the IDENTICAL k=96
+    // recurrence (DuckDB: scalar-only recursive CTE over the pivoted
+    // one-row matrix — no aggregate in the recursive leg). The
+    // attributed-revenue product cents·share ~ 1e20 at 100 TB ⇒
+    // BigInt/HUGEINT-routed on both sides.
+    "x5_markov_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val staged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("vc"))
+        .withColumn("prior_conv",
+          coalesce(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter($"prior_conv" === 0)
+        .withColumn("st", when($"event_type" === "purchase", lit("CONV"))
+          .otherwise($"event_type"))
+      val j = staged
+        .withColumn("prev", lag($"st", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nj", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .withColumn("has_conv", max(when($"st" === "CONV", 1L).otherwise(0L))
+          .over(Window.partitionBy($"user_id")))
+      val steps = j
+        .select(coalesce($"prev", lit("START")).as("src"), $"st".as("dst"))
+        .union(j.filter($"rn" === $"nj" && $"has_conv" === 0L)
+          .select($"st".as("src"), lit("NULL").as("dst")))
+      val trans = steps.groupBy($"src", $"dst").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val srcTot = trans.groupBy(_._1._1).map { case (k, m) => (k, m.values.sum) }
+      def ppm(a: String, b: String): Long =
+        trans.get((a, b)).map(c => c * 1000000L / srcTot(a)).getOrElse(0L)
+      val channels = srcTot.keySet.filter(_ != "START").toSeq.sorted
+      val states = "START" +: channels
+      // Jacobi: new vector from the OLD one each round (the oracle's
+      // recursive leg reads only the previous iterate, so Gauss-
+      // Seidel sweeps would diverge from it)
+      def absorb(removed: Option[String]): Long = {
+        var p = states.map(_ -> 0L).toMap
+        for (_ <- 1 to 96) {
+          p = states.map { st =>
+            st -> (if (removed.contains(st)) 0L
+            else {
+              val flow = states.map(t =>
+                ppm(st, t) * (if (removed.contains(t)) 0L else p(t))).sum
+              (flow + ppm(st, "CONV") * 1000000L) / 1000000L
+            })
+          }.toMap
+        }
+        p("START")
+      }
+      val pBase = absorb(None)
+      val convCents = staged.filter($"st" === "CONV")
+        .agg(coalesce(sum($"vc"), lit(0L))).head.getLong(0)
+      val eff = channels.map { c =>
+        val pRem = absorb(Some(c))
+        (c, pRem, 1000000L - pRem * 1000000L / pBase)
+      }
+      val totRem = eff.map(_._3).sum
+      val out = eff.map { case (c, pRem, rem) =>
+        val share = rem * 1000000L / totRem
+        (c, pBase, pRem, rem, share,
+          (BigInt(convCents) * share / 1000000).toLong)
+      }
+      out.toDF("channel", "p_base_ppm", "p_removed_ppm", "removal_ppm",
+        "share_ppm", "attributed_cents").orderBy($"channel")
+    }),
+
+    // ---- A37: Theil–Sen robust trend --------------------------------
+    // The outlier-immune companion to a10's least-squares trend (Theil
+    // 1950 / Sen 1968): slope = MEDIAN of all pairwise day-slopes of
+    // the daily order-count series, intercept = median residual at
+    // that slope — a single corrupted day moves OLS arbitrarily but
+    // shifts a median only one rank. Geometry: the pair set is
+    // |days|² — CALENDAR-bounded (~2.9M pairs over 7 years), never
+    // corpus-bounded, and the daily aggregate localCheckpoints so the
+    // self-join and the residual pass read the ~2 400-row frame, not
+    // the fact table. Exactness: slopes quantize to integer ppm with
+    // SYMMETRIC truncation (positive-only div under a sign CASE, so
+    // floor-vs-truncate conventions can't split the engines — the
+    // a25_holt discipline); both medians are LOWER medians (an
+    // element, never an interpolation) via Percentiles.lowerMedian's
+    // one-range-shuffle rank apparatus — no single-partition sort of
+    // the 2.9M slopes. Residual products route through DECIMAL(38,0)
+    // (slope·day ~ 1e20 at 100 TB).
+    "a37_theilsen" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val pairs = daily.select($"d".as("da"), $"c".as("ca"))
+        .join(daily.select($"d".as("db"), $"c".as("cb")), $"da" < $"db")
+      // the dx <= 0 arm is unreachable through the da < db join, but
+      // it makes the expression TOTAL: the median's isNotNull filter
+      // gets inferred INTO the join condition as isnotnull(slope) and
+      // codegen evaluates that conjunct before da < db — without the
+      // guard, the rows the join is about to reject raise ANSI
+      // DIVIDE_BY_ZERO while being tested
+      val slopes = pairs
+        .select(($"cb" - $"ca").as("dy"), ($"db" - $"da").as("dx"))
+        .select(expr("CASE WHEN dx <= 0 THEN NULL " +
+          "WHEN dy >= 0 THEN (dy * 1000000) div dx " +
+          "ELSE -(((-dy) * 1000000) div dx) END").as("slope"))
+      // med feeds BOTH the residual pass and the final row — pin the
+      // 1-row frame so the 2.9M-pair slope pipeline runs once
+      val med = graft.operators.Percentiles
+        .lowerMedian(slopes, Nil, "slope", "slope_ppm")
+        .localCheckpoint()
+      val resid = daily.crossJoin(med)
+        .select(expr("cast(cast(c as decimal(38,0)) * 1000000 - " +
+          "cast(slope_ppm as decimal(38,0)) * d as decimal(38,0))")
+          .cast("long").as("res"))
+      val intercept = graft.operators.Percentiles
+        .lowerMedian(resid, Nil, "res", "intercept_ppm")
+      val stats = daily.agg(count(lit(1)).as("n_days"))
+      med.crossJoin(intercept).crossJoin(stats)
+        .select($"slope_ppm", $"intercept_ppm", $"n_days",
+          expr("n_days * (n_days - 1) div 2").as("n_pairs"))
     })
   )
 
@@ -3160,6 +3299,134 @@ object AnalyticsQueries {
         |  CAST((t.max_f * t.n_keys * 1000000) // t.n_rows AS BIGINT) AS skew_ppm,
         |  CAST(COALESCE(h.n_hot, 0) AS BIGINT) AS n_hot
         |FROM tot t LEFT JOIN hot h USING (col_name)
-        |ORDER BY t.col_name""".stripMargin
+        |ORDER BY t.col_name""".stripMargin,
+
+    "x5_markov_attribution" ->
+      """WITH RECURSIVE e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |o AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_conv
+        |      FROM e),
+        |j AS (SELECT user_id,
+        |        CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS st,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS nj,
+        |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id) AS has_conv
+        |      FROM o WHERE prior_conv = 0),
+        |steps AS (
+        |  SELECT COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rn), 'START') AS src,
+        |         st AS dst FROM j
+        |  UNION ALL
+        |  SELECT st, 'NULL' FROM j WHERE rn = nj AND has_conv = 0),
+        |tr AS (SELECT src, dst, COUNT(*) AS cnt FROM steps GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(cnt) AS t FROM tr GROUP BY 1),
+        |pp AS (SELECT src, dst, cnt * 1000000 // t AS p FROM tr JOIN tot USING (src)),
+        |m AS (SELECT
+        |  COALESCE(MAX(CASE WHEN src='START'  AND dst='view'   THEN p END), 0) AS t_s_v,
+        |  COALESCE(MAX(CASE WHEN src='START'  AND dst='click'  THEN p END), 0) AS t_s_c,
+        |  COALESCE(MAX(CASE WHEN src='START'  AND dst='signup' THEN p END), 0) AS t_s_g,
+        |  COALESCE(MAX(CASE WHEN src='START'  AND dst='error'  THEN p END), 0) AS t_s_e,
+        |  COALESCE(MAX(CASE WHEN src='START'  AND dst='CONV'   THEN p END), 0) AS t_s_o,
+        |  COALESCE(MAX(CASE WHEN src='view'   AND dst='view'   THEN p END), 0) AS t_v_v,
+        |  COALESCE(MAX(CASE WHEN src='view'   AND dst='click'  THEN p END), 0) AS t_v_c,
+        |  COALESCE(MAX(CASE WHEN src='view'   AND dst='signup' THEN p END), 0) AS t_v_g,
+        |  COALESCE(MAX(CASE WHEN src='view'   AND dst='error'  THEN p END), 0) AS t_v_e,
+        |  COALESCE(MAX(CASE WHEN src='view'   AND dst='CONV'   THEN p END), 0) AS t_v_o,
+        |  COALESCE(MAX(CASE WHEN src='click'  AND dst='view'   THEN p END), 0) AS t_c_v,
+        |  COALESCE(MAX(CASE WHEN src='click'  AND dst='click'  THEN p END), 0) AS t_c_c,
+        |  COALESCE(MAX(CASE WHEN src='click'  AND dst='signup' THEN p END), 0) AS t_c_g,
+        |  COALESCE(MAX(CASE WHEN src='click'  AND dst='error'  THEN p END), 0) AS t_c_e,
+        |  COALESCE(MAX(CASE WHEN src='click'  AND dst='CONV'   THEN p END), 0) AS t_c_o,
+        |  COALESCE(MAX(CASE WHEN src='signup' AND dst='view'   THEN p END), 0) AS t_g_v,
+        |  COALESCE(MAX(CASE WHEN src='signup' AND dst='click'  THEN p END), 0) AS t_g_c,
+        |  COALESCE(MAX(CASE WHEN src='signup' AND dst='signup' THEN p END), 0) AS t_g_g,
+        |  COALESCE(MAX(CASE WHEN src='signup' AND dst='error'  THEN p END), 0) AS t_g_e,
+        |  COALESCE(MAX(CASE WHEN src='signup' AND dst='CONV'   THEN p END), 0) AS t_g_o,
+        |  COALESCE(MAX(CASE WHEN src='error'  AND dst='view'   THEN p END), 0) AS t_e_v,
+        |  COALESCE(MAX(CASE WHEN src='error'  AND dst='click'  THEN p END), 0) AS t_e_c,
+        |  COALESCE(MAX(CASE WHEN src='error'  AND dst='signup' THEN p END), 0) AS t_e_g,
+        |  COALESCE(MAX(CASE WHEN src='error'  AND dst='error'  THEN p END), 0) AS t_e_e,
+        |  COALESCE(MAX(CASE WHEN src='error'  AND dst='CONV'   THEN p END), 0) AS t_e_o
+        |  FROM pp),
+        |it AS (
+        |  SELECT r.removed, 0 AS k, CAST(0 AS BIGINT) AS ps, CAST(0 AS BIGINT) AS pv,
+        |         CAST(0 AS BIGINT) AS pc, CAST(0 AS BIGINT) AS pg, CAST(0 AS BIGINT) AS pe
+        |  FROM (VALUES ('BASE'), ('click'), ('error'), ('signup'), ('view')) r(removed)
+        |  UNION ALL
+        |  SELECT removed, k + 1,
+        |    (t_s_v * (CASE WHEN removed='view'   THEN 0 ELSE pv END)
+        |     + t_s_c * (CASE WHEN removed='click'  THEN 0 ELSE pc END)
+        |     + t_s_g * (CASE WHEN removed='signup' THEN 0 ELSE pg END)
+        |     + t_s_e * (CASE WHEN removed='error'  THEN 0 ELSE pe END)
+        |     + t_s_o * 1000000) // 1000000,
+        |    CASE WHEN removed='view' THEN 0 ELSE
+        |      (t_v_v * (CASE WHEN removed='view'   THEN 0 ELSE pv END)
+        |       + t_v_c * (CASE WHEN removed='click'  THEN 0 ELSE pc END)
+        |       + t_v_g * (CASE WHEN removed='signup' THEN 0 ELSE pg END)
+        |       + t_v_e * (CASE WHEN removed='error'  THEN 0 ELSE pe END)
+        |       + t_v_o * 1000000) // 1000000 END,
+        |    CASE WHEN removed='click' THEN 0 ELSE
+        |      (t_c_v * (CASE WHEN removed='view'   THEN 0 ELSE pv END)
+        |       + t_c_c * (CASE WHEN removed='click'  THEN 0 ELSE pc END)
+        |       + t_c_g * (CASE WHEN removed='signup' THEN 0 ELSE pg END)
+        |       + t_c_e * (CASE WHEN removed='error'  THEN 0 ELSE pe END)
+        |       + t_c_o * 1000000) // 1000000 END,
+        |    CASE WHEN removed='signup' THEN 0 ELSE
+        |      (t_g_v * (CASE WHEN removed='view'   THEN 0 ELSE pv END)
+        |       + t_g_c * (CASE WHEN removed='click'  THEN 0 ELSE pc END)
+        |       + t_g_g * (CASE WHEN removed='signup' THEN 0 ELSE pg END)
+        |       + t_g_e * (CASE WHEN removed='error'  THEN 0 ELSE pe END)
+        |       + t_g_o * 1000000) // 1000000 END,
+        |    CASE WHEN removed='error' THEN 0 ELSE
+        |      (t_e_v * (CASE WHEN removed='view'   THEN 0 ELSE pv END)
+        |       + t_e_c * (CASE WHEN removed='click'  THEN 0 ELSE pc END)
+        |       + t_e_g * (CASE WHEN removed='signup' THEN 0 ELSE pg END)
+        |       + t_e_e * (CASE WHEN removed='error'  THEN 0 ELSE pe END)
+        |       + t_e_o * 1000000) // 1000000 END
+        |  FROM it, m WHERE k < 96),
+        |fin AS (SELECT removed, ps FROM it WHERE k = 96),
+        |pbase AS (SELECT ps AS pb FROM fin WHERE removed = 'BASE'),
+        |eff AS (SELECT removed AS channel, ps AS p_removed_ppm,
+        |         1000000 - (ps * 1000000 // pb) AS removal_ppm, pb
+        |        FROM fin, pbase WHERE removed <> 'BASE'),
+        |trm AS (SELECT SUM(removal_ppm) AS tot_rem FROM eff),
+        |rev AS (SELECT COALESCE(SUM(vc), 0) AS cents FROM o
+        |        WHERE prior_conv = 0 AND event_type = 'purchase')
+        |SELECT channel, CAST(pb AS BIGINT) AS p_base_ppm,
+        |  CAST(p_removed_ppm AS BIGINT) AS p_removed_ppm,
+        |  CAST(removal_ppm AS BIGINT) AS removal_ppm,
+        |  CAST(removal_ppm * 1000000 // tot_rem AS BIGINT) AS share_ppm,
+        |  CAST(CAST(cents AS HUGEINT) * (removal_ppm * 1000000 // tot_rem)
+        |    // 1000000 AS BIGINT) AS attributed_cents
+        |FROM eff, trm, rev ORDER BY channel""".stripMargin,
+
+    "a37_theilsen" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |         COUNT(*) AS c
+        |  FROM orders GROUP BY 1),
+        |pairs AS (SELECT b.c - a.c AS dy, b.d - a.d AS dx
+        |          FROM daily a JOIN daily b ON a.d < b.d),
+        |slopes AS (SELECT CASE WHEN dy >= 0 THEN dy * 1000000 // dx
+        |                       ELSE -((-dy) * 1000000 // dx) END AS slope FROM pairs),
+        |ms AS (SELECT slope AS slope_ppm FROM
+        |        (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS r,
+        |                COUNT(*) OVER () AS n FROM slopes)
+        |       WHERE r - 1 = (n - 1) // 2),
+        |resid AS (SELECT CAST(CAST(c AS HUGEINT) * 1000000
+        |                   - CAST(m.slope_ppm AS HUGEINT) * d AS BIGINT) AS res
+        |          FROM daily, ms m),
+        |mi AS (SELECT res AS intercept_ppm FROM
+        |        (SELECT res, ROW_NUMBER() OVER (ORDER BY res) AS r,
+        |                COUNT(*) OVER () AS n FROM resid)
+        |       WHERE r - 1 = (n - 1) // 2),
+        |st AS (SELECT COUNT(*) AS n_days FROM daily)
+        |SELECT CAST(slope_ppm AS BIGINT) AS slope_ppm,
+        |  CAST(intercept_ppm AS BIGINT) AS intercept_ppm,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM ms, mi, st""".stripMargin
   )
 }

@@ -217,4 +217,23 @@ class PercentilesSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"group $g sizes: $sizes")
     }
   }
+
+  test("lowerMedian: element-exact, long-typed, grouped/global, past 2^53") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 3L),
+      ("b", 7L), ("b", 1L), ("b", 3L), ("b", 5L)).toDF("g", "x")
+    // odd group: middle element; even group: LOWER median (an element,
+    // not the 4.0 an interpolating median would produce)
+    val got = Percentiles.lowerMedian(df, Seq("g"), "x", "m")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L)))
+    // global: 1,1,3,3,5,5,7 → 0-based rank 3 → 3
+    val glob = Percentiles.lowerMedian(df.select($"x"), Nil, "x", "m").collect()
+    assert(glob.length == 1 && glob(0).getLong(0) == 3L)
+    // keepType path: 2^53+1 is NOT double-representable — the double
+    // projection would collapse it onto 2^53 and pick the wrong value
+    val big = Seq(9007199254740993L, 9007199254740992L, 9007199254740995L).toDF("x")
+    assert(Percentiles.lowerMedian(big, Nil, "x", "m").head.getLong(0)
+      == 9007199254740993L)
+  }
 }

@@ -63,4 +63,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == totalUsers,
       "cohorts must partition the user base")
   }
+
+  test("x5_markov_attribution: removal bounded by base, shares partition the credit") {
+    val rows = AnalyticsQueries.all("x5_markov_attribution")(spark, dir).collect()
+    assert(rows.length >= 2, "every touch channel present in the corpus gets a row")
+    val pb = rows.map(_.getAs[Long]("p_base_ppm")).distinct
+    assert(pb.length == 1 && pb.head > 0 && pb.head <= 1000000L)
+    rows.foreach { r =>
+      val pr = r.getAs[Long]("p_removed_ppm")
+      val rem = r.getAs[Long]("removal_ppm")
+      // the Jacobi iterate is monotone in its pv inputs, so cutting a
+      // channel can only LOWER absorption — removal effects stay in
+      // [0, 1e6] and recompute exactly from (p_base, p_removed)
+      assert(pr >= 0L && pr <= pb.head)
+      assert(rem == 1000000L - pr * 1000000L / pb.head)
+      assert(r.getAs[Long]("attributed_cents") >= 0L)
+    }
+    // truncated shares partition the credit: each div rounds down, so
+    // the sum sits within #channels of exactly 1e6
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length,
+      s"share sum $shareSum")
+  }
+
+  test("a37_theilsen: slope and intercept are the brute-force lower medians") {
+    val r = AnalyticsQueries.all("a37_theilsen")(spark, dir).collect()
+    assert(r.length == 1)
+    val nd = r(0).getAs[Long]("n_days")
+    assert(r(0).getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+    // brute-force replay on the ~1 100-day series (O(n²) driver-side
+    // is fine at spec scale; the operator itself never does this)
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    assert(nd == daily.length)
+    val slopes = (for {
+      i <- daily.indices; k <- (i + 1) until daily.length
+      dy = daily(k)._2 - daily(i)._2; dx = daily(k)._1 - daily(i)._1
+    } yield if (dy >= 0) dy * 1000000L / dx else -((-dy) * 1000000L / dx)).sorted
+    val slope = slopes((slopes.length - 1) / 2)
+    assert(r(0).getAs[Long]("slope_ppm") == slope)
+    val resid = daily.map { case (d, c) => c * 1000000L - slope * d }.sorted
+    assert(r(0).getAs[Long]("intercept_ppm") == resid((resid.length - 1) / 2))
+  }
 }
