@@ -321,6 +321,47 @@ object DedupQueries {
         .orderBy(col("cluster"))
     }),
 
+    // ---- leakage-safe split (dedup-aware train/test assignment) -----
+    // The leakage-avoidance primitive every eval pipeline needs: a
+    // near-dup pair straddling the train/test split leaks test
+    // content into training, and assigning splits per DOC (hash of
+    // text) cannot prevent it — two near-identical docs hash
+    // independently. The fix: assign per CLUSTER — every doc inherits
+    // the hash-split of its transitive cluster label (the min-id
+    // member), so a cluster moves as a unit and cross-split near-dup
+    // pairs are structurally zero. The report quantifies it: per
+    // split, docs + clusters, plus the pair-straddle counts under the
+    // naive per-doc rule vs the safe rule — both COMPUTED from the
+    // pair set, not asserted, so the oracle hash pins safe = 0. Plan:
+    // the persisted pair store + O(log² n) star contraction + hash
+    // joins; the safe split is one md5 over the cluster id — no new
+    // corpus pass.
+    "x1_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = nearDupPairs(s, dir).select("idA", "idB")
+      val safe = Dedup.clusterLabelsStar(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          graft.operators.Sampling.splitColumn(col("cluster").cast("string")).as("sp"))
+      val naive = docs.select(col("doc_id"),
+        graft.operators.Sampling.splitColumn(col("text")).as("nsp"))
+      val leaks = pairs
+        .join(naive.toDF("idA", "nA"), Seq("idA"))
+        .join(naive.toDF("idB", "nB"), Seq("idB"))
+        .join(safe.select(col("doc_id").as("idA"), col("sp").as("sA")), Seq("idA"))
+        .join(safe.select(col("doc_id").as("idB"), col("sp").as("sB")), Seq("idB"))
+        .agg(
+          coalesce(sum(when(col("nA") =!= col("nB"), 1L).otherwise(0L)), lit(0L))
+            .as("naive_leak_pairs"),
+          coalesce(sum(when(col("sA") =!= col("sB"), 1L).otherwise(0L)), lit(0L))
+            .as("safe_leak_pairs"))
+      safe.groupBy(col("sp").as("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
+        .crossJoin(leaks)
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("naive_leak_pairs"), col("safe_leak_pairs"))
+        .orderBy("split")
+    }),
+
     // ---- embedding-cosine: top-20 most-similar pairs ----------------
     // LSH-blocked (hyperplane buckets → equi-join candidates → exact
     // re-rank) — same oracle as the old all-pairs scan because every
@@ -976,6 +1017,38 @@ object DedupQueries {
          |FROM sz JOIN top USING (cluster)
          |WHERE sz.n_members >= 2
          |ORDER BY sz.cluster""".stripMargin,
+
+    "x1_split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |safe AS (SELECT doc_id, cluster,
+         |    CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 1))::INT < 13
+         |         THEN 'train' ELSE 'test' END AS sp FROM lab),
+         |naive AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT < 13
+         |         THEN 'train' ELSE 'test' END AS nsp FROM documents),
+         |lk AS (SELECT
+         |    COALESCE(SUM(CASE WHEN na.nsp <> nb.nsp THEN 1 ELSE 0 END), 0) AS naive_leak_pairs,
+         |    COALESCE(SUM(CASE WHEN sa.sp <> sb.sp THEN 1 ELSE 0 END), 0) AS safe_leak_pairs
+         |  FROM pairs p
+         |  JOIN naive na ON na.doc_id = p.doc_a
+         |  JOIN naive nb ON nb.doc_id = p.doc_b
+         |  JOIN safe sa ON sa.doc_id = p.doc_a
+         |  JOIN safe sb ON sb.doc_id = p.doc_b),
+         |sp AS (SELECT sp AS split, COUNT(*) AS n_docs,
+         |         COUNT(DISTINCT cluster) AS n_clusters
+         |       FROM safe GROUP BY 1)
+         |SELECT split, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(naive_leak_pairs AS BIGINT) AS naive_leak_pairs,
+         |  CAST(safe_leak_pairs AS BIGINT) AS safe_leak_pairs
+         |FROM sp, lk ORDER BY split""".stripMargin,
 
     "x1_neardup_decontam" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
