@@ -2035,6 +2035,49 @@ object AnalyticsQueries {
       med.crossJoin(intercept).crossJoin(stats)
         .select($"slope_ppm", $"intercept_ppm", $"n_days",
           expr("n_days * (n_days - 1) div 2").as("n_pairs"))
+    }),
+
+    // ---- A38: exact single change-point (binary segmentation step) ---
+    // The level-shift detector that completes the time-series family
+    // (a10 trend, a29 ACF, a30 MASE, a37 robust slope): the best
+    // single split τ of the daily order-count series minimizing
+    // SSE_left + SSE_right — the scoring step every binary-
+    // segmentation / PELT changepoint routine iterates. Exact by
+    // cleared denominators: with prefix sum S_l at τ, S_r = S − S_l,
+    // the variance-reduction gain over the unsplit baseline is
+    //   gain(τ) = (n·(S_l²·m_r + S_r²·m_l) − S²·m_l·m_r) / (n·m_l·m_r)
+    // — numerator/denominator both exact nonneg integers (gain ≥ 0 is
+    // the between-group term of the ANOVA identity), quantized to ppm
+    // under positive-only truncating div so Spark div == DuckDB //.
+    // Scale shape: ONE shuffle to the daily aggregate; the prefix sum
+    // and the candidate scoring run over the CALENDAR-bounded spine
+    // (a29's class — ~2.4k rows here, ~10⁴ at a decade of 100 TB
+    // ingest, never corpus-sized), and the winner lowers to
+    // TakeOrderedAndProject(3). S² ~ 1e22 at 100 TB ⇒ DECIMAL(38,0)-
+    // routed like a29's n²·Q.
+    "a38_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val spine = dailyOrderSpine(s, dir)
+      // prefix sum over the calendar spine: single ordered frame of
+      // ~2.4k post-aggregate rows (summary-sized, NOT corpus-sized)
+      val w = Window.orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pref = spine.select($"t", sum($"x").over(w).as("sl"))
+      val glob = spine.agg(count(lit(1)).as("n"), sum($"x").as("s"))
+      pref.crossJoin(broadcast(glob))
+        .filter($"t" < $"n" - 1) // τ = t+1 ∈ [1, n-1]: both sides non-empty
+        .select(($"t" + 1).as("ml"), ($"n" - $"t" - 1).as("mr"),
+          $"sl", ($"s" - $"sl").as("sr"), $"n", $"s")
+        .select($"ml".cast("long").as("split_t"),
+          expr("""cast((1000000 * (cast(n as decimal(38,0)) *
+                 (cast(sl as decimal(38,0)) * sl * mr + cast(sr as decimal(38,0)) * sr * ml)
+                 - cast(s as decimal(38,0)) * s * ml * mr))
+                 div (cast(n as decimal(38,0)) * ml * mr) as bigint)""").as("gain_ppm"),
+          expr("cast((1000000 * cast(sl as decimal(38,0))) div ml as bigint)").as("mean_l_ppm"),
+          expr("cast((1000000 * cast(sr as decimal(38,0))) div mr as bigint)").as("mean_r_ppm"))
+        .orderBy($"gain_ppm".desc, $"split_t").limit(3)
+        .orderBy($"gain_ppm".desc, $"split_t")
     })
   )
 
@@ -3427,6 +3470,29 @@ object AnalyticsQueries {
         |  CAST(intercept_ppm AS BIGINT) AS intercept_ppm,
         |  CAST(n_days AS BIGINT) AS n_days,
         |  CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n_pairs
-        |FROM ms, mi, st""".stripMargin
+        |FROM ms, mi, st""".stripMargin,
+
+    "a38_changepoint" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |spine AS (SELECT date_diff('day', b.d0, s.day) AS t, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM b) s
+        |  CROSS JOIN b LEFT JOIN daily USING (day)),
+        |g AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM spine),
+        |pref AS (SELECT t, SUM(x) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl FROM spine),
+        |cand AS (SELECT t + 1 AS ml, n - t - 1 AS mr, sl, s - sl AS sr, n, s
+        |  FROM pref CROSS JOIN g WHERE t < n - 1),
+        |sc AS (SELECT CAST(ml AS BIGINT) AS split_t,
+        |    CAST((1000000::HUGEINT * (n::HUGEINT *
+        |        (sl::HUGEINT * sl * mr + sr::HUGEINT * sr * ml)
+        |        - s::HUGEINT * s * ml * mr))
+        |      // (n::HUGEINT * ml * mr) AS BIGINT) AS gain_ppm,
+        |    CAST((1000000::HUGEINT * sl) // ml AS BIGINT) AS mean_l_ppm,
+        |    CAST((1000000::HUGEINT * sr) // mr AS BIGINT) AS mean_r_ppm
+        |  FROM cand)
+        |SELECT * FROM sc ORDER BY gain_ppm DESC, split_t LIMIT 3""".stripMargin
   )
 }

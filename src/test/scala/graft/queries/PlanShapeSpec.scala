@@ -417,6 +417,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("a38_changepoint: scoring runs off the checkpointed calendar spine; winner lowers to TakeOrderedAndProject") {
+    val df = AnalyticsQueries.all("a38_changepoint")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the one unpartitioned window (prefix sum) and the candidate
+    // scoring must read the materialized calendar spine — zero parquet
+    // scans in the final plan (the orders aggregate ran once at
+    // checkpoint time), and the global top-3 is a partial top-k on
+    // every partition, never a full sort
+    assert("FileScan parquet".r.findAllIn(p).isEmpty, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("a34_survival: corpus-scale windows are customer-partitioned; the KM fold sees only the step array") {
     val df = AnalyticsQueries.all("a34_survival")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
