@@ -186,6 +186,46 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Batched BM25 probe — `bm25Search` amortized across a query
+    * BATCH, the text sibling of the batched IVF/ADC/SQ funnels: one
+    * pass over the union of all queries' posting lists serves every
+    * query, instead of |batch| separate index reads. `queries` is a
+    * (q_id: long, term: string) frame, query-batch-sized by contract
+    * (a serving batch, never a corpus). The distinct term set is
+    * collected (bounded by |batch|·terms-per-query — the probe-cid
+    * class) so the term filter PUSHES into the term-sorted postings
+    * scan; the tiny query frame then broadcasts onto the survivors to
+    * fan scores out per query. Scoring is the exact integer-rounded
+    * expression of `bm25Search` (same oracle algebra); the per-query
+    * ranking window partitions BY QUERY over that query's candidates
+    * — bounded by its terms' posting lists, nothing corpus-sized
+    * sorts. Returns every scored (q_id, doc_id) candidate UNRANKED so
+    * callers can apply their own exclusions before ranking (e.g.
+    * hard-negative mining drops near-dup cluster-mates first — a
+    * pre-baked rank would leave gaps). */
+  def bm25SearchBatch(spark: SparkSession, store: TableStore, name: String,
+      queries: DataFrame): DataFrame = {
+    val terms = queries.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: |batch|·terms/query
+    require(terms.nonEmpty, "need at least one probe term")
+    val post = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
+    val dfreq = dfAll(spark, store, name, terms)
+    val stats = statsAll(spark, store, name)
+    val doclen = doclenAll(spark, store, name)
+    post.join(broadcast(queries), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(doclen, Seq("doc_id"))
+      .withColumn("w", expr("(n_docs * 1000) div df"))
+      // keep this expression tree IDENTICAL to bm25Search / the oracle
+      .withColumn("ts", expr(
+        "CAST(ROUND(CAST(w AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * " +
+          "CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("ts")).as("score"), count(lit(1)).as("n_terms"))
+  }
+
   /** Phrase query over the POSITIONAL postings — the IR-textbook
     * positional intersection: each phrase term's leg reads ONLY that
     * term's (doc_id, pos) rows (pushed scan filter over the

@@ -34,7 +34,7 @@ object DedupQueries {
     * and three. v1 path segment = pair-set semantics version (n=3
     * trigrams, PPJoin, maxDf cap): bump when Dedup semantics change,
     * or a stale artifact would silently serve oracle-gated queries. */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val store = new graft.operators.TableStore(
       s"/root/repo/target/tmp/neardup-pairs/v1/${docsKey(s, dir)}")
     if (!store.exists(s, "pairs"))

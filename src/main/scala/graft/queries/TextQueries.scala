@@ -145,6 +145,56 @@ object TextQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- BM25 hard-negative mining (dedup-aware) ---------------------
+    // The retrieval-training op that joins the two index families:
+    // contrastive training needs, per positive doc, the top lexically-
+    // similar NON-duplicates — BM25 retrieves "hard", the near-dup
+    // clusters veto "false negative" (a near-dup of q carries q's top
+    // terms, so unexcluded it sits at rank 1 and the loss pushes a
+    // true positive away). Queries = the 8 smallest doc ids that HAVE
+    // near-dup mates (so the exclusion is provably load-bearing —
+    // n_excluded, oracle-pinned, counts the cluster-mates vetoed per
+    // query); query terms = each doc's top-3 tokens (len ≥ 4) by tf.
+    // Plan: one batched probe over the union of the 24 query terms'
+    // posting lists (`bm25SearchBatch` — the text sibling of the
+    // batched IVF/ADC/SQ funnels), cluster labels off the persisted
+    // pair store, ranking windows partitioned PER QUERY over that
+    // query's candidates. Nothing corpus-sized shuffles or sorts.
+    "x3_bm25_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val store = kwIndex(s, dir)
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupQueries.nearDupPairs(s, dir).select("idA", "idB")
+      val qdocs = pairs.select($"idA".as("q_doc"))
+        .unionByName(pairs.select($"idB".as("q_doc")))
+        .distinct().orderBy($"q_doc").limit(8)
+      val qtf = docs.join(qdocs, docs("doc_id") === qdocs("q_doc"))
+        .select($"q_doc", explode(tokens($"text")).as("term"))
+        .filter(length($"term") >= 4)
+        .groupBy($"q_doc", $"term").agg(count(lit(1)).as("qtf"))
+      val wq = Window.partitionBy($"q_doc").orderBy($"qtf".desc, $"term")
+      val qsel = qtf.withColumn("r", row_number().over(wq)).filter($"r" <= 3)
+        .select($"q_doc".as("q_id"), $"term")
+      val scored = graft.operators.TextIndex.bm25SearchBatch(s, store, "kw", qsel)
+      val labels = graft.operators.Dedup.clusterLabelsStar(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val tagged = scored
+        .join(labels.toDF("doc_id", "cl_c"), Seq("doc_id"))
+        .join(labels.toDF("q_id", "cl_q"), Seq("q_id"))
+        .withColumn("same_cl", $"cl_c" === $"cl_q")
+      val nExcl = tagged.groupBy($"q_id")
+        .agg(sum(when($"same_cl" && $"doc_id" =!= $"q_id", 1L).otherwise(0L))
+          .as("n_excluded"))
+      val wr = Window.partitionBy($"q_id").orderBy($"score".desc, $"doc_id")
+      tagged.filter(!$"same_cl")
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter($"rank" <= 5)
+        .join(nExcl, Seq("q_id"))
+        .select($"q_id".as("q_doc"), $"rank", $"doc_id".as("neg_doc"),
+          $"score", $"n_excluded")
+        .orderBy("q_doc", "rank")
+    }),
+
     // ---- phrase query over the positional index ---------------------
     // "table hash" as an exact-adjacency phrase: each term's leg reads
     // ONLY its (doc_id, pos) postings (pushed scan filter over the
@@ -1183,6 +1233,53 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+
+    "x3_bm25_negatives" ->
+      s"""WITH RECURSIVE pairs AS (${DedupQueries.jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+         |toks AS (SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS term
+         |  FROM documents),
+         |qd AS (SELECT doc_id AS q_doc FROM
+         |        (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)
+         |       ORDER BY doc_id LIMIT 8),
+         |qtf AS (SELECT q_doc, term, COUNT(*) AS qtf
+         |        FROM toks t JOIN qd ON qd.q_doc = t.doc_id
+         |        WHERE length(term) >= 4 GROUP BY 1, 2),
+         |qs AS (SELECT q_doc, term FROM
+         |        (SELECT q_doc, term,
+         |           row_number() OVER (PARTITION BY q_doc ORDER BY qtf DESC, term) AS r
+         |         FROM qtf)
+         |       WHERE r <= 3),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM qs) GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |              (SELECT COUNT(*) FROM toks) AS total_tokens),
+         |sc AS (SELECT qs.q_doc, tf.doc_id,
+         |    CAST(SUM(CAST(ROUND(CAST((n_docs * 1000) // df AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 /
+         |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+         |      CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+         |  FROM tf JOIN qs USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |tg AS (SELECT s.q_doc, s.doc_id, s.score, lq.cluster = lc.cluster AS same_cl
+         |  FROM sc s JOIN lab lq ON lq.doc_id = s.q_doc JOIN lab lc ON lc.doc_id = s.doc_id),
+         |nx AS (SELECT q_doc,
+         |    SUM(CASE WHEN same_cl AND doc_id <> q_doc THEN 1 ELSE 0 END) AS n_excluded
+         |  FROM tg GROUP BY 1),
+         |rk AS (SELECT q_doc, doc_id AS neg_doc, score,
+         |    row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc_id) AS rank
+         |  FROM tg WHERE NOT same_cl)
+         |SELECT rk.q_doc, CAST(rank AS BIGINT) AS rank, neg_doc, score,
+         |  CAST(n_excluded AS BIGINT) AS n_excluded
+         |FROM rk JOIN nx USING (q_doc) WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin,
 
     "x3_zipf_curve" ->
       """WITH f AS (SELECT tok, COUNT(*) AS freq FROM (

@@ -97,6 +97,30 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.search(s, full, "kw", terms, 20).collect().toSeq)
   }
 
+  test("bm25SearchBatch == per-query bm25Search, across segments") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val store = freshStore()
+    // segmented store: the batch probe must read base + segments
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store, "kw")
+    TextIndex.fold(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store, "kw")
+    val qs = Map(
+      1L -> Seq("vector", "stream", "merge"),
+      2L -> Seq("table", "hash"),
+      3L -> Seq("merge"))
+    val queries = qs.toSeq.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    val batch = TextIndex.bm25SearchBatch(s, store, "kw", queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val single = qs.toSeq.flatMap { case (q, ts) =>
+      // k large enough to keep every candidate: compare FULL score sets
+      TextIndex.bm25Search(s, store, "kw", ts, k = 100000)
+        .collect().toSeq.map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(batch == single)
+  }
+
   test("phraseSearch: adjacency, order, overlap counting, segment crossing") {
     val s = spark; import s.implicits._
     val docs = Seq(
