@@ -432,6 +432,7 @@ object CoreQueries {
   private val MorPartStorePath = "/root/repo/target/tmp/mor-part-oracle"
   private val UpdateStorePath = "/root/repo/target/tmp/update-oracle"
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
+  private val IvmRetractStorePath = "/root/repo/target/tmp/ivmretract-oracle"
   private val IncrJoinStorePath = "/root/repo/target/tmp/incrjoin-oracle"
 
   // shared with t9_stream_ivm: the streamed IVM folds must serve the
@@ -1606,6 +1607,52 @@ object CoreQueries {
         .orderBy($"o_custkey")
     }),
 
+    // ---- S4 family: retraction-aware aggregate maintenance -------------
+    // The piece plain additive IVM lacks: DELETEs and UPDATEs. The
+    // classic signed-delta (Z-relation) reduction makes any additive
+    // aggregate retraction-maintainable: a CDC batch lowers to signed
+    // rows — D → (−1, −old), U → (−1, −old) + (+1, +new), I →
+    // (+1, +new) — and the SAME IncrementalAgg fold maintains
+    // count/sum under all three verbs; no history rescan, cost stays
+    // O(batch + state-touched). The CDC feed here is derived
+    // deterministically from orders (delete key%97=0, bump key%89=0
+    // by 12345 cents, clone key%83=0 under a fresh key) so DuckDB can
+    // replay it; the oracle recomputes the rollup from the post-CDC
+    // table — the maintained state must equal the full recompute.
+    // CONTRACT: a key whose rows fully cancel stays in state as a
+    // zero tombstone (the fold never deletes); reads filter n > 0 —
+    // compaction drops tombstones offline.
+    "s4_ivm_retract" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(IvmRetractStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(IvmRetractStorePath)
+      val base = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val measures = Seq("n_orders" -> sum($"w"), "cents" -> sum($"sc"))
+      // batch 0: the base load, already in signed shape (all +1)
+      graft.operators.IncrementalAgg.applyBatch(s, store, "cust_rev",
+        base.select($"o_custkey", lit(1L).as("w"), $"cents".as("sc")),
+        Seq("o_custkey"), measures)
+      // batch 1: the CDC feed lowered to signed deltas
+      val del = base.filter($"o_orderkey" % 97 === 0)
+        .select($"o_custkey", lit(-1L).as("w"), (-$"cents").as("sc"))
+      val updOld = base.filter($"o_orderkey" % 89 === 0 && $"o_orderkey" % 97 =!= 0)
+        .select($"o_custkey", lit(-1L).as("w"), (-$"cents").as("sc"))
+      val updNew = base.filter($"o_orderkey" % 89 === 0 && $"o_orderkey" % 97 =!= 0)
+        .select($"o_custkey", lit(1L).as("w"), ($"cents" + 12345L).as("sc"))
+      val ins = base.filter($"o_orderkey" % 83 === 0)
+        .select($"o_custkey", lit(1L).as("w"), $"cents".as("sc"))
+      graft.operators.IncrementalAgg.applyBatch(s, store, "cust_rev",
+        del.unionByName(updOld).unionByName(updNew).unionByName(ins),
+        Seq("o_custkey"), measures)
+      store.read(s, "cust_rev")
+        .filter($"n_orders" > 0)
+        .select($"o_custkey", $"n_orders".cast("long").as("n_orders"),
+          $"cents".cast("long").as("cents"))
+        .orderBy($"o_custkey")
+    }),
+
     // ---- S4 family: incremental materialized-JOIN maintenance ----------
     // IncrementalAgg's two-sided sibling (delta-join IVM, Blakeley
     // SIGMOD'86): orders arrive year-sliced while customers arrive
@@ -2466,6 +2513,18 @@ object CoreQueries {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "s4_incremental_join" -> IncrJoinOracleSql,
+
+    "s4_ivm_retract" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |post AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN cents + 12345 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, cents FROM base WHERE o_orderkey % 83 = 0)
+        |SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM post GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "s9_zorder_scan" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

@@ -120,6 +120,29 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("signed-delta retraction: D/U lower to +/- rows; a fully-cancelled key is a zero tombstone") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    val signed = Seq(
+      "n" -> sum(col("w")),
+      "total" -> sum(col("sv")))
+    // base: k=1 has (10, 20); k=2 has (5)
+    IncrementalAgg.applyBatch(spark, store, "agg",
+      Seq((1L, 1L, 10L), (1L, 1L, 20L), (2L, 1L, 5L)).toDF("k", "w", "sv"),
+      Seq("k"), signed)
+    // CDC: update k=1's 10 -> 13 (retract+insert); delete BOTH of k=2's
+    // rows' worth (full cancel)
+    IncrementalAgg.applyBatch(spark, store, "agg",
+      Seq((1L, -1L, -10L), (1L, 1L, 13L), (2L, -1L, -5L)).toDF("k", "w", "sv"),
+      Seq("k"), signed)
+    val st = store.read(spark, "agg").collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("n"), r.getAs[Long]("total"))).toMap
+    assert(st(1L) == (2L, 33L))
+    // the fold never deletes: the cancelled key stays as a ZERO
+    // tombstone (reads filter n > 0; compaction drops it offline)
+    assert(st(2L) == (0L, 0L))
+  }
+
   test("null keys survive the null-safe merge join") {
     val s = spark; import s.implicits._
     val store = freshStore()
