@@ -444,6 +444,20 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
   private val SketchStorePath = "/root/repo/target/tmp/sketch-store"
+
+  // shared with t15_stream_retract: the streamed signed-delta folds
+  // must serve the identical post-CDC recompute
+  private[queries] val IvmRetractOracleSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |post AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN cents + 12345 ELSE cents END AS cents
+      |  FROM base WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, cents FROM base WHERE o_orderkey % 83 = 0)
+      |SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM post GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   private val KllStorePath = "/root/repo/target/tmp/kll-store"
 
   val all: Map[String, Q] = Map(
@@ -2514,17 +2528,7 @@ object CoreQueries {
 
     "s4_incremental_join" -> IncrJoinOracleSql,
 
-    "s4_ivm_retract" ->
-      """WITH base AS (SELECT o_orderkey, o_custkey,
-        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |post AS (
-        |  SELECT o_custkey,
-        |    CASE WHEN o_orderkey % 89 = 0 THEN cents + 12345 ELSE cents END AS cents
-        |  FROM base WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT o_custkey, cents FROM base WHERE o_orderkey % 83 = 0)
-        |SELECT o_custkey, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents
-        |FROM post GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "s4_ivm_retract" -> IvmRetractOracleSql,
 
     "s9_zorder_scan" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

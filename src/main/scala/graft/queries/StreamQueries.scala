@@ -754,6 +754,73 @@ object StreamQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- T15: STREAMED retraction IVM -------------------------------
+    // The live half of s4_ivm_retract: a CDC feed (base load, then
+    // deletes, then updates+inserts — three staged files replayed as
+    // micro-batches) arrives already lowered to signed delta rows,
+    // and foreachBatch folds each data-carried bn via the SAME
+    // IncrementalAgg fold with bn as the replay guard — a retried
+    // micro-batch (or a retry that coalesces files) is a no-op per
+    // already-applied bn, so the maintained rollup is exactly-once.
+    // Shares the batch gate's post-CDC recompute oracle: a lost
+    // retraction, double-applied delta, or reordered fold breaks the
+    // hash. Zero-tombstone contract as in the batch gate.
+    "t15_stream_retract" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val load = o.select(lit(0L).as("bn"), $"o_custkey",
+        lit(1L).as("w"), $"cents".as("sc"))
+      val del = o.filter($"o_orderkey" % 97 === 0)
+        .select(lit(1L).as("bn"), $"o_custkey", lit(-1L).as("w"), (-$"cents").as("sc"))
+      val upd = o.filter($"o_orderkey" % 89 === 0 && $"o_orderkey" % 97 =!= 0)
+      val updOld = upd.select(lit(2L).as("bn"), $"o_custkey",
+        lit(-1L).as("w"), (-$"cents").as("sc"))
+      val updNew = upd.select(lit(2L).as("bn"), $"o_custkey",
+        lit(1L).as("w"), ($"cents" + 12345L).as("sc"))
+      val ins = o.filter($"o_orderkey" % 83 === 0)
+        .select(lit(2L).as("bn"), $"o_custkey", lit(1L).as("w"), $"cents".as("sc"))
+      val feed = load.unionByName(del).unionByName(updOld)
+        .unionByName(updNew).unionByName(ins)
+      val base = s"/root/repo/target/tmp/stream-retract/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, feed, "bn", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sb = batch.sparkSession
+            import sb.implicits._
+            val bns = batch.select($"bn").distinct()
+              .collect().map(_.getLong(0)).sorted
+            bns.foreach { b =>
+              graft.operators.IncrementalAgg.applyBatchM(sb, store, "cust_rev",
+                batch.filter($"bn" === b).select($"o_custkey", $"w", $"sc"),
+                Seq("o_custkey"),
+                Seq(graft.operators.IncrementalAgg.Measure("n_orders", sum($"w")),
+                  graft.operators.IncrementalAgg.Measure("cents", sum($"sc"))),
+                batchId = Some(b))
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "cust_rev")
+        .filter($"n_orders" > 0)
+        .select($"o_custkey", $"n_orders".cast("long").as("n_orders"),
+          $"cents".cast("long").as("cents"))
+        .orderBy($"o_custkey")
+    }),
+
     // ---- T10: STREAMED near-dup gate (MinHash-LSH state) ------------
     // t4_stream_dedup's NEAR-dup sibling — the steady-state corpus
     // ingest shape: documents arrive in doc_id order as micro-batches,
@@ -1077,6 +1144,8 @@ object StreamQueries {
     // the streamed IVM folds must serve the identical one-shot join —
     // same text as s4_incremental_join
     "t9_stream_ivm" -> CoreQueries.IncrJoinOracleSql,
+
+    "t15_stream_retract" -> CoreQueries.IvmRetractOracleSql,
     // the streamed near-dup flags must reproduce the one-shot rule:
     // dropped = larger member of any EXACT-verified ≥0.6-Jaccard pair
     // (the x1_minhash_lsh oracle's pair set)
