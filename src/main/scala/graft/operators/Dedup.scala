@@ -119,6 +119,35 @@ object Dedup {
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
   }
 
+  /** ENGINE-PORTABLE band keys (id, band, h: String): min over
+    * md5("{seed}_{gram}") per seed, band key = the r digests of the
+    * band concatenated in seed order. md5 hex and lexicographic
+    * VARCHAR min are identical in Spark and DuckDB, so an oracle can
+    * replay the EXACT candidate set — which makes an LSH-gated query
+    * checkable without a quadratic oracle-side truth join (VERDICT r8
+    * next #5; same scheme x1_lsh_recall_eval already gates). Shape
+    * matches `bandBuckets`: one explode + one k-accumulator min
+    * aggregate + per-band concat; the only shuffle carries one
+    * k-digest row per doc. The xxhash64 `bandBuckets` stays the
+    * production default (8-byte band hashes, no 32-char strings in
+    * the bucket store); this variant is for oracle-replayable gates. */
+  def portableBandBuckets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "signature length must divide into bands")
+    val r = k / bands
+    val grams = docs
+      .select(col(idCol).as("id"), explode(wordGrams(col(textCol), n)).as("g"))
+    val mins = Seq.tabulate(k)(i =>
+      min(md5(concat(lit(s"${i}_"), col("g")))).as(s"h$i"))
+    val sig = grams.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("h"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val buckets = bandBuckets(docs, idCol, textCol, n, k, bands)
