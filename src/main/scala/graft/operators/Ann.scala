@@ -247,6 +247,50 @@ object Ann {
       .limit(k)
   }
 
+  /** BATCHED probe of a persisted bucket index — the serving shape
+    * (VERDICT r8 next #8: the last single-query vector probe;
+    * IVF/SQ/ADC/BM25 already amortize). ONE scan of the bucket store
+    * serves every query: all queries' bucket ids are computed in one
+    * pass over the |Q|-row query slice (bounded |Q|·tables collect —
+    * the probe literal, same bound class as probeTopK's tables-row
+    * collect), the store is pruned once by the UNION of probe bucket
+    * ids (pushed IN filter over the (t, b)-sorted layout), and the
+    * exact (q, t, b) assignment is a broadcast hash join. Exact
+    * cosine re-ranks only (q, candidate) collisions; rank ≤ k per
+    * query lowers to WindowGroupLimit, so ≤ k rows per query cross
+    * the final exchange. Per-query cost is therefore the candidate
+    * re-rank alone — the scan/prune amortizes across the batch.
+    * Output: (q, rk, id, sim) with rk 1..k by sim6 desc (ties by id;
+    * ranking on the MICRO-rounded sim keeps the order replayable in
+    * an exact-integer oracle). */
+  def probeTopKBatch(emb: DataFrame, idCol: String, vecCol: String, store: TableStore,
+      name: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val (tables, bits, dim, seed) = indexParams(spark, store, name)
+    val probePairs = bucketIndex(emb.filter(col(idCol).isInCollection(queryIds)),
+        idCol, vecCol, tables, bits, dim, seed)
+      .select("id", "t", "b").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    import spark.implicits._
+    val probeDf = probePairs.toSeq.toDF("q", "t", "b")
+    val candidates = store.read(spark, s"${name}_buckets")
+      .filter(col("b").isInCollection(probePairs.map(_._3).distinct.toSeq))
+      .join(broadcast(probeDf), Seq("t", "b"))
+      .filter(col("id") =!= col("q"))
+      .select("q", "id").distinct()
+    val qe = emb.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("sim6").desc, col("id"))
+    candidates
+      .join(emb.withColumnRenamed(idCol, "id"), "id")
+      .join(broadcast(qe), "q")
+      .select(col("q"), col("id"),
+        round(cosine(col(vecCol), col("qv")) * 1000000d).cast("long").as("sim6"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q"), col("rk").cast("long").as("rk"), col("id"), col("sim6"))
+  }
+
   /** Top-k most-cosine-similar vectors to `queryId`, searching only
     * LSH bucket collisions. Output: (id, sim) ordered desc. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,

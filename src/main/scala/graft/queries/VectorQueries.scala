@@ -46,6 +46,31 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2 BATCH hyperplane-LSH probe (the serving shape) ----------
+    // Top-5 for a 5-query batch through the SAME persisted bucket
+    // index as x2_ann_topk, in ONE scan of the bucket store (VERDICT
+    // r8 next #8 — the last single-query vector probe): the union of
+    // all probes' bucket ids prunes the store once, a broadcast hash
+    // join assigns collisions per query, and exact cosine re-ranks
+    // candidates only with rank ≤ 5 lowering to WindowGroupLimit.
+    // Shares the brute-force batch oracle (same text as
+    // x2_ivf_batch_topk/x2_sq_batch_topk): at the index's derived
+    // (tables, bits) every query's candidate set provably contains
+    // its true top-5 on this corpus (AnnSpec pins it per sf), so the
+    // gate proves batch recall 1.0, not just plumbing.
+    "x2_ann_batch_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/ann-index/v3/${indexKey(s, dir)}")
+      if (!store.exists(s, "ann_buckets") || !store.exists(s, "ann_meta"))
+        Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
+      Ann.probeTopKBatch(emb, "vec_id", "embedding", store, "ann",
+          queryIds = (0L until 5L), k = 5)
+        .select(col("q"), col("rk"), col("id").as("vec_id"), col("sim6"))
+        .orderBy("q", "rk")
+    }),
+
     // ---- X2 IVF variant: build-once / probe-many. The index
     // (centroids + cid-partitioned postings) persists in a TableStore
     // keyed by sf dir; the query builds it only when absent and then
@@ -1329,6 +1354,9 @@ object VectorQueries {
     // the one-pass batched int8-code funnel must reproduce the same
     // exact per-query top-5 (recall 1.0 through shortlist + re-rank)
     "x2_sq_batch_topk" -> batchTopkOracle,
+    // the batched LSH probe must reproduce the exact brute-force
+    // batch ranking — candidate recall 1.0 through the bucket index
+    "x2_ann_batch_topk" -> batchTopkOracle,
 
     // batch ADC: per-query LUT from the replayed codebook, every
     // code row scored against all 5 queries, rank per query

@@ -22,6 +22,34 @@ class AnnSpec extends SparkSpec {
     assert(ann == brute)
   }
 
+  test("batched probe equals per-query probeTopK at every sf (recall 1.0 via the same index)") {
+    Functions.register(spark)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val emb = Tables.embeddings(spark, d)
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("annbatch").toString)
+      Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
+      val batch = Ann.probeTopKBatch(emb, "vec_id", "embedding", store, "ann",
+          queryIds = (0L until 5L), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      (0L until 5L).foreach { q =>
+        // brute-force reference, ranked on the same micro-rounded key
+        // the batch ranks on — proves per-query recall 1.0 through
+        // the index, not just batch == single-probe plumbing
+        val brute = emb.filter(col("vec_id") =!= q)
+          .crossJoin(broadcast(emb.filter(col("vec_id") === q)
+            .select(col("embedding").as("qv"))))
+          .select(col("vec_id"),
+            round(Functions.cosine(col("embedding"), col("qv")) * 1000000d)
+              .cast("long").as("sim6"))
+          .orderBy(col("sim6").desc, col("vec_id")).limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val got = (1L to 5L).map(rk => batch((q, rk)))
+        assert(got == brute, s"sf=$d q=$q: $got vs $brute")
+      }
+    }
+  }
+
   test("lsh_buckets expression equals the relational explode+groupBy bucket index") {
     Functions.register(spark)
     val emb = Tables.embeddings(spark, dir)
