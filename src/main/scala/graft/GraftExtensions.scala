@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // / LevenshteinPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.JaroPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruneRule)
+    // SQL write surface: MERGE INTO <graft catalog>.<table> lowers to
+    // the store's keyed upsert (see MergeIntoGraft — parse-time
+    // interception, non-graft targets untouched)
+    ext.injectParser((session, delegate) => new graft.plans.GraftSqlParser(session, delegate))
   }
 }

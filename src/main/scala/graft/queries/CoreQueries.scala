@@ -427,6 +427,7 @@ object CoreQueries {
   /** Fixed store root for the partitioned-upsert gate query (wiped per
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
+  private val SqlMergeStorePath = "/root/repo/target/tmp/sqlmerge-oracle"
   private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
   private val MorStorePath = "/root/repo/target/tmp/mor-oracle"
   private val MorPartStorePath = "/root/repo/target/tmp/mor-part-oracle"
@@ -437,6 +438,25 @@ object CoreQueries {
 
   // shared with t9_stream_ivm: the streamed IVM folds must serve the
   // identical one-shot join
+  /** Shared by s4_upsert_orders (programmatic merge) and s4_sql_merge
+    * (the SQL MERGE INTO verb): both must produce the identical
+    * upserted table, nupdates counter included. */
+  private[queries] val UpsertOrdersOracleSql =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS nupdates
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |updates AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN t.nupdates + 1
+      |            WHEN u.o_orderkey IS NOT NULL THEN 1
+      |            ELSE t.nupdates END AS BIGINT) AS nupdates
+      |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   private[queries] val IncrJoinOracleSql =
     """SELECT o_orderkey, o_custkey, c_name,
       |CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
@@ -1361,6 +1381,44 @@ object CoreQueries {
       val updates = o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
         .select($"o_orderkey", lit("U").as("o_orderstatus"), ($"o_totalprice" * 2.0).as("o_totalprice"))
       Upsert.merge(target, updates, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- S4d: the SAME keyed merge, driven from PLAIN SQL -----------
+    // `MERGE INTO graft_m.orders USING <updates view> ON keys WHEN
+    // MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` lowers
+    // (parse-time, see plans/MergeIntoGraft) to TableStore.upsert —
+    // one keyed merge, one atomic manifest commit, nupdates bumped on
+    // matched keys. Shares s4_upsert_orders' oracle text: the SQL verb
+    // must reproduce the programmatic merge bit for bit, counter
+    // included. End to end through disk: seed batch lands via the
+    // store, the MERGE statement applies the update batch, the result
+    // is read back from the committed table.
+    "s4_sql_merge" -> ((s, dir) => {
+      import s.implicits._
+      require(s.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser],
+        "s4_sql_merge needs a session built with graft.GraftExtensions " +
+          "(spark.sql.extensions=graft.GraftExtensions) for the MERGE INTO parser")
+      val root = new org.apache.hadoop.fs.Path(SqlMergeStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(SqlMergeStorePath)
+      val o = Tables.orders(s, dir)
+      val seed = o.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      store.upsert(s, "orders", seed, Seq("o_orderkey"), numFiles = Some(1))
+      o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+        .createOrReplaceTempView("graft_merge_updates")
+      s.conf.set("spark.sql.catalog.graft_m",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_m.root", SqlMergeStorePath)
+      s.sql("""MERGE INTO graft_m.orders t USING graft_merge_updates u
+              |ON t.o_orderkey = u.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      store.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
         .orderBy($"o_orderkey")
     }),
 
@@ -2371,21 +2429,10 @@ object CoreQueries {
          |CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "s4_upsert_orders" ->
-      """WITH target AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS nupdates
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
-        |updates AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
-        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
-        |  CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN t.nupdates + 1
-        |            WHEN u.o_orderkey IS NOT NULL THEN 1
-        |            ELSE t.nupdates END AS BIGINT) AS nupdates
-        |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
+    "s4_upsert_orders" -> UpsertOrdersOracleSql,
+    // the SQL MERGE verb must reproduce the programmatic keyed merge
+    // bit for bit, nupdates counter included — same text
+    "s4_sql_merge" -> UpsertOrdersOracleSql,
 
     "s4_upsert_partitioned" ->
       """WITH target AS (

@@ -27,11 +27,14 @@ import graft.operators.TableStore
   * invisible until its atomic manifest swap, exactly as with the
   * programmatic `TableStore.read`.
   *
-  * Scope: read + list + existence + drop. Writes stay on the
-  * programmatic path (`upsert`/`replace`/sinks) because the store's
-  * write contract is a keyed MERGE with a manifest commit, which the
-  * V2 `SupportsWrite` append/overwrite model does not express — an
-  * append-shaped SQL INSERT would silently bypass conflict handling.
+  * Scope: read + list + existence + drop, plus SQL `MERGE INTO`
+  * (lowered at parse time to the store's keyed upsert — see
+  * [[graft.plans.MergeIntoGraft]], requires the GraftExtensions
+  * parser). Other writes stay on the programmatic path
+  * (`upsert`/`replace`/sinks) because the store's write contract is a
+  * keyed MERGE with a manifest commit, which the V2 `SupportsWrite`
+  * append/overwrite model does not express — an append-shaped SQL
+  * INSERT would silently bypass conflict handling.
   */
 class GraftCatalog extends TableCatalog {
 

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TableStore
+import graft.sources.Tables
+
+/** SQL MERGE INTO → TableStore.upsert lowering (plans/MergeIntoGraft):
+  * the SQL verb must reproduce the programmatic merge exactly, refuse
+  * unsupported merge shapes loudly, and leave non-graft targets to
+  * Spark. */
+class MergeIntoGraftSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshStore(tag: String): (String, TableStore) = {
+    val path = java.nio.file.Files.createTempDirectory(s"sqlmerge-$tag").toString
+    (path, new TableStore(path))
+  }
+
+  private def register(cat: String, path: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", path)
+  }
+
+  test("MERGE INTO graft table == programmatic upsert, nupdates included") {
+    val o = Tables.orders(spark, dir)
+    val seed = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2.0).as("o_totalprice"))
+
+    val (sqlPath, sqlStore) = freshStore("sql")
+    sqlStore.upsert(spark, "orders", seed, Seq("o_orderkey"))
+    register("graft_mtest", sqlPath)
+    updates.createOrReplaceTempView("mtest_updates")
+    spark.sql("""MERGE INTO graft_mtest.orders t USING mtest_updates u
+                |ON t.o_orderkey = u.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val (_, progStore) = freshStore("prog")
+    progStore.upsert(spark, "orders", seed, Seq("o_orderkey"))
+    progStore.upsert(spark, "orders", updates, Seq("o_orderkey"))
+
+    def canon(s: TableStore) = s.read(spark, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "nupdates")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(canon(sqlStore) == canon(progStore))
+    // matched keys bumped to 2, unmatched stayed 1, inserts landed at 1
+    assert(canon(sqlStore).exists(_._4 == 2L) && canon(sqlStore).exists(_._4 == 1L))
+  }
+
+  test("MERGE with USING <subquery> resolves at run time") {
+    val (path, store) = freshStore("subq")
+    import spark.implicits._
+    store.upsert(spark, "kv",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    register("graft_msub", path)
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("msub_src")
+    spark.sql("""MERGE INTO graft_msub.kv t
+                |USING (SELECT k, upper(v) AS v FROM msub_src) u
+                |ON t.k = u.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = store.read(spark, "kv").select("k", "v", "nupdates")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "C", 1L)))
+  }
+
+  test("unsupported merge shapes fail loudly, not silently half-merge") {
+    val (path, store) = freshStore("bad")
+    import spark.implicits._
+    store.upsert(spark, "kv", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    register("graft_mbad", path)
+    Seq((1L, "z")).toDF("k", "v").createOrReplaceTempView("mbad_src")
+    // DELETE action: not the upsert contract
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO graft_mbad.kv t USING mbad_src u ON t.k = u.k
+                  |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("UPDATE SET *"))
+    // non-equi ON clause: not expressible as a keyed upsert
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO graft_mbad.kv t USING mbad_src u ON t.k < u.k
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("equi-terms"))
+    // untouched by the failed statements
+    assert(store.read(spark, "kv").count() == 1L)
+  }
+
+  test("non-graft MERGE targets pass through to Spark untouched") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plain_target")
+    Seq((1L, "z")).toDF("k", "v").createOrReplaceTempView("plain_src")
+    // Spark rejects MERGE into a temp view with ITS OWN error — proof
+    // the statement was not claimed by the graft rewrite
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO plain_target t USING plain_src u ON t.k = u.k
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(!e.isInstanceOf[UnsupportedOperationException] ||
+      !String.valueOf(e.getMessage).contains("graft"))
+  }
+}
