@@ -228,6 +228,73 @@ object Graph {
     * lineage stays O(1). An empty improvement set IS the fixpoint
     * (triangle inequality: once no candidate beats its current
     * distance, none ever will); `maxIter` is a loud backstop. */
+  /** ALL-sources harmonic centrality via HyperANF-style sketched
+    * neighborhood functions (Boldi, Rosa & Vigna, WWW'11) — the scale
+    * path `a19_harmonic`'s pivot sampling documents (VERDICT r8 next
+    * #6, the documented-not-wired pattern MIPS closed in r8).
+    *
+    * State per node is a DataSketches HLL sketch of its ball
+    * B(v, t) = {u : d(u, v) ≤ t} — Spark's built-in `hll_sketch_agg`
+    * / `hll_union_agg` / `hll_sketch_estimate`, so the per-round
+    * exchange carries (node, sketch) rows of O(2^lgConfigK) bytes
+    * REGARDLESS of graph size, where exact all-sources BFS carries a
+    * (src, node) pair per reached pair — Θ(n²) state on a connected
+    * graph. Round t max-merges every node's sketch with its
+    * neighbors' (one edge join + one partial+final union aggregate —
+    * map-side combine applies, sketches never leave executors except
+    * merged); the harmonic numerator accumulates the ball-growth
+    * telescoping sum Σ_t (|B(v,t)| − |B(v,t−1)|)/t in exact integer
+    * ppm over the sketch ESTIMATES (BIGINT — deterministic: the
+    * sketch state is a deterministic function of the node-id insert
+    * set, and ball growth is monotone, so deltas are ≥ 0 by
+    * construction; clamped anyway as written defense).
+    *
+    * Convergence: estimates are monotone non-decreasing and bounded
+    * by n, so "no node's estimate changed" is the natural HyperANF
+    * stop (the paper's termination is likewise estimate-based — the
+    * operator is an estimator, and a register change that moves no
+    * estimate moves no output either); loud maxIter backstop, same
+    * localCheckpoint discipline as every loop here. Accuracy is the
+    * sketch's: DataSketches HLL is EXACT while a ball fits coupon
+    * mode (< ~3·2^lgConfigK/4 items), ~1.04/√2^lgConfigK relative
+    * error beyond — HyperAnfSpec pins both regimes against the exact
+    * 4-pivot multi-source BFS.
+    *
+    * Input: (a, b) undirected edge frame.
+    * Output: (node, reached_est, harmonic_ppm). */
+  def hyperAnfHarmonic(edges: DataFrame, lgConfigK: Int = 12,
+      maxIter: Int = 100): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var ball = und.select(col("u").as("node")).distinct()
+      .groupBy("node").agg(hll_sketch_agg(col("node"), lgConfigK).as("sk"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+      .withColumn("harm", lit(0L))
+      .localCheckpoint(true)
+    var t = 0L
+    var changed = true
+    while (changed && t < maxIter) {
+      t += 1
+      val nbr = und.join(ball.select(col("node").as("v"), col("sk")), "v")
+        .select(col("u").as("node"), col("sk"))
+      val next = ball.select(col("node"), col("sk"))
+        .unionByName(nbr)
+        .groupBy("node").agg(hll_union_agg(col("sk"), true).as("sk"))
+        .withColumn("est2", hll_sketch_estimate(col("sk")))
+        .join(ball.select(col("node"), col("est").as("est_prev"), col("harm")), "node")
+        .select(col("node"), col("sk"), col("est2").as("est"),
+          (col("harm") + expr(s"(greatest(0L, est2 - est_prev) * 1000000) div $t"))
+            .as("harm"),
+          (col("est2") =!= col("est_prev")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).limit(1).count() > 0
+      ball = next.drop("moved")
+    }
+    require(!changed, s"hyperAnfHarmonic did not stabilize in $maxIter rounds")
+    ball.select(col("node"), col("est").as("reached_est"), col("harm").as("harmonic_ppm"))
+  }
+
   def sssp(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -1267,6 +1267,28 @@ object AnalyticsQueries {
         .orderBy($"src")
     }),
 
+    // ---- A19f-all: ALL-sources harmonic, HyperANF-sketched ----------
+    // The all-sources path a19_harmonic's pivot sampling documents,
+    // now wired (r8 verdict #6): per-node HLL sketches of the ball
+    // B(v,t) max-merged along edges each round (Boldi WWW'11 —
+    // Graph.hyperAnfHarmonic), harmonic = telescoping ball-growth sum
+    // in integer ppm over the BIGINT sketch estimates. State is
+    // sketch-sized per node regardless of graph size — exact
+    // all-sources BFS state is Θ(n²) pairs on a connected graph.
+    // NO DuckDB oracle BY DESIGN (the sketch state is
+    // DataSketches-internal); the gate is HyperAnfSpec, which pins
+    // the estimates against the exact 4-pivot multi-source BFS at
+    // every sf — the DOULION-vs-exact-triangles discipline. Output:
+    // top-20 most-central nodes, deterministic (sketches are a
+    // deterministic function of the node-id insert set).
+    "a19_harmonic_all" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchaseStore(s, dir).read(s, "pairs")
+        .filter($"pair_n" >= 2).select($"part_a".as("a"), $"part_b".as("b"))
+      graft.operators.Graph.hyperAnfHarmonic(pairs)
+        .orderBy($"harmonic_ppm".desc, $"node").limit(20)
+    }),
+
     // ---- A19e: weighted shortest paths (Graph.sssp) -----------------
     // BFS's weighted sibling: hop count is the wrong metric when
     // edges carry strength — here distance = 1e6 div pair_n (strong
@@ -2184,7 +2206,7 @@ object AnalyticsQueries {
       .localCheckpoint()
   }
 
-  private def copurchaseStore(s: SparkSession, dir: String): graft.operators.TableStore = {
+  private[queries] def copurchaseStore(s: SparkSession, dir: String): graft.operators.TableStore = {
     import s.implicits._
     val store = new graft.operators.TableStore(
       s"/root/repo/target/tmp/copurchase-pairs/v2/${graft.sources.Tables.fileKey(s, dir, "lineitem.parquet")}")
