@@ -46,6 +46,19 @@ object Bench {
     // churned mid-run and a "warm" store silently rebuilt, which would
     // masquerade as uniform drift. Reported per pass on stderr and in
     // target/bench.json.
+    //
+    // MEASURED (r9, sf0.1): pass-1 and pass-2 miss sets are IDENTICAL
+    // (54 paths), and every one is either (a) a store the query
+    // deletes at start by design — the end-to-end DML fixtures
+    // (*-oracle/*) and the streamed replay run dirs (stream-*/run/
+    // store/*) — or (b) a negative existence check that is a valid
+    // steady state (e.g. bm25Search probing for optional fold
+    // segments on a segment-less index). No warm index/pair/model
+    // store (ann/ivf/pq/sq/kmeans/copurchase/pairs/text-index base)
+    // misses in either pass: the build-once contract HOLDS, so r8's
+    // uniform +20-31% drift on unchanged queries was environment/JVM
+    // pressure, not fingerprint churn — corroborated by r9's total
+    // staying flat vs r8 while adding queries.
     graft.operators.StoreStats.reset()
     val pass1 = queries.map { case (name, fn) => name -> run(name, fn) }
     val (h1, m1) = graft.operators.StoreStats.snapshot()

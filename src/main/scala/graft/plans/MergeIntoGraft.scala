@@ -5,16 +5,17 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators.TableStore
 
-/** SQL `MERGE INTO` for graft tables (VERDICT r8 next #7 — the last
-  * reason a SQL-only user had to touch Scala: `GraftCatalog` reads in
-  * SQL, but writes stayed on the programmatic MERGE path because V2
-  * `SupportsWrite`'s append/overwrite model can't express the store's
+/** SQL write verbs — `MERGE INTO`, `DELETE FROM`, `UPDATE` — for
+  * graft tables (VERDICT r8 next #7 — the last reason a SQL-only user
+  * had to touch Scala: `GraftCatalog` reads in SQL, but writes stayed
+  * on the programmatic path because V2 `SupportsWrite`'s
+  * append/overwrite model can't express the store's
   * keyed-merge-with-manifest-commit contract).
   *
   * Mechanism: a delegating parser (injected via
@@ -64,6 +65,28 @@ object MergeIntoGraft {
     case _ => None
   }
 
+  /** Target identifier plus the qualifiers a statement may prefix its
+    * column references with (the alias if given, the bare table name
+    * otherwise) — DELETE/UPDATE lowering strips these so the parsed
+    * expressions resolve against the store's flat read frame. */
+  private def targetWithQuals(plan: LogicalPlan): Option[(Seq[String], Set[String])] = plan match {
+    case SubqueryAlias(id, child) =>
+      targetWithQuals(child).map { case (i, q) => (i, q + id.name.toLowerCase) }
+    case r: UnresolvedRelation =>
+      Some((r.multipartIdentifier, Set(r.multipartIdentifier.last.toLowerCase)))
+    case _ => None
+  }
+
+  /** Drop ONE leading qualifier level matching the target
+    * alias/table name from every column reference (t.x → x). Store
+    * tables are flat parquet frames, so a matching first part is a
+    * table qualifier, not a struct step. */
+  private def strip(e: Expression, quals: Set[String]): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        quals.contains(a.nameParts.head.toLowerCase) =>
+      UnresolvedAttribute(a.nameParts.tail)
+  }
+
   /** ON-clause → merge keys: a conjunction of same-named equi-terms
     * (t.k = s.k). Anything else is not expressible as a keyed upsert. */
   private def keysOf(cond: Expression): Option[Seq[String]] = cond match {
@@ -92,6 +115,58 @@ object MergeIntoGraft {
           GraftMergeCommand(cat, table, keys, m.sourceTable)
         case _ => plan
       }
+
+    // DELETE FROM <graft>.<t> [WHERE p] → the store's copy-on-write
+    // deleteWhere (partition-scoped when the table is partitioned —
+    // only touched partition dirs rewrite). The MOR deletion-vector
+    // path stays programmatic: it needs a key spec SQL doesn't carry.
+    case d: DeleteFromTable =>
+      targetWithQuals(d.table) match {
+        case Some((Seq(cat, table), quals)) if graftCatalogs(session).contains(cat) =>
+          GraftDeleteCommand(cat, table, CarriedExpr(strip(d.condition, quals)))
+        case _ => plan
+      }
+
+    // UPDATE <graft>.<t> SET c = e, ... [WHERE p] → the store's
+    // updateWhere: every RHS evaluates against the OLD row (standard
+    // SQL UPDATE), one manifest-committed rewrite, partition-scoped
+    // when partitioned.
+    case u: UpdateTable =>
+      targetWithQuals(u.table) match {
+        case Some((Seq(cat, table), quals)) if graftCatalogs(session).contains(cat) =>
+          val set = u.assignments.map {
+            case Assignment(k: UnresolvedAttribute, v) =>
+              k.nameParts.last -> CarriedExpr(strip(v, quals))
+            case a => throw new UnsupportedOperationException(
+              s"graft UPDATE assignments must target plain columns; got: ${a.sql}")
+          }
+          GraftUpdateCommand(cat, table, set,
+            u.condition.map(c => CarriedExpr(strip(c, quals))))
+        case _ => plan
+      }
+
+    // INSERT OVERWRITE <graft>.<t> SELECT ... → the store's atomic
+    // full replace (new version written invisibly, one manifest
+    // commit). Plain INSERT INTO stays REJECTED by Spark's own
+    // unsupported-table path: an append cannot express the store's
+    // keyed conflict handling — appending a duplicate key would
+    // corrupt the MERGE contract silently. Overwrite has no conflict
+    // to mishandle.
+    case i: InsertIntoStatement =>
+      targetIdent(i.table) match {
+        case Some(Seq(cat, table)) if graftCatalogs(session).contains(cat) =>
+          if (!i.overwrite) throw new UnsupportedOperationException(
+            "graft tables take keyed writes: use MERGE INTO (or the programmatic " +
+              "upsert) instead of INSERT INTO — a blind append cannot express " +
+              "conflict handling. INSERT OVERWRITE (full replace) is supported.")
+          if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+            throw new UnsupportedOperationException(
+              "graft INSERT OVERWRITE replaces the whole table; partition specs " +
+                "and column lists are not supported — use the programmatic API")
+          GraftReplaceCommand(cat, table, i.query)
+        case _ => plan
+      }
+
     case other => other
   }
 }
@@ -113,10 +188,90 @@ case class GraftMergeCommand(catalog: String, table: String, keys: Seq[String],
   }
 }
 
+/** Opaque carrier for a parse-time expression riding inside a leaf
+  * command. Deliberately NOT an Expression field: TreeNode reflection
+  * would surface it as one of the node's expressions and CheckAnalysis
+  * would demand it resolve against the (childless) command — but these
+  * expressions resolve at RUN time against the store's read frame,
+  * exactly like a Column a programmatic caller passes in. */
+final class CarriedExpr(val e: Expression) extends Serializable {
+  override def toString: String = e.sql
+}
+object CarriedExpr { def apply(e: Expression): CarriedExpr = new CarriedExpr(e) }
+
+/** Shared plumbing for the DELETE/UPDATE verbs: store root from the
+  * catalog conf, and partition-mode detection with the partition
+  * column recovered from the committed hive-style layout (`c=v` leaf
+  * dirs), so SQL statements hit the touched-partitions-only rewrite
+  * exactly like the programmatic calls. */
+private object GraftDml {
+  def store(session: SparkSession, catalog: String): TableStore =
+    new TableStore(session.conf.get(s"spark.sql.catalog.$catalog.root"))
+  def partCol(session: SparkSession, st: TableStore, table: String): Option[String] =
+    st.partitionedLeafPaths(session, table).flatMap(_.headOption).map { leaf =>
+      new org.apache.hadoop.fs.Path(leaf).getParent.getName.split("=")(0)
+    }
+}
+
+/** SQL `DELETE FROM <graft>.<t> WHERE p` — same semantics as
+  * `TableStore.deleteWhere`: rows where p is TRUE go, FALSE/NULL rows
+  * survive, one atomic manifest commit (partition-scoped on a
+  * partitioned table; a partition the delete empties is removed). */
+case class GraftDeleteCommand(catalog: String, table: String,
+    condition: CarriedExpr) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val st = GraftDml.store(session, catalog)
+    val pred = org.apache.spark.sql.graft.Bridge.column(condition.e)
+    GraftDml.partCol(session, st, table) match {
+      case Some(pc) => st.deleteWherePartitioned(session, table, pred, pc)
+      case None => st.deleteWhere(session, table, pred)
+    }
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE <graft>.<t> SET c = e, ... WHERE p` — same semantics
+  * as `TableStore.updateWhere`: every RHS evaluates against the OLD
+  * row, assignments apply only where p is TRUE, one atomic manifest
+  * commit (partition-scoped on a partitioned table; assigning the
+  * partition column is rejected by the store — a row changing
+  * partitions is a move, expressed as DELETE + MERGE). */
+case class GraftUpdateCommand(catalog: String, table: String,
+    set: Seq[(String, CarriedExpr)], condition: Option[CarriedExpr])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graft.Bridge
+    val st = GraftDml.store(session, catalog)
+    val pred = condition.map(c => Bridge.column(c.e))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val assigns = set.map { case (k, v) => k -> Bridge.column(v.e) }.toMap
+    GraftDml.partCol(session, st, table) match {
+      case Some(pc) => st.updateWherePartitioned(session, table, pred, assigns, pc)
+      case None => st.updateWhere(session, table, pred, assigns)
+    }
+    Seq.empty
+  }
+}
+
+/** SQL `INSERT OVERWRITE <graft>.<t> SELECT ...` — the store's atomic
+  * whole-table replace: the new version is fully written invisibly,
+  * then published by one manifest rename; readers see the old or the
+  * new table, never a mix. */
+case class GraftReplaceCommand(catalog: String, table: String,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val st = GraftDml.store(session, catalog)
+    st.replace(session, table, org.apache.spark.sql.graft.Bridge.ofRows(session, source))
+    Seq.empty
+  }
+}
+
 /** Delegating parser: Spark's grammar does all parsing; the single
-  * rewrite hook above claims MERGE statements whose target lives in a
-  * graft catalog. Everything else — every other statement, every
-  * other method — passes straight through. */
+  * rewrite hook above claims MERGE/DELETE/UPDATE/INSERT-OVERWRITE
+  * statements whose target lives in a graft catalog. Everything else
+  * — every other statement, every other method — passes straight
+  * through. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -238,6 +238,50 @@ object AnalyticsQueries {
         .orderBy($"cohort_day", $"offset_days")
     }),
 
+    // ---- A10s: classical seasonal decomposition (additive) ----------
+    // The time-series family's missing leg (Holt smooths, ACF
+    // measures, change-point locates — this SEPARATES): y_t = trend +
+    // seasonal + residual over the hourly event series, period 24.
+    // Trend is the centered 2×24 moving average (two 24-sums offset
+    // by one, weight 48 — the textbook even-period form), seasonal is
+    // the per-slot mean of the detrended interior points, re-centered
+    // to sum ~0 over the 24 slots. EXACT integer micros end to end:
+    // counts are integers, the MA is an integer-sum window, every
+    // division is `div` (both engines truncate toward zero, verified
+    // including negatives), so the 24-row output hash-matches. The
+    // ordered window is CALENDAR-SPINE sized (720 hourly buckets over
+    // the 30-day range — bounded by the calendar, not data volume;
+    // at 100 TB this series is the same 720 rows, produced by one
+    // partial+final hourly aggregate over the scan).
+    "a10_seasonal" -> ((s, dir) =>
+      seasonalSlots(s, dir)
+        .select(col("hod"), col("n_obs"), col("seasonal_micro"))
+        .orderBy(col("hod"))),
+
+    // ---- A9s: seasonally-adjusted anomalies -------------------------
+    // The consumer a10_seasonal exists for: raw z-scores on an hourly
+    // series flag every evening peak; scoring the RESIDUAL after
+    // trend+seasonal removal flags only genuinely unusual hours. The
+    // flag is the exact-integer form of |resid| > 3σ:
+    // resid² · n > 9 · Σresid² — no square root, no floating point,
+    // every quantity an exact integer (Σresid² routed through
+    // DECIMAL(38,0): residual micros square to ~1e16, and a year-long
+    // series would overflow BIGINT). One decomposition pass + one
+    // variance aggregate + one filter over the 720-row spine.
+    "a9_seasonal_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val resid = seasonalDetrended(s, dir)
+        .join(broadcast(seasonalSlots(s, dir).select($"hod", $"seasonal_micro")), "hod")
+        .withColumn("resid", $"detr" - $"seasonal_micro")
+      val stats = resid.agg(count(lit(1)).as("n"),
+        sum(($"resid" * $"resid").cast("decimal(38,0)")).as("ss"))
+      resid.crossJoin(broadcast(stats))
+        .filter(($"resid" * $"resid").cast("decimal(38,0)") * $"n" > $"ss" * 9)
+        .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
+          $"y", $"resid".as("resid_micro"))
+        .orderBy($"h")
+    }),
+
     // ---- A10: per-group OLS trend from exact moments ----------------
     // slope/intercept of order value over time per priority class. The
     // five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT
@@ -2206,6 +2250,37 @@ object AnalyticsQueries {
       .localCheckpoint()
   }
 
+  /** Interior points of the hourly event series with the centered
+    * 2×24-MA trend removed, in exact integer micros: (h, y, hod,
+    * detr). The ordered window is calendar-spine sized (720 hourly
+    * buckets — bounded by the date range, not data volume). */
+  private def seasonalDetrended(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val y = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val w1 = Window.orderBy($"h").rowsBetween(-12, 11)
+    val w2 = Window.orderBy($"h").rowsBetween(-11, 12)
+    y.withColumn("n1", count($"y").over(w1)).withColumn("s1", sum($"y").over(w1))
+      .withColumn("n2", count($"y").over(w2)).withColumn("s2", sum($"y").over(w2))
+      .filter($"n1" === 24 && $"n2" === 24) // interior points only
+      .withColumn("detr", expr("y * 1000000 - ((s1 + s2) * 1000000) div 48"))
+      .withColumn("hod", hour($"h").cast("long"))
+      .select($"h", $"y", $"hod", $"detr")
+  }
+
+  /** Per-slot additive seasonal components (hod, n_obs,
+    * seasonal_micro), re-centered to sum ~0 over the 24 slots. */
+  private def seasonalSlots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = seasonalDetrended(s, dir)
+      .groupBy($"hod")
+      .agg(count(lit(1)).as("n_obs"), sum($"detr").as("sd"))
+      .withColumn("s_raw", expr("sd div n_obs"))
+    r.crossJoin(broadcast(r.agg(expr("sum(s_raw) div 24").as("mean_s"))))
+      .select($"hod", $"n_obs", ($"s_raw" - $"mean_s").as("seasonal_micro"))
+  }
+
   private[queries] def copurchaseStore(s: SparkSession, dir: String): graft.operators.TableStore = {
     import s.implicits._
     val store = new graft.operators.TableStore(
@@ -3241,6 +3316,49 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) // total AS BIGINT)
         |    AS top_share_ppm
         |FROM b CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    "a10_seasonal" ->
+      """WITH y AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT h, y,
+        |    COUNT(y) OVER w1 AS n1, SUM(y) OVER w1 AS s1,
+        |    COUNT(y) OVER w2 AS n2, SUM(y) OVER w2 AS s2
+        |  FROM y
+        |  WINDOW w1 AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+        |         w2 AS (ORDER BY h ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT h, y * 1000000 - ((s1 + s2) * 1000000) // 48 AS detr
+        |  FROM t WHERE n1 = 24 AND n2 = 24),
+        |r AS (SELECT hour(h) AS hod, COUNT(*) AS n_obs, SUM(detr) AS sd FROM d GROUP BY 1),
+        |r2 AS (SELECT hod, n_obs, sd // n_obs AS s_raw FROM r),
+        |m AS (SELECT SUM(s_raw) // 24 AS mean_s FROM r2)
+        |SELECT CAST(hod AS BIGINT) AS hod, n_obs,
+        |  CAST(s_raw - mean_s AS BIGINT) AS seasonal_micro
+        |FROM r2 CROSS JOIN m ORDER BY hod""".stripMargin,
+
+    "a9_seasonal_outliers" ->
+      """WITH y AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT h, y,
+        |    COUNT(y) OVER w1 AS n1, SUM(y) OVER w1 AS s1,
+        |    COUNT(y) OVER w2 AS n2, SUM(y) OVER w2 AS s2
+        |  FROM y
+        |  WINDOW w1 AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+        |         w2 AS (ORDER BY h ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT h, y, hour(h) AS hod,
+        |    y * 1000000 - ((s1 + s2) * 1000000) // 48 AS detr
+        |  FROM t WHERE n1 = 24 AND n2 = 24),
+        |r AS (SELECT hod, COUNT(*) AS n_obs, SUM(detr) AS sd FROM d GROUP BY 1),
+        |r2 AS (SELECT hod, sd // n_obs AS s_raw FROM r),
+        |m AS (SELECT SUM(s_raw) // 24 AS mean_s FROM r2),
+        |sl AS (SELECT hod, s_raw - mean_s AS seasonal_micro FROM r2 CROSS JOIN m),
+        |res AS (SELECT d.h, d.y, d.detr - sl.seasonal_micro AS resid
+        |  FROM d JOIN sl USING (hod)),
+        |st AS (SELECT COUNT(*) AS n, SUM(CAST(resid AS HUGEINT) * resid) AS ss FROM res)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, y,
+        |  CAST(resid AS BIGINT) AS resid_micro
+        |FROM res CROSS JOIN st
+        |WHERE CAST(resid AS HUGEINT) * resid * n > 9 * ss
+        |ORDER BY h""".stripMargin,
 
     "a13_hourly_profile" ->
       """WITH c AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,

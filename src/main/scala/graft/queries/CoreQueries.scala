@@ -428,6 +428,8 @@ object CoreQueries {
     * run — the two-batch counter semantics need a fresh store). */
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val SqlMergeStorePath = "/root/repo/target/tmp/sqlmerge-oracle"
+  private val SqlDeleteStorePath = "/root/repo/target/tmp/sqldelete-oracle"
+  private val SqlUpdateStorePath = "/root/repo/target/tmp/sqlupdate-oracle"
   private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
   private val MorStorePath = "/root/repo/target/tmp/mor-oracle"
   private val MorPartStorePath = "/root/repo/target/tmp/mor-part-oracle"
@@ -438,6 +440,27 @@ object CoreQueries {
 
   // shared with t9_stream_ivm: the streamed IVM folds must serve the
   // identical one-shot join
+  /** Shared by s4_delete_where (programmatic) and s4_sql_delete (the
+    * SQL DELETE verb): both must land the identical partition-scoped
+    * delete. */
+  private[queries] def DeleteWhereOracleSql: String =
+    s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS p_year,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared by s4_update_where (programmatic) and s4_sql_update (the
+    * SQL UPDATE verb): both must land the identical partition-scoped
+    * old-row-semantics update. */
+  private[queries] def UpdateWhereOracleSql: String =
+    s"""WITH u AS (
+       |  SELECT CASE WHEN o_orderstatus = 'P' THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
+       |  FROM orders)
+       |SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by s4_upsert_orders (programmatic merge) and s4_sql_merge
     * (the SQL MERGE INTO verb): both must produce the identical
     * upserted table, nupdates counter included. */
@@ -1420,6 +1443,59 @@ object CoreQueries {
       store.read(s, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- S4e: the SAME partition-scoped DELETE, driven from SQL -----
+    // `DELETE FROM graft_d.orders WHERE ...` lowers (parse-time, see
+    // plans/MergeIntoGraft) to deleteWherePartitioned — the partition
+    // column recovered from the committed hive layout, only touched
+    // partition dirs rewritten, emptied partitions removed. Shares
+    // s4_delete_where's oracle text.
+    "s4_sql_delete" -> ((s, dir) => {
+      import s.implicits._
+      require(s.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser],
+        "s4_sql_delete needs a session built with graft.GraftExtensions")
+      val root = new org.apache.hadoop.fs.Path(SqlDeleteStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(SqlDeleteStorePath)
+      val o = Tables.orders(s, dir)
+        .withColumn("p_year", year($"o_orderdate").cast("int"))
+      store.replacePartitions(s, "orders", o.repartition($"p_year"), "p_year")
+      s.conf.set("spark.sql.catalog.graft_d",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_d.root", SqlDeleteStorePath)
+      s.sql("""DELETE FROM graft_d.orders
+              |WHERE o_orderstatus = 'F' AND year(o_orderdate) < 1995""".stripMargin)
+      store.read(s, "orders")
+        .groupBy($"p_year".cast("int").as("p_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"p_year")
+    }),
+
+    // ---- S4f: the SAME partition-scoped UPDATE, driven from SQL -----
+    // `UPDATE graft_u.orders SET ... WHERE ...` lowers to
+    // updateWherePartitioned: every RHS evaluates against the OLD row,
+    // touched partitions only. Shares s4_update_where's oracle text.
+    "s4_sql_update" -> ((s, dir) => {
+      import s.implicits._
+      require(s.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser],
+        "s4_sql_update needs a session built with graft.GraftExtensions")
+      val root = new org.apache.hadoop.fs.Path(SqlUpdateStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(SqlUpdateStorePath)
+      val o = Tables.orders(s, dir)
+        .withColumn("p_year", year($"o_orderdate").cast("int"))
+      store.replacePartitions(s, "orders", o.repartition($"p_year"), "p_year")
+      s.conf.set("spark.sql.catalog.graft_u",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_u.root", SqlUpdateStorePath)
+      s.sql("""UPDATE graft_u.orders
+              |SET o_totalprice = o_totalprice * 2.0, o_orderstatus = 'X'
+              |WHERE o_orderstatus = 'P'""".stripMargin)
+      store.read(s, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
     }),
 
     // ---- S4b: partition-scoped upsert, end to end through disk ------
@@ -2452,12 +2528,10 @@ object CoreQueries {
         |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
-    "s4_delete_where" ->
-      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS p_year,
-         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
-         |FROM orders
-         |WHERE NOT (o_orderstatus = 'F' AND year(CAST(o_orderdate AS DATE)) < 1995)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s4_delete_where" -> DeleteWhereOracleSql,
+    // the SQL DELETE verb must land exactly the programmatic
+    // partition-scoped delete — same text
+    "s4_sql_delete" -> DeleteWhereOracleSql,
 
     "s4_delete_mor_part" ->
       s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS p_year,
@@ -2483,13 +2557,10 @@ object CoreQueries {
          |  AND NOT (o_orderstatus = 'P' AND o_totalprice > 400000.0)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "s4_update_where" ->
-      s"""WITH u AS (
-         |  SELECT CASE WHEN o_orderstatus = 'P' THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
-         |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
-         |  FROM orders)
-         |SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
-         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s4_update_where" -> UpdateWhereOracleSql,
+    // the SQL UPDATE verb must land exactly the programmatic
+    // partition-scoped update — same text
+    "s4_sql_update" -> UpdateWhereOracleSql,
 
     "p13_map_ops" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

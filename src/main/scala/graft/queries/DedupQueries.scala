@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.Functions._
 import graft.operators.Dedup
@@ -764,8 +765,74 @@ object DedupQueries {
         .withColumn("m_type", lit(ps.m(1).toLong)).withColumn("u_type", lit(ps.u(1).toLong))
         .withColumn("m_size", lit(ps.m(2).toLong)).withColumn("u_size", lit(ps.u(2).toLong))
         .orderBy(col("decision"))
+    }),
+
+    // ---- X1 survivorship: golden records over resolved entities -----
+    // The layer ABOVE linkage decisions — what an MDM/entity-
+    // resolution deployment actually ships: three source variants per
+    // entity (clean + two independent manglings, disjoint id ranges,
+    // no shared key), pairwise links from the compound-blocked
+    // (brand, first-char, size±1) join at jw ≥ 0.9 ∧ type = ∧
+    // |size diff| ≤ 1, transitive entity clusters via large-star/
+    // small-star (O(log² n) rounds — the x1_dedup_clusters machinery),
+    // then per-cluster SURVIVORSHIP: canonical name = the most
+    // complete value (max length, lexicographic max tiebreak — a
+    // cluster-bounded window), consensus type, size range, variant
+    // count. The oracle replays links, transitive closure (recursive
+    // reach over 3-member clusters), and the same window. Plan shape:
+    // blocked equi-join candidates (never all-pairs), one fixpoint
+    // cluster loop, one cluster-partitioned window, one aggregate.
+    "x1_survivorship" -> ((s, dir) => {
+      graft.functions.Functions.register(s)
+      val recs = survivorshipRecords(s, dir)
+      val build = recs.select(col("rid").as("ridA"), col("p_brand"), col("c1"),
+          col("name").as("nameA"), col("rtype").as("typeA"), col("size").as("sizeA"))
+        .withColumn("sb", explode(sequence(col("sizeA") - 1, col("sizeA") + 1)))
+      val probe = recs.select(col("rid").as("ridB"), col("p_brand"), col("c1"),
+          col("name").as("nameB"), col("rtype").as("typeB"), col("size").as("sizeB"))
+        .withColumn("sb", col("sizeB"))
+      val links = build.join(probe, Seq("p_brand", "c1", "sb"))
+        .filter(col("ridA") < col("ridB") && col("typeA") === col("typeB") &&
+          call_function("jaro_winkler", col("nameA"), col("nameB")) >= 0.9)
+        .select(col("ridA").as("idA"), col("ridB").as("idB")).distinct()
+      val labels = Dedup.clusterLabelsStar(recs.select(col("rid")), "rid", links)
+        .withColumnRenamed("id", "rid")
+      val joined = recs.join(labels, "rid")
+      val wCanon = Window.partitionBy(col("cluster"))
+        .orderBy(length(col("name")).desc, col("name").desc)
+      val canon = joined.withColumn("rk", row_number().over(wCanon))
+        .filter(col("rk") === 1).select(col("cluster"), col("name").as("canonical_name"))
+      joined.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("name")).as("n_name_variants"),
+          min(col("rtype")).as("rtype"),
+          min(col("size")).cast("long").as("min_size"),
+          max(col("size")).cast("long").as("max_size"))
+        .join(canon, "cluster")
+        .select(col("cluster").as("entity_id"), col("n_members"),
+          col("n_name_variants"), col("canonical_name"), col("rtype"),
+          col("min_size"), col("max_size"))
+        .orderBy(col("entity_id"))
     })
   )
+
+  /** Three-variant record fixture for entity resolution end-to-end:
+    * every part appears as its clean record plus two independently
+    * mangled duplicates (3rd char deleted; 4th char deleted AND size
+    * off by one) under disjoint record-id ranges — the multi-source
+    * MDM shape (same entity from three systems, no shared key). */
+  private def survivorshipRecords(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    def variant(idOff: Long, name: Column, sizeOff: Int) =
+      p.select((col("p_partkey") + idOff).as("rid"), col("p_brand"),
+        substring(col("p_name"), 1, 1).as("c1"), name.as("name"),
+        col("p_type").as("rtype"), (col("p_size") + sizeOff).as("size"))
+    variant(0L, col("p_name"), 0)
+      .unionByName(variant(1000000L,
+        expr("substr(p_name, 1, 2) || substr(p_name, 4)"), 0))
+      .unionByName(variant(2000000L,
+        expr("substr(p_name, 1, 3) || substr(p_name, 5)"), 1))
+  }
 
   /** Blocked Fellegi–Sunter candidate pairs over the planted dirty-copy
     * fixture, with the 3-bit comparison vector (jw≥0.9, type=, size=).
@@ -1221,6 +1288,46 @@ object DedupQueries {
         |  CAST((n_caught * 1000000) // n_cand AS BIGINT) AS precision_ppm
         |FROM ct CROSS JOIN ch CROSS JOIN cc""".stripMargin,
     "x1_simhash_pairs" -> jaccardOracle,
+    // links + transitive closure + per-cluster survivorship window,
+    // replayed relationally (reach is bounded by the 3-member planted
+    // clusters)
+    "x1_survivorship" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS rid, p_brand, substr(p_name, 1, 1) AS c1,
+        |         p_name AS name, p_type AS rtype, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, p_brand, substr(p_name, 1, 1),
+        |         substr(p_name, 1, 2) || substr(p_name, 4), p_type, p_size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 2000000, p_brand, substr(p_name, 1, 1),
+        |         substr(p_name, 1, 3) || substr(p_name, 5), p_type, p_size + 1 FROM part),
+        |links AS (SELECT a.rid AS ua, b.rid AS ub
+        |  FROM recs a JOIN recs b
+        |    ON a.p_brand = b.p_brand AND a.c1 = b.c1
+        |   AND abs(a.size - b.size) <= 1 AND a.rid < b.rid
+        |   AND a.rtype = b.rtype
+        |   AND jaro_winkler_similarity(a.name, b.name) >= 0.9),
+        |edges AS (SELECT ua AS a, ub AS b FROM links UNION SELECT ub, ua FROM links),
+        |reach(src, dst) AS (
+        |  SELECT rid, rid FROM recs
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (SELECT src AS rid, MIN(dst) AS cluster FROM reach GROUP BY 1),
+        |j AS (SELECT l.cluster, r.rid, r.name, r.rtype, r.size
+        |      FROM recs r JOIN lab l USING (rid)),
+        |canon AS (SELECT cluster, name AS canonical_name FROM (
+        |  SELECT cluster, name, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY length(name) DESC, name DESC) AS rk
+        |  FROM j) WHERE rk = 1),
+        |agg AS (SELECT cluster, COUNT(*) AS n_members,
+        |          COUNT(DISTINCT name) AS n_name_variants, MIN(rtype) AS rtype,
+        |          CAST(MIN(size) AS BIGINT) AS min_size,
+        |          CAST(MAX(size) AS BIGINT) AS max_size
+        |        FROM j GROUP BY 1)
+        |SELECT cluster AS entity_id, n_members, n_name_variants,
+        |       canonical_name, rtype, min_size, max_size
+        |FROM agg JOIN canon USING (cluster)
+        |ORDER BY entity_id""".stripMargin,
     "x1_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -14,4 +14,10 @@ object Bridge {
   def ofRows(session: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a parsed Catalyst expression as a Column (graft's SQL
+    * DELETE/UPDATE lowering carries the parsed WHERE/SET expressions
+    * to the store's programmatic verbs, which take Columns). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

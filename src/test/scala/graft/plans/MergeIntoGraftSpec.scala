@@ -94,6 +94,56 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.read(spark, "kv").count() == 1L)
   }
 
+  test("SQL DELETE: TRUE rows go, FALSE and NULL-predicate rows survive") {
+    val (path, store) = freshStore("del")
+    import spark.implicits._
+    store.upsert(spark, "kv",
+      Seq((1L, Some(5L)), (2L, Some(50L)), (3L, None)).toDF("k", "v"), Seq("k"))
+    register("graft_del", path)
+    spark.sql("DELETE FROM graft_del.kv WHERE v > 10")
+    val got = store.read(spark, "kv").select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L)) // NULL predicate row (k=3) survives
+  }
+
+  test("SQL UPDATE: every RHS evaluates against the OLD row (swap semantics)") {
+    val (path, store) = freshStore("upd")
+    import spark.implicits._
+    store.upsert(spark, "ab", Seq((1L, 10L, 20L)).toDF("k", "a", "b"), Seq("k"))
+    register("graft_upd", path)
+    spark.sql("UPDATE graft_upd.ab SET a = b, b = a WHERE k = 1")
+    val r = store.read(spark, "ab").select("a", "b").head
+    assert((r.getLong(0), r.getLong(1)) == (20L, 10L)) // swapped, not chained
+  }
+
+  test("SQL DELETE/UPDATE strip alias and table qualifiers from references") {
+    val (path, store) = freshStore("qual")
+    import spark.implicits._
+    store.upsert(spark, "kv",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    register("graft_qual", path)
+    spark.sql("UPDATE graft_qual.kv AS t SET t.v = upper(t.v) WHERE t.k = 2")
+    spark.sql("DELETE FROM graft_qual.kv t WHERE t.k = 1")
+    val got = store.read(spark, "kv").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "B")))
+  }
+
+  test("INSERT OVERWRITE replaces atomically; plain INSERT INTO is refused") {
+    val (path, store) = freshStore("ins")
+    import spark.implicits._
+    store.upsert(spark, "kv", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    register("graft_ins", path)
+    Seq((9L, "z")).toDF("k", "v").createOrReplaceTempView("ins_src")
+    spark.sql("INSERT OVERWRITE graft_ins.kv SELECT k, v FROM ins_src")
+    val got = store.read(spark, "kv").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((9L, "z")))
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("INSERT INTO graft_ins.kv SELECT k, v FROM ins_src")
+    }
+    assert(e.getMessage.contains("MERGE INTO"))
+  }
+
   test("non-graft MERGE targets pass through to Spark untouched") {
     import spark.implicits._
     Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plain_target")
