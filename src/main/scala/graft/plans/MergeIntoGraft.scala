@@ -167,6 +167,22 @@ object MergeIntoGraft {
         case _ => plan
       }
 
+    // CREATE TABLE <graft>.<t> AS SELECT ... → materialize the query
+    // into a fresh store table (the store's replace on a nonexistent
+    // name IS create-and-publish: one invisible write, one manifest
+    // commit). IF NOT EXISTS short-circuits; an existing table
+    // without it fails loudly rather than silently replacing.
+    case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect =>
+      c.name match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(Seq(cat, table), _)
+            if graftCatalogs(session).contains(cat) =>
+          if (c.partitioning.nonEmpty) throw new UnsupportedOperationException(
+            "graft CTAS writes whole-table mode; build partitioned tables " +
+              "through the programmatic upsertPartitioned/replacePartitions API")
+          GraftCtasCommand(cat, table, c.query, c.ignoreIfExists)
+        case _ => plan
+      }
+
     case other => other
   }
 }
@@ -267,8 +283,26 @@ case class GraftReplaceCommand(catalog: String, table: String,
   }
 }
 
+/** SQL `CREATE TABLE <graft>.<t> AS SELECT ...` — create-and-publish
+  * in one atomic manifest commit (fails if the table exists unless
+  * IF NOT EXISTS, which is then a no-op). */
+case class GraftCtasCommand(catalog: String, table: String,
+    source: LogicalPlan, ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val st = GraftDml.store(session, catalog)
+    if (st.exists(session, table)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalog, table))
+    }
+    st.replace(session, table, org.apache.spark.sql.graft.Bridge.ofRows(session, source))
+    Seq.empty
+  }
+}
+
 /** Delegating parser: Spark's grammar does all parsing; the single
-  * rewrite hook above claims MERGE/DELETE/UPDATE/INSERT-OVERWRITE
+  * rewrite hook above claims MERGE/DELETE/UPDATE/INSERT-OVERWRITE/CTAS
   * statements whose target lives in a graft catalog. Everything else
   * — every other statement, every other method — passes straight
   * through. */

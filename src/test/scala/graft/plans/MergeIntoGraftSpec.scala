@@ -144,6 +144,23 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(e.getMessage.contains("MERGE INTO"))
   }
 
+  test("CTAS creates and publishes; existing table fails unless IF NOT EXISTS") {
+    val (path, store) = freshStore("ctas")
+    register("graft_ctas", path)
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft_ctas.kv AS SELECT k, upper(v) AS v FROM ctas_src")
+    val got = store.read(spark, "kv").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "A"), (2L, "B")))
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE graft_ctas.kv AS SELECT k, v FROM ctas_src")
+    }
+    // IF NOT EXISTS: no-op, original contents intact
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_ctas.kv AS SELECT 99 AS k, 'x' AS v")
+    assert(store.read(spark, "kv").count() == 2L)
+  }
+
   test("non-graft MERGE targets pass through to Spark untouched") {
     import spark.implicits._
     Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plain_target")
