@@ -119,30 +119,45 @@ object Dedup {
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
   }
 
-  /** ENGINE-PORTABLE band keys (id, band, h: String): min over
-    * md5("{seed}_{gram}") per seed, band key = the r digests of the
-    * band concatenated in seed order. md5 hex and lexicographic
-    * VARCHAR min are identical in Spark and DuckDB, so an oracle can
-    * replay the EXACT candidate set — which makes an LSH-gated query
-    * checkable without a quadratic oracle-side truth join (VERDICT r8
-    * next #5; same scheme x1_lsh_recall_eval already gates). Shape
-    * matches `bandBuckets`: one explode + one k-accumulator min
-    * aggregate + per-band concat; the only shuffle carries one
-    * k-digest row per doc. The xxhash64 `bandBuckets` stays the
-    * production default (8-byte band hashes, no 32-char strings in
-    * the bucket store); this variant is for oracle-replayable gates. */
+  /** ENGINE-PORTABLE band keys (id, band, h: String), at ONE digest
+    * per gram: x = the first 15 hex chars of md5(gram) as a 60-bit
+    * int (Spark `conv` == DuckDB `CAST('0x'||… AS BIGINT)`, verified
+    * value-identical), folded to x mod p (p = 2³¹−1), then the k
+    * per-seed values derive ARITHMETICALLY — h_s = (A_s·x + B_s) mod
+    * p, a universal linear family with fixed constants — so the only
+    * digest work is one md5 per gram (the first cut took min over
+    * md5("{seed}_{gram}") per seed: 64 digests per gram, and the
+    * streamed gate paid 30 s at sf0.1 for it; this form is pure
+    * integer min-aggregation after the single digest). Band key =
+    * the r per-seed minima zero-padded and concatenated in seed
+    * order. Every step is value-identical in Spark and DuckDB, so an
+    * oracle can replay the EXACT candidate set — which makes an
+    * LSH-gated query checkable without a quadratic oracle-side truth
+    * join (VERDICT r8 next #5). Shape matches `bandBuckets`: one
+    * explode + one k-accumulator integer min aggregate + per-band
+    * concat; the only shuffle carries one k-long row per doc. The
+    * xxhash64 `bandBuckets` stays the production default (derives
+    * seeds from one 64-bit hash the same way, fully codegen'd);
+    * this variant exists for oracle-replayable gates. */
   def portableBandBuckets(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "signature length must divide into bands")
     val r = k / bands
+    val P = 2147483647L // 2^31 - 1 (prime): products A_s·x stay under 2^62
     val grams = docs
       .select(col(idCol).as("id"), explode(wordGrams(col(textCol), n)).as("g"))
-    val mins = Seq.tabulate(k)(i =>
-      min(md5(concat(lit(s"${i}_"), col("g")))).as(s"h$i"))
+      .select(col("id"),
+        expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % 2147483647").as("x"))
+    val mins = Seq.tabulate(k) { s =>
+      val a = (2654435761L * (s + 1)) % P
+      val b = (40503L * (s + 7)) % P
+      min(expr(s"($a * x + $b) % $P")).as(s"h$s")
+    }
     val sig = grams.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        concat((0 until r).map(j => col(s"h${b * r + j}")): _*).as("h"))
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd.toLong).as("band"),
+        concat((0 until r).map(j =>
+          lpad(col(s"h${bnd * r + j}").cast("string"), 10, "0")): _*).as("h"))
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))

@@ -836,17 +836,19 @@ object StreamQueries {
     // must still collide with them), via per-batch partition commits
     // (replay = same-partition overwrite, idempotent). Band keys
     // depend only on text, so incremental candidates == one-shot
-    // candidates. Banding is the PORTABLE md5 16×4 scheme
-    // (Dedup.portableBandBuckets) so the oracle replays the exact
-    // band keys and is LSH-bounded too — O(candidates) in both
+    // candidates. Banding is the PORTABLE 16×4 scheme — one md5 per
+    // gram, per-seed values derived by modular arithmetic
+    // (Dedup.portableBandBuckets) — so the oracle replays the exact
+    // band keys and is LSH-bounded too: O(candidates) in both
     // engines at every sf, instead of a quadratic oracle-side truth
     // join (VERDICT r8 next #5; the x1_lsh_recall_eval technique).
     "t10_stream_neardup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       graft.functions.Functions.register(s)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
-      // v2 = portable md5 band keys (v1 stored xxhash64 band hashes)
-      val base = s"/root/repo/target/tmp/stream-neardup/v2/${Tables.fileKey(s, dir, "documents.parquet")}"
+      // v3 = one-md5-per-gram modular portable keys (v2 per-seed md5,
+      // v1 xxhash64 band hashes)
+      val base = s"/root/repo/target/tmp/stream-neardup/v3/${Tables.fileKey(s, dir, "documents.parquet")}"
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val stage = s"$base/stage"
@@ -1164,10 +1166,15 @@ object StreamQueries {
         |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
         |             ELSE [array_to_string(w, ' ')] END AS grams
         |      FROM d),
-        |gr AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        |sig AS (SELECT doc_id, s, MIN(md5(CAST(s AS VARCHAR) || '_' || gram)) AS h
+        |gr AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(unnest(grams)), 1, 15) AS BIGINT) % 2147483647 AS x
+        |       FROM g),
+        |sig AS (SELECT doc_id, s,
+        |    MIN((((2654435761 * (s + 1)) % 2147483647) * x
+        |         + (40503 * (s + 7)) % 2147483647) % 2147483647) AS h
         |  FROM gr CROSS JOIN (SELECT unnest(range(0, 64)) AS s) GROUP BY 1, 2),
-        |band AS (SELECT doc_id, s // 4 AS band, string_agg(h, '' ORDER BY s) AS key
+        |band AS (SELECT doc_id, s // 4 AS band,
+        |    string_agg(lpad(CAST(h AS VARCHAR), 10, '0'), '' ORDER BY s) AS key
         |  FROM sig GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key
