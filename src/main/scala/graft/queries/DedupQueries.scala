@@ -797,22 +797,7 @@ object DedupQueries {
         .select(col("ridA").as("idA"), col("ridB").as("idB")).distinct()
       val labels = Dedup.clusterLabelsStar(recs.select(col("rid")), "rid", links)
         .withColumnRenamed("id", "rid")
-      val joined = recs.join(labels, "rid")
-      val wCanon = Window.partitionBy(col("cluster"))
-        .orderBy(length(col("name")).desc, col("name").desc)
-      val canon = joined.withColumn("rk", row_number().over(wCanon))
-        .filter(col("rk") === 1).select(col("cluster"), col("name").as("canonical_name"))
-      joined.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_members"),
-          countDistinct(col("name")).as("n_name_variants"),
-          min(col("rtype")).as("rtype"),
-          min(col("size")).cast("long").as("min_size"),
-          max(col("size")).cast("long").as("max_size"))
-        .join(canon, "cluster")
-        .select(col("cluster").as("entity_id"), col("n_members"),
-          col("n_name_variants"), col("canonical_name"), col("rtype"),
-          col("min_size"), col("max_size"))
-        .orderBy(col("entity_id"))
+      goldenRecords(recs, labels)
     })
   )
 
@@ -821,7 +806,7 @@ object DedupQueries {
     * mangled duplicates (3rd char deleted; 4th char deleted AND size
     * off by one) under disjoint record-id ranges — the multi-source
     * MDM shape (same entity from three systems, no shared key). */
-  private def survivorshipRecords(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def survivorshipRecords(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
     def variant(idOff: Long, name: Column, sizeOff: Int) =
       p.select((col("p_partkey") + idOff).as("rid"), col("p_brand"),
@@ -832,6 +817,31 @@ object DedupQueries {
         expr("substr(p_name, 1, 2) || substr(p_name, 4)"), 0))
       .unionByName(variant(2000000L,
         expr("substr(p_name, 1, 3) || substr(p_name, 5)"), 1))
+  }
+
+  /** Per-cluster survivorship over (recs ⋈ labels): canonical name =
+    * most-complete value via a CLUSTER-bounded window, consensus
+    * type, size range, variant count. Shared by the one-shot
+    * x1_survivorship and the streamed t16_stream_entities (which must
+    * serve the identical golden records from incrementally-maintained
+    * labels). */
+  private[queries] def goldenRecords(recs: DataFrame, labels: DataFrame): DataFrame = {
+    val joined = recs.join(labels, "rid")
+    val wCanon = Window.partitionBy(col("cluster"))
+      .orderBy(length(col("name")).desc, col("name").desc)
+    val canon = joined.withColumn("rk", row_number().over(wCanon))
+      .filter(col("rk") === 1).select(col("cluster"), col("name").as("canonical_name"))
+    joined.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("name")).as("n_name_variants"),
+        min(col("rtype")).as("rtype"),
+        min(col("size")).cast("long").as("min_size"),
+        max(col("size")).cast("long").as("max_size"))
+      .join(canon, "cluster")
+      .select(col("cluster").as("entity_id"), col("n_members"),
+        col("n_name_variants"), col("canonical_name"), col("rtype"),
+        col("min_size"), col("max_size"))
+      .orderBy(col("entity_id"))
   }
 
   /** Blocked Fellegi–Sunter candidate pairs over the planted dirty-copy
@@ -912,6 +922,47 @@ object DedupQueries {
     }
     store.read(s, "pairs2")
   }
+
+  /** Shared by x1_survivorship (one-shot) and t16_stream_entities
+    * (incrementally-maintained labels must serve identical golden
+    * records): links + transitive closure + survivorship window. */
+  private[queries] val SurvivorshipOracleSql: String =
+    """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS rid, p_brand, substr(p_name, 1, 1) AS c1,
+        |         p_name AS name, p_type AS rtype, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, p_brand, substr(p_name, 1, 1),
+        |         substr(p_name, 1, 2) || substr(p_name, 4), p_type, p_size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 2000000, p_brand, substr(p_name, 1, 1),
+        |         substr(p_name, 1, 3) || substr(p_name, 5), p_type, p_size + 1 FROM part),
+        |links AS (SELECT a.rid AS ua, b.rid AS ub
+        |  FROM recs a JOIN recs b
+        |    ON a.p_brand = b.p_brand AND a.c1 = b.c1
+        |   AND abs(a.size - b.size) <= 1 AND a.rid < b.rid
+        |   AND a.rtype = b.rtype
+        |   AND jaro_winkler_similarity(a.name, b.name) >= 0.9),
+        |edges AS (SELECT ua AS a, ub AS b FROM links UNION SELECT ub, ua FROM links),
+        |reach(src, dst) AS (
+        |  SELECT rid, rid FROM recs
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |lab AS (SELECT src AS rid, MIN(dst) AS cluster FROM reach GROUP BY 1),
+        |j AS (SELECT l.cluster, r.rid, r.name, r.rtype, r.size
+        |      FROM recs r JOIN lab l USING (rid)),
+        |canon AS (SELECT cluster, name AS canonical_name FROM (
+        |  SELECT cluster, name, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY length(name) DESC, name DESC) AS rk
+        |  FROM j) WHERE rk = 1),
+        |agg AS (SELECT cluster, COUNT(*) AS n_members,
+        |          COUNT(DISTINCT name) AS n_name_variants, MIN(rtype) AS rtype,
+        |          CAST(MIN(size) AS BIGINT) AS min_size,
+        |          CAST(MAX(size) AS BIGINT) AS max_size
+        |        FROM j GROUP BY 1)
+        |SELECT cluster AS entity_id, n_members, n_name_variants,
+        |       canonical_name, rtype, min_size, max_size
+        |FROM agg JOIN canon USING (cluster)
+        |ORDER BY entity_id""".stripMargin
 
   private val FpStorePath = "/root/repo/target/tmp/fp-store"
 
@@ -1291,43 +1342,7 @@ object DedupQueries {
     // links + transitive closure + per-cluster survivorship window,
     // replayed relationally (reach is bounded by the 3-member planted
     // clusters)
-    "x1_survivorship" ->
-      """WITH RECURSIVE recs AS (
-        |  SELECT p_partkey AS rid, p_brand, substr(p_name, 1, 1) AS c1,
-        |         p_name AS name, p_type AS rtype, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey + 1000000, p_brand, substr(p_name, 1, 1),
-        |         substr(p_name, 1, 2) || substr(p_name, 4), p_type, p_size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey + 2000000, p_brand, substr(p_name, 1, 1),
-        |         substr(p_name, 1, 3) || substr(p_name, 5), p_type, p_size + 1 FROM part),
-        |links AS (SELECT a.rid AS ua, b.rid AS ub
-        |  FROM recs a JOIN recs b
-        |    ON a.p_brand = b.p_brand AND a.c1 = b.c1
-        |   AND abs(a.size - b.size) <= 1 AND a.rid < b.rid
-        |   AND a.rtype = b.rtype
-        |   AND jaro_winkler_similarity(a.name, b.name) >= 0.9),
-        |edges AS (SELECT ua AS a, ub AS b FROM links UNION SELECT ub, ua FROM links),
-        |reach(src, dst) AS (
-        |  SELECT rid, rid FROM recs
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        |lab AS (SELECT src AS rid, MIN(dst) AS cluster FROM reach GROUP BY 1),
-        |j AS (SELECT l.cluster, r.rid, r.name, r.rtype, r.size
-        |      FROM recs r JOIN lab l USING (rid)),
-        |canon AS (SELECT cluster, name AS canonical_name FROM (
-        |  SELECT cluster, name, row_number() OVER (
-        |    PARTITION BY cluster ORDER BY length(name) DESC, name DESC) AS rk
-        |  FROM j) WHERE rk = 1),
-        |agg AS (SELECT cluster, COUNT(*) AS n_members,
-        |          COUNT(DISTINCT name) AS n_name_variants, MIN(rtype) AS rtype,
-        |          CAST(MIN(size) AS BIGINT) AS min_size,
-        |          CAST(MAX(size) AS BIGINT) AS max_size
-        |        FROM j GROUP BY 1)
-        |SELECT cluster AS entity_id, n_members, n_name_variants,
-        |       canonical_name, rtype, min_size, max_size
-        |FROM agg JOIN canon USING (cluster)
-        |ORDER BY entity_id""".stripMargin,
+    "x1_survivorship" -> SurvivorshipOracleSql,
     "x1_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

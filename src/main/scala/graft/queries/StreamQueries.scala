@@ -907,6 +907,120 @@ object StreamQueries {
         .orderBy(col("lang"))
     }),
 
+    // ---- T16: STREAMED incremental entity resolution ---------------
+    // x1_survivorship maintained LIVE — the MDM steady state: record
+    // batches arrive source-by-source (clean system, then each dirty
+    // variant), every batch's band keys probe the PERSISTED band
+    // index for cross-batch link candidates (t10's bucket discipline
+    // — the stored side is never re-bucketed), verified links merge
+    // entities by relabeling ONLY the TOUCHED components: members of
+    // clusters an endpoint belongs to, plus the batch, re-run star
+    // contraction with their edges + the new links — O(batch +
+    // touched), never O(all entities). Labels land by keyed
+    // partition-scoped upsert (rid-band partitions, batch-id replay
+    // guard commits labels LAST so a crash replay recomputes from
+    // consistent state); min-label is a component property, so
+    // incremental relabeling of touched components equals the
+    // one-shot labeling — the gate SHARES x1_survivorship's oracle
+    // text verbatim: the incrementally-maintained golden records
+    // must be indistinguishable from the one-shot build.
+    "t16_stream_entities" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.functions.Functions.register(s)
+      val recs = DedupQueries.survivorshipRecords(s, dir)
+      val base = s"/root/repo/target/tmp/stream-entities/v1/${Tables.fileKey(s, dir, "part.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      // rid ranges are disjoint per source variant, so 3 rid-ranged
+      // files = one micro-batch per source system
+      stageOrdered(s, recs, "rid", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val sb = batch.sparkSession
+            graft.functions.Functions.register(sb)
+            val newRecs = batch.localCheckpoint()
+            // band keys: build side ±1 size bands (goes into the
+            // index), probe side exact size — every |Δsize|≤1 pair
+            // collides exactly once across batches
+            val newBuild = newRecs
+              .withColumn("sb", explode(sequence(col("size") - 1, col("size") + 1)))
+              .select(col("p_brand"), col("c1"), col("sb"), col("rid"))
+            val probe = newRecs.select(col("p_brand"), col("c1"),
+              col("size").as("sb"), col("rid").as("prid"))
+            val storedBands =
+              if (store.exists(sb, "er_bands")) store.read(sb, "er_bands").drop("_er_bn")
+              else newBuild.limit(0)
+            val candIds = storedBands.unionByName(newBuild)
+              .join(probe, Seq("p_brand", "c1", "sb"))
+              .filter(col("rid") =!= col("prid"))
+              .select(least(col("rid"), col("prid")).as("idA"),
+                greatest(col("rid"), col("prid")).as("idB"))
+              .distinct()
+            val allRecs = (if (store.exists(sb, "er_recs"))
+                store.read(sb, "er_recs").drop("_er_bn").unionByName(newRecs)
+              else newRecs)
+              .localCheckpoint()
+            val a = allRecs.select(col("rid").as("idA"), col("name").as("nameA"),
+              col("rtype").as("typeA"))
+            val b = allRecs.select(col("rid").as("idB"), col("name").as("nameB"),
+              col("rtype").as("typeB"))
+            val newEdges = candIds.join(a, "idA").join(b, "idB")
+              .filter(col("typeA") === col("typeB") &&
+                call_function("jaro_winkler", col("nameA"), col("nameB")) >= 0.9)
+              .select(col("idA"), col("idB")).distinct()
+              .localCheckpoint()
+            val oldLabels =
+              if (store.exists(sb, "er_labels"))
+                store.read(sb, "er_labels").select(col("rid"), col("cluster"))
+              else newRecs.limit(0).select(col("rid"), col("rid").as("cluster"))
+            // touched components: clusters owning any link endpoint
+            val endIds = newEdges.select(col("idA").as("rid"))
+              .unionByName(newEdges.select(col("idB").as("rid"))).distinct()
+            val touched = oldLabels.join(endIds, Seq("rid"), "left_semi")
+              .select(col("cluster")).distinct()
+            val subOld = oldLabels.join(touched, Seq("cluster"), "left_semi")
+              .select(col("rid"))
+            val subNodes = subOld.unionByName(newRecs.select(col("rid"))).distinct()
+            // stored edges are intra-component, so membership of one
+            // endpoint in a touched component implies the whole edge
+            val subEdges =
+              if (store.exists(sb, "er_edges"))
+                store.read(sb, "er_edges").drop("_er_bn")
+                  .join(subOld.withColumnRenamed("rid", "idA"), Seq("idA"), "left_semi")
+              else newEdges.limit(0)
+            val relabeled = graft.operators.Dedup.clusterLabelsStar(
+                subNodes, "rid", subEdges.unionByName(newEdges))
+              .withColumnRenamed("id", "rid")
+              .withColumn("b16", pmod(col("rid"), lit(16L)).cast("int"))
+            store.replacePartitions(sb, "er_recs",
+              newRecs.withColumn("_er_bn", lit(bid)), "_er_bn")
+            store.replacePartitions(sb, "er_bands",
+              newBuild.withColumn("_er_bn", lit(bid)), "_er_bn")
+            store.replacePartitions(sb, "er_edges",
+              newEdges.withColumn("_er_bn", lit(bid)), "_er_bn")
+            // labels LAST, replay-guarded: a crash before this commit
+            // replays the batch against unchanged labels
+            store.upsertPartitioned(sb, "er_labels", relabeled,
+              Seq("rid"), "b16", batchId = Some(bid))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      DedupQueries.goldenRecords(
+        store.read(s, "er_recs").drop("_er_bn"),
+        store.read(s, "er_labels").select(col("rid"), col("cluster")))
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1159,6 +1273,11 @@ object StreamQueries {
     // x1_lsh_recall_eval technique), so BOTH engines do O(candidates)
     // verify work: the gate stays runnable at every sf instead of the
     // old quadratic oracle-side truth join (VERDICT r8 next #5).
+    // the incrementally-maintained entity labels must serve the
+    // identical one-shot golden records — same text as
+    // x1_survivorship
+    "t16_stream_entities" -> DedupQueries.SurvivorshipOracleSql,
+
     "t10_stream_neardup" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id,
