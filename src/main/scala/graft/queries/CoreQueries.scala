@@ -429,6 +429,7 @@ object CoreQueries {
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val SqlMergeStorePath = "/root/repo/target/tmp/sqlmerge-oracle"
   private val SqlDeleteStorePath = "/root/repo/target/tmp/sqldelete-oracle"
+  private val CheckedStorePath = "/root/repo/target/tmp/checked-oracle"
   private val SqlUpdateStorePath = "/root/repo/target/tmp/sqlupdate-oracle"
   private val DeleteStorePath = "/root/repo/target/tmp/delete-oracle"
   private val MorStorePath = "/root/repo/target/tmp/mor-oracle"
@@ -1498,6 +1499,45 @@ object CoreQueries {
         .orderBy($"o_orderstatus")
     }),
 
+    // ---- S4g: VALIDATED upsert — abort-don't-corrupt at the store ---
+    // The reference's per-batch validation gate (scrapper.py:139-144:
+    // bad input aborts the batch, the transaction rolls back, the
+    // table is untouched) wired to the store's commit path: every
+    // batch passes Expectations.gate before upsert; a failing batch
+    // (negative prices here) throws BEFORE any write and the store
+    // serves its prior committed state. The oracle recomputes the
+    // merge of the GOOD batches only — if any bad row leaked or a
+    // counter bumped for the rejected batch, the hash breaks.
+    "s4_upsert_checked" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(CheckedStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(CheckedStorePath)
+      val o = Tables.orders(s, dir)
+      val seed = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val good = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val bad = good.withColumn("o_totalprice", -$"o_totalprice")
+      val rules = Seq(graft.operators.Expectations.notNull("o_orderkey"),
+        graft.operators.Expectations.inRange("o_totalprice", 0.0, 1e9))
+      def checked(b: org.apache.spark.sql.DataFrame): Unit =
+        store.upsert(s, "orders",
+          graft.operators.Expectations.gate(b, rules), Seq("o_orderkey"),
+          numFiles = Some(1))
+      checked(seed)
+      val rejected =
+        try { checked(bad); 0L } catch { case _: IllegalStateException => 1L }
+      checked(good)
+      store.read(s, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"),
+          max($"nupdates").as("max_nupdates"))
+        .withColumn("n_rejected_batches", lit(rejected))
+        .orderBy($"o_orderstatus")
+    }),
+
     // ---- S4b: partition-scoped upsert, end to end through disk ------
     // Two keyed MERGE batches land in a month-partitioned store (only
     // touched month dirs are read+rewritten — TableStorePartitionSpec
@@ -2506,6 +2546,27 @@ object CoreQueries {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s4_upsert_orders" -> UpsertOrdersOracleSql,
+    // only the GOOD batches merge; the rejected batch leaves no trace
+    // (no rows, no counter bumps)
+    "s4_upsert_checked" ->
+      s"""WITH target AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS nupdates
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+         |updates AS (
+         |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
+         |m AS (
+         |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+         |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+         |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN t.nupdates + 1
+         |              WHEN u.o_orderkey IS NOT NULL THEN 1
+         |              ELSE t.nupdates END AS BIGINT) AS nupdates
+         |  FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey)
+         |SELECT o_orderstatus, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price,
+         |  CAST(MAX(nupdates) AS BIGINT) AS max_nupdates,
+         |  CAST(1 AS BIGINT) AS n_rejected_batches
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // the SQL MERGE verb must reproduce the programmatic keyed merge
     // bit for bit, nupdates counter included — same text
     "s4_sql_merge" -> UpsertOrdersOracleSql,

@@ -912,18 +912,23 @@ object StreamQueries {
     // batches arrive source-by-source (clean system, then each dirty
     // variant), every batch's band keys probe the PERSISTED band
     // index for cross-batch link candidates (t10's bucket discipline
-    // — the stored side is never re-bucketed), verified links merge
-    // entities by relabeling ONLY the TOUCHED components: members of
-    // clusters an endpoint belongs to, plus the batch, re-run star
-    // contraction with their edges + the new links — O(batch +
-    // touched), never O(all entities). Labels land by keyed
-    // partition-scoped upsert (rid-band partitions, batch-id replay
-    // guard commits labels LAST so a crash replay recomputes from
-    // consistent state); min-label is a component property, so
-    // incremental relabeling of touched components equals the
-    // one-shot labeling — the gate SHARES x1_survivorship's oracle
-    // text verbatim: the incrementally-maintained golden records
-    // must be indistinguishable from the one-shot build.
+    // — the stored side is never re-bucketed, and the index rows
+    // carry the comparison attributes so the link path never scans
+    // the record store; at 100 TB the index would additionally be
+    // hive-partitioned by a block-key prefix so the probe
+    // partition-prunes instead of the equi-join's full index
+    // shuffle), verified links merge entities by relabeling ONLY the
+    // TOUCHED components: members of clusters an endpoint belongs
+    // to, plus the batch, re-run star contraction with their edges +
+    // the new links — relabel work is O(batch + touched), never
+    // O(all entities). Labels land by keyed partition-scoped upsert
+    // (rid-band partitions, batch-id replay guard commits labels
+    // LAST so a crash replay recomputes from consistent state);
+    // min-label is a component property, so incremental relabeling
+    // of touched components equals the one-shot labeling — the gate
+    // SHARES x1_survivorship's oracle text verbatim: the
+    // incrementally-maintained golden records must be
+    // indistinguishable from the one-shot build.
     "t16_stream_entities" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       graft.functions.Functions.register(s)
@@ -946,35 +951,29 @@ object StreamQueries {
             val sb = batch.sparkSession
             graft.functions.Functions.register(sb)
             val newRecs = batch.localCheckpoint()
-            // band keys: build side ±1 size bands (goes into the
-            // index), probe side exact size — every |Δsize|≤1 pair
-            // collides exactly once across batches
+            // band keys CARRY the comparison attributes (name, type):
+            // candidate generation AND verification run off the band
+            // index + the batch alone — the record store is never
+            // scanned in the link path. Build side ±1 size bands
+            // (goes into the index), probe side exact size — every
+            // |Δsize|≤1 pair collides exactly once across batches.
             val newBuild = newRecs
               .withColumn("sb", explode(sequence(col("size") - 1, col("size") + 1)))
-              .select(col("p_brand"), col("c1"), col("sb"), col("rid"))
+              .select(col("p_brand"), col("c1"), col("sb"),
+                col("rid"), col("name"), col("rtype"))
             val probe = newRecs.select(col("p_brand"), col("c1"),
-              col("size").as("sb"), col("rid").as("prid"))
+              col("size").as("sb"), col("rid").as("prid"),
+              col("name").as("pname"), col("rtype").as("ptype"))
             val storedBands =
               if (store.exists(sb, "er_bands")) store.read(sb, "er_bands").drop("_er_bn")
               else newBuild.limit(0)
-            val candIds = storedBands.unionByName(newBuild)
+            val newEdges = storedBands.unionByName(newBuild)
               .join(probe, Seq("p_brand", "c1", "sb"))
-              .filter(col("rid") =!= col("prid"))
+              .filter(col("rid") =!= col("prid") && col("rtype") === col("ptype") &&
+                call_function("jaro_winkler", col("name"), col("pname")) >= 0.9)
               .select(least(col("rid"), col("prid")).as("idA"),
                 greatest(col("rid"), col("prid")).as("idB"))
               .distinct()
-            val allRecs = (if (store.exists(sb, "er_recs"))
-                store.read(sb, "er_recs").drop("_er_bn").unionByName(newRecs)
-              else newRecs)
-              .localCheckpoint()
-            val a = allRecs.select(col("rid").as("idA"), col("name").as("nameA"),
-              col("rtype").as("typeA"))
-            val b = allRecs.select(col("rid").as("idB"), col("name").as("nameB"),
-              col("rtype").as("typeB"))
-            val newEdges = candIds.join(a, "idA").join(b, "idB")
-              .filter(col("typeA") === col("typeB") &&
-                call_function("jaro_winkler", col("nameA"), col("nameB")) >= 0.9)
-              .select(col("idA"), col("idB")).distinct()
               .localCheckpoint()
             val oldLabels =
               if (store.exists(sb, "er_labels"))

@@ -129,6 +129,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(nTrue == n, s"fixture recall lost: $nTrue true pairs of $n")
   }
 
+  test("x1_survivorship: blocked linkage stays an equi-join; the canonical window is cluster-partitioned") {
+    val df = DedupQueries.all("x1_survivorship")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // the survivorship window partitions by cluster, never a global sort
+    assert(p.contains("windowspecdefinition(cluster"), p.take(1200))
+  }
+
+  test("a10_seasonal: the ordered window runs over the hourly AGGREGATE, not the event scan") {
+    val df = AnalyticsQueries.all("a10_seasonal")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // partial+final hourly aggregate sits BELOW the window (plans
+    // print top-down, so the bottom-most partial aggregate must come
+    // after the last Window node): the window input is the
+    // calendar-spine-sized series, not the corpus
+    val winIdx = p.lastIndexOf("Window")
+    val aggIdx = p.lastIndexOf("partial_count")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the hourly aggregate (win@$winIdx agg@$aggIdx)\n${p.take(1500)}")
+  }
+
   test("sql_late_shipment: EXISTS plans as a semi join, never a per-order re-scan") {
     val p = plan("sql_late_shipment")
     assert(p.contains("LeftSemi"), p.take(1200))
