@@ -97,6 +97,32 @@ object MergeIntoGraft {
     case _ => None
   }
 
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\w+)\.(\w+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  private val VacuumRe = """(?is)\s*VACUUM\s+(\w+)\s*;?\s*""".r
+
+  /** Maintenance verbs Spark's grammar doesn't know (the Delta-style
+    * extension point is exactly this: claim the statement text before
+    * the delegate parser rejects it):
+    *
+    *   OPTIMIZE <graft_cat>.<t>                      → compact
+    *   OPTIMIZE <graft_cat>.<t> ZORDER BY (x, y)     → z-order rewrite
+    *   VACUUM <graft_cat>                            → store-wide vacuum
+    *
+    * Returns None unless the statement names a configured graft
+    * catalog — anything else falls through to Spark's parser (and its
+    * error message) untouched. Both rewrites are content-identical by
+    * the store's contract (one invisible write + manifest commit);
+    * MaintenanceSpec pins checksum equality around them. */
+  def maintenance(session: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(cat, table, kx, ky) if graftCatalogs(session).contains(cat) =>
+        Some(GraftOptimizeCommand(cat, table, Option(kx).map(x => (x, ky))))
+      case VacuumRe(cat) if graftCatalogs(session).contains(cat) =>
+        Some(GraftVacuumCommand(cat))
+      case _ => None
+    }
+
   def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>
       targetIdent(m.targetTable) match {
@@ -301,15 +327,42 @@ case class GraftCtasCommand(catalog: String, table: String,
   }
 }
 
-/** Delegating parser: Spark's grammar does all parsing; the single
-  * rewrite hook above claims MERGE/DELETE/UPDATE/INSERT-OVERWRITE/CTAS
-  * statements whose target lives in a graft catalog. Everything else
-  * — every other statement, every other method — passes straight
-  * through. */
+/** `OPTIMIZE <cat>.<t> [ZORDER BY (x, y)]` — content-identical
+  * maintenance rewrite: small files bin-pack (compact) or the table
+  * re-clusters by the Morton interleave of the two keys, either way
+  * through one invisible write + atomic manifest commit. */
+case class GraftOptimizeCommand(catalog: String, table: String,
+    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val st = GraftDml.store(session, catalog)
+    zorder match {
+      case Some((kx, ky)) => st.optimizeZOrder(session, table, kx, ky)
+      case None => st.compact(session, table)
+    }
+    Seq.empty
+  }
+}
+
+/** `VACUUM <cat>` — store-wide debris collection: orphaned temp dirs
+  * and version dirs outside every table's live retention chain. */
+case class GraftVacuumCommand(catalog: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftDml.store(session, catalog).vacuum(session)
+    Seq.empty
+  }
+}
+
+/** Delegating parser: Spark's grammar does all parsing. The
+  * `maintenance` hook claims OPTIMIZE/VACUUM statement text Spark's
+  * grammar would reject; the `rewrite` hook claims parsed
+  * MERGE/DELETE/UPDATE/INSERT-OVERWRITE/CTAS plans whose target lives
+  * in a graft catalog. Everything else — every other statement, every
+  * other method — passes straight through. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    MergeIntoGraft.rewrite(session, delegate.parsePlan(sqlText))
+    MergeIntoGraft.maintenance(session, sqlText).getOrElse(
+      MergeIntoGraft.rewrite(session, delegate.parsePlan(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -161,6 +161,33 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.read(spark, "kv").count() == 2L)
   }
 
+  test("OPTIMIZE compacts to fewer files with identical content; ZORDER preserves content") {
+    val (path, store) = freshStore("opt")
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i * 37 % 100).toInt, (i * 53 % 100).toInt))
+      .toDF("k", "x", "y")
+    store.replace(spark, "t", df.repartition(8))
+    register("graft_opt", path)
+    def content() = store.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val before = content()
+    val filesBefore = store.read(spark, "t").inputFiles.length
+    spark.sql("OPTIMIZE graft_opt.t")
+    assert(store.read(spark, "t").inputFiles.length < filesBefore)
+    assert(content() == before)
+    spark.sql("OPTIMIZE graft_opt.t ZORDER BY (x, y)")
+    assert(content() == before)
+    spark.sql("VACUUM graft_opt")
+    assert(content() == before)
+  }
+
+  test("OPTIMIZE on a non-graft name falls through to Spark's own parser error") {
+    intercept[Exception] { spark.sql("OPTIMIZE some_other.t") }
+    // and the failure is Spark's parse error, not a graft command
+    val e = intercept[Exception] { spark.sql("OPTIMIZE some_other.t") }
+    assert(!String.valueOf(e.getMessage).toLowerCase.contains("graft"))
+  }
+
   test("non-graft MERGE targets pass through to Spark untouched") {
     import spark.implicits._
     Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("plain_target")
