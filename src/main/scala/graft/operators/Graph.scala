@@ -295,6 +295,48 @@ object Graph {
     ball.select(col("node"), col("est").as("reached_est"), col("harm").as("harmonic_ppm"))
   }
 
+  /** The neighborhood function N(t) = Σ_v |B(v, t)| per round — the
+    * quantity HyperANF was built for (Boldi WWW'11 use it for
+    * effective-diameter estimation: d_eff(q) = min t with N(t) ≥
+    * q·N(∞)). Same sketched loop as [[hyperAnfHarmonic]]; the
+    * per-round total is ONE 1-row aggregate (bounded: ≤ diameter
+    * collects, each a single long — the convergence check's cost
+    * class). Output: (t, reach_est), t = 0..convergence. */
+  def hyperAnfReachProfile(edges: DataFrame, lgConfigK: Int = 12,
+      maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var ball = und.select(col("u").as("node")).distinct()
+      .groupBy("node").agg(hll_sketch_agg(col("node"), lgConfigK).as("sk"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+      .localCheckpoint(true)
+    def total(): Long = ball.agg(sum(col("est"))).head.getLong(0)
+    val profile = scala.collection.mutable.ArrayBuffer[(Long, Long)](0L -> total())
+    var t = 0L
+    var changed = true
+    while (changed && t < maxIter) {
+      t += 1
+      val nbr = und.join(ball.select(col("node").as("v"), col("sk")), "v")
+        .select(col("u").as("node"), col("sk"))
+      val next = ball.select(col("node"), col("sk"))
+        .unionByName(nbr)
+        .groupBy("node").agg(hll_union_agg(col("sk"), true).as("sk"))
+        .withColumn("est2", hll_sketch_estimate(col("sk")))
+        .join(ball.select(col("node"), col("est").as("est_prev")), "node")
+        .select(col("node"), col("sk"), col("est2").as("est"),
+          (col("est2") =!= col("est_prev")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).limit(1).count() > 0
+      ball = next.drop("moved")
+      if (changed) profile += t -> total()
+    }
+    require(!changed, s"hyperAnfReachProfile did not stabilize in $maxIter rounds")
+    profile.toSeq.toDF("t", "reach_est")
+  }
+
   def sssp(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -1333,6 +1333,31 @@ object AnalyticsQueries {
         .orderBy($"harmonic_ppm".desc, $"node").limit(20)
     }),
 
+    // ---- A19g: reach profile + effective diameter (HyperANF) --------
+    // The neighborhood function N(t) = Σ_v |B(v,t)| per round — what
+    // HyperANF was built for (Boldi WWW'11): the cumulative-reach
+    // curve whose 90% crossing is the EFFECTIVE DIAMETER, the
+    // diameter notion robust to stray long paths. Same sketched loop
+    // as a19_harmonic_all (state sketch-sized per node); the output
+    // is the ≤-diameter-row profile with each round's share of final
+    // reach in ppm and the d_eff(0.9) flag. NO DuckDB oracle BY
+    // DESIGN (DataSketches internals); HyperAnfSpec pins the profile
+    // against exact ALL-sources BFS on fixtures and testdata.
+    "a19_reach_profile" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = copurchaseStore(s, dir).read(s, "pairs")
+        .filter($"pair_n" >= 2).select($"part_a".as("a"), $"part_b".as("b"))
+      val prof = graft.operators.Graph.hyperAnfReachProfile(pairs)
+      val fin = prof.agg(max($"reach_est").as("final_reach"))
+      prof.crossJoin(broadcast(fin))
+        .withColumn("share_ppm", expr("reach_est * 1000000 div final_reach"))
+        .withColumn("at_eff_diameter",
+          ($"share_ppm" >= 900000L) &&
+            (lag($"share_ppm", 1, 0L).over(Window.orderBy($"t")) < 900000L))
+        .select($"t", $"reach_est", $"share_ppm", $"at_eff_diameter")
+        .orderBy($"t")
+    }),
+
     // ---- A19e: weighted shortest paths (Graph.sssp) -----------------
     // BFS's weighted sibling: hop count is the wrong metric when
     // edges carry strength — here distance = 1e6 div pair_n (strong

@@ -137,6 +137,25 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- perceptual near-dup pairs: banded Hamming over dHash -------
+    // The IMAGE sibling of x1_simhash_pairs — what a multimodal dedup
+    // deployment runs after content-hash dedup: visually-near images
+    // whose 63-bit dHashes differ in ≤ 10 bits, found by PIGEONHOLE
+    // banding (11 blocks: any pair within 10 bits collides in some
+    // block — provably lossless, O(n·blocks) index instead of O(n²)
+    // comparisons; Dedup.simhashNearPairsBanded, identical machinery,
+    // different fingerprint). The oracle recomputes every dHash from
+    // the synthetic raster formulas and checks ALL pairs — so the
+    // banded plan must reproduce the exact all-pairs answer.
+    "x4_dhash_neardup" -> ((s, dir) => {
+      val ph = Multimodal.perceptualHash(
+          Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF.select(col("mediaId").as("id"), col("dhash").as("simhash"))
+      graft.operators.Dedup.simhashNearPairsBanded(ph, maxHamming = 10)
+        .select(col("idA").as("media_a"), col("idB").as("media_b"), col("hamming"))
+        .orderBy("media_a", "media_b")
+    }),
+
     // ---- video frame sampling (oracle-checked byte arithmetic) ------
     "x4_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -201,6 +220,29 @@ object MultimodalQueries {
     // recompute the dHash grid from the pixel formula: grid sample
     // (i,j) reads pixel((i*w)//9, (j*h)//8); bit k=j*8+i (k<63) set
     // iff the (i+1) sample exceeds the i sample. 1<<k needs BIGINT.
+    // replay every dHash from the raster formulas, then check ALL
+    // pairs — the banded Spark plan must reproduce the exact answer
+    "x4_dhash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        |  SELECT i.doc_id, CAST(j.j * 8 + x.i AS BIGINT) AS k
+        |  FROM img i, range(0, 8) x(i), range(0, 8) j(j)
+        |  WHERE j.j * 8 + x.i < 63
+        |    AND ((i.doc_id * 7 + 31 * (((x.i + 1) * i.w) // 9) + 17 * ((j.j * i.h) // 8)) % 256)
+        |      > ((i.doc_id * 7 + 31 * ((x.i * i.w) // 9) + 17 * ((j.j * i.h) // 8)) % 256)),
+        |dh AS (
+        |  SELECT i.doc_id AS media_id,
+        |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << k), 0) AS BIGINT) AS dhash
+        |  FROM img i LEFT JOIN bits b ON b.doc_id = i.doc_id
+        |  GROUP BY 1)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 10
+        |ORDER BY media_a, media_b""".stripMargin,
+
     "x4_dhash" ->
       """WITH img AS (
         |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h

@@ -37,6 +37,34 @@ class HyperAnfSpec extends SparkSpec {
     assert(got(10L) == (2L, 1000000L))                   // its component only
   }
 
+  test("reach profile: exact neighborhood function on the path fixture") {
+    val prof = Graph.hyperAnfReachProfile(
+        edgesOf((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N(t) over 0-1-2-3-4: 5, 13, 19, 23, 25 (hand-computed; balls in
+    // coupon mode are exact)
+    assert(prof == Map(0L -> 5L, 1L -> 13L, 2L -> 19L, 3L -> 23L, 4L -> 25L))
+  }
+
+  test("reach profile matches exact ALL-sources BFS within 5% at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = AnalyticsQueries.copurchaseStore(spark, dir).read(spark, "pairs")
+      .filter(col("pair_n") >= 2).select(col("part_a").as("a"), col("part_b").as("b"))
+    // exact N(t): every node a source — feasible at this sf (the
+    // (src, node) frame is |V|² bounded)
+    val lvls = Graph.bfsLevelsMulti(pairs, nSources = Int.MaxValue)
+      .groupBy(col("lvl")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxT = lvls.keys.max
+    val exactN = (0L to maxT).map(t => t -> (0L to t).map(lvls.getOrElse(_, 0L)).sum).toMap
+    val prof = Graph.hyperAnfReachProfile(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof.keys.max == maxT, s"round count ${prof.keys.max} vs exact diameter $maxT")
+    exactN.foreach { case (t, n) =>
+      assert(math.abs(prof(t) - n) * 20 <= n, s"t=$t: ${prof(t)} vs exact $n")
+    }
+  }
+
   test("co-purchase graph: sketched estimates match the exact 4-pivot BFS per sf") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
       val pairs = AnalyticsQueries.copurchaseStore(spark, dir).read(spark, "pairs")
