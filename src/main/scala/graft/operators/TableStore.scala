@@ -339,6 +339,34 @@ final class TableStore(val root: String, val retain: Int = 0) {
     }
   }
 
+  /** One entry per retained committed version, newest first —
+    * `DESCRIBE HISTORY`'s backing: how far back time travel reaches,
+    * what each commit recorded, whether a version carries a pending
+    * deletion vector (a raw path scan would need it applied). */
+  final case class HistoryEntry(stepsBack: Int, version: String,
+      commitMeta: Option[String], nFiles: Long, bytes: Long, hasDeletes: Boolean)
+
+  def history(spark: SparkSession, name: String): Seq[HistoryEntry] = {
+    val f = fs(spark)
+    versionChain(f, name).zipWithIndex.map { case (ver, i) =>
+      val dir = new Path(s"$root/$name/$ver")
+      val files =
+        if (f.exists(dir)) f.listStatus(dir).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith(".") && !n.startsWith("_")
+        } else Array.empty[org.apache.hadoop.fs.FileStatus]
+      val metaPath = new Path(s"$root/$name/$ver/.commitmeta")
+      val meta =
+        if (!f.exists(metaPath)) None
+        else {
+          val in = f.open(metaPath)
+          try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        }
+      HistoryEntry(i, ver, meta, files.length.toLong, files.map(_.getLen).sum,
+        dvInfo(f, name, ver).isDefined)
+    }
+  }
+
   /** Keyed MERGE with `nupdates` counter semantics
     * (scrapper.py:196-206). First batch on a missing table inserts
     * everything with nupdates = 1. */

@@ -100,6 +100,7 @@ object MergeIntoGraft {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(\w+)\.(\w+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val VacuumRe = """(?is)\s*VACUUM\s+(\w+)\s*;?\s*""".r
+  private val HistoryRe = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
 
   /** Maintenance verbs Spark's grammar doesn't know (the Delta-style
     * extension point is exactly this: claim the statement text before
@@ -120,6 +121,8 @@ object MergeIntoGraft {
         Some(GraftOptimizeCommand(cat, table, Option(kx).map(x => (x, ky))))
       case VacuumRe(cat) if graftCatalogs(session).contains(cat) =>
         Some(GraftVacuumCommand(cat))
+      case HistoryRe(cat, table) if graftCatalogs(session).contains(cat) =>
+        Some(GraftHistoryCommand(cat, table))
       case _ => None
     }
 
@@ -341,6 +344,28 @@ case class GraftOptimizeCommand(catalog: String, table: String,
     }
     Seq.empty
   }
+}
+
+/** `DESCRIBE HISTORY <cat>.<t>` — one row per retained committed
+  * version, newest first: how far back `VERSION AS OF` reaches, what
+  * each commit recorded (batch-id replay watermarks ride here),
+  * whether a version carries a pending merge-on-read deletion
+  * vector. */
+case class GraftHistoryCommand(catalog: String, table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("steps_back", LongType, nullable = false)(),
+    AttributeReference("version", StringType, nullable = false)(),
+    AttributeReference("commit_meta", StringType, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("has_deletes", BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftDml.store(session, catalog).history(session, table).map { h =>
+      Row(h.stepsBack.toLong, h.version, h.commitMeta.orNull, h.nFiles, h.bytes, h.hasDeletes)
+    }
 }
 
 /** `VACUUM <cat>` — store-wide debris collection: orphaned temp dirs

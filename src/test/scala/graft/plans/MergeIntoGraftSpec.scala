@@ -181,6 +181,22 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(content() == before)
   }
 
+  test("DESCRIBE HISTORY lists retained versions newest-first with commit meta") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-hist").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    store.upsert(spark, "kv", Seq((1L, "a")).toDF("k", "v"), Seq("k"), batchId = Some(7L))
+    store.upsert(spark, "kv", Seq((2L, "b")).toDF("k", "v"), Seq("k"), batchId = Some(8L))
+    store.upsert(spark, "kv", Seq((3L, "c")).toDF("k", "v"), Seq("k"), batchId = Some(9L))
+    register("graft_hist", path)
+    val rows = spark.sql("DESCRIBE HISTORY graft_hist.kv")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(5)))
+    // retain = 2 keeps the current version plus two back
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.head._2 == "9") // batch-id replay watermark rides commit meta
+    assert(rows.forall(!_._3))  // no pending deletion vectors
+  }
+
   test("OPTIMIZE on a non-graft name falls through to Spark's own parser error") {
     intercept[Exception] { spark.sql("OPTIMIZE some_other.t") }
     // and the failure is Spark's parse error, not a graft command
