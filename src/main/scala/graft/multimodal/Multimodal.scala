@@ -49,6 +49,13 @@ object Multimodal {
     * [[perceptualHash]]). */
   final case class MediaHash(mediaId: Long, width: Int, height: Int, dhash: Long)
 
+  /** A re-encoded thumbnail plus the oracle-able raster facts: the
+    * PNG bytes themselves are encoder-dependent (never gated), but
+    * the resized PIXELS are pure integer arithmetic any engine can
+    * replay. */
+  final case class MediaThumb(mediaId: Long, tw: Int, th: Int,
+      thumb: Array[Byte], pixSum: Long)
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
   private def hasMagic(bytes: Array[Byte], magic: Array[Byte]): Boolean =
     bytes.length >= magic.length && magic.indices.forall(i => bytes(i) == magic(i))
@@ -174,6 +181,46 @@ object Multimodal {
           j += 1
         }
         Some(MediaHash(r.mediaId, w, h, hash))
+      }
+    }))
+  }
+
+  /** REAL thumbnail pipeline: decode (javax.imageio), NEAREST-
+    * NEIGHBOR resample to (tw, th) — src(x·w div tw, y·h div th),
+    * integer grid points, exactly recomputable from the pixel formula
+    * (the dHash discipline; area-average would drag in rounding-mode
+    * trivia) — then RE-ENCODE as PNG. The thumbnail bytes are real
+    * encoder output (round-trip pinned by MultimodalSpec: re-decoding
+    * them recovers the sampled pixels bit for bit); the gate pins the
+    * resized raster's pixel sum, which the oracle replays. Batched
+    * mapPartitions; payloads never shuffle. */
+  def resizeImages(ds: Dataset[MediaRecord], tw: Int, th: Int,
+      batchSize: Int = 64): Dataset[MediaThumb] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "image").mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val src = img.getRaster
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val dst = out.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val px = src.getSample(x * w / tw, y * h / th, 0)
+            dst.setSample(x, y, 0, px)
+            sum += px
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(MediaThumb(r.mediaId, tw, th, bos.toByteArray, sum))
       }
     }))
   }

@@ -156,6 +156,26 @@ object MultimodalQueries {
         .orderBy("media_a", "media_b")
     }),
 
+    // ---- thumbnail resize (REAL decode → resample → re-encode) ------
+    // The resize leg of the multimodal pipeline: every image decodes,
+    // nearest-neighbor resamples to 16×12, and RE-ENCODES as a real
+    // PNG (round-trip pinned in MultimodalSpec). The gate pins the
+    // resized raster's pixel sum + the non-empty thumbnail count —
+    // the oracle replays the integer resample arithmetic from the
+    // generator formulas; encoder bytes are deliberately outside the
+    // gate (encoder-dependent).
+    "x4_resize" -> ((s, dir) => {
+      Multimodal.resizeImages(
+          Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)),
+          tw = 16, th = 12)
+        .toDF
+        .filter(length(col("thumb")) > 0)
+        .select(col("mediaId").as("media_id"),
+          col("tw").cast("long").as("tw"), col("th").cast("long").as("th"),
+          col("pixSum").as("pix_sum"))
+        .orderBy("media_id")
+    }),
+
     // ---- video frame sampling (oracle-checked byte arithmetic) ------
     "x4_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -220,6 +240,17 @@ object MultimodalQueries {
     // recompute the dHash grid from the pixel formula: grid sample
     // (i,j) reads pixel((i*w)//9, (j*h)//8); bit k=j*8+i (k<63) set
     // iff the (i+1) sample exceeds the i sample. 1<<k needs BIGINT.
+    // replay the nearest-neighbor resample arithmetic from the
+    // generator pixel formula
+    "x4_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS tw, CAST(12 AS BIGINT) AS th,
+        |  CAST(SUM((doc_id * 7 + 31 * ((x.x * w) // 16) + 17 * ((y.y * h) // 12)) % 256) AS BIGINT) AS pix_sum
+        |FROM img, range(0, 16) x(x), range(0, 12) y(y)
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
     // replay every dHash from the raster formulas, then check ALL
     // pairs — the banded Spark plan must reproduce the exact answer
     "x4_dhash_neardup" ->

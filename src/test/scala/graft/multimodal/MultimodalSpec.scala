@@ -80,6 +80,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) >= 0L, "bit 63 must stay clear")
   }
 
+  test("resizeImages: thumbnail round-trips — re-decoding recovers the sampled pixels") {
+    import org.apache.spark.sql.{Encoders => E}
+    val (id, w, h) = (9L, 40, 22)
+    val (tw, th) = (16, 12)
+    val rec = MediaRecord(id, "image", Multimodal.synthPng(id, w, h), w, h, 0)
+    implicit val enc = E.product[MediaRecord]
+    val out = Multimodal.resizeImages(
+      spark.createDataset(Seq(rec))(enc), tw, th).collect()
+    assert(out.length == 1)
+    val t = out.head
+    // expected nearest-neighbor samples straight from the formula
+    val expected = for (y <- 0 until th; x <- 0 until tw)
+      yield (id * 7 + 31L * (x * w / tw) + 17L * (y * h / th)) % 256
+    assert(t.pixSum == expected.sum)
+    // the RE-ENCODED thumbnail is a real PNG whose decode recovers
+    // exactly the sampled pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t.thumb))
+    assert(img.getWidth == tw && img.getHeight == th)
+    val got = for (y <- 0 until th; x <- 0 until tw)
+      yield img.getRaster.getSample(x, y, 0).toLong
+    assert(got == expected)
+    // non-images excluded
+    val audio = MediaRecord(1L, "audio", Multimodal.synthWav(1L, 64), 0, 0, 16000)
+    assert(Multimodal.resizeImages(
+      spark.createDataset(Seq(audio))(enc), tw, th).count() == 0)
+  }
+
   test("sampleFrames: stride arithmetic, tail frame, non-video excluded") {
     val s = spark; import s.implicits._
     val media = Seq(
