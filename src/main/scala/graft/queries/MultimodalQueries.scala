@@ -187,6 +187,17 @@ object MultimodalQueries {
     })
   )
 
+  /** Shared by x4_resize (one-shot) and t17_stream_media (the
+    * streamed decode→resize fold must be batch-identical). */
+  private[queries] val ResizeOracleSql: String =
+    """WITH img AS (
+      |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS tw, CAST(12 AS BIGINT) AS th,
+      |  CAST(SUM((doc_id * 7 + 31 * ((x.x * w) // 16) + 17 * ((y.y * h) // 12)) % 256) AS BIGINT) AS pix_sum
+      |FROM img, range(0, 16) x(x), range(0, 12) y(y)
+      |GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   private val kindExpr =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
@@ -242,14 +253,7 @@ object MultimodalQueries {
     // iff the (i+1) sample exceeds the i sample. 1<<k needs BIGINT.
     // replay the nearest-neighbor resample arithmetic from the
     // generator pixel formula
-    "x4_resize" ->
-      """WITH img AS (
-        |  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
-        |  FROM documents WHERE doc_id % 3 = 0)
-        |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS tw, CAST(12 AS BIGINT) AS th,
-        |  CAST(SUM((doc_id * 7 + 31 * ((x.x * w) // 16) + 17 * ((y.y * h) // 12)) % 256) AS BIGINT) AS pix_sum
-        |FROM img, range(0, 16) x(x), range(0, 12) y(y)
-        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "x4_resize" -> ResizeOracleSql,
 
     // replay every dHash from the raster formulas, then check ALL
     // pairs — the banded Spark plan must reproduce the exact answer

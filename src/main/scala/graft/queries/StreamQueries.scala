@@ -1020,6 +1020,54 @@ object StreamQueries {
         store.read(s, "er_labels").select(col("rid"), col("cluster")))
     }),
 
+    // ---- T17: STREAMED multimodal ingest (decode → resize) ----------
+    // The media half of the ingest story (every other streamed gate is
+    // relational/text/vector): document batches arrive as 3 id-ranged
+    // micro-batches, each batch's image payloads DECODE and RESIZE on
+    // the executors (Multimodal.resizeImages — payloads never
+    // shuffle; the thumbnail store receives only (id, dims, pixel
+    // sum) + the re-encoded thumb bytes), and results land by
+    // per-batch partition commits (replay = same-partition overwrite,
+    // idempotent). Decode is pure per-row work, so the streamed fold
+    // must equal the one-shot batch run — the gate SHARES x4_resize's
+    // oracle text.
+    "t17_stream_media" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = s"/root/repo/target/tmp/stream-media/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, docs, "doc_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val sb = batch.sparkSession
+            val thumbs = graft.multimodal.Multimodal.resizeImages(
+                graft.multimodal.Multimodal.decodableMediaFromDocuments(batch),
+                tw = 16, th = 12)
+              .toDF
+              .filter(length(col("thumb")) > 0)
+              .select(col("mediaId").as("media_id"),
+                col("tw").cast("long").as("tw"), col("th").cast("long").as("th"),
+                col("pixSum").as("pix_sum"))
+            store.replacePartitions(sb, "thumbs",
+              thumbs.withColumn("_md_bn", lit(bid)), "_md_bn")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "thumbs").drop("_md_bn").orderBy("media_id")
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1276,6 +1324,9 @@ object StreamQueries {
     // identical one-shot golden records — same text as
     // x1_survivorship
     "t16_stream_entities" -> DedupQueries.SurvivorshipOracleSql,
+    // the streamed decode→resize fold must equal the one-shot batch
+    // run — same text as x4_resize
+    "t17_stream_media" -> MultimodalQueries.ResizeOracleSql,
 
     "t10_stream_neardup" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
