@@ -70,6 +70,39 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- X5g: NEGATIVE-pattern funnel (no intervening event) --------
+    // The funnel family's exclusion shape — "purchased WITHOUT an
+    // intervening click" — which positive-step funnels cannot
+    // express: per user, first view, first purchase AFTER it, and
+    // the count of clicks STRICTLY between; paths classify as direct
+    // (no click between), assisted, or no_purchase. Three filtered
+    // aggregates + keyed joins — no per-user sequence buffering, no
+    // window over raw events; strict timestamp comparisons make the
+    // classification order-deterministic in both engines.
+    "x5_funnel_negative" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(v, "user_id").filter($"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").join(p, "user_id")
+        .filter($"ts" > $"t_view" && $"ts" < $"t_purchase")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_clicks"))
+      v.join(p, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .select($"user_id",
+          when($"t_purchase".isNull, "no_purchase")
+            .when(coalesce($"n_clicks", lit(0L)) === 0L, "direct")
+            .otherwise("assisted").as("path"),
+          coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_users"), sum($"n_clicks").as("n_clicks_between"))
+        .orderBy($"path")
+    }),
+
     // ---- X5d: CONVERSION-WINDOW funnel (1 h step deadlines) ---------
     // The funnel marketers actually run: steps only count within a
     // deadline. Declared semantics: anchor at the user's FIRST view;
@@ -3384,6 +3417,29 @@ object AnalyticsQueries {
         |FROM res CROSS JOIN st
         |WHERE CAST(resid AS HUGEINT) * resid * n > 9 * ss
         |ORDER BY h""".stripMargin,
+
+    "x5_funnel_negative" ->
+      """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY 1),
+        |c AS (SELECT e.user_id, COUNT(*) AS n_clicks
+        |  FROM events e JOIN v USING (user_id) JOIN p USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |    AND CAST(e.ts AS TIMESTAMP) < p.t_purchase
+        |  GROUP BY 1),
+        |cls AS (SELECT v.user_id,
+        |    CASE WHEN p.user_id IS NULL THEN 'no_purchase'
+        |         WHEN COALESCE(c.n_clicks, 0) = 0 THEN 'direct'
+        |         ELSE 'assisted' END AS path,
+        |    COALESCE(c.n_clicks, 0) AS n_clicks
+        |  FROM v LEFT JOIN p USING (user_id) LEFT JOIN c USING (user_id))
+        |SELECT path, COUNT(*) AS n_users,
+        |  CAST(SUM(n_clicks) AS BIGINT) AS n_clicks_between
+        |FROM cls GROUP BY 1 ORDER BY path""".stripMargin,
 
     "a13_hourly_profile" ->
       """WITH c AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
