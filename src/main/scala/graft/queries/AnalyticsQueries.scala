@@ -1438,6 +1438,30 @@ object AnalyticsQueries {
         .orderBy("k_min")
     }),
 
+    // ---- A18d: Mondrian k-anonymization — the RELEASE, not the audit
+    // (LeFevre ICDE'06; a18_kanonymity measures, this enforces):
+    // greedy recursive lower-median splits over (balance cents,
+    // nation) until no partition can split without dropping below
+    // k = 10 members, then each partition generalizes to its ranges.
+    // Fully deterministic (wider-range attribute, lower median,
+    // ≤-median left half, both-halves-≥-k commit rule), so the DuckDB
+    // oracle replays the IDENTICAL 14 unrolled rounds (rounds past
+    // the split fixpoint are the identity — the a16_communities_full
+    // gating discipline). Per-round corpus work: one stats aggregate,
+    // ONE distributed grouped lower-median (range-shuffle rank
+    // apparatus — no per-partition sort even when round 1's single
+    // partition spans the corpus), one halves aggregate, one relabel.
+    "a18_mondrian" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .select(round($"c_acctbal" * 100).cast("long").as("bal_cents"),
+          $"c_nationkey".cast("long").as("nat"))
+      graft.operators.Mondrian.anonymize(c, "bal_cents", "nat", k = 10, rounds = 14)
+        .select($"n", $"a_lo".as("bal_lo"), $"a_hi".as("bal_hi"),
+          $"b_lo".as("nat_lo"), $"b_hi".as("nat_hi"))
+        .orderBy($"bal_lo", $"bal_hi", $"nat_lo", $"nat_hi", $"n")
+    }),
+
     // ---- A18b: l-diversity audit (k-anonymity's sharper sibling) ----
     // A k-anonymous group still leaks when everyone in it SHARES the
     // sensitive value (homogeneity attack — Machanavajjhala et al.
@@ -3417,6 +3441,19 @@ object AnalyticsQueries {
         |FROM res CROSS JOIN st
         |WHERE CAST(resid AS HUGEINT) * resid * n > 9 * ss
         |ORDER BY h""".stripMargin,
+
+    // replay the identical 14 unrolled Mondrian rounds (split
+    // attribute, lower median, commit rule — all deterministic)
+    "a18_mondrian" ->
+      s"""WITH p0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pid,
+         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS va,
+         |    CAST(c_nationkey AS BIGINT) AS vb
+         |  FROM customer)
+         |${graft.operators.Mondrian.oracleCtes(k = 10, rounds = 14)}
+         |SELECT COUNT(*) AS n, MIN(va) AS bal_lo, MAX(va) AS bal_hi,
+         |  MIN(vb) AS nat_lo, MAX(vb) AS nat_hi
+         |FROM p14 GROUP BY pid
+         |ORDER BY bal_lo, bal_hi, nat_lo, nat_hi, n""".stripMargin,
 
     "x5_funnel_negative" ->
       """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
