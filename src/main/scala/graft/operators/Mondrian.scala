@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
 object Mondrian {
 
   /** Split `df`'s (aCol, bCol) integer quasi-identifiers into
-    * partitions of ≥ k rows. Output: (pid, va, vb) — one row per
-    * input row with its final partition id. */
+    * partitions of ≥ k rows. Output: (mpid, va, vb) — one row per
+    * input row with its final partition id. (If the WHOLE corpus has
+    * fewer than k rows, the root partition is released as-is — there
+    * is no k-anonymous release of such a corpus; suppress upstream.) */
   def partitionIds(df: DataFrame, aCol: String, bCol: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 2 && rounds >= 1)
