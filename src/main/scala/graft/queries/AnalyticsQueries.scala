@@ -1438,6 +1438,43 @@ object AnalyticsQueries {
         .orderBy("k_min")
     }),
 
+    // ---- A15b: exact AUC via the rank-sum (Mann–Whitney) identity ---
+    // The classifier-eval primitive the eval family lacked: AUC of an
+    // integer score against a binary label, EXACT — ties handled by
+    // average ranks with denominators cleared (×2 throughout):
+    // 2·rank_avg(s) = 2·cum_below(s) + n_s + 1, R2 = Σ_pos 2·ranks,
+    // U2 = R2 − n_pos(n_pos+1), AUC = U2 / (2·n_pos·n_neg) in integer
+    // ppm — no fraction ever materializes, both engines truncate
+    // alike. Score = the doc's en-stopword hit count, label = (lang
+    // = 'en'). The synthetic corpus sprinkles stopwords uniformly
+    // across langs, so the TRUE AUC here is ≈0.5 — the gate pins the
+    // tie-corrected rank arithmetic exactly (the Benford/KS audit
+    // discipline: the statistic is the deliverable, not the signal).
+    // Corpus-scale work is ONE (score → counts) aggregate; the
+    // prefix sum runs over the DISTINCT-score frame (domain-bounded,
+    // the a24_gini window class).
+    "a15_auc_ranksum" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Functions.register(s)
+      val scored = Tables.documents(s, dir)
+        .select(graft.functions.TextAnalysis.stopwordHits(
+            graft.functions.TextAnalysis.tokens(col("text")),
+            graft.functions.TextAnalysis.stopEn).as("score"),
+          when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      val byScore = scored.groupBy($"score")
+        .agg(count(lit(1)).as("n_s"), sum($"y").as("n_pos_s"))
+      val w = Window.orderBy($"score").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byScore
+        .withColumn("cum_below", coalesce(sum($"n_s").over(w), lit(0L)))
+        .withColumn("r2_pos", $"n_pos_s" * (lit(2L) * $"cum_below" + $"n_s" + 1L))
+      ranked.agg(sum($"n_pos_s").as("n_pos"),
+          sum($"n_s" - $"n_pos_s").as("n_neg"), sum($"r2_pos").as("r2"))
+        .select($"n_pos", $"n_neg",
+          ($"r2" - $"n_pos" * ($"n_pos" + 1L)).as("u2"))
+        .withColumn("auc_ppm", expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+        .orderBy($"n_pos")
+    }),
+
     // ---- A18d: Mondrian k-anonymization — the RELEASE, not the audit
     // (LeFevre ICDE'06; a18_kanonymity measures, this enforces):
     // greedy recursive lower-median splits over (balance cents,
@@ -3441,6 +3478,26 @@ object AnalyticsQueries {
         |FROM res CROSS JOIN st
         |WHERE CAST(resid AS HUGEINT) * resid * n > 9 * ss
         |ORDER BY h""".stripMargin,
+
+    // identical rank-sum arithmetic: 2x average ranks per distinct
+    // score, U2 = R2 - n_pos(n_pos+1), ppm by integer division
+    "a15_auc_ranksum" ->
+      """WITH sc AS (SELECT
+        |    len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+        |        x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT score, COUNT(*) AS n_s, SUM(y) AS n_pos_s FROM sc GROUP BY 1),
+        |r AS (SELECT score, n_s, n_pos_s,
+        |    COALESCE(SUM(n_s) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_s - n_pos_s) AS BIGINT) AS n_neg,
+        |    CAST(SUM(n_pos_s * (2 * cum_below + n_s + 1)) AS BIGINT) AS r2
+        |  FROM r)
+        |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2,
+        |  CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM t ORDER BY n_pos""".stripMargin,
 
     // replay the identical 14 unrolled Mondrian rounds (split
     // attribute, lower median, commit rule — all deterministic)
