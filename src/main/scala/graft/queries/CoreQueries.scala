@@ -1305,6 +1305,23 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // ---- O1b: top-k WITH TIES (SQL FETCH FIRST k ROWS WITH TIES) ----
+    // The ties-inclusive sibling of o1_global_topk: rank() ≤ k keeps
+    // every row tied with the k-th — rank-based filters lower to the
+    // same partial+final WindowGroupLimit as row_number (≤ k+ties
+    // rows per partition cross the shuffle, never a full sort;
+    // PlanShapeSpec pins it). Ranking on the rounded cents key makes
+    // the tie set engine-exact.
+    "o1_topk_ties" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"cents".desc)
+      Tables.orders(s, dir)
+        .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter($"rk" <= 10)
+        .orderBy($"rk", $"o_orderkey")
+    }),
+
     // ---- O2: set operations --------------------------------------------
     "o2_set_ops" -> ((s, dir) => {
       import s.implicits._
@@ -2487,6 +2504,13 @@ object CoreQueries {
     "o1_global_topk" ->
 """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "o1_topk_ties" ->
+      """SELECT o_orderkey, cents, rk FROM (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(rank() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 10 ORDER BY rk, o_orderkey""".stripMargin,
 
     "o2_set_ops_all" ->
       """WITH o AS (SELECT o_orderpriority, c_mktsegment

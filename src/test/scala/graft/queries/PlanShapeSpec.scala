@@ -151,6 +151,11 @@ class PlanShapeSpec extends SparkSpec {
       s"window must consume the hourly aggregate (win@$winIdx agg@$aggIdx)\n${p.take(1500)}")
   }
 
+  test("o1_topk_ties: rank<=k lowers to partial+final WindowGroupLimit (no full sort)") {
+    val p = plan("o1_topk_ties")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("sql_late_shipment: EXISTS plans as a semi join, never a per-order re-scan") {
     val p = plan("sql_late_shipment")
     assert(p.contains("LeftSemi"), p.take(1200))
