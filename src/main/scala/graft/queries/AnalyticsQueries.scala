@@ -806,6 +806,50 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- A25b: Holt–Winters additive triple smoothing ---------------
+    // a25_holt plus a 7-slot SEASONAL state keyed by day-of-week
+    // (slot = epoch-day mod 7 — identical integer in both engines;
+    // keying by POSITION would corrupt the seasonal under missing
+    // days): per user, lvl' = (y−s_dw+lvl+tr) div 2, tr' =
+    // (lvl'−lvl+tr) div 2, s_dw' = (y−lvl'+s_dw) div 2 (α=β=γ=½ via
+    // the symmetric-truncation div — the a25_holt discipline; init
+    // l=first obs, tr=0, s=0: deterministic, converges over the ~4
+    // weekly cycles). The fold runs inside one aggregate HOF over
+    // each user's sorted day array (bounded per user); forecast one
+    // week out reads the last day's own slot. The oracle replays the
+    // IDENTICAL recurrence as a recursive CTE carrying the 7 slots.
+    "a25_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      val t2 = (v: String) =>
+        s"case when ($v) < 0 then -((-($v)) div 2) else ($v) div 2 end"
+      def slotCase(sel: String): String =
+        s"case $sel " + (0 until 7).map(i => s"when $i then acc.s$i").mkString(" ") + " end"
+      val sOld = slotCase("e.dw")
+      val lNew = t2(s"e.xm - ($sOld) + acc.l + acc.b")
+      val bNew = t2(s"($lNew) - acc.l + acc.b")
+      val sNew = t2(s"e.xm - ($lNew) + ($sOld)")
+      val init = "named_struct('l', element_at(xs, 1).xm, 'b', cast(0 as bigint), " +
+        (0 until 7).map(i => s"'s$i', cast(0 as bigint)").mkString(", ") + ")"
+      val step = s"named_struct('l', $lNew, 'b', $bNew, " +
+        (0 until 7).map(i =>
+          s"'s$i', case when e.dw = $i then $sNew else acc.s$i end").mkString(", ") + ")"
+      val lastSlot = "case element_at(xs, cast(nd as int)).dw " +
+        (0 until 7).map(i => s"when $i then hw.s$i").mkString(" ") + " end"
+      Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select($"user_id", struct($"day", ($"x" * 1000L).as("xm"),
+          pmod(datediff(to_date($"day"), lit("1970-01-01").cast("date")), lit(7))
+            .cast("long").as("dw")).as("e"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list($"e")).as("xs"), count(lit(1)).as("nd"))
+        .withColumn("hw", expr(
+          s"aggregate(slice(xs, 2, size(xs) - 1), $init, (acc, e) -> $step)"))
+        .select($"user_id", $"nd", $"hw.l".as("level_m"), $"hw.b".as("trend_m"),
+          ($"hw.l" + $"hw.b" * 7L + expr(lastSlot)).as("fc7w_m"))
+        .orderBy($"user_id")
+    }),
+
     // ---- A26: RFM customer segmentation -----------------------------
     // The CRM-analytics staple: per-customer Recency (days since last
     // order vs the corpus max date), Frequency (order count), Monetary
@@ -3079,6 +3123,40 @@ object AnalyticsQueries {
         |SELECT r.user_id, CAST(fin.n AS BIGINT) AS nd, r.l AS level_m, r.b AS trend_m,
         |       r.l + 7 * r.b AS fc7_m
         |FROM rec r JOIN fin ON fin.user_id = r.user_id AND r.i = fin.n
+        |ORDER BY r.user_id""".stripMargin
+    },
+
+    // the identical 7-slot recurrence as a recursive CTE
+    "a25_holt_winters" -> {
+      val t2 = (v: String) =>
+        s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
+      def slotCase(sel: String): String =
+        s"CASE $sel " + (0 until 7).map(i => s"WHEN $i THEN rec.s$i").mkString(" ") + " END"
+      val sOld = slotCase("di.dw")
+      val lNew = t2(s"di.xm - ($sOld) + rec.l + rec.b")
+      val bNew = t2(s"($lNew) - rec.l + rec.b")
+      val sNew = t2(s"di.xm - ($lNew) + ($sOld)")
+      val stepSlots = (0 until 7).map(i =>
+        s"CASE WHEN di.dw = $i THEN $sNew ELSE rec.s$i END").mkString(", ")
+      val zeros = (0 until 7).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+      val lastSlot = "CASE dl.dw " +
+        (0 until 7).map(i => s"WHEN $i THEN r.s$i").mkString(" ") + " END"
+      s"""WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |di AS (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+        |    x * 1000 AS xm,
+        |    (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS dw FROM daily),
+        |rec(user_id, i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+        |  SELECT user_id, i, xm, CAST(0 AS BIGINT), $zeros FROM di WHERE i = 1
+        |  UNION ALL
+        |  SELECT di.user_id, di.i, $lNew, $bNew, $stepSlots
+        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
+        |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1)
+        |SELECT r.user_id, CAST(fin.n AS BIGINT) AS nd, r.l AS level_m, r.b AS trend_m,
+        |       r.l + 7 * r.b + ($lastSlot) AS fc7w_m
+        |FROM rec r
+        |JOIN fin ON fin.user_id = r.user_id AND r.i = fin.n
+        |JOIN di dl ON dl.user_id = r.user_id AND dl.i = fin.n
         |ORDER BY r.user_id""".stripMargin
     },
 
