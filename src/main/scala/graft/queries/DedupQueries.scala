@@ -767,6 +767,34 @@ object DedupQueries {
         .orderBy(col("decision"))
     }),
 
+    // ---- X1 blocking-quality report (the ER-tuning companion) -------
+    // The audit every record-linkage deployment runs BEFORE changing a
+    // block key (a36_key_skew's linkage sibling, and the r8-verdict
+    // lesson made measurable: a fixed-cardinality key degenerates to
+    // quadratic): per compound block key over the 3-source record
+    // fixture, the candidate-pair mass Σ n·(n−1)/2, the largest
+    // block, block-count growth, and the REDUCTION RATIO — candidate
+    // pairs as ppm of all n·(n−1)/2 pairs. One hash aggregate over
+    // the block keys + a 1-row totals frame; every number exact
+    // integer (pair counts DECIMAL-routed: n² at corpus scale passes
+    // 2^63).
+    "x1_blocking_quality" -> ((s, dir) => {
+      val recs = survivorshipRecords(s, dir)
+      val blocks = recs.groupBy(col("p_brand"), col("c1"), col("size"))
+        .agg(count(lit(1)).as("n"))
+      val agg = blocks.agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("n")).as("n_records"),
+        max(col("n")).as("max_block"),
+        sum(expr("(n * (n - 1)) div 2").cast("decimal(38,0)")).as("cand_pairs"))
+      agg.select(col("n_blocks"), col("n_records"), col("max_block"),
+          col("cand_pairs").cast("long").as("cand_pairs"),
+          expr("cast((cand_pairs * 1000000) div " +
+            "((cast(n_records as decimal(38,0)) * (n_records - 1)) div 2) as bigint)")
+            .as("reduction_ppm"))
+        .orderBy(col("n_records"))
+    }),
+
     // ---- X1 survivorship: golden records over resolved entities -----
     // The layer ABOVE linkage decisions — what an MDM/entity-
     // resolution deployment actually ships: three source variants per
@@ -1343,6 +1371,22 @@ object DedupQueries {
     // replayed relationally (reach is bounded by the 3-member planted
     // clusters)
     "x1_survivorship" -> SurvivorshipOracleSql,
+    "x1_blocking_quality" ->
+      """WITH recs AS (
+        |  SELECT p_brand, substr(p_name, 1, 1) AS c1, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_brand, substr(p_name, 1, 1), p_size FROM part
+        |  UNION ALL
+        |  SELECT p_brand, substr(p_name, 1, 1), p_size + 1 FROM part),
+        |b AS (SELECT p_brand, c1, size, COUNT(*) AS n FROM recs GROUP BY 1, 2, 3),
+        |a AS (SELECT COUNT(*) AS n_blocks, CAST(SUM(n) AS BIGINT) AS n_records,
+        |        CAST(MAX(n) AS BIGINT) AS max_block,
+        |        CAST(SUM((CAST(n AS HUGEINT) * (n - 1)) // 2) AS BIGINT) AS cand_pairs
+        |      FROM b)
+        |SELECT n_blocks, n_records, max_block, cand_pairs,
+        |  CAST((CAST(cand_pairs AS HUGEINT) * 1000000) //
+        |       ((CAST(n_records AS HUGEINT) * (n_records - 1)) // 2) AS BIGINT) AS reduction_ppm
+        |FROM a ORDER BY n_records""".stripMargin,
     "x1_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
