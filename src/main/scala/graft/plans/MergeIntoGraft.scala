@@ -109,12 +109,13 @@ object MergeIntoGraft {
     *   OPTIMIZE <graft_cat>.<t>                      → compact
     *   OPTIMIZE <graft_cat>.<t> ZORDER BY (x, y)     → z-order rewrite
     *   VACUUM <graft_cat>                            → store-wide vacuum
+    *   DESCRIBE HISTORY <graft_cat>.<t>              → version chain
     *
     * Returns None unless the statement names a configured graft
     * catalog — anything else falls through to Spark's parser (and its
     * error message) untouched. Both rewrites are content-identical by
     * the store's contract (one invisible write + manifest commit);
-    * MaintenanceSpec pins checksum equality around them. */
+    * MergeIntoGraftSpec pins content equality around them. */
   def maintenance(session: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case OptimizeRe(cat, table, kx, ky) if graftCatalogs(session).contains(cat) =>
