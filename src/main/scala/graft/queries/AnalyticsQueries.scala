@@ -539,6 +539,58 @@ object AnalyticsQueries {
           .as("z_score"))
     }),
 
+    // ---- A15c: CUPED variance reduction (Deng et al. WSDM'13) -------
+    // The experiment readout adjusted by a pre-period covariate: each
+    // user's pre-window spend x predicts their post-window spend y, so
+    // theta = cov(x,y)/var(x) fitted on the POOLED user table shifts
+    // each arm's mean by theta*(mean_x_arm - mean_x_all) and strips
+    // the between-user variance the pre-period already explains. The
+    // five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact
+    // integers in cents riding DECIMAL(38,0) (a whale user's x·y can
+    // pass 2^63 — the long route would wrap silently at scale); theta
+    // and the adjusted means are ONE IEEE expression tree over
+    // exact-integer-valued doubles (the a15_abtest z-score
+    // discipline), bit-identical cross-engine. Zero-variance x nulls
+    // theta instead of dividing by zero — same CASE guard in the
+    // oracle. Two partial+final hash aggregates over the per-user
+    // frame plus a broadcast 1-row stats frame; at 100 TB nothing
+    // here outgrows partial+final over the event scan.
+    "a15_cuped" -> ((s, dir) => {
+      import s.implicits._
+      val split = lit("2024-01-16").cast("timestamp")
+      val users = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          coalesce(sum(when($"event_type" === "purchase" && $"ts" < split,
+            round($"value" * 100).cast("long"))), lit(0L)).as("x"),
+          coalesce(sum(when($"event_type" === "purchase" && $"ts" >= split,
+            round($"value" * 100).cast("long"))), lit(0L)).as("y"))
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2L).cast("int"))
+      val xd = $"x".cast("decimal(38,0)")
+      val g = users.groupBy()
+        .agg(count(lit(1)).as("n_all"),
+          sum(xd).as("sx"), sum(xd * $"x").as("sxx"),
+          sum(xd * $"y").as("sxy"), sum($"y".cast("decimal(38,0)")).as("sy"))
+      val arms = users.groupBy($"variant")
+        .agg(count(lit(1)).as("n"),
+          sum(xd).as("sx_arm"), sum($"y".cast("decimal(38,0)")).as("sy_arm"))
+      val tn = $"n_all".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy"
+      val td = $"n_all".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx"
+      val theta = when(td > 0, tn.cast("double") / td.cast("double"))
+      arms.crossJoin(broadcast(g)).select(
+        $"variant", $"n",
+        $"sx_arm".cast("long").as("pre_cents"),
+        $"sy_arm".cast("long").as("post_cents"),
+        theta.as("theta"),
+        ($"sy_arm".cast("double") / $"n".cast("double")).as("mean_post"),
+        ($"sy_arm".cast("double") / $"n".cast("double") -
+          theta * ($"sx_arm".cast("double") / $"n".cast("double") -
+            $"sx".cast("double") / $"n_all".cast("double"))).as("mean_post_cuped"))
+        .orderBy($"variant")
+    }),
+
     // ---- W13: rolling 7-day active users (sliding distinct) ---------
     // WAU over time — the sliding COUNT(DISTINCT) no engine supports
     // as a window function. Exact via contribute-explode: each (user,
@@ -2957,6 +3009,34 @@ object AnalyticsQueries {
         |      sqrt(((c0 + c1) / (n0 + n1)) * (1.0 - (c0 + c1) / (n0 + n1)) * (1.0/n0 + 1.0/n1))
         |  END AS z_score
         |FROM w""".stripMargin,
+
+    "a15_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS x,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS y
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS INT) AS variant,
+        |    x, y FROM u),
+        |g AS (SELECT COUNT(*) AS n_all, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(y AS HUGEINT)) AS sy FROM v),
+        |a AS (SELECT variant, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx_arm,
+        |    SUM(CAST(y AS HUGEINT)) AS sy_arm FROM v GROUP BY 1),
+        |t AS (SELECT a.*, g.n_all, g.sx,
+        |    g.n_all * g.sxy - g.sx * g.sy AS tn,
+        |    g.n_all * g.sxx - g.sx * g.sx AS td
+        |  FROM a, g)
+        |SELECT variant, n,
+        |  CAST(sx_arm AS BIGINT) AS pre_cents, CAST(sy_arm AS BIGINT) AS post_cents,
+        |  CASE WHEN td > 0 THEN CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) END AS theta,
+        |  CAST(sy_arm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_post,
+        |  CAST(sy_arm AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CASE WHEN td > 0 THEN CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) END) *
+        |    (CAST(sx_arm AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE)) AS mean_post_cuped
+        |FROM t ORDER BY variant""".stripMargin,
 
     "w13_rolling_wau" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

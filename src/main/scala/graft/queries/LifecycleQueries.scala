@@ -374,6 +374,38 @@ object LifecycleQueries {
         .orderBy($"column_name")
     }),
 
+    // ---- A6b: functional-dependency discovery -----------------------
+    // Schema-inference profiling (Papenbrock VLDB'15 family): does
+    // A -> B hold? Each declared candidate groups by the LHS and
+    // counts distinct RHS values — the FD holds iff every LHS group
+    // sees exactly one RHS value; violations are COUNTED, not just
+    // flagged, so the readout doubles as a repair-worklist size.
+    // Each leg is one partial+final hash aggregate over a TWO-column
+    // projection (column pruning reaches the scan), then a 1-row
+    // rollup; the candidate list is declared and bounded, so at
+    // 100 TB this is k independent column-pruned scans — no
+    // cross-candidate shuffle, no O(cols²) blowup inside one job.
+    "a6_fd_discovery" -> ((s, dir) => {
+      def leg(df: DataFrame, table: String, lhs: String, rhs: String): DataFrame =
+        df.select(col(lhs).as("l"), col(rhs).as("r"))
+          .groupBy(col("l")).agg(countDistinct(col("r")).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating_lhs"),
+            max(col("nd")).as("max_rhs_per_lhs"))
+          .select(lit(s"$table: $lhs -> $rhs").as("fd"), col("n_lhs"),
+            col("n_violating_lhs"), col("max_rhs_per_lhs"),
+            when(col("n_violating_lhs") === 0L, 1).otherwise(0).as("holds"))
+      Seq(
+        leg(Tables.nation(s, dir), "nation", "n_nationkey", "n_regionkey"),
+        leg(Tables.customer(s, dir), "customer", "c_name", "c_nationkey"),
+        leg(Tables.customer(s, dir), "customer", "c_nationkey", "c_mktsegment"),
+        leg(Tables.part(s, dir), "part", "p_brand", "p_type"),
+        leg(Tables.orders(s, dir), "orders", "o_orderpriority", "o_orderstatus"),
+        leg(Tables.lineitem(s, dir), "lineitem", "l_returnflag", "l_linestatus"))
+        .reduce(_.unionByName(_))
+        .orderBy(col("fd"))
+    }),
+
     // ---- S13: time travel, oracle-gated end to end through disk -----
     // Three keyed MERGE batches land in a version-retaining store,
     // then readVersionsBack(1) reads the state AS OF the second commit
@@ -737,6 +769,32 @@ object LifecycleQueries {
         |  COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount) FROM lineitem
         |UNION ALL SELECT 'l_tax', COUNT(*) - COUNT(l_tax),
         |  COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax) FROM lineitem
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    "a6_fd_discovery" ->
+      """WITH
+        |l1 AS (SELECT n_nationkey AS l, COUNT(DISTINCT n_regionkey) AS nd FROM nation GROUP BY 1),
+        |l2 AS (SELECT c_name AS l, COUNT(DISTINCT c_nationkey) AS nd FROM customer GROUP BY 1),
+        |l3 AS (SELECT c_nationkey AS l, COUNT(DISTINCT c_mktsegment) AS nd FROM customer GROUP BY 1),
+        |l4 AS (SELECT p_brand AS l, COUNT(DISTINCT p_type) AS nd FROM part GROUP BY 1),
+        |l5 AS (SELECT o_orderpriority AS l, COUNT(DISTINCT o_orderstatus) AS nd FROM orders GROUP BY 1),
+        |l6 AS (SELECT l_returnflag AS l, COUNT(DISTINCT l_linestatus) AS nd FROM lineitem GROUP BY 1),
+        |u AS (
+        |  SELECT 'nation: n_nationkey -> n_regionkey' AS fd, COUNT(*) AS n_lhs,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+        |    CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs FROM l1
+        |  UNION ALL SELECT 'customer: c_name -> c_nationkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(MAX(nd) AS BIGINT) FROM l2
+        |  UNION ALL SELECT 'customer: c_nationkey -> c_mktsegment', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(MAX(nd) AS BIGINT) FROM l3
+        |  UNION ALL SELECT 'part: p_brand -> p_type', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(MAX(nd) AS BIGINT) FROM l4
+        |  UNION ALL SELECT 'orders: o_orderpriority -> o_orderstatus', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(MAX(nd) AS BIGINT) FROM l5
+        |  UNION ALL SELECT 'lineitem: l_returnflag -> l_linestatus', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(MAX(nd) AS BIGINT) FROM l6)
+        |SELECT fd, n_lhs, n_violating_lhs, max_rhs_per_lhs,
+        |  CAST(CASE WHEN n_violating_lhs = 0 THEN 1 ELSE 0 END AS INT) AS holds
+        |FROM u ORDER BY fd""".stripMargin
   )
 }

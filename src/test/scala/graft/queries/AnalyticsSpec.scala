@@ -29,6 +29,41 @@ class AnalyticsSpec extends SparkSpec {
       s"(w7-only: ${(w7 -- t3).take(3)}, t3-only: ${(t3 -- w7).take(3)})")
   }
 
+  test("a15_cuped: sufficient stats conserved, theta matches a BigInt recomputation") {
+    val rows = AnalyticsQueries.all("a15_cuped")(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("variant")).toSeq == Seq(0, 1))
+    // per-user frame recomputed independently (no variant split needed
+    // for the pooled stats), exact integer arithmetic in BigInt
+    val split = lit("2024-01-16").cast("timestamp")
+    val xy = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" && col("ts") < split,
+          round(col("value") * 100).cast("long"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" && col("ts") >= split,
+          round(col("value") * 100).cast("long"))), lit(0L)).as("y"))
+      .collect().map(r => (BigInt(r.getAs[Long]("x")), BigInt(r.getAs[Long]("y"))))
+    assert(rows.map(_.getAs[Long]("n")).sum == xy.length.toLong)
+    assert(rows.map(_.getAs[Long]("pre_cents")).sum == xy.map(_._1).sum.toLong)
+    assert(rows.map(_.getAs[Long]("post_cents")).sum == xy.map(_._2).sum.toLong)
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val sxy = xy.map(p => p._1 * p._2).sum
+    val tn = n * sxy - sx * sy; val td = n * sxx - sx * sx
+    assert(td > 0, "pre-period spend must vary for theta to be defined")
+    val theta = tn.toDouble / td.toDouble
+    rows.foreach { r =>
+      val got = r.getAs[Double]("theta")
+      assert(math.abs(got - theta) <= 4 * math.ulp(theta),
+        s"theta $got must match the exact-integer recomputation $theta")
+      // the adjusted mean is exactly the CUPED shift of the raw mean
+      val meanX = r.getAs[Long]("pre_cents").toDouble / r.getAs[Long]("n").toDouble
+      val want = r.getAs[Double]("mean_post") - got * (meanX - sx.toDouble / n.toDouble)
+      val cuped = r.getAs[Double]("mean_post_cuped")
+      assert(math.abs(cuped - want) <= 4 * math.ulp(want))
+    }
+  }
+
   test("x5_funnel: stage timestamps strictly ordered, reached consistent with nulls") {
     val rows = AnalyticsQueries.all("x5_funnel")(spark, dir).collect()
     assert(rows.nonEmpty)

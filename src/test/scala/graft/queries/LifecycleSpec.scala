@@ -87,6 +87,39 @@ class LifecycleSpec extends SparkSpec {
     assert(p.contains("Expand"), "multi-distinct must ride one Expand, not repeated scans")
   }
 
+  test("a6_fd_discovery: holds iff zero violations, recomputation agrees, scans stay 2-column") {
+    val out = LifecycleQueries.all("a6_fd_discovery")(spark, dir).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert((r.getAs[Int]("holds") == 1) == (r.getAs[Long]("n_violating_lhs") == 0L))
+      assert(r.getAs[Long]("max_rhs_per_lhs") >= 1L)
+      assert(r.getAs[Long]("n_violating_lhs") <= r.getAs[Long]("n_lhs"))
+    }
+    // key-determined legs must hold at ANY scale factor (nationkey is
+    // the PK; customer names embed the custkey, so they are unique)
+    val byFd = out.map(r => r.getAs[String]("fd") -> r.getAs[Int]("holds")).toMap
+    assert(byFd("nation: n_nationkey -> n_regionkey") == 1)
+    assert(byFd("customer: c_name -> c_nationkey") == 1)
+    // independent driver-side recomputation of one violating leg
+    val pairs: Set[(Long, String)] = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSet
+    val want: Iterable[Int] =
+      pairs.groupBy(_._1).map { case (_, g) => g.size }
+    val row = out.find(_.getAs[String]("fd") == "customer: c_nationkey -> c_mktsegment").get
+    assert(row.getAs[Long]("n_lhs") == want.size)
+    assert(row.getAs[Long]("n_violating_lhs") == want.count(_ > 1))
+    assert(row.getAs[Long]("max_rhs_per_lhs") == want.max)
+    // column pruning reaches every scan: each leg reads exactly its
+    // two candidate columns, nothing else
+    val p = LifecycleQueries.all("a6_fd_discovery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("struct<n_nationkey:int,n_regionkey:int>"),
+      "the nation leg must scan only (n_nationkey, n_regionkey)")
+    assert(p.contains("struct<c_nationkey:int,c_mktsegment:string>"),
+      "the customer leg must scan only (c_nationkey, c_mktsegment)")
+  }
+
   test("a9_outliers: flag counts match an independent driver-side recomputation") {
     val got = LifecycleQueries.all("a9_outliers")(spark, dir).collect()
       .map(r => r.getAs[String]("l_returnflag") ->
