@@ -431,6 +431,43 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
     }),
 
+    // ---- X2 BQ funnel: 1-bit sign codes (8 B/vector — one BIGINT for
+    // the 64-dim corpus, 32× smaller than the int8 SQ table) → integer
+    // ASYMMETRIC shortlist → exact re-rank. The query side stays
+    // full-precision (µ-quantized to exact longs); each candidate
+    // contributes Σᵢ ±q6ᵢ with the sign read straight off the packed
+    // code via getbit — an exact-integer score, so the 256-candidate
+    // shortlist is deterministic (asymmetric scoring beats symmetric
+    // Hamming ~2× in shortlist depth on this corpus; measured). On
+    // this corpus the shortlist provably contains the true top-10
+    // (BqFunnelSpec pins the worst asym-rank ≤ 100 at every sf, 2.5×
+    // margin), so the gate shares the brute-force oracle — the
+    // standard funnel contract. Margin note (as x2_ivf_batch_topk):
+    // this SYNTHETIC near-uniform corpus has a tiny neighbor gap, so
+    // 1-bit codes need a 256/N shortlist here; clustered real-world
+    // embeddings are what give sign codes their usual ~1% funnel.
+    // Embeddings are scanned once at code build, never per query.
+    "x2_bq_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val codes = storedBqCodes(s, dir, emb)
+      val q6 = emb.filter(col("vec_id") === 0L)
+        .select(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("q6"))
+      val shortlist = codes.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q6))
+        .withColumn("iscore", expr(
+          "aggregate(zip_with(q6, sequence(0, 63), (x, i) -> " +
+            "IF(getbit(code, i) = 1, x, -x)), cast(0 as bigint), (acc, e) -> acc + e)"))
+        .orderBy(col("iscore").desc, col("vec_id")).limit(256)
+        .select(col("vec_id"))
+      emb.join(shortlist, Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qv"))))
+        .select(col("vec_id"), round(Functions.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
     // ---- X2 BATCH SQ funnel (the serving shape) ---------------------
     // Top-5 for a 5-query batch through the int8-code funnel in ONE
     // pass over the stored code table (r7 verdict #8 — per-query
@@ -1061,6 +1098,26 @@ object VectorQueries {
     store.read(s, "sq_codes")
   }
 
+  /** Build-once / probe-many 1-bit sign codes for the `x2_bq_topk`
+    * funnel: (vec_id, code: ONE bigint — bit i set iff dim i > 0).
+    * 8 B/vector. No training — encode is one pure map over one corpus
+    * scan (pack via shiftleft + bitwise OR fold; bit 63 lands on the
+    * sign bit, which OR handles fine). Fingerprint-keyed like every
+    * index artifact: regenerated data → fresh key → rebuild. */
+  private[queries] def storedBqCodes(s: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/bq-codes/v1/${indexKey(s, dir)}")
+    if (!store.exists(s, "bq_codes"))
+      store.replace(s, "bq_codes", emb
+        .withColumn("code", expr(
+          "aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> " +
+            "IF(cast(x as double) > 0d, shiftleft(cast(1 as bigint), i), cast(0 as bigint))), " +
+            "cast(0 as bigint), (acc, e) -> acc | e)"))
+        .select("vec_id", "code"))
+    store.read(s, "bq_codes")
+  }
+
   /** Unrolled exact-integer per-subspace Lloyd's for the PQ oracle —
     * the `kmeansCtes` discipline with (m, idx) in place of idx:
     * subspace m owns dims [8m, 8m+8), seeds are vec_id < 4 sliced per
@@ -1225,6 +1282,7 @@ object VectorQueries {
 
     "x2_ann_topk" -> TopkOracleSql,
     "x2_sq_topk" -> TopkOracleSql,
+    "x2_bq_topk" -> TopkOracleSql,
 
     "x2_norm_audit" ->
       """WITH x AS (SELECT label,
