@@ -406,6 +406,49 @@ object LifecycleQueries {
         .orderBy(col("fd"))
     }),
 
+    // ---- A6c: inclusion-dependency discovery (FK candidates) --------
+    // The sibling of FD discovery: which column's value set is
+    // CONTAINED in which other's? BINDER/SPIDER-style (Papenbrock
+    // VLDB'15): instead of a scan per candidate PAIR (O(k²) scans),
+    // every candidate column contributes its DISTINCT values to ONE
+    // tall (colname, v) relation — per-column distincts partial-
+    // aggregate map-side — and a single self-join partitioned on v
+    // counts every pairwise overlap at once. IND(c → p) holds iff
+    // overlap(c, p) = |distinct(c)|; near-INDs survive in the readout
+    // as overlap counts, so the report doubles as an FK-repair
+    // worklist. At 100 TB: one shuffle on the value column total, the
+    // pair blowup per value is bounded by k² (k = 13 declared key
+    // columns), and the k-row distinct-count table broadcasts.
+    "a6_ind_discovery" -> ((s, dir) => {
+      val cand: Seq[(String, DataFrame, String)] = Seq(
+        ("region.r_regionkey", Tables.region(s, dir), "r_regionkey"),
+        ("nation.n_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        ("nation.n_regionkey", Tables.nation(s, dir), "n_regionkey"),
+        ("customer.c_custkey", Tables.customer(s, dir), "c_custkey"),
+        ("customer.c_nationkey", Tables.customer(s, dir), "c_nationkey"),
+        ("supplier.s_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        ("supplier.s_nationkey", Tables.supplier(s, dir), "s_nationkey"),
+        ("part.p_partkey", Tables.part(s, dir), "p_partkey"),
+        ("orders.o_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        ("orders.o_custkey", Tables.orders(s, dir), "o_custkey"),
+        ("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+        ("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+        ("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"))
+      val r = cand.map { case (name, df, c) =>
+        df.select(col(c).cast("long").as("v")).where(col("v").isNotNull)
+          .distinct().select(lit(name).as("colname"), col("v"))
+      }.reduce(_.unionByName(_))
+      val nd = r.groupBy(col("colname").as("child")).agg(count(lit(1)).as("n_child"))
+      val ov = r.as("c").join(r.as("p"),
+          col("c.v") === col("p.v") && col("c.colname") =!= col("p.colname"))
+        .groupBy(col("c.colname").as("child"), col("p.colname").as("parent"))
+        .agg(count(lit(1)).as("n_overlap"))
+      ov.join(broadcast(nd), "child")
+        .select(col("child"), col("parent"), col("n_child"), col("n_overlap"),
+          when(col("n_overlap") === col("n_child"), 1).otherwise(0).as("holds"))
+        .orderBy(col("child"), col("parent"))
+    }),
+
     // ---- S13: time travel, oracle-gated end to end through disk -----
     // Three keyed MERGE batches land in a version-retaining store,
     // then readVersionsBack(1) reads the state AS OF the second commit
@@ -795,6 +838,29 @@ object LifecycleQueries {
         |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(MAX(nd) AS BIGINT) FROM l6)
         |SELECT fd, n_lhs, n_violating_lhs, max_rhs_per_lhs,
         |  CAST(CASE WHEN n_violating_lhs = 0 THEN 1 ELSE 0 END AS INT) AS holds
-        |FROM u ORDER BY fd""".stripMargin
+        |FROM u ORDER BY fd""".stripMargin,
+
+    "a6_ind_discovery" ->
+      """WITH r AS (
+        |  SELECT 'region.r_regionkey' AS colname, CAST(r_regionkey AS BIGINT) AS v FROM region WHERE r_regionkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'nation.n_nationkey', CAST(n_nationkey AS BIGINT) FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'nation.n_regionkey', CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'customer.c_custkey', CAST(c_custkey AS BIGINT) FROM customer WHERE c_custkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'customer.c_nationkey', CAST(c_nationkey AS BIGINT) FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'supplier.s_suppkey', CAST(s_suppkey AS BIGINT) FROM supplier WHERE s_suppkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'supplier.s_nationkey', CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'part.p_partkey', CAST(p_partkey AS BIGINT) FROM part WHERE p_partkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'orders.o_orderkey', CAST(o_orderkey AS BIGINT) FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 2
+        |  UNION ALL SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 2),
+        |nd AS (SELECT colname AS child, COUNT(*) AS n_child FROM r GROUP BY 1),
+        |ov AS (SELECT c.colname AS child, p.colname AS parent, COUNT(*) AS n_overlap
+        |       FROM r c JOIN r p ON c.v = p.v AND c.colname <> p.colname GROUP BY 1, 2)
+        |SELECT ov.child, ov.parent, nd.n_child, ov.n_overlap,
+        |  CAST(CASE WHEN ov.n_overlap = nd.n_child THEN 1 ELSE 0 END AS INT) AS holds
+        |FROM ov JOIN nd ON nd.child = ov.child
+        |ORDER BY ov.child, ov.parent""".stripMargin
   )
 }
