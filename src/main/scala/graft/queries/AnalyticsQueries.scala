@@ -591,6 +591,43 @@ object AnalyticsQueries {
         .orderBy($"variant")
     }),
 
+    // ---- A10d: multivariate OLS via exact-integer normal equations --
+    // y = β0 + β1·quantity + β2·discount over lineitem (y in cents),
+    // solved in closed form: ONE partial+final aggregate collects the
+    // nine Σ-moments as exact DECIMAL(38,0) integers (each term a
+    // product of bounded ints — order-immune sums), then Cramer's
+    // rule on the 3×3 normal matrix runs on the single moment row.
+    // No iteration, no collect, no float accumulation: the βs leave
+    // the plan as cleared-denominator integers (det_j·10⁶ div det,
+    // truncating division in both engines). At 100 TB the data pass
+    // is one map-side-combinable aggregate over a 3-column pruned
+    // scan; the solve is O(1). Magnitude audit: det ≤ ~1e23,
+    // det_j·10⁶ ≤ ~5e35 — inside DECIMAL(38,0) (oracle: HUGEINT).
+    "a10_ols_multi" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select(
+        round($"l_quantity").cast("long").as("x1"),
+        round($"l_discount" * 100).cast("long").as("x2"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      def d(c: Column): Column = c.cast("decimal(38,0)")
+      val m = li.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d($"x1")).as("sx1"), sum(d($"x2")).as("sx2"), sum(d($"y")).as("sy"),
+        sum(d($"x1") * $"x1").as("s11"), sum(d($"x1") * $"x2").as("s12"),
+        sum(d($"x2") * $"x2").as("s22"),
+        sum(d($"x1") * $"y").as("s1y"), sum(d($"x2") * $"y").as("s2y"))
+      m.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det",
+        "sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0",
+        "n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1",
+        "n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2")
+        .selectExpr("n",
+          "CASE WHEN det <> 0 THEN CAST((det0 * 1000000) div det AS BIGINT) END AS beta0_6",
+          "CASE WHEN det <> 0 THEN CAST((det1 * 1000000) div det AS BIGINT) END AS beta1_6",
+          "CASE WHEN det <> 0 THEN CAST((det2 * 1000000) div det AS BIGINT) END AS beta2_6")
+    }),
+
     // ---- W13: rolling 7-day active users (sliding distinct) ---------
     // WAU over time — the sliding COUNT(DISTINCT) no engine supports
     // as a window function. Exact via contribute-explode: each (user,
@@ -3037,6 +3074,26 @@ object AnalyticsQueries {
         |    (CAST(sx_arm AS DOUBLE) / CAST(n AS DOUBLE) -
         |     CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE)) AS mean_post_cuped
         |FROM t ORDER BY variant""".stripMargin,
+
+    "a10_ols_multi" ->
+      """WITH li AS (SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS x1,
+        |    CAST(ROUND(l_discount * 100) AS HUGEINT) AS x2,
+        |    CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+        |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y FROM li),
+        |d AS (SELECT CAST(n AS BIGINT) AS n,
+        |    n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det,
+        |    sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1,
+        |    n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN det <> 0 THEN CAST((det0 * 1000000) // det AS BIGINT) END AS beta0_6,
+        |  CASE WHEN det <> 0 THEN CAST((det1 * 1000000) // det AS BIGINT) END AS beta1_6,
+        |  CASE WHEN det <> 0 THEN CAST((det2 * 1000000) // det AS BIGINT) END AS beta2_6
+        |FROM d""".stripMargin,
 
     "w13_rolling_wau" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
