@@ -1706,6 +1706,36 @@ object AnalyticsQueries {
         .orderBy($"c_mktsegment", $"c_nationkey")
     }),
 
+    // ---- A18e: differentially-private release counts (the Laplace
+    // mechanism — Dwork TCC'06) — the RELEASE half of the privacy
+    // family's count surface (kanonymity/ldiversity/tcloseness audit;
+    // mondrian generalizes; this perturbs). Per event_type: count +
+    // Laplace(1/ε) noise via the inverse CDF, ε = 1, sensitivity 1.
+    // The noise draw is seeded by a deterministic content hash of the
+    // group key (the DOULION/abtest coin discipline) so the mechanism
+    // is oracle-gateable — a production release swaps the hash for a
+    // fresh random draw and DROPS the raw n/noise6 columns; the gate
+    // here pins the mechanism arithmetic, not the privacy claim.
+    // u6 ∈ [0, 1e6) from md5 → noise = −sgn(u−½)·ln(1−2|u−½|)/ε,
+    // integer-quantized to µ-units (the x3_perplexity ln discipline:
+    // ln of an exact integer ratio → identical double in both
+    // engines → one ROUND). One partial+final aggregate; the noise
+    // map is per-GROUP, so the release costs nothing at any scale.
+    "a18_dp_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .withColumn("c",
+          (conv(substring(md5($"event_type"), 1, 15), 16, 10).cast("long")
+            % 1000000L) - 500000L)
+        .withColumn("noise6", expr(
+          "CAST(ROUND(-(CASE WHEN c >= 0 THEN 1.0d ELSE -1.0d END) * " +
+            "ln(GREATEST(1L, 1000000L - 2L * abs(c)) / 1000000.0d) * 1000000d) AS BIGINT)"))
+        .select($"event_type", $"n", $"noise6",
+          ($"n" * 1000000L + $"noise6").as("noisy6"))
+        .orderBy($"event_type")
+    }),
+
     "a16_pagerank" -> ((s, dir) => {
       import s.implicits._
       val pairs = copurchasePairs(s, dir)
@@ -3074,6 +3104,18 @@ object AnalyticsQueries {
         |    (CAST(sx_arm AS DOUBLE) / CAST(n AS DOUBLE) -
         |     CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE)) AS mean_post_cuped
         |FROM t ORDER BY variant""".stripMargin,
+
+    "a18_dp_counts" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |h AS (SELECT event_type, n,
+        |    (('0x' || substring(md5(event_type), 1, 15))::BIGINT % 1000000) - 500000 AS c
+        |  FROM g),
+        |z AS (SELECT event_type, n,
+        |    CAST(ROUND(-(CASE WHEN c >= 0 THEN 1.0 ELSE -1.0 END) *
+        |      ln(GREATEST(1, 1000000 - 2 * abs(c)) / 1000000.0) * 1000000) AS BIGINT) AS noise6
+        |  FROM h)
+        |SELECT event_type, n, noise6, n * 1000000 + noise6 AS noisy6
+        |FROM z ORDER BY event_type""".stripMargin,
 
     "a10_ols_multi" ->
       """WITH li AS (SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS x1,
