@@ -76,6 +76,14 @@ object IncrementalJoin {
   def read(spark: SparkSession, store: TableStore, name: String): DataFrame =
     store.read(spark, side(name, "out")).drop("_ij_bn")
 
+  /** Exactly batch `bn`'s delta rows ΔM of the maintained join
+    * (partition-pruned single-partition read) — the hook downstream
+    * IVM consumers fold from: γ over insert-only deltas distributes,
+    * so an aggregate view over this join maintains itself by folding
+    * γ(ΔM_bn) per batch and never re-reads the full join. */
+  def readBatch(spark: SparkSession, store: TableStore, name: String, bn: Long): DataFrame =
+    store.read(spark, side(name, "out")).filter(col("_ij_bn") === bn).drop("_ij_bn")
+
   /** Compact batches 0..upto of all three tables into one partition
     * each (`bn = upto`), dropping the subsumed partitions in the same
     * atomic commit — after 10k hourly batches the store would

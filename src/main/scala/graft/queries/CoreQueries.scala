@@ -438,6 +438,7 @@ object CoreQueries {
   private val IncrAggStorePath = "/root/repo/target/tmp/incragg-oracle"
   private val IvmRetractStorePath = "/root/repo/target/tmp/ivmretract-oracle"
   private val IncrJoinStorePath = "/root/repo/target/tmp/incrjoin-oracle"
+  private val IvmJoinAggStorePath = "/root/repo/target/tmp/ivmjoinagg-oracle"
 
   // shared with t9_stream_ivm: the streamed IVM folds must serve the
   // identical one-shot join
@@ -1891,6 +1892,48 @@ object CoreQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S4 family: IVM of an AGGREGATE OVER A JOIN ---------------------
+    // The two IVM levels composed — the maintained view is
+    // γ_nation(orders ⋈ customer), the query every reporting stack
+    // materializes. With insert-only delta pairs γ distributes over
+    // the disjoint delta-join terms, so each batch folds
+    // γ(ΔM_i) where ΔM_i = ΔA⋈B_prev ∪ A_prev⋈ΔB ∪ ΔA⋈ΔB — read back
+    // partition-pruned from the join store's own bn=i commit
+    // (IncrementalJoin.readBatch: ONE partition, never the whole
+    // maintained join) and folded additively into the agg store.
+    // Per-batch cost: O(Δ ⋈ stored) + O(γ(ΔM)); history is never
+    // rescanned on EITHER level. Cross-batch arrivals (an order whose
+    // customer lands two batches later) flow through the prev-side
+    // terms into the right nation's running totals; the final state
+    // must equal the one-shot join + GROUP BY.
+    "s4_ivm_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(IvmJoinAggStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(IvmJoinAggStorePath)
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        year($"o_orderdate").as("yy"))
+      val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_nationkey")
+      val oBat = Seq(o.filter($"yy" <= 1994), o.filter($"yy" === 1995 || $"yy" === 1996),
+        o.filter($"yy" >= 1997)).map(_.drop("yy"))
+      val cBat = (0 to 2).map(i => c.filter($"o_custkey" % 3 === i))
+      (0 until 3).foreach { i =>
+        graft.operators.IncrementalJoin.applyBatch(
+          s, store, "ocj", oBat(i), cBat(i), Seq("o_custkey"), i.toLong)
+        val dM = graft.operators.IncrementalJoin.readBatch(s, store, "ocj", i.toLong)
+        graft.operators.IncrementalAgg.applyBatchM(s, store, "nation_rev", dM,
+          Seq("c_nationkey"),
+          Seq(graft.operators.IncrementalAgg.Measure("n_orders", count(lit(1))),
+            graft.operators.IncrementalAgg.Measure("cents", sum($"cents"))),
+          batchId = Some(i.toLong))
+      }
+      store.read(s, "nation_rev")
+        .select($"c_nationkey", $"n_orders".cast("long").as("n_orders"),
+          $"cents".cast("long").as("cents"))
+        .orderBy($"c_nationkey")
+    }),
+
     // ---- A4: two-phase stats-then-apply (quartile assignment) ----------
     // Compute global quartile cutpoints (one stats pass → 3 doubles),
     // broadcast them, bucket every order with plain comparisons, and
@@ -2730,6 +2773,12 @@ object CoreQueries {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "s4_incremental_join" -> IncrJoinOracleSql,
+
+    "s4_ivm_join_agg" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
     "s4_ivm_retract" -> IvmRetractOracleSql,
 
