@@ -659,6 +659,50 @@ object TextQueries {
     // (score, phrase) is a bounded heap. Stopword list = the lang-id
     // lexicon (TextAnalysis.stopEn) so both engines embed the same 10
     // words.
+    // ---- TextRank keyword extraction (Mihalcea & Tarau EMNLP'04) ----
+    // The graph-based sibling of RAKE (frequency-ratio) and of BM25
+    // (query-relative): corpus keywords = PageRank over the token
+    // co-occurrence graph. Nodes are content tokens (length ≥ 4),
+    // edges connect tokens within a 2-token window, undirected,
+    // weighted by co-occurrence count; 4 power-iteration rounds with
+    // the a16_pagerank integer discipline — every contribution is
+    // (r·w) div wdeg in exact µ-units, damping ×85 div 100, so both
+    // engines iterate bit-identically and the DuckDB oracle replays
+    // the SAME 4 unrolled CTE rounds. Plan shape: the window pairs
+    // are TWO equi-joins on (doc_id, pos+k) — never a range join —
+    // edge/degree tables are vocab²-bounded aggregates checkpointed
+    // ONCE (the pagerank lineage rule), per-round shuffles carry
+    // (token, long) pairs, and the readout is a TakeOrderedAndProject
+    // top-20. At 100 TB the graph is corpus-vocabulary-sized, not
+    // corpus-sized — the explode pays one shuffle per window offset.
+    "x3_textrank" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+        .filter(length($"tok") >= 4)
+        .localCheckpoint()
+      val inst = Seq(1, 2).map { k =>
+        t.select($"doc_id", ($"pos" + k).as("p2"), $"tok".as("u"))
+          .join(t.select($"doc_id", $"pos".as("p2"), $"tok".as("v")), Seq("doc_id", "p2"))
+          .filter($"u" =!= $"v").select($"u", $"v")
+      }.reduce(_ unionByName _)
+      val e = inst.unionByName(inst.select($"v".as("u"), $"u".as("v")))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val wd = e.groupBy($"u").agg(sum($"w").as("wd")).localCheckpoint()
+      var r = wd.select($"u".as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 4) {
+        // no broadcast hint on the O(vocab) rank table — the
+        // a16_pagerank AQE rule
+        r = e.join(r, col("node") === col("u")).join(wd, Seq("u"))
+          .groupBy($"v")
+          .agg(sum(expr("(r * w) div wd")).as("sc"))
+          .select($"v".as("node"), (lit(150000L) + expr("(sc * 85) div 100")).as("r"))
+      }
+      r.select($"node".as("tok"), $"r".cast("long").as("score6"))
+        .orderBy($"score6".desc, $"tok").limit(20)
+    }),
+
     "x3_rake_keywords" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val stop = graft.functions.TextAnalysis.stopEn
@@ -1028,6 +1072,37 @@ object TextQueries {
       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** One TextRank power-iteration round as a CTE — the unrolled-CTE
+    * gating discipline (kmeansCtes / a16_communities_full): the
+    * oracle replays the IDENTICAL integer iteration, so the gate pins
+    * the whole fixed-round trajectory, not just the final ranking. */
+  private def trRound(n: Int): String =
+    s"""r$n AS (SELECT e.v AS node,
+       |    150000 + (SUM((r.r * e.w) // d.wd) * 85) // 100 AS r
+       |  FROM e JOIN r${n - 1} r ON r.node = e.u JOIN wd d ON d.u = e.u GROUP BY 1)""".stripMargin
+
+  private val TextrankOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w
+       |  FROM documents),
+       |t AS (SELECT doc_id, i AS pos, w[i] AS tok
+       |  FROM d, LATERAL unnest(range(1, len(w)+1)) r(i)
+       |  WHERE length(w[i]) >= 4),
+       |e0 AS (SELECT a.tok AS u, b.tok AS v, COUNT(*) AS c
+       |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+       |    AND b.pos - a.pos BETWEEN 1 AND 2 AND a.tok <> b.tok
+       |  GROUP BY 1, 2),
+       |e AS (SELECT u, v, SUM(c) AS w FROM (
+       |    SELECT u, v, c FROM e0 UNION ALL SELECT v, u, c FROM e0) GROUP BY 1, 2),
+       |wd AS (SELECT u, SUM(w) AS wd FROM e GROUP BY 1),
+       |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM wd),
+       |${trRound(1)},
+       |${trRound(2)},
+       |${trRound(3)},
+       |${trRound(4)}
+       |SELECT node AS tok, CAST(r AS BIGINT) AS score6 FROM r4
+       |ORDER BY score6 DESC, tok LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x3_lang_id" ->
       s"""SELECT lang, predicted, COUNT(*) AS n FROM ($perDocLang) p
@@ -1297,6 +1372,8 @@ object TextQueries {
         |  CAST(('0x' || substr(md5(tok), 1, 4))::INT % 64 AS BIGINT) AS dim,
         |  COUNT(*) AS x
         |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
+    "x3_textrank" -> TextrankOracleSql,
 
     "x3_collocations" ->
       """WITH d AS (SELECT doc_id,
