@@ -628,6 +628,59 @@ object AnalyticsQueries {
           "CASE WHEN det <> 0 THEN CAST((det2 * 1000000) div det AS BIGINT) END AS beta2_6")
     }),
 
+    // ---- A15d: Poisson-bootstrap CI for the A/B lift -----------------
+    // The uncertainty readout a15_abtest/a15_cuped lack: a bootstrap
+    // envelope on the between-arm mean difference. The ONLINE
+    // bootstrap (Poisson(1) resample weights, Oza & Russell '01 /
+    // Chamandy KDD'12) is the distributed form — no resample
+    // materializes, each user just carries 16 small integer weights,
+    // so one pass computes all replicas: explode ×16 (a constant
+    // factor over the per-user AGGREGATE, never over raw events),
+    // one partial+final aggregate per (replica, arm). Weights come
+    // from the Poisson(1) inverse CDF over a content-hash draw (the
+    // a18_dp_counts seeding discipline — declared integer µ-thresholds
+    // 1/e, 2/e, 5/(2e), …, so the draw is engine-exact and the gate
+    // pins the mechanism); replica means are cleared-denominator
+    // integers. Production swaps the hash for a fresh draw per run.
+    "a15_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val users = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(coalesce(sum(when($"event_type" === "purchase",
+          round($"value" * 100).cast("long"))), lit(0L)).as("y"))
+        .withColumn("variant",
+          (conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2L).cast("int"))
+      val rep = users
+        .select($"user_id", $"y", $"variant", explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("u6",
+          conv(substring(md5(concat($"user_id".cast("string"), lit("_"),
+            $"b".cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L)
+        .withColumn("w", when($"u6" < 367879L, 0L).when($"u6" < 735759L, 1L)
+          .when($"u6" < 919699L, 2L).when($"u6" < 980988L, 3L)
+          .when($"u6" < 996340L, 4L).otherwise(5L))
+      val perRep = rep.groupBy($"b").agg(
+          sum(when($"variant" === 1, $"w").otherwise(0L)).as("n1"),
+          sum(when($"variant" === 1, $"w" * $"y").otherwise(0L)).as("s1"),
+          sum(when($"variant" === 0, $"w").otherwise(0L)).as("n0"),
+          sum(when($"variant" === 0, $"w" * $"y").otherwise(0L)).as("s0"))
+        .withColumn("diff6", expr(
+          "CASE WHEN n1 > 0 AND n0 > 0 THEN (s1 * 1000000) div n1 - (s0 * 1000000) div n0 END"))
+      val obs = users.groupBy().agg(
+          sum(when($"variant" === 1, $"y").otherwise(0L)).as("os1"),
+          count(when($"variant" === 1, lit(1))).as("on1"),
+          sum(when($"variant" === 0, $"y").otherwise(0L)).as("os0"),
+          count(when($"variant" === 0, lit(1))).as("on0"))
+        .select(expr(
+          "CASE WHEN on1 > 0 AND on0 > 0 THEN (os1 * 1000000) div on1 - (os0 * 1000000) div on0 END")
+          .as("diff6_obs"))
+      perRep.agg(count(lit(1)).as("n_replicas"),
+          min($"diff6").as("lo_diff6"), max($"diff6").as("hi_diff6"))
+        .crossJoin(broadcast(obs))
+        .select($"n_replicas", $"diff6_obs", $"lo_diff6", $"hi_diff6")
+        .orderBy($"n_replicas")
+    }),
+
     // ---- W13: rolling 7-day active users (sliding distinct) ---------
     // WAU over time — the sliding COUNT(DISTINCT) no engine supports
     // as a window function. Exact via contribute-explode: each (user,
@@ -1966,6 +2019,44 @@ object AnalyticsQueries {
         .orderBy($"n")
     }),
 
+    // ---- A4 family: exact WEIGHTED median ----------------------------
+    // The quantity-weighted median unit price per return flag — the
+    // weighted order statistic the plain percentile family can't
+    // answer (each row counts `w` times). Exact, with NO per-group
+    // sort: rows first collapse to one per (flag, cents) — a
+    // partial+final hash aggregate — then the running weight comes
+    // from the DISTRIBUTED prefix sum (a24_gini's apparatus: global
+    // cutpoints bucket the value axis, a monotone coarsening within
+    // every flag, so no single-partition window even when one flag
+    // spans the corpus). The median is the smallest value whose
+    // inclusive cumulative weight reaches half the total — integer
+    // comparison 2·cw ≥ tw, no division at all.
+    "a4_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val byPrice = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"),
+          round($"l_quantity").cast("long").as("w"))
+        .groupBy($"flag", $"cents").agg(sum($"w").as("w"))
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        byPrice.withColumn("xd", $"cents".cast("double")), Nil, "xd",
+        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"c$k"))
+      val cutsF = cuts.select((1 to 31).map(k =>
+        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+      val bucketed = byPrice.crossJoin(broadcast(cutsF))
+        .withColumn("bk", (1 to 31).map(k =>
+          when($"cents" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .select($"flag", $"cents", $"w", $"bk")
+      val cum = graft.operators.Partitioning.prefixSum(
+        bucketed, Seq("flag"), $"bk", Seq($"cents"), $"w", "cw")
+      val tot = byPrice.groupBy($"flag").agg(sum($"w").as("tw"))
+      cum.join(broadcast(tot), Seq("flag"))
+        .groupBy($"flag")
+        .agg(min(when($"cw" * 2 >= $"tw", $"cents")).as("median_cents"),
+          max($"tw").as("total_weight"))
+        .orderBy($"flag")
+    }),
+
     // ---- A23: peak concurrency (sweep line) -------------------------
     // Capacity planning's first question: the maximum number of
     // simultaneously-open sessions, and when it first occurs. Sessions
@@ -2488,6 +2579,29 @@ object AnalyticsQueries {
   /** One text, two engines' folds: the batch a9_cusum aggregate and
     * the streamed t7_stream_cusum state machine replay this same
     * day-by-day recurrence. */
+  /** Shared by a25_holt (batch HOF fold) and t18_stream_holt (the
+    * per-key mapGroupsWithState fold): both must reproduce the
+    * identical integer double-smoothing trajectory. */
+  private[queries] val HoltOracleSql: String = {
+    val t2 = (v: String) =>
+      s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
+    val lNew = t2("di.xm + rec.l + rec.b")
+    s"""WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+      |di AS (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+      |    x * 1000 AS xm FROM daily),
+      |rec(user_id, i, l, b) AS (
+      |  SELECT user_id, i, xm, CAST(0 AS BIGINT) FROM di WHERE i = 1
+      |  UNION ALL
+      |  SELECT di.user_id, di.i, $lNew, ${t2(s"($lNew) - rec.l + rec.b")}
+      |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
+      |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1)
+      |SELECT r.user_id, CAST(fin.n AS BIGINT) AS nd, r.l AS level_m, r.b AS trend_m,
+      |       r.l + 7 * r.b AS fc7_m
+      |FROM rec r JOIN fin ON fin.user_id = r.user_id AND r.i = fin.n
+      |ORDER BY r.user_id""".stripMargin
+  }
+
   private[queries] val CusumOracleSql =
     """WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
       |    COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -3105,6 +3219,53 @@ object AnalyticsQueries {
         |     CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE)) AS mean_post_cuped
         |FROM t ORDER BY variant""".stripMargin,
 
+    "a15_bootstrap_ci" ->
+      """WITH u AS (SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS y
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT user_id, y,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS INT) AS variant
+        |  FROM u),
+        |r AS (SELECT user_id, y, variant, CAST(i AS INT) AS b,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u6
+        |  FROM v, generate_series(0, 15) s(i)),
+        |w AS (SELECT variant, b, y,
+        |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1 WHEN u6 < 919699 THEN 2
+        |         WHEN u6 < 980988 THEN 3 WHEN u6 < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM r),
+        |p AS (SELECT b,
+        |    SUM(CASE WHEN variant = 1 THEN w ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN variant = 1 THEN w * y ELSE 0 END) AS s1,
+        |    SUM(CASE WHEN variant = 0 THEN w ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN variant = 0 THEN w * y ELSE 0 END) AS s0
+        |  FROM w GROUP BY 1),
+        |d AS (SELECT b, CASE WHEN n1 > 0 AND n0 > 0
+        |    THEN (s1 * 1000000) // n1 - (s0 * 1000000) // n0 END AS diff6 FROM p),
+        |o AS (SELECT CASE WHEN COUNT(CASE WHEN variant = 1 THEN 1 END) > 0
+        |    AND COUNT(CASE WHEN variant = 0 THEN 1 END) > 0 THEN
+        |    (SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) * 1000000) // COUNT(CASE WHEN variant = 1 THEN 1 END)
+        |    - (SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) * 1000000) // COUNT(CASE WHEN variant = 0 THEN 1 END)
+        |  END AS diff6_obs FROM v)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas, CAST(diff6_obs AS BIGINT) AS diff6_obs,
+        |  CAST(MIN(diff6) AS BIGINT) AS lo_diff6, CAST(MAX(diff6) AS BIGINT) AS hi_diff6
+        |FROM d, o GROUP BY diff6_obs ORDER BY n_replicas""".stripMargin,
+
+    "a4_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(ROUND(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT flag, cents, SUM(w) AS w FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM g)
+        |SELECT flag,
+        |  CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS median_cents,
+        |  CAST(MAX(tw) AS BIGINT) AS total_weight
+        |FROM c GROUP BY 1 ORDER BY flag""".stripMargin,
+
     "a18_dp_counts" ->
       """WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
         |h AS (SELECT event_type, n,
@@ -3285,25 +3446,7 @@ object AnalyticsQueries {
     // Holt recurrence replayed day by day; the big CASE is l_t twice
     // (SQL can't name a sibling field) — symmetric-truncation halving
     // on a positive operand, so both engines' div conventions agree
-    "a25_holt" -> {
-      val t2 = (v: String) =>
-        s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
-      val lNew = t2("di.xm + rec.l + rec.b")
-      s"""WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
-        |di AS (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
-        |    x * 1000 AS xm FROM daily),
-        |rec(user_id, i, l, b) AS (
-        |  SELECT user_id, i, xm, CAST(0 AS BIGINT) FROM di WHERE i = 1
-        |  UNION ALL
-        |  SELECT di.user_id, di.i, $lNew, ${t2(s"($lNew) - rec.l + rec.b")}
-        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
-        |fin AS (SELECT user_id, MAX(i) AS n FROM rec GROUP BY 1)
-        |SELECT r.user_id, CAST(fin.n AS BIGINT) AS nd, r.l AS level_m, r.b AS trend_m,
-        |       r.l + 7 * r.b AS fc7_m
-        |FROM rec r JOIN fin ON fin.user_id = r.user_id AND r.i = fin.n
-        |ORDER BY r.user_id""".stripMargin
-    },
+    "a25_holt" -> HoltOracleSql,
 
     // the identical 7-slot recurrence as a recursive CTE
     "a25_holt_winters" -> {

@@ -638,6 +638,54 @@ object StreamQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- T18: STREAMED Holt double smoothing ------------------------
+    // a25_holt maintained live: daily activity folds into per-user
+    // (level, trend) state as days COMPLETE (mapGroupsWithState with
+    // the t7_stream_cusum day-fold/event-time-eviction contract), so
+    // a forecasting service reads tomorrow's prediction off the
+    // stored state without ever rescanning history. Day-straddling
+    // batches accumulate in the open day; ONE watermark-advancing row
+    // at end of stream folds every key's last day via timeouts. The
+    // gate SHARES a25_holt's recursive-CTE oracle — the streamed
+    // integer recurrence must reproduce the batch trajectory exactly.
+    "t18_stream_holt" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val keyed = ev.select($"user_id".cast("string").as("key"),
+        unix_micros(date_trunc("day", $"ts")).as("dayUs"), $"ts")
+      val maxTs = keyed.agg(max($"ts")).head.getTimestamp(0)
+      val flush = Seq(("__wm__", Long.MaxValue / 2,
+        new java.sql.Timestamp(maxTs.getTime + 86400000L))).toDF("key", "dayUs", "ts")
+      val base = s"/root/repo/target/tmp/stream-holt/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, keyed.unionAll(flush), "ts", stage, 4)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.holtStates(stream.as[Streams.HoltEvent]).toDF()
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            store.upsert(b.sparkSession, "holt", b, Seq("key"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "holt").filter($"key" =!= "__wm__")
+        .select($"key".cast(ev.schema("user_id").dataType).as("user_id"),
+          $"nd", $"level_m", $"trend_m",
+          ($"level_m" + $"trend_m" * 7L).as("fc7_m"))
+        .orderBy($"user_id")
+    }),
+
     // ---- T8: STREAMED IVF index maintenance -------------------------
     // Ivf.fold driven from micro-batches — the vector sibling of
     // t6_stream_index, and the live half of the x2_ivf_fold_topk
@@ -1301,6 +1349,7 @@ object StreamQueries {
     "t6_stream_index" -> TextQueries.Bm25OracleSql,
     // the streamed state machine must reproduce the batch CUSUM
     "t7_stream_cusum" -> AnalyticsQueries.CusumOracleSql,
+    "t18_stream_holt" -> AnalyticsQueries.HoltOracleSql,
     // the streamed stage machine must reproduce the batch staged
     // windows — same text as x5_funnel
     "t11_stream_funnel" -> AnalyticsQueries.FunnelOracleSql,

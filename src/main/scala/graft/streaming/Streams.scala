@@ -331,6 +331,57 @@ object Streams {
       }
   }
 
+  /** T-family: STREAMED Holt double smoothing — a25_holt's per-key
+    * integer recurrence maintained live. State is one (open day,
+    * count, level, trend, n-folded-days) tuple per key; a day FOLDS
+    * into l ← t2(x·1000 + l + b), b ← t2(l' − l + b) (symmetric
+    * truncating halving, the batch query's exact arithmetic; the
+    * FIRST day initializes l = x·1000, b = 0) when its first
+    * successor event arrives, so day-straddling micro-batches are
+    * safe. Eviction is the cusumStates contract: each key arms an
+    * event-time timeout at its open day's end — the quiescent key's
+    * last day folds via the timeout path, the FINAL (nd, l, b) row
+    * emits, and the state is removed, so live state is bounded by
+    * keys with a still-open day. One watermark-advancing row at end
+    * of stream flushes every key. Emits the running fold each batch;
+    * an upsert sink keyed on `key` keeps exactly the final state —
+    * and the gate SHARES a25_holt's recursive-CTE oracle, so the
+    * streamed fold must reproduce the batch trajectory bit for bit. */
+  def holtStates(events: Dataset[HoltEvent], delay: String = "0 seconds"): Dataset[HoltRow] = {
+    import events.sparkSession.implicits._
+    def t2(v: Long): Long = if (v < 0) -((-v) / 2) else v / 2
+    def foldDay(st: HoltState): HoltState =
+      if (st.nd == 0L) st.copy(cnt = 0L, l = st.cnt * 1000L, b = 0L, nd = 1L)
+      else {
+        val ln = t2(st.cnt * 1000L + st.l + st.b)
+        st.copy(cnt = 0L, l = ln, b = t2(ln - st.l + st.b), nd = st.nd + 1L)
+      }
+    events.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .mapGroupsWithState[HoltState, HoltRow](GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[HoltEvent], state: GroupState[HoltState]) =>
+          if (state.hasTimedOut) {
+            val f = foldDay(state.get)
+            state.remove()
+            HoltRow(key, f.nd, f.l, f.b)
+          } else {
+            val sorted = rows.toArray.sortBy(_.dayUs)
+            var st = state.getOption.getOrElse(
+              HoltState(sorted.head.dayUs, 0L, 0L, 0L, 0L))
+            sorted.foreach { e =>
+              if (e.dayUs == st.dayUs) st = st.copy(cnt = st.cnt + 1L)
+              else st = foldDay(st).copy(dayUs = e.dayUs, cnt = 1L)
+            }
+            state.update(st)
+            // same late-event clamp as cusumStates: a re-opened
+            // already-passed day folds at the next watermark tick
+            state.setTimeoutTimestamp(
+              math.max(st.dayUs / 1000L + 86400000L, state.getCurrentWatermarkMs() + 1L))
+            HoltRow(key, st.nd, st.l, st.b)
+          }
+      }
+  }
+
   /** T4/X5: streamed ordered funnel — x5_funnel's staged state machine
     * maintained LIVE per user across micro-batches. State is one
     * (t_view, t_click, t_purchase) triple in µs (-1 = stage not
@@ -482,4 +533,7 @@ object Streams {
   final case class FunnelEvent(key: String, tsUs: Long, eid: Long, etype: String)
   final case class FunnelState(tv: Long, tc: Long, tp: Long)
   final case class FunnelRow(key: String, tv: Long, tc: Long, tp: Long)
+  final case class HoltEvent(key: String, dayUs: Long, ts: java.sql.Timestamp)
+  final case class HoltState(dayUs: Long, cnt: Long, l: Long, b: Long, nd: Long)
+  final case class HoltRow(key: String, nd: Long, level_m: Long, trend_m: Long)
 }

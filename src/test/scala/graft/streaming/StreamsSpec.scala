@@ -367,6 +367,46 @@ class StreamsSpec extends SparkSpec {
     assert(last == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("T18/A25: holtStates folds split days across batches; watermark timeout folds the last day and EVICTS") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import Streams.HoltEvent
+    // reference series for key "u": days 1,2,3 with counts 3,1,4.
+    // fold 1 (init):  l=3000, b=0,     nd=1
+    // fold 2: l'=t2(1000+3000+0)=2000, b=t2(2000−3000+0)=−500, nd=2
+    // fold 3: l'=t2(4000+2000−500)=2750, b=t2(2750−2000−500)=125, nd=3
+    def e(day: Long, hour: Int) = HoltEvent("u", day * 86400000000L,
+      new java.sql.Timestamp(day * 86400000L + hour * 3600000L))
+    val mem = MemoryStream[HoltEvent]
+    val q = Streams.holtStates(mem.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("holt").start()
+    try {
+      // day 1 SPLIT across two batches, then day 2 + part of day 3
+      mem.addData(e(1, 1), e(1, 2))
+      q.processAllAvailable()
+      mem.addData(e(1, 3), e(2, 1), e(3, 1), e(3, 2))
+      q.processAllAvailable()
+      mem.addData(e(3, 3), e(3, 4))
+      q.processAllAvailable()
+      // open day 3 must not fold early: latest fold is day 2's
+      val mid = s.sql("select max(nd) from holt").head.getLong(0)
+      assert(mid == 2L, s"open day must not fold early: nd=$mid")
+      val midRow = s.sql("select level_m, trend_m from holt where nd = 2 limit 1").head
+      assert((midRow.getLong(0), midRow.getLong(1)) == (2000L, -500L))
+      // ONE watermark-advancing row on a DIFFERENT key folds day 3
+      // via the event-time timeout and evicts "u"
+      mem.addData(HoltEvent("w", 30L * 86400000000L,
+        new java.sql.Timestamp(30L * 86400000L)))
+      q.processAllAvailable()
+      val fin = s.sql("select level_m, trend_m from holt where nd = 3 limit 1").head
+      assert((fin.getLong(0), fin.getLong(1)) == (2750L, 125L),
+        s"final fold wrong: $fin")
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows == 1L, s"quiescent key must be evicted: state rows=$stateRows")
+    } finally q.stop()
+  }
+
   test("T7/A9: cusumStates folds split days across batches; watermark timeout folds the last day and EVICTS") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
