@@ -17,6 +17,12 @@ run / fork := true
 // suppress it so Bench's tiny total line is physically last on stdout.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Belt and braces for the same parse: without an outputStrategy sbt relays
+// the forked JVM's stdout through its logger, prefixing every line with
+// "[info] " — a strict json.loads of the last line would still fail.
+// StdoutOutput passes the child's stdout through verbatim, so the final
+// line is the bare JSON object itself.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
