@@ -910,8 +910,13 @@ object StreamQueries {
         stream.writeStream
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             val sb = batch.sparkSession
+            // materialize the batch's band keys ONCE: the md5-per-gram
+            // MinHash HOF is the dominant per-batch cost, and without
+            // truncation its lineage re-executes for every consumer
+            // (stored-side probe, in-batch self-join BOTH sides, the
+            // bucket-store write) — measured 4× the gram hashing
             val bb = graft.operators.Dedup.portableBandBuckets(batch, "doc_id", "text",
-              n = 3, k = 64, bands = 16)
+              n = 3, k = 64, bands = 16).localCheckpoint(true)
             val candOld =
               if (store.exists(sb, "nd_buckets")) {
                 val o = store.read(sb, "nd_buckets").drop("_nd_bn").alias("o")
