@@ -948,6 +948,39 @@ object AnalyticsQueries {
         .orderBy($"user_id")
     }),
 
+    // ---- A25c: rolling-origin backtest of the Holt forecaster -------
+    // The eval loop a forecasting deployment runs before trusting
+    // a25_holt: at every day i ≥ 2 the model trained on days < i
+    // predicts day i (one-step-ahead forecast l + b), and the absolute
+    // error folds into a per-user MAE — all inside the SAME aggregate
+    // HOF fold as the smoother itself (the accumulator just carries
+    // (err_sum, n_eval) alongside (l, b)), so the backtest costs ONE
+    // pass, not one model fit per cutoff. Exact integers end to end;
+    // the oracle reuses the recursive CTE, whose intermediate rows ARE
+    // every cutoff's state, joined one day forward. Users with a
+    // single day have nothing to evaluate and drop from both engines.
+    "a25_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val t2 = (v: String) =>
+        s"case when ($v) < 0 then -((-($v)) div 2) else ($v) div 2 end"
+      val lNew = t2("e.x * 1000 + acc.l + acc.b")
+      Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("xs"))
+        .withColumn("bt", expr(
+          "aggregate(slice(xs, 2, size(xs) - 1), " +
+            "named_struct('l', element_at(xs, 1).x * 1000, 'b', cast(0 as bigint), " +
+            "'es', cast(0 as bigint), 'ne', cast(0 as bigint)), " +
+            s"(acc, e) -> named_struct('l', $lNew, 'b', ${t2(s"($lNew) - acc.l + acc.b")}, " +
+            "'es', acc.es + abs(e.x * 1000 - (acc.l + acc.b)), 'ne', acc.ne + 1))"))
+        .filter($"bt.ne" > 0L)
+        .select($"user_id", $"bt.ne".as("n_eval"),
+          expr("bt.es div bt.ne").as("mae_m"))
+        .orderBy($"user_id")
+    }),
+
     // ---- A25b: Holt–Winters additive triple smoothing ---------------
     // a25_holt plus a 7-slot SEASONAL state keyed by day-of-week
     // (slot = epoch-day mod 7 — identical integer in both engines;
@@ -1306,6 +1339,37 @@ object AnalyticsQueries {
     // negative, so NO integer division anywhere (Spark div truncates,
     // DuckDB // floors — they disagree below zero): the gate pins the
     // exact (num, den) pair.
+    // ---- A39: mutual information between two categorical columns ----
+    // The feature-selection / drift primitive: how much does knowing
+    // the event type tell you about the hour of day? I(X;Y) =
+    // Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), computed as EXACT integer
+    // arithmetic over the contingency table: one partial+final
+    // aggregate collapses the corpus to |X|·|Y| cells (materialized
+    // ONCE — the marginals and the total all fold from the cell
+    // table, never from raw events), each cell's ln of an exact
+    // integer ratio quantizes to µ before the order-immune sum (the
+    // x3_perplexity discipline). Magnitude audit: c·N ≤ n² < 2⁵³, so
+    // the BIGINT→DOUBLE conversions are exact in both engines. The
+    // readout keeps the raw Σ c·ln-term alongside the per-row µ value.
+    "a39_mutual_info" -> ((s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .select($"event_type".as("et"), hour($"ts").cast("long").as("hr"))
+        .groupBy($"et", $"hr").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ma = cells.groupBy($"et").agg(sum($"c").as("ca"))
+      val mb = cells.groupBy($"hr").agg(sum($"c").as("cb"))
+      val n = cells.agg(sum($"c").as("nn"))
+      cells.join(broadcast(ma), Seq("et")).join(broadcast(mb), Seq("hr"))
+        .crossJoin(broadcast(n))
+        .withColumn("term6", expr(
+          "c * CAST(ROUND(ln((c * nn) / CAST(ca * cb AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_cells"), max($"nn").as("n"),
+          sum($"term6").as("mi6_sum"))
+        .select($"n_cells", $"n", $"mi6_sum", expr("mi6_sum div n").as("mi_micro"))
+        .orderBy($"n_cells")
+    }),
+
     "a29_acf" -> ((s, dir) => {
       import s.implicits._
       val spine = dailyOrderSpine(s, dir)
@@ -3448,6 +3512,27 @@ object AnalyticsQueries {
     // on a positive operand, so both engines' div conventions agree
     "a25_holt" -> HoltOracleSql,
 
+    // the recursive CTE's intermediate rows ARE every cutoff's state:
+    // join them one day forward for the one-step-ahead errors
+    "a25_backtest" -> {
+      val t2 = (v: String) =>
+        s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
+      val lNew = t2("di.xm + rec.l + rec.b")
+      s"""WITH RECURSIVE daily AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |di AS (SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+        |    x * 1000 AS xm FROM daily),
+        |rec(user_id, i, l, b) AS (
+        |  SELECT user_id, i, xm, CAST(0 AS BIGINT) FROM di WHERE i = 1
+        |  UNION ALL
+        |  SELECT di.user_id, di.i, $lNew, ${t2(s"($lNew) - rec.l + rec.b")}
+        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1),
+        |err AS (SELECT rec.user_id, abs(di.xm - (rec.l + rec.b)) AS e
+        |  FROM rec JOIN di ON di.user_id = rec.user_id AND di.i = rec.i + 1)
+        |SELECT user_id, COUNT(*) AS n_eval, CAST(SUM(e) // COUNT(*) AS BIGINT) AS mae_m
+        |FROM err GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+
     // the identical 7-slot recurrence as a recursive CTE
     "a25_holt_winters" -> {
       val t2 = (v: String) =>
@@ -3659,6 +3744,20 @@ object AnalyticsQueries {
     // denominators cleared — the gate pins exact integer (num, den);
     // no division anywhere (num can be negative and the engines'
     // integer-division conventions disagree below zero)
+    "a39_mutual_info" ->
+      """WITH cells AS (SELECT event_type AS et, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |ma AS (SELECT et, SUM(c) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT hr, SUM(c) AS cb FROM cells GROUP BY 1),
+        |n AS (SELECT SUM(c) AS nn FROM cells),
+        |t AS (SELECT c * CAST(ROUND(ln((c * nn) / CAST(ca * cb AS DOUBLE)) * 1000000) AS BIGINT) AS term6
+        |  FROM cells JOIN ma USING (et) JOIN mb USING (hr) CROSS JOIN n)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  (SELECT CAST(nn AS BIGINT) FROM n) AS n,
+        |  CAST(SUM(term6) AS BIGINT) AS mi6_sum,
+        |  CAST(CAST(SUM(term6) AS BIGINT) // (SELECT nn FROM n) AS BIGINT) AS mi_micro
+        |FROM t ORDER BY n_cells""".stripMargin,
+
     "a29_acf" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
         |  FROM orders GROUP BY 1),
