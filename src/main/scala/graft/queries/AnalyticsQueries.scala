@@ -2423,6 +2423,57 @@ object AnalyticsQueries {
     // one-row matrix — no aggregate in the recursive leg). The
     // attributed-revenue product cents·share ~ 1e20 at 100 TB ⇒
     // BigInt/HUGEINT-routed on both sides.
+    // ---- X5h: Shapley-value attribution ------------------------------
+    // The game-theoretic credit split (Shapley '53, the data-driven
+    // marketing form of Zhao et al. 2018) beside last-touch
+    // (x5_attribution) and Markov removal effect: each user's
+    // pre-conversion channel SET (view/click/signup before the first
+    // purchase; all channels for non-converters) is one of 2³
+    // coalitions, v(S) = conversions among users with set ⊆ S (the
+    // zeta transform — an 8×8 literal subset join), and channel i's
+    // Shapley value is Σ_S w(|S|)·(v(S∪i) − v(S)) over the 4 subsets
+    // of the other two channels. With k = 3 the weights |S|!(2−|S|)!/3!
+    // clear to sixths — φ·6 ∈ exact integers, no fraction ever
+    // materializes, and Σφ6 = 6·(v(full) − v(∅)) is the efficiency
+    // identity the spec pins. Corpus-scale work: one user aggregate +
+    // one keyed join back; everything after is an 8-row frame.
+    "x5_shapley_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val fp = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"ts").as("fp"))
+      val masks = ev.join(fp, Seq("user_id"), "left")
+        .filter($"event_type".isin("view", "click", "signup"))
+        .filter($"fp".isNull || $"ts" < $"fp")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "view", 1).otherwise(0)).as("hv"),
+          max(when($"event_type" === "click", 2).otherwise(0)).as("hc"),
+          max(when($"event_type" === "signup", 4).otherwise(0)).as("hs"),
+          max(when($"fp".isNotNull, 1L).otherwise(0L)).as("conv"))
+        .select(($"hv" + $"hc" + $"hs").as("m"), $"conv")
+      val cnt = masks.groupBy($"m").agg(sum($"conv").as("n_conv"))
+      val sets = s.range(0, 8).select($"id".cast("int").as("sm"))
+      val v = sets.join(broadcast(cnt),
+          expr("CAST(m AS INT) & sm") === $"m", "left")
+        .groupBy($"sm").agg(coalesce(sum($"n_conv"), lit(0L)).as("v"))
+        .localCheckpoint()
+      // (channel bit, other-subset mask, 6·weight |S|!(2−|S|)!/3!)
+      val terms = Seq(
+        ("view", 1, 0, 2L), ("view", 1, 2, 1L), ("view", 1, 4, 1L), ("view", 1, 6, 2L),
+        ("click", 2, 0, 2L), ("click", 2, 1, 1L), ("click", 2, 4, 1L), ("click", 2, 5, 2L),
+        ("signup", 4, 0, 2L), ("signup", 4, 1, 1L), ("signup", 4, 2, 1L), ("signup", 4, 3, 2L)
+      ).toDF("channel", "bit", "os", "w6")
+      terms
+        .join(broadcast(v.toDF("sm", "v_with")), expr("os + bit") === $"sm")
+        .join(broadcast(v.toDF("sm2", "v_without")), $"os" === $"sm2")
+        .groupBy($"channel")
+        .agg(sum($"w6" * ($"v_with" - $"v_without")).as("phi6"))
+        .crossJoin(broadcast(v.filter($"sm" === 7).select($"v".as("n_conv_all"))))
+        .crossJoin(broadcast(v.filter($"sm" === 0).select($"v".as("n_conv_none"))))
+        .select($"channel", $"phi6", $"n_conv_all", $"n_conv_none")
+        .orderBy($"channel")
+    }),
+
     "x5_markov_attribution" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -4157,6 +4208,32 @@ object AnalyticsQueries {
         |  CAST(COALESCE(h.n_hot, 0) AS BIGINT) AS n_hot
         |FROM tot t LEFT JOIN hot h USING (col_name)
         |ORDER BY t.col_name""".stripMargin,
+
+    "x5_shapley_attribution" ->
+      """WITH fp AS (SELECT user_id, MIN(ts) AS fp FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |masks AS (SELECT e.user_id,
+        |    MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+        |  + MAX(CASE WHEN e.event_type = 'click' THEN 2 ELSE 0 END)
+        |  + MAX(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS m,
+        |    MAX(CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.event_type IN ('view', 'click', 'signup')
+        |    AND (fp.fp IS NULL OR e.ts < fp.fp)
+        |  GROUP BY 1),
+        |cnt AS (SELECT m, SUM(conv) AS n_conv FROM masks GROUP BY 1),
+        |v AS (SELECT CAST(s.i AS INT) AS sm, CAST(COALESCE(SUM(cnt.n_conv), 0) AS BIGINT) AS v
+        |  FROM generate_series(0, 7) s(i) LEFT JOIN cnt ON (cnt.m & s.i) = cnt.m
+        |  GROUP BY 1),
+        |terms(channel, bit, os, w6) AS (VALUES
+        |  ('view', 1, 0, 2), ('view', 1, 2, 1), ('view', 1, 4, 1), ('view', 1, 6, 2),
+        |  ('click', 2, 0, 2), ('click', 2, 1, 1), ('click', 2, 4, 1), ('click', 2, 5, 2),
+        |  ('signup', 4, 0, 2), ('signup', 4, 1, 1), ('signup', 4, 2, 1), ('signup', 4, 3, 2))
+        |SELECT t.channel, CAST(SUM(t.w6 * (vw.v - vo.v)) AS BIGINT) AS phi6,
+        |  (SELECT v FROM v WHERE sm = 7) AS n_conv_all,
+        |  (SELECT v FROM v WHERE sm = 0) AS n_conv_none
+        |FROM terms t JOIN v vw ON vw.sm = t.os + t.bit JOIN v vo ON vo.sm = t.os
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "x5_markov_attribution" ->
       """WITH RECURSIVE e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
