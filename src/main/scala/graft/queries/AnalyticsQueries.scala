@@ -2121,6 +2121,42 @@ object AnalyticsQueries {
         .orderBy($"flag")
     }),
 
+    // ---- A4x: distribution-free CI for the MEDIAN --------------------
+    // The order-statistic interval (binomial/normal-approx ranks —
+    // the nonparametric textbook form): ranks lo = ⌊(n − z√n)/2⌋ and
+    // hi = ⌈(n + z√n)/2⌉ + 1 bracket the median with ~95% coverage,
+    // z = 1.959964 a DECLARED constant, √n one engine-identical
+    // double. All three order statistics (lo, median, hi) come out of
+    // ONE distributed prefix-sum pass over the collapsed value table
+    // (the a4_weighted_median apparatus — no sort, no per-group
+    // window): value at rank r = smallest cents with cum ≥ r.
+    "a4_median_ci" -> ((s, dir) => {
+      import s.implicits._
+      val byVal = Tables.orders(s, dir)
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"cents").agg(count(lit(1)).as("w"))
+      val cuts = graft.operators.Percentiles.exactDistributed(
+        byVal.withColumn("xd", $"cents".cast("double")), Nil, "xd",
+        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"c$k"))
+      val cutsF = cuts.select((1 to 31).map(k =>
+        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+      val bucketed = byVal.crossJoin(broadcast(cutsF))
+        .withColumn("bk", (1 to 31).map(k =>
+          when($"cents" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .select($"cents", $"w", $"bk")
+      val cum = graft.operators.Partitioning.prefixSum(
+        bucketed, Nil, $"bk", Seq($"cents"), $"w", "cum")
+      val ranks = byVal.agg(sum($"w").as("n")).select($"n",
+        expr("CAST(FLOOR((n - 1.959964D * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)").as("rlo"),
+        expr("CAST(CEIL((n + 1.959964D * SQRT(CAST(n AS DOUBLE))) / 2) + 1 AS BIGINT)").as("rhi"))
+      cum.crossJoin(broadcast(ranks))
+        .agg(max($"n").as("n"), max($"rlo").as("lo_rank"), max($"rhi").as("hi_rank"),
+          min(when($"cum" * 2 >= $"n", $"cents")).as("median_cents"),
+          min(when($"cum" >= $"rlo", $"cents")).as("lo_cents"),
+          min(when($"cum" >= $"rhi", $"cents")).as("hi_cents"))
+        .orderBy($"n")
+    }),
+
     // ---- A23: peak concurrency (sweep line) -------------------------
     // Capacity planning's first question: the maximum number of
     // simultaneously-open sessions, and when it first occurs. Sessions
@@ -3365,6 +3401,21 @@ object AnalyticsQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas, CAST(diff6_obs AS BIGINT) AS diff6_obs,
         |  CAST(MIN(diff6) AS BIGINT) AS lo_diff6, CAST(MAX(diff6) AS BIGINT) AS hi_diff6
         |FROM d, o GROUP BY diff6_obs ORDER BY n_replicas""".stripMargin,
+
+    "a4_median_ci" ->
+      """WITH byval AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    COUNT(*) AS w FROM orders GROUP BY 1),
+        |c AS (SELECT cents, SUM(w) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM byval),
+        |r AS (SELECT CAST(SUM(w) AS BIGINT) AS n,
+        |    CAST(FLOOR((SUM(w) - 1.959964 * SQRT(CAST(SUM(w) AS DOUBLE))) / 2) AS BIGINT) AS rlo,
+        |    CAST(CEIL((SUM(w) + 1.959964 * SQRT(CAST(SUM(w) AS DOUBLE))) / 2) + 1 AS BIGINT) AS rhi
+        |  FROM byval)
+        |SELECT r.n, r.rlo AS lo_rank, r.rhi AS hi_rank,
+        |  MIN(CASE WHEN cum * 2 >= r.n THEN cents END) AS median_cents,
+        |  MIN(CASE WHEN cum >= r.rlo THEN cents END) AS lo_cents,
+        |  MIN(CASE WHEN cum >= r.rhi THEN cents END) AS hi_cents
+        |FROM c, r GROUP BY 1, 2, 3 ORDER BY n""".stripMargin,
 
     "a4_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag,

@@ -659,6 +659,33 @@ object TextQueries {
     // (score, phrase) is a bounded heap. Stopword list = the lang-id
     // lexicon (TextAnalysis.stopEn) so both engines embed the same 10
     // words.
+    // ---- n-gram diversity per source (self-repetition audit) --------
+    // The pretraining-data DIVERSITY metric (the corpus-level dual of
+    // x3_repetition's per-doc signals): distinct-n-gram ratio for
+    // n = 1..3 per source — a collapsing ratio flags a source that
+    // keeps saying the same thing (template farms, boilerplate
+    // mirrors) even when individual docs pass quality filters. Grams
+    // come from ONE array transform per n over a materialized-once
+    // token-array scan (no joins, no explode-join chains); the ratio
+    // is integer ppm. Distinct counts are exact partial+final
+    // aggregates on (source, gram); at 100 TB the HLL sketch cube
+    // (a4_sketch_distinct) is the documented approximate path.
+    "x3_ngram_diversity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"source", tokens($"text").as("w"))
+        .localCheckpoint()
+      def leg(n: Int) = docs
+        .select($"source", explode(expr(
+          s"CASE WHEN size(w) >= $n THEN transform(sequence(1, size(w) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $n))) ELSE array() END")).as("g"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_grams"), countDistinct($"g").as("n_distinct"))
+        .select($"source", lit(n.toLong).as("n"), $"n_grams", $"n_distinct",
+          expr("(n_distinct * 1000000) div n_grams").as("distinct_ppm"))
+      Seq(1, 2, 3).map(leg).reduce(_ unionByName _).orderBy($"source", $"n")
+    }),
+
     // ---- TextRank keyword extraction (Mihalcea & Tarau EMNLP'04) ----
     // The graph-based sibling of RAKE (frequency-ratio) and of BM25
     // (query-relative): corpus keywords = PageRank over the token
@@ -1374,6 +1401,24 @@ object TextQueries {
         |FROM t GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
 
     "x3_textrank" -> TextrankOracleSql,
+
+    "x3_ngram_diversity" ->
+      """WITH d AS (SELECT source,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(1 AS BIGINT) AS n, array_to_string(list_slice(w, i, i), ' ') AS g
+        |    FROM d, LATERAL unnest(range(1, len(w) + 1)) r(i)
+        |  UNION ALL
+        |  SELECT source, 2, array_to_string(list_slice(w, i, i + 1), ' ')
+        |    FROM d, LATERAL unnest(range(1, len(w))) r(i)
+        |  UNION ALL
+        |  SELECT source, 3, array_to_string(list_slice(w, i, i + 2), ' ')
+        |    FROM d, LATERAL unnest(range(1, len(w) - 1)) r(i))
+        |SELECT source, n, COUNT(*) AS n_grams,
+        |  COUNT(DISTINCT g) AS n_distinct,
+        |  CAST((COUNT(DISTINCT g) * 1000000) // COUNT(*) AS BIGINT) AS distinct_ppm
+        |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
 
     "x3_collocations" ->
       """WITH d AS (SELECT doc_id,
