@@ -482,6 +482,15 @@ object CoreQueries {
       |FROM target t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Shared by s4_ivm_join_agg (batch folds) and t19_stream_join_agg
+    * (streamed folds): both maintained views must equal the one-shot
+    * join + GROUP BY. */
+  private[queries] val IvmJoinAggOracleSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
   private[queries] val IncrJoinOracleSql =
     """SELECT o_orderkey, o_custkey, c_name,
       |CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
@@ -2774,11 +2783,7 @@ object CoreQueries {
 
     "s4_incremental_join" -> IncrJoinOracleSql,
 
-    "s4_ivm_join_agg" ->
-      """SELECT c_nationkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "s4_ivm_join_agg" -> IvmJoinAggOracleSql,
 
     "s4_ivm_retract" -> IvmRetractOracleSql,
 

@@ -745,6 +745,76 @@ object StreamQueries {
     // the bn<batch read discipline. Shares the one-shot join oracle:
     // a lost pair, reordered fold, or double-counted dA JOIN dB term
     // breaks the hash.
+    // ---- T19: STREAMED two-level IVM (aggregate over join) ----------
+    // s4_ivm_join_agg maintained LIVE — the full reporting pipeline
+    // under streaming arrival: each micro-batch's (orders, customers)
+    // delta pair folds the maintained JOIN (delta-join rule, t9's
+    // discipline), then the batch's ΔM — read back partition-pruned
+    // from the join store's own bn commit — folds the maintained
+    // revenue-per-nation AGGREGATE under its batchId replay guard.
+    // Per batch: O(Δ ⋈ stored) + O(γ(ΔM)); neither level ever
+    // rescans history, and a replayed batch is a no-op at BOTH
+    // levels. SHARES s4_ivm_join_agg's one-shot oracle text.
+    "t19_stream_join_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        year($"o_orderdate").as("yy"))
+      val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_nationkey")
+      val oBat = Seq(o.filter($"yy" <= 1994), o.filter($"yy" === 1995 || $"yy" === 1996),
+        o.filter($"yy" >= 1997)).map(_.drop("yy"))
+      val cBat = (0 to 2).map(i => c.filter($"o_custkey" % 3 === i))
+      val feed = (0 to 2).map { i =>
+        oBat(i).select(lit(i.toLong).as("bn"), lit("o").as("side"),
+            $"o_orderkey", $"o_custkey", $"cents",
+            lit(null).cast("int").as("c_nationkey"))
+          .unionByName(cBat(i).select(lit(i.toLong).as("bn"), lit("c").as("side"),
+            lit(null).cast("long").as("o_orderkey"), $"o_custkey",
+            lit(null).cast("long").as("cents"), $"c_nationkey"))
+      }.reduce(_ unionByName _)
+      val base = s"/root/repo/target/tmp/stream-joinagg/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, feed, "bn", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sb = batch.sparkSession
+            import sb.implicits._
+            val bns = batch.select($"bn").distinct()
+              .collect().map(_.getLong(0)).sorted
+            bns.foreach { b =>
+              val sub = batch.filter($"bn" === b)
+              graft.operators.IncrementalJoin.applyBatch(sb, store, "ocj",
+                sub.filter($"side" === "o").select($"o_orderkey", $"o_custkey", $"cents"),
+                sub.filter($"side" === "c").select($"o_custkey", $"c_nationkey"),
+                Seq("o_custkey"), b)
+              val dM = graft.operators.IncrementalJoin.readBatch(sb, store, "ocj", b)
+              graft.operators.IncrementalAgg.applyBatchM(sb, store, "nation_rev", dM,
+                Seq("c_nationkey"),
+                Seq(graft.operators.IncrementalAgg.Measure("n_orders", count(lit(1))),
+                  graft.operators.IncrementalAgg.Measure("cents", sum($"cents"))),
+                batchId = Some(b))
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "nation_rev")
+        .select($"c_nationkey", $"n_orders".cast("long").as("n_orders"),
+          $"cents".cast("long").as("cents"))
+        .orderBy($"c_nationkey")
+    }),
+
     "t9_stream_ivm" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
@@ -1355,6 +1425,7 @@ object StreamQueries {
     // the streamed state machine must reproduce the batch CUSUM
     "t7_stream_cusum" -> AnalyticsQueries.CusumOracleSql,
     "t18_stream_holt" -> AnalyticsQueries.HoltOracleSql,
+    "t19_stream_join_agg" -> CoreQueries.IvmJoinAggOracleSql,
     // the streamed stage machine must reproduce the batch staged
     // windows — same text as x5_funnel
     "t11_stream_funnel" -> AnalyticsQueries.FunnelOracleSql,
