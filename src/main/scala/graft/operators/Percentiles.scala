@@ -89,6 +89,32 @@ object Percentiles {
     restoreAndInterpolate(df, agged, groupCols, ps, names, restoreNullGroups)
   }
 
+  /** Bucketing CUTPOINTS on the cheap: |names| interior approximate
+    * percentile boundaries of `valCol`, floored to longs, as ONE 1-row
+    * frame (VERDICT r9 next #2). For prefix-sum consumers
+    * ([[graft.operators.Partitioning.prefixSum]]) the boundaries only
+    * need to be MONOTONE in the value: cum(r) = offset(bucket) + local
+    * cumsum is an exact identity for ANY bucket assignment that
+    * coarsens the order, so the final answer is IDENTICAL whatever the
+    * cut values — exactness of the cuts buys nothing. What the cuts
+    * are *for* is balance (each bucket ≈ equal weight so no window
+    * task is hot), and the approx sketch delivers that for one
+    * partial+final aggregate over the collapsed frame — no range
+    * shuffle, no per-chunk counts index, no rank filter (the
+    * [[exactDistributed]] apparatus this replaces cost 3 extra
+    * stages per consumer). Accuracy 1000 bounds the rank error at
+    * n/1000 — boundary skew ≤ ~3% of a 1/32 bucket, irrelevant to
+    * balance and (per the identity above) invisible to the answer. */
+  def cheapCuts(df: DataFrame, valCol: String, names: Seq[String]): DataFrame = {
+    require(names.nonEmpty)
+    val k = names.length
+    val qs = (1 to k).map(i => i.toDouble / (k + 1))
+    df.agg(percentile_approx(col(valCol).cast("double"),
+        array(qs.map(lit): _*), lit(1000)).as("_q"))
+      .select(names.zipWithIndex.map { case (nm, i) =>
+        floor(col("_q").getItem(i)).cast("long").as(nm) }: _*)
+  }
+
   /** Equi-depth (equal-frequency) histogram: `b` buckets per group
     * with (count, lo, hi) each — the binning that survives skew where
     * the fixed-width a4_histogram saturates one bin. Bucket of a row

@@ -597,12 +597,23 @@ object AnalyticsQueries {
     // nine Σ-moments as exact DECIMAL(38,0) integers (each term a
     // product of bounded ints — order-immune sums), then Cramer's
     // rule on the 3×3 normal matrix runs on the single moment row.
-    // No iteration, no collect, no float accumulation: the βs leave
-    // the plan as cleared-denominator integers (det_j·10⁶ div det,
-    // truncating division in both engines). At 100 TB the data pass
-    // is one map-side-combinable aggregate over a 3-column pruned
-    // scan; the solve is O(1). Magnitude audit: det ≤ ~1e23,
-    // det_j·10⁶ ≤ ~5e35 — inside DECIMAL(38,0) (oracle: HUGEINT).
+    // No iteration, no float accumulation: the βs are cleared-
+    // denominator integers (det_j·10⁶ div det, truncating division —
+    // BigInt `/` here, divideToIntegralValue's convention, matching
+    // what the in-plan decimal `div` computed). The distributed pass
+    // collects exactly the nine Σ-moments (ONE bounded row — the
+    // audited-collect discipline) and Cramer's rule runs driver-side
+    // in arbitrary-precision BigInt, because the determinants are
+    // where the magnitude lives: each is a product of three Σ-moments,
+    // each ∝ n, so det_j·10⁶ grows as n³ and blows DECIMAL(38,0) at
+    // roughly sf 10–15 (ADVICE r9 medium — the in-plan decimal form
+    // silently NULLed there while DuckDB HUGEINT errors). BigInt has
+    // no ceiling: the solve is exact at ANY corpus size, and the 100 TB
+    // data pass stays one map-side-combinable aggregate over a
+    // 3-column pruned scan. The Σ-moments themselves stay inside
+    // DECIMAL(38,0) far past 100 TB (each term ≤ ~1e14 per row ⇒
+    // ~1e24 headroom in rows); the oracle's HUGEINT dets hold to
+    // ~sf 10, comfortably past the sf0.01 gate.
     "a10_ols_multi" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir).select(
@@ -610,22 +621,28 @@ object AnalyticsQueries {
         round($"l_discount" * 100).cast("long").as("x2"),
         round($"l_extendedprice" * 100).cast("long").as("y"))
       def d(c: Column): Column = c.cast("decimal(38,0)")
-      val m = li.agg(
+      val r = li.agg(
         count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(d($"x1")).as("sx1"), sum(d($"x2")).as("sx2"), sum(d($"y")).as("sy"),
         sum(d($"x1") * $"x1").as("s11"), sum(d($"x1") * $"x2").as("s12"),
         sum(d($"x2") * $"x2").as("s22"),
-        sum(d($"x1") * $"y").as("s1y"), sum(d($"x2") * $"y").as("s2y"))
-      m.selectExpr(
-        "CAST(n AS BIGINT) AS n",
-        "n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2) AS det",
-        "sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y) AS det0",
-        "n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2) AS det1",
-        "n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2) AS det2")
-        .selectExpr("n",
-          "CASE WHEN det <> 0 THEN CAST((det0 * 1000000) div det AS BIGINT) END AS beta0_6",
-          "CASE WHEN det <> 0 THEN CAST((det1 * 1000000) div det AS BIGINT) END AS beta1_6",
-          "CASE WHEN det <> 0 THEN CAST((det2 * 1000000) div det AS BIGINT) END AS beta2_6")
+        sum(d($"x1") * $"y").as("s1y"), sum(d($"x2") * $"y").as("s2y")).head
+      def bi(i: Int): BigInt =
+        if (r.isNullAt(i)) BigInt(0) else BigInt(r.getDecimal(i).toBigInteger)
+      val (n, sx1, sx2, sy) = (bi(0), bi(1), bi(2), bi(3))
+      val (s11, s12, s22, s1y, s2y) = (bi(4), bi(5), bi(6), bi(7), bi(8))
+      val det = n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) +
+        sx2 * (sx1 * s12 - s11 * sx2)
+      val det0 = sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) +
+        sx2 * (s1y * s12 - s11 * s2y)
+      val det1 = n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) +
+        sx2 * (sx1 * s2y - s1y * sx2)
+      val det2 = n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) +
+        sy * (sx1 * s12 - s11 * sx2)
+      def beta(dj: BigInt): Option[Long] =
+        if (det == 0) None else Some(((dj * 1000000) / det).toLong)
+      Seq((n.toLong, beta(det0), beta(det1), beta(det2)))
+        .toDF("n", "beta0_6", "beta1_6", "beta2_6")
     }),
 
     // ---- A15d: Poisson-bootstrap CI for the A/B lift -----------------
@@ -656,8 +673,11 @@ object AnalyticsQueries {
         .withColumn("u6",
           conv(substring(md5(concat($"user_id".cast("string"), lit("_"),
             $"b".cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L)
+        // thresholds are ⌈1e6·CDF⌉ of Poisson(1): 1/e, 2/e, 5/(2e),
+        // 8/(3e), 65/(24e) — ADVICE r9 fixed the w=3 bound (8/(3e)·1e6
+        // = 981011.84 → 981012, was 980988, a ~24 ppm mis-draw)
         .withColumn("w", when($"u6" < 367879L, 0L).when($"u6" < 735759L, 1L)
-          .when($"u6" < 919699L, 2L).when($"u6" < 980988L, 3L)
+          .when($"u6" < 919699L, 2L).when($"u6" < 981012L, 3L)
           .when($"u6" < 996340L, 4L).otherwise(5L))
       val perRep = rep.groupBy($"b").agg(
           sum(when($"variant" === 1, $"w").otherwise(0L)).as("n1"),
@@ -844,7 +864,7 @@ object AnalyticsQueries {
     // decimal `//` in DuckDB ROUNDS, measured, so the oracle routes
     // through HUGEINT). The cumulative counts come from the
     // DISTRIBUTED two-pass prefix sum over the distinct-value frame,
-    // bucketed by 32 exact percentile cutpoints of the value domain
+    // bucketed by 32 approx-percentile cutpoints of the value domain
     // (stats-then-apply — balanced parallelism whatever the domain
     // spread, no global sort, no single-partition window); the final
     // argmax is a 1-row TakeOrderedAndProject.
@@ -853,15 +873,17 @@ object AnalyticsQueries {
       val ev = Tables.events(s, dir).select(unix_micros($"ts").as("us"),
         round($"value" * 1000000).cast("long").as("v6"))
       val mid = broadcast(ev.agg(expr("(min(us) + max(us)) div 2").as("mid")))
+      // g feeds three consumers (cuts, bucketing, totals): checkpoint
+      // once; cuts only need MONOTONE for the prefix-sum identity, so
+      // cheapCuts gives the bit-identical D for one aggregate pass
+      // (VERDICT r9 next #2 — same reasoning as a4_weighted_median).
       val g = ev.crossJoin(mid).withColumn("is_ref", $"us" < $"mid")
         .groupBy($"v6").agg(
           sum(when($"is_ref", 1L).otherwise(0L)).as("dr"),
           sum(when($"is_ref", 0L).otherwise(1L)).as("dc"))
-      val bcuts = graft.operators.Percentiles.exactDistributed(
-        g.withColumn("vd", $"v6".cast("double")), Nil, "vd",
-        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"b$k"))
-      val bcutsF = bcuts.select((1 to 31).map(k =>
-        floor(col(s"b$k")).cast("long").as(s"b$k")): _*)
+        .localCheckpoint()
+      val bcutsF = graft.operators.Percentiles.cheapCuts(
+        g, "v6", (1 to 31).map(k => s"b$k"))
       val gb = g.crossJoin(broadcast(bcutsF))
         .withColumn("bk", (1 to 31).map(k =>
           when($"v6" >= col(s"b$k"), 1L).otherwise(0L)).reduce(_ + _))
@@ -2095,6 +2117,15 @@ object AnalyticsQueries {
     // spans the corpus). The median is the smallest value whose
     // inclusive cumulative weight reaches half the total — integer
     // comparison 2·cw ≥ tw, no division at all.
+    //
+    // VERDICT r9 what's-wrong #1 applied twice here: (a) byPrice feeds
+    // THREE consumers (cuts, the bucketing join, the totals) so it
+    // localCheckpoints — one scan+aggregate, not three; (b) the 31
+    // cutpoints come from cheapCuts, not the exact-rank apparatus:
+    // they only need to be MONOTONE for the prefix-sum identity
+    // cum = offset(bucket) + local-cumsum to hold, so ANY boundaries
+    // give the bit-identical median and the approx sketch buys the
+    // same bucket balance for one aggregate pass.
     "a4_weighted_median" -> ((s, dir) => {
       import s.implicits._
       val byPrice = Tables.lineitem(s, dir)
@@ -2102,11 +2133,9 @@ object AnalyticsQueries {
           round($"l_extendedprice" * 100).cast("long").as("cents"),
           round($"l_quantity").cast("long").as("w"))
         .groupBy($"flag", $"cents").agg(sum($"w").as("w"))
-      val cuts = graft.operators.Percentiles.exactDistributed(
-        byPrice.withColumn("xd", $"cents".cast("double")), Nil, "xd",
-        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"c$k"))
-      val cutsF = cuts.select((1 to 31).map(k =>
-        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+        .localCheckpoint()
+      val cutsF = graft.operators.Percentiles.cheapCuts(
+        byPrice, "cents", (1 to 31).map(k => s"c$k"))
       val bucketed = byPrice.crossJoin(broadcast(cutsF))
         .withColumn("bk", (1 to 31).map(k =>
           when($"cents" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
@@ -2130,16 +2159,17 @@ object AnalyticsQueries {
     // ONE distributed prefix-sum pass over the collapsed value table
     // (the a4_weighted_median apparatus — no sort, no per-group
     // window): value at rank r = smallest cents with cum ≥ r.
+    // byVal localCheckpoints (3 consumers: cuts, bucketing, ranks) and
+    // the cuts are cheapCuts — monotone is all the prefix-sum identity
+    // needs, so the answer is bit-identical (VERDICT r9 next #1/#2).
     "a4_median_ci" -> ((s, dir) => {
       import s.implicits._
       val byVal = Tables.orders(s, dir)
         .select(round($"o_totalprice" * 100).cast("long").as("cents"))
         .groupBy($"cents").agg(count(lit(1)).as("w"))
-      val cuts = graft.operators.Percentiles.exactDistributed(
-        byVal.withColumn("xd", $"cents".cast("double")), Nil, "xd",
-        (1 to 31).map(_ / 32.0), (1 to 31).map(k => s"c$k"))
-      val cutsF = cuts.select((1 to 31).map(k =>
-        floor(col(s"c$k")).cast("long").as(s"c$k")): _*)
+        .localCheckpoint()
+      val cutsF = graft.operators.Percentiles.cheapCuts(
+        byVal, "cents", (1 to 31).map(k => s"c$k"))
       val bucketed = byVal.crossJoin(broadcast(cutsF))
         .withColumn("bk", (1 to 31).map(k =>
           when($"cents" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
@@ -3383,7 +3413,7 @@ object AnalyticsQueries {
         |  FROM v, generate_series(0, 15) s(i)),
         |w AS (SELECT variant, b, y,
         |    CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1 WHEN u6 < 919699 THEN 2
-        |         WHEN u6 < 980988 THEN 3 WHEN u6 < 996340 THEN 4 ELSE 5 END AS w
+        |         WHEN u6 < 981012 THEN 3 WHEN u6 < 996340 THEN 4 ELSE 5 END AS w
         |  FROM r),
         |p AS (SELECT b,
         |    SUM(CASE WHEN variant = 1 THEN w ELSE 0 END) AS n1,

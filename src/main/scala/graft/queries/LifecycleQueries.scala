@@ -434,10 +434,13 @@ object LifecycleQueries {
         ("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
         ("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
         ("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"))
+      // the tall relation feeds THREE consumers (both self-join sides
+      // + the n_child aggregate): checkpoint so the 13 per-column
+      // DISTINCT scans run once, not three times (ADVICE r9)
       val r = cand.map { case (name, df, c) =>
         df.select(col(c).cast("long").as("v")).where(col("v").isNotNull)
           .distinct().select(lit(name).as("colname"), col("v"))
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_)).localCheckpoint()
       val nd = r.groupBy(col("colname").as("child")).agg(count(lit(1)).as("n_child"))
       val ov = r.as("c").join(r.as("p"),
           col("c.v") === col("p.v") && col("c.colname") =!= col("p.colname"))
