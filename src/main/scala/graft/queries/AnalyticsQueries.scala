@@ -2134,19 +2134,42 @@ object AnalyticsQueries {
           round($"l_quantity").cast("long").as("w"))
         .groupBy($"flag", $"cents").agg(sum($"w").as("w"))
         .localCheckpoint()
-      val cutsF = graft.operators.Percentiles.cheapCuts(
-        byPrice, "cents", (1 to 31).map(k => s"c$k"))
-      val bucketed = byPrice.crossJoin(broadcast(cutsF))
-        .withColumn("bk", (1 to 31).map(k =>
-          when($"cents" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
-        .select($"flag", $"cents", $"w", $"bk")
-      val cum = graft.operators.Partitioning.prefixSum(
-        bucketed, Seq("flag"), $"bk", Seq($"cents"), $"w", "cw")
+      val cum = weightedCum(byPrice, Seq("flag"), "cents", "w", "cw")
       val tot = byPrice.groupBy($"flag").agg(sum($"w").as("tw"))
       cum.join(broadcast(tot), Seq("flag"))
         .groupBy($"flag")
         .agg(min(when($"cw" * 2 >= $"tw", $"cents")).as("median_cents"),
           max($"tw").as("total_weight"))
+        .orderBy($"flag")
+    }),
+
+    // ---- A4 family: exact weighted QUANTILES (p10..p90) -------------
+    // The weighted-median apparatus generalized to the full trimming
+    // ladder (VERDICT r9 next #5) — the token-weighted corpus-curation
+    // primitive: "cut the corpus at the token-weighted p10/p90" is
+    // exactly a weighted order statistic. One collapsed table, ONE
+    // prefix-sum pass, five filtered mins: the value at weighted rank
+    // ⌈p·tw⌉ is the smallest cents with 100·cw ≥ k·tw (k = 100p —
+    // integer cross-multiplication, cw ≥ ⌈x⌉ ⟺ cw ≥ x for integer
+    // cw, so no division and no float rank anywhere). 100·cw stays
+    // far inside BIGINT: tw is total corpus weight, ≤ ~1e15 even at
+    // 100 TB of lineitem, ×100 ≪ 2^63.
+    "a4_weighted_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val byPrice = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"),
+          round($"l_quantity").cast("long").as("w"))
+        .groupBy($"flag", $"cents").agg(sum($"w").as("w"))
+        .localCheckpoint()
+      val cum = weightedCum(byPrice, Seq("flag"), "cents", "w", "cw")
+      val tot = byPrice.groupBy($"flag").agg(sum($"w").as("tw"))
+      def at(k: Int): Column =
+        min(when($"cw" * 100 >= $"tw" * k, $"cents")).as(s"p${k}_cents")
+      cum.join(broadcast(tot), Seq("flag"))
+        .groupBy($"flag")
+        .agg(max($"tw").as("total_weight"),
+          at(10), at(25), at(50), at(75), at(90))
         .orderBy($"flag")
     }),
 
@@ -2168,14 +2191,7 @@ object AnalyticsQueries {
         .select(round($"o_totalprice" * 100).cast("long").as("cents"))
         .groupBy($"cents").agg(count(lit(1)).as("w"))
         .localCheckpoint()
-      val cutsF = graft.operators.Percentiles.cheapCuts(
-        byVal, "cents", (1 to 31).map(k => s"c$k"))
-      val bucketed = byVal.crossJoin(broadcast(cutsF))
-        .withColumn("bk", (1 to 31).map(k =>
-          when($"cents" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
-        .select($"cents", $"w", $"bk")
-      val cum = graft.operators.Partitioning.prefixSum(
-        bucketed, Nil, $"bk", Seq($"cents"), $"w", "cum")
+      val cum = weightedCum(byVal, Nil, "cents", "w", "cum")
       val ranks = byVal.agg(sum($"w").as("n")).select($"n",
         expr("CAST(FLOOR((n - 1.959964D * SQRT(CAST(n AS DOUBLE))) / 2) AS BIGINT)").as("rlo"),
         expr("CAST(CEIL((n + 1.959964D * SQRT(CAST(n AS DOUBLE))) / 2) + 1 AS BIGINT)").as("rhi"))
@@ -2718,6 +2734,31 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("wau")) // rows are already (user, day)-distinct
       .select(col("report_day").cast("timestamp").as("report_day"), col("wau"))
       .orderBy(col("report_day"))
+  }
+
+  /** The shared weighted-rank apparatus (a4_weighted_median /
+    * a4_median_ci / a4_weighted_quantiles): given an already-collapsed
+    * (strata..., valCol, wCol) table — ONE row per distinct value per
+    * stratum, caller localCheckpoints it since this reads it twice —
+    * append the inclusive cumulative weight `out` in ascending valCol
+    * order within each stratum. No per-stratum sort and no
+    * single-partition window at ANY stratum geometry: 31 cheapCuts
+    * boundaries bucket the value axis (a monotone coarsening, so the
+    * prefix-sum identity gives the exact cumulative whatever the
+    * boundary values) and the distributed prefix sum does the rest.
+    * Every weighted order statistic is then one filtered min:
+    * value at weighted rank r = min(valCol where out ≥ r). */
+  private def weightedCum(byVal: DataFrame, strata: Seq[String],
+      valCol: String, wCol: String, out: String): DataFrame = {
+    val names = (1 to 31).map(k => s"_wc$k")
+    val cutsF = graft.operators.Percentiles.cheapCuts(byVal, valCol, names)
+    val bucketed = byVal.crossJoin(broadcast(cutsF))
+      .withColumn("_wbk", names.map(n =>
+        when(col(valCol) >= col(n), 1L).otherwise(0L)).reduce(_ + _))
+      .drop(names: _*)
+    graft.operators.Partitioning.prefixSum(
+        bucketed, strata, col("_wbk"), Seq(col(valCol)), col(wCol), out)
+      .drop("_wbk")
   }
 
   /** The co-purchase graph artifact, persisted build-once/probe-many
@@ -3446,6 +3487,24 @@ object AnalyticsQueries {
         |  MIN(CASE WHEN cum >= r.rlo THEN cents END) AS lo_cents,
         |  MIN(CASE WHEN cum >= r.rhi THEN cents END) AS hi_cents
         |FROM c, r GROUP BY 1, 2, 3 ORDER BY n""".stripMargin,
+
+    "a4_weighted_quantiles" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(ROUND(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT flag, cents, SUM(w) AS w FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM g)
+        |SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+        |  CAST(MIN(CASE WHEN 100 * cw >= 10 * tw THEN cents END) AS BIGINT) AS p10_cents,
+        |  CAST(MIN(CASE WHEN 100 * cw >= 25 * tw THEN cents END) AS BIGINT) AS p25_cents,
+        |  CAST(MIN(CASE WHEN 100 * cw >= 50 * tw THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN 100 * cw >= 75 * tw THEN cents END) AS BIGINT) AS p75_cents,
+        |  CAST(MIN(CASE WHEN 100 * cw >= 90 * tw THEN cents END) AS BIGINT) AS p90_cents
+        |FROM c GROUP BY 1 ORDER BY flag""".stripMargin,
 
     "a4_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag,
