@@ -101,6 +101,8 @@ object MergeIntoGraft {
     """(?is)\s*OPTIMIZE\s+(\w+)\.(\w+)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val VacuumRe = """(?is)\s*VACUUM\s+(\w+)\s*;?\s*""".r
   private val HistoryRe = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\.(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** Maintenance verbs Spark's grammar doesn't know (the Delta-style
     * extension point is exactly this: claim the statement text before
@@ -110,6 +112,7 @@ object MergeIntoGraft {
     *   OPTIMIZE <graft_cat>.<t> ZORDER BY (x, y)     → z-order rewrite
     *   VACUUM <graft_cat>                            → store-wide vacuum
     *   DESCRIBE HISTORY <graft_cat>.<t>              → version chain
+    *   RESTORE TABLE <graft_cat>.<t> TO VERSION AS OF k → version rollback
     *
     * Returns None unless the statement names a configured graft
     * catalog — anything else falls through to Spark's parser (and its
@@ -124,6 +127,8 @@ object MergeIntoGraft {
         Some(GraftVacuumCommand(cat))
       case HistoryRe(cat, table) if graftCatalogs(session).contains(cat) =>
         Some(GraftHistoryCommand(cat, table))
+      case RestoreRe(cat, table, k) if graftCatalogs(session).contains(cat) =>
+        Some(GraftRestoreCommand(cat, table, k.toInt))
       case _ => None
     }
 
@@ -367,6 +372,21 @@ case class GraftHistoryCommand(catalog: String, table: String)
     GraftDml.store(session, catalog).history(session, table).map { h =>
       Row(h.stepsBack.toLong, h.version, h.commitMeta.orNull, h.nFiles, h.bytes, h.hasDeletes)
     }
+}
+
+/** `RESTORE TABLE <cat>.<t> TO VERSION AS OF k` — version rollback as
+  * a NEW commit: the version k commits back is re-listed at the head
+  * of the manifest chain (metadata only — no data copy, O(1) at any
+  * table size), history grows rather than truncates, and both
+  * lineages stay readable (`DESCRIBE HISTORY` shows the restored dir
+  * in two chain positions; `VERSION AS OF 1` is the pre-restore
+  * current). `k` uses the same steps-back notion as `VERSION AS OF`. */
+case class GraftRestoreCommand(catalog: String, table: String,
+    stepsBack: Int) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftDml.store(session, catalog).restore(session, table, stepsBack)
+    Seq.empty
+  }
 }
 
 /** `VACUUM <cat>` — store-wide debris collection: orphaned temp dirs

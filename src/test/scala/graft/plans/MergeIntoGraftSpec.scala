@@ -197,6 +197,57 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(rows.forall(!_._3))  // no pending deletion vectors
   }
 
+  test("RESTORE re-commits an old version: history grows, both lineages readable, aliased DV write refused") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-restore").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    def batch(v: Int) = Seq((1L, s"s$v")).toDF("k", "s")
+    store.upsert(spark, "t", batch(1), Seq("k"))
+    store.upsert(spark, "t", batch(2), Seq("k"))
+    store.upsert(spark, "t", batch(3), Seq("k"))
+    register("graft_rstspec", path)
+    val before = store.history(spark, "t").map(_.version)
+
+    spark.sql("RESTORE TABLE graft_rstspec.t TO VERSION AS OF 2")
+
+    // current state == the state 2 commits back (the first batch)
+    val cur = store.read(spark, "t").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(cur.toSeq == Seq(("s1", 1L)))
+    // history GREW (never truncates): restored dir in BOTH positions
+    val after = store.history(spark, "t")
+    assert(after.length == 4)
+    assert(after.head.version == before(2))
+    assert(after.map(_.version).tail == before)
+    assert(spark.sql("DESCRIBE HISTORY graft_rstspec.t").count() == 4L)
+    // the pre-restore current is still readable one step back
+    val prev = store.readVersionsBack(spark, "t", 1)
+      .collect().map(r => r.getString(1))
+    assert(prev.toSeq == Seq("s3"))
+    // in-place DV mutation of the aliased dir would rewrite history:
+    // refused loudly until a data commit re-separates the lineages
+    val e = intercept[IllegalArgumentException] {
+      store.deleteWhereMor(spark, "t", col("k") === 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("aliased by a RESTORE"))
+    store.upsert(spark, "t", batch(4), Seq("k")) // fresh dir at the head
+    store.deleteWhereMor(spark, "t", col("k") === 999L, Seq("k")) // resumes
+    assert(store.read(spark, "t").collect().map(_.getString(1)).toSeq == Seq("s4"))
+  }
+
+  test("RESTORE to a DV-carrying version composes: the restored read applies the DV") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-restore-dv").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    store.upsert(spark, "t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    store.deleteWhereMor(spark, "t", col("k") === 2L, Seq("k")) // DV on v1
+    store.upsert(spark, "t", Seq((4L, "d")).toDF("k", "v"), Seq("k")) // v2
+    register("graft_rstdv", path)
+    spark.sql("RESTORE TABLE graft_rstdv.t TO VERSION AS OF 1")
+    // the restored current serves v1's SURVIVING rows (DV applied)
+    assert(store.read(spark, "t").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("OPTIMIZE on a non-graft name falls through to Spark's own parser error") {
     intercept[Exception] { spark.sql("OPTIMIZE some_other.t") }
     // and the failure is Spark's parse error, not a graft command
