@@ -373,6 +373,74 @@ object StreamQueries {
         .orderBy("click_id", "err_id")
     }),
 
+    // ---- T3/J4 STREAMED FULL-OUTER interval join, oracle-gated ------
+    // Bidirectional attribution end to end (VERDICT r9 next #6): the
+    // left-outer gate's watermark-proven-miss discipline applied to
+    // BOTH sides — a click with no error within 30 min emits
+    // (click_id, -1), an error no click claims emits (-1, err_id),
+    // each exactly once and only after the watermark proves no match
+    // can still arrive. The two-sentinel tail trick is already
+    // symmetric (both staged sides carry them), so the same staging
+    // serves: sentinel #1 pushes both watermarks past every real
+    // event, sentinel #2's batch runs under that watermark and
+    // flushes the remaining miss rows on BOTH sides. Sentinel rows
+    // (user -999, negative ids) pair only with each other and are
+    // dropped in foreachBatch — the filter keeps a row iff NEITHER
+    // side shows a sentinel id (null sides pass: that's the miss
+    // being reported). Final stored set must equal the one-shot
+    // batch FULL JOIN.
+    "t3_stream_join_full" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("r_ts"))
+      val maxTs = e.agg(max(col("ts"))).head.getTimestamp(0)
+      def far(h: Int) = new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000L)
+      def cSent(h: Int) = Seq((-1L - h, -999L, far(h))).toDF("click_id", "user_id", "ts")
+      def eSent(h: Int) = Seq((-11L - h, -999L, far(h))).toDF("err_id", "user_id", "r_ts")
+      val base = s"/root/repo/target/tmp/stream-join-full/v1/${Tables.fileKey(s, dir, "events.parquet")}"
+      stageOrderedWithTails(s, clicks, "ts", s"$base/clicks", 3, Seq(cSent(3), cSent(4)))
+      stageOrderedWithTails(s, errors, "r_ts", s"$base/errors", 3, Seq(eSent(3), eSent(4)))
+      val runDir = s"$base/run"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val lstream = s.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+      val rstream = s.readStream.schema(errors.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/errors")
+      val q = withStatePartitions(s, 8) {
+        Streams.intervalJoinFullOuter(lstream, rstream, "user_id",
+            leftTs = "ts", rightTs = "r_ts",
+            watermark = "2 hours", maxDelay = "30 minutes")
+          .select(col("click_id"), col("err_id"))
+          .writeStream.outputMode("append")
+          // sentinel filter inside foreachBatch (the left-outer gate's
+          // lesson: pushed below the watermark node it kills the
+          // watermark advance); null sides PASS — they are the misses
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val out = b
+              .filter((col("click_id").isNull || col("click_id") >= 0) &&
+                (col("err_id").isNull || col("err_id") >= 0))
+              .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+                coalesce(col("err_id"), lit(-1L)).as("err_id"))
+            store.upsert(b.sparkSession, "matches", out, Seq("click_id", "err_id"),
+              numFiles = Some(1), batchId = Some(id))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "matches")
+        .select(col("click_id"), col("err_id"))
+        .orderBy("click_id", "err_id")
+    }),
+
     // ---- T4 STREAMED arbitrary-state sessionization, oracle-gated ---
     // The flatMapGroupsWithState path end to end (the last streaming
     // operator that was spec-only, VERDICT r3 missing #1): events
@@ -1535,6 +1603,21 @@ object StreamQueries {
         |  ON e.user_id = c.user_id AND e.event_type = 'error'
         | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '30 minutes'
         |WHERE c.event_type = 'click'
+        |ORDER BY click_id, err_id""".stripMargin,
+
+    // the streamed FULL-OUTER interval join's final set must equal the
+    // one-shot batch full join: matched pairs + one null-extended row
+    // per never-matched row on EACH side, nothing double-emitted
+    "t3_stream_join_full" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS err_id, user_id, ts AS r_ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT COALESCE(c.click_id, -1) AS click_id,
+        |       COALESCE(e.err_id, -1) AS err_id
+        |FROM c FULL JOIN e
+        |  ON e.user_id = c.user_id
+        | AND e.r_ts >= c.ts AND e.r_ts <= c.ts + INTERVAL '30 minutes'
         |ORDER BY click_id, err_id""".stripMargin,
 
     // the streamed windowed aggregate's FINAL STATE must equal the
