@@ -28,11 +28,19 @@ object Ivf {
     * `iters` Lloyd passes. Returns (centroid_id, centroid array). */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
-    var centroids = emb.orderBy(col(idCol)).limit(k)
+    val init = emb.orderBy(col(idCol)).limit(k)
       .select(monotonically_increasing_id().as("cid"), col(vecCol).cast("array<double>").as("cvec"))
       .collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    lloydRefine(emb, idCol, vecCol, init, iters)
+  }
+
+  /** The shared Lloyd loop: `iters` assignment+decimal-exact-mean
+    * rounds from a given init (centroid ids keep init order). */
+  private def lloydRefine(emb: DataFrame, idCol: String, vecCol: String,
+      init: Array[(Long, Seq[Double])], iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids = init
     import spark.implicits._
     for (_ <- 1 to iters) {
       val cdf = centroids.toSeq.toDF("cid", "cvec")
@@ -83,6 +91,132 @@ object Ivf {
     val cdf = store.read(spark, s"${name}_centroids")
     // int cid: hive partition-type inference round-trips int losslessly
     // (TableStore.upsertPartitioned contract); nClusters is int-sized
+    val postings = assign(emb, idCol, vecCol, cdf)
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .withColumn("cid", col("cid").cast("int"))
+    store.replacePartitions(spark, s"${name}_postings", postings, "cid")
+  }
+
+  /** kmeans‖ oversampled seeding (Bahmani et al., VLDB 2012 —
+    * "Scalable K-Means++"), the large-k init path (VERDICT r9 next
+    * #3, the last documented-not-wired scale plan): sequential
+    * k-means++ (and Gonzalez's farthest-first) needs k DEPENDENT
+    * passes — a non-starter for IVF at 100 TB, where k is in the
+    * thousands. kmeans‖ collapses that to O(`rounds`) passes, each
+    * sampling ~ℓ = `l` points INDEPENDENTLY with probability
+    * min(1, ℓ·d²(x,C)/φ) (φ = Σ d² — the k-means potential), then
+    * reduces the ~1+rounds·ℓ weighted candidates to k driver-side.
+    *
+    * Engine-exact determinism (the a18_dp_counts seeding discipline):
+    * the "draw" is a content-hash u6 = md5(id, round) mod 1e6 and the
+    * acceptance test is the integer cross-multiplication
+    * u6·φ < ℓ·1e6·d² routed through DECIMAL(38,0) (φ is corpus-scale),
+    * so two runs — or two engines — pick identical candidates.
+    * Distances are exact longs on 1e-6-quantized coords
+    * (Kmeans.scaledVec; the shift cancels in differences).
+    *
+    * Scale shape per round: one filter-scan for the sample (expected
+    * ℓ rows collected — bounded, model-sized), one broadcast
+    * min-distance update against the ≤ℓ-row new batch (shuffle on id
+    * only; vectors never leave their partition), one 1-row φ
+    * aggregate; the running frame localCheckpoints so rounds never
+    * re-derive. The driver-side reduction is the deterministic greedy
+    * weighted-D² rule — heaviest candidate first, then argmax of
+    * w_c · d²(c, chosen) (ties → smallest id) — over ~rounds·ℓ
+    * candidates (k-means++'s D² objective with the randomness
+    * removed; O(|C|²·k) driver flops on a model-sized set).
+    * Returns exactly k rows (cid, cvec) ready for [[lloydRefine]] /
+    * `{name}_centroids`. */
+  def scalableSeeds(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, l: Int = 0, rounds: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ell = if (l > 0) l else 2 * k // Bahmani's ℓ = Θ(k)
+    def d2Lit(c: Seq[Long]): Column = aggregate(
+      zip_with(col("x6"), typedLit(c), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val x0 = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      Kmeans.scaledVec(col(vecCol)).as("x6"))
+    val first = x0.orderBy("id").limit(1).head()
+    var cand = Vector[(Long, Seq[Double], Seq[Long])](
+      (first.getLong(0), first.getSeq[Double](1), first.getSeq[Long](2)))
+    var x = x0.withColumn("m", d2Lit(cand.head._3)).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val phiDec = x.agg(sum(col("m")).cast("decimal(38,0)")).head.getDecimal(0)
+      if (phiDec != null && phiDec.signum > 0) {
+        val u6 = conv(substring(md5(concat(col("id").cast("string"),
+          lit(s"_kpar_$r"))), 1, 15), 16, 10).cast("long") % 1000000L
+        val picked = x.filter(
+            u6.cast("decimal(38,0)") * lit(phiDec) <
+              col("m").cast("decimal(38,0)") * lit(ell.toLong * 1000000L))
+          .select(col("id"), col("v"), col("x6")).collect()
+        val fresh = picked.toVector
+          .map(p => (p.getLong(0), p.getSeq[Double](1), p.getSeq[Long](2)))
+          .filterNot(c => cand.exists(_._1 == c._1))
+        if (fresh.nonEmpty) {
+          cand = cand ++ fresh
+          val batch = fresh.map(c => c._3).toDF("s6")
+          val nd = x.crossJoin(broadcast(batch))
+            .select(col("id"), aggregate(
+              zip_with(col("x6"), col("s6"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, v) => acc + v).as("nd"))
+            .groupBy("id").agg(min(col("nd")).as("nd"))
+          x = x.join(nd, Seq("id"))
+            .select(col("id"), col("v"), col("x6"),
+              least(col("m"), col("nd")).as("m"))
+            .localCheckpoint()
+        }
+      }
+    }
+    require(cand.length >= k,
+      s"kmeans|| collected ${cand.length} candidates < k=$k — raise l/rounds")
+    // candidate weights: |points nearest to c| (one broadcast argmin
+    // pass; ties → smallest candidate id, the Kmeans.assign rule)
+    val candDf = cand.map(c => (c._1, c._3)).toDF("sid", "s6")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cd"), col("sid"))
+    val weights = x.crossJoin(broadcast(candDf))
+      .select(col("id"), col("sid"), aggregate(
+        zip_with(col("x6"), col("s6"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v).as("cd"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("sid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side deterministic reduction to k: greedy weighted D²
+    def d2(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = cand.sortBy(_._1)
+    val w0 = byId.maxBy(c => (weights.getOrElse(c._1, 0L), -c._1))
+    var chosen = Vector(w0)
+    var minD2 = byId.map(c => c._1 -> d2(c._3, w0._3)).toMap
+    while (chosen.length < k) {
+      val next = byId.filterNot(c => chosen.exists(_._1 == c._1))
+        .maxBy(c => (BigInt(weights.getOrElse(c._1, 0L)) * BigInt(minD2(c._1)), -c._1))
+      chosen = chosen :+ next
+      minD2 = minD2.map { case (id, m) =>
+        id -> math.min(m, d2(byId.find(_._1 == id).get._3, next._3)) }
+    }
+    chosen.zipWithIndex.map { case (c, i) => (i.toLong, c._2) }.toDF("cid", "cvec")
+  }
+
+  /** [[buildIndex]] with kmeans‖ seeding instead of lowest-id init —
+    * the build that survives k in the thousands: O(rounds) corpus
+    * passes to seed (never k), then the same `iters` Lloyd refinement
+    * and the same persisted-centroid/postings contract, so every
+    * probe/fold/remove path works unchanged on the resulting index. */
+  def buildIndexScalable(emb: DataFrame, idCol: String, vecCol: String,
+      store: TableStore, name: String, nClusters: Int = 16, iters: Int = 3,
+      l: Int = 0, rounds: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    val init = scalableSeeds(emb, idCol, vecCol, nClusters, l, rounds)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val centroids = lloydRefine(emb, idCol, vecCol, init, iters)
+    store.replace(spark, s"${name}_centroids", centroids)
+    val cdf = store.read(spark, s"${name}_centroids")
     val postings = assign(emb, idCol, vecCol, cdf)
       .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
       .withColumn("cid", col("cid").cast("int"))

@@ -94,6 +94,40 @@ object VectorQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // ---- X2 IVF with kmeans‖ (scalable) seeding ---------------------
+    // The large-k build path wired end to end (VERDICT r9 next #3 —
+    // the last documented-not-wired scale plan): seeds come from
+    // Bahmani's kmeans‖ oversampling — O(rounds) independent-sampling
+    // passes with content-hash draws (engine-exact determinism, the
+    // a18_dp_counts discipline) instead of k dependent farthest-first
+    // passes, then a driver-side weighted-D² reduction over the
+    // model-sized candidate set — so the build survives k in the
+    // thousands where Gonzalez/k-means++ serializes. The seeds feed
+    // the SAME Lloyd refinement and persisted centroids/postings
+    // contract as the stock build (probe/fold/remove unchanged).
+    // Shares the brute-force oracle: ScalableSeedsSpec pins per sf
+    // that the nprobe=12 shortlist contains the exact top-10 (the
+    // measured cliff on this NEAR-UNIFORM synthetic corpus is cell
+    // rank 11 — uniform noise has no cluster structure, so the
+    // funnel is weak by construction; clustered real embeddings are
+    // what give IVF its nprobe≪K cut, and the seed quality itself is
+    // bound-gated per sf: coverage radius² ≤ 2× the exact Gonzalez
+    // farthest-first baseline, measured 1.03–1.11×).
+    "x2_ivf_scalable_topk" -> ((s, dir) => {
+      Functions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/ivf-scal/v2/${indexKey(s, dir)}")
+      if (!store.exists(s, "ivf_centroids") || !store.exists(s, "ivf_postings"))
+        graft.operators.Ivf.buildIndexScalable(
+          emb, "vec_id", "embedding", store, "ivf", iters = 6)
+      graft.operators.Ivf.probeTopK(s, store, "ivf",
+          emb.filter(col("vec_id") === 0L).select("embedding"),
+          queryId = 0L, k = 10, nprobe = 12)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // ---- X2 BATCH IVF probe (the serving shape) ---------------------
     // Top-5 for a 5-query batch in ONE pass over the persisted index:
     // per-query probe cells from one broadcast cosine over the K-row
@@ -1390,6 +1424,9 @@ object VectorQueries {
         |SELECT vec_id, label, rk, nb_id, sim6 FROM r
         |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "x2_ivf_topk" -> TopkOracleSql,
+    // kmeans||-seeded index must serve the same exact top-10
+    // (ScalableSeedsSpec pins shortlist ⊇ truth per sf at nprobe=12)
+    "x2_ivf_scalable_topk" -> TopkOracleSql,
     "x2_ivfpq_topk" -> TopkOracleSql,
     // the half-built + folded index must serve the exact full-corpus
     // ranking (lost folds / double-indexing / mis-assignment all
