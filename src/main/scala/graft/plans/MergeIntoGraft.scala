@@ -232,9 +232,8 @@ case class GraftMergeCommand(catalog: String, table: String, keys: Seq[String],
     source: LogicalPlan) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
-    val root = session.conf.get(s"spark.sql.catalog.$catalog.root")
     val src = org.apache.spark.sql.graft.Bridge.ofRows(session, source)
-    new TableStore(root).upsert(session, table, src, keys)
+    GraftDml.store(session, catalog).upsert(session, table, src, keys)
     Seq.empty
   }
 }
@@ -256,8 +255,16 @@ object CarriedExpr { def apply(e: Expression): CarriedExpr = new CarriedExpr(e) 
   * dirs), so SQL statements hit the touched-partitions-only rewrite
   * exactly like the programmatic calls. */
 private object GraftDml {
-  def store(session: SparkSession, catalog: String): TableStore =
-    new TableStore(session.conf.get(s"spark.sql.catalog.$catalog.root"))
+  /** Store root from the catalog conf; optional
+    * `spark.sql.catalog.<cat>.retain` sets the version-retention
+    * window for SQL WRITES (how many previous versions each commit
+    * keeps — what `VERSION AS OF` / RESTORE can reach). Default 0 =
+    * current-only, the store's own default. */
+  def store(session: SparkSession, catalog: String): TableStore = {
+    val retain = session.conf.getOption(s"spark.sql.catalog.$catalog.retain")
+      .map(_.toInt).getOrElse(0)
+    new TableStore(session.conf.get(s"spark.sql.catalog.$catalog.root"), retain)
+  }
   def partCol(session: SparkSession, st: TableStore, table: String): Option[String] =
     st.partitionedLeafPaths(session, table).flatMap(_.headOption).map { leaf =>
       new org.apache.hadoop.fs.Path(leaf).getParent.getName.split("=")(0)

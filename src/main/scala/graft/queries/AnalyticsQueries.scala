@@ -2173,6 +2173,43 @@ object AnalyticsQueries {
         .orderBy($"flag")
     }),
 
+    // ---- A4 family: weighted TRIMMED mean (p10–p90) ------------------
+    // The consumer the quantile ladder exists for: the
+    // token-weighted trimmed mean — "average unit price over the
+    // middle 80% of quantity-weight" — the robust location estimate a
+    // curation pipeline reports after cutting weighted tails. One
+    // more pass over the SAME apparatus: the p10/p90 weighted order
+    // statistics come out of the shared prefix-sum cum pass (two
+    // filtered mins), broadcast back as a 1-row-per-flag bound frame,
+    // and the trimmed mean is one aggregate over the collapsed table
+    // with lo ≤ cents ≤ hi — weighted numerator on DECIMAL(38,0)
+    // (Σ w·cents would wrap BIGINT at extreme scale), reported as
+    // exact integer micro-cents (swc·10⁶ div sw, truncating in both
+    // engines on non-negatives).
+    "a4_weighted_trimmed" -> ((s, dir) => {
+      import s.implicits._
+      val byPrice = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"),
+          round($"l_extendedprice" * 100).cast("long").as("cents"),
+          round($"l_quantity").cast("long").as("w"))
+        .groupBy($"flag", $"cents").agg(sum($"w").as("w"))
+        .localCheckpoint()
+      val cum = weightedCum(byPrice, Seq("flag"), "cents", "w", "cw")
+      val tot = byPrice.groupBy($"flag").agg(sum($"w").as("tw"))
+      val bounds = cum.join(broadcast(tot), Seq("flag"))
+        .groupBy($"flag")
+        .agg(min(when($"cw" * 100 >= $"tw" * 10, $"cents")).as("lo"),
+          min(when($"cw" * 100 >= $"tw" * 90, $"cents")).as("hi"))
+      byPrice.join(broadcast(bounds), Seq("flag"))
+        .filter($"cents" >= $"lo" && $"cents" <= $"hi")
+        .groupBy($"flag")
+        .agg(max($"lo").as("lo_cents"), max($"hi").as("hi_cents"),
+          sum($"w").as("kept_weight"),
+          expr("CAST((SUM(CAST(w AS DECIMAL(38,0)) * cents) * 1000000) div SUM(w) AS BIGINT)")
+            .as("trimmed_mean_micro"))
+        .orderBy($"flag")
+    }),
+
     // ---- A4x: distribution-free CI for the MEDIAN --------------------
     // The order-statistic interval (binomial/normal-approx ranks —
     // the nonparametric textbook form): ranks lo = ⌊(n − z√n)/2⌋ and
@@ -3505,6 +3542,29 @@ object AnalyticsQueries {
         |  CAST(MIN(CASE WHEN 100 * cw >= 75 * tw THEN cents END) AS BIGINT) AS p75_cents,
         |  CAST(MIN(CASE WHEN 100 * cw >= 90 * tw THEN cents END) AS BIGINT) AS p90_cents
         |FROM c GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "a4_weighted_trimmed" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(ROUND(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT flag, cents, SUM(w) AS w FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM g),
+        |b AS (SELECT flag,
+        |    MIN(CASE WHEN 100 * cw >= 10 * tw THEN cents END) AS lo,
+        |    MIN(CASE WHEN 100 * cw >= 90 * tw THEN cents END) AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT g.flag, CAST(MAX(b.lo) AS BIGINT) AS lo_cents,
+        |  CAST(MAX(b.hi) AS BIGINT) AS hi_cents,
+        |  CAST(SUM(g.w) AS BIGINT) AS kept_weight,
+        |  CAST((SUM(CAST(g.w AS HUGEINT) * g.cents) * 1000000) // SUM(g.w) AS BIGINT)
+        |    AS trimmed_mean_micro
+        |FROM g JOIN b ON g.flag = b.flag
+        |WHERE g.cents >= b.lo AND g.cents <= b.hi
+        |GROUP BY 1 ORDER BY g.flag""".stripMargin,
 
     "a4_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag,

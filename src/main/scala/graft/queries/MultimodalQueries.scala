@@ -213,6 +213,38 @@ object MultimodalQueries {
     })
   )
 
+  /** Shared by x4_audio_features (one-shot) and t20_stream_audio (the
+    * streamed decode fold must be batch-identical): every stat
+    * replayed from the synthesis formula sample(i) = (id·13+7i)%256
+    * over n = 256+id%512 frames, centered at 128. The crossing walk
+    * lags within each clip ordered by i; milli-RMS shares the exact
+    * FLOOR(SQRT(sum_sq/n)·1000) expression with the Spark side (IEEE
+    * sqrt/division are correctly rounded in both engines). */
+  private[queries] val AudioFeaturesOracleSql: String =
+    """WITH aud AS (
+      |  SELECT doc_id, 256 + doc_id % 512 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT a.doc_id, a.n, i.i,
+      |         CAST((a.doc_id * 13 + 7 * i.i) % 256 AS BIGINT) AS v
+      |  FROM aud a, range(0, 768) i(i) WHERE i.i < a.n),
+      |l AS (
+      |  SELECT doc_id, n, i, v,
+      |         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s),
+      |f AS (
+      |  SELECT doc_id, n,
+      |         CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak,
+      |         CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS sum_sq,
+      |         CAST(SUM(CASE WHEN pv IS NOT NULL
+      |                        AND (v < 128) <> (pv < 128) THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS zero_crossings
+      |  FROM l GROUP BY doc_id, n)
+      |SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples, peak, sum_sq, zero_crossings,
+      |  CAST(FLOOR(SQRT(sum_sq / CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS rms_milli
+      |FROM f ORDER BY media_id""".stripMargin
+
   /** Shared by x4_resize (one-shot) and t17_stream_media (the
     * streamed decode→resize fold must be batch-identical). */
   private[queries] val ResizeOracleSql: String =
@@ -348,35 +380,9 @@ object MultimodalQueries {
         |FROM (SELECT * FROM ipx UNION ALL SELECT * FROM apx)
         |ORDER BY media_id""".stripMargin,
 
-    // replay every audio stat from the synthesis formula: sample(i) =
-    // (id·13+7i)%256 over n = 256+id%512 frames, centered at 128.
-    // The crossing walk lags within each clip ordered by i; milli-RMS
-    // shares the exact FLOOR(SQRT(sum_sq/n)·1000) expression with the
-    // Spark side (IEEE sqrt/division are correctly rounded in both).
-    "x4_audio_features" ->
-      """WITH aud AS (
-        |  SELECT doc_id, 256 + doc_id % 512 AS n
-        |  FROM documents WHERE doc_id % 3 = 1),
-        |s AS (
-        |  SELECT a.doc_id, a.n, i.i,
-        |         CAST((a.doc_id * 13 + 7 * i.i) % 256 AS BIGINT) AS v
-        |  FROM aud a, range(0, 768) i(i) WHERE i.i < a.n),
-        |l AS (
-        |  SELECT doc_id, n, i, v,
-        |         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-        |  FROM s),
-        |f AS (
-        |  SELECT doc_id, n,
-        |         CAST(MAX(ABS(v - 128)) AS BIGINT) AS peak,
-        |         CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS sum_sq,
-        |         CAST(SUM(CASE WHEN pv IS NOT NULL
-        |                        AND (v < 128) <> (pv < 128) THEN 1 ELSE 0 END) AS BIGINT)
-        |           AS zero_crossings
-        |  FROM l GROUP BY doc_id, n)
-        |SELECT doc_id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
-        |  CAST(n AS BIGINT) AS n_samples, peak, sum_sq, zero_crossings,
-        |  CAST(FLOOR(SQRT(sum_sq / CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS rms_milli
-        |FROM f ORDER BY media_id""".stripMargin,
+    // replay every audio stat from the synthesis formula — one text,
+    // two read APIs (the one-shot decode and the streamed ingest)
+    "x4_audio_features" -> AudioFeaturesOracleSql,
 
     // every 1024-byte stride contributes one 256-byte (or tail) frame;
     // frames start at offsets 0, 1024, 2048, ...

@@ -1259,6 +1259,54 @@ object StreamQueries {
       store.read(s, "thumbs").drop("_md_bn").orderBy("media_id")
     }),
 
+    // ---- T20: STREAMED audio ingest, oracle-gated -------------------
+    // t17_stream_media's audio sibling (x4_audio_features maintained
+    // LIVE): document micro-batches synthesize + DECODE their WAV
+    // payloads on the executors (payloads never shuffle; the store
+    // receives only the integer triage stats), each batch landing by
+    // an idempotent per-batch partition commit. The final store must
+    // hash-match the one-shot batch oracle — same text as
+    // x4_audio_features, so a dropped batch, a double-applied replay,
+    // or a per-batch decode divergence breaks the gate.
+    "t20_stream_audio" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = s"/root/repo/target/tmp/stream-audio/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, docs, "doc_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            val sb = batch.sparkSession
+            val feats = graft.multimodal.Multimodal.audioFeatures(
+                graft.multimodal.Multimodal.decodableMediaFromDocuments(batch))
+              .toDF
+              .select(col("mediaId").as("media_id"),
+                col("sampleRate").cast("long").as("sample_rate"),
+                col("nSamples").as("n_samples"), col("peak"),
+                col("sumSq").as("sum_sq"),
+                col("zeroCrossings").as("zero_crossings"),
+                expr("CAST(FLOOR(SQRT(sumSq / CAST(nSamples AS DOUBLE)) * 1000) AS BIGINT)")
+                  .as("rms_milli"))
+            store.replacePartitions(sb, "audio",
+              feats.withColumn("_au_bn", lit(bid)), "_au_bn")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      store.read(s, "audio").drop("_au_bn").orderBy("media_id")
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1520,6 +1568,9 @@ object StreamQueries {
     // the streamed decode→resize fold must equal the one-shot batch
     // run — same text as x4_resize
     "t17_stream_media" -> MultimodalQueries.ResizeOracleSql,
+    // the streamed audio-decode fold must be batch-identical — one
+    // text, two read APIs (x4_audio_features is the one-shot form)
+    "t20_stream_audio" -> MultimodalQueries.AudioFeaturesOracleSql,
 
     "t10_stream_neardup" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

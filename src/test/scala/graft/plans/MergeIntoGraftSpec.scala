@@ -234,6 +234,26 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.read(spark, "t").collect().map(_.getString(1)).toSeq == Seq("s4"))
   }
 
+  test("catalog retain conf: a pure-SQL write flow keeps history for VERSION AS OF and RESTORE") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-retain").toString
+    register("graft_ret", path)
+    spark.conf.set("spark.sql.catalog.graft_ret.retain", "2")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "s").createOrReplaceTempView("ret_b1")
+    Seq((1L, "b")).toDF("k", "s").createOrReplaceTempView("ret_b2")
+    spark.sql("CREATE TABLE graft_ret.kv AS SELECT k, s FROM ret_b1")
+    spark.sql("""MERGE INTO graft_ret.kv t USING ret_b2 u ON t.k = u.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // retain=2 through the SQL write path: both commits readable
+    assert(spark.sql("DESCRIBE HISTORY graft_ret.kv").count() == 2L)
+    assert(spark.sql("SELECT s FROM graft_ret.kv VERSION AS OF 1")
+      .head().getString(0) == "a")
+    spark.sql("RESTORE TABLE graft_ret.kv TO VERSION AS OF 1")
+    assert(spark.sql("SELECT s FROM graft_ret.kv").head().getString(0) == "a")
+    assert(spark.sql("DESCRIBE HISTORY graft_ret.kv").count() == 3L)
+  }
+
   test("RESTORE to a DV-carrying version composes: the restored read applies the DV") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-restore-dv").toString
     val store = new TableStore(path, retain = 2)
