@@ -673,9 +673,10 @@ object AnalyticsQueries {
         .withColumn("u6",
           conv(substring(md5(concat($"user_id".cast("string"), lit("_"),
             $"b".cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L)
-        // thresholds are ⌈1e6·CDF⌉ of Poisson(1): 1/e, 2/e, 5/(2e),
-        // 8/(3e), 65/(24e) — ADVICE r9 fixed the w=3 bound (8/(3e)·1e6
-        // = 981011.84 → 981012, was 980988, a ~24 ppm mis-draw)
+        // thresholds are round(1e6·CDF) of Poisson(1): 1/e, 2/e,
+        // 5/(2e), 8/(3e), 65/(24e) — ADVICE r9 fixed the w=3 bound
+        // (8/(3e)·1e6 = 981011.84 → 981012, was 980988, a ~24 ppm
+        // mis-draw)
         .withColumn("w", when($"u6" < 367879L, 0L).when($"u6" < 735759L, 1L)
           .when($"u6" < 919699L, 2L).when($"u6" < 981012L, 3L)
           .when($"u6" < 996340L, 4L).otherwise(5L))

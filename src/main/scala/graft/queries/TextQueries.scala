@@ -1044,6 +1044,94 @@ object TextQueries {
         .orderBy("tier", "source")
     }),
 
+    // ---- X3: token-budget mixing plan --------------------------------
+    // The data-mixing worksheet every training run writes before it
+    // samples (the static half of mixture design): given per-tier
+    // token availability and DECLARED target shares (the x3_mixture
+    // tiers: 40/30/20/10%) against a total budget of half the corpus,
+    // compute per tier the sampling rate (capped at 1 — you cannot
+    // sample more than once without repeating), the epoch multiplier
+    // (>1e6 ppm = the tier must UPSAMPLE to hit its share), and the
+    // deficit the cap leaves. All exact integers; the budget
+    // arithmetic routes through DECIMAL(38,0) (target·1e6 wraps
+    // BIGINT at ~1e13 avail tokens — the 100 TB regime). One
+    // partial+final aggregate over a 2-column projection + a 1-row
+    // broadcast: the plan a 1000-executor cluster wants.
+    "x3_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables.documents(s, dir).select(
+        (expr("cast(substring(source, 4) as int)") % 4).as("tier"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val byTier = t.groupBy($"tier")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("avail_tok"))
+      val tot = byTier.agg(sum($"avail_tok").as("corpus_tok"))
+      byTier.crossJoin(broadcast(tot))
+        .withColumn("share_pct", when($"tier" === 0, 40L).when($"tier" === 1, 30L)
+          .when($"tier" === 2, 20L).otherwise(10L))
+        .withColumn("target_tok", expr("(corpus_tok div 2) * share_pct div 100"))
+        .select($"tier", $"n_docs", $"avail_tok", $"share_pct", $"target_tok",
+          expr("CAST(least(1000000, (CAST(target_tok AS DECIMAL(38,0)) * 1000000) div avail_tok) AS BIGINT)")
+            .as("rate_ppm"),
+          expr("CAST((CAST(target_tok AS DECIMAL(38,0)) * 1000000) div avail_tok AS BIGINT)")
+            .as("epochs_ppm"),
+          expr("greatest(0, target_tok - avail_tok)").as("deficit_tok"))
+        .orderBy($"tier")
+    }),
+
+    // ---- X3: context-length truncation waste -------------------------
+    // The question asked before picking a context length: how many
+    // tokens does hard truncation at L = 256 throw away, per language?
+    // kept = Σ min(t, L), waste = Σ max(0, t − L), plus the affected
+    // doc count and integer-ppm waste share. One aggregate; the
+    // companion to x3_pack_sequences (packing is what you do INSTEAD
+    // of truncating when the waste share says so).
+    "x3_truncation_waste" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", size(tokens($"text")).cast("long").as("t"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"t").as("total_tok"),
+          sum(least($"t", lit(256L))).as("kept_tok"),
+          sum(greatest($"t" - 256L, lit(0L))).as("waste_tok"),
+          sum(when($"t" > 256L, 1L).otherwise(0L)).as("n_truncated"))
+        .withColumn("waste_ppm", expr("(waste_tok * 1000000) div total_tok"))
+        .orderBy($"lang")
+    }),
+
+    // ---- X3: balanced shard plan (sorted round-robin) ----------------
+    // Writing N training shards of ~equal token mass: the classic
+    // sorted-round-robin heuristic — rank docs by token count
+    // descending (ties by doc_id) and assign shard = rank mod 8, so
+    // each shard gets one doc from every size stratum. The global
+    // rank comes from the DISTRIBUTED prefix sum over cheapCuts
+    // buckets of the NEGATED token count (monotone coarsening of the
+    // descending order — the a4_weighted_median apparatus; no
+    // single-partition window at any corpus size). Exact, determinist,
+    // and the oracle replays rank mod 8 via row_number. The per-shard
+    // token sums come out within one max-doc of each other by
+    // construction — the gate pins the exact assignment.
+    "x3_balanced_shards" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables.documents(s, dir)
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+        .withColumn("negtok", -$"n_tok")
+        .localCheckpoint()
+      val cutsF = graft.operators.Percentiles.cheapCuts(
+        t, "negtok", (1 to 31).map(k => s"c$k"))
+      val bucketed = t.crossJoin(broadcast(cutsF))
+        .withColumn("bk", (1 to 31).map(k =>
+          when($"negtok" >= col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .select($"doc_id", $"n_tok", $"negtok", $"bk")
+      val ranked = graft.operators.Partitioning.prefixSum(
+        bucketed, Nil, $"bk", Seq($"negtok", $"doc_id"), lit(1L), "rk")
+      ranked.withColumn("shard", ($"rk" - 1L) % 8L)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("shard_tok"),
+          min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
+        .orderBy($"shard")
+    }),
+
     "x3_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val win = Window.partitionBy("lang").orderBy("doc_id")
@@ -1712,6 +1800,53 @@ object TextQueries {
         |    (CASE tier WHEN 0 THEN 40 WHEN 1 THEN 30 WHEN 2 THEN 20 ELSE 10 END) * 200)
         |SELECT tier, source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the mixing worksheet: per-tier availability vs declared shares
+    // against a half-corpus budget; HUGEINT routes target*1e6
+    "x3_token_budget" ->
+      """WITH t AS (SELECT CAST(substring(source, 4) AS INT) % 4 AS tier,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT tier, COUNT(*) AS n_docs, SUM(n_tok) AS avail_tok FROM t GROUP BY 1),
+        |g AS (SELECT SUM(avail_tok) AS corpus_tok FROM b),
+        |p AS (SELECT tier, n_docs, avail_tok,
+        |    CASE tier WHEN 0 THEN 40 WHEN 1 THEN 30 WHEN 2 THEN 20 ELSE 10 END AS share_pct,
+        |    ((corpus_tok // 2) * (CASE tier WHEN 0 THEN 40 WHEN 1 THEN 30 WHEN 2 THEN 20 ELSE 10 END)) // 100 AS target_tok
+        |  FROM b, g)
+        |SELECT tier, CAST(n_docs AS BIGINT) AS n_docs, CAST(avail_tok AS BIGINT) AS avail_tok,
+        |  CAST(share_pct AS BIGINT) AS share_pct, CAST(target_tok AS BIGINT) AS target_tok,
+        |  CAST(LEAST(1000000, (CAST(target_tok AS HUGEINT) * 1000000) // avail_tok) AS BIGINT) AS rate_ppm,
+        |  CAST((CAST(target_tok AS HUGEINT) * 1000000) // avail_tok AS BIGINT) AS epochs_ppm,
+        |  CAST(GREATEST(0, target_tok - avail_tok) AS BIGINT) AS deficit_tok
+        |FROM p ORDER BY tier""".stripMargin,
+
+    // truncation accounting at L=256, per language
+    "x3_truncation_waste" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS t
+        |  FROM documents),
+        |f AS (SELECT lang, COUNT(*) AS n_docs, SUM(t) AS total_tok,
+        |    SUM(LEAST(t, 256)) AS kept_tok, SUM(GREATEST(t - 256, 0)) AS waste_tok,
+        |    SUM(CASE WHEN t > 256 THEN 1 ELSE 0 END) AS n_truncated
+        |  FROM t GROUP BY 1)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, CAST(total_tok AS BIGINT) AS total_tok,
+        |  CAST(kept_tok AS BIGINT) AS kept_tok, CAST(waste_tok AS BIGINT) AS waste_tok,
+        |  CAST(n_truncated AS BIGINT) AS n_truncated,
+        |  CAST((waste_tok * 1000000) // total_tok AS BIGINT) AS waste_ppm
+        |FROM f ORDER BY lang""".stripMargin,
+
+    // sorted round-robin shard assignment: rank by tokens desc, mod 8
+    "x3_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8 AS shard
+        |  FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS shard_tok,
+        |  CAST(MIN(n_tok) AS BIGINT) AS min_tok, CAST(MAX(n_tok) AS BIGINT) AS max_tok
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "x3_pack_sequences" ->
       """WITH t AS (SELECT lang, doc_id,
