@@ -122,6 +122,82 @@ object TextIndex {
       else segRow)
   }
 
+  /** Erasure — the GDPR path for the TEXT index (Ivf.remove's
+    * sibling): an erased document must stop being SERVABLE without
+    * rewriting the term-range-partitioned postings. Lucene's model,
+    * made exact: the cumulative TOMBSTONE set commits as ONE table
+    * (`<name>_dels`, a single atomic manifest swap — crash-safe and
+    * the single source of truth), and every probe reconstructs exact
+    * surviving-corpus semantics from it: candidates anti-join the
+    * tombstones, per-term df is DERIVED from the surviving probed
+    * postings (identical to the stored df when nothing is tombstoned),
+    * and the corpus stats subtract the tombstoned registry rows — so
+    * post-erasure scores are bit-identical to an index rebuilt on the
+    * survivors (TextIndexSpec pins it), not Lucene's drift-until-merge
+    * approximation. Probe overhead is one broadcast anti-join plus a
+    * tombstone-pruned doclen scan; delete cost is O(delete set).
+    * Idempotent: already-tombstoned or never-indexed ids are no-ops
+    * (returns the NEWLY tombstoned count). A tombstoned id cannot be
+    * re-folded — the registry keeps its row so the overlap check
+    * refuses; rebuilding from scratch IS compaction and clears
+    * tombstones. */
+  def remove(spark: SparkSession, store: TableStore, name: String,
+      ids: DataFrame, idCol: String): Long = {
+    val del = ids.select(col(idCol).as("doc_id")).distinct()
+    val indexed = del.join(doclenAll(spark, store, name).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val existing = delsAll(spark, store, name)
+    val fresh = existing.fold(indexed)(d =>
+      indexed.join(d, Seq("doc_id"), "left_anti"))
+    val n = fresh.count()
+    if (n == 0L) return 0L
+    store.replace(spark, s"${name}_dels",
+      existing.fold(fresh)(_.unionByName(fresh).distinct()))
+    n
+  }
+
+  /** The committed tombstone set, if any erasure ever ran. */
+  private def delsAll(spark: SparkSession, store: TableStore,
+      name: String): Option[DataFrame] =
+    if (store.exists(spark, s"${name}_dels"))
+      Some(store.read(spark, s"${name}_dels").select("doc_id"))
+    else None
+
+  /** Probe-side surviving views for `terms`: (postings, df, stats) with
+    * tombstoned docs dropped and df/stats corrected to exact
+    * surviving-corpus values. With no tombstones this returns the
+    * stored tables' frames unchanged (df from the stored additive
+    * tables — no extra work on the common path). */
+  private def survivingViews(spark: SparkSession, store: TableStore, name: String,
+      terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val post0 = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
+    delsAll(spark, store, name) match {
+      case None =>
+        (post0, dfAll(spark, store, name, terms), statsAll(spark, store, name))
+      case Some(d) =>
+        val post = post0.join(broadcast(d), Seq("doc_id"), "left_anti")
+        // df over the SURVIVING probed postings: one (term, doc) row
+        // per containing doc across base+segments (fold forbids
+        // duplicate ids), so the count IS the surviving df
+        val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+        val delStats = doclenAll(spark, store, name)
+          .join(broadcast(d), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("dn"), coalesce(sum(col("dl")), lit(0L)).as("dt"))
+        val stats = statsAll(spark, store, name).crossJoin(broadcast(delStats))
+          .select((col("n_docs") - col("dn")).as("n_docs"),
+            (col("total_tokens") - col("dt")).as("total_tokens"))
+        (post, dfreq, stats)
+    }
+  }
+
+  /** Positional rows for one term with tombstoned docs dropped. */
+  private def survivingPos(spark: SparkSession, store: TableStore, name: String,
+      term: String): DataFrame = {
+    val p = unionAll(spark, store, name, "pos").filter(col("term") === term)
+    delsAll(spark, store, name).fold(p)(d =>
+      p.join(broadcast(d), Seq("doc_id"), "left_anti"))
+  }
+
   /** Published segment ids (empty for a never-folded index). The
     * driver-side collect is segment-count-bounded — folds per
     * compaction cycle, not corpus size. */
@@ -167,9 +243,7 @@ object TextIndex {
   def bm25Search(spark: SparkSession, store: TableStore, name: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one probe term")
-    val post = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
-    val dfreq = dfAll(spark, store, name, terms)
-    val stats = statsAll(spark, store, name)
+    val (post, dfreq, stats) = survivingViews(spark, store, name, terms)
     val doclen = doclenAll(spark, store, name)
     post.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -208,9 +282,7 @@ object TextIndex {
     val terms = queries.select("term").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: |batch|·terms/query
     require(terms.nonEmpty, "need at least one probe term")
-    val post = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
-    val dfreq = dfAll(spark, store, name, terms)
-    val stats = statsAll(spark, store, name)
+    val (post, dfreq, stats) = survivingViews(spark, store, name, terms)
     val doclen = doclenAll(spark, store, name)
     post.join(broadcast(queries), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
@@ -239,7 +311,7 @@ object TextIndex {
       phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.length >= 2, "a phrase needs at least two terms")
     val legs = phrase.zipWithIndex.map { case (t, i) =>
-      unionAll(spark, store, name, "pos").filter(col("term") === t)
+      survivingPos(spark, store, name, t)
         .select(col("doc_id"), (col("pos") - i).as("p0"))
     }
     legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
@@ -256,9 +328,9 @@ object TextIndex {
     * at query time. */
   def nearSearch(spark: SparkSession, store: TableStore, name: String,
       a: String, b: String, window: Int, k: Int): DataFrame = {
-    val pa = unionAll(spark, store, name, "pos").filter(col("term") === a)
+    val pa = survivingPos(spark, store, name, a)
       .select(col("doc_id"), col("pos").as("pa"))
-    val pb = unionAll(spark, store, name, "pos").filter(col("term") === b)
+    val pb = survivingPos(spark, store, name, b)
       .select(col("doc_id"), col("pos").as("pb"))
     pa.join(pb, Seq("doc_id"))
       .withColumn("d", abs(col("pa") - col("pb")))
@@ -273,9 +345,7 @@ object TextIndex {
   def search(spark: SparkSession, store: TableStore, name: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one probe term")
-    val post = unionAll(spark, store, name, "postings").filter(col("term").isin(terms: _*))
-    val dfreq = dfAll(spark, store, name, terms)
-    val n = statsAll(spark, store, name)
+    val (post, dfreq, n) = survivingViews(spark, store, name, terms)
     post.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("w", expr("(n_docs * 1000) div df"))

@@ -145,6 +145,32 @@ object TextQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- X3: GDPR erasure from the text index ------------------------
+    // The right-to-be-forgotten path for SEARCH (Ivf.remove's text
+    // sibling): every doc_id ≡ 3 (mod 7) is tombstoned — ONE atomic
+    // commit of the cumulative delete set, no rewrite of the
+    // term-partitioned postings — and the post-erasure BM25 probe must
+    // hash-match DuckDB scoring an index that NEVER SAW the erased
+    // docs (same text as x3_bm25_search with the survivor filter): the
+    // tombstone anti-join, the derived surviving df, and the corrected
+    // n_docs/total_tokens are each load-bearing for the hash, so this
+    // gate proves exact surviving-corpus semantics, not Lucene's
+    // drift-until-merge approximation. Dedicated store (erasure
+    // mutates); the repeated remove on a warm store is an idempotent
+    // no-op (returns 0), so bench passes don't re-delete.
+    "x3_search_erasure" -> ((s, dir) => {
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/text-index-erase/v1/${docsKey(s, dir)}")
+      if (!store.exists(s, "kw_postings"))
+        graft.operators.TextIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", store, "kw")
+      graft.operators.TextIndex.remove(s, store, "kw",
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 3).select("doc_id"),
+        "doc_id")
+      graft.operators.TextIndex.bm25Search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 20)
+    }),
+
     // ---- BM25 hard-negative mining (dedup-aware) ---------------------
     // The retrieval-training op that joins the two index families:
     // contrastive training needs, per positive doc, the top lexically-
@@ -1169,15 +1195,20 @@ object TextQueries {
   /** The BM25 top-20 oracle text — standalone entry AND the lexical
     * leg of the hybrid-RRF oracle (nested as a CTE there, so the two
     * gates can never drift apart). */
-  private[queries] val Bm25OracleSql: String =
-    """WITH toks AS (SELECT doc_id,
-      |  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
-      |  FROM documents),
+  /** BM25 oracle over a parameterizable corpus slice — `docWhere` ""
+    * is the whole corpus; x3_search_erasure passes the survivor
+    * filter, pinning that the tombstoned index's scores equal an
+    * index that never saw the erased docs. */
+  private[queries] def bm25OracleSql(docWhere: String): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents $docWhere),
+      |toks AS (SELECT doc_id,
+      |  unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS term
+      |  FROM docs),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
       |       WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |st AS (SELECT (SELECT COUNT(*) FROM docs) AS n_docs,
       |              (SELECT COUNT(*) FROM toks) AS total_tokens)
       |SELECT tf.doc_id AS doc_id,
       |  CAST(SUM(CAST(ROUND(CAST((n_docs * 1000) // df AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2 /
@@ -1186,6 +1217,8 @@ object TextQueries {
       |  COUNT(*) AS n_terms
       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  private[queries] val Bm25OracleSql: String = bm25OracleSql("")
 
   /** One TextRank power-iteration round as a CTE — the unrolled-CTE
     * gating discipline (kmeansCtes / a16_communities_full): the
@@ -1423,6 +1456,9 @@ object TextQueries {
     // per-term IEEE score over exact ints, rounded to scaled BIGINT
     // before the sum — expression tree mirrors TextIndex.bm25Search
     "x3_bm25_search" -> Bm25OracleSql,
+    // the tombstoned index must score exactly like an index built on
+    // the survivors — same text, survivor-filtered corpus
+    "x3_search_erasure" -> bm25OracleSql("WHERE doc_id % 7 <> 3"),
 
     "x3_bm25_negatives" ->
       s"""WITH RECURSIVE pairs AS (${DedupQueries.jaccardOracle.replace("ORDER BY doc_a, doc_b", "")}),

@@ -187,4 +187,65 @@ class TextIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("already indexed"))
   }
+
+  test("remove: tombstoned index scores exactly like a fresh index on the survivors") {
+    import spark.implicits._
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    val erased = docs.filter(col("doc_id") % 5 === 2)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 2)
+    val terms = Seq("vector", "stream", "merge")
+
+    val tomb = freshStore()
+    TextIndex.build(docs, "doc_id", "text", tomb, "kw")
+    val n = TextIndex.remove(s, tomb, "kw", erased.select("doc_id"), "doc_id")
+    assert(n == erased.count())
+
+    val fresh = freshStore()
+    TextIndex.build(survivors, "doc_id", "text", fresh, "kw")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // BM25 (df, stats, candidates all corrected), tf-idf, phrase, near
+    assert(canon(TextIndex.bm25Search(s, tomb, "kw", terms, 20)) ==
+      canon(TextIndex.bm25Search(s, fresh, "kw", terms, 20)))
+    assert(canon(TextIndex.search(s, tomb, "kw", terms, 20)) ==
+      canon(TextIndex.search(s, fresh, "kw", terms, 20)))
+    assert(TextIndex.phraseSearch(s, tomb, "kw", Seq("the", "same"), 10).collect().toSeq ==
+      TextIndex.phraseSearch(s, fresh, "kw", Seq("the", "same"), 10).collect().toSeq)
+    assert(canon(TextIndex.nearSearch(s, tomb, "kw", "vector", "stream", 8, 10)) ==
+      canon(TextIndex.nearSearch(s, fresh, "kw", "vector", "stream", 8, 10)))
+
+    // idempotent: re-removing (or removing never-indexed ids) is a no-op
+    assert(TextIndex.remove(s, tomb, "kw", erased.select("doc_id"), "doc_id") == 0L)
+    assert(TextIndex.remove(s, tomb, "kw",
+      Seq(999999L).toDF("doc_id"), "doc_id") == 0L)
+    // a tombstoned id cannot be re-folded (registry keeps its row) —
+    // rebuild-from-scratch is compaction
+    val someErased = erased.select("doc_id").orderBy("doc_id").limit(1)
+      .collect()(0).getLong(0)
+    val e3 = intercept[IllegalArgumentException] {
+      TextIndex.fold(Seq((someErased, "back again")).toDF("doc_id", "text"),
+        "doc_id", "text", tomb, "kw")
+    }
+    assert(e3.getMessage.contains("already indexed"))
+  }
+
+  test("remove composes with segments: erase a base doc and a folded doc, scores match survivor build") {
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 10 =!= 9)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val tomb = freshStore()
+    TextIndex.build(base, "doc_id", "text", tomb, "kw")
+    TextIndex.fold(batch, "doc_id", "text", tomb, "kw")
+    val erased = docs.filter(col("doc_id") % 20 === 9 || col("doc_id") % 20 === 4)
+    TextIndex.remove(s, tomb, "kw", erased.select("doc_id"), "doc_id")
+    val fresh = freshStore()
+    TextIndex.build(docs.join(erased.select("doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id", "text", fresh, "kw")
+    val terms = Seq("vector", "stream", "merge")
+    assert(TextIndex.bm25Search(s, tomb, "kw", terms, 20).collect().toSeq ==
+      TextIndex.bm25Search(s, fresh, "kw", terms, 20).collect().toSeq)
+  }
 }

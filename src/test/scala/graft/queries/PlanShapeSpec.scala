@@ -477,6 +477,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("a4_weighted_median: cutpoints come from ONE sketch aggregate, not the exact-rank apparatus") {
+    val df = AnalyticsQueries.all("a4_weighted_median")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the r9 wrong-cost plan is gone: cutpoints derive from
+    // percentile_approx (one partial+final sketch pass), never from
+    // exactDistributed's range shuffle (RangePartitioning) + per-chunk
+    // counts index — and the collapsed table is checkpointed, so the
+    // final plan reads the materialized RDD, not lineitem (zero
+    // parquet scans past construction)
+    assert(p.contains("percentile_approx"), p.take(1500))
+    assert(!p.contains("RangePartitioning"), p.take(1500))
+    assert("FileScan parquet".r.findAllIn(p).isEmpty, p.take(1500))
+  }
+
+  test("x3_balanced_shards: global rank is bucket-distributed, no corpus-wide unpartitioned window") {
+    val df = TextQueries.all("x3_balanced_shards")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString.replace("\n", " ")
+    // the ONLY unpartitioned window (prefixSum's offsets running sum)
+    // runs over the <=32-row bucket summary; the data-sized local
+    // cumsum window must be bucket-partitioned
+    assert("windowspecdefinition\\(_ps_bucket#\\d+".r.unanchored
+      .findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("percentile_approx"), p.take(1500))
+  }
+
   test("a34_survival: corpus-scale windows are customer-partitioned; the KM fold sees only the step array") {
     val df = AnalyticsQueries.all("a34_survival")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
