@@ -1307,6 +1307,49 @@ object StreamQueries {
       store.read(s, "audio").drop("_au_bn").orderBy("media_id")
     }),
 
+    // ---- T21: STREAMED GDPR erasure, oracle-gated -------------------
+    // The right-to-be-forgotten stream: deletion requests arrive as
+    // micro-batches (the production shape — a privacy queue, not a
+    // nightly batch) and each folds into the text index's tombstone
+    // set via TextIndex.remove (one atomic commit per batch;
+    // content-idempotent, so at-least-once replay is safe without a
+    // batch-id guard). The final BM25 probe must hash-match DuckDB
+    // scoring an index that never saw ANY erased doc — shares
+    // x3_search_erasure's survivor oracle text: streamed erasure ==
+    // one-shot erasure == never-indexed, the full equivalence chain.
+    "t21_stream_erasure" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, dir)
+      val base = s"/root/repo/target/tmp/stream-erase/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the index under erasure is PER-RUN state (tombstones grow):
+      // rebuild it fresh each run so the gate is deterministic
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      graft.operators.TextIndex.build(docs, "doc_id", "text", store, "kw")
+      val erase = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+      val stage = s"$base/stage"
+      stageOrdered(s, erase, "doc_id", stage, 3)
+      val stream = s.readStream.schema(erase.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.operators.TextIndex.remove(
+              b.sparkSession, store, "kw", b, "doc_id")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      graft.operators.TextIndex.bm25Search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 20)
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1571,6 +1614,10 @@ object StreamQueries {
     // the streamed audio-decode fold must be batch-identical — one
     // text, two read APIs (x4_audio_features is the one-shot form)
     "t20_stream_audio" -> MultimodalQueries.AudioFeaturesOracleSql,
+    // streamed erasure == one-shot erasure == never-indexed: the
+    // tombstoned index's BM25 over the survivors (x3_search_erasure's
+    // text)
+    "t21_stream_erasure" -> TextQueries.bm25OracleSql("WHERE doc_id % 7 <> 3"),
 
     "t10_stream_neardup" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
