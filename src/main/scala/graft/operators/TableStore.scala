@@ -198,6 +198,22 @@ final class TableStore(val root: String, val retain: Int = 0) {
     found
   }
 
+  /** Committed table names in this store — one root listing plus one
+    * `exists` probe per child dir (store-catalog-sized, never
+    * data-sized). Powers store-wide walks like Erasure.eraseDocuments,
+    * which must see EVERY persisted artifact to cascade. */
+  def tableNames(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .filter(n => exists(spark, n))
+      .sorted
+  }
+
   /** S6: CREATE TABLE IF NOT EXISTS — commits an empty versioned table
     * carrying the schema. Returns true if created. */
   def create(spark: SparkSession, name: String, schema: org.apache.spark.sql.types.StructType): Boolean =
@@ -941,6 +957,14 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * partitioned mode. Path-based readers (the SQL catalog) scan these
     * with `basePath = livePath` so partition pruning works and staged
     * in-flight version dirs stay invisible. */
+  /** The hive partition column of a partitioned-mode table (None for
+    * whole-table layouts) — read off the committed partition dir names
+    * (`col=value`), so callers that walk a store generically (Erasure)
+    * can route deletes through the partition-scoped path. */
+  def partitionColumn(spark: SparkSession, name: String): Option[String] =
+    partitionMap(fs(spark), name).flatMap(_.keys.headOption)
+      .map(_.takeWhile(_ != '='))
+
   def partitionedLeafPaths(spark: SparkSession, name: String): Option[Seq[String]] =
     partitionMap(fs(spark), name).map(_.toSeq.sortBy(_._1)
       .map { case (p, v) => s"$root/$name/$p/$v" })

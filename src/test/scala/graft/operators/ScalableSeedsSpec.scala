@@ -79,6 +79,59 @@ class ScalableSeedsSpec extends SparkSpec {
         s"$sf: scalable radius^2 $rScal vs gonzalez $rGonz (ratio ${rScal.toDouble / rGonz})")
     }
 
+  test("reduceSeeds at k=1024 over 4096 candidates runs in seconds — the asymptotics pin (VERDICT r10 #1a)") {
+    // The driver reduction in isolation, at the large-k regime the
+    // function exists for. The fixed update is O(k·|C|·dim) ≈ 1.3e8
+    // long ops here (sub-second); the r10 linear-`find` update was
+    // O(k·|C|²·?) — k·|C|² alone is 1.7e10 tuple scans plus d2 calls,
+    // minutes-to-hours. 30 s is a generous, unflakeable wall that the
+    // quadratic cannot pass.
+    val dim = 32
+    val cand = (0L until 4096L).toVector.map { id =>
+      // deterministic spread-out synthetic vectors (no RNG in tests)
+      val x6 = (0 until dim).map(j => ((id * 2654435761L + j * 40503L) % 2000001L))
+      (id, x6.map(_.toDouble / 1e6), x6)
+    }
+    val weights = cand.map(c => c._1 -> (c._1 % 97L + 1L)).toMap
+    val t0 = System.nanoTime()
+    val seeds = Ivf.reduceSeeds(cand, weights, 1024)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"k=1024 over 4096 candidates: $secs%.2f s")
+    assert(seeds.length == 1024)
+    assert(seeds.map(_._1).distinct.length == 1024)
+    // deterministic: same inputs, same picks
+    assert(Ivf.reduceSeeds(cand, weights, 1024).map(_._1) == seeds.map(_._1))
+    assert(secs < 30.0, f"k=1024 reduction took $secs%.1f s — quadratic regression?")
+  }
+
+  test("end-to-end large k: 512 distinct seeds from the sf0.1 corpus") {
+    // ℓ=600 over 3 rounds keeps the distributed sampling cheap while
+    // still over-collecting (~1300 candidates from 2000 vectors).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val seeds = Ivf.scalableSeeds(emb, "vec_id", "embedding", 512, l = 600, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(seeds.length == 512)
+    assert(seeds.map(_._2).distinct.length == 512) // 512 distinct centers
+  }
+
+  test("candidate-weights plan has no Window — the argmin is a map-side-combinable aggregate") {
+    // VERDICT r10 #1b: the weights pass must not shuffle the n·|C|
+    // crossJoin frame through a row_number window. scalableSeeds is
+    // eager, so pin the equivalent plan shape directly: the
+    // min(struct) argmin rewrite used inside it.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val x = scaled(emb)
+    val candDf = Seq((1L, Seq(0L, 0L)), (2L, Seq(1L, 1L))).toDF("sid", "s6")
+    val plan = x.crossJoin(broadcast(candDf))
+      .select(col("vec_id").as("id"), col("sid"), lit(0L).as("cd"))
+      .groupBy("id").agg(min(struct(col("cd"), col("sid"))).as("best"))
+      .groupBy(col("best.sid").as("sid")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"weights argmin must not use a Window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected partial+final hash aggregate:\n$plan")
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"))
     test(s"scalable-seeded index: nprobe=12 probe shortlist contains the exact top-10 at $sf") {
       val s = spark
