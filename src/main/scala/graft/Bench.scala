@@ -98,7 +98,19 @@ object Bench {
     //    ~3.5 KB) printed LAST so the tail holds it entirely;
     //  - target/bench.json: the full-precision line incl. per-query
     //    construct times, for plan-audit archaeology.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(v => v._1 + v._2, 6)},"construct":${jmap(_._1, 6)},"store_miss_p1":${m1.values.sum},"store_miss_p2":${m2.values.sum},"sf":"$sfDir"}"""
+    // Per-pass miss SETS and their symmetric difference, machine-
+    // checkable in bench.json (VERDICT r10 wrong #3: sums alone let the
+    // r9 "identical or explained" invariant quietly weaken). EXPECTED
+    // p1-only misses: first-touch existence probes of fixtures a query
+    // CREATES on pass 1 and then finds warm on pass 2 — the `_dels`
+    // erasure tombstones, restore/DML `*-oracle` fixtures, streamed run
+    // dirs. EXPECTED p2-only misses: none. Anything else in p1_only /
+    // p2_only is a churned fingerprint (a "warm" store silently
+    // rebuilding) and must be root-caused, not averaged away.
+    def jset(s: Iterable[String]) =
+      s.toSeq.sorted.map(p => "\"" + p.replace("\"", "") + "\"").mkString("[", ",", "]")
+    val missDiff = s""""store_miss_p1_only":${jset(m1.keySet -- m2.keySet)},"store_miss_p2_only":${jset(m2.keySet -- m1.keySet)},"store_miss_both":${(m1.keySet intersect m2.keySet).size}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(v => v._1 + v._2, 6)},"construct":${jmap(_._1, 6)},"store_miss_p1":${m1.values.sum},"store_miss_p2":${m2.values.sum},$missDiff,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
     val line = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":${jmap(v => v._1 + v._2, 3)},"sf":"$sfDir"}"""

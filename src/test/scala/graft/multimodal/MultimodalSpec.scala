@@ -121,4 +121,52 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(52, 256, 256))
     assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 0, 4)))
   }
+
+  test("audioFingerprint: envelope-gradient bits replay the formula; bit 63 clear") {
+    val s = spark; import s.implicits._
+    val (id, n) = (7L, 300)
+    def expected(id: Long, n: Int): Long = {
+      val e = new Array[Long](64)
+      (0 until n).foreach(i =>
+        e(((i.toLong * 64) / n).toInt) += math.abs((id * 13 + 7L * i) % 256 - 128))
+      (0 until 63).map(k => if (e(k + 1) > e(k)) 1L << k else 0L).sum
+    }
+    val ds = Seq(
+      MediaRecord(id, "audio", Multimodal.synthWav(id, n), 0, 0, 16000),
+      MediaRecord(8L, "audio", Multimodal.synthWav(8L, 400), 0, 0, 16000),
+      MediaRecord(9L, "image", Multimodal.synthPng(9L, 16, 16), 16, 16, 0)).toDS
+    val out = Multimodal.audioFingerprint(ds).collect()
+      .map(a => a.mediaId -> (a.nSamples, a.afp)).toMap
+    assert(out.keySet == Set(id, 8L)) // non-audio excluded
+    assert(out(id) == (n.toLong, expected(id, n)))
+    assert(out(8L) == (400L, expected(8L, 400)))
+    assert(out.values.forall(_._2 >= 0L)) // 63 bits: non-negative long
+  }
+
+  test("untrusted audio ingest: truncated bodies and non-8-bit-mono formats DROP, never crash or score garbage") {
+    val s = spark; import s.implicits._
+    // a valid-header WAV whose PCM body is cut off mid-way
+    val truncated = Multimodal.synthWav(5L, 300).take(80)
+    // a real 16-bit STEREO signed WAV — decodable by javax.sound, but
+    // the 8-bit unsigned sample walk would score its bytes as garbage
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val frames = Array.fill[Byte](400)(33)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(frames), fmt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav16 = bos.toByteArray
+    val ds = Seq(
+      MediaRecord(1L, "audio", truncated, 0, 0, 16000),
+      MediaRecord(2L, "audio", wav16, 0, 0, 16000),
+      MediaRecord(3L, "audio", "not audio at all".getBytes("UTF-8"), 0, 0, 0),
+      MediaRecord(4L, "audio", Multimodal.synthWav(4L, 280), 0, 0, 16000)).toDS
+    // neither path throws; only the healthy 8-bit mono clip survives
+    val feats = Multimodal.audioFeatures(ds).collect()
+    assert(feats.map(_.mediaId).toSeq == Seq(4L), s"got ${feats.toSeq}")
+    assert(feats.head.nSamples == 280L)
+    val fps = Multimodal.audioFingerprint(ds).collect()
+    assert(fps.map(_.mediaId).toSeq == Seq(4L))
+  }
 }

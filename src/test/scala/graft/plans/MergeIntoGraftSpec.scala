@@ -234,6 +234,123 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.read(spark, "t").collect().map(_.getString(1)).toSeq == Seq("s4"))
   }
 
+  test("RESTORE TO VERSION AS OF 0 is an explicit no-op, not an alias commit") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-restore0").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    store.upsert(spark, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    store.restore(spark, "t", 0)
+    // history unchanged (no self-alias), and a MOR delete is NOT
+    // locked out afterwards (ADVICE r10: the alias guard must not
+    // fire on an undo of nothing)
+    assert(store.history(spark, "t").length == 1)
+    store.deleteWhereMor(spark, "t", col("k") === 1L, Seq("k"))
+    assert(store.read(spark, "t").count() == 0L)
+  }
+
+  test("PARTITIONED RESTORE: history grows, state rolls back, untouched partitions byte-identical") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-restore-part").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    def batch(p: Int, v: String) = Seq((p.toLong, v, p)).toDF("k", "s", "pc")
+    // three data commits: p=1 seeded, then p=2, then p=2 updated
+    store.upsertPartitioned(spark, "t", batch(1, "one"), Seq("k"), "pc")
+    store.upsertPartitioned(spark, "t", batch(2, "two"), Seq("k"), "pc")
+    val p1Before = store.partitionedLeafPaths(spark, "t").get.filter(_.contains("pc=1"))
+    store.upsertPartitioned(spark, "t", batch(2, "TWO"), Seq("k"), "pc")
+    assert(store.versionDepth(spark, "t") == 3)
+    def state() = store.read(spark, "t").select("k", "s", "nupdates")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    // time travel reaches every retained generation
+    assert(store.readVersionsBack(spark, "t", 2).select("s")
+      .collect().map(_.getString(0)).toSeq == Seq("one"))
+    val preRestore = state()
+    assert(preRestore == Seq((1L, "one", 1L), (2L, "TWO", 2L)))
+
+    register("graft_rstpart", path)
+    spark.sql("RESTORE TABLE graft_rstpart.t TO VERSION AS OF 1")
+    // state rolled back one data commit; history GREW
+    assert(state() == Seq((1L, "one", 1L), (2L, "two", 1L)))
+    assert(store.versionDepth(spark, "t") == 4)
+    assert(spark.sql("DESCRIBE HISTORY graft_rstpart.t").count() == 4L)
+    // the pre-restore head is readable one step back (both lineages)
+    assert(store.readVersionsBack(spark, "t", 1).select("s")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("TWO", "one"))
+    // untouched partition p=1: same version dir through all commits
+    // AND the restore — its files never moved
+    assert(store.partitionedLeafPaths(spark, "t").get.filter(_.contains("pc=1")) == p1Before)
+    // MOR delete after a partitioned restore lands in the HEAD only
+    // (DV files are manifest-listed per state, so history reads are
+    // untouched — no alias guard needed in partitioned mode)
+    store.deleteWhereMorPartitioned(spark, "t", col("k") === 2L, Seq("k"), "pc")
+    assert(state() == Seq((1L, "one", 1L)))
+    assert(store.readVersionsBack(spark, "t", 1).count() == 2L)
+    // a new data commit re-applies the retention window
+    store.upsertPartitioned(spark, "t", batch(3, "three"), Seq("k"), "pc")
+    assert(store.versionDepth(spark, "t") == 3) // head + retain=2
+  }
+
+  test("TIMESTAMP AS OF resolves through manifest-stamped commit times") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-ts").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    store.upsert(spark, "t", Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    store.upsert(spark, "t", Seq((1L, "b")).toDF("k", "s"), Seq("k"))
+    store.upsert(spark, "t", Seq((1L, "c")).toDF("k", "s"), Seq("k"))
+    val ts = store.commitTimestamps(spark, "t").map(_.get)
+    assert(ts.length == 3 && ts == ts.sorted.reverse) // newest first, monotone
+    // exact commit instant → that version; between commits → the
+    // EARLIER version (the one current then); current for "now"
+    assert(store.stepsBackAsOf(spark, "t", ts(1)) == 1)
+    assert(store.stepsBackAsOf(spark, "t", ts(2)) == 2)
+    assert(store.stepsBackAsOf(spark, "t", System.currentTimeMillis() + 1000) == 0)
+    // before the first retained commit: loud error, no silent guess
+    intercept[IllegalArgumentException] {
+      store.stepsBackAsOf(spark, "t", ts(2) - 1)
+    }
+    // the SQL surface: TIMESTAMP AS OF == VERSION AS OF at that instant
+    register("graft_tstrav", path)
+    // ISO-8601 UTC literal — session TZ is UTC, so no JVM-default skew
+    val tsLit = java.time.Instant.ofEpochMilli(ts(1)).toString
+    assert(spark.sql(s"SELECT s FROM graft_tstrav.t TIMESTAMP AS OF '$tsLit'")
+      .head().getString(0) == "b")
+    assert(spark.sql("SELECT s FROM graft_tstrav.t VERSION AS OF 1")
+      .head().getString(0) == "b")
+  }
+
+  test("append-only mode: declared INSERT INTO appends batch partitions; undeclared refused; replay guarded") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-append").toString
+    val store = new TableStore(path)
+    import spark.implicits._
+    register("graft_appspec", path)
+    spark.conf.set("spark.sql.catalog.graft_appspec.appendOnly", "feed")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("appspec_b0")
+    Seq((3L, "c")).toDF("k", "v").createOrReplaceTempView("appspec_b1")
+    spark.sql("INSERT INTO graft_appspec.feed SELECT * FROM appspec_b0")
+    spark.sql("INSERT INTO graft_appspec.feed SELECT * FROM appspec_b1")
+    val got = store.read(spark, "feed").select("k", "v", "_ab")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)))
+    // replay guard: the same batch id applies once
+    store.append(spark, "feed", Seq((4L, "d")).toDF("k", "v"), batchId = Some(9L))
+    store.append(spark, "feed", Seq((4L, "d")).toDF("k", "v"), batchId = Some(9L))
+    assert(store.read(spark, "feed").filter(col("k") === 4L).count() == 1L)
+    // incremental consumers: _ab > watermark partition-prunes
+    assert(store.read(spark, "feed").filter(col("_ab") > 1L).count() == 1L)
+    // undeclared tables keep the refusal, with the declaration hint
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("INSERT INTO graft_appspec.other SELECT * FROM appspec_b0")
+    }
+    assert(e.getMessage.contains("appendOnly"))
+    // append into a keyed table is refused loudly
+    store.upsert(spark, "kv", Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.append(spark, "kv", Seq((2L, "y")).toDF("k", "v"))
+    }
+    assert(e2.getMessage.contains("append-only"))
+  }
+
   test("catalog retain conf: a pure-SQL write flow keeps history for VERSION AS OF and RESTORE") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-retain").toString
     register("graft_ret", path)
