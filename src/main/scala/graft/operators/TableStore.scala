@@ -530,6 +530,35 @@ final class TableStore(val root: String, val retain: Int = 0) {
     j.select(col("op") +: k ++: nonKeys.map(c => col(s"_img.$c").as(c)): _*)
   }
 
+  /** CDC-OUT: fold this table's latest commit into a downstream
+    * REPLICA — the consumer loop `changesBetween` exists for, closed
+    * end to end (CDC-IN applies someone else's changelog — S11; this
+    * EMITS ours). First sync bootstraps the replica as a full snapshot
+    * (how real replication starts); every later sync applies ONE
+    * change-feed diff: kept = replica ∖ touched keys, then the I/U
+    * post-images union back in and D keys stay dropped — one atomic
+    * replica commit per upstream commit. CONTENT-IDEMPOTENT (the t21
+    * erasure discipline): re-running a sync against an unadvanced
+    * upstream re-applies the same diff onto a replica that already
+    * reflects it — byte-equal result, so at-least-once drivers need no
+    * batch-id plumbing. Requires the upstream store to retain ≥ 1
+    * previous version. Whole-table replica shape; at 100 TB the
+    * replica partitions like its upstream and the same diff routes
+    * through upsertPartitioned + deleteWherePartitioned so a sync
+    * touches only the partitions its keys live in. */
+  def syncReplica(spark: SparkSession, name: String, keys: Seq[String],
+      dst: TableStore, dstName: String): Unit = {
+    if (!dst.exists(spark, dstName)) {
+      dst.replace(spark, dstName, read(spark, name))
+      return
+    }
+    val feed = changesBetween(spark, name, keys, 1)
+    val replica = dst.read(spark, dstName)
+    val kept = replica.join(feed.select(keys.map(col): _*), keys, "left_anti")
+    dst.replace(spark, dstName,
+      kept.unionByName(feed.filter(col("op") =!= "D").drop("op")))
+  }
+
   /** The commit-metadata string attached to the CURRENT version (via
     * `replace(.., meta)`), if any. Atomic with the data: a version and
     * its meta publish together in the manifest swap, so a replay guard

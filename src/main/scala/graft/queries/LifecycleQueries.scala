@@ -642,6 +642,49 @@ object LifecycleQueries {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // ---- S13i: CDC-OUT replica sync (the change feed CONSUMED) ------
+    // s13_changefeed emits the diff; this closes the loop: a
+    // downstream replica bootstraps as a snapshot on the first
+    // upstream commit and then folds ONE change-feed diff per
+    // subsequent commit (`TableStore.syncReplica` — kept = replica ∖
+    // touched keys, I/U post-images union in, D keys stay dropped; one
+    // atomic replica commit each, content-idempotent). The history
+    // here exercises all three ops: b1 bootstrap, b2/b3 I+U diffs,
+    // then a DELETE commit whose feed carries D rows — the replica
+    // must drop exactly those keys. The gate reads the REPLICA and the
+    // oracle recomputes the full merge-then-delete pipeline: a skipped
+    // diff, a double-applied diff, or a mishandled D breaks the hash.
+    "s13_cdc_sync" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/cdc-sync"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(s"$path/src", retain = 2)
+      val replica = new graft.operators.TableStore(s"$path/dst")
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      def syncStep(): Unit =
+        store.syncReplica(s, "orders", Seq("o_orderkey"), replica, "orders")
+      Seq(b1, b2, b3).foreach { b =>
+        store.upsert(s, "orders", b, Seq("o_orderkey"), numFiles = Some(1))
+        syncStep()
+      }
+      store.deleteWhere(s, "orders", $"o_orderstatus" === "U2")
+      syncStep()
+      syncStep() // replayed sync against an unadvanced upstream: no-op
+      replica.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- S13b: change data feed (time travel's consumer dual) -------
     // The keyed diff between the previous commit and the current one:
     // one row per changed key, op ∈ I/U (no deletes here — upsert
@@ -712,6 +755,39 @@ object LifecycleQueries {
     "s13_restore_part" -> VersionBackOracleSql,
     // the wall-clock read must equal the ordinal one — same text
     "s13_sql_timestamp" -> VersionBackOracleSql,
+
+    // the REPLICA after bootstrap + three diff folds (two upserts, one
+    // delete) must equal the full merge-then-delete recomputation —
+    // per-key nupdates included, so a skipped or double-applied diff
+    // and a mishandled D row each break the hash
+    "s13_cdc_sync" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |b2 AS (
+        |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b3 AS (
+        |  SELECT o_orderkey, 'U3' AS o_orderstatus, o_totalprice * 3.0 AS o_totalprice
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
+        |s12 AS (
+        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
+        |              ELSE 1 END AS BIGINT) AS nupdates
+        |  FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey),
+        |s123 AS (
+        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |    CAST(COALESCE(t.nupdates, 0) +
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS nupdates
+        |  FROM s12 t FULL OUTER JOIN b3 u ON t.o_orderkey = u.o_orderkey)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, nupdates
+        |FROM s123 WHERE o_orderstatus <> 'U2'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // every b3 key changes (its status literal can't equal any prior
     // status), so the feed is exactly: b3 ∩ state12 → U, b3 \ state12

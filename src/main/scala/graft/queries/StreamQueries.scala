@@ -1350,6 +1350,56 @@ object StreamQueries {
         Seq("vector", "stream", "merge"), k = 20)
     }),
 
+    // ---- T22: STREAMED CDC-OUT replica pipeline, oracle-gated -------
+    // The replication loop LIVE (s13_cdc_sync is the one-shot form):
+    // each micro-batch MERGEs into the upstream table (exactly-once
+    // via batch id) and Streams.replicatedUpsertSink then folds the
+    // resulting change-feed diff into a downstream REPLICA
+    // (TableStore.syncReplica — snapshot bootstrap on the first
+    // commit, one content-idempotent diff per commit after). The
+    // stream carries real UPDATES: every order arrives once, then
+    // every key ≡ 0 (mod 3) arrives again re-statused with doubled
+    // price in later batches (seq-ordered staging keeps per-key
+    // delivery ordered — the CDC transport contract). The gate reads
+    // the REPLICA, never the upstream: a skipped diff, a
+    // double-applied diff, or a bootstrap/diff boundary bug breaks
+    // the hash, nupdates included.
+    "t22_stream_cdc_out" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val updates = o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", lit("S2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val base = s"/root/repo/target/tmp/stream-cdcout/v2/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      // inserts as 3 seq-ordered files, the update wave as ONE tail
+      // file — so no micro-batch carries two versions of a key and the
+      // nupdates counter stays on the gate (range-sampled boundaries
+      // would mix ~10 boundary keys' copies into one batch)
+      stageOrderedWithTails(s, o, "o_orderkey", stage, 3, Seq(updates))
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val src = new graft.operators.TableStore(s"$runDir/src", retain = 2)
+      val replica = new graft.operators.TableStore(s"$runDir/dst")
+      val stream = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.replicatedUpsertSink(stream, src, "orders",
+            Seq("o_orderkey"), replica, "orders")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      replica.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1618,6 +1668,16 @@ object StreamQueries {
     // tombstoned index's BM25 over the survivors (x3_search_erasure's
     // text)
     "t21_stream_erasure" -> TextQueries.bm25OracleSql("WHERE doc_id % 7 <> 3"),
+
+    // the REPLICA (bootstrapped then diff-folded per micro-batch) must
+    // equal the last-writer-wins recomputation: re-arrived keys carry
+    // the update's values and nupdates 2, untouched keys 1
+    "t22_stream_cdc_out" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'S2' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS nupdates
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "t10_stream_neardup" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -60,6 +60,39 @@ object Streams {
           numFiles = Some(1), batchId = Some(id))
       }
 
+  /** T22: CDC-OUT pipeline sink — each micro-batch MERGEs into the
+    * upstream table (exactly-once via the batch id) and then folds the
+    * resulting change-feed diff into a downstream REPLICA
+    * (`TableStore.syncReplica`: snapshot bootstrap on the first
+    * commit, then one diff per commit). Crash anywhere: foreachBatch
+    * re-runs the batch — the upsert no-ops under its replay guard and
+    * the sync is content-idempotent (re-applying the head diff onto a
+    * replica that already reflects it is byte-equal), so the
+    * upstream+replica PAIR is exactly-once end to end with no replica
+    * batch-id plumbing. The upstream store must retain ≥ 1 previous
+    * version (the changesBetween contract). */
+  def replicatedUpsertSink(stream: DataFrame, store: TableStore, table: String,
+      keys: Seq[String], replica: TableStore, replicaTable: String,
+      seqCol: Option[String] = None): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        // a micro-batch may legally carry MULTIPLE versions of a key
+        // (batch boundaries don't align with key arrivals); with a
+        // seqCol the latest wins WITHIN the batch — the Cdc.apply rule
+        // — before the keyed merge (whose update side must be
+        // key-unique). The window is batch-sized, never table-sized.
+        val batch = seqCol.fold(batch0) { sc =>
+          batch0.withColumn("_rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(col): _*).orderBy(col(sc).desc)))
+            .filter(col("_rn") === 1).drop("_rn", sc)
+        }
+        store.upsert(batch.sparkSession, table, batch, keys,
+          numFiles = Some(1), batchId = Some(id))
+        store.syncReplica(batch.sparkSession, table, keys, replica, replicaTable)
+      }
+
   /** T1/A1: micro-batch materialized-aggregate sink — each batch folds
     * its per-key deltas into the stored aggregate (IncrementalAgg), so
     * a live stream maintains a queryable rollup at O(batch + state)
