@@ -41,7 +41,12 @@ class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
-  private def store = new TableStore(root)
+  // honors the same optional per-catalog retention conf as the DML
+  // verbs (GraftDml.store) — catalog-path writes (ALTER widen) must
+  // not silently truncate a history the MERGE path is retaining
+  private def store = new TableStore(root,
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.retain")
+      .map(_.toInt).getOrElse(0))
   private def spark = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -150,9 +155,37 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve through the programmatic MERGE path, not ALTER")
+  /** `ALTER TABLE <cat>.<t> ADD COLUMNS (c type, …)` — the SQL face of
+    * the store's EXPLICIT widen paths: whole-table mode widens through
+    * one atomic replace (new rows read null until written), partitioned
+    * mode through `widenPartitioned` (the one-time all-partition sweep
+    * under ONE batch-atomic manifest commit — implicit per-batch
+    * widening stays rejected, see upsertPartitioned). Only top-level
+    * ADD COLUMN changes lower; anything else (drops, renames, type
+    * changes, nested fields) keeps the loud refusal — those need a
+    * rewrite policy a generic verb shouldn't guess. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = ident.name()
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.length || adds.isEmpty)
+      throw new UnsupportedOperationException(
+        "graft ALTER TABLE supports ADD COLUMNS only; other evolution goes " +
+          "through the programmatic MERGE/replace path")
+    adds.foreach(a => require(a.fieldNames().length == 1,
+      s"graft ADD COLUMNS is top-level only, got ${a.fieldNames().mkString(".")}"))
+    val newCols = adds.map(a => a.fieldNames().head ->
+      org.apache.spark.sql.functions.lit(null).cast(a.dataType())).toMap
+    store.partitionColumn(spark, t) match {
+      case Some(pc) => store.widenPartitioned(spark, t, newCols, pc)
+      case None =>
+        val cur = store.read(spark, t)
+        val clash = newCols.keySet.intersect(cur.columns.toSet)
+        require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
+        store.replace(spark, t,
+          newCols.foldLeft(cur) { case (d, (c, e)) => d.withColumn(c, e) })
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$root/${ident.name()}")

@@ -351,6 +351,35 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"))
   }
 
+  test("ALTER TABLE ADD COLUMNS widens whole-table AND partitioned stores; other changes refused") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-alter").toString
+    val store = new TableStore(path, retain = 1)
+    import spark.implicits._
+    register("graft_alt", path)
+    spark.conf.set("spark.sql.catalog.graft_alt.retain", "1")
+    // whole-table: one atomic replace, old version keeps the old schema
+    store.upsert(spark, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    spark.sql("ALTER TABLE graft_alt.t ADD COLUMNS (score DOUBLE, tag STRING)")
+    val widened = store.read(spark, "t")
+    assert(widened.columns.toSeq == Seq("k", "v", "nupdates", "score", "tag"))
+    assert(widened.head().isNullAt(3) && widened.head().isNullAt(4))
+    assert(!store.readVersionsBack(spark, "t", 1).columns.contains("score"))
+    // partitioned: the widenPartitioned sweep under one atomic commit
+    store.upsertPartitioned(spark, "p",
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("k", "v", "pc"), Seq("k"), "pc")
+    spark.sql("ALTER TABLE graft_alt.p ADD COLUMNS (score DOUBLE)")
+    val p = store.read(spark, "p")
+    assert(p.columns.contains("score") && p.filter(col("score").isNotNull).count() == 0L)
+    assert(p.count() == 2L)
+    // writes against the widened schema land
+    store.upsert(spark, "t", Seq((2L, "b", 1L, 0.5, "x")).toDF("k", "v", "nupdates", "score", "tag")
+      .select(col("k"), col("v"), col("score"), col("tag")), Seq("k"))
+    assert(store.read(spark, "t").filter(col("k") === 2L).head().getDouble(3) == 0.5)
+    // everything that is not a top-level ADD COLUMN keeps the refusal
+    intercept[Exception] { spark.sql("ALTER TABLE graft_alt.t DROP COLUMN tag") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft_alt.t RENAME COLUMN tag TO t2") }
+  }
+
   test("catalog retain conf: a pure-SQL write flow keeps history for VERSION AS OF and RESTORE") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-retain").toString
     register("graft_ret", path)
