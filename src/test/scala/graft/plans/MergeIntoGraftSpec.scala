@@ -291,6 +291,22 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.versionDepth(spark, "t") == 3) // head + retain=2
   }
 
+  test("partitioned RESTORE across a widen: each state reads with its own schema") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-rstwide").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    store.upsertPartitioned(spark, "t",
+      Seq((1L, "a", 0)).toDF("k", "v", "pc"), Seq("k"), "pc")
+    store.widenPartitioned(spark, "t", Map("score" -> lit(null).cast("double")), "pc")
+    assert(store.read(spark, "t").columns.contains("score"))
+    // the pre-widen generation serves its own (narrow) schema
+    assert(!store.readVersionsBack(spark, "t", 1).columns.contains("score"))
+    store.restore(spark, "t", 1)
+    // restored current is narrow again; the widened head is one back
+    assert(!store.read(spark, "t").columns.contains("score"))
+    assert(store.readVersionsBack(spark, "t", 1).columns.contains("score"))
+  }
+
   test("TIMESTAMP AS OF resolves through manifest-stamped commit times") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-ts").toString
     val store = new TableStore(path, retain = 2)
