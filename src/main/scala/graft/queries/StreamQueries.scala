@@ -1400,6 +1400,46 @@ object StreamQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- T23: STREAMED append-only ingest, oracle-gated -------------
+    // s4_append_feed LIVE — the production shape of the keyless fact
+    // feed: orders replay as 4 micro-batches, each committing ONE new
+    // `_ab` batch partition (Streams.appendSink → TableStore.append,
+    // exactly-once via the manifest-carried batch id). The gate is
+    // batch-slicing-independent by design (range-sampled file
+    // boundaries vary): the appended table minus its `_ab` watermark
+    // must equal the source verbatim — a lost batch, a duplicated
+    // replay, or a row routed into two partitions breaks the hash; the
+    // in-body assert pins that the rows really arrived as 4 distinct
+    // batch partitions, not one big append.
+    "t23_stream_append" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val base = s"/root/repo/target/tmp/stream-append/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, o, "o_orderkey", stage, 4)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val stream = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.appendSink(stream, store, "feed")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      val feed = store.read(s, "feed")
+      assert(feed.select("_ab").distinct().count() == 4L,
+        "stream must land as 4 distinct batch partitions")
+      feed.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1668,6 +1708,12 @@ object StreamQueries {
     // tombstoned index's BM25 over the survivors (x3_search_erasure's
     // text)
     "t21_stream_erasure" -> TextQueries.bm25OracleSql("WHERE doc_id % 7 <> 3"),
+
+    // the appended table minus its _ab watermark must equal the source
+    // verbatim — lost/duplicated batches break the hash
+    "t23_stream_append" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the REPLICA (bootstrapped then diff-folded per micro-batch) must
     // equal the last-writer-wins recomputation: re-arrived keys carry

@@ -60,6 +60,24 @@ object Streams {
           numFiles = Some(1), batchId = Some(id))
       }
 
+  /** T23: APPEND-ONLY ingest sink — the streamed face of the keyless
+    * fact feed (`TableStore.append`): each micro-batch commits exactly
+    * ONE new `_ab` batch partition through the batch-atomic
+    * `_pmanifest` rename; existing batches' files never move, so an
+    * endless stream pays O(batch) per trigger at any table size.
+    * Exactly-once: the batch id rides the manifest commit, so an
+    * at-least-once replay is a no-op instead of a duplicate batch.
+    * `_ab` doubles as the consumer watermark — a downstream
+    * incremental reader filters `_ab > k` and partition-prunes to
+    * only the batches it has not seen. */
+  def appendSink(stream: DataFrame, store: TableStore,
+      table: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        store.append(batch.sparkSession, table, batch, batchId = Some(id))
+      }
+
   /** T22: CDC-OUT pipeline sink — each micro-batch MERGEs into the
     * upstream table (exactly-once via the batch id) and then folds the
     * resulting change-feed diff into a downstream REPLICA
