@@ -90,22 +90,14 @@ object Streams {
     * batch-id plumbing. The upstream store must retain ≥ 1 previous
     * version (the changesBetween contract). */
   def replicatedUpsertSink(stream: DataFrame, store: TableStore, table: String,
-      keys: Seq[String], replica: TableStore, replicaTable: String,
-      seqCol: Option[String] = None): DataStreamWriter[Row] =
+      keys: Seq[String], replica: TableStore, replicaTable: String): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch0: DataFrame, id: Long) =>
-        // a micro-batch may legally carry MULTIPLE versions of a key
-        // (batch boundaries don't align with key arrivals); with a
-        // seqCol the latest wins WITHIN the batch — the Cdc.apply rule
-        // — before the keyed merge (whose update side must be
-        // key-unique). The window is batch-sized, never table-sized.
-        val batch = seqCol.fold(batch0) { sc =>
-          batch0.withColumn("_rn", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(keys.map(col): _*).orderBy(col(sc).desc)))
-            .filter(col("_rn") === 1).drop("_rn", sc)
-        }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // contract: a micro-batch carries at most ONE version of a key
+        // (the keyed merge's update side must be key-unique) — a
+        // transport whose batches can carry several versions collapses
+        // them first with Cdc.apply's latest-wins rule.
         store.upsert(batch.sparkSession, table, batch, keys,
           numFiles = Some(1), batchId = Some(id))
         store.syncReplica(batch.sparkSession, table, keys, replica, replicaTable)

@@ -477,18 +477,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
-  test("a4_weighted_median: cutpoints come from ONE sketch aggregate, not the exact-rank apparatus") {
+  test("a4_weighted_median: serving plan reads the build-once cum store, never lineitem") {
     val df = AnalyticsQueries.all("a4_weighted_median")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // the r9 wrong-cost plan is gone: cutpoints derive from
-    // percentile_approx (one partial+final sketch pass), never from
-    // exactDistributed's range shuffle (RangePartitioning) + per-chunk
-    // counts index — and the collapsed table is checkpointed, so the
-    // final plan reads the materialized RDD, not lineitem (zero
-    // parquet scans past construction)
-    assert(p.contains("percentile_approx"), p.take(1500))
+    // r11 (VERDICT r10 next #9): the whole apparatus — collapse,
+    // cheapCuts sketch, distributed prefix sum — moved into the
+    // fingerprint-keyed weighted-cum STORE (pair-store build-once
+    // discipline; the sketch/prefix-sum shapes are pinned at build by
+    // PrefixSumSpec). The SERVING plan is one broadcast join plus a
+    // partial+final aggregate whose every FileScan reads the store —
+    // no lineitem scan per query, and the r9 wrong-cost apparatus
+    // (exactDistributed's RangePartitioning) stays gone.
     assert(!p.contains("RangePartitioning"), p.take(1500))
-    assert("FileScan parquet".r.findAllIn(p).isEmpty, p.take(1500))
+    assert(p.contains("weighted-cum"), p.take(1500))
+    assert(!p.contains("lineitem"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
   test("x3_balanced_shards: global rank is bucket-distributed, no corpus-wide unpartitioned window") {
