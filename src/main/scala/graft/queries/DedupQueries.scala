@@ -467,7 +467,7 @@ object DedupQueries {
     // from pair stores, band indexes and code tables. Here ONE
     // Erasure.eraseDocuments walks a store holding every artifact
     // family a training pipeline persists — text index, IVF index,
-    // hyperplane-LSH bucket index, SQ/BQ code tables, a near-dup pair
+    // hyperplane-LSH bucket index, SQ/PQ/BQ code tables, a near-dup pair
     // store, an ER band table carrying comparison ATTRIBUTES, and a
     // doc-keyed fingerprint registry — and the gate then proves, per
     // probe PATH, that the erased docs (doc_id ≡ 3 mod 17, the
@@ -491,13 +491,15 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
       val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/erasure-cascade/v1/${docsKey(s, dir)}")
+        s"/root/repo/target/tmp/erasure-cascade/v2/${docsKey(s, dir)}")
       if (!store.exists(s, "corpus_fp")) {
         graft.operators.TextIndex.build(docs, "doc_id", "text", store, "kw")
         graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
         graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
         store.replace(s, "sq_codes", VectorQueries.sqEncode(emb))
         store.replace(s, "bq_codes", VectorQueries.bqEncode(emb))
+        store.replace(s, "pq_codes", graft.operators.Pq.encode(
+          emb, "vec_id", "embedding", VectorQueries.fittedBooks(s, dir, emb)))
         store.replace(s, "pairs",
           Dedup.prefixFilteredNgram(docs, "doc_id", "text", n = 3))
         store.replacePartitions(s, "er_bands",
@@ -585,6 +587,8 @@ object DedupQueries {
         .unionByName(cnt("n_fp", fps))
         .unionByName(cnt("n_sq_codes", codes))
         .unionByName(cnt("n_bq_codes", bcodes))
+        .unionByName(cnt("n_pq_ids",
+          store.read(s, "pq_codes").select("id").distinct()))
         .unionByName(cnt("n_ivf_postings", store.read(s, "ivf_postings")))
         .unionByName(cnt("n_ann_ids",
           store.read(s, "ann_buckets").select("id").distinct()))
@@ -1356,6 +1360,7 @@ object DedupQueries {
          |UNION ALL SELECT 'n_fp', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_docs
          |UNION ALL SELECT 'n_sq_codes', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
          |UNION ALL SELECT 'n_bq_codes', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
+         |UNION ALL SELECT 'n_pq_ids', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
          |UNION ALL SELECT 'n_ivf_postings', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
          |UNION ALL SELECT 'n_ann_ids', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
          |ORDER BY sect, rk, ref_id""".stripMargin

@@ -1068,7 +1068,7 @@ object VectorQueries {
     * tiny store table keyed by the embeddings fingerprint (the
     * `fittedCentroids` pattern) — both PQ consumers and warm bench
     * passes skip the 2 Lloyd rounds and just encode. */
-  private def fittedBooks(s: SparkSession, dir: String,
+  private[queries] def fittedBooks(s: SparkSession, dir: String,
       emb: DataFrame, k: Int = graft.operators.Pq.K): Array[Array[Array[Long]]] = {
     import graft.operators.Pq
     val store = new graft.operators.TableStore(

@@ -155,6 +155,32 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(!leftover.contains("v-crashed1"), "vacuum must collect staged-but-uncommitted versions")
   }
 
+  test("retained generations: time travel serves each state, survives vacuum, crash orphans still cleaned") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "pstore-hist-")
+    val store = new TableStore(dir.toString, retain = 2)
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "v1")), Seq("k"), "p_date")
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "v2")), Seq("k"), "p_date")
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "v3")), Seq("k"), "p_date")
+    def at(back: Int) = store.readVersionsBack(spark, "t", back)
+      .select("v").head().getString(0)
+    assert((at(0), at(1), at(2)) == ("v3", "v2", "v1"))
+    // plant a crash orphan: a staged version dir no state references
+    val f = new Path(store.livePath("t")).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new Path(store.livePath("t"), "p_date=1/v-crashed9")
+    f.mkdirs(orphan)
+    val gens = fileState(store, "t")
+    store.vacuum(spark)
+    // the orphan is gone; every generation-referenced file untouched
+    assert(!f.exists(orphan))
+    assert(fileState(store, "t") == gens.filterNot(_._1.contains("v-crashed9")))
+    assert((at(0), at(1), at(2)) == ("v3", "v2", "v1"))
+    // a fourth commit truncates the window: v1's dir falls away
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "v4")), Seq("k"), "p_date")
+    assert((at(0), at(1), at(2)) == ("v4", "v3", "v2"))
+    intercept[IllegalArgumentException] { at(3) }
+    assert(store.versionDepth(spark, "t") == 3)
+  }
+
   test("widenPartitioned: one-time sweep adds a column atomically; implicit widening still rejected") {
     val store = freshStore()
     store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")), Seq("k"), "p_date",

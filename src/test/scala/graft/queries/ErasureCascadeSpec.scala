@@ -23,7 +23,7 @@ class ErasureCascadeSpec extends SparkSpec {
     // the query itself builds (or warms) the store and runs the cascade
     DedupQueries.all("x1_erasure_cascade")(s, dir).count()
     val store = new graft.operators.TableStore(
-      s"/root/repo/target/tmp/erasure-cascade/v1/${Tables.fileKey(s, dir, "documents.parquet")}")
+      s"/root/repo/target/tmp/erasure-cascade/v2/${Tables.fileKey(s, dir, "documents.parquet")}")
     (store, Tables.embeddings(s, dir))
   }
 
