@@ -396,6 +396,26 @@ class MergeIntoGraftSpec extends SparkSpec {
     intercept[Exception] { spark.sql("ALTER TABLE graft_alt.t RENAME COLUMN tag TO t2") }
   }
 
+  test("partitioned timestamp travel: #ts generations resolve instants; MOR deletes keep the data commit's time") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-pts").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    def b(v: String, pc: Int) = Seq((1L, v, pc)).toDF("k", "s", "pc")
+    store.upsertPartitioned(spark, "t", b("s1", 0), Seq("k"), "pc")
+    store.upsertPartitioned(spark, "t", b("s2", 0), Seq("k"), "pc")
+    store.upsertPartitioned(spark, "t", b("s3", 0), Seq("k"), "pc")
+    val ts = store.commitTimestamps(spark, "t").map(_.get)
+    assert(ts.length == 3 && ts == ts.sorted.reverse)
+    assert(store.stepsBackAsOf(spark, "t", ts(1)) == 1)
+    assert(store.readVersionsBack(spark, "t",
+      store.stepsBackAsOf(spark, "t", ts(2))).select("s").head().getString(0) == "s1")
+    intercept[IllegalArgumentException] { store.stepsBackAsOf(spark, "t", ts(2) - 1) }
+    // a MOR delete is not a data commit: the head keeps the data
+    // commit's stamp, so timestamp resolution is unaffected
+    store.deleteWhereMorPartitioned(spark, "t", col("k") === 999L, Seq("k"), "pc")
+    assert(store.commitTimestamps(spark, "t").map(_.get) == ts)
+  }
+
   test("catalog retain conf: a pure-SQL write flow keeps history for VERSION AS OF and RESTORE") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-retain").toString
     register("graft_ret", path)
