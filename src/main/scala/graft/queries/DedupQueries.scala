@@ -103,6 +103,129 @@ object DedupQueries {
     store.read(s, "pairs")
   }
 
+
+  /** The erasure-cascade artifact store — every persisted family ONE
+    * store, built once per corpus fingerprint (guard table committed
+    * LAST so a half-built store rebuilds — the x3_index_incremental
+    * lesson). Shared by the one-shot gate (x1_erasure_cascade) and the
+    * streamed privacy queue (t24_stream_cascade): erasure is
+    * idempotent, so whichever runs first erases and the other
+    * re-walks to zero — the served state is identical. */
+  private[queries] def cascadeArtifactStore(s: SparkSession, dir: String): graft.operators.TableStore = {
+    graft.functions.Functions.register(s)
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val store = new graft.operators.TableStore(
+      s"/root/repo/target/tmp/erasure-cascade/v2/${docsKey(s, dir)}")
+    if (!store.exists(s, "corpus_fp")) {
+      graft.operators.TextIndex.build(docs, "doc_id", "text", store, "kw")
+      graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
+      graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
+      store.replace(s, "sq_codes", VectorQueries.sqEncode(emb))
+      store.replace(s, "bq_codes", VectorQueries.bqEncode(emb))
+      store.replace(s, "pq_codes", graft.operators.Pq.encode(
+        emb, "vec_id", "embedding", VectorQueries.fittedBooks(s, dir, emb)))
+      store.replace(s, "pairs",
+        Dedup.prefixFilteredNgram(docs, "doc_id", "text", n = 3))
+      store.replacePartitions(s, "er_bands",
+        docs.select(col("doc_id").as("id"), col("lang"),
+          (col("doc_id") % 4).as("band"),
+          (col("doc_id") % 2).cast("int").as("_er_bn")), "_er_bn")
+      store.replace(s, "corpus_fp",
+        docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    }
+    store
+  }
+
+  /** The post-erasure probe battery over the cascade store — every
+    * serving path plus every read-back count, one frame (sect, rk,
+    * ref_id, val6). ONE text gates both the one-shot and the streamed
+    * cascade. */
+  private[queries] def cascadeProbes(s: SparkSession, dir: String,
+      store: graft.operators.TableStore): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    // (id, sim6) -> top-10 with rk, ranked on the MICRO-rounded sim so
+    // the order replays in the exact-integer oracle (probeTopKBatch
+    // discipline); the <=50-row frame makes the global window free
+    def rerank(cand: DataFrame): DataFrame = {
+      val w = Window.orderBy(col("sim6").desc, col("id"))
+      cand.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("id").as("ref_id"), col("sim6").as("val6"))
+    }
+    def exactRerank(shortlist: DataFrame): DataFrame = rerank(
+      emb.join(shortlist, Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(cosine(col("embedding"), col("qv")) * 1000000d).cast("long").as("sim6")))
+    def sect(n: String, df: DataFrame): DataFrame =
+      df.select(lit(n).as("sect"), col("rk"), col("ref_id"), col("val6"))
+    def cnt(n: String, v: DataFrame): DataFrame =
+      v.agg(count(lit(1)).as("val6"))
+        .select(lit(n).as("sect"), lit(0L).as("rk"), lit(-1L).as("ref_id"), col("val6"))
+
+    val wb = Window.orderBy(col("score").desc, col("doc_id"))
+    val bm25 = graft.operators.TextIndex.bm25Search(s, store, "kw",
+        Seq("vector", "stream", "merge"), k = 10)
+      .withColumn("rk", row_number().over(wb).cast("long"))
+      .select(col("rk"), col("doc_id").as("ref_id"), col("score").as("val6"))
+
+    val ivf = rerank(graft.operators.Ivf.probeTopK(s, store, "ivf",
+        emb.filter(col("vec_id") === 0L).select("embedding"), 0L, 50)
+      .select(col("id"), round(col("sim") * 1000000d).cast("long").as("sim6")))
+    val ann = rerank(graft.operators.Ann.probeTopK(emb, "vec_id", "embedding",
+        store, "ann", queryId = 0L, k = 50)
+      .select(col("id"), round(col("sim") * 1000000d).cast("long").as("sim6")))
+
+    val codes = store.read(s, "sq_codes")
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("code").as("qcode"), col("csq").as("qsq"))
+    val sq = exactRerank(codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("intdot", expr(
+        "aggregate(zip_with(code, qcode, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("approx", col("intdot") / sqrt((col("csq") * col("qsq")).cast("double")))
+      .orderBy(col("approx").desc, col("vec_id")).limit(50).select("vec_id"))
+
+    val bcodes = store.read(s, "bq_codes")
+    val q6 = emb.filter(col("vec_id") === 0L)
+      .select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("q6"))
+    val bq = exactRerank(bcodes.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q6))
+      .withColumn("iscore", expr(
+        "aggregate(zip_with(q6, sequence(0, 63), (x, i) -> " +
+          "IF(getbit(code, i) = 1, x, -x)), cast(0 as bigint), (acc, e) -> acc + e)"))
+      .orderBy(col("iscore").desc, col("vec_id")).limit(256).select("vec_id"))
+
+    val fps = store.read(s, "corpus_fp").select("fp")
+    val fpErased = cnt("fp_erased_pass",
+      docs.filter(col("doc_id") % 17 === 3).select(md5(col("text")).as("fp"))
+        .join(fps, Seq("fp"), "left_anti"))
+    val fpSurv = cnt("fp_survivor_match",
+      docs.filter(col("doc_id") % 17 =!= 3).orderBy("doc_id").limit(5)
+        .select(md5(col("text")).as("fp"))
+        .join(fps, Seq("fp"), "left_semi"))
+
+    sect("bm25", bm25)
+      .unionByName(sect("ivf", ivf)).unionByName(sect("ann", ann))
+      .unionByName(sect("sq", sq)).unionByName(sect("bq", bq))
+      .unionByName(fpErased).unionByName(fpSurv)
+      .unionByName(cnt("n_pairs", store.read(s, "pairs")))
+      .unionByName(cnt("n_er_bands", store.read(s, "er_bands")))
+      .unionByName(cnt("n_fp", fps))
+      .unionByName(cnt("n_sq_codes", codes))
+      .unionByName(cnt("n_bq_codes", bcodes))
+      .unionByName(cnt("n_pq_ids",
+        store.read(s, "pq_codes").select("id").distinct()))
+      .unionByName(cnt("n_ivf_postings", store.read(s, "ivf_postings")))
+      .unionByName(cnt("n_ann_ids",
+        store.read(s, "ann_buckets").select("id").distinct()))
+      .orderBy("sect", "rk", "ref_id")
+  }
+
   val all: Map[String, Q] = Map(
     // ---- exact word-trigram Jaccard via PPJoin prefix filter --------
     // Output identical to the naive all-pairs scan on this data (same
@@ -487,115 +610,15 @@ object DedupQueries {
     // table committed LAST, so a half-built store rebuilds) — erasure
     // is idempotent, so warm bench passes re-delete nothing.
     "x1_erasure_cascade" -> ((s, dir) => {
-      graft.functions.Functions.register(s)
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val store = new graft.operators.TableStore(
-        s"/root/repo/target/tmp/erasure-cascade/v2/${docsKey(s, dir)}")
-      if (!store.exists(s, "corpus_fp")) {
-        graft.operators.TextIndex.build(docs, "doc_id", "text", store, "kw")
-        graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", store, "ivf")
-        graft.operators.Ann.buildIndex(emb, "vec_id", "embedding", store, "ann")
-        store.replace(s, "sq_codes", VectorQueries.sqEncode(emb))
-        store.replace(s, "bq_codes", VectorQueries.bqEncode(emb))
-        store.replace(s, "pq_codes", graft.operators.Pq.encode(
-          emb, "vec_id", "embedding", VectorQueries.fittedBooks(s, dir, emb)))
-        store.replace(s, "pairs",
-          Dedup.prefixFilteredNgram(docs, "doc_id", "text", n = 3))
-        store.replacePartitions(s, "er_bands",
-          docs.select(col("doc_id").as("id"), col("lang"),
-            (col("doc_id") % 4).as("band"),
-            (col("doc_id") % 2).cast("int").as("_er_bn")), "_er_bn")
-        // the guard table, committed last: its existence implies the
-        // whole store built (the x3_index_incremental half-built lesson)
-        store.replace(s, "corpus_fp",
-          docs.select(col("doc_id"), md5(col("text")).as("fp")))
-      }
+      val store = cascadeArtifactStore(s, dir)
       graft.operators.Erasure.eraseDocuments(s, store,
-        docs.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id")
-
-      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
-      // (id, sim6) → top-10 with rk, ranked on the MICRO-rounded sim so
-      // the order replays in the exact-integer oracle (probeTopKBatch
-      // discipline); the ≤50-row frame makes the global window free
-      def rerank(cand: DataFrame): DataFrame = {
-        val w = Window.orderBy(col("sim6").desc, col("id"))
-        cand.withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 10)
-          .select(col("rk"), col("id").as("ref_id"), col("sim6").as("val6"))
-      }
-      def exactRerank(shortlist: DataFrame): DataFrame = rerank(
-        emb.join(shortlist, Seq("vec_id"), "left_semi")
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id").as("id"),
-            round(cosine(col("embedding"), col("qv")) * 1000000d).cast("long").as("sim6")))
-      def sect(n: String, df: DataFrame): DataFrame =
-        df.select(lit(n).as("sect"), col("rk"), col("ref_id"), col("val6"))
-      def cnt(n: String, v: DataFrame): DataFrame =
-        v.agg(count(lit(1)).as("val6"))
-          .select(lit(n).as("sect"), lit(0L).as("rk"), lit(-1L).as("ref_id"), col("val6"))
-
-      val wb = Window.orderBy(col("score").desc, col("doc_id"))
-      val bm25 = graft.operators.TextIndex.bm25Search(s, store, "kw",
-          Seq("vector", "stream", "merge"), k = 10)
-        .withColumn("rk", row_number().over(wb).cast("long"))
-        .select(col("rk"), col("doc_id").as("ref_id"), col("score").as("val6"))
-
-      val ivf = rerank(graft.operators.Ivf.probeTopK(s, store, "ivf",
-          emb.filter(col("vec_id") === 0L).select("embedding"), 0L, 50)
-        .select(col("id"), round(col("sim") * 1000000d).cast("long").as("sim6")))
-      val ann = rerank(graft.operators.Ann.probeTopK(emb, "vec_id", "embedding",
-          store, "ann", queryId = 0L, k = 50)
-        .select(col("id"), round(col("sim") * 1000000d).cast("long").as("sim6")))
-
-      val codes = store.read(s, "sq_codes")
-      val q = codes.filter(col("vec_id") === 0)
-        .select(col("code").as("qcode"), col("csq").as("qsq"))
-      val sq = exactRerank(codes.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("intdot", expr(
-          "aggregate(zip_with(code, qcode, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"))
-        .withColumn("approx", col("intdot") / sqrt((col("csq") * col("qsq")).cast("double")))
-        .orderBy(col("approx").desc, col("vec_id")).limit(50).select("vec_id"))
-
-      val bcodes = store.read(s, "bq_codes")
-      val q6 = emb.filter(col("vec_id") === 0L)
-        .select(expr(
-          "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("q6"))
-      val bq = exactRerank(bcodes.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(q6))
-        .withColumn("iscore", expr(
-          "aggregate(zip_with(q6, sequence(0, 63), (x, i) -> " +
-            "IF(getbit(code, i) = 1, x, -x)), cast(0 as bigint), (acc, e) -> acc + e)"))
-        .orderBy(col("iscore").desc, col("vec_id")).limit(256).select("vec_id"))
-
-      val fps = store.read(s, "corpus_fp").select("fp")
-      val fpErased = cnt("fp_erased_pass",
-        docs.filter(col("doc_id") % 17 === 3).select(md5(col("text")).as("fp"))
-          .join(fps, Seq("fp"), "left_anti"))
-      val fpSurv = cnt("fp_survivor_match",
-        docs.filter(col("doc_id") % 17 =!= 3).orderBy("doc_id").limit(5)
-          .select(md5(col("text")).as("fp"))
-          .join(fps, Seq("fp"), "left_semi"))
-
-      sect("bm25", bm25)
-        .unionByName(sect("ivf", ivf)).unionByName(sect("ann", ann))
-        .unionByName(sect("sq", sq)).unionByName(sect("bq", bq))
-        .unionByName(fpErased).unionByName(fpSurv)
-        .unionByName(cnt("n_pairs", store.read(s, "pairs")))
-        .unionByName(cnt("n_er_bands", store.read(s, "er_bands")))
-        .unionByName(cnt("n_fp", fps))
-        .unionByName(cnt("n_sq_codes", codes))
-        .unionByName(cnt("n_bq_codes", bcodes))
-        .unionByName(cnt("n_pq_ids",
-          store.read(s, "pq_codes").select("id").distinct()))
-        .unionByName(cnt("n_ivf_postings", store.read(s, "ivf_postings")))
-        .unionByName(cnt("n_ann_ids",
-          store.read(s, "ann_buckets").select("id").distinct()))
-        .orderBy("sect", "rk", "ref_id")
+        Tables.documents(s, dir).filter(col("doc_id") % 17 === 3).select("doc_id"),
+        "doc_id")
+      cascadeProbes(s, dir, store)
     }),
 
     // ---- exact 13-gram decontamination (GPT-3/PaLM style) -----------
+
     // The OTHER contamination check: x1_contamination finds near-dup
     // eval docs; this finds eval docs sharing any EXACT 13-token
     // window with any training doc — the n-gram overlap rule the
@@ -1214,6 +1237,54 @@ object DedupQueries {
       |WHERE CAST(dp AS DOUBLE)/(sqrt(CAST(na.n2 AS DOUBLE))*sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** ONE oracle text for both cascade gates (x1 one-shot, t24
+    * streamed): every probe path over the survivors + every read-back
+    * count. */
+  private[queries] val ErasureCascadeOracleSql: String = {
+      val bm = TextQueries.bm25OracleSql("WHERE doc_id % 17 <> 3")
+        .replace("LIMIT 20", "LIMIT 10")
+      s"""WITH surv_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
+         |surv_emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 3),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |brute AS (SELECT e.vec_id,
+         |    CAST(ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT) AS sim6
+         |  FROM surv_emb e, q WHERE e.vec_id <> 0),
+         |topk AS (SELECT * FROM (SELECT vec_id, sim6,
+         |    CAST(row_number() OVER (ORDER BY sim6 DESC, vec_id) AS BIGINT) AS rk
+         |  FROM brute) WHERE rk <= 10),
+         |bm AS ($bm),
+         |jd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM surv_docs),
+         |jg AS (SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+         |         ELSE [array_to_string(w, ' ')] END AS grams FROM jd),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM jg a JOIN jg b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.grams, b.grams)) * 5 >= len(list_distinct(a.grams || b.grams)) * 3)
+         |SELECT 'bm25' AS sect, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id AS ref_id, score AS val6 FROM bm
+         |UNION ALL SELECT 'ivf', rk, vec_id, sim6 FROM topk
+         |UNION ALL SELECT 'ann', rk, vec_id, sim6 FROM topk
+         |UNION ALL SELECT 'sq', rk, vec_id, sim6 FROM topk
+         |UNION ALL SELECT 'bq', rk, vec_id, sim6 FROM topk
+         |UNION ALL SELECT 'fp_erased_pass', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM documents
+         |  WHERE doc_id % 17 = 3 AND md5(text) NOT IN (SELECT md5(text) FROM surv_docs)
+         |UNION ALL SELECT 'fp_survivor_match', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM
+         |  (SELECT md5(text) AS fp FROM (SELECT text FROM surv_docs ORDER BY doc_id LIMIT 5))
+         |  WHERE fp IN (SELECT md5(text) FROM surv_docs)
+         |UNION ALL SELECT 'n_pairs', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM jp
+         |UNION ALL SELECT 'n_er_bands', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_docs
+         |UNION ALL SELECT 'n_fp', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_docs
+         |UNION ALL SELECT 'n_sq_codes', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
+         |UNION ALL SELECT 'n_bq_codes', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
+         |UNION ALL SELECT 'n_pq_ids', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
+         |UNION ALL SELECT 'n_ivf_postings', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
+         |UNION ALL SELECT 'n_ann_ids', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
+         |ORDER BY sect, rk, ref_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x1_tfidf_pairs" -> tfidfOracle,
     "x1_ngram_jaccard" -> jaccardOracle,
@@ -1321,50 +1392,8 @@ object DedupQueries {
     // NEW while survivors still match, and the read-back counts prove
     // each artifact holds exactly the survivors (pairs = the exact
     // all-pairs Jaccard count among survivors).
-    "x1_erasure_cascade" -> {
-      val bm = TextQueries.bm25OracleSql("WHERE doc_id % 17 <> 3")
-        .replace("LIMIT 20", "LIMIT 10")
-      s"""WITH surv_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
-         |surv_emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 3),
-         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-         |brute AS (SELECT e.vec_id,
-         |    CAST(ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
-         |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-         |       sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT) AS sim6
-         |  FROM surv_emb e, q WHERE e.vec_id <> 0),
-         |topk AS (SELECT * FROM (SELECT vec_id, sim6,
-         |    CAST(row_number() OVER (ORDER BY sim6 DESC, vec_id) AS BIGINT) AS rk
-         |  FROM brute) WHERE rk <= 10),
-         |bm AS ($bm),
-         |jd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM surv_docs),
-         |jg AS (SELECT doc_id,
-         |    CASE WHEN len(w) >= 3
-         |         THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
-         |         ELSE [array_to_string(w, ' ')] END AS grams FROM jd),
-         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM jg a JOIN jg b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.grams, b.grams)) * 5 >= len(list_distinct(a.grams || b.grams)) * 3)
-         |SELECT 'bm25' AS sect, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
-         |       doc_id AS ref_id, score AS val6 FROM bm
-         |UNION ALL SELECT 'ivf', rk, vec_id, sim6 FROM topk
-         |UNION ALL SELECT 'ann', rk, vec_id, sim6 FROM topk
-         |UNION ALL SELECT 'sq', rk, vec_id, sim6 FROM topk
-         |UNION ALL SELECT 'bq', rk, vec_id, sim6 FROM topk
-         |UNION ALL SELECT 'fp_erased_pass', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM documents
-         |  WHERE doc_id % 17 = 3 AND md5(text) NOT IN (SELECT md5(text) FROM surv_docs)
-         |UNION ALL SELECT 'fp_survivor_match', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM
-         |  (SELECT md5(text) AS fp FROM (SELECT text FROM surv_docs ORDER BY doc_id LIMIT 5))
-         |  WHERE fp IN (SELECT md5(text) FROM surv_docs)
-         |UNION ALL SELECT 'n_pairs', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM jp
-         |UNION ALL SELECT 'n_er_bands', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_docs
-         |UNION ALL SELECT 'n_fp', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_docs
-         |UNION ALL SELECT 'n_sq_codes', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
-         |UNION ALL SELECT 'n_bq_codes', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
-         |UNION ALL SELECT 'n_pq_ids', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
-         |UNION ALL SELECT 'n_ivf_postings', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
-         |UNION ALL SELECT 'n_ann_ids', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), COUNT(*) FROM surv_emb
-         |ORDER BY sect, rk, ref_id""".stripMargin
-    },
+    "x1_erasure_cascade" -> ErasureCascadeOracleSql,
+
 
     "x1_jaro_linkage" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name, substr(p_name, 1, 1) AS c1 FROM part)

@@ -1400,6 +1400,46 @@ object StreamQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- T24: STREAMED CASCADING erasure — the privacy queue over
+    // EVERY artifact (t21 erased the text index alone; this drives
+    // Erasure.eraseDocuments per micro-batch across the full cascade
+    // store: text index, IVF, LSH buckets, SQ/PQ/BQ codes, pair
+    // store, ER bands, fingerprint registry). Requests replay as 3
+    // batches; each walk is idempotent and atomic per artifact, so
+    // at-least-once replay needs no batch-id plumbing, and the store
+    // is SHARED with x1_erasure_cascade (whichever runs first erases;
+    // the other re-walks to zero — ErasureSpec pins the zero re-run).
+    // The gate is the identical probe battery and oracle text as the
+    // one-shot cascade: batched erasure == one-shot erasure ==
+    // never-indexed, across every serving path at once.
+    "t24_stream_cascade" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val store = DedupQueries.cascadeArtifactStore(s, dir)
+      val erase = Tables.documents(s, dir)
+        .filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+      val base = s"/root/repo/target/tmp/stream-cascade/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, erase, "doc_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val stream = s.readStream.schema(erase.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.operators.Erasure.eraseDocuments(b.sparkSession, store, b, "doc_id")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      DedupQueries.cascadeProbes(s, dir, store)
+    }),
+
     // ---- T23: STREAMED append-only ingest, oracle-gated -------------
     // s4_append_feed LIVE — the production shape of the keyless fact
     // feed: orders replay as 4 micro-batches, each committing ONE new
@@ -1708,6 +1748,11 @@ object StreamQueries {
     // tombstoned index's BM25 over the survivors (x3_search_erasure's
     // text)
     "t21_stream_erasure" -> TextQueries.bm25OracleSql("WHERE doc_id % 7 <> 3"),
+
+    // batched erasure == one-shot erasure == never-indexed: the
+    // streamed cascade shares the one-shot gate's full probe battery
+    // and oracle text across every serving path at once
+    "t24_stream_cascade" -> DedupQueries.ErasureCascadeOracleSql,
 
     // the appended table minus its _ab watermark must equal the source
     // verbatim — lost/duplicated batches break the hash
