@@ -60,8 +60,23 @@ object Erasure {
   /** Pair-table conventions: both sides reference source ids. */
   private val PairCols = Seq(("idA", "idB"), ("id_a", "id_b"), ("doc_a", "doc_b"))
 
+  /** @param purgeHistory also run [[TableStore.purgeHistory]] over
+    *   EVERY table in the store after the walk: the cascade's deletes
+    *   remove the erased doc from each artifact's CURRENT version, but
+    *   a store built with `retain > 0` keeps serving the pre-erasure
+    *   state through VERSION/TIMESTAMP AS OF and RESTORE, and
+    *   merge-on-read tombstones leave the bytes in place — the purge
+    *   folds pending DVs and truncates every table's history to the
+    *   head (a no-op per table without history or DVs). Store-wide by
+    *   design: an erased doc may sit in ANY artifact's history, not
+    *   just the ones this request touched. Text-index postings rows
+    *   under tombstone erasure remain physically present until the
+    *   index is rebuilt (the [[TextIndex.remove]] contract — rebuild
+    *   IS compaction); the purge completes the HISTORY half, the
+    *   rebuild the content half. Default false: dropping retention is
+    *   a declared-property decision, not an erasure side effect. */
   def eraseDocuments(spark: SparkSession, store: TableStore,
-      ids: DataFrame, idCol: String): DataFrame = {
+      ids: DataFrame, idCol: String, purgeHistory: Boolean = false): DataFrame = {
     import spark.implicits._
     val del = ids.select(col(idCol).cast("long").as("_eid")).distinct()
     // bounded driver collect: erasure-request volumes (see object doc)
@@ -109,6 +124,8 @@ object Erasure {
           report += ((t, "model", 0L))
       }
     }
+
+    if (purgeHistory) names.foreach(store.purgeHistory(spark, _))
 
     report.sortBy(_._1).toSeq.toDF("artifact", "kind", "n_removed")
   }

@@ -476,6 +476,75 @@ final class TableStore(val root: String, val retain: Int = 0) {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** PHYSICAL history truncation — the compliance completion of every
+    * delete/erasure verb. A copy-on-write delete removes rows from the
+    * CURRENT version only: retained versions (the whole-table chain,
+    * partitioned `#h` generations) still SERVE them through
+    * `VERSION`/`TIMESTAMP AS OF` and RESTORE, and a pending
+    * merge-on-read deletion vector leaves the row bytes physically in
+    * the head's parquet files (the DV is an anti-join at read time,
+    * not a rewrite). "Erase doc X" is therefore not finished until
+    * history is: purgeHistory
+    *   1. folds any pending DV into a physical rewrite first
+    *      (`compactDeletes` / `compactDeletesPartitioned` — touched
+    *      partitions only in partitioned mode), then
+    *   2. truncates retention to the head alone: prior chain lines /
+    *      generation headers leave the manifest in one atomic rename,
+    *      displaced version dirs — and DV files referenced only by
+    *      purged generations — are deleted.
+    * After it returns, no read path (current, time travel, restore,
+    * or a raw recursive file scan of the table directory) can produce
+    * a previously-deleted row. Cost: O(1) metadata when no DV is
+    * pending; the DV fold prices at the usual rewrite of DV-carrying
+    * data. The head keeps its manifest timestamp (TIMESTAMP AS OF
+    * still resolves the present), and a RESTORE-aliased head collapses
+    * to one listing — MOR deletes un-refuse without a data commit.
+    * Deliberately NOT automatic on erasure: retention is a declared
+    * table property and dropping it is a legal decision; call this
+    * when the erasure SLA says history must go too. Single-writer
+    * discipline, like every commit. */
+  def purgeHistory(spark: SparkSession, name: String): Unit = {
+    val f = fs(spark)
+    if (!exists(spark, name)) return
+    if (pmanifestLines(f, name).isDefined) {
+      if (pDvState(f, name)._2.nonEmpty)
+        compactDeletesPartitioned(spark, name, partitionColumn(spark, name).get)
+      val (head, gens) = pHeadAndHist(f, name)
+      if (gens.isEmpty) return
+      val headRefs = pMapOf(head).toSet
+      val genRefs = gens.flatMap(g => pMapOf(g._2)).toSet
+      val headDv = head.filter(_.startsWith("#dv\t")).map(_.split("\t")(2)).toSet
+      val genDv = gens.flatMap(_._2).filter(_.startsWith("#dv\t"))
+        .map(_.split("\t")(2)).toSet
+      commitPmanifestLines(spark, f, name,
+        s"purge-${UUID.randomUUID().toString.take(8)}", head)
+      (genRefs -- headRefs).foreach { case (pn, v) =>
+        f.delete(new Path(livePath(name), s"$pn/$v"), true) }
+      (genRefs.map(_._1) -- headRefs.map(_._1)).foreach { pn =>
+        f.delete(new Path(livePath(name), pn), true) }
+      // DV files referenced only by purged generations may live inside
+      // version dirs the head still references — delete them by path
+      (genDv -- headDv).foreach { rel =>
+        f.delete(new Path(livePath(name), rel), true) }
+      return
+    }
+    if (currentVersion(f, name).exists(dvInfo(f, name, _).isDefined))
+      compactDeletes(spark, name)
+    val lines = versionChainLines(f, name)
+    if (lines.size <= 1) return
+    val headVer = lines.head.takeWhile(_ != '\t')
+    val mtmp = new Path(livePath(name),
+      s"._manifest-purge-${UUID.randomUUID().toString.take(8)}")
+    val out = f.create(mtmp, true)
+    try out.write(lines.head.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(mtmp), f.makeQualified(manifest(name)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    lines.tail.map(_.takeWhile(_ != '\t')).distinct.filterNot(_ == headVer)
+      .foreach(v => f.delete(new Path(s"$root/$name/$v"), true))
+  }
+
   /** Raw path of the version `stepsBack` commits ago — for path-based
     * readers (the SQL catalog's `VERSION AS OF`). Callers MUST pair
     * this with `hasPendingDvBack`: a raw path scan cannot apply a
@@ -530,6 +599,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
     j.select(col("op") +: k ++: nonKeys.map(c => col(s"_img.$c").as(c)): _*)
   }
 
+  /** The change feed addressed the way CDC consumers actually ask —
+    * by WALL CLOCK, not commit ordinals: the keyed diff between the
+    * version that was current at `tsMillis` and now. "Give me
+    * everything that changed since my last poll at 14:07" is one call;
+    * the instant resolves through the manifest-stamped commit times
+    * (`stepsBackAsOf` — between-commits → the earlier version, before
+    * the first retained commit → loud error) and delegates to
+    * [[changesBetween]]'s one full-outer merge diff. Same retention
+    * contract: the poll interval must fit inside `retain` commits. */
+  def changesSince(spark: SparkSession, name: String, keys: Seq[String],
+      tsMillis: Long): DataFrame =
+    changesBetween(spark, name, keys, stepsBackAsOf(spark, name, tsMillis))
+
   /** CDC-OUT: fold this table's latest commit into a downstream
     * REPLICA — the consumer loop `changesBetween` exists for, closed
     * end to end (CDC-IN applies someone else's changelog — S11; this
@@ -557,6 +639,46 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val kept = replica.join(feed.select(keys.map(col): _*), keys, "left_anti")
     dst.replace(spark, dstName,
       kept.unionByName(feed.filter(col("op") =!= "D").drop("op")))
+  }
+
+  /** `syncReplica`'s 100 TB shape — the routing the whole-table verb's
+    * doc promised: the replica lives PARTITIONED by `partCol`, and a
+    * sync reads and rewrites ONLY the partitions the diff's keys live
+    * in, published as ONE batch-atomic `_pmanifest` commit (a reader
+    * of the replica sees the pre-sync state or the whole diff applied,
+    * never a mix — same guarantee as the whole-table `replace`, at
+    * touched-partition cost). Untouched partitions are never read and
+    * their files never move, so an hourly sync against a 100 TB
+    * replica pays for the partitions the hour touched, not the table.
+    *
+    * `partCol` must be functionally determined by the merge keys (the
+    * `upsertPartitioned` contract, shared verbatim): the change feed's
+    * U rows carry post-images, so a key that "moved" partitions would
+    * leave its pre-image row stranded in an untouched partition. With
+    * partition-stable keys every feed row — I and U post-images, D
+    * pre-images — names the one partition it lives in, and the touched
+    * set (one driver-collected value per touched partition, bounded by
+    * the diff) is complete. Partitions the diff empties entirely drop
+    * in the same commit. Content-idempotent like the whole-table verb:
+    * re-applying the head diff rewrites the touched partitions to the
+    * bytes they already hold. */
+  def syncReplicaPartitioned(spark: SparkSession, name: String, keys: Seq[String],
+      dst: TableStore, dstName: String, partCol: String): Unit = {
+    if (!dst.exists(spark, dstName)) {
+      dst.replacePartitions(spark, dstName,
+        read(spark, name).repartition(col(partCol)), partCol)
+      return
+    }
+    val feed = changesBetween(spark, name, keys, 1)
+    require(feed.columns.contains(partCol),
+      s"syncReplicaPartitioned: the change feed must carry $partCol")
+    val touched = feed.select(partCol).distinct().collect().map(_.get(0)).toIndexedSeq
+    if (touched.isEmpty) return
+    val kept = dst.prunedRead(spark, dstName, partCol, touched)
+      .join(feed.select(keys.map(col): _*), keys, "left_anti")
+    val next = kept.unionByName(feed.filter(col("op") =!= "D").drop("op"))
+    dst.replacePartitions(spark, dstName, next.repartition(col(partCol)), partCol,
+      dropIfUnwritten = touched.map(v => s"$partCol=$v"))
   }
 
   /** The commit-metadata string attached to the CURRENT version (via
@@ -762,6 +884,56 @@ final class TableStore(val root: String, val retain: Int = 0) {
       meta = batchId.map(_.toString))
   }
 
+  /** Small-files maintenance for APPEND-ONLY tables: fold every batch
+    * partition with `_ab <= floor` into ONE consolidated partition (at
+    * the largest folded ordinal), published through the same batch-atomic `_pmanifest`
+    * rename as the appends themselves (readers see all the old batches
+    * or the one folded segment, never a mix). A per-trigger streamed
+    * feed accretes one partition dir + one manifest line per
+    * micro-batch — at 100 TB that is tens of thousands of tiny
+    * partitions whose listing cost eventually dominates every read;
+    * this folds the cold prefix back to one partition while batches
+    * above the floor keep their dirs, their files never moving.
+    *
+    * The watermark contract (why `floor` is a caller decision, not
+    * automatic): `_ab` is the incremental-read watermark, and folding
+    * collapses batch identity below the floor — rows from batches
+    * 0..floor re-read as one batch (the largest folded ordinal, so
+    * `_ab` never moves FORWARD past a caught-up watermark). A consumer whose
+    * watermark k >= floor is unaffected (`_ab > k` still excludes the
+    * folded segment and partition-prunes exactly as before); a LAGGING
+    * consumer at k < floor re-reads the whole folded segment —
+    * at-least-once, never loss. So compact only up to the slowest
+    * consumer's committed watermark, the same rule that governs a log
+    * cleaner. Content minus batch identity is untouched: the table
+    * dropping `_ab` is byte-equal before and after (on the oracle
+    * gate). The commit-meta replay watermark carries forward, so a
+    * replayed append after compaction is still a no-op; MOR deletion
+    * vectors on folded batches are applied by the fold (the read path
+    * applies them) and cleared. Re-running with the same floor is a
+    * natural no-op (one partition is already at the floor). */
+  def compactAppend(spark: SparkSession, name: String, floor: Int,
+      numFiles: Option[Int] = None): Unit = {
+    if (!exists(spark, name)) return
+    val pc = partitionColumn(spark, name)
+    require(pc.contains("_ab") && pmanifestLines(fs(spark), name).isDefined,
+      s"compactAppend: '$name' is not an append-only table")
+    val batches = partitionedLeafPaths(spark, name).get
+      .map(_.split('/').dropRight(1).last.stripPrefix("_ab=").toInt)
+    val below = batches.filter(_ <= floor).sorted
+    if (below.size <= 1) return // already compact below the floor
+    // fold ONTO the largest folded ordinal (not `floor` itself): a
+    // floor above the newest folded batch must not push rows FORWARD
+    // past watermarks that already consumed them — `_ab` values never
+    // exceed what a caught-up consumer has seen
+    val target = below.max
+    val folded0 = prunedRead(spark, name, "_ab", below)
+      .drop("_ab").withColumn("_ab", lit(target))
+    val folded = numFiles.fold(folded0)(folded0.coalesce)
+    replacePartitions(spark, name, folded, "_ab",
+      dropIfUnwritten = below.filterNot(_ == target).map(v => s"_ab=$v"))
+  }
+
   /** Swap in `df`'s partitions, BATCH-atomically (VERDICT r2 missing
     * #1): fully materialize to a temp dir (partitioned by `partCol`),
     * stage every written partition as an UNLISTED version dir
@@ -800,6 +972,14 @@ final class TableStore(val root: String, val retain: Int = 0) {
       partCol: String, dropIfUnwritten: Seq[String] = Nil,
       meta: Option[String] = None): Seq[String] = {
     val f = fs(spark)
+    // MODE GUARD, the mirror of replaceInternal's: a partitioned
+    // commit against a whole-table versioned table would shadow its
+    // manifest chain (partitioned reads win) while the chain's version
+    // dirs linger invisibly. Legacy FLAT hive layouts (no manifest of
+    // either kind) stay adoptable below.
+    require(versionChain(f, name).isEmpty,
+      s"replacePartitions: '$name' is in whole-table versioned mode — a " +
+        "partitioned commit would shadow its manifest chain; use replace/upsert")
     val live = new Path(livePath(name))
     val tag = UUID.randomUUID().toString.take(8)
     val ver = s"v-$tag"
@@ -1644,6 +1824,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
       meta: Option[String], preCommitCheck: () => Unit,
       prepare: Path => Unit = _ => ()): Unit = {
     val f = fs(spark)
+    // MODE GUARD: a whole-table commit against a partitioned-mode
+    // table would be INVISIBLE (reads follow the _pmanifest first) and
+    // the no-chain "legacy cleanup" below would collect the partition
+    // dirs as debris — silent data loss from an honest API mix-up.
+    // Loud refusal; the partitioned verbs are the routed path.
+    require(pmanifestLines(f, name).isEmpty,
+      s"replace: '$name' is in partitioned mode — a whole-table commit would be " +
+        "shadowed by the _pmanifest; use replacePartitions/upsertPartitioned/" +
+        "compactPartitions instead")
     // commit-meta carry-forward: a rewrite that is NOT a new logical
     // batch (compact, optimizeZOrder, an un-tracked upsert on a table
     // with a replay watermark) must not erase the last-applied batch

@@ -103,6 +103,8 @@ object MergeIntoGraft {
   private val HistoryRe = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\.(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val PurgeHistoryRe =
+    """(?is)\s*PURGE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
 
   /** Maintenance verbs Spark's grammar doesn't know (the Delta-style
     * extension point is exactly this: claim the statement text before
@@ -113,6 +115,7 @@ object MergeIntoGraft {
     *   VACUUM <graft_cat>                            → store-wide vacuum
     *   DESCRIBE HISTORY <graft_cat>.<t>              → version chain
     *   RESTORE TABLE <graft_cat>.<t> TO VERSION AS OF k → version rollback
+    *   PURGE HISTORY <graft_cat>.<t>                 → physical truncation
     *
     * Returns None unless the statement names a configured graft
     * catalog — anything else falls through to Spark's parser (and its
@@ -129,6 +132,8 @@ object MergeIntoGraft {
         Some(GraftHistoryCommand(cat, table))
       case RestoreRe(cat, table, k) if graftCatalogs(session).contains(cat) =>
         Some(GraftRestoreCommand(cat, table, k.toInt))
+      case PurgeHistoryRe(cat, table) if graftCatalogs(session).contains(cat) =>
+        Some(GraftPurgeHistoryCommand(cat, table))
       case _ => None
     }
 
@@ -380,9 +385,19 @@ case class GraftOptimizeCommand(catalog: String, table: String,
     zorder: Option[(String, String)]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val st = GraftDml.store(session, catalog)
-    zorder match {
-      case Some((kx, ky)) => st.optimizeZOrder(session, table, kx, ky)
-      case None => st.compact(session, table)
+    // route by the table's committed mode: whole-table verbs against a
+    // partitioned table are refused by the store's mode guard, so
+    // OPTIMIZE resolves the right maintenance shape itself
+    (st.partitionColumn(session, table), zorder) match {
+      case (Some("_ab"), None) => throw new UnsupportedOperationException(
+        s"OPTIMIZE on append-only table '$table': batch folding needs a consumer " +
+          "watermark SQL doesn't carry — use TableStore.compactAppend(floor) " +
+          "(fold only up to the slowest consumer's committed watermark)")
+      case (Some(pc), None) => st.compactPartitions(session, table, pc)
+      case (Some(pc), Some((kx, ky))) =>
+        st.optimizeZOrderPartitioned(session, table, pc, kx, ky)
+      case (None, Some((kx, ky))) => st.optimizeZOrder(session, table, kx, ky)
+      case (None, None) => st.compact(session, table)
     }
     Seq.empty
   }
@@ -421,6 +436,19 @@ case class GraftRestoreCommand(catalog: String, table: String,
     stepsBack: Int) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftDml.store(session, catalog).restore(session, table, stepsBack)
+    Seq.empty
+  }
+}
+
+/** `PURGE HISTORY <cat>.<t>` — physical history truncation, erasure's
+  * completion: folds any pending merge-on-read deletion vector into a
+  * rewrite (deleted rows' BYTES leave the files) and truncates
+  * retention to the head alone, so neither `VERSION`/`TIMESTAMP AS OF`
+  * nor RESTORE nor a raw file scan can serve a deleted row again. */
+case class GraftPurgeHistoryCommand(catalog: String,
+    table: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftDml.store(session, catalog).purgeHistory(session, table)
     Seq.empty
   }
 }

@@ -429,6 +429,7 @@ object CoreQueries {
   private val PartUpsertStorePath = "/root/repo/target/tmp/partupsert-oracle"
   private val SqlMergeStorePath = "/root/repo/target/tmp/sqlmerge-oracle"
   private val AppendStorePath = "/root/repo/target/tmp/append-oracle"
+  private val AppendCompactStorePath = "/root/repo/target/tmp/append-compact-oracle"
   private val SqlDeleteStorePath = "/root/repo/target/tmp/sqldelete-oracle"
   private val CheckedStorePath = "/root/repo/target/tmp/checked-oracle"
   private val SqlUpdateStorePath = "/root/repo/target/tmp/sqlupdate-oracle"
@@ -1517,6 +1518,60 @@ object CoreQueries {
       val b2 = slice(Some("1998-01-01"), None)
       store.append(s, "feed", b2, batchId = Some(2L))
       store.append(s, "feed", b2, batchId = Some(2L)) // replayed: no-op
+      store.read(s, "feed")
+        .groupBy($"_ab".cast("long").as("ab"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"ab")
+    }),
+
+    // ---- S4j: append-table compaction (the small-files verb) --------
+    // A per-trigger streamed feed accretes one `_ab` partition dir +
+    // one manifest line per micro-batch — tens of thousands of tiny
+    // partitions at 100 TB, whose listing eventually dominates every
+    // read. `compactAppend(floor)` folds every batch <= floor into the
+    // ONE partition `_ab=floor` under the same batch-atomic manifest
+    // rename appends use; batches above the floor keep their dirs,
+    // their files never moving (asserted below on the leaf path).
+    // Watermark contract: consumers at k >= floor are unaffected
+    // (`_ab > k` still excludes the folded segment); a LAGGING
+    // consumer re-reads the whole folded segment — at-least-once,
+    // never loss (asserted below). The oracle maps each source row to
+    // its POST-compaction batch (slices 0 and 1 both land on ab=1):
+    // a row lost or duplicated by the fold breaks the hash, and so
+    // does a fold that leaked into batch 2.
+    "s4_append_compact" -> ((s, dir) => {
+      import s.implicits._
+      val root = new org.apache.hadoop.fs.Path(AppendCompactStorePath)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(AppendCompactStorePath)
+      val o = Tables.orders(s, dir)
+      def slice(lo: Option[String], hi: Option[String]) = o
+        .filter(lo.map($"o_orderdate" >= lit(_).cast("timestamp")).getOrElse(lit(true)) &&
+          hi.map($"o_orderdate" < lit(_).cast("timestamp")).getOrElse(lit(true)))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      store.append(s, "feed", slice(None, Some("1996-01-01")), batchId = Some(0L))
+      store.append(s, "feed",
+        slice(Some("1996-01-01"), Some("1998-01-01")), batchId = Some(1L))
+      store.append(s, "feed", slice(Some("1998-01-01"), None), batchId = Some(2L))
+      val nAll = store.read(s, "feed").count()
+      val leafB2 = store.partitionedLeafPaths(s, "feed").get
+        .find(_.contains("_ab=2")).get
+      store.compactAppend(s, "feed", floor = 1, numFiles = Some(1))
+      val leaves = store.partitionedLeafPaths(s, "feed").get
+      assert(leaves.count(_.contains("_ab=")) == 2,
+        s"fold must leave exactly {_ab=1, _ab=2}: $leaves")
+      assert(leaves.contains(leafB2),
+        "a batch above the floor must keep its exact version dir (files never move)")
+      store.compactAppend(s, "feed", floor = 1) // re-run: natural no-op
+      assert(store.partitionedLeafPaths(s, "feed").get == leaves,
+        "re-running compactAppend at the same floor must be a no-op")
+      // replay guard survives compaction: the commit-meta watermark
+      // carried forward, so a replayed append is still a no-op
+      store.append(s, "feed", slice(Some("1998-01-01"), None), batchId = Some(2L))
+      // lagging consumer (k=0 < floor): at-least-once — the folded
+      // segment re-reads whole, nothing is ever lost
+      assert(store.read(s, "feed").filter($"_ab" > 0).count() == nAll,
+        "a lagging consumer must re-read the folded segment, not lose rows")
       store.read(s, "feed")
         .groupBy($"_ab".cast("long").as("ab"))
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
@@ -2680,6 +2735,18 @@ object CoreQueries {
       s"""WITH b AS (
          |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0
          |              WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1
+         |              ELSE 2 END AS ab, o_totalprice
+         |  FROM orders)
+         |SELECT CAST(ab AS BIGINT) AS ab, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM b GROUP BY ab ORDER BY ab""".stripMargin,
+
+    // post-compaction batches: slices 0 and 1 fold onto ab=1, slice 2
+    // keeps its identity — a row lost/duplicated by the fold, or a
+    // fold that leaked into batch 2, breaks the hash
+    "s4_append_compact" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1
          |              ELSE 2 END AS ab, o_totalprice
          |  FROM orders)
          |SELECT CAST(ab AS BIGINT) AS ab, COUNT(*) AS n,

@@ -685,6 +685,106 @@ object LifecycleQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S13j: the SAME replication loop at its 100 TB shape --------
+    // Both ends partitioned by p_year (stable per key — a year is a
+    // function of the order): each sync reads/rewrites ONLY the
+    // partitions the diff's keys live in, one batch-atomic replica
+    // commit each (`syncReplicaPartitioned`); untouched partitions are
+    // never read and their version dirs never move (asserted below —
+    // the load-bearing scale claim). SAME history, SAME oracle text as
+    // s13_cdc_sync: one contract, two routings.
+    "s13_cdc_sync_part" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/cdc-sync-part"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(s"$path/src", retain = 2)
+      val replica = new graft.operators.TableStore(s"$path/dst")
+      val o = Tables.orders(s, dir)
+        .withColumn("p_year", year($"o_orderdate").cast("int"))
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"p_year")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"), $"p_year")
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"), $"p_year")
+      def syncStep(): Unit = store.syncReplicaPartitioned(
+        s, "orders", Seq("o_orderkey"), replica, "orders", "p_year")
+      Seq(b1, b2, b3).foreach { b =>
+        store.upsertPartitioned(s, "orders", b, Seq("o_orderkey"), "p_year")
+        syncStep()
+      }
+      // the delete's diff touches only the U2 keys' partitions
+      // (orderdate ∈ [1995-06, 1996-06) → p_year 1995/1996): every
+      // other partition's version dir must survive the delete sync AND
+      // the replayed sync byte-untouched — the load-bearing scale claim
+      def cold() = replica.partitionedLeafPaths(s, "orders").get
+        .filterNot(p => p.contains("p_year=1995") || p.contains("p_year=1996"))
+      val coldBefore = cold()
+      store.deleteWherePartitioned(s, "orders",
+        $"o_orderstatus" === "U2", "p_year")
+      syncStep()
+      syncStep() // replayed sync against an unadvanced upstream: no-op
+      assert(coldBefore.nonEmpty && cold() == coldBefore,
+        s"untouched replica partitions must keep their exact version dirs: " +
+          s"$coldBefore vs ${cold()}")
+      replica.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- S13l: physical history purge (erasure's completion) --------
+    // A MOR delete leaves the deleted rows' BYTES in the head version's
+    // files (anti-join at read, not a rewrite), and retention keeps
+    // serving them through VERSION/TIMESTAMP AS OF and RESTORE —
+    // "erased" data that is still readable four ways. purgeHistory
+    // folds the pending DV into a physical rewrite and truncates the
+    // chain to the head alone. The gate replays the s13_cdc_sync
+    // pipeline (3 upserts + delete U2) with the delete routed MOR, then
+    // purges: the oracle pins the surviving state, the in-body asserts
+    // pin that history is GONE (depth 1, time travel refuses) and that
+    // the erased rows are physically absent from every file under the
+    // table dir (raw recursive scan, no DV applied).
+    "s13_purge_history" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/purge-history"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path, retain = 2)
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      Seq(b1, b2, b3).foreach(b =>
+        store.upsert(s, "orders", b, Seq("o_orderkey"), numFiles = Some(1)))
+      store.deleteWhereMor(s, "orders", $"o_orderstatus" === "U2", Seq("o_orderkey"))
+      store.purgeHistory(s, "orders")
+      assert(store.history(s, "orders").size == 1, "history must truncate to the head")
+      val travels =
+        try { store.readVersionsBack(s, "orders", 1).count(); true }
+        catch { case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("not retained")); false }
+      assert(!travels, "time travel must refuse after the purge")
+      // physical absence: every parquet byte under the table dir, read
+      // raw (recursive, NO deletion-vector applied), holds zero erased
+      // rows — and no DV sidecar remains to need applying
+      val raw = s.read.option("recursiveFileLookup", "true").parquet(path + "/orders")
+      assert(raw.filter($"o_orderstatus" === "U2").count() == 0L,
+        "purged history must not physically retain erased rows")
+      store.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- S13b: change data feed (time travel's consumer dual) -------
     // The keyed diff between the previous commit and the current one:
     // one row per changed key, op ∈ I/U (no deletes here — upsert
@@ -713,6 +813,38 @@ object LifecycleQueries {
       store.changesBetween(s, "orders", Seq("o_orderkey"), stepsBack = 1)
         .select($"op", $"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- S13m: the change feed addressed by WALL CLOCK ---------------
+    // "Everything that changed since my last poll at <instant>" — the
+    // shape a CDC consumer actually asks. The instant resolves through
+    // the manifest-stamped commit times (the TIMESTAMP AS OF machinery)
+    // and delegates to the same one-full-outer-merge diff; polling at
+    // the b2 commit's own stamp must yield exactly the ordinal
+    // changesBetween(1) feed — SAME oracle text as s13_changefeed.
+    "s13_changes_since" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/changes-since"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path, retain = 2)
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      Seq(b1, b2, b3).foreach(b =>
+        store.upsert(s, "orders", b, Seq("o_orderkey"), numFiles = Some(1)))
+      // "last polled when the b2 commit landed" — its own stamp
+      val ts = store.commitTimestamps(s, "orders")(1).get
+      store.changesSince(s, "orders", Seq("o_orderkey"), ts)
+        .select($"op", $"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -739,6 +871,65 @@ object LifecycleQueries {
   private val RestoreStorePath = "/root/repo/target/tmp/restore-sql"
   private val RestorePartStorePath = "/root/repo/target/tmp/restore-part"
 
+  /** One text, two feed addressings: the ordinal changesBetween(1)
+    * gate and the wall-clock changesSince gate replay the identical
+    * b2→b3 diff (every b3 key changes — its status literal can't equal
+    * any prior status — so the feed is exactly b3 ∩ state12 → U,
+    * b3 ∖ state12 → I, post-images, nupdates bumped). */
+  private val ChangefeedOracleSql =
+    """WITH b1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+      |b2 AS (
+      |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |b3 AS (
+      |  SELECT o_orderkey, 'U3' AS o_orderstatus, o_totalprice * 3.0 AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
+      |s12 AS (
+      |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
+      |              ELSE 1 END AS BIGINT) AS nupdates
+      |  FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey)
+      |SELECT CASE WHEN s12.o_orderkey IS NOT NULL THEN 'U' ELSE 'I' END AS op,
+      |  b3.o_orderkey, b3.o_orderstatus, b3.o_totalprice,
+      |  CAST(COALESCE(s12.nupdates, 0) + 1 AS BIGINT) AS nupdates
+      |FROM b3 LEFT JOIN s12 USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** One text, two replication routings: the whole-table sync and the
+    * touched-partitions-only sync replay the identical
+    * bootstrap + two upsert diffs + one delete diff pipeline. */
+  private val CdcSyncOracleSql =
+    """WITH b1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+      |b2 AS (
+      |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |b3 AS (
+      |  SELECT o_orderkey, 'U3' AS o_orderstatus, o_totalprice * 3.0 AS o_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
+      |s12 AS (
+      |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
+      |              ELSE 1 END AS BIGINT) AS nupdates
+      |  FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey),
+      |s123 AS (
+      |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+      |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      |    CAST(COALESCE(t.nupdates, 0) +
+      |         CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS nupdates
+      |  FROM s12 t FULL OUTER JOIN b3 u ON t.o_orderkey = u.o_orderkey)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, nupdates
+      |FROM s123 WHERE o_orderstatus <> 'U2'
+      |ORDER BY o_orderkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the version-1-back read must equal the merge of batches 1..2
     // (batch 3 invisible); nupdates counts how many batches touched a
@@ -760,59 +951,22 @@ object LifecycleQueries {
     // delete) must equal the full merge-then-delete recomputation —
     // per-key nupdates included, so a skipped or double-applied diff
     // and a mishandled D row each break the hash
-    "s13_cdc_sync" ->
-      """WITH b1 AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
-        |b2 AS (
-        |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
-        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
-        |b3 AS (
-        |  SELECT o_orderkey, 'U3' AS o_orderstatus, o_totalprice * 3.0 AS o_totalprice
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
-        |s12 AS (
-        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
-        |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
-        |              ELSE 1 END AS BIGINT) AS nupdates
-        |  FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey),
-        |s123 AS (
-        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
-        |    CAST(COALESCE(t.nupdates, 0) +
-        |         CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS nupdates
-        |  FROM s12 t FULL OUTER JOIN b3 u ON t.o_orderkey = u.o_orderkey)
-        |SELECT o_orderkey, o_orderstatus, o_totalprice, nupdates
-        |FROM s123 WHERE o_orderstatus <> 'U2'
-        |ORDER BY o_orderkey""".stripMargin,
+    "s13_cdc_sync" -> CdcSyncOracleSql,
+    // the PARTITIONED routing must land on the identical replica —
+    // same text (p_year is layout, not content: the gate omits it)
+    "s13_cdc_sync_part" -> CdcSyncOracleSql,
+    // purge changes METADATA + physical layout only: the surviving
+    // state is the same merge-then-delete recomputation — same text;
+    // the history-is-gone and bytes-are-gone pins are in-body asserts
+    "s13_purge_history" -> CdcSyncOracleSql,
 
     // every b3 key changes (its status literal can't equal any prior
     // status), so the feed is exactly: b3 ∩ state12 → U, b3 \ state12
     // → I, with post-image values and nupdates bumped
-    "s13_changefeed" ->
-      """WITH b1 AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
-        |b2 AS (
-        |  SELECT o_orderkey, 'U2' AS o_orderstatus, o_totalprice * 2.0 AS o_totalprice
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-01'
-        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
-        |b3 AS (
-        |  SELECT o_orderkey, 'U3' AS o_orderstatus, o_totalprice * 3.0 AS o_totalprice
-        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01'),
-        |s12 AS (
-        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |    CAST(CASE WHEN u.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 2
-        |              ELSE 1 END AS BIGINT) AS nupdates
-        |  FROM b1 t FULL OUTER JOIN b2 u ON t.o_orderkey = u.o_orderkey)
-        |SELECT CASE WHEN s12.o_orderkey IS NOT NULL THEN 'U' ELSE 'I' END AS op,
-        |  b3.o_orderkey, b3.o_orderstatus, b3.o_totalprice,
-        |  CAST(COALESCE(s12.nupdates, 0) + 1 AS BIGINT) AS nupdates
-        |FROM b3 LEFT JOIN s12 USING (o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
+    "s13_changefeed" -> ChangefeedOracleSql,
+    // polling at the b2 commit's wall clock must yield EXACTLY the
+    // ordinal changesBetween(1) feed — same text, two addressings
+    "s13_changes_since" -> ChangefeedOracleSql,
 
     "a9_robust_outliers" ->
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m

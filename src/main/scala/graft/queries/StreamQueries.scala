@@ -1400,6 +1400,49 @@ object StreamQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- T25: the SAME streamed replication loop, BOTH ends
+    // PARTITIONED — the production shape at 100 TB: the per-batch
+    // upstream merge reads/rewrites only the partitions the batch's
+    // keys touch and the replica fold only the partitions the diff
+    // touches (Streams.replicatedUpsertSinkPartitioned →
+    // upsertPartitioned + syncReplicaPartitioned). p_year is a
+    // function of the key's order date, so keys never move partitions
+    // (the shared partitioned-merge contract). SAME update waves,
+    // SAME oracle text as t22: one replication contract, two
+    // routings, live.
+    "t25_stream_cdc_out_part" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          year($"o_orderdate").cast("int").as("p_year"))
+      val updates = o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", lit("S2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"), $"p_year")
+      val base = s"/root/repo/target/tmp/stream-cdcout-part/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrderedWithTails(s, o, "o_orderkey", stage, 3, Seq(updates))
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val src = new graft.operators.TableStore(s"$runDir/src", retain = 2)
+      val replica = new graft.operators.TableStore(s"$runDir/dst")
+      val stream = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 8) {
+        Streams.replicatedUpsertSinkPartitioned(stream, src, "orders",
+            Seq("o_orderkey"), "p_year", replica, "orders")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      replica.read(s, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- T24: STREAMED CASCADING erasure — the privacy queue over
     // EVERY artifact (t21 erased the text index alone; this drives
     // Erasure.eraseDocuments per micro-batch across the full cascade
@@ -1764,6 +1807,15 @@ object StreamQueries {
     // equal the last-writer-wins recomputation: re-arrived keys carry
     // the update's values and nupdates 2, untouched keys 1
     "t22_stream_cdc_out" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'S2' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS nupdates
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the partitioned routing must land on the identical replica —
+    // same text (p_year is layout, not content: the gate omits it)
+    "t25_stream_cdc_out_part" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'S2' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,

@@ -103,6 +103,29 @@ object Streams {
         store.syncReplica(batch.sparkSession, table, keys, replica, replicaTable)
       }
 
+  /** T22 at its 100 TB shape: the same exactly-once
+    * upstream-merge + replica-fold pair, with BOTH ends partitioned —
+    * the upstream merge reads/rewrites only the partitions the batch's
+    * keys touch (`upsertPartitioned`) and the replica fold only the
+    * partitions the resulting diff touches (`syncReplicaPartitioned`),
+    * so an hourly trigger against a 100 TB pair prices at the hour's
+    * partitions, not the tables. Crash-replay contract is unchanged:
+    * a re-run batch no-ops on the upstream (batch id) and re-applies
+    * the head diff content-idempotently on the replica. `partCol`
+    * must be functionally determined by the keys (the shared
+    * partitioned-merge contract). */
+  def replicatedUpsertSinkPartitioned(stream: DataFrame, store: TableStore,
+      table: String, keys: Seq[String], partCol: String, replica: TableStore,
+      replicaTable: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        store.upsertPartitioned(batch.sparkSession, table, batch, keys, partCol,
+          numFiles = Some(1), batchId = Some(id))
+        store.syncReplicaPartitioned(batch.sparkSession, table, keys,
+          replica, replicaTable, partCol)
+      }
+
   /** T1/A1: micro-batch materialized-aggregate sink — each batch folds
     * its per-key deltas into the stored aggregate (IncrementalAgg), so
     * a live stream maintains a queryable rollup at O(batch + state)

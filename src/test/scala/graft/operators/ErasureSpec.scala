@@ -113,4 +113,39 @@ class ErasureSpec extends SparkSpec {
     val rep = Erasure.eraseDocuments(s, store, Seq(900001L, 900002L).toDF("doc_id"), "doc_id")
     assert(rep.agg(sum(col("n_removed"))).head().getLong(0) == 0L)
   }
+
+  test("purgeHistory=true: retained artifact history stops serving the erased doc") {
+    val s = spark
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(Root + "-ret")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // an artifact store built WITH retention: the cascade's deletes fix
+    // the current version, but history keeps the pre-erasure state
+    val store = new TableStore(Root + "-ret", retain = 2)
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    store.replace(s, "corpus_fp",
+      docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    store.replace(s, "corpus_fp", // second commit → history depth 2
+      docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    val del = Seq(3L).toDF("doc_id")
+
+    // without the flag: erased from the head, still SERVED one step back
+    Erasure.eraseDocuments(s, store, del, "doc_id")
+    assert(store.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 0L)
+    assert(store.readVersionsBack(s, "corpus_fp", 1)
+      .filter($"doc_id" === 3L).count() == 1L,
+      "fixture: retention must still serve the erased doc pre-purge")
+
+    Erasure.eraseDocuments(s, store, del, "doc_id", purgeHistory = true)
+    assert(store.history(s, "corpus_fp").size == 1)
+    intercept[IllegalArgumentException] {
+      store.readVersionsBack(s, "corpus_fp", 1).count()
+    }
+    // the bytes are gone too: raw recursive scan of the table dir
+    assert(s.read.option("recursiveFileLookup", "true")
+      .parquet(store.livePath("corpus_fp"))
+      .filter($"doc_id" === 3L).count() == 0L)
+    // survivors intact
+    assert(store.read(s, "corpus_fp").count() == docs.count() - 1)
+  }
 }

@@ -300,6 +300,144 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(fileState(store, "t") == s1)
   }
 
+  test("compactAppend folds batches <= floor into one partition; above-floor batches byte-identical") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    def rows(vs: (Long, String)*) = vs.toDF("k", "v")
+    store.append(spark, "feed", rows(1L -> "a", 2L -> "b"), batchId = Some(0L))
+    store.append(spark, "feed", rows(3L -> "c"), batchId = Some(1L))
+    store.append(spark, "feed", rows(4L -> "d"), batchId = Some(2L))
+    store.append(spark, "feed", rows(5L -> "e"), batchId = Some(3L))
+    val contentBefore = store.read(spark, "feed").drop("_ab")
+      .collect().map(_.toString).sorted.toSeq
+    val aboveBefore = fileState(store, "feed")
+      .filter(p => p._1.contains("_ab=2") || p._1.contains("_ab=3"))
+    store.compactAppend(spark, "feed", floor = 1, numFiles = Some(1))
+    // content minus batch identity is untouched
+    assert(store.read(spark, "feed").drop("_ab")
+      .collect().map(_.toString).sorted.toSeq == contentBefore)
+    // batches 0 and 1 collapsed onto _ab=1; 2 and 3 never moved
+    val abs = store.read(spark, "feed").select("_ab").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(abs == Seq(1, 2, 3))
+    assert(fileState(store, "feed")
+      .filter(p => p._1.contains("_ab=2") || p._1.contains("_ab=3")) == aboveBefore,
+      "batches above the floor must keep their exact files")
+    // consumers at the floor are unaffected; laggards replay, never lose
+    assert(store.read(spark, "feed").filter($"_ab" > 1).count() == 2L)
+    assert(store.read(spark, "feed").filter($"_ab" > 0).count() == 5L)
+    // re-run at the same floor: natural no-op (one partition at the floor)
+    val s1 = fileState(store, "feed")
+    store.compactAppend(spark, "feed", floor = 1)
+    assert(fileState(store, "feed") == s1)
+    // the ordinal survives: the next append lands after the old max
+    store.append(spark, "feed", rows(6L -> "f"), batchId = Some(4L))
+    assert(store.read(spark, "feed").filter($"k" === 6L)
+      .head().getAs[Int]("_ab") == 4)
+    // replay guard carried through the fold: an already-applied batch no-ops
+    store.append(spark, "feed", rows(9L -> "dup"), batchId = Some(2L))
+    assert(store.read(spark, "feed").count() == 6L)
+    // floor beyond the max folds everything into one partition
+    store.compactAppend(spark, "feed", floor = 99, numFiles = Some(1))
+    assert(store.read(spark, "feed").select("_ab").distinct().count() == 1L)
+    assert(store.read(spark, "feed").drop("_ab").collect().map(_.toString).sorted
+      .toSeq == (contentBefore :+ "[6,f]").sorted)
+    // a keyed table refuses the verb
+    store.upsert(spark, "kv", rows(1L -> "x"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      store.compactAppend(spark, "kv", floor = 0)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("syncReplicaPartitioned touches only the diff's partitions; D drops; replay content-idempotent") {
+    // the upstream needs retention: the sync consumes changesBetween(1)
+    val store = new TableStore(
+      Files.createTempDirectory(Paths.get("target"), "pstore-").toString, retain = 2)
+    val dst = freshStore()
+    val s = spark; import s.implicits._
+    def b(vs: (String, String, Int)*) = vs.toDF("k", "v", "p_date")
+    // bootstrap: full snapshot, partitioned
+    store.upsertPartitioned(spark, "t",
+      b(("a", "1", 5), ("b", "2", 5), ("c", "3", 6), ("d", "4", 7)),
+      Seq("k"), "p_date", numFiles = Some(1))
+    store.syncReplicaPartitioned(spark, "t", Seq("k"), dst, "r", "p_date")
+    assert(dst.read(spark, "r").count() == 4L)
+    // an update touching ONLY day 5: days 6 and 7 must not move
+    val coldBefore = fileState(dst, "r")
+      .filter(p => p._1.contains("p_date=6") || p._1.contains("p_date=7"))
+    store.upsertPartitioned(spark, "t", b(("a", "1b", 5)), Seq("k"), "p_date",
+      numFiles = Some(1))
+    store.syncReplicaPartitioned(spark, "t", Seq("k"), dst, "r", "p_date")
+    assert(dst.read(spark, "r").filter($"k" === "a").head().getAs[String]("v") == "1b")
+    assert(fileState(dst, "r")
+      .filter(p => p._1.contains("p_date=6") || p._1.contains("p_date=7")) == coldBefore,
+      "partitions outside the diff must keep their exact files")
+    // replayed sync against an unadvanced upstream: content-idempotent
+    store.syncReplicaPartitioned(spark, "t", Seq("k"), dst, "r", "p_date")
+    val replayed = dst.read(spark, "r").collect().map(r => (r.getAs[String]("k"),
+      r.getAs[String]("v"), r.getAs[Int]("p_date"), r.getAs[Long]("nupdates")))
+      .sorted.toSeq
+    assert(replayed ==
+      Seq(("a", "1b", 5, 2L), ("b", "2", 5, 1L), ("c", "3", 6, 1L), ("d", "4", 7, 1L)))
+    // a delete that EMPTIES day 6 must drop the replica partition dir
+    store.deleteWherePartitioned(spark, "t", $"k" === "c", "p_date")
+    store.syncReplicaPartitioned(spark, "t", Seq("k"), dst, "r", "p_date")
+    assert(dst.read(spark, "r").filter($"k" === "c").count() == 0L)
+    assert(!fileState(dst, "r").keys.exists(_.contains("p_date=6")),
+      "an emptied partition must drop out of the replica in the same commit")
+    assert(fileState(dst, "r")
+      .filter(p => p._1.contains("p_date=7")) == coldBefore
+      .filter(p => p._1.contains("p_date=7")))
+  }
+
+  test("purgeHistory (partitioned): folds MOR DVs, drops generations; bytes gone, cold partitions untouched") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "pstore-")
+    val store = new TableStore(dir.toString, retain = 2)
+    val s = spark; import s.implicits._
+    store.upsertPartitioned(spark, "t",
+      batch(5, Seq("a" -> "1", "b" -> "2")), Seq("k"), "p_date", numFiles = Some(1))
+    store.upsertPartitioned(spark, "t",
+      batch(6, Seq("c" -> "3")), Seq("k"), "p_date", numFiles = Some(1))
+    store.upsertPartitioned(spark, "t",
+      batch(5, Seq("a" -> "1b")), Seq("k"), "p_date", numFiles = Some(1))
+    // MOR delete: "a" is tombstoned, its bytes still in day 5's files
+    store.deleteWhereMorPartitioned(spark, "t", $"k" === "a", Seq("k"), "p_date")
+    assert(store.history(spark, "t").size == 3)
+    val rawBefore = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store.livePath("t"))
+    assert(rawBefore.filter($"k" === "a").count() >= 1L,
+      "fixture: erased bytes must be physically present pre-purge")
+    val coldBefore = fileState(store, "t").filter(_._1.contains("p_date=6"))
+    store.purgeHistory(spark, "t")
+    // history truncated to the head; time travel refuses
+    assert(store.history(spark, "t").size == 1)
+    intercept[IllegalArgumentException] {
+      store.readVersionsBack(spark, "t", 1).count()
+    }
+    // erased rows physically gone from EVERY byte under the table dir
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store.livePath("t"))
+    assert(raw.filter($"k" === "a").count() == 0L)
+    // the DV fold touched only day 5; day 6 never moved
+    assert(fileState(store, "t").filter(_._1.contains("p_date=6")) == coldBefore)
+    // current state intact
+    assert(store.read(spark, "t").select("k").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("b", "c"))
+    // re-run: no-op (no DV, no generations)
+    val s1 = fileState(store, "t")
+    store.purgeHistory(spark, "t")
+    assert(fileState(store, "t") == s1)
+    // a RESTORE alias collapses: MOR deletes resume right after purge
+    store.upsertPartitioned(spark, "t", batch(7, Seq("d" -> "4")), Seq("k"), "p_date",
+      numFiles = Some(1))
+    store.restore(spark, "t", 1)
+    store.purgeHistory(spark, "t")
+    store.deleteWhereMorPartitioned(spark, "t", $"k" === "b", Seq("k"), "p_date")
+    assert(store.read(spark, "t").select("k").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("c"))
+  }
+
   test("crash mid-adoption: vacuum RESTORES the .mig partition instead of deleting it") {
     val store = freshStore()
     val s = spark; import s.implicits._

@@ -234,6 +234,73 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.read(spark, "t").collect().map(_.getString(1)).toSeq == Seq("s4"))
   }
 
+  test("mode guards: cross-mode writes refuse loudly; OPTIMIZE routes by committed mode") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-modes").toString
+    val store = new TableStore(path)
+    import spark.implicits._
+    // a whole-table commit against a partitioned table would be
+    // INVISIBLE behind the _pmanifest (and the legacy cleanup would
+    // collect partition dirs as debris) — must refuse, not corrupt
+    store.replacePartitions(spark, "pt",
+      Seq((1, "a", 5), (2, "b", 6)).toDF("k", "v", "p_date"), "p_date")
+    val e1 = intercept[IllegalArgumentException] {
+      store.replace(spark, "pt", Seq((9, "x")).toDF("k", "v"))
+    }
+    assert(e1.getMessage.contains("partitioned mode"))
+    assert(store.read(spark, "pt").count() == 2L, "refusal must leave the table intact")
+    // ...and the mirror: a partitioned commit against a whole-table chain
+    store.upsert(spark, "wt", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.replacePartitions(spark, "wt",
+        Seq((1L, "a", 5)).toDF("k", "v", "p_date"), "p_date")
+    }
+    assert(e2.getMessage.contains("whole-table versioned mode"))
+    // OPTIMIZE resolves the right maintenance verb per mode
+    register("graft_modes", path)
+    spark.sql("OPTIMIZE graft_modes.pt") // partitioned → compactPartitions
+    assert(store.read(spark, "pt").collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("a", "b"))
+    spark.sql("OPTIMIZE graft_modes.pt ZORDER BY (k, p_date)") // partitioned zorder
+    assert(store.read(spark, "pt").count() == 2L)
+    store.append(spark, "feed", Seq((1L, "a")).toDF("k", "v"))
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql("OPTIMIZE graft_modes.feed")
+    }
+    assert(e3.getMessage.contains("compactAppend"),
+      "append-only OPTIMIZE must point at the watermark-aware verb")
+  }
+
+  test("PURGE HISTORY: folds the pending DV, truncates the chain; bytes and time travel both gone") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-purge").toString
+    val store = new TableStore(path, retain = 2)
+    import spark.implicits._
+    store.upsert(spark, "t", Seq((1L, "keep"), (2L, "erase")).toDF("k", "s"), Seq("k"))
+    store.upsert(spark, "t", Seq((3L, "keep2")).toDF("k", "s"), Seq("k"))
+    store.deleteWhereMor(spark, "t", col("s") === "erase", Seq("k"))
+    register("graft_purge", path)
+    // pre-purge: the erased row's bytes are physically present (MOR),
+    // and time travel serves the pre-delete state
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/t")
+      .filter(col("s") === "erase").count() >= 1L)
+    assert(store.history(spark, "t").length == 2)
+
+    spark.sql("PURGE HISTORY graft_purge.t")
+
+    assert(store.history(spark, "t").length == 1)
+    intercept[IllegalArgumentException] {
+      store.readVersionsBack(spark, "t", 1).count()
+    }
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/t")
+      .filter(col("s") === "erase").count() == 0L,
+      "purge must physically remove erased bytes")
+    assert(store.read(spark, "t").collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("keep", "keep2"))
+    // RESTORE now has nothing to reach
+    intercept[IllegalArgumentException] {
+      store.restore(spark, "t", 1)
+    }
+  }
+
   test("RESTORE TO VERSION AS OF 0 is an explicit no-op, not an alias commit") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-restore0").toString
     val store = new TableStore(path, retain = 2)
