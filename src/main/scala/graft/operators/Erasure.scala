@@ -129,4 +129,87 @@ object Erasure {
 
     report.sortBy(_._1).toSeq.toDF("artifact", "kind", "n_removed")
   }
+
+  // ------------------------------------------------------------------
+  // The erasure LEDGER: requests as an auditable, resumable queue.
+  // Compliance needs more than the delete — it needs EVIDENCE ("show
+  // me the request, show me it completed") and CRASH-RESUMABILITY (a
+  // walk that died mid-cascade must finish, not vanish). Two reserved
+  // tables inside the artifact store carry both:
+  //   _er_queue — one row per requested id, appended per request batch
+  //               (`TableStore.append`: one `_ab` partition per batch,
+  //               replay-guarded, O(batch) at any ledger size);
+  //   _er_done  — the ids whose cascade COMPLETED; written only AFTER
+  //               the walk returns, so a crash between erase and mark
+  //               re-walks on the next processPending (the walk is
+  //               idempotent — re-running is cheap, never wrong) and
+  //               an id can never be marked-but-not-erased.
+  // The `_` prefix keeps both OUT of `tableNames`, hence out of the
+  // cascade's own walk — the ledger retains erased doc IDS (not
+  // content) as the completion evidence, the documented lawful shape.
+  // Single-writer discipline per store, like every commit path.
+  // ------------------------------------------------------------------
+
+  private val QueueTable = "_er_queue"
+  private val DoneTable = "_er_done"
+
+  /** Record an erasure request batch. Returns the number of distinct
+    * ids enqueued. `batchId` is the usual at-least-once replay guard —
+    * a re-delivered request batch lands once. */
+  def enqueue(spark: SparkSession, store: TableStore, ids: DataFrame,
+      idCol: String, batchId: Option[Long] = None): Long = {
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    store.append(spark, QueueTable, del, batchId)
+    del.count()
+  }
+
+  /** Run the cascade over every enqueued-but-not-completed id, then
+    * mark them complete. Crash anywhere before the mark → the next
+    * call re-walks the same pending set (idempotent, so the re-walk
+    * reports zeros and the mark lands) — the erase-then-mark order
+    * makes the ledger's "erased" status trustworthy: it is written
+    * only after the walk returned. Returns the cascade's audit report
+    * (empty when nothing is pending). */
+  def processPending(spark: SparkSession, store: TableStore,
+      purgeHistory: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val pending = pendingIds(spark, store)
+    if (pending.isEmpty)
+      return Seq.empty[(String, String, Long)].toDF("artifact", "kind", "n_removed")
+    val rep = eraseDocuments(spark, store, pending.toDF("doc_id"), "doc_id",
+      purgeHistory = purgeHistory)
+    val done = pending.toDF("doc_id")
+    store.replace(spark, DoneTable,
+      if (store.exists(spark, DoneTable))
+        store.read(spark, DoneTable).unionByName(done).distinct()
+      else done)
+    rep
+  }
+
+  /** The evidence read-back: one row per requested id with its request
+    * batch and completion status — `erased` (cascade completed) or
+    * `pending` (enqueued, not yet processed). */
+  def auditLog(spark: SparkSession, store: TableStore): DataFrame = {
+    require(store.exists(spark, QueueTable),
+      "auditLog: no erasure requests have been enqueued")
+    val q = store.read(spark, QueueTable)
+      .select(col("doc_id"), col("_ab").cast("long").as("request_batch"))
+    val done =
+      if (store.exists(spark, DoneTable)) store.read(spark, DoneTable)
+      else q.select("doc_id").limit(0)
+    q.join(done.select(col("doc_id"), lit(true).as("_d")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("request_batch"),
+        when(col("_d").isNotNull, lit("erased")).otherwise(lit("pending")).as("status"))
+  }
+
+  /** Queue ∖ done, collected — bounded by erasure-request volumes
+    * (the cascade's own documented driver-side bound). */
+  private def pendingIds(spark: SparkSession, store: TableStore): Seq[Long] = {
+    if (!store.exists(spark, QueueTable)) return Seq.empty
+    val q = store.read(spark, QueueTable).select("doc_id").distinct()
+    val p =
+      if (!store.exists(spark, DoneTable)) q
+      else q.join(store.read(spark, DoneTable), Seq("doc_id"), "left_anti")
+    p.collect().map(_.getLong(0)).toSeq.sorted
+  }
 }

@@ -617,6 +617,44 @@ object DedupQueries {
       cascadeProbes(s, dir, store)
     }),
 
+    // ---- the erasure LEDGER: requests as an auditable queue ---------
+    // Compliance needs EVIDENCE, not just the delete: `_er_queue`
+    // records every request batch (one appended `_ab` partition each,
+    // replay-guarded), `processPending` walks the cascade over
+    // queue ∖ done and marks completion only AFTER the walk returns
+    // (a crash in between re-walks idempotently — never a
+    // marked-but-not-erased id), `auditLog` is the read-back. The
+    // gate: batch 0 enqueued and processed (→ erased, artifact
+    // read-backs pinned in-body), batch 1 enqueued after processing
+    // (→ pending, rows still served). A request lost, a batch
+    // double-applied, or a status flipped breaks the hash.
+    "x1_erasure_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/erasure-ledger"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path)
+      val docs = Tables.documents(s, dir)
+      store.replace(s, "corpus_fp",
+        docs.select(col("doc_id"), md5(col("text")).as("fp")))
+      store.replace(s, "pairs", docs.select(col("doc_id").as("idA"))
+        .join(docs.select(col("doc_id").as("idB")), $"idA" + 1 === $"idB"))
+      val b0 = docs.filter($"doc_id" % 13 === 2).select("doc_id")
+      val b1 = docs.filter($"doc_id" % 13 === 5).select("doc_id")
+      graft.operators.Erasure.enqueue(s, store, b0, "doc_id", batchId = Some(0L))
+      graft.operators.Erasure.enqueue(s, store, b0, "doc_id", batchId = Some(0L)) // replay: no-op
+      graft.operators.Erasure.processPending(s, store)
+      graft.operators.Erasure.enqueue(s, store, b1, "doc_id", batchId = Some(1L))
+      // processed ids are gone from every artifact; pending ids still served
+      val fp = store.read(s, "corpus_fp")
+      assert(fp.join(b0, Seq("doc_id"), "left_semi").count() == 0L,
+        "processed requests must be erased from the artifacts")
+      assert(fp.join(b1, Seq("doc_id"), "left_semi").count() == b1.count(),
+        "pending requests must still be served until processed")
+      graft.operators.Erasure.auditLog(s, store)
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact 13-gram decontamination (GPT-3/PaLM style) -----------
 
     // The OTHER contamination check: x1_contamination finds near-dup
@@ -1393,6 +1431,16 @@ object DedupQueries {
     // each artifact holds exactly the survivors (pairs = the exact
     // all-pairs Jaccard count among survivors).
     "x1_erasure_cascade" -> ErasureCascadeOracleSql,
+    // ledger read-back: batch 0 (doc_id % 13 = 2) was processed →
+    // erased; batch 1 (doc_id % 13 = 5) enqueued after → pending
+    "x1_erasure_ledger" ->
+      """SELECT doc_id, request_batch, status FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS request_batch, 'erased' AS status
+        |  FROM documents WHERE doc_id % 13 = 2
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS request_batch, 'pending' AS status
+        |  FROM documents WHERE doc_id % 13 = 5)
+        |ORDER BY doc_id""".stripMargin,
 
 
     "x1_jaro_linkage" ->

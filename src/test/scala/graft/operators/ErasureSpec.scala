@@ -114,6 +114,41 @@ class ErasureSpec extends SparkSpec {
     assert(rep.agg(sum(col("n_removed"))).head().getLong(0) == 0L)
   }
 
+  test("ledger: erase-then-mark survives a crash between the two; replayed requests land once") {
+    val s = spark
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(Root + "-ledger")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val store = new TableStore(Root + "-ledger")
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    store.replace(s, "corpus_fp",
+      docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    val req = Seq(3L, 20L).toDF("doc_id")
+    assert(Erasure.enqueue(s, store, req, "doc_id", batchId = Some(0L)) == 2L)
+    // at-least-once transport: the replayed request batch lands ONCE
+    Erasure.enqueue(s, store, req, "doc_id", batchId = Some(0L))
+    assert(Erasure.auditLog(s, store).count() == 2L)
+    assert(Erasure.auditLog(s, store).filter($"status" === "pending").count() == 2L)
+    // simulate the crash window: the cascade COMPLETED but the process
+    // died before marking done — the walk ran, the ledger doesn't know
+    Erasure.eraseDocuments(s, store, req, "doc_id")
+    // next processPending re-walks the same set (idempotent: zero
+    // removals) and the mark lands — "erased" is only ever written
+    // after a returned walk, so the status is trustworthy
+    val rep = Erasure.processPending(s, store)
+    assert(rep.agg(sum(col("n_removed"))).head().getLong(0) == 0L)
+    val statuses = Erasure.auditLog(s, store)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(statuses == Map(3L -> "erased", 20L -> "erased"))
+    // nothing pending → an immediate re-process is an empty no-op
+    assert(Erasure.processPending(s, store).count() == 0L)
+    // a later request batch queues behind the completed one
+    Erasure.enqueue(s, store, Seq(37L).toDF("doc_id"), "doc_id", batchId = Some(1L))
+    val log = Erasure.auditLog(s, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(log == Seq((3L, 0L, "erased"), (20L, 0L, "erased"), (37L, 1L, "pending")))
+  }
+
   test("purgeHistory=true: retained artifact history stops serving the erased doc") {
     val s = spark
     import s.implicits._
