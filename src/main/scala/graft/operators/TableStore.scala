@@ -506,6 +506,13 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def purgeHistory(spark: SparkSession, name: String): Unit = {
     val f = fs(spark)
     if (!exists(spark, name)) return
+    // snapshot tags are declared retention: a purge that silently kept
+    // erased bytes alive under a tag would void its own guarantee (the
+    // raw-scan pin). Refuse loudly; dropping the tag is the explicit
+    // "yes, that evidence snapshot goes too" decision.
+    require(taggedWholeVersions(f, name).isEmpty && taggedPartRefs(f, name).isEmpty,
+      s"purgeHistory: snapshot tags pin state of '$name' — erased data would " +
+        "survive under the tag; drop the tags first")
     if (pmanifestLines(f, name).isDefined) {
       if (pDvState(f, name)._2.nonEmpty)
         compactDeletesPartitioned(spark, name, partitionColumn(spark, name).get)
@@ -543,6 +550,144 @@ final class TableStore(val root: String, val retain: Int = 0) {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     lines.tail.map(_.takeWhile(_ != '\t')).distinct.filterNot(_ == headVer)
       .foreach(v => f.delete(new Path(s"$root/$name/$v"), true))
+  }
+
+  // ------------------------------------------------------------------
+  // SNAPSHOT TAGS: named, zero-copy, CROSS-TABLE-consistent pins.
+  // `tagSnapshot("rel-7", tables)` captures each table's committed
+  // state (whole-table: version dir + DV pointer AS OF tag time;
+  // partitioned: the full head line set) into ONE atomically-renamed
+  // file under `_tags/` — O(tables) metadata, no data copied. Reads
+  // via `readTag` serve exactly the tagged state forever: every
+  // cleanup path (retention truncation, partition reference-diff,
+  // vacuum, displaced-DV collection) treats tag references as live,
+  // so a pinned version survives any number of later commits — this
+  // is what the version-retention window alone cannot promise, and
+  // the cross-TABLE capture is the consistency story a per-table
+  // `VERSION AS OF` cannot express ("the fact table and its dims as
+  // of the 03:00 publish"). Tags are few and human-named (releases,
+  // audits): cleanup paths re-read the small `_tags/` dir per commit.
+  // `purgeHistory` REFUSES while a tag pins non-head state of the
+  // table (a tag is a declared retention; the compliance verb must
+  // not silently break it — drop the tag first). Capture runs under
+  // the store's single-writer discipline: tag while no write is in
+  // flight, like every other commit.
+  // ------------------------------------------------------------------
+
+  private def tagsDir: Path = new Path(s"$root/_tags")
+  private def tagPath(tag: String): Path = new Path(tagsDir, tag)
+
+  def tagSnapshot(spark: SparkSession, tag: String, tables: Seq[String]): Unit = {
+    require(tag.nonEmpty && !tag.startsWith(".") && !tag.contains("/"),
+      s"invalid tag name '$tag'")
+    val f = fs(spark)
+    require(!f.exists(tagPath(tag)),
+      s"tag '$tag' already exists — tags are immutable; drop it first")
+    require(tables.nonEmpty, "tagSnapshot: no tables given")
+    val lines = tables.flatMap { t =>
+      if (pmanifestLines(f, t).isDefined)
+        pHeadAndHist(f, t)._1.map(l => s"P\t$t\t$l")
+      else currentVersion(f, t) match {
+        case Some(ver) =>
+          val dvRel = dvInfo(f, t, ver).map(_._2).getOrElse("-")
+          Seq(s"W\t$t\t$ver\t$dvRel")
+        case None => throw new IllegalArgumentException(
+          s"tagSnapshot: '$t' is not a committed versioned table")
+      }
+    }
+    f.mkdirs(tagsDir)
+    val tmp = new Path(tagsDir, s".$tag-${UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, tagPath(tag))) {
+      f.delete(tmp, true)
+      throw new java.io.IOException(s"tagSnapshot: could not publish tag '$tag'")
+    }
+  }
+
+  /** Read `table` exactly as tagged — the captured version dir with
+    * the captured DV state (whole-table) or the captured partition
+    * map/DV/schema lines (partitioned), regardless of what later
+    * commits, retention windows or vacuums did. */
+  def readTag(spark: SparkSession, tag: String, table: String): DataFrame = {
+    val f = fs(spark)
+    val all = tagFileLines(f, tag).getOrElse(throw new IllegalArgumentException(
+      s"readTag: no tag '$tag'"))
+    val w = all.collectFirst {
+      case l if l.startsWith(s"W\t$table\t") =>
+        val a = l.split("\t", 4); (a(2), a(3))
+    }
+    w match {
+      case Some((ver, dvRel)) =>
+        val base = spark.read.parquet(s"$root/$table/$ver")
+        if (dvRel == "-") base
+        else {
+          // the captured DV file, not the version's CURRENT pointer: a
+          // later MOR delete on the same dir must not leak into the tag
+          val dv = spark.read.parquet(s"$root/$table/$ver/$dvRel")
+          base.join(dv, dv.columns.toIndexedSeq, "left_anti")
+        }
+      case None =>
+        val p = all.collect { case l if l.startsWith(s"P\t$table\t") =>
+          l.split("\t", 3)(2) }
+        require(p.nonEmpty, s"readTag: tag '$tag' does not cover table '$table'")
+        readPartitionedState(spark, table, p)
+    }
+  }
+
+  def listTags(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    if (!f.exists(tagsDir)) Seq.empty
+    else f.listStatus(tagsDir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
+  /** Drop a tag: the pin releases — the next commit/vacuum may collect
+    * versions nothing else references. */
+  def dropTag(spark: SparkSession, tag: String): Unit = {
+    fs(spark).delete(tagPath(tag), false)
+    ()
+  }
+
+  private def tagFileLines(f: FileSystem, tag: String): Option[Seq[String]] = {
+    val p = tagPath(tag)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq)
+      finally in.close()
+    }
+  }
+
+  private def allTagLines(f: FileSystem): Seq[String] =
+    if (!f.exists(tagsDir)) Seq.empty
+    else f.listStatus(tagsDir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(t => tagFileLines(f, t).getOrElse(Seq.empty))
+
+  /** Whole-table version dirs of `table` pinned by any tag. */
+  private def taggedWholeVersions(f: FileSystem, table: String): Set[String] =
+    allTagLines(f).collect {
+      case l if l.startsWith(s"W\t$table\t") => l.split("\t", 4)(2)
+    }.toSet
+
+  /** (partition dir, version dir) pairs of `table` pinned by any tag. */
+  private def taggedPartRefs(f: FileSystem, table: String): Set[(String, String)] =
+    pMapOf(allTagLines(f).collect {
+      case l if l.startsWith(s"P\t$table\t") => l.split("\t", 3)(2)
+    }.filterNot(_.startsWith("#"))).toSet
+
+  /** DV file paths (relative to the table dir) pinned by any tag. */
+  private def taggedDvRels(f: FileSystem, table: String): Set[String] = {
+    val ls = allTagLines(f)
+    val whole = ls.collect {
+      case l if l.startsWith(s"W\t$table\t") => l.split("\t", 4)(3)
+    }.filterNot(_ == "-")
+    val part = ls.collect {
+      case l if l.startsWith(s"P\t$table\t") => l.split("\t", 3)(2)
+    }.filter(_.startsWith("#dv\t")).map(_.split("\t")(2))
+    (whole ++ part).toSet
   }
 
   /** Raw path of the version `stepsBack` commits ago — for path-based
@@ -934,6 +1079,35 @@ final class TableStore(val root: String, val retain: Int = 0) {
       dropIfUnwritten = below.filterNot(_ == target).map(v => s"_ab=$v"))
   }
 
+  /** Retention for APPEND-ONLY tables — compaction's complement: DROP
+    * every batch partition with `_ab <= upTo` outright (a log-expiry
+    * "delete everything older than the retention window", the other
+    * maintenance verb a fact feed needs). One batch-atomic manifest
+    * commit removes the expired partitions from the map; their dirs
+    * delete after, surviving batches' files never move, cost is
+    * O(expired batches) metadata at any table size. Nothing about the
+    * surviving batches changes — `_ab` values, watermarks and the
+    * replay guard all carry — so incremental consumers past the
+    * expiry floor are untouched; a consumer still BEHIND it has lost
+    * its unread rows, which is what retention means (pick `upTo`
+    * below the slowest consumer unless expiry is the point).
+    * Idempotent: re-running finds nothing to drop. */
+  def dropBatches(spark: SparkSession, name: String, upTo: Int): Unit = {
+    if (!exists(spark, name)) return
+    val pc = partitionColumn(spark, name)
+    require(pc.contains("_ab") && pmanifestLines(fs(spark), name).isDefined,
+      s"dropBatches: '$name' is not an append-only table")
+    val expired = partitionedLeafPaths(spark, name).get
+      .map(_.split('/').dropRight(1).last.stripPrefix("_ab=").toInt)
+      .filter(_ <= upTo)
+    if (expired.isEmpty) return
+    // an empty frame with the table's schema: nothing is rewritten,
+    // the expired partitions drop out of the map in the one commit
+    val empty = read(spark, name).filter(lit(false))
+    replacePartitions(spark, name, empty, "_ab",
+      dropIfUnwritten = expired.map(v => s"_ab=$v"))
+  }
+
   /** Swap in `df`'s partitions, BATCH-atomically (VERDICT r2 missing
     * #1): fully materialize to a temp dir (partitioned by `partCol`),
     * stage every written partition as an UNLISTED version dir
@@ -1050,7 +1224,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val before: Set[(String, String)] =
       prev.toSet ++ prevGens.flatMap(g => pMapOf(g._2))
     val after: Set[(String, String)] =
-      newMap.toSet ++ newGens.flatMap(g => pMapOf(g._2))
+      newMap.toSet ++ newGens.flatMap(g => pMapOf(g._2)) ++
+        taggedPartRefs(f, name) // snapshot-tag pins are live refs
     (before -- after).foreach { case (pn, v) =>
       f.delete(new Path(live, s"$pn/$v"), true) }
     (before.map(_._1) -- after.map(_._1)).foreach { pn =>
@@ -1262,8 +1437,15 @@ final class TableStore(val root: String, val retain: Int = 0) {
     f.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".tmp-") || n.startsWith(".old-")) f.delete(st.getPath, true)
+      else if (n == "_tags" && st.isDirectory) {
+        // crashed tag publishes (staged ".name-uuid" temps) are debris
+        f.listStatus(st.getPath).foreach { c =>
+          if (c.getPath.getName.startsWith(".")) f.delete(c.getPath, false)
+        }
+      }
       else if (st.isDirectory) {
-        val live = versionChain(f, n)
+        // snapshot-tag pins are live references everywhere below
+        val live = versionChain(f, n) ++ taggedWholeVersions(f, n)
         val pmap = partitionMap(f, n).getOrElse(Map.empty)
         f.listStatus(st.getPath).foreach { c =>
           val cn = c.getPath.getName
@@ -1272,8 +1454,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
             f.delete(c.getPath, true)
           else if (cn.startsWith("v-") && live.contains(cn)) {
             // live version: DV dirs not referenced by the committed
-            // pointer, and ptr-staging leftovers, are crash debris
-            val ref = dvInfo(f, n, cn).map(_._2.stripPrefix(".dv/"))
+            // pointer — or a snapshot tag — and ptr-staging leftovers,
+            // are crash debris
+            val ref = dvInfo(f, n, cn).map(_._2.stripPrefix(".dv/")).toSet ++
+              taggedDvRels(f, n).filter(_.startsWith(".dv/")).map(_.stripPrefix(".dv/"))
             val dvd = new Path(c.getPath, ".dv")
             if (f.exists(dvd)) f.listStatus(dvd).foreach { d =>
               if (!ref.contains(d.getPath.getName)) f.delete(d.getPath, true)
@@ -1300,8 +1484,9 @@ final class TableStore(val root: String, val retain: Int = 0) {
             // referenced by NEITHER the head map NOR any retained
             // history generation are crash leftovers (staged by a
             // writer that died before its commit)
-            val refs = pAllRefs(f, n).collect { case (p, v) if p == cn => v }
-            val dvRefs = pAllDvRefs(f, n)
+            val refs = (pAllRefs(f, n) ++ taggedPartRefs(f, n))
+              .collect { case (p, v) if p == cn => v }
+            val dvRefs = pAllDvRefs(f, n) ++ taggedDvRels(f, n)
             f.listStatus(c.getPath).foreach { v =>
               val vn = v.getPath.getName
               if (vn.startsWith("v-") && !refs.contains(vn)) f.delete(v.getPath, true)
@@ -1503,7 +1688,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
     fc.rename(f.makeQualified(ptrTmp), f.makeQualified(dvPtr(name, ver)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     existing.foreach { case (_, rel) =>
-      f.delete(new Path(s"$root/$name/$ver/$rel"), true)
+      // keep the displaced cumulative DV if a snapshot tag captured it
+      // — the tag's read applies exactly the DV state of tag time
+      if (!taggedDvRels(f, name).contains(rel))
+        f.delete(new Path(s"$root/$name/$ver/$rel"), true)
     }
   }
 
@@ -1587,7 +1775,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
     // displaced cumulative DVs of re-deleted partitions — except any a
     // retained history generation still references (restoring that
     // generation must re-apply its DV state exactly)
-    val histDv = pAllDvRefs(f, name)
+    val histDv = pAllDvRefs(f, name) ++ taggedDvRels(f, name)
     newDv.keys.foreach { pn =>
       exDv.get(pn).filter(rel => rel != newDv(pn) && !histDv.contains(rel))
         .foreach(rel => f.delete(new Path(s"$root/$name/$rel"), true))
@@ -1895,7 +2083,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // post-commit cleanup: versions that fell off the retention window
     // (open handles on posix/HDFS survive) and any pre-manifest files
-    prevChain.filterNot(chain.contains).foreach(p => f.delete(new Path(dir, p), true))
+    // — except versions a snapshot TAG pins (tag refs are live refs)
+    val pinned = taggedWholeVersions(f, name)
+    prevChain.filterNot(chain.contains).filterNot(pinned)
+      .foreach(p => f.delete(new Path(dir, p), true))
     legacy.foreach(p => f.delete(p, true))
   }
 }

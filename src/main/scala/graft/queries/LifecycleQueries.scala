@@ -785,6 +785,45 @@ object LifecycleQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S13n: snapshot tag (zero-copy pin beyond retention) --------
+    // The store is built with retain = 0: ordinal time travel reaches
+    // NOTHING (asserted in-body), every displaced version is collected
+    // on the next commit — except the one the tag pins. The gate tags
+    // after b2, commits b3, vacuums, and reads THROUGH THE TAG: the
+    // exact b1+b2 merge, the same text the VERSION AS OF gates replay.
+    // Only the tag reference keeps this state alive — a cleanup path
+    // that forgets the pin (commit truncation, vacuum) kills the read
+    // outright, and a stale pin that leaked b3 breaks the hash.
+    "s13_snapshot_tag" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/snapshot-tag"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path) // retain = 0
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      store.upsert(s, "orders", b1, Seq("o_orderkey"), numFiles = Some(1))
+      store.upsert(s, "orders", b2, Seq("o_orderkey"), numFiles = Some(1))
+      store.tagSnapshot(s, "audit", Seq("orders"))
+      store.upsert(s, "orders", b3, Seq("o_orderkey"), numFiles = Some(1))
+      store.vacuum(s)
+      val travels =
+        try { store.readVersionsBack(s, "orders", 1).count(); true }
+        catch { case _: IllegalArgumentException => false }
+      assert(!travels, "retain=0: only the tag may keep the b2 state alive")
+      store.readTag(s, "audit", "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"nupdates")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- S13b: change data feed (time travel's consumer dual) -------
     // The keyed diff between the previous commit and the current one:
     // one row per changed key, op ∈ I/U (no deletes here — upsert
@@ -946,6 +985,9 @@ object LifecycleQueries {
     "s13_restore_part" -> VersionBackOracleSql,
     // the wall-clock read must equal the ordinal one — same text
     "s13_sql_timestamp" -> VersionBackOracleSql,
+    // the TAGGED read (under retain=0 + vacuum) must land on the same
+    // b1+b2 state — one text, now five read APIs on the contract
+    "s13_snapshot_tag" -> VersionBackOracleSql,
 
     // the REPLICA after bootstrap + three diff folds (two upserts, one
     // delete) must equal the full merge-then-delete recomputation —

@@ -350,6 +350,43 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("dropBatches expires old append batches wholesale; survivors byte-identical") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    def rows(vs: (Long, String)*) = vs.toDF("k", "v")
+    store.append(spark, "feed", rows(1L -> "a"), batchId = Some(0L))
+    store.append(spark, "feed", rows(2L -> "b"), batchId = Some(1L))
+    store.append(spark, "feed", rows(3L -> "c"), batchId = Some(2L))
+    store.append(spark, "feed", rows(4L -> "d"), batchId = Some(3L))
+    val surviveBefore = fileState(store, "feed")
+      .filter(p => p._1.contains("_ab=2") || p._1.contains("_ab=3"))
+    store.dropBatches(spark, "feed", upTo = 1)
+    assert(store.read(spark, "feed").select("k").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(3L, 4L))
+    assert(fileState(store, "feed")
+      .filter(p => p._1.contains("_ab=2") || p._1.contains("_ab=3")) == surviveBefore,
+      "surviving batches' files must never move")
+    assert(!fileState(store, "feed").keys.exists(_.contains("_ab=0")),
+      "expired batch dirs must be deleted")
+    // idempotent; replay guard survives; the ordinal keeps counting up
+    val s1 = fileState(store, "feed")
+    store.dropBatches(spark, "feed", upTo = 1)
+    assert(fileState(store, "feed") == s1)
+    store.append(spark, "feed", rows(9L -> "dup"), batchId = Some(3L)) // replay: no-op
+    assert(store.read(spark, "feed").count() == 2L)
+    store.append(spark, "feed", rows(5L -> "e"), batchId = Some(4L))
+    assert(store.read(spark, "feed").filter($"k" === 5L).head().getAs[Int]("_ab") == 4)
+    // expiring EVERYTHING leaves a readable zero-row table
+    store.dropBatches(spark, "feed", upTo = 99)
+    assert(store.read(spark, "feed").count() == 0L)
+    // keyed tables refuse the verb
+    store.upsert(spark, "kv", rows(1L -> "x"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      store.dropBatches(spark, "kv", upTo = 0)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("syncReplicaPartitioned touches only the diff's partitions; D drops; replay content-idempotent") {
     // the upstream needs retention: the sync consumes changesBetween(1)
     val store = new TableStore(
