@@ -649,6 +649,32 @@ final class TableStore(val root: String, val retain: Int = 0) {
     ()
   }
 
+  /** Path-based access to a WHOLE-TABLE tag capture, for the SQL
+    * catalog's `VERSION AS OF '<tag>'`: Right((version dir path,
+    * captured DV file path if any)); Left(reason) when the tag is
+    * missing, doesn't cover the table, or covers it PARTITIONED — a
+    * raw path list cannot carry a partitioned manifest state, so that
+    * read stays on `readTag`. */
+  def tagWholeCapture(spark: SparkSession, tag: String,
+      table: String): Either[String, (String, Option[String])] = {
+    val f = fs(spark)
+    tagFileLines(f, tag) match {
+      case None => Left(s"no snapshot tag '$tag'")
+      case Some(ls) =>
+        ls.collectFirst { case l if l.startsWith(s"W\t$table\t") =>
+          val a = l.split("\t", 4)
+          (s"$root/$table/${a(2)}",
+            Option(a(3)).filter(_ != "-").map(r => s"$root/$table/${a(2)}/$r"))
+        } match {
+          case Some(hit) => Right(hit)
+          case None if ls.exists(_.startsWith(s"P\t$table\t")) =>
+            Left(s"tag '$tag' captures '$table' PARTITIONED — a raw path scan " +
+              "cannot carry the manifest state; use TableStore.readTag")
+          case None => Left(s"tag '$tag' does not cover table '$table'")
+        }
+    }
+  }
+
   private def tagFileLines(f: FileSystem, tag: String): Option[Seq[String]] = {
     val p = tagPath(tag)
     if (!f.exists(p)) None

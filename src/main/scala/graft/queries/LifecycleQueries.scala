@@ -824,6 +824,40 @@ object LifecycleQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- S13p: the SAME tag, read through SQL -----------------------
+    // Iceberg-style: a non-integer `VERSION AS OF` is a snapshot TAG
+    // name. Same retain=0 + vacuum fixture as s13_snapshot_tag on its
+    // own store; the SQL read must land on the identical pinned state
+    // — one text, programmatic and SQL APIs.
+    "s13_sql_tag" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/root/repo/target/tmp/snapshot-tag-sql"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val store = new graft.operators.TableStore(path)
+      val o = Tables.orders(s, dir)
+      val b1 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val b2 = o.filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U2").as("o_orderstatus"),
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+      val b3 = o.filter($"o_orderdate" >= lit("1996-06-01").cast("timestamp"))
+        .select($"o_orderkey", lit("U3").as("o_orderstatus"),
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      store.upsert(s, "orders", b1, Seq("o_orderkey"), numFiles = Some(1))
+      store.upsert(s, "orders", b2, Seq("o_orderkey"), numFiles = Some(1))
+      store.tagSnapshot(s, "audit", Seq("orders"))
+      store.upsert(s, "orders", b3, Seq("o_orderkey"), numFiles = Some(1))
+      store.vacuum(s)
+      s.conf.set("spark.sql.catalog.graft_tagr",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tagr.root", path)
+      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice, nupdates
+              |FROM graft_tagr.orders VERSION AS OF 'audit'
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- S13b: change data feed (time travel's consumer dual) -------
     // The keyed diff between the previous commit and the current one:
     // one row per changed key, op ∈ I/U (no deletes here — upsert
@@ -988,6 +1022,8 @@ object LifecycleQueries {
     // the TAGGED read (under retain=0 + vacuum) must land on the same
     // b1+b2 state — one text, now five read APIs on the contract
     "s13_snapshot_tag" -> VersionBackOracleSql,
+    // the SQL tag read must land on the identical pinned state
+    "s13_sql_tag" -> VersionBackOracleSql,
 
     // the REPLICA after bootstrap + three diff folds (two upserts, one
     // delete) must equal the full merge-then-delete recomputation —

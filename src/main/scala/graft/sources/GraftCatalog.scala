@@ -119,8 +119,20 @@ class GraftCatalog extends TableCatalog {
     val back =
       try version.toInt
       catch { case _: NumberFormatException =>
-        throw new UnsupportedOperationException(
-          s"graft VERSION AS OF takes an integer (commits back from current), got '$version'")
+        // Iceberg-style: a non-integer VERSION AS OF is a snapshot TAG
+        // name — the named, zero-copy pin tagSnapshot published. The
+        // read serves the tag's captured version dir with the captured
+        // DV state (tag-time, not the dir's current pointer).
+        val (verPath, dvPath) = store.tagWholeCapture(spark, version, t)
+          .fold(reason => throw new UnsupportedOperationException(
+            s"graft VERSION AS OF: not an integer and $reason"), identity)
+        val base = ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+          Seq(verPath), None, classOf[ParquetFileFormat])
+        return dvPath match {
+          case Some(dp) => new DvParquetTable(base,
+            spark.read.parquet(dp).schema.fieldNames.toIndexedSeq, Seq(dp))
+          case None => base
+        }
       }
     val base = ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
       Seq(store.versionPathBack(spark, t, back)), None, classOf[ParquetFileFormat])

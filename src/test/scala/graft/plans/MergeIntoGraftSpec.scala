@@ -234,6 +234,38 @@ class MergeIntoGraftSpec extends SparkSpec {
     assert(store.read(spark, "t").collect().map(_.getString(1)).toSeq == Seq("s4"))
   }
 
+  test("VERSION AS OF '<tag>': SQL serves the pinned state, captured DV applied; misses are loud") {
+    val path = java.nio.file.Files.createTempDirectory("sqlmerge-tag").toString
+    val store = new TableStore(path)
+    import spark.implicits._
+    store.upsert(spark, "t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), Seq("k"))
+    store.deleteWhereMor(spark, "t", col("k") === 1L, Seq("k"))
+    store.tagSnapshot(spark, "rel", Seq("t")) // pins {2, 3} (DV = {1})
+    // mutate past the tag: the same version dir's DV grows in place,
+    // then a data commit displaces it entirely
+    store.deleteWhereMor(spark, "t", col("k") === 2L, Seq("k"))
+    store.upsert(spark, "t", Seq((9L, "z")).toDF("k", "s"), Seq("k"))
+    register("graft_tagspec", path)
+    val got = spark.sql("SELECT k FROM graft_tagspec.t VERSION AS OF 'rel'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L),
+      "the SQL tag read must apply the tag-time DV, not the later one")
+    // unknown tag and uncovered table are loud
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql("SELECT * FROM graft_tagspec.t VERSION AS OF 'nope'").collect()
+    }
+    assert(e1.getMessage.contains("no snapshot tag"))
+    // a PARTITIONED capture refuses the raw-path SQL read with the hint
+    store.upsertPartitioned(spark, "pt",
+      Seq((1L, "a", 5)).toDF("k", "v", "p_date"), Seq("k"), "p_date")
+    store.tagSnapshot(spark, "prel", Seq("pt"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql("SELECT * FROM graft_tagspec.pt VERSION AS OF 'prel'").collect()
+    }
+    assert(e2.getMessage.contains("readTag"))
+  }
+
   test("mode guards: cross-mode writes refuse loudly; OPTIMIZE routes by committed mode") {
     val path = java.nio.file.Files.createTempDirectory("sqlmerge-modes").toString
     val store = new TableStore(path)
