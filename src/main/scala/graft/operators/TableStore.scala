@@ -724,7 +724,13 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * have no whole-table version chain and fail the retention check
     * here. */
   def versionPathBack(spark: SparkSession, name: String, stepsBack: Int): String = {
-    val chain = versionChain(fs(spark), name)
+    val f = fs(spark)
+    val chain = versionChain(f, name)
+    if (chain.isEmpty && pmanifestLines(f, name).isDefined)
+      throw new UnsupportedOperationException(
+        s"'$name' is partitioned: a historical state is a manifest line set, not " +
+          "one path, so the raw-path SQL read cannot carry it — use " +
+          "TableStore.readVersionsBack (DV state included) instead")
     require(stepsBack >= 0 && stepsBack < chain.length,
       s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
     s"$root/$name/${chain(stepsBack)}"

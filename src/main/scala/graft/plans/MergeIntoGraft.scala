@@ -105,6 +105,7 @@ object MergeIntoGraft {
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\.(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val PurgeHistoryRe =
     """(?is)\s*PURGE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
+  private val ShowTagsRe = """(?is)\s*SHOW\s+TAGS\s+(\w+)\s*;?\s*""".r
 
   /** Maintenance verbs Spark's grammar doesn't know (the Delta-style
     * extension point is exactly this: claim the statement text before
@@ -134,6 +135,8 @@ object MergeIntoGraft {
         Some(GraftRestoreCommand(cat, table, k.toInt))
       case PurgeHistoryRe(cat, table) if graftCatalogs(session).contains(cat) =>
         Some(GraftPurgeHistoryCommand(cat, table))
+      case ShowTagsRe(cat) if graftCatalogs(session).contains(cat) =>
+        Some(GraftShowTagsCommand(cat))
       case _ => None
     }
 
@@ -438,6 +441,18 @@ case class GraftRestoreCommand(catalog: String, table: String,
     GraftDml.store(session, catalog).restore(session, table, stepsBack)
     Seq.empty
   }
+}
+
+/** `SHOW TAGS <cat>` — the snapshot-tag inventory: one row per tag,
+  * read via `VERSION AS OF '<tag>'` (whole-table captures) or
+  * `TableStore.readTag` (any capture). */
+case class GraftShowTagsCommand(catalog: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftDml.store(session, catalog).listTags(session).map(Row(_))
 }
 
 /** `PURGE HISTORY <cat>.<t>` — physical history truncation, erasure's

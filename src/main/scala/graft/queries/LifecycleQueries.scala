@@ -714,7 +714,8 @@ object LifecycleQueries {
       def syncStep(): Unit = store.syncReplicaPartitioned(
         s, "orders", Seq("o_orderkey"), replica, "orders", "p_year")
       Seq(b1, b2, b3).foreach { b =>
-        store.upsertPartitioned(s, "orders", b, Seq("o_orderkey"), "p_year")
+        store.upsertPartitioned(s, "orders", b, Seq("o_orderkey"), "p_year",
+          numFiles = Some(1))
         syncStep()
       }
       // the delete's diff touches only the U2 keys' partitions

@@ -1483,6 +1483,59 @@ object StreamQueries {
       DedupQueries.cascadeProbes(s, dir, store)
     }),
 
+    // ---- T26: STREAMED LEDGERED erasure — the privacy queue with ----
+    // EVIDENCE. t24 drives the cascade directly (idempotency alone
+    // makes replay safe); this routes every request micro-batch
+    // through the LEDGER: enqueue (batch-id replay-guarded, so a
+    // re-delivered request batch lands once) then processPending
+    // (erase-then-mark: a crash between the two re-walks on the next
+    // trigger — the queue DRAINS, requests cannot be lost between
+    // batches the way a direct-drive foreachBatch crash could lose
+    // an in-flight one). The gate reads the AUDIT LOG (doc_id +
+    // status only — batch-slicing-independent) and pins in-body that
+    // every processed id is gone from the artifacts.
+    "t26_stream_ledger" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val path = "/root/repo/target/tmp/stream-ledger-store"
+      val proot = new org.apache.hadoop.fs.Path(path)
+      proot.getFileSystem(s.sparkContext.hadoopConfiguration).delete(proot, true)
+      val store = new graft.operators.TableStore(path)
+      val docs = Tables.documents(s, dir)
+      store.replace(s, "corpus_fp",
+        docs.select(col("doc_id"), md5(col("text")).as("fp")))
+      store.replace(s, "pairs", docs.select(col("doc_id").as("idA"))
+        .join(docs.select(col("doc_id").as("idB")), $"idA" + 1 === $"idB"))
+      val erase = docs.filter($"doc_id" % 11 === 4).select($"doc_id")
+      val base = s"/root/repo/target/tmp/stream-ledger/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stage = s"$base/stage"
+      stageOrdered(s, erase, "doc_id", stage, 3)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val stream = s.readStream.schema(erase.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = withStatePartitions(s, 4) {
+        stream.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.operators.Erasure.enqueue(b.sparkSession, store, b, "doc_id",
+              batchId = Some(id))
+            graft.operators.Erasure.processPending(b.sparkSession, store)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .start()
+      }
+      q.awaitTermination()
+      val log = graft.operators.Erasure.auditLog(s, store)
+      assert(store.read(s, "corpus_fp")
+        .join(erase, Seq("doc_id"), "left_semi").count() == 0L,
+        "every processed request must be erased from the artifacts")
+      log.select($"doc_id", $"status").orderBy($"doc_id")
+    }),
+
     // ---- T23: STREAMED append-only ingest, oracle-gated -------------
     // s4_append_feed LIVE — the production shape of the keyless fact
     // feed: orders replay as 4 micro-batches, each committing ONE new
@@ -1812,6 +1865,12 @@ object StreamQueries {
         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS nupdates
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the drained ledger: every streamed request ends 'erased' —
+    // slicing-independent (the gate omits the request batch ordinal)
+    "t26_stream_ledger" ->
+      """SELECT doc_id, 'erased' AS status FROM documents
+        |WHERE doc_id % 11 = 4 ORDER BY doc_id""".stripMargin,
 
     // the partitioned routing must land on the identical replica —
     // same text (p_year is layout, not content: the gate omits it)

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -110,6 +111,22 @@ class SnapshotTagSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       store.readTag(spark, "0300-publish", "other")
     }
+  }
+
+  test("a crashed tag publish leaves only a staged temp: invisible, vacuumed; real tags survive") {
+    val store = fresh()
+    val s = spark; import s.implicits._
+    store.upsert(spark, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    store.tagSnapshot(spark, "good", Seq("t"))
+    // a writer that died between staging and the publish rename
+    val f = new Path(store.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashed = new Path(s"${store.root}/_tags/.half-deadbeef")
+    val out = f.create(crashed, true); out.write("W\tt\tv-bogus\t-".getBytes("UTF-8")); out.close()
+    assert(store.listTags(spark) == Seq("good"), "staged temps are invisible")
+    store.vacuum(spark)
+    assert(!f.exists(crashed), "vacuum must collect the crashed tag publish")
+    assert(store.listTags(spark) == Seq("good"))
+    assert(store.readTag(spark, "good", "t").count() == 1L)
   }
 
   test("purgeHistory refuses while a tag pins the table; proceeds after drop") {

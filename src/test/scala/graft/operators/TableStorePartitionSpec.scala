@@ -387,6 +387,48 @@ class TableStorePartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("append maintenance model: random append/compactAppend/dropBatches sequences match a reference model") {
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    var nextKey = 0L
+    // reference model: rows as (key, batch); the batch set mirrors dirs
+    var model = Vector.empty[(Long, Int)]
+    var batches = Set.empty[Int]
+    def nextAb = if (batches.isEmpty) 0 else batches.max + 1
+    for (step <- 1 to 24) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append 1-3 rows
+          val n = 1 + rnd.nextInt(3)
+          val ks = (0 until n).map { _ => nextKey += 1; nextKey }
+          val ab = nextAb
+          store.append(spark, "feed", ks.map(k => (k, s"v$k")).toDF("k", "v"))
+          model ++= ks.map(_ -> ab); batches += ab
+        case 2 if batches.nonEmpty => // compact at a random existing floor
+          val floor = batches.toSeq(rnd.nextInt(batches.size))
+          store.compactAppend(spark, "feed", floor, numFiles = Some(1))
+          val below = batches.filter(_ <= floor)
+          if (below.size > 1) {
+            val tgt = below.max
+            model = model.map { case (k, ab) =>
+              if (ab <= floor) (k, tgt) else (k, ab) }
+            batches = batches -- below + tgt
+          }
+        case 3 if batches.nonEmpty => // expire a random prefix
+          val upTo = batches.toSeq(rnd.nextInt(batches.size))
+          store.dropBatches(spark, "feed", upTo)
+          model = model.filterNot(_._2 <= upTo)
+          batches = batches.filterNot(_ <= upTo)
+        case _ => ()
+      }
+      if (store.exists(spark, "feed")) {
+        val got = store.read(spark, "feed").select("k", "_ab").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        assert(got == model.sortBy(identity), s"step $step diverged: $got vs $model")
+      } else assert(model.isEmpty)
+    }
+  }
+
   test("syncReplicaPartitioned touches only the diff's partitions; D drops; replay content-idempotent") {
     // the upstream needs retention: the sync consumes changesBetween(1)
     val store = new TableStore(

@@ -264,6 +264,9 @@ class MergeIntoGraftSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_tagspec.pt VERSION AS OF 'prel'").collect()
     }
     assert(e2.getMessage.contains("readTag"))
+    // SHOW TAGS lists the inventory
+    assert(spark.sql("SHOW TAGS graft_tagspec").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("prel", "rel"))
   }
 
   test("mode guards: cross-mode writes refuse loudly; OPTIMIZE routes by committed mode") {
