@@ -642,9 +642,17 @@ object DedupQueries {
       val b0 = docs.filter($"doc_id" % 13 === 2).select("doc_id")
       val b1 = docs.filter($"doc_id" % 13 === 5).select("doc_id")
       graft.operators.Erasure.enqueue(s, store, b0, "doc_id", batchId = Some(0L))
-      graft.operators.Erasure.enqueue(s, store, b0, "doc_id", batchId = Some(0L)) // replay: no-op
+      val replayed = graft.operators.Erasure.enqueue(s, store, b0, "doc_id",
+        batchId = Some(0L)) // replay: no-op
+      assert(replayed == 0L,
+        "a replayed request batch must report 0 enqueued (ADVICE r11 #4)")
       graft.operators.Erasure.processPending(s, store)
       graft.operators.Erasure.enqueue(s, store, b1, "doc_id", batchId = Some(1L))
+      // a RE-REQUEST of already-erased ids: completion is keyed PER
+      // REQUEST (doc_id, request_batch) — the new request is its own
+      // `pending` row the next walk must process, never silently
+      // reported "erased" by the first request's mark (ADVICE r11 #2)
+      graft.operators.Erasure.enqueue(s, store, b0, "doc_id", batchId = Some(2L))
       // processed ids are gone from every artifact; pending ids still served
       val fp = store.read(s, "corpus_fp")
       assert(fp.join(b0, Seq("doc_id"), "left_semi").count() == 0L,
@@ -652,7 +660,7 @@ object DedupQueries {
       assert(fp.join(b1, Seq("doc_id"), "left_semi").count() == b1.count(),
         "pending requests must still be served until processed")
       graft.operators.Erasure.auditLog(s, store)
-        .orderBy($"doc_id")
+        .orderBy($"doc_id", $"request_batch")
     }),
 
     // ---- exact 13-gram decontamination (GPT-3/PaLM style) -----------
@@ -1432,15 +1440,20 @@ object DedupQueries {
     // all-pairs Jaccard count among survivors).
     "x1_erasure_cascade" -> ErasureCascadeOracleSql,
     // ledger read-back: batch 0 (doc_id % 13 = 2) was processed →
-    // erased; batch 1 (doc_id % 13 = 5) enqueued after → pending
+    // erased; batch 1 (doc_id % 13 = 5) enqueued after → pending;
+    // batch 2 RE-REQUESTS the batch-0 ids → its own pending rows
+    // (completion is keyed per request, not per id — ADVICE r11 #2)
     "x1_erasure_ledger" ->
       """SELECT doc_id, request_batch, status FROM (
         |  SELECT doc_id, CAST(0 AS BIGINT) AS request_batch, 'erased' AS status
         |  FROM documents WHERE doc_id % 13 = 2
         |  UNION ALL
         |  SELECT doc_id, CAST(1 AS BIGINT) AS request_batch, 'pending' AS status
-        |  FROM documents WHERE doc_id % 13 = 5)
-        |ORDER BY doc_id""".stripMargin,
+        |  FROM documents WHERE doc_id % 13 = 5
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS request_batch, 'pending' AS status
+        |  FROM documents WHERE doc_id % 13 = 2)
+        |ORDER BY doc_id, request_batch""".stripMargin,
 
 
     "x1_jaro_linkage" ->

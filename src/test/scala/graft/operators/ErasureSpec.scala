@@ -149,6 +149,116 @@ class ErasureSpec extends SparkSpec {
     assert(log == Seq((3L, 0L, "erased"), (20L, 0L, "erased"), (37L, 1L, "pending")))
   }
 
+  test("ledger: a re-request of an already-erased id is walked and completed on its own") {
+    // ADVICE r11 #2: completion keyed per (doc_id, request_batch) — a
+    // doc re-ingested after its first erasure and requested again must
+    // be WALKED again, not silently reported erased by the old mark
+    val s = spark
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(Root + "-rereq")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val store = new TableStore(Root + "-rereq")
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    store.replace(s, "corpus_fp",
+      docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    Erasure.enqueue(s, store, Seq(3L).toDF("doc_id"), "doc_id", batchId = Some(0L))
+    Erasure.processPending(s, store)
+    assert(store.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 0L)
+    // the doc is RE-INGESTED, then a NEW erasure request arrives
+    store.replace(s, "corpus_fp", store.read(s, "corpus_fp")
+      .unionByName(docs.filter($"doc_id" === 3L)
+        .select(col("doc_id"), md5(col("text")).as("fp"))))
+    Erasure.enqueue(s, store, Seq(3L).toDF("doc_id"), "doc_id", batchId = Some(1L))
+    val log1 = Erasure.auditLog(s, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(log1 == Seq((3L, 0L, "erased"), (3L, 1L, "pending")),
+      "the re-request must be its own pending row, not hidden by the old mark")
+    // the second walk actually removes the re-ingested row
+    val rep = Erasure.processPending(s, store)
+    assert(rep.filter($"artifact" === "corpus_fp").head().getLong(2) == 1L,
+      "the re-request's walk must remove the re-ingested doc")
+    assert(store.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 0L)
+    val log2 = Erasure.auditLog(s, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(log2 == Seq((3L, 0L, "erased"), (3L, 1L, "erased")))
+  }
+
+  test("regulator-scale request batch: 100k ids cascade in one scan per artifact, audit exact") {
+    // VERDICT r11 missing #5: a one-shot legal order of 10⁵ ids must
+    // not build a 10⁵-literal predicate tree (isInCollection → InSet:
+    // one hash-set probe per row) nor rewrite a cumulative done-ledger
+    // (the mark APPENDS one batch partition)
+    val s = spark
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(Root + "-bulk")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val store = new TableStore(Root + "-bulk")
+    val n = 200000L
+    val ids = s.range(n).select($"id".as("doc_id"))
+    store.replace(s, "corpus_fp", ids.withColumn("fp", md5($"doc_id".cast("string"))))
+    val req = s.range(0, n, 2).select($"id".as("doc_id")) // 100k ids
+    val t0 = System.nanoTime()
+    Erasure.enqueue(s, store, req, "doc_id", batchId = Some(0L))
+    val rep = Erasure.processPending(s, store)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rep.filter($"artifact" === "corpus_fp").head().getLong(2) == 100000L)
+    assert(store.read(s, "corpus_fp").count() == 100000L)
+    assert(Erasure.auditLog(s, store).filter($"status" === "erased").count() == 100000L)
+    assert(secs < 60.0, f"100k-id cascade took $secs%.1f s — the InSet path regressed")
+  }
+
+  test("replica-aware erasure ordering: erase → purge refuses while a registered replica lags") {
+    // VERDICT r11 missing #4: erase → purgeHistory → sync would strand
+    // the replica (diff base gone) while it still SERVES erased rows —
+    // the purge must refuse until the sync propagated the D-ops
+    val s = spark
+    import s.implicits._
+    def clean(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    clean(Root + "-repl-up"); clean(Root + "-repl-dn")
+    val up = new TableStore(Root + "-repl-up", retain = 2)
+    val dn = new TableStore(Root + "-repl-dn")
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    up.replace(s, "corpus_fp", docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    up.registerReplica(s, "corpus_fp", dn, "corpus_fp")
+    up.syncReplica(s, "corpus_fp", Seq("doc_id"), dn, "corpus_fp")
+    assert(dn.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 1L)
+
+    // the erasure commits upstream; the replica now LAGS
+    Erasure.eraseDocuments(s, up, Seq(3L).toDF("doc_id"), "doc_id")
+    val e = intercept[IllegalArgumentException] { up.purgeHistory(s, "corpus_fp") }
+    assert(e.getMessage.contains("lag"), e.getMessage)
+    assert(dn.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 1L,
+      "fixture: the lagging replica still serves the erased row pre-sync")
+
+    // sync propagates the D-op; the purge then proceeds — and the
+    // replica can NEVER end up serving the erased row
+    up.syncReplica(s, "corpus_fp", Seq("doc_id"), dn, "corpus_fp")
+    assert(dn.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 0L)
+    up.purgeHistory(s, "corpus_fp")
+    assert(up.history(s, "corpus_fp").size == 1)
+    // a replica at the head survives the purge as current: re-poll is a
+    // no-op, not a stranded error
+    up.syncReplica(s, "corpus_fp", Seq("doc_id"), dn, "corpus_fp")
+    assert(dn.read(s, "corpus_fp").filter($"doc_id" === 3L).count() == 0L)
+
+    // the UNREGISTERED-replica hazard stays loud: a second replica the
+    // registry does not know about hits the stranded check after a
+    // purge instead of silently re-applying nothing
+    clean(Root + "-repl-dn2")
+    val dn2 = new TableStore(Root + "-repl-dn2")
+    up.syncReplica(s, "corpus_fp", Seq("doc_id"), dn2, "corpus_fp") // bootstrap
+    up.deleteWhere(s, "corpus_fp", $"doc_id" === 5L)
+    up.syncReplica(s, "corpus_fp", Seq("doc_id"), dn, "corpus_fp") // registered: current
+    up.purgeHistory(s, "corpus_fp") // dn2 is unregistered — purge cannot know it lags
+    val e2 = intercept[IllegalArgumentException] {
+      up.syncReplica(s, "corpus_fp", Seq("doc_id"), dn2, "corpus_fp")
+    }
+    assert(e2.getMessage.contains("re-bootstrap"), e2.getMessage)
+  }
+
   test("purgeHistory=true: retained artifact history stops serving the erased doc") {
     val s = spark
     import s.implicits._

@@ -129,12 +129,14 @@ class SnapshotTagSpec extends SparkSpec {
     assert(store.readTag(spark, "good", "t").count() == 1L)
   }
 
-  test("purgeHistory refuses while a tag pins the table; proceeds after drop") {
+  test("purgeHistory refuses while a tag pins NON-HEAD state; proceeds after drop") {
     val store = fresh(retain = 2)
     val s = spark; import s.implicits._
     store.upsert(spark, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
-    store.upsert(spark, "t", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
     store.tagSnapshot(spark, "hold", Seq("t"))
+    // a commit after the tag: the tag now pins non-head state — the
+    // purge would have to keep (possibly erased) bytes alive under it
+    store.upsert(spark, "t", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
     val e = intercept[IllegalArgumentException] {
       store.purgeHistory(spark, "t")
     }
@@ -143,5 +145,30 @@ class SnapshotTagSpec extends SparkSpec {
     store.dropTag(spark, "hold")
     store.purgeHistory(spark, "t")
     assert(store.history(spark, "t").size == 1)
+  }
+
+  test("a tag pinning exactly the current DV-free head does NOT block the purge (ADVICE r11 #3)") {
+    val store = fresh(retain = 2)
+    val s = spark; import s.implicits._
+    store.upsert(spark, "t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    store.upsert(spark, "t", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    store.tagSnapshot(spark, "head-pin", Seq("t")) // pins the CURRENT head, no DV
+    store.purgeHistory(spark, "t") // head survives the purge ⇒ the tag stays exact
+    assert(store.history(spark, "t").size == 1)
+    assert(store.readTag(spark, "head-pin", "t").count() == 2L,
+      "the head tag must read exactly the surviving head")
+    // but the SAME head tag blocks once a DV fold is pending: the fold
+    // would displace the tagged dir with its erased bytes still inside
+    store.deleteWhereMor(spark, "t", $"k" === 1L, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      store.purgeHistory(spark, "t")
+    }
+    assert(e.getMessage.contains("drop the tags first"))
+    store.dropTag(spark, "head-pin")
+    store.purgeHistory(spark, "t")
+    assert(store.read(spark, "t").count() == 1L)
+    assert(s.read.option("recursiveFileLookup", "true")
+      .parquet(store.livePath("t")).filter($"k" === 1L).count() == 0L,
+      "post-purge raw scan must not hold the MOR-deleted row")
   }
 }

