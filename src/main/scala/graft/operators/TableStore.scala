@@ -25,6 +25,27 @@ object StoreStats {
   def reset(): Unit = { hits.set(0L); misses.clear() }
 }
 
+/** Process-wide tally of stats-driven FILE SKIPPING on store reads
+  * (the commit-time min/max sidecar applied at plan time): per table
+  * label, how many data files the version held vs how many the pruned
+  * scan actually listed. The machine-checkable half of the `s9` gates'
+  * "hash unchanged while files were skipped" contract. */
+object SkipStats {
+  private val tallies =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.lang.Long, java.lang.Long)]()
+  def record(label: String, listed: Long, kept: Long): Unit = {
+    tallies.merge(label, (listed, kept),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    ()
+  }
+  /** label → (files the versions held, files actually scanned). */
+  def snapshot(): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    tallies.asScala.map { case (k, v) => k -> (v._1.longValue, v._2.longValue) }.toMap
+  }
+  def reset(): Unit = tallies.clear()
+}
+
 /** Parquet-backed keyed table store with atomic-swap upsert — the
   * engine's answer to the reference's SQLite database (SURVEY §2
   * S4/S5/S6): `--init_db` bootstrap → `create`/`exists`;
@@ -314,6 +335,50 @@ final class TableStore(val root: String, val retain: Int = 0) {
     }
   }
 
+  /** DECLARE commit-time file statistics for a whole-table-mode table
+    * (VERDICT r11 missing #2 — the Delta/Iceberg staple): every later
+    * commit captures per-file min/max/null-count for `cols` into a
+    * `.zonemap` sidecar staged INSIDE the version dir (atomic with the
+    * data — it rides the same dir rename and manifest swap, and
+    * survives restore/tags/purge because it lives with the version),
+    * and every `read` then plans through a stats-pruning FileIndex:
+    * an ordinary `read(..).filter(col > x)` opens only the files whose
+    * [min, max] can match — no opt-in per query, no footer reads, the
+    * planner works off ~files rows of driver metadata. Cost: one extra
+    * scan of the staged version per commit (the stats pass), the
+    * honest price Delta pays at write. The declaration is a table
+    * property (a `_statcols` file in the table dir), idempotent to
+    * re-declare; it takes effect from the NEXT commit. Cluster the
+    * write (e.g. `replaceZoneMapped`, or an upstream
+    * `repartitionByRange`) for tight ranges — stats on a scattered
+    * column prune nothing, exactly as in Delta. */
+  def declareStats(spark: SparkSession, name: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "declareStats: no columns")
+    val f = fs(spark)
+    f.mkdirs(new Path(livePath(name)))
+    val tmp = new Path(livePath(name), s"._statcols-${UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(cols.mkString(",").getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp),
+      f.makeQualified(new Path(livePath(name), "_statcols")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The declared stat columns of a table (empty = none declared). */
+  def declaredStats(spark: SparkSession, name: String): Seq[String] = {
+    val f = fs(spark)
+    val p = new Path(livePath(name), "_statcols")
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
   def read(spark: SparkSession, name: String): DataFrame = {
     partitionMap(fs(spark), name) match {
       case Some(_) =>
@@ -332,9 +397,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val f = fs(spark)
         currentVersion(f, name) match {
           case Some(ver) =>
-            // versioned mode: apply the version's pending merge-on-read
-            // deletes (deletion-vector sidecar), if any
-            applyDv(spark, f, name, ver, spark.read.parquet(s"$root/$name/$ver"))
+            // versioned mode: plan through the stats-pruning FileIndex
+            // when the version carries a `.zonemap` sidecar (committed
+            // by declareStats or replaceZoneMapped) — a later .filter
+            // then skips files at PLANNING, with zero behavior change
+            // for filterless scans; then apply the version's pending
+            // merge-on-read deletes (deletion-vector sidecar), if any
+            val vdir = s"$root/$name/$ver"
+            val base =
+              if (f.exists(new Path(s"$vdir/.zonemap")))
+                org.apache.spark.sql.graft.StatsShims
+                  .statsPrunedRead(spark, vdir, s"$vdir/.zonemap", s"$name/$ver")
+              else spark.read.parquet(vdir)
+            applyDv(spark, f, name, ver, base)
           case None => spark.read.parquet(livePath(name))
         }
     }
@@ -2325,20 +2400,29 @@ final class TableStore(val root: String, val retain: Int = 0) {
       .repartitionByRange(targetFiles, statCols.map(col): _*)
       .sortWithinPartitions(statCols.map(col): _*)
     replaceInternal(spark, name, clustered, None, preCommitCheck = () => (),
-      prepare = tmp => {
-        val data = spark.read.parquet(tmp.toString)
-        val aggs = statCols.flatMap(c => Seq(
-          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
-          bloomCols.map(c => graft.functions.BloomAgg
-            .bloomOf(col(c).cast("long"), bloomExpectedPerFile).as(s"bloom_$c")) :+
-          count(lit(1)).as("rows")
-        data
-          .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
-          .agg(aggs.head, aggs.tail: _*)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/.zonemap")
-      })
+      prepare = tmp =>
+        statsPass(spark, tmp, statCols, bloomCols, bloomExpectedPerFile))
+  }
+
+  /** ONE scan of the staged version dir → the `.zonemap` stats sidecar
+    * (per-file min/max/null-count per stat column, optional per-file
+    * blooms), aggregated map-side; the exchange carries files ×
+    * statCols rows. Shared by `replaceZoneMapped` and the
+    * `declareStats` auto-stats commit path. */
+  private def statsPass(spark: SparkSession, tmp: Path, statCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomExpectedPerFile: Long = 1L << 16): Unit = {
+    val data = spark.read.parquet(tmp.toString)
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+      bloomCols.map(c => graft.functions.BloomAgg
+        .bloomOf(col(c).cast("long"), bloomExpectedPerFile).as(s"bloom_$c")) :+
+      count(lit(1)).as("rows")
+    data
+      .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/.zonemap")
   }
 
   /** File names of the current version that might contain rows with
@@ -2465,6 +2549,13 @@ final class TableStore(val root: String, val retain: Int = 0) {
       // the staged temp dir: its artifacts ride the SAME dir rename
       // and manifest swap as the data, so they are atomic with it
       prepare(tmp)
+      // declared commit-time stats (declareStats): every commit of the
+      // table captures the sidecar — unless the caller's prepare
+      // already wrote one (replaceZoneMapped supersedes)
+      val declared = declaredStats(spark, name)
+        .filter(df.columns.contains)
+      if (declared.nonEmpty && !f.exists(new Path(tmp, ".zonemap")))
+        statsPass(spark, tmp, declared)
       effMeta.foreach { m =>
         val out = f.create(new Path(tmp, ".commitmeta"), true)
         try out.write(m.getBytes("UTF-8")) finally out.close()
