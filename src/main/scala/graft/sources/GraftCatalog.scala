@@ -97,7 +97,21 @@ class GraftCatalog extends TableCatalog {
     // ParquetTable path resumes.
     store.pendingDvFiles(spark, t) match {
       case Some((keys, dvPaths)) => new DvParquetTable(base, keys, dvPaths)
-      case None => base
+      case None => base match {
+        // commit-time-stats file skipping for SQL reads too: a
+        // whole-table version carrying a `.zonemap` sidecar serves
+        // through the stats-pruning wrapper, so `WHERE k < 10` opens
+        // only intersecting files — the same pruner as
+        // TableStore.read, the superset contract keeping answers exact
+        case pt: ParquetTable if store.partitionedLeafPaths(spark, t).isEmpty =>
+          val vdir = store.resolve(spark, t)
+          val zm = new org.apache.hadoop.fs.Path(s"$vdir/.zonemap")
+          val f = zm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (f.exists(zm))
+            new StatsParquetTable(pt, vdir, zm.toString, s"sql:$t")
+          else base
+        case _ => base
+      }
     }
   }
 

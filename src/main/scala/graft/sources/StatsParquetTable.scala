@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.graft.StatsShims
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.SkipStats
+
+/** V2 table giving SQL catalog reads the SAME commit-time-stats file
+  * skipping the programmatic `TableStore.read` path has (the
+  * [[org.apache.spark.sql.graft.ZoneMapPruner]] core is shared): the
+  * scan builder records the pushed catalyst filters, and `build()`
+  * consults the version's `.zonemap` sidecar to construct the
+  * delegate parquet scan over ONLY the surviving files — so
+  * `SELECT … FROM graft.t WHERE k < 10` opens the intersecting files,
+  * exactly like the DataFrame path, with the superset contract making
+  * results identical. Parquet-level pushdown and column pruning still
+  * reach the delegate (the recorded schema/filters are re-applied to
+  * the fresh builder); every pushed filter is also returned as a
+  * post-scan residual, so pruning can never change answers. Only used
+  * while the current version carries NO pending deletion vector (the
+  * DV wrapper serves that state; compaction restores this path). */
+class StatsParquetTable(base: ParquetTable, versionDir: String,
+    zonemapDir: String, label: String) extends Table with SupportsRead {
+  override def name(): String = base.name
+  override def schema(): StructType = base.schema
+  override def partitioning(): Array[Transform] = base.partitioning()
+  override def properties(): util.Map[String, String] = base.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StatsScanBuilder(base, options, schema(), versionDir, zonemapDir, label)
+}
+
+class StatsScanBuilder(base: ParquetTable, options: CaseInsensitiveStringMap,
+    tableSchema: StructType, versionDir: String, zonemapDir: String, label: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  private var requested: StructType = tableSchema
+  private var pushed: Seq[Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    requested = requiredSchema
+
+  // record AND return every filter: the delegate re-pushes them at
+  // build time for parquet row-group stats, and Spark re-applies them
+  // post-scan — double evaluation is the standard pushdown contract,
+  // and it is what makes file-level pruning safe-by-construction
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val (files, pruner) = StatsShims.load(spark, versionDir, zonemapDir)
+    val kept = pruner.survivors(pushed) match {
+      case None => files
+      case Some(live) =>
+        val known = pruner.known
+        files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+    }
+    SkipStats.record(label, files.size.toLong, kept.size.toLong)
+    val delegate =
+      if (kept.size == files.size) base
+      else ParquetTable(base.name, spark, options,
+        kept.map(_.getPath.toString), Some(tableSchema), classOf[ParquetFileFormat])
+    val sb = delegate.newScanBuilder(options).asInstanceOf[FileScanBuilder]
+    sb.pushFilters(pushed)
+    sb.pruneColumns(requested)
+    sb.build()
+  }
+}

@@ -24,10 +24,48 @@ import graft.operators.SkipStats
   * the `org.apache.spark.sql` namespace because assembling a
   * HadoopFsRelation/LogicalRelation by hand is `private[sql]` — the
   * same (public, Delta-documented) technique as [[StreamShims]].
-  *
-  * Translation is the standard data-skipping algebra, CONSERVATIVE by
-  * construction (a file is kept unless the stats PROVE it empty of
-  * matches — the superset contract, so results are exact):
+  * The SQL catalog path shares the same pruner through
+  * [[graft.sources.StatsParquetTable]].
+  */
+object StatsShims {
+
+  /** Load a version dir's `.zonemap` sidecar as a driver-side pruner
+    * plus the version's data files. */
+  def load(spark: SparkSession, versionDir: String,
+      zonemapDir: String): (Seq[FileStatus], ZoneMapPruner) = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val dir = new Path(versionDir)
+    val fs = dir.getFileSystem(cs.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.toIndexedSeq
+    val zm = cs.read.parquet(zonemapDir)
+    (files, new ZoneMapPruner(zm.schema,
+      zm.queryExecution.executedPlan.executeCollect().toIndexedSeq))
+  }
+
+  /** Read `versionDir` through a stats-pruning FileIndex built from
+    * its `.zonemap` sidecar. `label` keys the [[SkipStats]] tally. */
+  def statsPrunedRead(spark: SparkSession, versionDir: String, zonemapDir: String,
+      label: String): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val (files, pruner) = load(spark, versionDir, zonemapDir)
+    val dataSchema = cs.read.parquet(versionDir).schema
+    val index = new ZoneMapFileIndex(new Path(versionDir), files, pruner, label)
+    val relation = HadoopFsRelation(index, partitionSchema = StructType(Nil),
+      dataSchema = dataSchema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat, options = Map.empty)(cs)
+    Dataset.ofRows(cs, LogicalRelation(relation))
+  }
+}
+
+/** The translation core, shared by the DataFrame read path
+  * ([[ZoneMapFileIndex]]) and the SQL catalog path
+  * ([[graft.sources.StatsParquetTable]]). The algebra is the standard
+  * data-skipping one, CONSERVATIVE by construction (a file is kept
+  * unless the stats PROVE it empty of matches — the superset
+  * contract, so results are exact):
   *   - `a = v`  → min_a <= v && max_a >= v
   *   - `a > v`  → max_a > v      (and mirrored for <, >=, <=)
   *   - `a IN (…)` → any member lands in [min, max]
@@ -37,66 +75,28 @@ import graft.operators.SkipStats
   * Null semantics carry the range-predicate truth: an all-null file
   * has null min/max, the translated comparison evaluates to null, and
   * the file prunes — correct, because a range predicate never matches
-  * NULL (SQL three-valued logic); IS NULL never reaches the pruner.
-  */
-object StatsShims {
+  * NULL (SQL three-valued logic); IS NULL never reaches the pruner. */
+final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow]) {
 
-  /** Read `versionDir` through a stats-pruning FileIndex built from
-    * its `.zonemap` sidecar. `label` keys the [[SkipStats]] tally. */
-  def statsPrunedRead(spark: SparkSession, versionDir: String, zonemapDir: String,
-      label: String): org.apache.spark.sql.DataFrame = {
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val dir = new Path(versionDir)
-    val fs = dir.getFileSystem(cs.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(dir).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith(".") && !n.startsWith("_")
-    }.toIndexedSeq
-    val zm = cs.read.parquet(zonemapDir)
-    val statRows = zm.queryExecution.executedPlan.executeCollect().toIndexedSeq
-    val dataSchema = cs.read.parquet(versionDir).schema
-    val index = new ZoneMapFileIndex(dir, files, zm.schema, statRows, label)
-    val relation = HadoopFsRelation(index, partitionSchema = StructType(Nil),
-      dataSchema = dataSchema, bucketSpec = None,
-      fileFormat = new ParquetFileFormat, options = Map.empty)(cs)
-    Dataset.ofRows(cs, LogicalRelation(relation))
-  }
-}
+  private val fileIdx = statsSchema.fieldIndex("file")
 
-private final class ZoneMapFileIndex(dir: Path, files: Seq[FileStatus],
-    statsSchema: StructType, statRows: Seq[InternalRow],
-    label: String) extends FileIndex {
-
-  private val fileNames = statsSchema.fieldIndex("file")
-
-  override def rootPaths: Seq[Path] = Seq(dir)
-  override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
-  override def refresh(): Unit = ()
-  override def sizeInBytes: Long = files.map(_.getLen).sum
-  override def partitionSchema: StructType = StructType(Nil)
-
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val conds = dataFilters.flatMap(translate)
-    val kept =
-      if (conds.isEmpty) files
-      else {
-        val cond = conds.reduce(And)
-        // survivors by NAME: files the sidecar covers and proves
-        // matchable, plus any file the sidecar does not know (keep —
-        // the superset contract)
-        val known = statRows.map(_.getUTF8String(fileNames).toString).toSet
-        val live = statRows.filter { r =>
-          cond.eval(r).asInstanceOf[java.lang.Boolean] match {
-            case null => false // all-null stats: a range pred cannot match
-            case b => b.booleanValue()
-          }
-        }.map(_.getUTF8String(fileNames).toString).toSet
-        files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+  /** File NAMES that may hold rows matching `filters` — files the
+    * sidecar does not cover are always kept (superset contract). A
+    * returned None means "no filter translated: keep everything". */
+  def survivors(filters: Seq[Expression]): Option[Set[String]] = {
+    val conds = filters.flatMap(translate)
+    if (conds.isEmpty) return None
+    val cond = conds.reduce(And)
+    Some(statRows.filter { r =>
+      cond.eval(r).asInstanceOf[java.lang.Boolean] match {
+        case null => false // all-null stats: a range pred cannot match
+        case b => b.booleanValue()
       }
-    SkipStats.record(label, files.size.toLong, kept.size.toLong)
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    }.map(_.getUTF8String(fileIdx).toString).toSet)
   }
+
+  /** Every file name the sidecar knows. */
+  def known: Set[String] = statRows.map(_.getUTF8String(fileIdx).toString).toSet
 
   /** Bound reference to a stats column of the zonemap row, iff present
     * with exactly the comparand's type (no analyzer runs here — a type
@@ -154,5 +154,29 @@ private final class ZoneMapFileIndex(dir: Path, files: Seq[FileStatus],
     case Or(x, y) =>
       for { cx <- translate(x); cy <- translate(y) } yield Or(cx, cy)
     case _ => None
+  }
+}
+
+private final class ZoneMapFileIndex(dir: Path, files: Seq[FileStatus],
+    pruner: ZoneMapPruner, label: String) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(dir)
+  override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = files.map(_.getLen).sum
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = pruner.survivors(dataFilters) match {
+      case None => files
+      case Some(live) =>
+        val known = pruner.known
+        // survivors by NAME, plus any file the sidecar does not know
+        // (keep — the superset contract)
+        files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+    }
+    SkipStats.record(label, files.size.toLong, kept.size.toLong)
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 }

@@ -128,4 +128,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ks("SELECT k FROM gtt.t VERSION AS OF 0") == Set(1L, 3L),
       "the DV-carrying version must serve surviving rows, not resurrect k=2")
   }
+
+  test("SQL reads skip files through declared commit-time stats; answers exact") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.declareStats(s, "tstats", Seq("k"))
+    store.replace(s, "tstats",
+      s.range(0, 8000).select($"id".as("k"), ($"id" % 9).as("v"))
+        .repartitionByRange(8, $"k").sortWithinPartitions($"k"))
+    graft.operators.SkipStats.reset()
+    val got = s.sql("SELECT k FROM graft.tstats WHERE k >= 100 AND k < 300 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (100L until 300L).toSeq, "SQL pruned read must be exact")
+    val (listed, kept) = graft.operators.SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("sql:tstats") => c }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(listed == 8L && kept < listed,
+      s"a selective SQL range over 8 range-clustered files must skip files: $kept/$listed")
+    // a filterless SQL scan reads everything, exactly
+    assert(s.sql("SELECT count(*) AS n FROM graft.tstats").head.getLong(0) == 8000L)
+    // a pending MOR DV routes back through the DV wrapper (no stats
+    // pruning while deletes are unapplied) and stays exact
+    store.deleteWhereMor(s, "tstats", $"k" === 150L, Seq("k"))
+    assert(s.sql("SELECT count(*) AS n FROM graft.tstats WHERE k >= 100 AND k < 300")
+      .head.getLong(0) == 199L)
+  }
 }
