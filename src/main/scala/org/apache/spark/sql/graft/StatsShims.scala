@@ -45,6 +45,54 @@ object StatsShims {
       zm.queryExecution.executedPlan.executeCollect().toIndexedSeq))
   }
 
+  /** Read a PARTITIONED table's committed leaf dirs through the
+    * stats-aware index: hive partition pruning over the
+    * manifest-derived partition values + per-partition-version file
+    * skipping through each leaf's own `.zonemap` sidecar (leaves
+    * without one simply never skip). `leaves` = (partition dir name
+    * like `p=5`, absolute leaf path); `fullSchema` = the
+    * manifest-carried schema (partition column included — its TYPE
+    * drives the partition-value parse, a `Cast` of the unescaped dir
+    * value, matching hive-layout inference for the store's supported
+    * partition types). Output column order matches the plain
+    * partitioned read: data columns then the partition column. */
+  def statsPrunedPartitionedRead(spark: SparkSession, basePath: String,
+      leaves: Seq[(String, String)], fullSchema: StructType, partCol: String,
+      label: String): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val partField = fullSchema(partCol)
+    val dataSchema = StructType(fullSchema.filterNot(_.name == partCol))
+    val fs = new Path(basePath).getFileSystem(cs.sparkContext.hadoopConfiguration)
+    val zone = Option(cs.sessionState.conf.sessionLocalTimeZone)
+    val entries = leaves.map { case (pdir, leafPath) =>
+      val dir = new Path(leafPath)
+      val files = fs.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.toIndexedSeq
+      val zm = new Path(dir, ".zonemap")
+      val pruner =
+        if (fs.exists(zm)) {
+          val df = cs.read.parquet(zm.toString)
+          Some(new ZoneMapPruner(df.schema,
+            df.queryExecution.executedPlan.executeCollect().toIndexedSeq))
+        } else None
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(pdir.substring(pdir.indexOf('=') + 1))
+      val value = Cast(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        partField.dataType, zone).eval(InternalRow.empty)
+      PartEntry(InternalRow(value), files, pruner)
+    }
+    val index = new PartitionedZoneMapFileIndex(new Path(basePath),
+      StructType(Seq(partField)), entries, label)
+    val relation = HadoopFsRelation(index, partitionSchema = StructType(Seq(partField)),
+      dataSchema = dataSchema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat, options = Map.empty)(cs)
+    Dataset.ofRows(cs, LogicalRelation(relation))
+  }
+
   /** Read `versionDir` through a stats-pruning FileIndex built from
     * its `.zonemap` sidecar. `label` keys the [[SkipStats]] tally. */
   def statsPrunedRead(spark: SparkSession, versionDir: String, zonemapDir: String,
@@ -154,6 +202,66 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow]) {
     case Or(x, y) =>
       for { cx <- translate(x); cy <- translate(y) } yield Or(cx, cy)
     case _ => None
+  }
+}
+
+/** One committed partition of a stats-aware partitioned read: its
+  * partition-value row, data files, and (if its version dir carries a
+  * `.zonemap`) its pruner. */
+private final case class PartEntry(values: InternalRow, files: Seq[FileStatus],
+    pruner: Option[ZoneMapPruner])
+
+/** The partitioned counterpart of [[ZoneMapFileIndex]]: hive partition
+  * pruning (partition filters evaluated against the manifest-derived
+  * partition values — the same bind-by-name interpreted evaluation
+  * Spark's PartitioningAwareFileIndex.prunePartitions performs) PLUS
+  * per-partition file skipping through each partition version's own
+  * `.zonemap` sidecar. Both prunings are conservative supersets, so
+  * answers are exact; a partition filter that fails to bind keeps
+  * every partition (partition filters are not re-applied post-scan,
+  * so only provable evaluation may drop one). */
+private final class PartitionedZoneMapFileIndex(base: Path,
+    partSchema: StructType, entries: Seq[PartEntry],
+    label: String) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(base)
+  override def inputFiles: Array[String] =
+    entries.flatMap(_.files.map(_.getPath.toString)).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = entries.flatMap(_.files.map(_.getLen)).sum
+  override def partitionSchema: StructType = partSchema
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keptParts =
+      if (partitionFilters.isEmpty) entries
+      else {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partSchema.fieldNames.indexOf(a.name)
+            if (i < 0) a else BoundReference(i, partSchema(i).dataType, nullable = true)
+        }
+        // FileSourceStrategy guarantees partition filters reference
+        // only partition columns; partition filters are NOT re-applied
+        // post-scan, so an unbindable one must fail LOUDLY — keeping
+        // extra partitions would leak rows, dropping them lose rows
+        if (bound.exists(_.isInstanceOf[AttributeReference]))
+          throw new IllegalStateException(
+            s"partition filter references a non-partition attribute: $bound")
+        else entries.filter(e =>
+          java.lang.Boolean.TRUE == bound.eval(e.values))
+      }
+    val out = keptParts.map { e =>
+      val kept = e.pruner.flatMap(p => p.survivors(dataFilters).map { live =>
+        val known = p.known
+        e.files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+      }).getOrElse(e.files)
+      PartitionDirectory(e.values, kept.toArray)
+    }
+    SkipStats.record(label,
+      entries.flatMap(_.files).size.toLong,
+      out.map(_.files.size.toLong).sum)
+    out
   }
 }
 

@@ -96,6 +96,54 @@ class StatsSkipSpec extends SparkSpec {
     assert(store.read(s, "t2").filter($"w".isNull).count() == 10L)
   }
 
+  test("partitioned tables: hive pruning AND within-partition file skipping compose; answers exact") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "pt", Seq("k"))
+    // 3 date partitions × 4 range-clustered files each
+    val df = s.range(0, 12000)
+      .select($"id".as("k"), ($"id" % 3).cast("int").as("p_day"), ($"id" % 7).as("v"))
+      .repartitionByRange(12, $"p_day", $"k").sortWithinPartitions($"p_day", $"k")
+    store.replacePartitions(s, "pt", df, "p_day")
+    val raw = s.read.option("basePath", store.livePath("pt"))
+      .parquet(store.partitionedLeafPaths(s, "pt").get: _*)
+    // partition filter alone: only p_day=1 files listed
+    SkipStats.reset()
+    val got1 = store.read(s, "pt").filter($"p_day" === 1).count()
+    assert(got1 == raw.filter($"p_day" === 1).count())
+    val (l1, k1) = SkipStats.snapshot()("pt")
+    assert(k1 < l1, s"hive partition pruning must drop other partitions' files: $k1/$l1")
+    // data filter alone: every partition consulted, files skipped within
+    SkipStats.reset()
+    val pred2 = $"k" >= 100L && $"k" < 400L
+    assert(store.read(s, "pt").filter(pred2).count() == raw.filter(pred2).count())
+    val (l2, k2) = SkipStats.snapshot()("pt")
+    assert(k2 < l2, s"within-partition file skipping must engage: $k2/$l2")
+    // both compose; results stay exact under a fuzz of mixed predicates
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val lo = rnd.nextInt(12000).toLong
+      val hi = lo + rnd.nextInt(3000)
+      val day = rnd.nextInt(4) // sometimes a day with no partition
+      val pred = $"k" >= lo && $"k" <= hi && $"p_day" === day
+      assert(store.read(s, "pt").filter(pred).count() == raw.filter(pred).count(),
+        s"diverged for k in [$lo,$hi], p_day=$day")
+    }
+    // a later single-partition upsert refreshes ONLY its partition's
+    // sidecar; cold partitions keep skipping through their own
+    store.upsertPartitioned(s, "pt",
+      Seq((100000L, 1, 9L, "x")).toDF("k", "p_day", "v", "w").drop("w")
+        .select($"k", $"p_day".cast("int").as("p_day"), $"v"),
+      Seq("k"), "p_day")
+    val pred3 = $"k" === 100000L
+    assert(store.read(s, "pt").filter(pred3).count() == 1L)
+    assert(store.read(s, "pt").filter($"k" === 50L).count() == 1L)
+    // partitioned MOR delete composes with the stats route
+    store.deleteWhereMorPartitioned(s, "pt", $"k" === 50L, Seq("k"), "p_day")
+    assert(store.read(s, "pt").filter($"k" === 50L).count() == 0L)
+    assert(store.read(s, "pt").count() == 12000L)
+  }
+
   test("the sidecar survives restore and purge; MOR deletes compose with pruning") {
     val s = spark; import s.implicits._
     val store = new TableStore(
