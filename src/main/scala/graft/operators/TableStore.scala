@@ -1585,6 +1585,43 @@ final class TableStore(val root: String, val retain: Int = 0) {
     if (idx < 0) None else Some(idx)
   }
 
+  /** Content digest of one partitioned STATE (map + DV lines): stable
+    * across history shifts — unlike `commitIdentity`, whose full-line
+    * digest changes whenever generations push — so it can serve as a
+    * resumable position id over the generation history. A RESTORE
+    * alias shares its target's digest; position lookups resolve to the
+    * NEAREST occurrence, and the diff between alias positions is empty
+    * by construction, so that is exact. */
+  private def pStateDigest(lines: Seq[String]): String = {
+    val core = (pMapOf(lines).map { case (p, v) => s"$p\t$v" } ++
+      lines.filter(_.startsWith("#dv\t"))).sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(core.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The current committed POSITION id — the streaming feed's offset
+    * substrate, mode-agnostic: whole-table → the version dir id;
+    * partitioned → the head state digest. None = table absent. */
+  def commitPositionId(spark: SparkSession, name: String): Option[String] = {
+    val f = fs(spark)
+    currentVersion(f, name).orElse(
+      pmanifestLines(f, name).map(_ => pStateDigest(pHeadAndHist(f, name)._1)))
+  }
+
+  /** Steps-back position of a previously-captured position id (0 =
+    * head), either mode. None = not retained. */
+  def positionOf(spark: SparkSession, name: String, positionId: String): Option[Int] = {
+    val f = fs(spark)
+    val chain = versionChain(f, name)
+    if (chain.nonEmpty) Some(chain.indexOf(positionId)).filter(_ >= 0)
+    else if (pmanifestLines(f, name).isDefined) {
+      val (head, gens) = pHeadAndHist(f, name)
+      val idx = (head +: gens.map(_._2)).indexWhere(pStateDigest(_) == positionId)
+      if (idx < 0) None else Some(idx)
+    } else None
+  }
+
   /** Swap in `df`'s partitions, BATCH-atomically (VERDICT r2 missing
     * #1): fully materialize to a temp dir (partitioned by `partCol`),
     * stage every written partition as an UNLISTED version dir

@@ -26,15 +26,17 @@ import graft.operators.TableStore
   *     contract, verbatim).
   *
   *   - KEYED CHANGE FEED (`graft.streaming.StoreFeedProvider`): tails a
-  *     keyed whole-table-mode table over the commit chain. Offsets are
-  *     the committed VERSION IDS (exact, no timestamp-collision
-  *     ambiguity); the first batch is the bootstrap snapshot as `I`
-  *     rows, each later batch is `changesBetween` the two chain
-  *     positions — the reference-diff-pruned keyed I/U/D feed. The
+  *     keyed table over its commit history, EITHER mode. Offsets are
+  *     exact committed POSITION ids (whole-table: the version dir id;
+  *     partitioned: the head state digest — no timestamp-collision
+  *     ambiguity either way); the first batch is the bootstrap
+  *     snapshot as `I` rows, each later batch is `changesBetween` the
+  *     two positions — the reference-diff-pruned keyed I/U/D feed, so
+  *     a partitioned upstream pays O(touched partitions) per poll. The
   *     poll interval must fit inside `retain` commits: a committed
-  *     offset whose version fell off the chain is a LOUD error naming
-  *     the fix (raise retain / restart the checkpoint), never a silent
-  *     gap.
+  *     offset whose position fell off the history is a LOUD error
+  *     naming the fix (raise retain / restart the checkpoint), never a
+  *     silent gap.
   *
   * Both return `getBatch` frames built by the ordinary BATCH reader
   * against manifest-listed paths (pruning, DV anti-joins and file
@@ -142,10 +144,10 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
   }
 
   override def getOffset: Option[Offset] =
-    store.currentVersionId(spark, table).map(VersionOffset)
+    store.commitPositionId(spark, table).map(VersionOffset)
 
   private def position(versionId: String): Int =
-    store.positionOfVersion(spark, table, versionId).getOrElse(
+    store.positionOf(spark, table, versionId).getOrElse(
       throw new IllegalStateException(
         s"graft-store-feed: committed offset version '$versionId' of '$table' is no " +
           "longer retained — the poll interval outran the table's retain window " +

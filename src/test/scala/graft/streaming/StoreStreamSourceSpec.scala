@@ -85,6 +85,49 @@ class StoreStreamSourceSpec extends SparkSpec {
       "post-expiry appends must reach a consumer whose offset predates the expiry")
   }
 
+  test("keyed change feed over a PARTITIONED table: digest offsets resolve, diffs prune to touched partitions") {
+    val s = spark; import s.implicits._
+    val root = tmp("feedpart-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root, retain = 3)
+    def b(vs: (Long, String, Int)*) = vs.toDF("id", "v", "p")
+    store.upsertPartitioned(s, "dim",
+      b((1L, "a", 5), (2L, "b", 6), (3L, "c", 7)), Seq("id"), "p")
+
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(String, Long, String)]]()
+    def run(): Unit = {
+      val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", root).option("table", "dim").option("keys", "id").load()
+        .writeStream
+        .foreachBatch { (bd: DataFrame, _: Long) =>
+          batches += bd.collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(batches.flatten.sorted.toSeq ==
+      Seq(("I", 1L, "a"), ("I", 2L, "b"), ("I", 3L, "c")))
+    // a commit touching ONLY p=5: the feed batch reads only p=5 files
+    store.upsertPartitioned(s, "dim", b((1L, "a2", 5)), Seq("id"), "p")
+    batches.clear()
+    run()
+    assert(batches.flatten.toSeq == Seq(("U", 1L, "a2")))
+    // a delete emptying p=6 flows as D
+    store.deleteWherePartitioned(s, "dim", $"p" === 6, "p")
+    batches.clear()
+    run()
+    assert(batches.flatten.toSeq == Seq(("D", 2L, "b")))
+    // nothing new → no batch
+    batches.clear()
+    run()
+    assert(batches.flatten.isEmpty)
+  }
+
   test("keyed change feed: bootstrap snapshot as I, then per-commit I/U/D; purged offset errors loudly") {
     val s = spark; import s.implicits._
     val root = tmp("feedsrc-")
