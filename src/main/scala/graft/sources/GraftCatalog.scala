@@ -72,46 +72,53 @@ class GraftCatalog extends TableCatalog {
     if (!store.exists(spark, t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catalogName) ++ ident.namespace() :+ t)
-    val base = store.partitionedLeafPaths(spark, t) match {
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasZm(dir: String): Boolean =
+      fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/.zonemap"))
+    val dvPending = store.pendingDvFiles(spark, t)
+    store.partitionedLeafPaths(spark, t) match {
       case Some(paths) if paths.nonEmpty =>
         // partitioned mode: scan exactly the manifest's committed leaf
         // dirs (staged in-flight versions are invisible); basePath keeps
         // partCol a partition column so SQL predicates partition-prune
         val opts = new util.HashMap[String, String]()
         opts.put("basePath", store.livePath(t))
-        ParquetTable(t, spark, new CaseInsensitiveStringMap(opts),
-          paths, None, classOf[ParquetFileFormat])
+        val copts = new CaseInsensitiveStringMap(opts)
+        val pt = ParquetTable(t, spark, copts, paths, None,
+          classOf[ParquetFileFormat])
+        dvPending match {
+          // MERGE-ON-READ consistency first: a raw path scan silently
+          // skips the dot-prefixed deletion-vector sidecar — it would
+          // resurrect rows a committed delete erased. A DV-pending
+          // table serves through DvParquetTable (anti-join-on-keys
+          // semantics inside the scan, same answer as TableStore.read);
+          // compaction folds the DV and the stats/plain path resumes.
+          case Some((keys, dvPaths)) => new DvParquetTable(pt, keys, dvPaths)
+          // declared-stats leaves add within-partition file skipping on
+          // top of the delegate's partition pruning (the DataFrame
+          // path's pruner, shared)
+          case None if paths.exists(hasZm) =>
+            new StatsPartitionedParquetTable(pt, copts, paths, s"sql:$t")
+          case None => pt
+        }
       case _ =>
         // resolve the committed snapshot path NOW: the returned table scans
         // this version even if a writer swaps the manifest mid-query
-        ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
-          Seq(store.resolve(spark, t)), None, classOf[ParquetFileFormat])
-    }
-    // MERGE-ON-READ consistency: a raw path scan silently skips the
-    // dot-prefixed deletion-vector sidecar — it would resurrect rows a
-    // committed deleteWhereMor erased (the right-to-be-forgotten
-    // contract). A DV-pending table therefore serves through
-    // DvParquetTable, which applies the DV's keys as an anti-join-
-    // semantics row filter inside the scan (same answer as
-    // `TableStore.read`); once compaction folds the DV, the plain
-    // ParquetTable path resumes.
-    store.pendingDvFiles(spark, t) match {
-      case Some((keys, dvPaths)) => new DvParquetTable(base, keys, dvPaths)
-      case None => base match {
-        // commit-time-stats file skipping for SQL reads too: a
-        // whole-table version carrying a `.zonemap` sidecar serves
-        // through the stats-pruning wrapper, so `WHERE k < 10` opens
-        // only intersecting files — the same pruner as
-        // TableStore.read, the superset contract keeping answers exact
-        case pt: ParquetTable if store.partitionedLeafPaths(spark, t).isEmpty =>
-          val vdir = store.resolve(spark, t)
-          val zm = new org.apache.hadoop.fs.Path(s"$vdir/.zonemap")
-          val f = zm.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (f.exists(zm))
-            new StatsParquetTable(pt, vdir, zm.toString, s"sql:$t")
-          else base
-        case _ => base
-      }
+        val vdir = store.resolve(spark, t)
+        val pt = ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+          Seq(vdir), None, classOf[ParquetFileFormat])
+        dvPending match {
+          case Some((keys, dvPaths)) => new DvParquetTable(pt, keys, dvPaths)
+          // commit-time-stats file skipping for SQL reads too: a
+          // whole-table version carrying a `.zonemap` sidecar serves
+          // through the stats-pruning wrapper, so `WHERE k < 10` opens
+          // only intersecting files — the same pruner as
+          // TableStore.read, the superset contract keeping answers exact
+          case None if hasZm(vdir) =>
+            new StatsParquetTable(pt, vdir, s"$vdir/.zonemap", s"sql:$t")
+          case None => pt
+        }
     }
   }
 

@@ -85,3 +85,83 @@ class StatsScanBuilder(base: ParquetTable, options: CaseInsensitiveStringMap,
     sb.build()
   }
 }
+
+/** The PARTITIONED counterpart: SQL reads of a partitioned table whose
+  * committed leaf dirs carry `.zonemap` sidecars skip files WITHIN
+  * partitions — hive partition pruning stays with the delegate's own
+  * file index (partition filters reach it through the re-pushed
+  * filters; the rebuilt delegate keeps `basePath`, so partition
+  * columns survive), this wrapper only drops files the per-leaf stats
+  * prove empty of matches. If pruning empties the list entirely, ONE
+  * file is retained — the superset contract allows extra files and a
+  * zero-path V2 parquet table cannot plan. */
+class StatsPartitionedParquetTable(base: ParquetTable,
+    options: CaseInsensitiveStringMap, leaves: Seq[String], label: String)
+    extends Table with SupportsRead {
+  override def name(): String = base.name
+  override def schema(): StructType = base.schema
+  override def partitioning(): Array[Transform] = base.partitioning()
+  override def properties(): util.Map[String, String] = base.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new StatsPartitionedScanBuilder(base, options, schema(), leaves, label)
+}
+
+class StatsPartitionedScanBuilder(base: ParquetTable,
+    options: CaseInsensitiveStringMap, tableSchema: StructType,
+    leaves: Seq[String], label: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  private var requested: StructType = tableSchema
+  private var pushed: Seq[Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    requested = requiredSchema
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(leaves.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var listed = 0L
+    val kept = leaves.flatMap { leaf =>
+      val dir = new org.apache.hadoop.fs.Path(leaf)
+      val files = fs.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.toIndexedSeq
+      listed += files.size
+      val zm = new org.apache.hadoop.fs.Path(dir, ".zonemap")
+      val surviving =
+        if (!fs.exists(zm)) files
+        else {
+          val (_, pruner) = StatsShims.load(spark, leaf, zm.toString)
+          pruner.survivors(pushed) match {
+            case None => files
+            case Some(live) =>
+              val known = pruner.known
+              files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+          }
+        }
+      surviving.map(_.getPath.toString)
+    }
+    SkipStats.record(label, listed, kept.size.toLong)
+    val delegate =
+      if (kept.size.toLong == listed) base
+      else ParquetTable(base.name, spark, options,
+        // all-pruned: keep one leaf dir — the superset contract allows
+        // extra files, and a zero-path V2 parquet table cannot plan
+        if (kept.nonEmpty) kept else leaves.take(1),
+        None, classOf[ParquetFileFormat])
+    val sb = delegate.newScanBuilder(options).asInstanceOf[FileScanBuilder]
+    sb.pushFilters(pushed)
+    sb.pruneColumns(requested)
+    sb.build()
+  }
+}

@@ -153,4 +153,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS n FROM graft.tstats WHERE k >= 100 AND k < 300")
       .head.getLong(0) == 199L)
   }
+
+  test("partitioned SQL reads compose hive pruning with within-partition file skipping") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.declareStats(s, "pstats", Seq("k"))
+    store.replacePartitions(s, "pstats",
+      s.range(0, 9000).select($"id".as("k"), ($"id" % 3).cast("int").as("p"))
+        .repartitionByRange(12, $"p", $"k").sortWithinPartitions($"p", $"k"),
+      "p")
+    graft.operators.SkipStats.reset()
+    // data-range filter: every partition consulted, files skipped within
+    val got = s.sql("SELECT k FROM graft.pstats WHERE k >= 300 AND k < 600 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (300L until 600L).toSeq)
+    val (listed, kept) = graft.operators.SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("sql:pstats") => c }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(kept < listed, s"within-partition SQL file skipping must engage: $kept/$listed")
+    // mixed partition + data predicate stays exact
+    assert(s.sql("SELECT count(*) AS n FROM graft.pstats WHERE p = 1 AND k < 90")
+      .head.getLong(0) == (0L until 90L).count(_ % 3 == 1))
+    // an all-pruned range still plans (one retained leaf) and answers 0
+    assert(s.sql("SELECT count(*) AS n FROM graft.pstats WHERE k > 100000")
+      .head.getLong(0) == 0L)
+    // partitioned MOR DV routes through the DV wrapper, exact
+    store.deleteWhereMorPartitioned(s, "pstats", $"k" === 301L, Seq("k"), "p")
+    assert(s.sql("SELECT count(*) AS n FROM graft.pstats WHERE k >= 300 AND k < 600")
+      .head.getLong(0) == 299L)
+  }
 }
