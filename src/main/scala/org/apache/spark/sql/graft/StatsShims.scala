@@ -133,14 +133,50 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow]) {
     * returned None means "no filter translated: keep everything". */
   def survivors(filters: Seq[Expression]): Option[Set[String]] = {
     val conds = filters.flatMap(translate)
-    if (conds.isEmpty) return None
-    val cond = conds.reduce(And)
+    val bigSets = filters.flatMap(bigIntegralSet)
+    if (conds.isEmpty && bigSets.isEmpty) return None
+    val cond = conds.reduceOption(And)
     Some(statRows.filter { r =>
-      cond.eval(r).asInstanceOf[java.lang.Boolean] match {
+      val exprOk = cond.forall(c => c.eval(r).asInstanceOf[java.lang.Boolean] match {
         case null => false // all-null stats: a range pred cannot match
         case b => b.booleanValue()
+      })
+      exprOk && bigSets.forall { case (loIdx, hiIdx, sorted) =>
+        // file survives iff any set member lands in [min, max]: one
+        // binary search per file against the sorted member array —
+        // this is what keeps a 10⁵-id erasure probe (an InSet far too
+        // wide for an Or-chain) a metadata decision on cold registries
+        if (r.isNullAt(loIdx) || r.isNullAt(hiIdx)) false
+        else {
+          val lo = r.getLong(loIdx)
+          val hi = r.getLong(hiIdx)
+          val i = java.util.Arrays.binarySearch(sorted, lo)
+          val at = if (i >= 0) i else -i - 1
+          at < sorted.length && sorted(at) <= hi
+        }
       }
     }.map(_.getUTF8String(fileIdx).toString).toSet)
+  }
+
+  /** A large integral InSet filter as (min-stat ordinal, max-stat
+    * ordinal, sorted member array) — the binary-search pruning path
+    * for membership sets too wide to express as an Or-chain. Long and
+    * Int columns only (the id shape); anything else keeps every file. */
+  private def bigIntegralSet(f: Expression): Option[(Int, Int, Array[Long])] = f match {
+    case InSet(a: AttributeReference, hset) if hset.size > 1024 && !hset.contains(null) =>
+      val loIdx = statsSchema.fieldNames.indexOf(s"min_${a.name}")
+      val hiIdx = statsSchema.fieldNames.indexOf(s"max_${a.name}")
+      if (loIdx < 0 || hiIdx < 0) None
+      else (a.dataType, statsSchema(loIdx).dataType) match {
+        case (org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType) =>
+          Some((loIdx, hiIdx, hset.toArray.map(_.asInstanceOf[Long]).sorted))
+        case (org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.IntegerType) =>
+          // promote: compare in long space against int stats re-read as ints
+          None // int stats use getInt — handled via the expression path only
+        case _ => None
+      }
+    case And(x, y) => bigIntegralSet(x).orElse(bigIntegralSet(y))
+    case _ => None
   }
 
   /** Every file name the sidecar knows. */

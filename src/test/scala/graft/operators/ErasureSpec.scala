@@ -259,6 +259,38 @@ class ErasureSpec extends SparkSpec {
     assert(e2.getMessage.contains("re-bootstrap"), e2.getMessage)
   }
 
+  test("cold-artifact probes skip through declared stats: the cascade walk's cost lever") {
+    // VERDICT r11 wrong #2 (the written-down cost model's skip lever):
+    // a registry built with declareStats on its id column makes the
+    // cascade's per-artifact filter-count probe a metadata decision
+    // when the request band misses the registry's files
+    val s = spark
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(Root + "-probe")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val store = new TableStore(Root + "-probe")
+    store.declareStats(s, "corpus_fp", Seq("doc_id"))
+    store.replace(s, "corpus_fp",
+      s.range(0, 100000).select($"id".as("doc_id"),
+          md5($"id".cast("string")).as("fp"))
+        .repartitionByRange(8, $"doc_id").sortWithinPartitions($"doc_id"))
+    // a request band entirely ABOVE the registry's ids: the probe must
+    // prove emptiness from stats, not a full scan
+    SkipStats.reset()
+    val rep = Erasure.eraseDocuments(s, store,
+      s.range(500000, 505000).select($"id".as("doc_id")), "doc_id")
+    assert(rep.filter($"artifact" === "corpus_fp").head().getLong(2) == 0L)
+    val (listed, kept) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("corpus_fp/") => c }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(kept == 0L && listed > 0L,
+      s"an out-of-band probe must read ZERO registry files: $kept/$listed")
+    // an in-band request still erases exactly
+    Erasure.eraseDocuments(s, store,
+      s.range(10, 20).select($"id".as("doc_id")), "doc_id")
+    assert(store.read(s, "corpus_fp").count() == 99990L)
+  }
+
   test("purgeHistory=true: retained artifact history stops serving the erased doc") {
     val s = spark
     import s.implicits._

@@ -144,6 +144,29 @@ class StatsSkipSpec extends SparkSpec {
     assert(store.read(s, "pt").count() == 12000L)
   }
 
+  test("a 50k-member InSet prunes by sorted-set/interval intersection (the erasure-probe shape)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "t", Seq("k"))
+    store.replace(s, "t",
+      s.range(0, 200000).select($"id".as("k"), ($"id" % 5).as("v"))
+        .repartitionByRange(16, $"k").sortWithinPartitions($"k"))
+    // 50k ids, all inside one narrow band — far too wide for an
+    // Or-chain translation, exactly the regulator-scale erasure probe
+    val ids: Seq[Long] = (100000L until 150000L)
+    SkipStats.reset()
+    val hits = store.read(s, "t").filter($"k".isInCollection(ids)).count()
+    assert(hits == 50000L)
+    val (listed, kept) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("t/") => c }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(kept < listed,
+      s"a banded 50k-id InSet must skip out-of-band files: $kept/$listed")
+    // sparse out-of-band members keep correctness: a set straddling
+    // everything prunes little but stays exact
+    val sparse = Seq(5L, 99999L, 199999L, 300000L)
+    assert(store.read(s, "t").filter($"k".isInCollection(sparse)).count() == 3L)
+  }
+
   test("the sidecar survives restore and purge; MOR deletes compose with pruning") {
     val s = spark; import s.implicits._
     val store = new TableStore(
