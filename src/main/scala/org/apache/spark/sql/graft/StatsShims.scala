@@ -29,10 +29,21 @@ import graft.operators.SkipStats
   */
 object StatsShims {
 
+  // version dirs are IMMUTABLE after their commit (every write stages a
+  // NEW dir; MOR deletes add a DV sidecar but never touch data files or
+  // the zonemap), so the (data files, pruner) pair per version caches
+  // forever — a warm read() costs zero extra jobs instead of one tiny
+  // zonemap-collect job per call. Size-capped as a leak backstop; a
+  // vacuumed/purged version's entry is just dead weight until then.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[FileStatus], ZoneMapPruner)]()
+
   /** Load a version dir's `.zonemap` sidecar as a driver-side pruner
-    * plus the version's data files. */
+    * plus the version's data files (cached per immutable version). */
   def load(spark: SparkSession, versionDir: String,
       zonemapDir: String): (Seq[FileStatus], ZoneMapPruner) = {
+    val hit = cache.get(zonemapDir)
+    if (hit != null) return hit
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val dir = new Path(versionDir)
     val fs = dir.getFileSystem(cs.sparkContext.hadoopConfiguration)
@@ -41,8 +52,11 @@ object StatsShims {
       s.isFile && !n.startsWith(".") && !n.startsWith("_")
     }.toIndexedSeq
     val zm = cs.read.parquet(zonemapDir)
-    (files, new ZoneMapPruner(zm.schema,
+    val loaded = (files, new ZoneMapPruner(zm.schema,
       zm.queryExecution.executedPlan.executeCollect().toIndexedSeq))
+    if (cache.size > 512) cache.clear()
+    cache.put(zonemapDir, loaded)
+    loaded
   }
 
   /** Read a PARTITIONED table's committed leaf dirs through the
@@ -66,17 +80,15 @@ object StatsShims {
     val zone = Option(cs.sessionState.conf.sessionLocalTimeZone)
     val entries = leaves.map { case (pdir, leafPath) =>
       val dir = new Path(leafPath)
-      val files = fs.listStatus(dir).filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith(".") && !n.startsWith("_")
-      }.toIndexedSeq
       val zm = new Path(dir, ".zonemap")
-      val pruner =
+      val (files, pruner) =
         if (fs.exists(zm)) {
-          val df = cs.read.parquet(zm.toString)
-          Some(new ZoneMapPruner(df.schema,
-            df.queryExecution.executedPlan.executeCollect().toIndexedSeq))
-        } else None
+          val (fls, p) = load(spark, leafPath, zm.toString)
+          (fls, Some(p))
+        } else (fs.listStatus(dir).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }.toIndexedSeq, None)
       val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(pdir.substring(pdir.indexOf('=') + 1))
       val value = Cast(
@@ -95,11 +107,20 @@ object StatsShims {
 
   /** Read `versionDir` through a stats-pruning FileIndex built from
     * its `.zonemap` sidecar. `label` keys the [[SkipStats]] tally. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def statsPrunedRead(spark: SparkSession, versionDir: String, zonemapDir: String,
       label: String): org.apache.spark.sql.DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val (files, pruner) = load(spark, versionDir, zonemapDir)
-    val dataSchema = cs.read.parquet(versionDir).schema
+    // per-immutable-version, like the pruner: the footer-read schema
+    val dataSchema = Option(schemaCache.get(versionDir)).getOrElse {
+      val sc = cs.read.parquet(versionDir).schema
+      if (schemaCache.size > 512) schemaCache.clear()
+      schemaCache.put(versionDir, sc)
+      sc
+    }
     val index = new ZoneMapFileIndex(new Path(versionDir), files, pruner, label)
     val relation = HadoopFsRelation(index, partitionSchema = StructType(Nil),
       dataSchema = dataSchema, bucketSpec = None,
