@@ -71,7 +71,8 @@ final class StoreTailProvider extends StreamSourceProvider with DataSourceRegist
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new StoreTailSource(sqlContext.sparkSession,
-      param(parameters, "root"), param(parameters, "table"))
+      param(parameters, "root"), param(parameters, "table"),
+      parameters.get("maxBatchesPerTrigger").map(_.toInt), metadataPath)
 }
 
 /** A serialized long offset (batch ordinal for the tail). */
@@ -79,15 +80,77 @@ private[streaming] case class AbOffset(ab: Long) extends Offset {
   override def json: String = ab.toString
 }
 
+/** @param maxBatchesPerTrigger ADMISSION CONTROL (Delta's
+  *   maxFilesPerTrigger analog): cap each micro-batch at N PRESENT
+  *   batch ordinals, so a tail starting cold against a long-lived
+  *   table backfills as bounded micro-batches instead of one giant
+  *   catch-up batch. The planning anchor persists in a tiny
+  *   high-watermark file under the query's own metadata dir (the
+  *   FileStreamSource pattern), so a RESTARTED query resumes capped
+  *   from where it had planned — never re-anchoring below the
+  *   committed offset, which would replan consumed ordinals. None =
+  *   unbounded (consume to the head each trigger). */
 private[streaming] final class StoreTailSource(spark: SparkSession, root: String,
-    table: String) extends Source {
+    table: String, maxBatchesPerTrigger: Option[Int] = None,
+    metadataPath: String = "") extends Source {
 
   private val store = new TableStore(root)
+
+  // the last end this source PLANNED (not necessarily committed):
+  // admission advances from here; persisted per plan so restarts
+  // resume capped. planned >= committed always, so a post-crash first
+  // batch spans committed → planned — at most ~one extra step wide.
+  @volatile private var plannedEnd: Option[Long] = None
+
+  private def hwmPath = new org.apache.hadoop.fs.Path(metadataPath, "graft-tail-hwm")
+
+  private def loadPlanned(): Option[Long] = {
+    if (metadataPath.isEmpty) return None
+    val f = hwmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hwmPath)) None
+    else {
+      val in = f.open(hwmPath)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption finally in.close()
+    }
+  }
+
+  private def storePlanned(v: Long): Unit = {
+    if (metadataPath.isEmpty) return
+    val f = hwmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(hwmPath.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath, s".graft-tail-hwm-tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(hwmPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   override val schema: StructType = store.read(spark, table).schema
 
   override def getOffset: Option[Offset] =
-    store.appendMaxOrdinal(spark, table).map(ab => AbOffset(ab.toLong))
+    store.appendMaxOrdinal(spark, table).map(_.toLong) match {
+      case None => None
+      case Some(h) =>
+        val target = maxBatchesPerTrigger match {
+          case None => h
+          case Some(cap) =>
+            val anchor = plannedEnd.orElse(loadPlanned())
+            // cap counts ordinals PRESENT above the anchor — expired
+            // gaps never waste trigger budget
+            val next = store
+              .appendOrdinalsIn(spark, table, anchor.map(_.toInt), h.toInt)
+              .take(cap).lastOption.map(_.toLong)
+              .orElse(anchor).getOrElse(h)
+            if (plannedEnd.forall(_ < next)) {
+              plannedEnd = Some(next)
+              storePlanned(next)
+            }
+            next
+        }
+        Some(AbOffset(target))
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(_.json().trim.toInt)

@@ -85,6 +85,56 @@ class StoreStreamSourceSpec extends SparkSpec {
       "post-expiry appends must reach a consumer whose offset predates the expiry")
   }
 
+  test("maxBatchesPerTrigger: a cold backfill drains in capped micro-batches, nothing lost or reread") {
+    val s = spark; import s.implicits._
+    val root = tmp("tailcap-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root)
+    (0 until 7).foreach { i =>
+      store.append(s, "feed", Seq((i.toLong, s"v$i")).toDF("k", "v"), batchId = Some(i.toLong))
+    }
+    val perBatch = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+    val q = s.readStream.format("graft.streaming.StoreTailProvider")
+      .option("root", root).option("table", "feed")
+      .option("maxBatchesPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val abs = b.select("_ab").distinct().collect().map(_.getInt(0)).sorted.toSeq
+        if (abs.nonEmpty) perBatch += abs
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(perBatch.forall(_.size <= 2),
+      s"every micro-batch must hold <= 2 batch ordinals: $perBatch")
+    assert(perBatch.flatten.sorted.toSeq == (0 to 6),
+      s"the capped drain must cover every ordinal exactly once: $perBatch")
+    assert(perBatch.size >= 4, s"7 ordinals at cap 2 need >= 4 micro-batches: $perBatch")
+
+    // RESTART mid-tail: the persisted planning anchor resumes capped
+    // consumption without replanning consumed ordinals
+    (7 until 10).foreach { i =>
+      store.append(s, "feed", Seq((i.toLong, s"v$i")).toDF("k", "v"), batchId = Some(i.toLong))
+    }
+    perBatch.clear()
+    val q2 = s.readStream.format("graft.streaming.StoreTailProvider")
+      .option("root", root).option("table", "feed")
+      .option("maxBatchesPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val abs = b.select("_ab").distinct().collect().map(_.getInt(0)).sorted.toSeq
+        if (abs.nonEmpty) perBatch += abs
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(perBatch.flatten.sorted.toSeq == (7 to 9),
+      s"the resumed tail must consume exactly the new ordinals: $perBatch")
+    assert(perBatch.forall(_.size <= 2))
+  }
+
   test("keyed change feed over a PARTITIONED table: digest offsets resolve, diffs prune to touched partitions") {
     val s = spark; import s.implicits._
     val root = tmp("feedpart-")
