@@ -107,12 +107,31 @@ final class TableStore(val root: String, val retain: Int = 0) {
   private def pmanifestLines(f: FileSystem, name: String): Option[Seq[String]] = {
     val mp = pmanifest(name)
     if (!f.exists(mp)) None
-    else {
-      val in = f.open(mp)
-      try Some(new String(in.readAllBytes(), "UTF-8").linesIterator
-        .map(_.trim).filter(_.nonEmpty).toSeq)
-      finally in.close()
+    else Some(readManifestFile(f, mp).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Read a manifest file, retrying a handful of times on a checksum
+    * mismatch: a CONCURRENT reader (e.g. a streaming source polling
+    * offsets) can catch Hadoop's local ChecksumFileSystem between the
+    * commit's data rename and its `.crc` sidecar rename — two files,
+    * one logical swap. The window is a local-FS artifact (HDFS/object
+    * stores carry checksums inside the file); the commit itself stays
+    * a single atomic rename, and a retry lands on a consistent pair. */
+  private def readManifestFile(f: FileSystem, p: Path): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        val in = f.open(p)
+        try return new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(20L * attempt)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Partitioned-mode commit state: partition-dir-name → version-dir
@@ -219,12 +238,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
   private def versionChainLines(f: FileSystem, name: String): Seq[String] = {
     val mp = manifest(name)
     if (!f.exists(mp)) Seq.empty
-    else {
-      val in = f.open(mp)
-      try new String(in.readAllBytes(), "UTF-8").linesIterator
-        .map(_.trim).filter(_.nonEmpty).toSeq
-      finally in.close()
-    }
+    else readManifestFile(f, mp).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** The committed version chain from the manifest, newest first
@@ -378,22 +393,93 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * column prune nothing, exactly as in Delta. */
   def declareStats(spark: SparkSession, name: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "declareStats: no columns")
+    writeColsProp(spark, name, "_statcols", cols)
+  }
+
+  /** The declared stat columns of a table (empty = none declared). */
+  def declaredStats(spark: SparkSession, name: String): Seq[String] =
+    readColsProp(spark, name, "_statcols")
+
+  /** DECLARE commit-time per-file BLOOM FILTERS for point-lookup file
+    * skipping — the complement of `declareStats`' min/max ranges, for
+    * columns the layout is NOT clustered by (an id scattered across
+    * every file gives ranges nothing to cut; a bloom still prunes).
+    * Every later commit builds a per-file bloom over `xxhash64(col)`
+    * in the SAME single stats pass (`bloomh_<col>` in the `.zonemap`
+    * sidecar — any atomic type, strings included, via the hash), and
+    * the stats-pruning FileIndex probes it for pushed `=` / `IN` /
+    * `InSet` predicates: an ordinary `read().filter(id === x)` — or a
+    * 10⁵-id erasure probe — opens only files that might contain the
+    * keys. No false negatives (bloom contract), so pruning is a safe
+    * superset; fpp (1%) only costs extra reads. Takes effect from the
+    * NEXT commit, like `declareStats`.
+    *
+    * COST MODEL (write it down — the driver pays it at plan time): a
+    * bloom sized for E expected keys at 1% fpp is ~1.2·E bytes; the
+    * sidecar carries one PER FILE PER COLUMN, all loaded (and cached)
+    * driver-side when the version is first planned. The default
+    * E = 2^16 ≈ 78 KB/file/column serves file counts into the low
+    * thousands (~hundreds of MB of cached metadata at 4k files);
+    * beyond that, SIZE THE DECLARATION to the real rows-per-file
+    * (`col@expectedKeys`, e.g. `"doc_id@1048576"` for 1M-row files —
+    * fewer, larger files beat many small ones here exactly as they do
+    * for every other per-file cost at 100 TB; `compactAppend` /
+    * `replaceZoneMapped(targetFiles)` are the levers). An oversized E
+    * only wastes bytes; an undersized one only raises fpp (extra file
+    * reads) — exactness is never at stake. */
+  def declareBlooms(spark: SparkSession, name: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "declareBlooms: no columns")
+    cols.foreach(c => require(parseBloomDecl(c)._2 > 0,
+      s"declareBlooms: bad expected-keys sizing in '$c' (want col or col@keys)"))
+    writeColsProp(spark, name, "_bloomcols", cols)
+  }
+
+  /** The declared bloom columns of a table (empty = none declared);
+    * sizing suffixes stripped. */
+  def declaredBlooms(spark: SparkSession, name: String): Seq[String] =
+    readColsProp(spark, name, "_bloomcols").map(parseBloomDecl(_)._1)
+
+  /** Declared bloom (column, expectedKeysPerFile) pairs. */
+  private def declaredBloomDecls(spark: SparkSession, name: String): Seq[(String, Long)] =
+    readColsProp(spark, name, "_bloomcols").map(parseBloomDecl)
+
+  /** `col` or `col@expectedKeys` → (col, expectedKeys). */
+  private def parseBloomDecl(s: String): (String, Long) = {
+    val i = s.indexOf('@')
+    if (i < 0) (s, 1L << 16)
+    else (s.substring(0, i), s.substring(i + 1).trim.toLongOption.getOrElse(-1L))
+  }
+
+  /** Withdraw the stats/bloom declaration: FUTURE commits stop
+    * capturing that sidecar family; already-committed versions keep
+    * serving (and skipping) through their own sidecars — the
+    * declaration is a write-time contract, never a retroactive one. */
+  def clearStats(spark: SparkSession, name: String): Unit =
+    fs(spark).delete(new Path(livePath(name), "_statcols"), false)
+
+  def clearBlooms(spark: SparkSession, name: String): Unit =
+    fs(spark).delete(new Path(livePath(name), "_bloomcols"), false)
+
+  /** Table-property write shared by the stats/bloom declarations:
+    * a one-line CSV file in the table dir, atomically replaced. */
+  private def writeColsProp(spark: SparkSession, name: String,
+      prop: String, cols: Seq[String]): Unit = {
     val f = fs(spark)
     f.mkdirs(new Path(livePath(name)))
-    val tmp = new Path(livePath(name), s"._statcols-${UUID.randomUUID().toString.take(8)}")
+    val tmp = new Path(livePath(name), s".$prop-${UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(cols.mkString(",").getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       f.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(f.makeQualified(tmp),
-      f.makeQualified(new Path(livePath(name), "_statcols")),
+      f.makeQualified(new Path(livePath(name), prop)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The declared stat columns of a table (empty = none declared). */
-  def declaredStats(spark: SparkSession, name: String): Seq[String] = {
+  private def readColsProp(spark: SparkSession, name: String,
+      prop: String): Seq[String] = {
     val f = fs(spark)
-    val p = new Path(livePath(name), "_statcols")
+    val p = new Path(livePath(name), prop)
     if (!f.exists(p)) Seq.empty
     else {
       val in = f.open(p)
@@ -1022,10 +1108,28 @@ final class TableStore(val root: String, val retain: Int = 0) {
           readVersionsBack(spark, name, newBack))
       }
     val nonKeys = cur.columns.filterNot(keys.contains).toIndexedSeq
-    require(old.columns.sorted.sameElements(cur.columns.sorted),
-      s"changefeed across a schema change is ambiguous: ${old.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    // schema evolution across the span: a pure WIDEN (ALTER ADD
+    // COLUMNS — every old column survives with its type) is
+    // well-defined: the old side null-pads the new columns, exactly
+    // the value the widen commit declared for existing rows, so an
+    // untouched row never emits a spurious U and a backfilled one
+    // emits the U it should. Anything else (drop/rename/retype)
+    // stays the loud refusal — there is no right answer to diff.
+    val dropped = old.columns.filterNot(cur.columns.contains)
+    val retyped = old.columns.filter(c => cur.columns.contains(c) &&
+      old.schema(c).dataType != cur.schema(c).dataType)
+    require(dropped.isEmpty && retyped.isEmpty,
+      s"changefeed across a schema change is ambiguous: ${old.columns.mkString(",")} vs " +
+        s"${cur.columns.mkString(",")} (dropped: ${dropped.mkString(",")}; " +
+        s"retyped: ${retyped.mkString(",")})")
+    val oldCols = old.columns.toSet
+    val aligned =
+      if (cur.columns.forall(oldCols)) old
+      else old.select(cur.columns.map(c =>
+        if (oldCols(c)) col(c)
+        else lit(null).cast(cur.schema(c).dataType).as(c)).toIndexedSeq: _*)
     val k = keys.map(col)
-    val pre = old.select(k :+ struct(nonKeys.map(col): _*).as("_pre"): _*)
+    val pre = aligned.select(k :+ struct(nonKeys.map(col): _*).as("_pre"): _*)
     val post = cur.select(k :+ struct(nonKeys.map(col): _*).as("_post"): _*)
     val j = pre.join(post, keys, "full_outer")
       .withColumn("op",
@@ -1453,6 +1557,30 @@ final class TableStore(val root: String, val retain: Int = 0) {
       }
     require(!rows.columns.contains("_ab"),
       "append: _ab is the reserved batch-ordinal column")
+    // SCHEMA GUARD: batches must carry exactly the committed columns.
+    // The manifest-schema read would otherwise silently null-pad a
+    // missing/retyped column (the batch's data LOST on read) and drop
+    // an extra one — a mis-shaped producer must fail at the write,
+    // loudly, not corrupt the feed for every consumer downstream.
+    if (exists(spark, name)) {
+      pmanifestLines(fs(spark), name).flatMap(
+        _.find(_.startsWith("#schema\t")).map(_.stripPrefix("#schema\t"))
+          .map(org.apache.spark.sql.types.DataType.fromJson(_)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])).foreach { sch =>
+        val want = sch.fields.filterNot(_.name == "_ab")
+          .map(f => f.name -> f.dataType).toMap
+        val have = rows.schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = want.keys.filterNot(have.contains).toSeq.sorted
+        val retyped = want.keys.filter(c => have.get(c).exists(_ != want(c))).toSeq.sorted
+        val extra = have.keys.filterNot(want.contains).toSeq.sorted
+        require(missing.isEmpty && retyped.isEmpty && extra.isEmpty,
+          s"append: batch schema does not match '$name' (missing: " +
+            s"${missing.mkString(",")}; retyped: ${retyped.mkString(",")}; " +
+            s"unexpected: ${extra.mkString(",")}) — append batches must carry " +
+            "exactly the table's columns; to add columns, widen the table " +
+            "first (widenPartitioned / ALTER TABLE ADD COLUMNS)")
+      }
+    }
     // int ordinal: hive partition-type inference round-trips int
     // losslessly (the upsertPartitioned contract)
     replacePartitions(spark, name, rows.withColumn("_ab", lit(next)), "_ab",
@@ -1714,12 +1842,16 @@ final class TableStore(val root: String, val retain: Int = 0) {
       // partitions keep the sidecars their own commits captured.
       val declared = declaredStats(spark, name)
         .filter(df.columns.contains).filterNot(_ == partCol)
-      if (declared.nonEmpty &&
+      val declaredB = declaredBloomDecls(spark, name)
+        .filter(d => df.columns.contains(d._1)).filterNot(_._1 == partCol)
+      if ((declared.nonEmpty || declaredB.nonEmpty) &&
           f.exists(tmp) && f.listStatus(tmp).exists(_.getPath.getName.startsWith(s"$partCol="))) {
         val data = spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
         val aggs = declared.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+          declaredB.map { case (c, items) => graft.functions.BloomAgg
+            .bloomOf(xxhash64(col(c)), items).as(s"bloomh_$c") } :+
           count(lit(1)).as("rows")
         val zstage = new Path(tmp, ".zmstage")
         data.groupBy(
@@ -2513,13 +2645,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * statCols rows. Shared by `replaceZoneMapped` and the
     * `declareStats` auto-stats commit path. */
   private def statsPass(spark: SparkSession, tmp: Path, statCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomExpectedPerFile: Long = 1L << 16): Unit = {
+      bloomCols: Seq[String] = Nil, bloomExpectedPerFile: Long = 1L << 16,
+      hashBloomCols: Seq[(String, Long)] = Nil): Unit = {
     val data = spark.read.parquet(tmp.toString)
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
       bloomCols.map(c => graft.functions.BloomAgg
-        .bloomOf(col(c).cast("long"), bloomExpectedPerFile).as(s"bloom_$c")) :+
+        .bloomOf(col(c).cast("long"), bloomExpectedPerFile).as(s"bloom_$c")) ++
+      // declared point-lookup blooms: built over xxhash64(col) so any
+      // atomic type (string ids included) gets one probe-able long
+      // space; the pruner hashes its literals with the SAME expression
+      hashBloomCols.map { case (c, items) => graft.functions.BloomAgg
+        .bloomOf(xxhash64(col(c)), items).as(s"bloomh_$c") } :+
       count(lit(1)).as("rows")
     data
       .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
@@ -2652,13 +2790,16 @@ final class TableStore(val root: String, val retain: Int = 0) {
       // the staged temp dir: its artifacts ride the SAME dir rename
       // and manifest swap as the data, so they are atomic with it
       prepare(tmp)
-      // declared commit-time stats (declareStats): every commit of the
-      // table captures the sidecar — unless the caller's prepare
-      // already wrote one (replaceZoneMapped supersedes)
+      // declared commit-time stats (declareStats/declareBlooms): every
+      // commit of the table captures the sidecar — unless the caller's
+      // prepare already wrote one (replaceZoneMapped supersedes)
       val declared = declaredStats(spark, name)
         .filter(df.columns.contains)
-      if (declared.nonEmpty && !f.exists(new Path(tmp, ".zonemap")))
-        statsPass(spark, tmp, declared)
+      val declaredB = declaredBloomDecls(spark, name)
+        .filter(d => df.columns.contains(d._1))
+      if ((declared.nonEmpty || declaredB.nonEmpty) &&
+          !f.exists(new Path(tmp, ".zonemap")))
+        statsPass(spark, tmp, declared, hashBloomCols = declaredB)
       effMeta.foreach { m =>
         val out = f.create(new Path(tmp, ".commitmeta"), true)
         try out.write(m.getBytes("UTF-8")) finally out.close()

@@ -129,6 +129,17 @@ private[streaming] final class StoreTailSource(spark: SparkSession, root: String
 
   override val schema: StructType = store.read(spark, table).schema
 
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(_.json().trim.toInt)
+    val hi = end.json().trim.toInt
+    val ordinals = store.appendOrdinalsIn(spark, table, lo, hi)
+    val batch =
+      if (ordinals.isEmpty) store.read(spark, table).filter(lit(false))
+      else store.prunedRead(spark, table, "_ab", ordinals)
+    org.apache.spark.sql.graft.StreamShims.asStreamingBatch(
+      StoreStreamSchema.conform(batch, schema, s"graft-store-tail($table)"))
+  }
+
   override def getOffset: Option[Offset] =
     store.appendMaxOrdinal(spark, table).map(_.toLong) match {
       case None => None
@@ -152,17 +163,32 @@ private[streaming] final class StoreTailSource(spark: SparkSession, root: String
         Some(AbOffset(target))
     }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(_.json().trim.toInt)
-    val hi = end.json().trim.toInt
-    val ordinals = store.appendOrdinalsIn(spark, table, lo, hi)
-    val batch =
-      if (ordinals.isEmpty) store.read(spark, table).filter(lit(false))
-      else store.prunedRead(spark, table, "_ab", ordinals)
-    org.apache.spark.sql.graft.StreamShims.asStreamingBatch(batch)
-  }
-
   override def stop(): Unit = ()
+}
+
+/** SCHEMA EVOLUTION discipline for both store sources, the Delta
+  * readStream contract re-expressed: a source PINS its schema when the
+  * query (re)starts; commits that WIDEN the upstream mid-run keep
+  * serving the pinned projection (the incremental planner's bound
+  * schema cannot change under a running query — new columns appear on
+  * the next restart, which re-derives the schema from the head); a
+  * commit that DROPS or retypes a pinned column is a LOUD error naming
+  * the restart, never a silent misbind. */
+private[streaming] object StoreStreamSchema {
+  def conform(df: DataFrame, pinned: StructType, who: String): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val broken = pinned.fields.filter(f =>
+      !have.get(f.name).exists(_ == f.dataType))
+    if (broken.nonEmpty)
+      throw new IllegalStateException(
+        s"$who: the upstream table no longer serves pinned column(s) " +
+          broken.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+          " — a commit dropped or retyped them mid-stream. Restart the query " +
+          "to re-derive the source schema from the current head (widening " +
+          "commits are fine: new columns stream after a restart)")
+    if (df.schema.fieldNames.sameElements(pinned.fieldNames)) df
+    else df.select(pinned.fieldNames.map(col).toIndexedSeq: _*)
+  }
 }
 
 final class StoreFeedProvider extends StreamSourceProvider with DataSourceRegister {
@@ -232,7 +258,8 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
         val newBack = position(endVer)
         store.changesBetween(spark, table, keys, oldBack, newBack)
     }
-    org.apache.spark.sql.graft.StreamShims.asStreamingBatch(batch)
+    org.apache.spark.sql.graft.StreamShims.asStreamingBatch(
+      StoreStreamSchema.conform(batch, schema, s"graft-store-feed($table)"))
   }
 
   override def stop(): Unit = ()

@@ -101,15 +101,33 @@ class ChangefeedSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(2))).toSeq == Seq(("U", "a")))
   }
 
-  test("a schema change between the versions is refused, not silently mis-diffed") {
+  test("a WIDEN diffs (old side null-padded); a drop/retype is refused, not silently mis-diffed") {
     val s = spark; import s.implicits._
     val store = new TableStore(
       s"/root/repo/target/tmp/cdfspec-${java.util.UUID.randomUUID().toString.take(8)}",
       retain = 1)
-    store.replace(spark, "t", Seq((1L, "a")).toDF("id", "s"))
-    store.replace(spark, "t", Seq((1L, "a", 1.0)).toDF("id", "s", "extra"))
-    intercept[IllegalArgumentException] {
-      store.changesBetween(spark, "t", Seq("id"), 1)
+    // a pure widen (the ALTER ADD COLUMNS shape) is well-defined: the
+    // old side null-pads the new column, so the untouched row 1 is NOT
+    // a spurious U, the backfilled row 2 is
+    store.replace(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    store.replace(spark, "t",
+      Seq((1L, "a", null: java.lang.Double), (2L, "b", 1.0: java.lang.Double))
+        .toDF("id", "s", "extra"))
+    val feed = store.changesBetween(spark, "t", Seq("id"), 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(feed == Seq(("U", 2L)),
+      s"widen diff: only the backfilled row updates, got $feed")
+    // a DROP between the versions has no right answer — loud refusal
+    store.replace(spark, "t", Seq((1L, 1.0)).toDF("id", "extra"))
+    val e = intercept[IllegalArgumentException] {
+      store.changesBetween(spark, "t", Seq("id"), 1).collect()
     }
+    assert(e.getMessage.contains("ambiguous"))
+    // a RETYPE is equally refused
+    store.replace(spark, "t", Seq((1L, "z")).toDF("id", "extra"))
+    val e2 = intercept[IllegalArgumentException] {
+      store.changesBetween(spark, "t", Seq("id"), 1).collect()
+    }
+    assert(e2.getMessage.contains("retyped"))
   }
 }

@@ -225,4 +225,115 @@ class StoreStreamSourceSpec extends SparkSpec {
     assert(msgs.contains("no longer retained"),
       s"expected the fell-off-the-chain error, got: $msgs")
   }
+
+  test("schema evolution: a widening commit keeps the pinned projection mid-run; restarts pick up new columns; drops error loudly") {
+    val s = spark; import s.implicits._
+    val root = tmp("feedevo-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root, retain = 4)
+    store.replace(s, "dim", Seq((1L, "a")).toDF("id", "v"))
+
+    // ONE LONG-RUNNING query: the source instance (and its pinned
+    // schema) survives across the widen commit — the restart-per-poll
+    // harness elsewhere re-derives the schema each run, which is the
+    // restart contract, not the mid-run one
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+      .option("root", root).option("table", "dim").option("keys", "id").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => got ++= b.collect().map(_.toSeq); () }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.toSeq == Seq(Seq("I", 1L, "a")))
+      // the upstream WIDENS mid-run (the ALTER ADD COLUMNS shape): the
+      // running query's schema is pinned — the feed keeps serving
+      // (op, id, v); the new column waits for a restart; the widen-
+      // aware diff null-pads the old side, so the untouched row 1
+      // emits NO spurious U and the new key streams as I
+      store.replace(s, "dim",
+        Seq((1L, "a", null: String), (2L, "b", "x")).toDF("id", "v", "extra"))
+      got.clear()
+      q.processAllAvailable()
+      assert(got.toSeq == Seq(Seq("I", 2L, "b")),
+        s"mid-run widen must serve the pinned projection, no spurious U: $got")
+    } finally q.stop()
+
+    // a RESTART on the same checkpoint re-derives the schema: the next
+    // commit's diff serves the widened columns
+    store.replace(s, "dim",
+      Seq((1L, "a", "y"), (2L, "b", "x")).toDF("id", "v", "extra"))
+    val got2 = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q2 = s.readStream.format("graft.streaming.StoreFeedProvider")
+      .option("root", root).option("table", "dim").option("keys", "id").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => got2 ++= b.collect().map(_.toSeq); () }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q2.awaitTermination()
+    assert(got2.toSeq == Seq(Seq("U", 1L, "a", "y")),
+      s"a restarted source must serve the widened schema: $got2")
+
+    // a commit that DROPS a column: the diff across the span is
+    // ambiguous — loud error, never a silent misbind
+    store.replace(s, "dim", Seq((1L, 9L)).toDF("id", "n"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q3 = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", root).option("table", "dim").option("keys", "id").load()
+        .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q3.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    // either refusal surface may fire first: the diff's (the span
+    // crosses the drop) or the source's (a recovered batch re-plans
+    // under the re-derived narrower schema) — both loud, never silent
+    assert(msgs.contains("ambiguous") || msgs.contains("dropped or retyped"),
+      s"expected the schema-change refusal, got: $msgs")
+
+    // the APPEND TAIL's side of the story: a MIS-SHAPED append is
+    // refused AT THE WRITE (the manifest-schema read would silently
+    // null-pad it — data loss for every consumer); after an explicit
+    // widen, a long-running tail keeps serving its pinned projection
+    // and a restart serves the widened schema
+    val troot = tmp("tailevo-")
+    val tstore = new TableStore(troot)
+    tstore.append(s, "feed", Seq((1L, "a")).toDF("k", "v"), batchId = Some(0L))
+    val em = intercept[IllegalArgumentException] {
+      tstore.append(s, "feed", Seq((3L, 9L)).toDF("k", "w"), batchId = Some(9L))
+    }
+    assert(em.getMessage.contains("widen the table first"),
+      s"a mis-shaped append must refuse loudly: ${em.getMessage}")
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    val q4 = s.readStream.format("graft.streaming.StoreTailProvider")
+      .option("root", troot).option("table", "feed").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => seen += b.columns.length; () }
+      .option("checkpointLocation", s"$troot-ckpt")
+      .start()
+    try {
+      q4.processAllAvailable()
+      // widen + a batch carrying the new column, all while running:
+      // the pinned (k, v, _ab) projection keeps serving
+      tstore.widenPartitioned(s, "feed",
+        Map("extra" -> lit(null).cast("string")), "_ab")
+      tstore.append(s, "feed", Seq((2L, "b", "x")).toDF("k", "v", "extra"),
+        batchId = Some(1L))
+      q4.processAllAvailable()
+      assert(seen.nonEmpty && seen.forall(_ == 3),
+        s"tail batches must serve the pinned (k, v, _ab): $seen")
+    } finally q4.stop()
+    // a restarted tail serves the widened schema
+    val seen2 = scala.collection.mutable.ArrayBuffer[Int]()
+    tstore.append(s, "feed", Seq((4L, "d", "y")).toDF("k", "v", "extra"),
+      batchId = Some(2L))
+    runTail(troot, "feed", s"$troot-ckpt") { (b, _) => seen2 += b.columns.length; () }
+    assert(seen2.nonEmpty && seen2.forall(_ == 4),
+      s"a restarted tail must serve the widened (k, v, extra, _ab): $seen2")
+  }
 }
