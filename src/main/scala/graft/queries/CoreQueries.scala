@@ -2208,6 +2208,82 @@ object CoreQueries {
       s.createDataFrame(rows.toSeq.asJava, out.schema)
     }),
 
+    // ---- S9: DECLARED bloom sidecar + AUTOMATIC point-lookup skipping
+    // The declared counterpart of s9_bloom_scan (which opts in at the
+    // query site): declareBlooms once, every commit builds per-file
+    // blooms over xxhash64(doc_id) in the same stats pass, and an
+    // ORDINARY read().filter(doc_id IN …) prunes files the bloom
+    // proves empty — the needle-in-haystack path for columns the
+    // layout is NOT clustered by, where min/max ranges span everything
+    // and cut nothing. At 100 TB this is how an id probe (or a
+    // regulator-scale erasure pre-check) avoids a full scan without
+    // re-clustering the table. The in-body assert pins real skipping;
+    // the oracle pins exactness (no false negatives ⇒ superset ⇒ the
+    // row filter makes it the answer).
+    "s9_bloom_skip" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/bloomskip-store/v1/${Tables.fileKey(s, dir, "documents.parquet")}")
+      if (!store.exists(s, "doc_bloom")) {
+        store.declareBlooms(s, "doc_bloom", Seq("doc_id"))
+        store.replace(s, "doc_bloom", Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .repartitionByRange(8, $"n_chars")
+          .sortWithinPartitions($"n_chars"))
+      }
+      graft.operators.SkipStats.reset()
+      val out = store.read(s, "doc_bloom")
+        .filter($"doc_id".isin(7L, 123L, 321L))
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+      val rows = out.collect()
+      val (listed, kept) = graft.operators.SkipStats.snapshot().collect {
+        case (l, c) if l.startsWith("doc_bloom/") => c }
+        .reduceOption((a, b) => (a._1 + b._1, a._2 + b._2)).getOrElse((0L, 0L))
+      assert(listed > 0L && kept < listed,
+        s"a 3-id point lookup on the bloomed scattered column must skip files: $kept/$listed")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, out.schema)
+    }),
+
+    // ---- S9: METADATA-ONLY aggregates off the stats sidecar ---------
+    // The third leg of commit-time statistics: an unfiltered,
+    // ungrouped COUNT(*)/COUNT(col)/MIN/MAX over a declared-stats
+    // table answers from the sidecar ALONE — the V2 scan builder
+    // accepts Spark's aggregate pushdown and returns a LocalScan
+    // folded from ~files rows of driver metadata, NO data file opened
+    // (the Delta/Iceberg metadata-query staple). Exact by
+    // construction: each per-file cell was computed by Spark's own
+    // count/min/max over that file at commit time; folding them IS
+    // the aggregate. At 100 TB this turns the most common sanity
+    // queries ("how many rows? what's the date range?") from a
+    // full-table scan into a driver-side lookup. The in-body assert
+    // pins the LocalTableScan plan; the oracle pins exactness.
+    "s9_meta_agg" -> ((s, dir) => {
+      import s.implicits._
+      val rootPath =
+        s"/root/repo/target/tmp/metaagg-store/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val store = new graft.operators.TableStore(rootPath)
+      if (!store.exists(s, "doc_meta")) {
+        store.declareStats(s, "doc_meta", Seq("doc_id", "n_chars", "lang"))
+        store.replace(s, "doc_meta", Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"n_chars")
+          .repartitionByRange(8, $"doc_id"))
+      }
+      s.conf.set("spark.sql.catalog.graft_meta",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_meta.root", rootPath)
+      val q = s.sql(
+        """SELECT count(*) AS n, count(lang) AS nl,
+          |min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+          |min(n_chars) AS c_lo, max(n_chars) AS c_hi,
+          |min(lang) AS l_lo, max(lang) AS l_hi
+          |FROM graft_meta.doc_meta""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "the unfiltered count/min/max must plan as a metadata-local scan")
+      q
+    }),
+
     // ---- S9: bloom-sidecar point lookup -----------------------------
     // The complement of the zone map: events is clustered by ts, so a
     // point lookup on event_id (scattered across every file) gets
@@ -2982,6 +3058,21 @@ object CoreQueries {
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS revenue
          |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 4000
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the bloom-pruned point lookup must be exact: no false negatives,
+    // the row filter on the surviving superset is the answer
+    "s9_bloom_skip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 321) ORDER BY doc_id""".stripMargin,
+
+    // the metadata-folded aggregates must equal the scan's answers:
+    // each sidecar cell IS Spark's count/min/max over its file
+    "s9_meta_agg" ->
+      """SELECT count(*) AS n, count(lang) AS nl,
+        |min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+        |min(n_chars) AS c_lo, max(n_chars) AS c_hi,
+        |min(lang) AS l_lo, max(lang) AS l_hi
+        |FROM documents""".stripMargin,
 
     "s10_orc_roundtrip" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,

@@ -77,6 +77,16 @@ class GraftCatalog extends TableCatalog {
     def hasZm(dir: String): Boolean =
       fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/.zonemap"))
     val dvPending = store.pendingDvFiles(spark, t)
+    // surface the stat declarations as table properties (SHOW
+    // TBLPROPERTIES introspects what SET TBLPROPERTIES declared);
+    // unknown option keys are ignored by the parquet reader
+    def declProps(m: util.HashMap[String, String]): util.HashMap[String, String] = {
+      val ds = store.declaredStats(spark, t)
+      val db = store.declaredBlooms(spark, t)
+      if (ds.nonEmpty) m.put("stats.cols", ds.mkString(","))
+      if (db.nonEmpty) m.put("bloom.cols", db.mkString(","))
+      m
+    }
     store.partitionedLeafPaths(spark, t) match {
       case Some(paths) if paths.nonEmpty =>
         // partitioned mode: scan exactly the manifest's committed leaf
@@ -84,7 +94,7 @@ class GraftCatalog extends TableCatalog {
         // partCol a partition column so SQL predicates partition-prune
         val opts = new util.HashMap[String, String]()
         opts.put("basePath", store.livePath(t))
-        val copts = new CaseInsensitiveStringMap(opts)
+        val copts = new CaseInsensitiveStringMap(declProps(opts))
         val pt = ParquetTable(t, spark, copts, paths, None,
           classOf[ParquetFileFormat])
         dvPending match {
@@ -106,7 +116,8 @@ class GraftCatalog extends TableCatalog {
         // resolve the committed snapshot path NOW: the returned table scans
         // this version even if a writer swaps the manifest mid-query
         val vdir = store.resolve(spark, t)
-        val pt = ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
+        val pt = ParquetTable(t, spark,
+          new CaseInsensitiveStringMap(declProps(new util.HashMap[String, String]())),
           Seq(vdir), None, classOf[ParquetFileFormat])
         dvPending match {
           case Some((keys, dvPaths)) => new DvParquetTable(pt, keys, dvPaths)
@@ -152,15 +163,29 @@ class GraftCatalog extends TableCatalog {
         return dvPath match {
           case Some(dp) => new DvParquetTable(base,
             spark.read.parquet(dp).schema.fieldNames.toIndexedSeq, Seq(dp))
-          case None => base
+          case None => withStats(base, t, verPath)
         }
       }
+    val vdir = store.versionPathBack(spark, t, back)
     val base = ParquetTable(t, spark, CaseInsensitiveStringMap.empty(),
-      Seq(store.versionPathBack(spark, t, back)), None, classOf[ParquetFileFormat])
+      Seq(vdir), None, classOf[ParquetFileFormat])
     store.pendingDvFilesBack(spark, t, back) match {
       case Some((keys, dvPaths)) => new DvParquetTable(base, keys, dvPaths)
-      case None => base
+      // each version owns its stats sidecar exactly as it owns its DV
+      // state — SQL time travel (and tag reads) skip files and answer
+      // metadata aggregates through the stats AS OF that commit
+      case None => withStats(base, t, vdir)
     }
+  }
+
+  /** Wrap a DV-free single-version table in the stats-pruning V2
+    * delegate when the version dir carries a `.zonemap` sidecar. */
+  private def withStats(base: ParquetTable, t: String, vdir: String): Table = {
+    val fsys = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(new org.apache.hadoop.fs.Path(s"$vdir/.zonemap")))
+      new StatsParquetTable(base, vdir, s"$vdir/.zonemap", s"sql:$t")
+    else base
   }
 
   /** SQL time travel by wall clock: `SELECT * FROM graft.t TIMESTAMP
@@ -199,11 +224,42 @@ class GraftCatalog extends TableCatalog {
     * rewrite policy a generic verb shouldn't guess. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = ident.name()
+    // the statistics declarations have a SQL face: SET TBLPROPERTIES
+    // ('stats.cols' = 'a,b') / ('bloom.cols' = 'id') lower to
+    // declareStats/declareBlooms (effective from the NEXT commit, the
+    // programmatic contract verbatim), UNSET withdraws the declaration
+    // for future commits (committed versions keep their sidecars).
+    // Unknown properties are refused loudly — a silently-accepted
+    // property the engine ignores is a lie to the operator.
+    val props = changes.collect { case p: TableChange.SetProperty => p }
+    val unsets = changes.collect { case r: TableChange.RemoveProperty => r }
+    if (props.nonEmpty || unsets.nonEmpty) {
+      require(props.size + unsets.size == changes.length,
+        "graft ALTER TABLE cannot mix TBLPROPERTIES with other changes")
+      props.foreach { p =>
+        val cols = p.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        p.property() match {
+          case "stats.cols" => store.declareStats(spark, t, cols)
+          case "bloom.cols" => store.declareBlooms(spark, t, cols)
+          case other => throw new UnsupportedOperationException(
+            s"graft table property '$other' is not recognized; supported: " +
+              "stats.cols (commit-time min/max file skipping), bloom.cols " +
+              "(commit-time point-lookup blooms)")
+        }
+      }
+      unsets.foreach(_.property() match {
+        case "stats.cols" => store.clearStats(spark, t)
+        case "bloom.cols" => store.clearBlooms(spark, t)
+        case other => throw new UnsupportedOperationException(
+          s"graft table property '$other' is not recognized")
+      })
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.size != changes.length || adds.isEmpty)
       throw new UnsupportedOperationException(
-        "graft ALTER TABLE supports ADD COLUMNS only; other evolution goes " +
-          "through the programmatic MERGE/replace path")
+        "graft ALTER TABLE supports ADD COLUMNS and stats/bloom TBLPROPERTIES " +
+          "only; other evolution goes through the programmatic MERGE/replace path")
     adds.foreach(a => require(a.fieldNames().length == 1,
       s"graft ADD COLUMNS is top-level only, got ${a.fieldNames().mkString(".")}"))
     val newCols = adds.map(a => a.fieldNames().head ->

@@ -47,10 +47,13 @@ class StatsParquetTable(base: ParquetTable, versionDir: String,
 class StatsScanBuilder(base: ParquetTable, options: CaseInsensitiveStringMap,
     tableSchema: StructType, versionDir: String, zonemapDir: String, label: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requested: StructType = tableSchema
   private var pushed: Seq[Expression] = Nil
+  private var aggAnswer: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
@@ -65,8 +68,39 @@ class StatsScanBuilder(base: ParquetTable, options: CaseInsensitiveStringMap,
   }
   override def pushedFilters: Array[Predicate] = Array.empty
 
+  // METADATA-ONLY AGGREGATES: an unfiltered, ungrouped COUNT/MIN/MAX
+  // answers from the commit-time sidecar — zero data files opened
+  // (the Delta/Iceberg metadata-query staple). Only COMPLETE pushdown
+  // is offered; anything the sidecar cannot prove falls back to the
+  // ordinary scan.
+  private def planAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
+    if (pushed.nonEmpty) None
+    else {
+      val (files, pruner) = StatsShims.load(SparkSession.active, versionDir, zonemapDir)
+      StatsShims.metadataAggregate(agg, tableSchema, Seq((files, pruner)))
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = planAgg(agg)
+    aggAnswer.isDefined
+  }
+
   override def build(): Scan = {
     val spark = SparkSession.active
+    aggAnswer.foreach { case (aggSchema, row) =>
+      val (files, _) = StatsShims.load(spark, versionDir, zonemapDir)
+      SkipStats.record(label, files.size.toLong, 0L) // metadata-answered
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def readSchema(): StructType = aggSchema
+      }
+    }
     val (files, pruner) = StatsShims.load(spark, versionDir, zonemapDir)
     val kept = pruner.survivors(pushed) match {
       case None => files
@@ -112,10 +146,13 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
     options: CaseInsensitiveStringMap, tableSchema: StructType,
     leaves: Seq[String], label: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var requested: StructType = tableSchema
   private var pushed: Seq[Expression] = Nil
+  private var aggAnswer: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
@@ -125,8 +162,46 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
   }
   override def pushedFilters: Array[Predicate] = Array.empty
 
+  // metadata-only aggregates, partitioned: every leaf must carry a
+  // sidecar covering all its files; the per-leaf folds sum/fold across
+  // partitions (count is additive, min/max associative). Note MIN/MAX
+  // of the PARTITION column itself is not in the sidecars — such a
+  // query scans normally (partition values live in the dir names; a
+  // future fold could answer it, but correctness first).
+  private def planAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
+    if (pushed.nonEmpty) None
+    else {
+      val spark = SparkSession.active
+      val fs = new org.apache.hadoop.fs.Path(leaves.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val covered = leaves.map { leaf =>
+        val zm = new org.apache.hadoop.fs.Path(leaf, ".zonemap")
+        if (!fs.exists(zm)) None else Some(StatsShims.load(spark, leaf, zm.toString))
+      }
+      if (covered.exists(_.isEmpty)) None
+      else StatsShims.metadataAggregate(agg, tableSchema, covered.flatten)
+    }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = planAgg(agg)
+    aggAnswer.isDefined
+  }
+
   override def build(): Scan = {
     val spark = SparkSession.active
+    aggAnswer.foreach { case (aggSchema, row) =>
+      SkipStats.record(label, leaves.size.toLong, 0L) // metadata-answered
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def readSchema(): StructType = aggSchema
+      }
+    }
     val fs = new org.apache.hadoop.fs.Path(leaves.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var listed = 0L

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators.SkipStats
 
@@ -110,6 +110,70 @@ object StatsShims {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** METADATA-ONLY AGGREGATE over one or more sidecar-covered file
+    * sets (one per partition leaf; whole-table = one): COUNT(*) /
+    * COUNT(col) / MIN(col) / MAX(col), no grouping, no filters —
+    * folded from the per-file stats the commits captured, so the SQL
+    * `SELECT count(*), min(k) FROM graft.t` answers from ~files rows
+    * of driver metadata with NO data file opened. Returns the
+    * positional (schema, single row) for the pushed Aggregation, or
+    * None when anything falls outside what the sidecars can prove
+    * (an uncovered file, a distinct, an unknown function, a grouped
+    * query) — the caller then scans normally. The fold is exact by
+    * construction: each sidecar cell was computed by Spark's own
+    * count/min/max over exactly that file's rows at commit time. */
+  def metadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      tableSchema: StructType,
+      covered: Seq[(Seq[FileStatus], ZoneMapPruner)]): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (agg.groupByExpressions.nonEmpty || covered.isEmpty) return None
+    // every listed file must be covered by its sidecar — a file the
+    // stats pass never saw would silently undercount
+    if (covered.exists { case (files, p) =>
+        val k = p.known; !files.forall(f => k(f.getPath.getName)) }) return None
+    val prs = covered.map(_._2)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          tableSchema.fields.find(_.name == nr.fieldNames.head)
+        case _ => None
+      }
+    def sumOpt(parts: Seq[Option[Long]]): Option[Long] =
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+    def foldMinMax(f: StructField, wantMin: Boolean): Option[(DataType, Any)] = {
+      val per = prs.map(_.minMaxValue(f.name, f.dataType, wantMin))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(f.dataType)
+        val folded = per.flatMap(_.get).reduceOption((a, b) =>
+          if (wantMin == (ord.compare(a, b) <= 0)) a else b)
+        Some((f.dataType, folded.orNull))
+      }
+    }
+    val planned = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        sumOpt(prs.map(_.totalRows)).map(v => (LongType: DataType, v: Any))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).flatMap { f =>
+          sumOpt(prs.map(p => for { r <- p.totalRows; n <- p.nullCount(f.name) }
+            yield r - n)).map(v => (LongType: DataType, v: Any))
+        }
+      case m: Min => colOf(m.column).flatMap(foldMinMax(_, wantMin = true))
+      case m: Max => colOf(m.column).flatMap(foldMinMax(_, wantMin = false))
+      case _ => None
+    }
+    if (planned.exists(_.isEmpty)) return None
+    val fields = planned.flatten.zipWithIndex.map { case ((dt, _), i) =>
+      StructField(s"agg_$i", dt, nullable = true) }
+    Some((StructType(fields),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        planned.flatten.map(_._2).toArray)))
+  }
+
   def statsPrunedRead(spark: SparkSession, versionDir: String, zonemapDir: String,
       label: String): org.apache.spark.sql.DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -149,15 +213,26 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow]) {
 
   private val fileIdx = statsSchema.fieldIndex("file")
 
+  // deserialized per-file blooms, lazily, once per (file, column) for
+  // the pruner's lifetime (the pruner itself caches per immutable
+  // version dir) — repeated point lookups re-probe bits, not bytes
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+  private def bloomAt(row: Int, idx: Int): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.computeIfAbsent(row.toLong << 32 | idx.toLong, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(statRows(row).getBinary(idx))))
+
   /** File NAMES that may hold rows matching `filters` — files the
     * sidecar does not cover are always kept (superset contract). A
     * returned None means "no filter translated: keep everything". */
   def survivors(filters: Seq[Expression]): Option[Set[String]] = {
     val conds = filters.flatMap(translate)
     val bigSets = filters.flatMap(bigIntegralSet)
-    if (conds.isEmpty && bigSets.isEmpty) return None
+    val blooms = filters.flatMap(bloomProbes)
+    if (conds.isEmpty && bigSets.isEmpty && blooms.isEmpty) return None
     val cond = conds.reduceOption(And)
-    Some(statRows.filter { r =>
+    Some(statRows.zipWithIndex.filter { case (r, ri) =>
       val exprOk = cond.forall(c => c.eval(r).asInstanceOf[java.lang.Boolean] match {
         case null => false // all-null stats: a range pred cannot match
         case b => b.booleanValue()
@@ -175,8 +250,49 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow]) {
           val at = if (i >= 0) i else -i - 1
           at < sorted.length && sorted(at) <= hi
         }
+      } && blooms.forall { case (idx, hashes) =>
+        // declared point-lookup bloom (bloomh_<col>): the file survives
+        // iff ANY probed key might be present. An empty filter (the
+        // column was all-null in this file) answers false for every
+        // key — correct, equality never matches NULL. A null sidecar
+        // cell keeps the file (conservative).
+        r.isNullAt(idx) || hashes.exists(bloomAt(ri, idx).mightContainLong)
       }
-    }.map(_.getUTF8String(fileIdx).toString).toSet)
+    }.map(_._1.getUTF8String(fileIdx).toString).toSet)
+  }
+
+  /** Point-lookup predicates probe-able against a declared per-file
+    * bloom: `col = lit`, `col IN (…)`, InSet of ANY size (this is the
+    * regulator-scale erasure shape) on a column with a `bloomh_<col>`
+    * sidecar field. Keys are hashed with the SAME expression the stats
+    * pass builds the filter over — `xxhash64(col)` — evaluated here on
+    * the literal, so build and probe agree bit-for-bit. AND descends;
+    * OR and everything else contributes nothing (conservative — the
+    * range-translate path still sees the whole tree). */
+  private def bloomProbes(f: Expression): Seq[(Int, Array[Long])] = {
+    def idxOf(a: AttributeReference): Option[Int] = {
+      val i = statsSchema.fieldNames.indexOf(s"bloomh_${a.name}")
+      if (i < 0 || statsSchema(i).dataType !=
+        org.apache.spark.sql.types.BinaryType) None else Some(i)
+    }
+    def hash(v: Any, dt: DataType): Long =
+      new XxHash64(Seq(Literal(v, dt))).eval(InternalRow.empty).asInstanceOf[Long]
+    f match {
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        idxOf(a).map(i => (i, Array(hash(l.value, l.dataType)))).toSeq
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        idxOf(a).map(i => (i, Array(hash(l.value, l.dataType)))).toSeq
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        idxOf(a).map(i => (i, Array(hash(l.value, l.dataType)))).toSeq
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+          case l: Literal => l.value != null; case _ => false } =>
+        idxOf(a).map(i => (i, vs.map { case l: Literal =>
+          hash(l.value, l.dataType) }.toArray)).toSeq
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty && !hset.contains(null) =>
+        idxOf(a).map(i => (i, hset.iterator.map(hash(_, a.dataType)).toArray)).toSeq
+      case And(x, y) => bloomProbes(x) ++ bloomProbes(y)
+      case _ => Seq.empty
+    }
   }
 
   /** A large integral InSet filter as (min-stat ordinal, max-stat
@@ -202,6 +318,49 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow]) {
 
   /** Every file name the sidecar knows. */
   def known: Set[String] = statRows.map(_.getUTF8String(fileIdx).toString).toSet
+
+  // ---- METADATA-ONLY AGGREGATES (the Delta/Iceberg staple) ---------
+  // COUNT(*), COUNT(col), MIN(col), MAX(col) with no filters and no
+  // grouping are fully determined by the sidecar: Σ rows, Σ rows − Σ
+  // nulls, min of per-file mins, max of per-file maxes — the per-file
+  // stats were computed by Spark's own count/min/max over the staged
+  // commit, so folding them IS re-running the aggregate, at ~files
+  // rows of driver metadata instead of a table scan.
+
+  private def statIdx(name: String): Option[Int] = {
+    val i = statsSchema.fieldNames.indexOf(name)
+    if (i < 0) None else Some(i)
+  }
+
+  /** Σ rows across the sidecar (None: no rows column — a pre-stats
+    * sidecar shape). */
+  def totalRows: Option[Long] = statIdx("rows").map { i =>
+    statRows.iterator.map(r => if (r.isNullAt(i)) 0L else r.getLong(i)).sum
+  }
+
+  /** Σ nulls_col (None: column not covered, or an unreadable cell). */
+  def nullCount(col: String): Option[Long] = statIdx(s"nulls_$col").flatMap { i =>
+    if (statRows.exists(_.isNullAt(i))) None
+    else Some(statRows.iterator.map(_.getLong(i)).sum)
+  }
+
+  /** SQL MIN/MAX of `col` folded from the per-file stats. Outer None =
+    * cannot answer (no stat / type mismatch); inner None = the SQL
+    * answer is NULL (no non-null rows). All-null files carry null
+    * min/max cells and are skipped, exactly as the aggregate would. */
+  def minMaxValue(col: String, dt: DataType, wantMin: Boolean): Option[Option[Any]] = {
+    val pfx = if (wantMin) "min" else "max"
+    statIdx(s"${pfx}_$col").flatMap { i =>
+      if (statsSchema(i).dataType != dt) None
+      else {
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt)
+        val vals = statRows.iterator.filterNot(_.isNullAt(i)).map(_.get(i, dt))
+        Some(vals.reduceOption((a, b) =>
+          if (wantMin == (ord.compare(a, b) <= 0)) a else b))
+      }
+    }
+  }
 
   /** Bound reference to a stats column of the zonemap row, iff present
     * with exactly the comparand's type (no analyzer runs here — a type

@@ -189,4 +189,124 @@ class StatsSkipSpec extends SparkSpec {
     store.deleteWhereMor(s, "t", $"k" === 5L, Seq("k"))
     assert(store.read(s, "t").filter($"k" < 10L).count() == 9L)
   }
+
+  test("declared blooms: point lookups on a SCATTERED column skip files; min/max cannot") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "t", Seq("ts"))
+    store.declareBlooms(s, "t", Seq("id"))
+    // layout clustered by ts; id is a permutation SCATTERED across all
+    // files — every file's [min_id, max_id] spans ~everything, so the
+    // range path keeps all 16; only the bloom can prune
+    val df = s.range(0, 40000)
+      .select($"id".as("ts"), (($"id" * 7919L) % 40000L).as("id"), ($"id" % 3).as("v"))
+      .repartitionByRange(16, $"ts").sortWithinPartitions($"ts")
+    store.replace(s, "t", df)
+    val raw = s.read.parquet(store.resolve(s, "t"))
+    SkipStats.reset()
+    val one = store.read(s, "t").filter($"id" === 12345L).collect()
+    assert(one.toSeq == raw.filter($"id" === 12345L).collect().toSeq)
+    val (l1, k1) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("t/") => c }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(l1 == 16L && k1 <= 4L,
+      s"a point lookup on the bloomed scattered column must prune to ~1 file: $k1/$l1")
+    // an ABSENT key: zero rows, and typically zero files opened
+    assert(store.read(s, "t").filter($"id" === 999999L).count() == 0L)
+    // IN over the bloom composes with a range on the declared stat col
+    val pred = $"id".isin(5L, 17L, 23000L) && $"ts" < 39000L
+    assert(store.read(s, "t").filter(pred).count() == raw.filter(pred).count())
+    // OR never consults the bloom (conservative) but stays exact
+    val orPred = $"id" === 5L || $"ts" >= 39999L
+    assert(store.read(s, "t").filter(orPred).count() == raw.filter(orPred).count())
+    // fuzz: present and absent lookups all equal the raw answer
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(50000).toLong)
+      val got = store.read(s, "t").filter($"id".isInCollection(ks))
+        .agg(count(lit(1)), sum($"v")).collect()(0)
+      val want = raw.filter($"id".isInCollection(ks))
+        .agg(count(lit(1)), sum($"v")).collect()(0)
+      assert(got == want, s"bloom-pruned read diverged for ids $ks")
+    }
+  }
+
+  test("declared blooms: STRING ids prune via the xxhash64 space; huge InSets; all-null files") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareBlooms(s, "t", Seq("doc"))
+    val df = s.range(0, 30000)
+      .select(concat(lit("doc-"), (($"id" * 104729L) % 30000L).cast("string")).as("doc"),
+        $"id".as("ts"), ($"id" % 5).as("v"))
+      .repartitionByRange(12, $"ts").sortWithinPartitions($"ts")
+    store.replace(s, "t", df)
+    val raw = s.read.parquet(store.resolve(s, "t"))
+    SkipStats.reset()
+    assert(store.read(s, "t").filter($"doc" === "doc-777").count() == 1L)
+    val (l1, k1) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("t/") => c }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(l1 == 12L && k1 <= 3L,
+      s"a string point lookup must prune through the hash bloom: $k1/$l1")
+    // a >1024-member membership set (InSet, not an Or-chain): strings
+    // have NO sorted-interval path — the bloom is what keeps the
+    // regulator-scale erasure probe a metadata decision
+    val ids = (0 until 2000).map(i => s"doc-${i * 3}")
+    val got = store.read(s, "t").filter($"doc".isInCollection(ids)).count()
+    assert(got == raw.filter($"doc".isInCollection(ids)).count())
+    // a file whose bloom column is ALL NULL prunes under equality
+    // (empty filter answers false) and stays exact under IS NULL
+    store.declareBlooms(s, "tn", Seq("doc"))
+    store.replace(s, "tn", s.range(0, 100)
+      .select(lit(null).cast("string").as("doc"), $"id".as("ts")))
+    assert(store.read(s, "tn").filter($"doc" === "x").count() == 0L)
+    assert(store.read(s, "tn").filter($"doc".isNull).count() == 100L)
+  }
+
+  test("declared blooms: partitioned tables compose; declaration takes effect NEXT commit") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    // declaration AFTER the first commit: v1 has no sidecar (full scan,
+    // exact); the next commit captures blooms and prunes
+    store.replace(s, "t", s.range(0, 1000)
+      .select((($"id" * 31L) % 1000L).as("id"), $"id".as("ts")))
+    store.declareBlooms(s, "t", Seq("id"))
+    assert(store.read(s, "t").filter($"id" === 5L).count() == 1L)
+    store.replace(s, "t", s.range(0, 1000)
+      .select((($"id" * 31L) % 1000L).as("id"), $"id".as("ts"))
+      .repartitionByRange(8, $"ts"))
+    SkipStats.reset()
+    assert(store.read(s, "t").filter($"id" === 5L).count() == 1L)
+    val (l1, k1) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("t/") => c }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(k1 < l1, s"post-declaration commit must prune: $k1/$l1")
+    // partitioned mode: hive pruning AND within-partition bloom skipping
+    val pstore = freshStore()
+    // explicit expected-keys sizing (the 100 TB driver-memory lever)
+    pstore.declareBlooms(s, "pt", Seq("id@8192"))
+    intercept[IllegalArgumentException] {
+      pstore.declareBlooms(s, "bad", Seq("id@lots"))
+    }
+    val pdf = s.range(0, 12000)
+      .select((($"id" * 7919L) % 12000L).as("id"), ($"id" % 3).cast("int").as("p_day"),
+        $"id".as("ts"))
+      .repartitionByRange(12, $"p_day", $"ts").sortWithinPartitions($"p_day", $"ts")
+    pstore.replacePartitions(s, "pt", pdf, "p_day")
+    val praw = s.read.option("basePath", pstore.livePath("pt"))
+      .parquet(pstore.partitionedLeafPaths(s, "pt").get: _*)
+    SkipStats.reset()
+    val want = praw.filter($"id" === 4321L).select($"id", $"p_day", $"ts").collect().toSeq
+    val got = pstore.read(s, "pt").filter($"id" === 4321L)
+      .select($"id", $"p_day", $"ts").collect().toSeq
+    assert(got == want)
+    val (l2, k2) = SkipStats.snapshot()("pt")
+    assert(k2 < l2, s"partitioned bloom lookup must skip files: $k2/$l2")
+    // fuzz across both prunings
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 6) {
+      val key = rnd.nextInt(15000).toLong
+      val day = rnd.nextInt(3)
+      val pred = $"id" === key && $"p_day" === day
+      assert(pstore.read(s, "pt").filter(pred).count() == praw.filter(pred).count(),
+        s"diverged for id=$key, p_day=$day")
+    }
+  }
 }

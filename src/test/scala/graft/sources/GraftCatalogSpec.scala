@@ -182,4 +182,100 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS n FROM graft.pstats WHERE k >= 300 AND k < 600")
       .head.getLong(0) == 299L)
   }
+
+  test("metadata-only aggregates: unfiltered COUNT/MIN/MAX answer from the sidecar, zero files read") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.declareStats(s, "tmeta", Seq("k", "w", "sv"))
+    store.replace(s, "tmeta", s.range(0, 5000).select(
+      $"id".as("k"),
+      org.apache.spark.sql.functions.when($"id" % 7 === 0,
+        org.apache.spark.sql.functions.lit(null)).otherwise($"id" % 100).as("w"),
+      org.apache.spark.sql.functions.format_string("s%04d", $"id" % 50).as("sv"))
+      .repartitionByRange(8, $"k"))
+    graft.operators.SkipStats.reset()
+    val q = s.sql("SELECT count(*) AS n, count(w) AS nw, min(k) AS lo, " +
+      "max(k) AS hi, min(sv) AS slo, max(sv) AS shi FROM graft.tmeta")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"an unfiltered count/min/max must plan as a metadata-local scan:\n${plan.take(600)}")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5)) ==
+      ((5000L, 5000L - 715L, 0L, 4999L, "s0000", "s0049")))
+    val (listed, kept) = graft.operators.SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("sql:tmeta") => c }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(listed >= 8L && kept == 0L, // build() may run once per (re)plan
+      s"the metadata answer must open ZERO data files: $kept/$listed")
+    // anything the sidecar cannot prove scans normally — and stays exact
+    assert(s.sql("SELECT count(*) AS n FROM graft.tmeta WHERE k < 10").head.getLong(0) == 10L)
+    assert(s.sql("SELECT count(DISTINCT w) AS n FROM graft.tmeta").head.getLong(0) == 100L)
+    assert(s.sql("SELECT w, count(*) AS n FROM graft.tmeta GROUP BY w ORDER BY w")
+      .count() == 101L)
+    // an undeclared column's min/max falls back to the scan, exact
+    // (sum is never metadata-answerable)
+    assert(s.sql("SELECT sum(k) AS sk FROM graft.tmeta").head.getLong(0) ==
+      (0L until 5000L).sum)
+    // a pending MOR DV suspends the metadata path (the DV wrapper
+    // serves) — counts reflect the delete, never the raw files
+    store.deleteWhereMor(s, "tmeta", $"k" === 4999L, Seq("k"))
+    val r2 = s.sql("SELECT count(*) AS n, max(k) AS hi FROM graft.tmeta").head
+    assert((r2.getLong(0), r2.getLong(1)) == ((4999L, 4998L)))
+
+    // PARTITIONED: per-leaf sidecars fold across partitions
+    store.declareStats(s, "pmeta", Seq("k"))
+    store.replacePartitions(s, "pmeta",
+      s.range(0, 9000).select($"id".as("k"), ($"id" % 3).cast("int").as("p"))
+        .repartitionByRange(12, $"p", $"k").sortWithinPartitions($"p", $"k"),
+      "p")
+    val q2 = s.sql("SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM graft.pmeta")
+    assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "partitioned metadata aggregate must plan locally")
+    val r3 = q2.head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((9000L, 0L, 8999L)))
+    // min/max of the PARTITION column is not sidecar-answerable: falls
+    // back to the scan and stays exact
+    assert(s.sql("SELECT min(p) AS lo, max(p) AS hi FROM graft.pmeta").head.toSeq ==
+      Seq(0, 2))
+  }
+
+  test("SET/UNSET TBLPROPERTIES declare and withdraw stats/bloom capture; unknown keys refused") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.replace(s, "tprop", s.range(0, 2000)
+      .select($"id".as("k"), (($"id" * 31L) % 2000L).as("id2"))
+      .repartitionByRange(8, $"k"))
+    s.sql("ALTER TABLE graft.tprop SET TBLPROPERTIES ('stats.cols' = 'k', 'bloom.cols' = 'id2')")
+    assert(store.declaredStats(s, "tprop") == Seq("k"))
+    assert(store.declaredBlooms(s, "tprop") == Seq("id2"))
+    // SHOW TBLPROPERTIES introspects what was declared
+    val shown = s.sql("SHOW TBLPROPERTIES graft.tprop").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("stats.cols").contains("k") &&
+      shown.get("bloom.cols").contains("id2"), shown.toString)
+    // effective from the NEXT commit: re-commit, then both prunings fire
+    store.replace(s, "tprop", s.range(0, 2000)
+      .select($"id".as("k"), (($"id" * 31L) % 2000L).as("id2"))
+      .repartitionByRange(8, $"k"))
+    graft.operators.SkipStats.reset()
+    assert(s.sql("SELECT count(*) AS n FROM graft.tprop WHERE k < 100").head.getLong(0) == 100L)
+    assert(s.sql("SELECT count(*) AS n FROM graft.tprop WHERE id2 = 31").head.getLong(0) == 1L)
+    val (listed, kept) = graft.operators.SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("sql:tprop") => c }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(kept < listed, s"SQL-declared stats+bloom must skip files: $kept/$listed")
+    // UNSET withdraws capture for future commits; the committed version
+    // keeps skipping through its own sidecar
+    s.sql("ALTER TABLE graft.tprop UNSET TBLPROPERTIES ('stats.cols', 'bloom.cols')")
+    assert(store.declaredStats(s, "tprop").isEmpty)
+    assert(store.declaredBlooms(s, "tprop").isEmpty)
+    store.replace(s, "tprop", s.range(0, 10).select($"id".as("k"), $"id".as("id2")))
+    assert(s.sql("SELECT count(*) AS n FROM graft.tprop WHERE k < 5").head.getLong(0) == 5L)
+    // unknown keys are refused loudly, not silently swallowed
+    val e = intercept[Exception] {
+      s.sql("ALTER TABLE graft.tprop SET TBLPROPERTIES ('zorder.cols' = 'k')")
+    }
+    assert(e.getMessage.contains("not recognized"), e.getMessage)
+  }
 }
