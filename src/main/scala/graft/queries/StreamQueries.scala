@@ -1690,6 +1690,74 @@ object StreamQueries {
       down.read(s, "replica").orderBy($"o_orderkey")
     }),
 
+    // ---- T29: streamed keyed feed ACROSS A WIDEN, oracle-gated ------
+    // The schema-evolution seam in the LIVE replication loop (t28 is
+    // the schema-stable form): the upstream dim widens mid-checkpoint
+    // (the ALTER ADD COLUMNS shape), then an update backfills the new
+    // column for a band of keys and a delete lands — one resumed poll
+    // spans all three commits through the widen-aware diff (old side
+    // null-pads, so rows the widen alone touched emit NO spurious U),
+    // the restart re-derives the source schema from the head, and the
+    // replica folds the 4-column feed over its 3-column bootstrap
+    // (unionByName null-pads the cold rows — exactly their post-widen
+    // value). The final replica must hash-match the last-state
+    // recomputation in DuckDB: a spurious U, a lost backfill, or a
+    // misaligned pad breaks it.
+    "t29_stream_feed_widen" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val base = s"/root/repo/target/tmp/stream-feedw/v1/${Tables.fileKey(s, dir, "orders.parquet")}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val runDir = s"$base/run"
+      fs.delete(new org.apache.hadoop.fs.Path(runDir), true)
+      val up = new graft.operators.TableStore(s"$runDir/up", retain = 4)
+      val down = new graft.operators.TableStore(s"$runDir/down")
+      up.replace(s, "dim", o)
+      def runFeed(): Unit = {
+        val feed = s.readStream.format("graft.streaming.StoreFeedProvider")
+          .option("root", up.root).option("table", "dim")
+          .option("keys", "o_orderkey").load()
+        val q = withStatePartitions(s, 8) {
+          feed.writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              val sp = b.sparkSession
+              if (!down.alreadyApplied(sp, "replica", Some(id))) {
+                val kept =
+                  if (!down.exists(sp, "replica")) b.filter(lit(false)).drop("op")
+                  else down.read(sp, "replica")
+                    .join(b.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+                down.replace(sp, "replica",
+                  kept.unionByName(b.filter($"op" =!= "D").drop("op"),
+                    allowMissingColumns = true).coalesce(1),
+                  Some(id.toString))
+              }
+            }
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$runDir/ckpt")
+            .start()
+        }
+        q.awaitTermination()
+      }
+      runFeed() // bootstrap: 3-column snapshot as I rows
+      // the widen, a backfilling update, and a delete — three commits
+      // in one poll gap
+      up.replace(s, "dim",
+        up.read(s, "dim").withColumn("o_flag", lit(null).cast("string")))
+      up.updateWhere(s, "dim", $"o_orderkey" % 7 === 1,
+        Map("o_orderstatus" -> lit("W"), "o_flag" -> lit("X")))
+      up.deleteWhere(s, "dim", $"o_orderkey" % 11 === 3)
+      runFeed()
+      val out = down.read(s, "replica")
+      assert(out.columns.sorted.toSeq ==
+        Seq("o_flag", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        s"the replica must carry the widened schema: ${out.columns.mkString(",")}")
+      out.select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_flag")
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- T11: STREAMED ordered funnel, oracle-gated -----------------
     // x5_funnel's per-user stage machine maintained LIVE
     // (Streams.funnelStates): the events corpus replays as 4
@@ -1986,6 +2054,17 @@ object StreamQueries {
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'S2' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 5 <> 4 ORDER BY o_orderkey""".stripMargin,
+
+    // the widened replica == the last-state recomputation: the widen
+    // pads NULL everywhere, the update backfills one band, the delete
+    // removes its band — any spurious U / lost backfill / misaligned
+    // pad hash-mismatches
+    "t29_stream_feed_widen" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 'X' END AS o_flag
+        |FROM orders WHERE o_orderkey % 11 <> 3 ORDER BY o_orderkey""".stripMargin,
 
     // the REPLICA (bootstrapped then diff-folded per micro-batch) must
     // equal the last-writer-wins recomputation: re-arrived keys carry

@@ -175,11 +175,20 @@ private[streaming] final class StoreTailSource(spark: SparkSession, root: String
   * commit that DROPS or retypes a pinned column is a LOUD error naming
   * the restart, never a silent misbind. */
 private[streaming] object StoreStreamSchema {
-  def conform(df: DataFrame, pinned: StructType, who: String): DataFrame = {
+  /** @param padMissing the FEED source sets true: a batch can be
+    *   missing pinned columns only when its positions PREDATE a widen
+    *   (a recovered batch re-planned after a restart re-derived a
+    *   wider schema from the head — drops/retypes never reach here,
+    *   `changesBetween` refuses them), and at those positions the
+    *   column's value IS null, so null-padding is exact. The TAIL
+    *   source keeps false: its batches read raw appended files, where
+    *   a missing column means a mis-shaped producer, not history. */
+  def conform(df: DataFrame, pinned: StructType, who: String,
+      padMissing: Boolean = false): DataFrame = {
     val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val broken = pinned.fields.filter(f =>
       !have.get(f.name).exists(_ == f.dataType))
-    if (broken.nonEmpty)
+    if (broken.nonEmpty && !(padMissing && broken.forall(f => !have.contains(f.name))))
       throw new IllegalStateException(
         s"$who: the upstream table no longer serves pinned column(s) " +
           broken.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
@@ -187,7 +196,9 @@ private[streaming] object StoreStreamSchema {
           "to re-derive the source schema from the current head (widening " +
           "commits are fine: new columns stream after a restart)")
     if (df.schema.fieldNames.sameElements(pinned.fieldNames)) df
-    else df.select(pinned.fieldNames.map(col).toIndexedSeq: _*)
+    else df.select(pinned.fields.map(f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 }
 
@@ -248,18 +259,21 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
     val batch = start match {
       case None =>
         // bootstrap: the full snapshot at the end position, as inserts
-        // (how replication starts — the Delta readStream shape)
+        // (how replication starts — the Delta readStream shape);
+        // conform below pins column order and null-pads columns the
+        // position predates (a recovered bootstrap re-planned after a
+        // widen)
         val endBack = position(endVer)
-        store.readVersionsBack(spark, table, endBack).select(
-          lit("I").as("op") +: schema.fieldNames.filterNot(_ == "op")
-            .map(col).toIndexedSeq: _*)
+        store.readVersionsBack(spark, table, endBack)
+          .withColumn("op", lit("I"))
       case Some(s) =>
         val oldBack = position(s.json().trim)
         val newBack = position(endVer)
         store.changesBetween(spark, table, keys, oldBack, newBack)
     }
     org.apache.spark.sql.graft.StreamShims.asStreamingBatch(
-      StoreStreamSchema.conform(batch, schema, s"graft-store-feed($table)"))
+      StoreStreamSchema.conform(batch, schema, s"graft-store-feed($table)",
+        padMissing = true))
   }
 
   override def stop(): Unit = ()

@@ -291,6 +291,47 @@ class ErasureSpec extends SparkSpec {
     assert(store.read(s, "corpus_fp").count() == 99990L)
   }
 
+  test("cold-artifact probes skip through declared BLOOMS when the registry ids are scattered") {
+    // the range-stats lever above needs the registry CLUSTERED by id;
+    // a registry whose ids are SCATTERED across files (any non-id
+    // layout) gives ranges nothing to cut — declareBlooms is the lever
+    // there: the cascade's InSet predicate probes the per-file blooms.
+    // Honest cost model: a file survives if ANY probed id
+    // false-positives, so the bloom lever serves SMALL request batches
+    // (k·fpp << 1 — the steady GDPR drip); a regulator-scale batch
+    // over a scattered registry reads it once, and the sorted-interval
+    // range lever (above) is the tool when the registry can be
+    // id-clustered.
+    val s = spark
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(Root + "-bprobe")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val store = new TableStore(Root + "-bprobe")
+    store.declareBlooms(s, "band_reg", Seq("doc_id"))
+    // even doc ids only, scattered across 8 ord-clustered files: every
+    // file's [min_doc_id, max_doc_id] spans ~the whole domain
+    store.replace(s, "band_reg",
+      s.range(0, 50000).select(
+          ($"id" * 2L).as("doc_id"), (($"id" * 7919L) % 50000L).as("ord"),
+          md5($"id".cast("string")).as("fp"))
+        .repartitionByRange(8, $"ord").sortWithinPartitions($"ord"))
+    // a 3-id request of ABSENT (odd) ids inside the range band: the
+    // range test keeps every file, the blooms prove them all empty
+    SkipStats.reset()
+    val rep = Erasure.eraseDocuments(s, store,
+      Seq(101L, 44443L, 99999L).toDF("doc_id"), "doc_id")
+    assert(rep.filter($"artifact" === "band_reg").head().getLong(2) == 0L)
+    val (listed, kept) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("band_reg/") => c }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(listed >= 8L && kept <= 1L, // deterministic bloom bits; fpp slack
+      s"a small absent-ids probe must skip the scattered registry through blooms: $kept/$listed")
+    // a real erasure against the scattered registry stays exact
+    Erasure.eraseDocuments(s, store,
+      Seq(0L, 2L, 4L, 6L).toDF("doc_id"), "doc_id")
+    assert(store.read(s, "band_reg").count() == 49996L)
+  }
+
   test("purgeHistory=true: retained artifact history stops serving the erased doc") {
     val s = spark
     import s.implicits._
