@@ -112,12 +112,16 @@ final class TableStore(val root: String, val retain: Int = 0) {
   }
 
   /** Read a manifest file, retrying a handful of times on a checksum
-    * mismatch: a CONCURRENT reader (e.g. a streaming source polling
-    * offsets) can catch Hadoop's local ChecksumFileSystem between the
-    * commit's data rename and its `.crc` sidecar rename — two files,
-    * one logical swap. The window is a local-FS artifact (HDFS/object
-    * stores carry checksums inside the file); the commit itself stays
-    * a single atomic rename, and a retry lands on a consistent pair. */
+    * mismatch or a momentary absence: a CONCURRENT reader (e.g. a
+    * streaming source polling offsets) can catch Hadoop's LOCAL
+    * filesystem mid-swap — ChecksumFs renames the data file and its
+    * `.crc` sidecar separately, and rename-with-OVERWRITE is
+    * delete-then-rename, so a read between the steps sees a stale
+    * checksum or no file at all. Both are local-FS artifacts (HDFS
+    * renames atomically server-side and carries checksums in-file);
+    * the commit itself stays one logical swap, and a retry lands on a
+    * consistent state. Callers check existence first, so a genuinely
+    * absent manifest never reaches here. */
   private def readManifestFile(f: FileSystem, p: Path): String = {
     var attempt = 0
     while (true) {
@@ -125,7 +129,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val in = f.open(p)
         try return new String(in.readAllBytes(), "UTF-8") finally in.close()
       } catch {
-        case e: org.apache.hadoop.fs.ChecksumException =>
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) =>
           attempt += 1
           if (attempt >= 5) throw e
           Thread.sleep(20L * attempt)
@@ -1737,6 +1742,21 @@ final class TableStore(val root: String, val retain: Int = 0) {
       pmanifestLines(f, name).map(_ => pStateDigest(pHeadAndHist(f, name)._1)))
   }
 
+  /** Retained commit position ids, newest first (index 0 = head),
+    * either mode — the feed source's admission-control substrate:
+    * ~retain strings off one manifest read, no data touched. */
+  def positionIds(spark: SparkSession, name: String): Seq[String] = {
+    val f = fs(spark)
+    val chain = versionChain(f, name)
+    if (chain.nonEmpty) chain
+    else pmanifestLines(f, name) match {
+      case Some(_) =>
+        val (head, gens) = pHeadAndHist(f, name)
+        (head +: gens.map(_._2)).map(pStateDigest)
+      case None => Seq.empty
+    }
+  }
+
   /** Steps-back position of a previously-captured position id (0 =
     * head), either mode. None = not retained. */
   def positionOf(spark: SparkSession, name: String, positionId: String): Option[Int] = {
@@ -2635,8 +2655,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
       .repartitionByRange(targetFiles, statCols.map(col): _*)
       .sortWithinPartitions(statCols.map(col): _*)
     replaceInternal(spark, name, clustered, None, preCommitCheck = () => (),
-      prepare = tmp =>
-        statsPass(spark, tmp, statCols, bloomCols, bloomExpectedPerFile))
+      prepare = tmp => {
+        // a z-ordered rewrite must not LOSE the table's declared
+        // sidecar families: merge the declarations into this pass so
+        // an OPTIMIZE-style re-cluster keeps point-lookup blooms and
+        // declared ranges alive (they'd otherwise lapse until the
+        // next ordinary commit)
+        val extraStats = declaredStats(spark, name)
+          .filter(df.columns.contains).filterNot(statCols.contains)
+        val hashDecls = declaredBloomDecls(spark, name)
+          .filter(d => df.columns.contains(d._1))
+        statsPass(spark, tmp, statCols ++ extraStats, bloomCols,
+          bloomExpectedPerFile, hashDecls)
+      })
   }
 
   /** ONE scan of the staged version dir → the `.zonemap` stats sidecar

@@ -224,7 +224,8 @@ final class StoreFeedProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source =
     new StoreFeedSource(sqlContext.sparkSession, param(parameters, "root"),
       param(parameters, "table"),
-      param(parameters, "keys").split(",").map(_.trim).toIndexedSeq)
+      param(parameters, "keys").split(",").map(_.trim).toIndexedSeq,
+      parameters.get("maxCommitsPerTrigger").map(_.toInt), metadataPath)
 }
 
 /** Version-id offset: exact chain position, immune to same-millisecond
@@ -233,8 +234,27 @@ private[streaming] case class VersionOffset(versionId: String) extends Offset {
   override def json: String = versionId
 }
 
+/** @param maxCommitsPerTrigger ADMISSION CONTROL for the keyed feed
+  *   (the tail's maxBatchesPerTrigger analog in position space): cap
+  *   each micro-batch's diff span at N commits, so a consumer that
+  *   fell many commits behind drains as bounded per-commit diffs
+  *   instead of one giant catch-up diff. The bootstrap snapshot is one
+  *   batch regardless (it is a snapshot, not a span); the cap engages
+  *   from the first incremental poll. The planning anchor persists
+  *   under the query's metadata dir (the FileStreamSource pattern), so
+  *   a restarted query resumes capped; an anchor that fell off the
+  *   retain window jumps to the head — the committed offset's own
+  *   retention check still fires its loud error if the CONSUMED
+  *   position is gone. None = unbounded (diff to the head each
+  *   trigger). Caveat shared with every capped V1 source (the tail's
+  *   cap included): `Trigger.AvailableNow` snapshots the source's end
+  *   offset ONCE per run, so a capped query advances one step per
+  *   AvailableNow run — use a running trigger (ProcessingTime /
+  *   processAllAvailable) to drain a backlog in capped batches. */
 private[streaming] final class StoreFeedSource(spark: SparkSession, root: String,
-    table: String, keys: Seq[String]) extends Source {
+    table: String, keys: Seq[String],
+    maxCommitsPerTrigger: Option[Int] = None,
+    metadataPath: String = "") extends Source {
 
   private val store = new TableStore(root)
 
@@ -243,8 +263,59 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
     StructType(StructField("op", StringType, nullable = true) +: base.fields)
   }
 
-  override def getOffset: Option[Offset] =
-    store.commitPositionId(spark, table).map(VersionOffset)
+  // last END this source PLANNED (not necessarily committed) —
+  // admission advances from here; persisted per plan so restarts
+  // resume capped. Monotone toward the head by construction.
+  @volatile private var plannedEnd: Option[String] = None
+
+  private def hwmPath = new org.apache.hadoop.fs.Path(metadataPath, "graft-feed-hwm")
+
+  private def loadPlanned(): Option[String] = {
+    if (metadataPath.isEmpty) return None
+    val f = hwmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hwmPath)) None
+    else {
+      val in = f.open(hwmPath)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  private def storePlanned(v: String): Unit = {
+    if (metadataPath.isEmpty) return
+    val f = hwmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(hwmPath.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath, ".graft-feed-hwm-tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(hwmPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  override def getOffset: Option[Offset] = maxCommitsPerTrigger match {
+    case None => store.commitPositionId(spark, table).map(VersionOffset)
+    case Some(cap) =>
+      val ids = store.positionIds(spark, table) // newest first
+      if (ids.isEmpty) None
+      else {
+        val anchor = plannedEnd.orElse(loadPlanned())
+        val target = anchor.map(ids.indexOf) match {
+          // no anchor yet (bootstrap) or the anchor expired past the
+          // retain window: plan to the head — the snapshot is one
+          // batch either way, and a consumed-offset expiry still
+          // fails loudly in getBatch
+          case None | Some(-1) => ids.head
+          case Some(i) => ids(math.max(0, i - cap))
+        }
+        if (!plannedEnd.contains(target)) {
+          plannedEnd = Some(target)
+          storePlanned(target)
+        }
+        Some(VersionOffset(target))
+      }
+  }
 
   private def position(versionId: String): Int =
     store.positionOf(spark, table, versionId).getOrElse(

@@ -309,4 +309,28 @@ class StatsSkipSpec extends SparkSpec {
         s"diverged for id=$key, p_day=$day")
     }
   }
+
+  test("a z-ordered rewrite keeps declared blooms alive (OPTIMIZE must not lose sidecar families)") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareBlooms(s, "t", Seq("id"))
+    val df = s.range(0, 20000).select(
+      (($"id" * 7919L) % 20000L).as("id"),
+      ($"id" % 200).cast("int").as("x"), ($"id" / 200).cast("int").as("y"))
+    store.replace(s, "t", df)
+    // the re-cluster writes its OWN sidecar (x/y ranges for the morton
+    // layout) — the declared bloom family must ride along in the same
+    // pass, or point lookups lose their lever until the next commit
+    store.replaceZoneMapped(s, "t", store.read(s, "t"),
+      Seq("x", "y"), targetFiles = 8)
+    SkipStats.reset()
+    assert(store.read(s, "t").filter($"id" === 777L).count() == 1L)
+    val (listed, kept) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("t/") => c }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(listed == 8L && kept <= 3L,
+      s"the post-rewrite point lookup must still prune through the declared bloom: $kept/$listed")
+    // and the rewrite's own stat columns prune too
+    assert(store.read(s, "t").filter($"x" === 5).count() ==
+      (0L until 20000L).count(_ % 200 == 5))
+  }
 }

@@ -226,6 +226,54 @@ class StoreStreamSourceSpec extends SparkSpec {
       s"expected the fell-off-the-chain error, got: $msgs")
   }
 
+  test("maxCommitsPerTrigger: a lagging feed consumer drains in per-commit diff batches; restarts resume capped") {
+    val s = spark; import s.implicits._
+    val root = tmp("feedcap-")
+    val ckpt = s"$root-ckpt"
+    val store = new TableStore(root, retain = 6)
+    store.replace(s, "dim", Seq((1L, "a")).toDF("id", "v"))
+
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(String, Long, String)]]()
+    def run(): Unit = {
+      // default trigger + processAllAvailable: a capped source needs
+      // REPEATED triggers to drain (AvailableNow snapshots the end
+      // offset once for V1 sources, which would stop after one step)
+      val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", root).option("table", "dim").option("keys", "id")
+        .option("maxCommitsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batches += b.collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getString(2))).toSet
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // bootstrap snapshot, one batch regardless of the cap
+    assert(batches.toSeq == Seq(Set(("I", 1L, "a"))))
+
+    // THREE commits land; the capped resume drains them as three
+    // per-commit diff batches — never one giant catch-up span
+    store.replace(s, "dim", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.replace(s, "dim", Seq((1L, "a2"), (2L, "b")).toDF("id", "v"))
+    store.replace(s, "dim", Seq((1L, "a2")).toDF("id", "v"))
+    batches.clear()
+    run()
+    assert(batches.toSeq == Seq(
+      Set(("I", 2L, "b")), Set(("U", 1L, "a2")), Set(("D", 2L, "b"))),
+      s"each capped batch must span exactly one commit: $batches")
+
+    // the anchor persists: another lag drains capped after a restart
+    store.replace(s, "dim", Seq((1L, "a3")).toDF("id", "v"))
+    store.replace(s, "dim", Seq((1L, "a3"), (3L, "c")).toDF("id", "v"))
+    batches.clear()
+    run()
+    assert(batches.toSeq == Seq(Set(("U", 1L, "a3")), Set(("I", 3L, "c"))),
+      s"the restarted capped feed must keep per-commit spans: $batches")
+  }
+
   test("schema evolution: a widening commit keeps the pinned projection mid-run; restarts pick up new columns; drops error loudly") {
     val s = spark; import s.implicits._
     val root = tmp("feedevo-")
