@@ -310,6 +310,47 @@ class StatsSkipSpec extends SparkSpec {
     }
   }
 
+  test("predicate-TREE fuzz: random AND/OR/NOT mixtures over stats+bloom columns never change answers") {
+    // the superset contract, attacked structurally: the pruner
+    // translates what it can (conjuncts, bounded IN/InSet, both-sides
+    // OR) and must keep everything for what it can't (NOT, mixed
+    // shapes) — under ANY boolean tree the pruned count equals the
+    // raw-parquet count
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "t", Seq("k", "w"))
+    store.declareBlooms(s, "t", Seq("id"))
+    val df = s.range(0, 8000).select(
+      $"id".as("k"),
+      (($"id" * 7919L) % 8000L).as("id"),
+      when($"id" % 13 === 0, lit(null)).otherwise($"id" % 50).as("w"))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    store.replace(s, "t", df)
+    val raw = s.read.parquet(store.resolve(s, "t"))
+    val rnd = new scala.util.Random(1234)
+    def atom(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+      case 0 => col("k") >= rnd.nextInt(9000).toLong
+      case 1 => col("k") < rnd.nextInt(9000).toLong
+      case 2 => col("id") === rnd.nextInt(9000).toLong
+      case 3 => col("id").isInCollection(Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(9000).toLong))
+      case 4 => col("w") === rnd.nextInt(60).toLong
+      case 5 => col("w").isNull
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) atom()
+      else rnd.nextInt(3) match {
+        case 0 => tree(depth - 1) && tree(depth - 1)
+        case 1 => tree(depth - 1) || tree(depth - 1)
+        case 2 => !tree(depth - 1)
+      }
+    for (i <- 1 to 40) {
+      val pred = tree(1 + rnd.nextInt(3))
+      val got = store.read(s, "t").filter(pred).count()
+      val want = raw.filter(pred).count()
+      assert(got == want, s"pruned read diverged on fuzz #$i: $pred ($got vs $want)")
+    }
+  }
+
   test("a z-ordered rewrite keeps declared blooms alive (OPTIMIZE must not lose sidecar families)") {
     val s = spark; import s.implicits._
     val store = freshStore()
