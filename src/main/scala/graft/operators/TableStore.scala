@@ -455,6 +455,57 @@ final class TableStore(val root: String, val retain: Int = 0) {
     else (s.substring(0, i), s.substring(i + 1).trim.toLongOption.getOrElse(-1L))
   }
 
+  /** The current version's committed file statistics, melted to a
+    * FIXED introspection schema — one row per (file, stat column):
+    * `(partition, file, rows, column, min, max, nulls, bloom)` with
+    * min/max rendered as strings (the sidecar's native types vary by
+    * declaration) and `bloom` flagging a point-lookup filter. This is
+    * `DESCRIBE STATS`' substrate and the operator's window into what
+    * the skipping planner actually knows: which files exist, how the
+    * declared columns cluster, where a re-cluster would pay off.
+    * Empty (same schema) when no sidecar is committed. */
+  def fileStats(spark: SparkSession, name: String): DataFrame = {
+    val f = fs(spark)
+    def melt(zmPath: String, partition: Option[String]): Option[DataFrame] = {
+      if (!f.exists(new Path(zmPath))) return None
+      val zm = spark.read.parquet(zmPath)
+      val statCols = zm.columns.collect {
+        case n if n.startsWith("min_") => n.stripPrefix("min_") }
+      val bloomCols = zm.columns.collect {
+        case n if n.startsWith("bloomh_") => n.stripPrefix("bloomh_") }
+      val pieces = (statCols ++ bloomCols).distinct.toSeq.sorted.map { c =>
+        val hasRange = statCols.contains(c)
+        zm.select(
+          lit(partition.orNull).cast("string").as("partition"),
+          col("file"),
+          col("rows"),
+          lit(c).as("column"),
+          (if (hasRange) col(s"min_$c").cast("string") else lit(null).cast("string")).as("min"),
+          (if (hasRange) col(s"max_$c").cast("string") else lit(null).cast("string")).as("max"),
+          (if (hasRange) col(s"nulls_$c") else lit(null).cast("long")).as("nulls"),
+          lit(bloomCols.contains(c)).as("bloom"))
+      }
+      pieces.reduceOption(_ unionAll _)
+    }
+    val parts: Seq[DataFrame] = partitionMap(f, name) match {
+      case Some(m) =>
+        m.toSeq.sortBy(_._1).flatMap { case (p, v) =>
+          melt(s"$root/$name/$p/$v/.zonemap", Some(p)) }
+      case None =>
+        currentVersion(f, name).toSeq.flatMap(ver =>
+          melt(s"$root/$name/$ver/.zonemap", None))
+    }
+    parts.reduceOption(_ unionAll _).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("partition", StringType), StructField("file", StringType),
+          StructField("rows", LongType), StructField("column", StringType),
+          StructField("min", StringType), StructField("max", StringType),
+          StructField("nulls", LongType), StructField("bloom", BooleanType))))
+    }
+  }
+
   /** Withdraw the stats/bloom declaration: FUTURE commits stop
     * capturing that sidecar family; already-committed versions keep
     * serving (and skipping) through their own sidecars — the

@@ -106,6 +106,7 @@ object MergeIntoGraft {
   private val PurgeHistoryRe =
     """(?is)\s*PURGE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val ShowTagsRe = """(?is)\s*SHOW\s+TAGS\s+(\w+)\s*;?\s*""".r
+  private val DescStatsRe = """(?is)\s*DESCRIBE\s+STATS\s+(\w+)\.(\w+)\s*;?\s*""".r
 
   /** Maintenance verbs Spark's grammar doesn't know (the Delta-style
     * extension point is exactly this: claim the statement text before
@@ -115,6 +116,7 @@ object MergeIntoGraft {
     *   OPTIMIZE <graft_cat>.<t> ZORDER BY (x, y)     → z-order rewrite
     *   VACUUM <graft_cat>                            → store-wide vacuum
     *   DESCRIBE HISTORY <graft_cat>.<t>              → version chain
+    *   DESCRIBE STATS <graft_cat>.<t>                → committed file statistics
     *   RESTORE TABLE <graft_cat>.<t> TO VERSION AS OF k → version rollback
     *   PURGE HISTORY <graft_cat>.<t>                 → physical truncation
     *
@@ -135,6 +137,8 @@ object MergeIntoGraft {
         Some(GraftRestoreCommand(cat, table, k.toInt))
       case PurgeHistoryRe(cat, table) if graftCatalogs(session).contains(cat) =>
         Some(GraftPurgeHistoryCommand(cat, table))
+      case DescStatsRe(cat, table) if graftCatalogs(session).contains(cat) =>
+        Some(GraftDescribeStatsCommand(cat, table))
       case ShowTagsRe(cat) if graftCatalogs(session).contains(cat) =>
         Some(GraftShowTagsCommand(cat))
       case _ => None
@@ -441,6 +445,30 @@ case class GraftRestoreCommand(catalog: String, table: String,
     GraftDml.store(session, catalog).restore(session, table, stepsBack)
     Seq.empty
   }
+}
+
+/** `DESCRIBE STATS <cat>.<t>` — the committed file statistics, melted
+  * to one row per (file, declared column): what the skipping planner
+  * knows at plan time (per-file min/max/null-count ranges, point-
+  * lookup bloom presence, row counts), the operator's view into
+  * whether the layout clusters the declared columns or a re-cluster
+  * (OPTIMIZE ZORDER) would pay off. Empty when nothing is declared. */
+case class GraftDescribeStatsCommand(catalog: String, table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = true)(),
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = true)(),
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("min", StringType, nullable = true)(),
+    AttributeReference("max", StringType, nullable = true)(),
+    AttributeReference("nulls", LongType, nullable = true)(),
+    AttributeReference("bloom", BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftDml.store(session, catalog).fileStats(session, table)
+      .orderBy("partition", "file", "column").collect().toSeq
 }
 
 /** `SHOW TAGS <cat>` — the snapshot-tag inventory: one row per tag,

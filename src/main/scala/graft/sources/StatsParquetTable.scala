@@ -164,10 +164,9 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
 
   // metadata-only aggregates, partitioned: every leaf must carry a
   // sidecar covering all its files; the per-leaf folds sum/fold across
-  // partitions (count is additive, min/max associative). Note MIN/MAX
-  // of the PARTITION column itself is not in the sidecars — such a
-  // query scans normally (partition values live in the dir names; a
-  // future fold could answer it, but correctness first).
+  // partitions (count is additive, min/max associative). MIN/MAX/COUNT
+  // of the PARTITION column itself folds from the dir names — hive
+  // partition values are never null.
   private def planAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
     if (pushed.nonEmpty) None
@@ -180,7 +179,12 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
         if (!fs.exists(zm)) None else Some(StatsShims.load(spark, leaf, zm.toString))
       }
       if (covered.exists(_.isEmpty)) None
-      else StatsShims.metadataAggregate(agg, tableSchema, covered.flatten)
+      else {
+        val partVals = leaves.map(l =>
+          StatsShims.leafPartitionValue(spark, l, tableSchema)
+            .map(Map(_)).getOrElse(Map.empty[String, Any]))
+        StatsShims.metadataAggregate(agg, tableSchema, covered.flatten, partVals)
+      }
     }
 
   override def supportCompletePushDown(

@@ -122,10 +122,17 @@ object StatsShims {
     * query) — the caller then scans normally. The fold is exact by
     * construction: each sidecar cell was computed by Spark's own
     * count/min/max over exactly that file's rows at commit time. */
+  /** @param partValues per-covered-group hive partition values
+    *   (column name → non-null INTERNAL value), aligned with
+    *   `covered`; empty = whole-table. Lets MIN/MAX/COUNT of the
+    *   partition column itself answer from the dir names — a hive
+    *   partition value is never null, so COUNT(partCol) = Σ rows and
+    *   min/max fold over the group values. */
   def metadataAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       tableSchema: StructType,
-      covered: Seq[(Seq[FileStatus], ZoneMapPruner)]): Option[(StructType, InternalRow)] = {
+      covered: Seq[(Seq[FileStatus], ZoneMapPruner)],
+      partValues: Seq[Map[String, Any]] = Seq.empty): Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types.{LongType, StructField}
@@ -143,15 +150,30 @@ object StatsShims {
       }
     def sumOpt(parts: Seq[Option[Long]]): Option[Long] =
       if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+    // the partition column's per-group values, iff EVERY group carries
+    // a non-null one (hive layout guarantees non-null; a failed dir
+    // parse shows up as null and bails)
+    def partVals(name: String): Option[Seq[Any]] = {
+      if (partValues.size != covered.size) return None
+      val vs = partValues.map(_.get(name))
+      if (vs.exists(v => v.isEmpty || v.get == null)) None else Some(vs.map(_.get))
+    }
     def foldMinMax(f: StructField, wantMin: Boolean): Option[(DataType, Any)] = {
-      val per = prs.map(_.minMaxValue(f.name, f.dataType, wantMin))
-      if (per.exists(_.isEmpty)) None
-      else {
-        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-          .getInterpretedOrdering(f.dataType)
-        val folded = per.flatMap(_.get).reduceOption((a, b) =>
-          if (wantMin == (ord.compare(a, b) <= 0)) a else b)
-        Some((f.dataType, folded.orNull))
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(f.dataType)
+      partVals(f.name) match {
+        case Some(vs) =>
+          // the partition column: fold the dir-name values directly
+          Some((f.dataType, vs.reduceOption((a, b) =>
+            if (wantMin == (ord.compare(a, b) <= 0)) a else b).orNull))
+        case None =>
+          val per = prs.map(_.minMaxValue(f.name, f.dataType, wantMin))
+          if (per.exists(_.isEmpty)) None
+          else {
+            val folded = per.flatMap(_.get).reduceOption((a, b) =>
+              if (wantMin == (ord.compare(a, b) <= 0)) a else b)
+            Some((f.dataType, folded.orNull))
+          }
       }
     }
     val planned = agg.aggregateExpressions.toSeq.map {
@@ -159,8 +181,11 @@ object StatsShims {
         sumOpt(prs.map(_.totalRows)).map(v => (LongType: DataType, v: Any))
       case c: Count if !c.isDistinct =>
         colOf(c.column).flatMap { f =>
-          sumOpt(prs.map(p => for { r <- p.totalRows; n <- p.nullCount(f.name) }
-            yield r - n)).map(v => (LongType: DataType, v: Any))
+          if (partVals(f.name).isDefined) // partition values are never null
+            sumOpt(prs.map(_.totalRows)).map(v => (LongType: DataType, v: Any))
+          else
+            sumOpt(prs.map(p => for { r <- p.totalRows; n <- p.nullCount(f.name) }
+              yield r - n)).map(v => (LongType: DataType, v: Any))
         }
       case m: Min => colOf(m.column).flatMap(foldMinMax(_, wantMin = true))
       case m: Max => colOf(m.column).flatMap(foldMinMax(_, wantMin = false))
@@ -172,6 +197,28 @@ object StatsShims {
     Some((StructType(fields),
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         planned.flatten.map(_._2).toArray)))
+  }
+
+  /** The hive partition (column, INTERNAL value) a committed leaf path
+    * `<root>/<t>/<col>=<v>/<version>` encodes, parsed with the same
+    * Cast-by-schema-type rule as the partitioned read. None when the
+    * path has no partition segment or the column is not in `schema`. */
+  def leafPartitionValue(spark: SparkSession, leaf: String,
+      schema: StructType): Option[(String, Any)] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    leaf.split('/').dropRight(1).lastOption.filter(_.contains("=")).flatMap { seg =>
+      val name = seg.takeWhile(_ != '=')
+      schema.fields.find(_.name == name).map { f =>
+        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(seg.indexOf('=') + 1))
+        val v = Cast(
+          Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+            org.apache.spark.sql.types.StringType),
+          f.dataType, Option(cs.sessionState.conf.sessionLocalTimeZone))
+          .eval(InternalRow.empty)
+        name -> v
+      }
+    }
   }
 
   def statsPrunedRead(spark: SparkSession, versionDir: String, zonemapDir: String,

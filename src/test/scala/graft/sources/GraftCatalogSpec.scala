@@ -234,10 +234,12 @@ class GraftCatalogSpec extends SparkSpec {
       "partitioned metadata aggregate must plan locally")
     val r3 = q2.head
     assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((9000L, 0L, 8999L)))
-    // min/max of the PARTITION column is not sidecar-answerable: falls
-    // back to the scan and stays exact
-    assert(s.sql("SELECT min(p) AS lo, max(p) AS hi FROM graft.pmeta").head.toSeq ==
-      Seq(0, 2))
+    // min/max/count of the PARTITION column fold from the dir names —
+    // also metadata-only (hive partition values are never null)
+    val q3 = s.sql("SELECT min(p) AS lo, max(p) AS hi, count(p) AS n FROM graft.pmeta")
+    assert(q3.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "partition-column aggregates must fold from the dir names")
+    assert(q3.head.toSeq == Seq(0, 2, 9000L))
   }
 
   test("SET/UNSET TBLPROPERTIES declare and withdraw stats/bloom capture; unknown keys refused") {
@@ -277,5 +279,39 @@ class GraftCatalogSpec extends SparkSpec {
       s.sql("ALTER TABLE graft.tprop SET TBLPROPERTIES ('zorder.cols' = 'k')")
     }
     assert(e.getMessage.contains("not recognized"), e.getMessage)
+  }
+
+  test("DESCRIBE STATS melts the committed sidecars; empty when nothing declared") {
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.declareStats(s, "tds", Seq("k"))
+    store.declareBlooms(s, "tds", Seq("id"))
+    store.replace(s, "tds", s.range(0, 4000)
+      .select($"id".as("k"), (($"id" * 31L) % 4000L).as("id"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k"))
+    val rows = s.sql("DESCRIBE STATS graft.tds").collect()
+    // 4 files × 2 declared columns
+    assert(rows.length == 8, rows.mkString("\n"))
+    val byCol = rows.groupBy(_.getAs[String]("column"))
+    assert(byCol("k").forall(r => r.getAs[String]("min") != null &&
+      !r.getAs[Boolean]("bloom")))
+    assert(byCol("id").forall(r => r.getAs[String]("min") == null &&
+      r.getAs[Boolean]("bloom")))
+    // rows repeats per (file, column): sum over one column's rows
+    assert(byCol("k").map(_.getAs[Long]("rows")).sum == 4000L)
+    // range-clustered on k: per-file [min,max] bands are disjoint
+    val bands = byCol("k").map(r =>
+      (r.getAs[String]("min").toLong, r.getAs[String]("max").toLong)).sorted
+    assert(bands.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true })
+    // partitioned: one melt per leaf with the partition named
+    store.declareStats(s, "pds", Seq("k"))
+    store.replacePartitions(s, "pds", s.range(0, 600)
+      .select($"id".as("k"), ($"id" % 3).cast("int").as("p")), "p")
+    val prows = s.sql("DESCRIBE STATS graft.pds").collect()
+    assert(prows.nonEmpty && prows.forall(_.getAs[String]("partition").startsWith("p=")))
+    // nothing declared → empty, same shape
+    store.replace(s, "tnone", Seq((1L, "a")).toDF("k", "v"))
+    assert(s.sql("DESCRIBE STATS graft.tnone").collect().isEmpty)
   }
 }
