@@ -97,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // / LevenshteinPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.JaroPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruneRule)
+    // DataFrame-path metadata aggregates: an ungrouped, unfiltered
+    // COUNT/MIN/MAX directly over a stats-backed store read folds from
+    // the commit-time sidecars (the SQL path's V2 aggregate pushdown
+    // has no V1 equivalent — this rule closes the asymmetry)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.MetadataAggregateRule)
     // SQL write surface: MERGE INTO <graft catalog>.<table> lowers to
     // the store's keyed upsert (see MergeIntoGraft — parse-time
     // interception, non-graft targets untouched)

@@ -487,6 +487,18 @@ private final class PartitionedZoneMapFileIndex(base: Path,
     partSchema: StructType, entries: Seq[PartEntry],
     label: String) extends FileIndex {
 
+  /** Covered (files, pruner) per partition plus the partition value
+    * maps, for the metadata-aggregate rule — None unless EVERY
+    * partition carries a sidecar. */
+  private[graft] def statsGroups: Option[
+      (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]])] = {
+    if (entries.exists(_.pruner.isEmpty)) None
+    else Some((
+      entries.map(e => (e.files, e.pruner.get)),
+      entries.map(e => partSchema.fields.zipWithIndex.map { case (f, i) =>
+        f.name -> e.values.get(i, f.dataType) }.toMap)))
+  }
+
   override def rootPaths: Seq[Path] = Seq(base)
   override def inputFiles: Array[String] =
     entries.flatMap(_.files.map(_.getPath.toString)).toArray
@@ -528,8 +540,113 @@ private final class PartitionedZoneMapFileIndex(base: Path,
   }
 }
 
+/** METADATA-ONLY AGGREGATES on the DATAFRAME path (the SQL path's V2
+  * aggregate pushdown has no V1 equivalent, so this injected optimizer
+  * rule closes the asymmetry): an ungrouped, unfiltered
+  * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) directly over a
+  * stats-backed store read — `store.read(s, t).agg(count(...))` —
+  * rewrites to a [[LocalRelation]] folded from the sidecars, zero data
+  * files opened. STRICT by construction: the child must be the
+  * stats-backed relation itself (or an attribute-only Project of it —
+  * column pruning's shape); any Filter, Join (the DV anti-join), Or
+  * nested arithmetic around the aggregate leaves the plan untouched.
+  * Injected via [[graft.GraftExtensions]]. */
+object MetadataAggregateRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, GenericInternalRow}
+  import org.apache.spark.sql.types.LongType
+
+  private def statsIndex(plan: LogicalPlan): Option[
+      (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]])] = plan match {
+    case LogicalRelation(HadoopFsRelation(idx: ZoneMapFileIndex, _, _, _, _, _), _, _, _, _) =>
+      Some(idx.statsGroups)
+    case LogicalRelation(HadoopFsRelation(idx: PartitionedZoneMapFileIndex, _, _, _, _, _), _, _, _, _) =>
+      idx.statsGroups
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      statsIndex(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg @ Aggregate(Nil, exprs, child, _) =>
+      statsIndex(child).flatMap { case (covered, partVals) =>
+        // coverage: every listed file in its sidecar, else undercount
+        val coveredOk = covered.nonEmpty && covered.forall { case (files, p) =>
+          val k = p.known; files.forall(f => k(f.getPath.getName)) }
+        if (!coveredOk) None
+        else {
+          val prs = covered.map(_._2)
+          def pv(name: String): Option[Seq[Any]] = {
+            if (partVals.size != covered.size) return None
+            val vs = partVals.map(_.get(name))
+            if (vs.exists(v => v.isEmpty || v.get == null)) None else Some(vs.map(_.get))
+          }
+          def sumOpt(parts: Seq[Option[Long]]): Option[Long] =
+            if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+          def fold(a: AttributeReference, wantMin: Boolean): Option[Any] =
+            pv(a.name) match {
+              case Some(vs) =>
+                val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                  .getInterpretedOrdering(a.dataType)
+                Some(vs.reduceOption((x, y) =>
+                  if (wantMin == (ord.compare(x, y) <= 0)) x else y).orNull)
+              case None =>
+                val per = prs.map(_.minMaxValue(a.name, a.dataType, wantMin))
+                if (per.exists(_.isEmpty)) None
+                else {
+                  val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                    .getInterpretedOrdering(a.dataType)
+                  Some(per.flatMap(_.get).reduceOption((x, y) =>
+                    if (wantMin == (ord.compare(x, y) <= 0)) x else y).orNull)
+                }
+            }
+          val vals = exprs.map {
+            case Alias(ae: AggregateExpression, _)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              ae.aggregateFunction match {
+                case Count(cs) if cs.forall(_.foldable) =>
+                  // count(*) / count(1): literals are never null
+                  sumOpt(prs.map(_.totalRows))
+                case Count(Seq(a: AttributeReference)) =>
+                  if (pv(a.name).isDefined) sumOpt(prs.map(_.totalRows))
+                  else sumOpt(prs.map(p =>
+                    for { r <- p.totalRows; n <- p.nullCount(a.name) } yield r - n))
+                case Min(a: AttributeReference) => fold(a, wantMin = true)
+                case Max(a: AttributeReference) => fold(a, wantMin = false)
+                case _ => None
+              }
+            case _ => None
+          }
+          if (vals.exists(_.isEmpty)) None
+          else {
+            // type check: counts are LongType by construction; min/max
+            // values carry the attribute's own type
+            val row = new GenericInternalRow(vals.map(_.get).toArray[Any])
+            val out = agg.output
+            val typesOk = out.zip(exprs).forall { case (attr, e) =>
+              e match {
+                case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+                  case _: Count => attr.dataType == LongType
+                  case _ => true // min/max folded in the attr's own type
+                }
+                case _ => false
+              }
+            }
+            if (typesOk) Some(LocalRelation(out, Seq(row), isStreaming = false, None)) else None
+          }
+        }
+      }.getOrElse(agg)
+  }
+}
+
 private final class ZoneMapFileIndex(dir: Path, files: Seq[FileStatus],
     pruner: ZoneMapPruner, label: String) extends FileIndex {
+
+  private[graft] def statsGroups: (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]]) =
+    (Seq((files, pruner)), Seq(Map.empty[String, Any]))
 
   override def rootPaths: Seq[Path] = Seq(dir)
   override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray

@@ -351,6 +351,53 @@ class StatsSkipSpec extends SparkSpec {
     }
   }
 
+  test("DataFrame-path metadata aggregates: read().agg(count/min/max) folds from the sidecar, zero files read") {
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "t", Seq("k", "w"))
+    store.replace(s, "t", s.range(0, 6000).select(
+      $"id".as("k"),
+      when($"id" % 11 === 0, lit(null)).otherwise($"id" % 40).as("w"))
+      .repartitionByRange(6, $"k"))
+    val q = store.read(s, "t").agg(
+      count(lit(1)).as("n"), count($"w").as("nw"),
+      min($"k").as("lo"), max($"k").as("hi"))
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"an unfiltered DataFrame aggregate must fold from metadata:\n${q.queryExecution.executedPlan.toString.take(400)}")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6000L, 6000L - 546L, 0L, 5999L)))
+    // .count() itself is the same shape
+    assert(store.read(s, "t").count() == 6000L)
+    // a filter suspends the rewrite; answers stay exact
+    assert(store.read(s, "t").filter($"k" < 100L)
+      .agg(count(lit(1))).head.getLong(0) == 100L)
+    // DISTINCT and SUM are never metadata-answerable
+    assert(store.read(s, "t").agg(countDistinct($"w")).head.getLong(0) == 40L)
+    assert(store.read(s, "t").agg(sum($"k")).head.getLong(0) == (0L until 6000L).sum)
+    // a pending MOR delete routes through the anti-join — counts
+    // reflect the delete, never the raw files
+    store.deleteWhereMor(s, "t", $"k" === 5999L, Seq("k"))
+    val r2 = store.read(s, "t").agg(count(lit(1)).as("n"), max($"k").as("hi")).head
+    assert((r2.getLong(0), r2.getLong(1)) == ((5999L, 5998L)))
+
+    // PARTITIONED: folds across leaves; the partition column answers
+    // from the manifest values
+    val ps = freshStore()
+    ps.declareStats(s, "pt", Seq("k"))
+    ps.replacePartitions(s, "pt", s.range(0, 3000)
+      .select($"id".as("k"), ($"id" % 3).cast("int").as("p")), "p")
+    val q2 = ps.read(s, "pt").agg(count(lit(1)).as("n"),
+      min($"k").as("lo"), max($"k").as("hi"),
+      min($"p").as("plo"), max($"p").as("phi"), count($"p").as("np"))
+    assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "partitioned DataFrame metadata aggregate must fold locally")
+    assert(q2.head.toSeq == Seq(3000L, 0L, 2999L, 0, 2, 3000L))
+    // an undeclared table keeps the ordinary plan
+    ps.replace(s, "plain", Seq((1L, "a")).toDF("k", "v"))
+    assert(ps.read(s, "plain").count() == 1L)
+  }
+
   test("a z-ordered rewrite keeps declared blooms alive (OPTIMIZE must not lose sidecar families)") {
     val s = spark; import s.implicits._
     val store = freshStore()
