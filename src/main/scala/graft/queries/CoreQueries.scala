@@ -2284,6 +2284,42 @@ object CoreQueries {
       q
     }),
 
+    // ---- S9h: GROUPED metadata aggregates (VERDICT r12 missing #4) --
+    // The "rows per day" dashboard staple: GROUP BY <partition column>
+    // COUNT/MIN/MAX folds the same per-file sidecar cells PER PARTITION
+    // BUCKET — partition groups are disjoint by the hive layout, count
+    // is additive, min/max associative — so the answer still comes
+    // from ~files rows of driver metadata with ZERO data files opened
+    // (the in-body assert pins the LocalTableScan plan; the oracle
+    // pins exactness). Both surfaces fold it: SQL via the V2 complete
+    // aggregate pushdown (group column first in the scan schema, one
+    // row per partition), DataFrame via MetadataAggregateRule's
+    // grouped case (StatsSkipSpec pins that twin).
+    "s9_meta_agg_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val rootPath =
+        s"/root/repo/target/tmp/metaagg-grp-store/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val store = new graft.operators.TableStore(rootPath)
+      if (!store.exists(s, "doc_days")) {
+        store.declareStats(s, "doc_days", Seq("doc_id", "lang"))
+        store.replacePartitions(s, "doc_days",
+          Tables.documents(s, dir)
+            .select($"doc_id", $"lang",
+              pmod($"doc_id", lit(7L)).cast("int").as("day")), "day")
+      }
+      s.conf.set("spark.sql.catalog.graft_metag",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_metag.root", rootPath)
+      val q = s.sql(
+        """SELECT day, count(*) AS n, count(lang) AS nl,
+          |min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+          |min(lang) AS l_lo, max(lang) AS l_hi
+          |FROM graft_metag.doc_days GROUP BY day ORDER BY day""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "GROUP BY <partCol> count/min/max must plan as a metadata-local scan")
+      q
+    }),
+
     // ---- S9: bloom-sidecar point lookup -----------------------------
     // The complement of the zone map: events is clustered by ts, so a
     // point lookup on event_id (scattered across every file) gets
@@ -3073,6 +3109,13 @@ object CoreQueries {
         |min(n_chars) AS c_lo, max(n_chars) AS c_hi,
         |min(lang) AS l_lo, max(lang) AS l_hi
         |FROM documents""".stripMargin,
+
+    // the grouped fold must equal the scan's own GROUP BY
+    "s9_meta_agg_grouped" ->
+      """SELECT CAST(doc_id % 7 AS INT) AS day, count(*) AS n, count(lang) AS nl,
+        |min(doc_id) AS id_lo, max(doc_id) AS id_hi,
+        |min(lang) AS l_lo, max(lang) AS l_hi
+        |FROM documents GROUP BY 1 ORDER BY day""".stripMargin,
 
     "s10_orc_roundtrip" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
