@@ -205,7 +205,9 @@ object Erasure {
     * mark lands) — the erase-then-mark order makes the ledger's
     * "erased" status trustworthy: it is written only after the walk
     * returned. Returns the cascade's audit report (empty when nothing
-    * is pending). */
+    * is pending). The done ledger appends one partition per processed
+    * batch — schedule [[compactLedger]] to fold it (the queue is never
+    * folded; see compactLedger's doc for why). */
   def processPending(spark: SparkSession, store: TableStore,
       purgeHistory: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -242,6 +244,26 @@ object Erasure {
         Seq("doc_id", "request_batch"), "left")
       .select(col("doc_id"), col("request_batch"),
         when(col("_d").isNotNull, lit("erased")).otherwise(lit("pending")).as("status"))
+  }
+
+  /** LEDGER MAINTENANCE (VERDICT r12 next #8): at years of regulator
+    * traffic the done ledger accretes one `_ab` partition (one file)
+    * per processed batch, and `pendingPairs`/`auditLog`'s anti-join
+    * pays O(partitions) file opens. Fold `_er_done` periodically: its
+    * `_ab` ordinal is a PLAIN append ordinal — the request identity
+    * lives in the (doc_id, request_batch) DATA columns — so the
+    * content-identical `compactAppend` fold is safe, and the audit
+    * log is unchanged by construction (spec-pinned). `_er_queue` is
+    * NEVER folded: its `_ab` IS the request batch id — rewriting it
+    * would rewrite the evidence — so the queue keeps one partition
+    * per request batch (bounded by request traffic, the lawful
+    * retention shape). Schedule like any compaction: after ingest
+    * quiesces, CAS-protected like every maintenance verb. */
+  def compactLedger(spark: SparkSession, store: TableStore): Unit = {
+    if (!store.exists(spark, DoneTable)) return
+    store.appendMaxOrdinal(spark, DoneTable).foreach { floor =>
+      store.compactAppend(spark, DoneTable, floor, numFiles = Some(1))
+    }
   }
 
   /** Queue pairs ∖ done pairs, collected — bounded by erasure-request

@@ -982,14 +982,28 @@ object VectorQueries {
     }),
 
     // ---- A6 typed Aggregator centroid (the idiomatic fast path) -----
-    // No oracle: double accumulation is order-sensitive; pinned against
-    // x2_centroid_exact by VecCentroidSpec within 1e-9 instead.
+    // ORACLE-GATED via exact-integer quantization (VERDICT r12 next
+    // #6 — this was the one no_oracle leg with an exact twin already
+    // green): inputs quantize to 1e-6 ints BEFORE the aggregate, so
+    // the Aggregator's double accumulation sums exact integers
+    // (≤ ~1e10 « 2^53) — order-insensitive, bit-reproducible — and the
+    // mean it returns is one IEEE division of exact operands. The
+    // output re-multiplies by n and rounds back to the exact integer
+    // sum (relative error ~2^-52·1e10 « 0.5, so the round is exact),
+    // which DuckDB reproduces verbatim. The TYPED-AGGREGATOR path —
+    // buffer encoder, merge, finish — is exactly what the gate now
+    // exercises; the unquantized float path stays pinned by
+    // VecCentroidSpec against x2_centroid_exact within 1e-9.
     "x2_centroid_agg" -> ((s, dir) => {
-      Tables.embeddings(s, dir)
-        .groupBy(col("label"))
-        .agg(VecCentroid.udaf(col("embedding")).as("centroid"))
-        .select(col("label"), posexplode(col("centroid")).as(Seq("idx", "c")))
-        .select(col("label"), col("idx").cast("long").as("idx"), round(col("c"), 4).as("c"))
+      val q6 = Tables.embeddings(s, dir)
+        .select(col("label"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * lit(1000000d))).cast("array<float>").as("q6"))
+      q6.groupBy(col("label"))
+        .agg(VecCentroid.udaf(col("q6")).as("centroid"), count(lit(1)).as("n"))
+        .select(col("label"), col("n"), posexplode(col("centroid")).as(Seq("idx", "c")))
+        .select(col("label"), col("idx").cast("long").as("idx"),
+          round(col("c") * col("n")).cast("long").as("c_sum6"), col("n"))
         .orderBy("label", "idx")
     })
   )
@@ -1551,6 +1565,16 @@ object VectorQueries {
     "x2_centroid_exact" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS idx,
         |CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS c_sum,
+        |COUNT(*) AS n
+        |FROM embeddings, generate_series(1, 64) s(i)
+        |GROUP BY label, i ORDER BY label, idx""".stripMargin,
+
+    // the typed-Aggregator centroid, quantized to exact integers: the
+    // engine's round(mean·n) reconstructs the integer sum exactly, so
+    // both engines land on the same BIGINT (see the query's comment)
+    "x2_centroid_agg" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS idx,
+        |CAST(SUM(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)) AS BIGINT) AS c_sum6,
         |COUNT(*) AS n
         |FROM embeddings, generate_series(1, 64) s(i)
         |GROUP BY label, i ORDER BY label, idx""".stripMargin

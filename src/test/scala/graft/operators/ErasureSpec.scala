@@ -366,4 +366,34 @@ class ErasureSpec extends SparkSpec {
     // survivors intact
     assert(store.read(s, "corpus_fp").count() == docs.count() - 1)
   }
+
+  test("ledger compaction: folding the done ledger leaves the audit log identical; the queue is never folded") {
+    // VERDICT r12 next #8: at years of regulator traffic _er_done
+    // accretes one partition per processed batch; compactLedger folds
+    // it content-identically (its _ab is a plain append ordinal). The
+    // QUEUE's _ab IS the request-batch evidence and must never fold.
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    Erasure.enqueue(s, store, Seq(3L).toDF("doc_id"), "doc_id", batchId = Some(0L))
+    Erasure.processPending(s, store)
+    Erasure.enqueue(s, store, Seq(20L).toDF("doc_id"), "doc_id", batchId = Some(1L))
+    Erasure.processPending(s, store)
+    Erasure.enqueue(s, store, Seq(3L, 37L).toDF("doc_id"), "doc_id", batchId = Some(2L))
+    Erasure.processPending(s, store)
+    val before = Erasure.auditLog(s, store).collect().map(_.toSeq).sortBy(_.toString)
+    val queueBatches = store.read(s, "_er_queue").select("_ab").distinct().count()
+    Erasure.compactLedger(s, store)
+    assert(store.read(s, "_er_done").select("_ab").distinct().count() == 1L,
+      "the done ledger must fold to one batch partition")
+    assert(store.read(s, "_er_queue").select("_ab").distinct().count() == queueBatches,
+      "the request queue's batch partitions are the evidence — never folded")
+    val after = Erasure.auditLog(s, store).collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq == before.toSeq, "compaction must not change the audit log")
+    // the folded ledger still serves new requests end to end
+    Erasure.enqueue(s, store, Seq(20L).toDF("doc_id"), "doc_id", batchId = Some(3L))
+    assert(Erasure.auditLog(s, store).filter($"status" === "pending").count() == 1L)
+    Erasure.processPending(s, store)
+    assert(Erasure.auditLog(s, store).filter($"status" === "pending").count() == 0L)
+  }
+
 }
