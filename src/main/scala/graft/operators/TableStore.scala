@@ -1879,7 +1879,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * table) one version-dir listing; the state is immutable, so a
     * replanned slice sees identical units. */
   def bootstrapUnitsAt(spark: SparkSession, name: String,
-      stepsBack: Int): Either[Seq[String], Int] = {
+      stepsBack: Int): Either[Seq[String], Seq[String]] = {
     val f = fs(spark)
     val chain = versionChain(f, name)
     if (chain.isEmpty && pmanifestLines(f, name).isDefined) {
@@ -1892,8 +1892,26 @@ final class TableStore(val root: String, val retain: Int = 0) {
       require(stepsBack >= 0 && stepsBack < chain.length,
         s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
       Right(f.listStatus(new Path(s"$root/$name/${chain(stepsBack)}"))
-        .count(_.getPath.getName.endsWith(".parquet")))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.toIndexedSeq)
     }
+  }
+
+  /** File-group slice of the WHOLE-TABLE version `stepsBack` commits
+    * ago: reads ONLY the named data files of that immutable version
+    * dir, with the version's pending MOR deletes applied (the DV is
+    * keyed and a key's row lives in exactly one file, so the anti-join
+    * over a file subset is exact). The feed's whole-table
+    * chunked-bootstrap read path: each slice's scan I/O is bounded by
+    * its file group, not the snapshot. */
+  def readFilesAtVersion(spark: SparkSession, name: String, stepsBack: Int,
+      fileNames: Seq[String]): DataFrame = {
+    val f = fs(spark)
+    val chain = versionChain(f, name)
+    require(stepsBack >= 0 && stepsBack < chain.length,
+      s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
+    val ver = chain(stepsBack)
+    val base = spark.read.parquet(fileNames.map(fn => s"$root/$name/$ver/$fn"): _*)
+    applyDv(spark, f, name, ver, base)
   }
 
   /** Partition-group read of the state `stepsBack` commits ago: ONLY

@@ -269,13 +269,12 @@ private[streaming] object FeedOffset {
   *   fell many commits behind drains as bounded per-commit diffs
   *   instead of one giant catch-up diff. The BOOTSTRAP snapshot is
   *   chunked under the same cap (VERDICT r12 missing #3): partitioned
-  *   upstream → N partition dirs per batch; whole-table → the
-  *   snapshot's rows split into ⌈files/N⌉ deterministic key-hash
-  *   slices pinned at the bootstrap position — at 100 TB the first
-  *   trigger is a bounded slice through the sink, never a full-table
-  *   batch (whole-table slices bound SINK batch size; partitioned
-  *   slices bound scan I/O too, so the partitioned layout stays the
-  *   scale path). The engine anchors each capped plan at its own
+  *   upstream → N partition dirs per batch; whole-table → N data
+  *   files per batch (file-group slices of the immutable version dir,
+  *   DV state applied per group) — at 100 TB the first trigger is a
+  *   bounded slice through the sink, never a full-table batch, and a
+  *   slice's scan I/O is bounded by its own group in BOTH layouts.
+  *   The engine anchors each capped plan at its own
   *   offset log and `Trigger.AvailableNow` drains in multiple capped
   *   batches pinned at the run-start head ([[SupportsAdmissionControl]]
   *   + [[SupportsTriggerAvailableNow]]); a committed position that
@@ -310,7 +309,7 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
   private def sliceTotal(positionId: String, cap: Int): Int = {
     val units = store.bootstrapUnitsAt(spark, table, position(positionId)) match {
       case Left(parts) => parts.size
-      case Right(files) => files
+      case Right(files) => files.size
     }
     math.max(1, (units + cap - 1) / cap)
   }
@@ -372,10 +371,11 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
   /** One deterministic bootstrap slice (0-indexed `i` of `total`) of
     * the snapshot at `positionId`, as I rows. Partitioned: the state's
     * sorted partition dirs round-robined over the slices — each slice
-    * lists/scans ONLY its dirs. Whole-table: a key-hash residue class
-    * over the snapshot — position-pinned and exactly covering, though
-    * each slice scans the version's files (bounding sink pressure, not
-    * scan I/O — the documented trade; partitioned is the scale path). */
+    * lists/scans ONLY its dirs (DV state included). Whole-table: the
+    * version dir's sorted data files round-robined the same way, DV
+    * anti-join applied per group — either mode, a slice's scan I/O is
+    * bounded by its own group, and replay is byte-identical because
+    * the units are a pure function of the immutable pinned state. */
   private def bootstrapSlice(positionId: String, i: Int, total: Int): DataFrame = {
     val back = position(positionId)
     val slice = store.bootstrapUnitsAt(spark, table, back) match {
@@ -383,9 +383,10 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
         val mine = parts.zipWithIndex.collect { case (p, j) if j % total == i => p }
         if (mine.isEmpty) store.readVersionsBack(spark, table, back).filter(lit(false))
         else store.readPartitionsAtState(spark, table, back, mine.toSet)
-      case Right(_) =>
-        store.readVersionsBack(spark, table, back)
-          .filter(pmod(xxhash64(keys.map(col): _*), lit(total.toLong)) === i.toLong)
+      case Right(files) =>
+        val mine = files.zipWithIndex.collect { case (p, j) if j % total == i => p }
+        if (mine.isEmpty) store.readVersionsBack(spark, table, back).filter(lit(false))
+        else store.readFilesAtVersion(spark, table, back, mine)
     }
     slice.withColumn("op", lit("I"))
   }

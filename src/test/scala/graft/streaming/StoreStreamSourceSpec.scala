@@ -460,7 +460,7 @@ class StoreStreamSourceSpec extends SparkSpec {
     assert(batches.flatten.toSeq == Seq(("U", 2L, "b2")))
   }
 
-  test("chunked bootstrap, whole-table: key-hash slices cover the snapshot exactly under the cap") {
+  test("chunked bootstrap, whole-table: file-group slices cover the snapshot exactly under the cap") {
     val s = spark; import s.implicits._
     val root = tmp("feedbootw-")
     val ckpt = s"$root-ckpt"
@@ -486,7 +486,7 @@ class StoreStreamSourceSpec extends SparkSpec {
     assert(batches.size == 2, s"4 files at cap 2 → 2 bootstrap slices: ${batches.size}")
     assert(batches.flatten.sorted.toSeq ==
       (1L to 8L).map(i => ("I", i, s"v$i")).sorted.toSeq,
-      "hash slices must cover the snapshot exactly, no dup no gap")
+      "file-group slices must cover the snapshot exactly, no dup no gap")
   }
 
 }
