@@ -2320,6 +2320,38 @@ object CoreQueries {
       q
     }),
 
+    // ---- S9i: FILTERED grouped metadata aggregates ------------------
+    // The full dashboard staple — "rows per day, last week": a WHERE
+    // on the PARTITION column is uniform across each partition (every
+    // row of a leaf shares its value), so the scan CONSUMES it by
+    // dropping non-matching partitions exactly and the same per-bucket
+    // sidecar fold answers — still zero data files opened. Row-level
+    // filters (any other column) keep falling back to the scan.
+    "s9_meta_agg_filtered" -> ((s, dir) => {
+      import s.implicits._
+      // same fixture as s9_meta_agg_grouped (build-once)
+      val rootPath =
+        s"/root/repo/target/tmp/metaagg-grp-store/v1/${Tables.fileKey(s, dir, "documents.parquet")}"
+      val store = new graft.operators.TableStore(rootPath)
+      if (!store.exists(s, "doc_days")) {
+        store.declareStats(s, "doc_days", Seq("doc_id", "lang"))
+        store.replacePartitions(s, "doc_days",
+          Tables.documents(s, dir)
+            .select($"doc_id", $"lang",
+              pmod($"doc_id", lit(7L)).cast("int").as("day")), "day")
+      }
+      s.conf.set("spark.sql.catalog.graft_metag",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_metag.root", rootPath)
+      val q = s.sql(
+        """SELECT day, count(*) AS n, min(doc_id) AS id_lo, max(doc_id) AS id_hi
+          |FROM graft_metag.doc_days
+          |WHERE day >= 2 AND day <> 5 GROUP BY day ORDER BY day""".stripMargin)
+      assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "a partition-column WHERE + GROUP BY must still plan as a metadata-local scan")
+      q
+    }),
+
     // ---- S9: bloom-sidecar point lookup -----------------------------
     // The complement of the zone map: events is clustered by ts, so a
     // point lookup on event_id (scattered across every file) gets
@@ -3116,6 +3148,13 @@ object CoreQueries {
         |min(doc_id) AS id_lo, max(doc_id) AS id_hi,
         |min(lang) AS l_lo, max(lang) AS l_hi
         |FROM documents GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // ...and the consumed partition-column WHERE composes exactly
+    "s9_meta_agg_filtered" ->
+      """SELECT CAST(doc_id % 7 AS INT) AS day, count(*) AS n,
+        |min(doc_id) AS id_lo, max(doc_id) AS id_hi
+        |FROM documents WHERE CAST(doc_id % 7 AS INT) >= 2 AND CAST(doc_id % 7 AS INT) <> 5
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "s10_orc_roundtrip" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,

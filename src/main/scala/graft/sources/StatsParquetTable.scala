@@ -151,14 +151,63 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
 
   private var requested: StructType = tableSchema
   private var pushed: Seq[Expression] = Nil
+  // partition-only filters CONSUMED by leaf pruning (not re-applied
+  // post-scan): every row of a leaf shares its partition value, so a
+  // deterministic filter referencing ONLY the partition column is
+  // uniformly true or false across the leaf — dropping non-matching
+  // leaves applies it exactly. Consuming (instead of returning it as
+  // a residual) is what lets the V2 aggregate pushdown fire for
+  // `WHERE day >= x GROUP BY day` — Spark only pushes aggregates when
+  // no post-scan filter remains.
+  private var partPruned: Seq[Expression] = Nil
   private var aggAnswer: Option[(StructType,
     Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
+
+  /** (partition column name, per-leaf value) — None when any leaf has
+    * no parseable partition segment (then nothing is ever consumed). */
+  private lazy val leafValues: Option[(String, Seq[Any])] = {
+    val spark = SparkSession.active
+    val parsed = leaves.map(StatsShims.leafPartitionValue(spark, _, tableSchema))
+    if (parsed.exists(_.isEmpty)) None
+    else parsed.flatten.map(_._1).distinct match {
+      case Seq(name) => Some((name, parsed.flatten.map(_._2)))
+      case _ => None
+    }
+  }
+
+  /** True iff `f` is deterministic, references only the partition
+    * column, and evaluates cleanly against every leaf's value. */
+  private def consumable(f: Expression): Boolean = leafValues.exists {
+    case (name, vals) =>
+      f.deterministic &&
+        f.references.forall(_.name == name) && f.references.nonEmpty &&
+        vals.forall(v => scala.util.Try(evalOnValue(f, name, v)).isSuccess)
+  }
+
+  private def evalOnValue(f: Expression, name: String, value: Any): Any =
+    f.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.name == name =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(value, a.dataType)
+    }.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+
+  /** Leaves whose partition value satisfies every consumed filter. */
+  private def survivingLeaves: Seq[String] = leafValues match {
+    case Some((name, vals)) if partPruned.nonEmpty =>
+      leaves.zip(vals).collect {
+        case (leaf, v) if partPruned.forall(f =>
+          evalOnValue(f, name, v) == java.lang.Boolean.TRUE) => leaf
+      }
+    case _ => leaves
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    pushed = filters
-    filters
+    val (consumed, residual) = filters.partition(consumable)
+    partPruned = consumed
+    pushed = residual
+    residual
   }
   override def pushedFilters: Array[Predicate] = Array.empty
 
@@ -174,16 +223,21 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
     if (pushed.nonEmpty) None
     else {
+      // consumed partition filters compose: the fold runs over the
+      // SURVIVING leaves only — `WHERE day >= x GROUP BY day` answers
+      // from metadata too (an empty survivor set falls through to the
+      // scan path, whose empty LocalScan the engine aggregates)
+      val live = survivingLeaves
       val spark = SparkSession.active
       val fs = new org.apache.hadoop.fs.Path(leaves.head)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val covered = leaves.map { leaf =>
+      val covered = live.map { leaf =>
         val zm = new org.apache.hadoop.fs.Path(leaf, ".zonemap")
         if (!fs.exists(zm)) None else Some(StatsShims.load(spark, leaf, zm.toString))
       }
-      if (covered.exists(_.isEmpty)) None
+      if (covered.isEmpty || covered.exists(_.isEmpty)) None
       else {
-        val partVals = leaves.map(l =>
+        val partVals = live.map(l =>
           StatsShims.leafPartitionValue(spark, l, tableSchema)
             .map(Map(_)).getOrElse(Map.empty[String, Any]))
         StatsShims.metadataAggregate(agg, tableSchema, covered.flatten, partVals)
@@ -209,10 +263,19 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
         override def readSchema(): StructType = aggSchema
       }
     }
+    // consumed partition filters are NOT re-applied post-scan, so the
+    // leaf pruning here must be exact — it is: a leaf's rows all share
+    // its partition value (see partPruned's doc)
+    val live = survivingLeaves
+    if (live.isEmpty)
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array.empty
+        override def readSchema(): StructType = requested
+      }
     val fs = new org.apache.hadoop.fs.Path(leaves.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var listed = 0L
-    val kept = leaves.flatMap { leaf =>
+    val kept = live.flatMap { leaf =>
       val dir = new org.apache.hadoop.fs.Path(leaf)
       val files = fs.listStatus(dir).filter { s =>
         val n = s.getPath.getName
@@ -235,11 +298,15 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
     }
     SkipStats.record(label, listed, kept.size.toLong)
     val delegate =
-      if (kept.size.toLong == listed) base
+      // `base` spans ALL leaves — only reusable when no partition was
+      // consumed-filtered away AND no file was skipped
+      if (live.size == leaves.size && kept.size.toLong == listed) base
       else ParquetTable(base.name, spark, options,
-        // all-pruned: keep one leaf dir — the superset contract allows
-        // extra files, and a zero-path V2 parquet table cannot plan
-        if (kept.nonEmpty) kept else leaves.take(1),
+        // all-file-pruned: keep one LIVE leaf dir — the superset
+        // contract allows extra files (the engine re-applies residual
+        // row filters), but never a consumed-filtered partition's; a
+        // zero-path V2 parquet table cannot plan
+        if (kept.nonEmpty) kept else live.take(1),
         None, classOf[ParquetFileFormat])
     val sb = delegate.newScanBuilder(options).asInstanceOf[FileScanBuilder]
     sb.pushFilters(pushed)

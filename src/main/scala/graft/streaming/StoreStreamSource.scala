@@ -86,7 +86,14 @@ final class StoreTailProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source =
     new StoreTailSource(sqlContext.sparkSession,
       param(parameters, "root"), param(parameters, "table"),
-      parameters.get("maxBatchesPerTrigger").map(_.toInt))
+      parameters.get("maxBatchesPerTrigger").map(_.toInt),
+      startLatest = parameters.get("startingOrdinal") match {
+        case None | Some("earliest") => false
+        case Some("latest") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"graft-store-tail: startingOrdinal must be 'earliest' (default, " +
+            s"consume the full backlog) or 'latest' (start at the head), got '$other'")
+      })
 }
 
 /** A serialized long offset (batch ordinal for the tail). */
@@ -120,8 +127,17 @@ private[streaming] object StoreReadLimits {
   *   as multiple capped batches, then stops
   *   ([[SupportsTriggerAvailableNow]]). None = unbounded (consume to
   *   the head each trigger). */
+/** @param startLatest `startingOrdinal=latest`: the consumer anchors
+  *   at the head observed at its FIRST plan and streams only ordinals
+  *   appended after — replication/alerting consumers that must not
+  *   re-ship the backlog (the Delta `startingVersion=latest` analog).
+  *   The anchor batch (None → head] replays empty, so recovery is
+  *   consistent. (A source pins its schema from an existing table at
+  *   query start, so subscribe-before-creation is not a reachable
+  *   state.) Default: consume the full backlog. */
 private[streaming] final class StoreTailSource(spark: SparkSession, root: String,
-    table: String, maxBatchesPerTrigger: Option[Int] = None)
+    table: String, maxBatchesPerTrigger: Option[Int] = None,
+    startLatest: Boolean = false)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val store = new TableStore(root)
@@ -145,6 +161,11 @@ private[streaming] final class StoreTailSource(spark: SparkSession, root: String
     head match {
       case None => startOffset // table absent/empty: no progress
       case Some(h) if anchor.exists(_ >= h) => startOffset // caught up
+      case Some(h) if anchor.isEmpty && startLatest =>
+        // start-at-latest: pin the first offset AT the head — the
+        // (None → head] batch reads nothing (getBatch special-cases
+        // it), everything after streams normally
+        AbOffset(h)
       case Some(h) =>
         val target = StoreReadLimits.capOf(limit) match {
           case None => h
@@ -162,7 +183,9 @@ private[streaming] final class StoreTailSource(spark: SparkSession, root: String
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(_.json().trim.toInt)
     val hi = end.json().trim.toInt
-    val ordinals = store.appendOrdinalsIn(spark, table, lo, hi)
+    val ordinals =
+      if (startLatest && start.isEmpty) Seq.empty // the anchor batch is empty
+      else store.appendOrdinalsIn(spark, table, lo, hi)
     val batch =
       if (ordinals.isEmpty) store.read(spark, table).filter(lit(false))
       else store.prunedRead(spark, table, "_ab", ordinals)
@@ -238,7 +261,15 @@ final class StoreFeedProvider extends StreamSourceProvider with DataSourceRegist
     new StoreFeedSource(sqlContext.sparkSession, param(parameters, "root"),
       param(parameters, "table"),
       param(parameters, "keys").split(",").map(_.trim).toIndexedSeq,
-      parameters.get("maxCommitsPerTrigger").map(_.toInt))
+      parameters.get("maxCommitsPerTrigger").map(_.toInt),
+      startLatest = parameters.get("startingPosition") match {
+        case None | Some("snapshot") => false
+        case Some("latest") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"graft-store-feed: startingPosition must be 'snapshot' (default, " +
+            s"bootstrap the full table as inserts) or 'latest' (start at the " +
+            s"head, diffs only), got '$other'")
+      })
 }
 
 /** Feed offset: an exact chain position, immune to same-millisecond
@@ -281,9 +312,18 @@ private[streaming] object FeedOffset {
   *   fell off the retain window still fails loudly in getBatch.
   *   None = unbounded (one-batch snapshot, then diff to the head each
   *   trigger). */
+/** @param startLatest `startingPosition=latest`: skip the bootstrap
+  *   snapshot entirely — the consumer anchors at the head position
+  *   observed at its FIRST plan and streams only later commits' I/U/D
+  *   diffs (the Delta `startingVersion=latest` analog; the anchor
+  *   batch replays empty, so recovery is consistent; a source pins
+  *   its schema from an existing table at query start, so
+  *   subscribe-before-creation is not a reachable state). Default:
+  *   bootstrap the full table as inserts (chunked under the cap). */
 private[streaming] final class StoreFeedSource(spark: SparkSession, root: String,
     table: String, keys: Seq[String],
-    maxCommitsPerTrigger: Option[Int] = None)
+    maxCommitsPerTrigger: Option[Int] = None,
+    startLatest: Boolean = false)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val store = new TableStore(root)
@@ -330,6 +370,11 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
     // run falls back to the live head (progress over a stalled drain)
     val head = availableNowEnd.flatten.filter(ids.contains).getOrElse(ids.head)
     Option(startOffset).map(o => FeedOffset.parse(o.json())) match {
+      case None if startLatest =>
+        // start-at-latest: anchor AT the head, no snapshot — the
+        // (None → head] batch reads nothing (getBatch special-cases
+        // it), later commits diff normally
+        VersionOffset(head)
       case None =>
         // bootstrap starts at the head observed NOW (pinned under
         // AvailableNow); commits landing mid-bootstrap stream as
@@ -394,6 +439,9 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val (endId, endBoot) = FeedOffset.parse(end.json())
     val batch = start.map(s => FeedOffset.parse(s.json())) match {
+      case None if startLatest =>
+        // the start-at-latest anchor batch: nothing to serve
+        store.read(spark, table).filter(lit(false)).withColumn("op", lit(null).cast("string"))
       case None =>
         endBoot match {
           case None =>

@@ -680,14 +680,40 @@ object MetadataAggregateRule
   import org.apache.spark.sql.catalyst.expressions.{Alias, GenericInternalRow}
   import org.apache.spark.sql.types.LongType
 
+  /** The stats-backed relation under attribute-only Projects and
+    * PARTITION-ONLY Filters: returns (covered sets, partition values,
+    * collected filter conjuncts). Any other node — or a Filter
+    * touching a data column — aborts the fold (None): a consumed
+    * filter that could not be applied exactly would change answers. */
   private def statsIndex(plan: LogicalPlan): Option[
-      (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]])] = plan match {
+      (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]],
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = plan match {
     case LogicalRelation(HadoopFsRelation(idx: ZoneMapFileIndex, _, _, _, _, _), _, _, _, _) =>
-      Some(idx.statsGroups)
+      val (c, v) = idx.statsGroups
+      Some((c, v, Nil))
     case LogicalRelation(HadoopFsRelation(idx: PartitionedZoneMapFileIndex, _, _, _, _, _), _, _, _, _) =>
-      idx.statsGroups
+      idx.statsGroups.map { case (c, v) => (c, v, Nil) }
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       statsIndex(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      statsIndex(child).flatMap { case (c, v, fs) =>
+        // every conjunct must be deterministic and reference ONLY
+        // columns whose per-group partition value is known (so it is
+        // uniform across each covered set and prunes groups exactly)
+        def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression):
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            splitAnd(l) ++ splitAnd(r)
+          case x => Seq(x)
+        }
+        val conjuncts = splitAnd(cond)
+        val ok = conjuncts.forall { f =>
+          f.deterministic && f.references.nonEmpty &&
+            f.references.forall(a => v.size == c.size &&
+              v.forall(_.contains(a.name)))
+        }
+        if (ok) Some((c, v, fs ++ conjuncts)) else None
+      }
     case _ => None
   }
 
@@ -703,10 +729,33 @@ object MetadataAggregateRule
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val exprs = agg.aggregateExpressions
-    statsIndex(agg.child).flatMap { case (covered, partVals) =>
-      // coverage: every listed file in its sidecar, else undercount
-      val coveredOk = covered.nonEmpty && covered.forall { case (files, p) =>
-        val k = p.known; files.forall(f => k(f.getPath.getName)) }
+    statsIndex(agg.child).flatMap { case (coveredAll, partValsAll, partFilters) =>
+      // consume collected partition-only filters: a group's rows all
+      // share its partition values, so evaluating the conjunct on the
+      // value keeps/drops the whole group exactly (null → drop, the
+      // SQL filter semantics; IS NULL evaluates true on a null value)
+      def passes(m: Map[String, Any]): Boolean = partFilters.forall { f =>
+        val bound = f.transform {
+          case a: AttributeReference =>
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(m(a.name), a.dataType)
+        }
+        scala.util.Try(bound.eval(
+          org.apache.spark.sql.catalyst.InternalRow.empty)).toOption
+          .contains(java.lang.Boolean.TRUE)
+      }
+      val keep = coveredAll.indices.filter(i =>
+        partFilters.isEmpty || (partValsAll.size == coveredAll.size &&
+          passes(partValsAll(i))))
+      val covered = keep.map(coveredAll(_))
+      val partVals = keep.map(partValsAll(_))
+      // coverage: every listed file in its sidecar, else undercount.
+      // An empty post-filter survivor set still folds: ungrouped →
+      // count 0 / null min-max (the aggregate over zero rows), grouped
+      // → zero rows.
+      val coveredOk = (coveredAll.nonEmpty || partFilters.isEmpty) &&
+        covered.forall { case (files, p) =>
+          val k = p.known; files.forall(f => k(f.getPath.getName)) }
       val groupAttr = agg.groupingExpressions.headOption
         .map(_.asInstanceOf[AttributeReference])
       // a grouped fold needs every covered set's non-null value for
@@ -715,7 +764,7 @@ object MetadataAggregateRule
       val groupOk = groupAttr.forall(g =>
         partVals.size == covered.size &&
           partVals.forall(m => m.get(g.name).exists(_ != null)))
-      if (!coveredOk || !groupOk) None
+      if (!coveredOk || !groupOk || (covered.isEmpty && partFilters.isEmpty)) None
       else {
         val buckets: Seq[(Option[Any], Seq[Int])] = groupAttr match {
           case None => Seq((None, covered.indices))

@@ -107,10 +107,13 @@ class StatsSkipSpec extends SparkSpec {
     store.replacePartitions(s, "pt", df, "p_day")
     val raw = s.read.option("basePath", store.livePath("pt"))
       .parquet(store.partitionedLeafPaths(s, "pt").get: _*)
-    // partition filter alone: only p_day=1 files listed
+    // partition filter + a data-column touch: only p_day=1 files
+    // listed (the v reference keeps this a real SCAN — a pure
+    // partition-filter count() now folds to metadata entirely, see
+    // the filtered-grouped-aggregates test)
     SkipStats.reset()
-    val got1 = store.read(s, "pt").filter($"p_day" === 1).count()
-    assert(got1 == raw.filter($"p_day" === 1).count())
+    val got1 = store.read(s, "pt").filter($"p_day" === 1 && $"v" >= 0L).count()
+    assert(got1 == raw.filter($"p_day" === 1 && $"v" >= 0L).count())
     val (l1, k1) = SkipStats.snapshot()("pt")
     assert(k1 < l1, s"hive partition pruning must drop other partitions' files: $k1/$l1")
     // data filter alone: every partition consulted, files skipped within
@@ -514,6 +517,73 @@ class StatsSkipSpec extends SparkSpec {
       store.declareBlooms(s, "t", Seq("ghost@1024"))
     }
     assert(e2.getMessage.contains("ghost"), e2.getMessage)
+  }
+
+
+  test("filtered grouped metadata aggregates: a partition-only WHERE is consumed exactly, still zero files") {
+    // the full dashboard staple "rows per day, last week": a filter
+    // referencing ONLY the partition column is uniform across each
+    // partition, so the fold drops non-matching groups exactly —
+    // grouped or not — while any row-level filter falls back to a scan
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "t", Seq("k"))
+    val df = s.range(0, 900).select($"id".as("k"), ($"id" % 3).cast("int").as("p"))
+    store.replacePartitions(s, "t", df, "p")
+    val q = store.read(s, "t").filter($"p" >= 1).groupBy($"p")
+      .agg(count(lit(1)).as("n"), max($"k").as("hi"))
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "partition-only WHERE + GROUP BY partCol must fold to metadata:\n" +
+        q.queryExecution.executedPlan.toString)
+    val got = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = df.filter($"p" >= 1).groupBy($"p")
+      .agg(count(lit(1)).as("n"), max($"k").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want, s"filtered grouped fold diverged: $got vs $want")
+    // ungrouped, filter survives nothing: the aggregate-over-zero-rows
+    // answer (count 0, null max), still metadata-local
+    val zq = store.read(s, "t").filter($"p" > 99)
+      .agg(count(lit(1)).as("n"), max($"k").as("hi"))
+    assert(zq.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val z = zq.collect()(0)
+    assert(z.getLong(0) == 0L && z.isNullAt(1), s"empty-survivor fold wrong: $z")
+    // a ROW-level filter must not fold — it scans, and stays exact
+    val r = store.read(s, "t").filter($"k" < 100L).groupBy($"p").agg(count(lit(1)).as("n"))
+    assert(!r.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "a data-column filter must fall back to the scan")
+    assert(r.collect().map(x => (x.getInt(0), x.getLong(1))).sorted.toSeq ==
+      df.filter($"k" < 100L).groupBy($"p").agg(count(lit(1)).as("n"))
+        .collect().map(x => (x.getInt(0), x.getLong(1))).sorted.toSeq)
+  }
+
+
+  test("dynamic partition pruning composes with the stats-backed partitioned read") {
+    // the 100 TB join staple: a partitioned fact joined to a filtered
+    // small dim must scan only the fact partitions the dim's filter
+    // selects — Spark's DPP inserts the runtime filter and
+    // FileSourceScanExec evaluates it over OUR index's partition
+    // values (PartitionDirectory rows carry them), so the store's
+    // stats-backed partitioned read participates with no extra code.
+    // Pinned here so a future index change cannot silently lose it.
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "fact", Seq("k"))
+    val fact = s.range(0, 9000).select($"id".as("k"), ($"id" % 30).cast("int").as("day"))
+    store.replacePartitions(s, "fact", fact, "day")
+    // the dim must be a real scan (a local Seq folds its filter into
+    // the LocalRelation and DPP sees no selective predicate left)
+    val dimPath = Files.createTempDirectory(Paths.get("target"), "dppdim-").toString
+    (0 until 30).map(d => (d, if (d < 3) "keep" else "drop")).toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val q = store.read(s, "fact")
+      .join(broadcast(s.read.parquet(dimPath)).filter($"tag" === "keep"), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    val n = q.collect()(0).getLong(0)
+    assert(n == 3L * 300L, s"DPP join answer wrong: $n")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      "the fact scan must carry a dynamic partition pruning filter:\n" +
+        planStr.take(3000))
   }
 
 }

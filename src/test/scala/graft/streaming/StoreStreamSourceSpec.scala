@@ -489,4 +489,72 @@ class StoreStreamSourceSpec extends SparkSpec {
       "file-group slices must cover the snapshot exactly, no dup no gap")
   }
 
+
+  test("start-at-latest: tail and feed consumers skip the backlog and stream only post-subscription changes") {
+    val s = spark; import s.implicits._
+    // TAIL: three backlog batches are never shipped; new appends are
+    val troot = tmp("taillatest-")
+    val tstore = new TableStore(troot)
+    (0 until 3).foreach(i => tstore.append(s, "feed",
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), batchId = Some(i.toLong)))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def runTail(): Unit = {
+      val q = s.readStream.format("graft.streaming.StoreTailProvider")
+        .option("root", troot).option("table", "feed")
+        .option("startingOrdinal", "latest").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => seen ++= b.collect().map(_.getLong(0)); () }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$troot-ckpt")
+        .start()
+      q.awaitTermination()
+    }
+    runTail()
+    assert(seen.isEmpty, s"startingOrdinal=latest must skip the backlog: $seen")
+    tstore.append(s, "feed", Seq((7L, "new")).toDF("k", "v"), batchId = Some(3L))
+    runTail()
+    assert(seen.toSeq == Seq(7L),
+      s"post-subscription appends must stream on the same checkpoint: $seen")
+
+    // FEED: no bootstrap snapshot; later commits diff normally
+    val froot = tmp("feedlatest-")
+    val fstore = new TableStore(froot, retain = 3)
+    fstore.replace(s, "dim", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    def runFeed(): Unit = {
+      val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", froot).option("table", "dim").option("keys", "id")
+        .option("startingPosition", "latest").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$froot-ckpt")
+        .start()
+      q.awaitTermination()
+    }
+    runFeed()
+    assert(got.isEmpty, s"startingPosition=latest must skip the snapshot: $got")
+    fstore.replace(s, "dim", Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    runFeed()
+    assert(got.sorted.toSeq == Seq(("I", 3L, "c"), ("U", 1L, "a2")),
+      s"post-subscription commits must diff normally: $got")
+    // a bad value refuses loudly (createSource runs at start())
+    val e = intercept[Exception] {
+      val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", froot).option("table", "dim").option("keys", "id")
+        .option("startingPosition", "bogus").load()
+        .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$froot-ckpt-bad")
+        .start()
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("startingPosition"), msgs)
+  }
+
 }
