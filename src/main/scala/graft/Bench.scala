@@ -106,6 +106,16 @@ object Bench {
     // the documented one-stage variance band both rounds, no code in
     // their path changed in either; recorded as noise per the
     // a17_clustering_coeff discipline.
+    // r13 x4_audio_features watch (VERDICT r12 wrong #2): PAIRED A/B,
+    // same box, back to back — r12 commit (801f25f): audio 1.368,
+    // media 1.975; r13 HEAD: audio 1.423, media 1.640. The 2.24 s mode
+    // BENCH_r12 recorded did NOT reproduce under pairing on either
+    // commit — bimodality is the box (JDK codec path CPU contention),
+    // not a plan or batching defect; watch closed. Builder-side full
+    // r13 bench note: that run deliberately overlapped isolated
+    // spec runs on the same box (validation pipelining), median
+    // inflation 1.086 uniform across untouched families — measurement
+    // contention, not code; the driver's own BENCH_r13 runs clean.
     graft.operators.StoreStats.reset()
     val pass1 = queries.map { case (name, fn) => name -> run(name, fn) }
     val (h1, m1) = graft.operators.StoreStats.snapshot()

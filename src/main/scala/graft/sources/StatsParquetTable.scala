@@ -275,7 +275,7 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
     val fs = new org.apache.hadoop.fs.Path(leaves.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var listed = 0L
-    val kept = live.flatMap { leaf =>
+    val keptByLeaf: Map[String, Seq[String]] = live.map { leaf =>
       val dir = new org.apache.hadoop.fs.Path(leaf)
       val files = fs.listStatus(dir).filter { s =>
         val n = s.getPath.getName
@@ -289,14 +289,29 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
           val (_, pruner) = StatsShims.load(spark, leaf, zm.toString)
           pruner.survivors(pushed) match {
             case None => files
-            case Some(live) =>
+            case Some(alive) =>
               val known = pruner.known
-              files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+              files.filter(f => !known(f.getPath.getName) || alive(f.getPath.getName))
           }
         }
-      surviving.map(_.getPath.toString)
-    }
+      leaf -> surviving.map(_.getPath.toString).toSeq
+    }.toMap
+    val kept = live.flatMap(keptByLeaf(_))
     SkipStats.record(label, listed, kept.size.toLong)
+    // RUNTIME partition pruning (SQL-path DPP): upstream V2 file scans
+    // do not implement SupportsRuntimeV2Filtering, so a partitioned
+    // fact joined to a filtered dim re-scans every partition on the
+    // SQL surface even though the V1 DataFrame path prunes. When every
+    // live leaf's partition value is known, wrap the delegate in a
+    // scan that accepts Spark's runtime IN-filter over the partition
+    // column and re-plans input partitions from the surviving leaves.
+    val leafData = live.map { leaf =>
+      val value = StatsShims.leafPartitionValue(spark, leaf, tableSchema)
+      (leaf, value, keptByLeaf.getOrElse(leaf, Nil))
+    }
+    if (leafData.nonEmpty && leafData.forall(_._2.isDefined))
+      return new RuntimePrunedLeafScan(spark, base.name, options, requested,
+        pushed, leafData.map { case (l, v, fs) => (l, v.get, fs) }, label)
     val delegate =
       // `base` spans ALL leaves — only reusable when no partition was
       // consumed-filtered away AND no file was skipped
@@ -313,4 +328,114 @@ class StatsPartitionedScanBuilder(base: ParquetTable,
     sb.pruneColumns(requested)
     sb.build()
   }
+}
+
+/** SQL-path dynamic partition pruning for the store's partitioned
+  * stats tables: Spark's [[org.apache.spark.sql.execution.dynamicpruning.PartitionPruning]]
+  * inserts a runtime filter only when the scan implements
+  * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  * — which upstream V2 FILE scans do not — so this wrapper carries the
+  * delegate parquet scan and, when the engine hands over the dim
+  * side's materialized join keys (`IN`/`=` over the partition column),
+  * drops non-matching leaves and re-plans input partitions from the
+  * survivors. The runtime filter is an optimization only (the join
+  * re-filters rows), so an unparseable predicate conservatively keeps
+  * every leaf. At 100 TB this is the fact-×-filtered-dim staple: the
+  * SQL surface now scans only the partitions the dim selects, exactly
+  * like the DataFrame path. */
+private[sources] final class RuntimePrunedLeafScan(
+    spark: SparkSession,
+    name: String,
+    options: CaseInsensitiveStringMap,
+    requested: StructType,
+    pushed: Seq[Expression],
+    leafData: Seq[(String, (String, Any), Seq[String])], // (leafDir, partCol -> value, kept files)
+    label: String)
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+  private val partCol: String = leafData.head._2._1
+
+  private def buildDelegate(files: Seq[String]): Scan = {
+    // a zero-path V2 parquet table cannot plan: callers guard emptiness
+    val t = ParquetTable(name, spark, options, files, None, classOf[ParquetFileFormat])
+    val sb = t.newScanBuilder(options).asInstanceOf[FileScanBuilder]
+    sb.pushFilters(pushed)
+    sb.pruneColumns(requested)
+    sb.build()
+  }
+
+  // the pre-runtime-filter delegate: schema + reader factory are
+  // partition-set-independent (both depend only on schema/pushdown),
+  // so they come from here even after a runtime prune
+  private val initial: Scan = buildDelegate(
+    if (leafData.exists(_._3.nonEmpty)) leafData.flatMap(_._3)
+    else leafData.take(1).map(_._1))
+  @volatile private var live: Seq[(String, (String, Any), Seq[String])] = leafData
+
+  override def readSchema(): StructType = initial.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRuntimePrunedScan($label, ${leafData.size} partitions)"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partCol))
+
+  /** `IN (v1, …)` / `= v` over the partition column → the kept value
+    * set; anything else None (keep all — conservative is exact here). */
+  private def keepSet(p: Predicate): Option[Set[Any]] = {
+    def colAndLits(children: Array[org.apache.spark.sql.connector.expressions.Expression]):
+        Option[Set[Any]] =
+      children.headOption match {
+        case Some(f: NamedReference)
+            if f.fieldNames.length == 1 && f.fieldNames.head == partCol &&
+              children.tail.nonEmpty && children.tail.forall(
+                _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]) =>
+          Some(children.tail.map(
+            _.asInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]
+              .value: Any).toSet)
+        case _ => None
+      }
+    p.name() match {
+      case "IN" | "=" => colAndLits(p.children())
+      case _ => None
+    }
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      keepSet(p).foreach { keep =>
+        live = live.filter { case (_, (_, v), _) => v != null && keep.contains(v) }
+      }
+    }
+    SkipStats.record(s"$label:runtime",
+      leafData.size.toLong, live.size.toLong)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = live.flatMap(_._3)
+    if (files.isEmpty) Array.empty
+    else if (live.size == leafData.size) initial.toBatch.planInputPartitions()
+    else buildDelegate(files).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    initial.toBatch.createReaderFactory()
+
+  // join strategies need the fact's size: delegate to the parquet
+  // scan's own file-length statistics (losing them would default the
+  // relation to `defaultSizeInBytes` and could demote a broadcast)
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    initial match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 }

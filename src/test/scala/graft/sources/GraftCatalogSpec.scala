@@ -314,4 +314,31 @@ class GraftCatalogSpec extends SparkSpec {
     store.replace(s, "tnone", Seq((1L, "a")).toDF("k", "v"))
     assert(s.sql("DESCRIBE STATS graft.tnone").collect().isEmpty)
   }
+
+  test("SQL-path DPP: a partitioned stats table joined to a filtered dim prunes fact partitions at runtime") {
+    // the V2 twin of StatsSkipSpec's DPP pin: our scan builder returns
+    // the delegate FileScan, which implements SupportsRuntimeV2Filtering,
+    // so Spark's dynamic partition pruning re-filters the fact's
+    // partitions by the dim's broadcast result — with no extra code in
+    // the wrapper. Pinned so a wrapper change cannot silently lose it.
+    val s = spark; import s.implicits._
+    val store = new TableStore(root)
+    store.declareStats(s, "dppfact", Seq("k"))
+    store.replacePartitions(s, "dppfact",
+      s.range(0, 3000).select($"id".as("k"), ($"id" % 10).cast("int").as("day")),
+      "day")
+    val dimPath = Files.createTempDirectory(Paths.get("target"), "sqldppdim-").toString
+    (0 until 10).map(d => (d, if (d < 2) "keep" else "drop")).toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    s.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+    val q = s.sql(
+      """SELECT count(*) AS n FROM graft.dppfact f
+        |JOIN dpp_dim d ON f.day = d.day WHERE d.tag = 'keep'""".stripMargin)
+    assert(q.head.getLong(0) == 2L * 300L, "DPP join answer wrong")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      "the V2 fact scan must carry a dynamic partition pruning filter:\n" +
+        planStr.take(3000))
+  }
+
 }
