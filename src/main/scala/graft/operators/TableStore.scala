@@ -554,6 +554,60 @@ final class TableStore(val root: String, val retain: Int = 0) {
   def clearBlooms(spark: SparkSession, name: String): Unit =
     fs(spark).delete(new Path(livePath(name), "_bloomcols"), false)
 
+  /** DECLARE COMMIT-TIME CLUSTERING — the self-maintaining half of the
+    * statistics story (`declareStats` CAPTURES per-file ranges; this
+    * keeps them TIGHT): every later whole-table commit range-partitions
+    * the rewrite by `cols` and sorts within partitions, and every
+    * partitioned commit does the same WITHIN each hive partition
+    * (range keys = partCol then cols), so per-file [min, max] stay
+    * disjoint across ordinary upserts/deletes/folds and the declared
+    * stats keep pruning — no routing writes through `replaceZoneMapped`
+    * and no scheduled OPTIMIZE ZORDER needed to restore erosion. This
+    * is the liquid-clustering-shaped declaration: cluster once, stay
+    * clustered. COST: one range shuffle per commit (the price
+    * replaceZoneMapped pays explicitly, now implicit — declare only on
+    * tables whose reads earn it); declared clustering supersedes a
+    * caller's `numFiles` coalesce, since the range shuffle decides
+    * write parallelism — pass `targetFiles` to pin the file count.
+    * Takes effect from the NEXT commit, like the other declarations. */
+  def declareClustering(spark: SparkSession, name: String, cols: Seq[String],
+      targetFiles: Int = 0): Unit = {
+    require(cols.nonEmpty, "declareClustering: no columns")
+    validateDeclaredCols(spark, name, cols, "declareClustering")
+    writeColsProp(spark, name, "_clustercols",
+      cols ++ (if (targetFiles > 0) Seq(s"@$targetFiles") else Nil))
+  }
+
+  /** The declared clustering columns (empty = none declared). */
+  def declaredClustering(spark: SparkSession, name: String): Seq[String] =
+    readColsProp(spark, name, "_clustercols").filterNot(_.startsWith("@"))
+
+  private def declaredClusterFiles(spark: SparkSession, name: String): Option[Int] =
+    readColsProp(spark, name, "_clustercols").find(_.startsWith("@"))
+      .flatMap(_.stripPrefix("@").toIntOption).filter(_ > 0)
+
+  def clearClustering(spark: SparkSession, name: String): Unit =
+    fs(spark).delete(new Path(livePath(name), "_clustercols"), false)
+
+  /** Apply a table's declared clustering to a staged rewrite — no-op
+    * without a declaration or when the frame lacks the declared
+    * columns (a widen sweep mid-flight must not crash on a column the
+    * declaration predates). */
+  private def applyClustering(spark: SparkSession, name: String,
+      df: DataFrame, partCol: Option[String]): DataFrame = {
+    val cols0 = declaredClustering(spark, name).filter(df.columns.contains)
+    val cols = partCol.fold(cols0)(pc => cols0.filterNot(_ == pc))
+    if (cols.isEmpty) df
+    else {
+      val keys = (partCol.toSeq ++ cols).map(col)
+      val ranged = declaredClusterFiles(spark, name) match {
+        case Some(k) => df.repartitionByRange(k, keys: _*)
+        case None => df.repartitionByRange(keys: _*)
+      }
+      ranged.sortWithinPartitions(keys: _*)
+    }
+  }
+
   /** Table-property write shared by the stats/bloom declarations:
     * a one-line CSV file in the table dir, atomically replaced. */
   private def writeColsProp(spark: SparkSession, name: String,
@@ -2017,8 +2071,12 @@ final class TableStore(val root: String, val retain: Int = 0) {
     // 100 TB the store's footprint (and every scan's I/O) halves for
     // a write-time-only cost. Same codec on every store write path so
     // the byte-identical untouched-partition guarantee is unaffected.
+    // declared clustering, partitioned: range keys = partCol then the
+    // declared columns, so each hive partition's files carry disjoint
+    // declared-column ranges
+    val effDf = applyClustering(spark, name, df, Some(partCol))
     try {
-      df.write.mode("overwrite").option("compression", "zstd")
+      effDf.write.mode("overwrite").option("compression", "zstd")
         .partitionBy(partCol).parquet(tmp.toString)
       // declared commit-time stats, partitioned mode: ONE stats pass
       // over the staged batch writes each touched partition's
@@ -3043,8 +3101,11 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val dir = new Path(livePath(name))
     val ver = s"v-${UUID.randomUUID().toString.take(8)}"
     val tmp = new Path(s"$root/.tmp-$name-$ver")
+    // declared clustering: the rewrite range-clusters before it writes,
+    // so the declared stats stay tight across ordinary commits
+    val effDf = applyClustering(spark, name, df, partCol = None)
     try {
-      df.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+      effDf.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
       // version-dir enrichment (zone maps, future stats) runs against
       // the staged temp dir: its artifacts ride the SAME dir rename
       // and manifest swap as the data, so they are atomic with it

@@ -2208,6 +2208,46 @@ object CoreQueries {
       s.createDataFrame(rows.toSeq.asJava, out.schema)
     }),
 
+    // ---- S9: DECLARED commit-time CLUSTERING -----------------------
+    // The self-maintaining half of the stats story: s9_stats_skip had
+    // to pre-cluster its write BY HAND (repartitionByRange at the call
+    // site) for the declared ranges to cut anything; declareClustering
+    // moves that into the COMMIT — two ordinary upserts, interleaved
+    // key ranges, no manual layout anywhere — and the range probe
+    // still skips files, because every commit re-clustered itself.
+    // At 100 TB this is the difference between "skipping works until
+    // the first plain upsert erodes it" and "skipping is a property
+    // of the table" (the liquid-clustering-shaped declaration).
+    "s9_clustered_upserts" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.operators.TableStore(
+        s"/root/repo/target/tmp/cluster-store/v1/${Tables.fileKey(s, dir, "orders.parquet")}")
+      if (!store.exists(s, "ords")) {
+        store.declareStats(s, "ords", Seq("o_orderkey"))
+        store.declareClustering(s, "ords", Seq("o_orderkey"), targetFiles = 8)
+        val o = Tables.orders(s, dir).select(
+          $"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_orderstatus", $"o_totalprice")
+        // two PLAIN upserts with fully interleaved key ranges — the
+        // declaration alone keeps per-file ranges disjoint
+        store.upsert(s, "ords", o.filter($"o_orderkey" % 2 === 0), Seq("o_orderkey"))
+        store.upsert(s, "ords", o.filter($"o_orderkey" % 2 === 1), Seq("o_orderkey"))
+      }
+      graft.operators.SkipStats.reset()
+      val out = store.read(s, "ords")
+        .filter($"o_orderkey" >= 1000L && $"o_orderkey" < 4000L)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+      val rows = out.collect() // force the scan so the tally lands
+      val (listed, kept) = graft.operators.SkipStats.snapshot().collect {
+        case (l, c) if l.startsWith("ords/") => c }
+        .reduceOption((a, b) => (a._1 + b._1, a._2 + b._2)).getOrElse((0L, 0L))
+      assert(listed > 0L && kept < listed,
+        s"declared clustering must keep plain upserts skippable: $kept/$listed")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, out.schema)
+    }),
+
     // ---- S9: DECLARED bloom sidecar + AUTOMATIC point-lookup skipping
     // The declared counterpart of s9_bloom_scan (which opts in at the
     // query site): declareBlooms once, every commit builds per-file
@@ -3126,6 +3166,11 @@ object CoreQueries {
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS revenue
          |FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 4000
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s9_clustered_upserts" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the bloom-pruned point lookup must be exact: no false negatives,
     // the row filter on the surviving superset is the answer

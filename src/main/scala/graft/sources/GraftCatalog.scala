@@ -241,15 +241,22 @@ class GraftCatalog extends TableCatalog {
         p.property() match {
           case "stats.cols" => store.declareStats(spark, t, cols)
           case "bloom.cols" => store.declareBlooms(spark, t, cols)
+          case "cluster.cols" =>
+            // 'a,b' or 'a,b,@N' (N pins the per-commit file count)
+            store.declareClustering(spark, t, cols.filterNot(_.startsWith("@")),
+              cols.find(_.startsWith("@"))
+                .flatMap(_.stripPrefix("@").toIntOption).getOrElse(0))
           case other => throw new UnsupportedOperationException(
             s"graft table property '$other' is not recognized; supported: " +
               "stats.cols (commit-time min/max file skipping), bloom.cols " +
-              "(commit-time point-lookup blooms)")
+              "(commit-time point-lookup blooms), cluster.cols (commit-time " +
+              "range clustering that keeps the declared stats tight)")
         }
       }
       unsets.foreach(_.property() match {
         case "stats.cols" => store.clearStats(spark, t)
         case "bloom.cols" => store.clearBlooms(spark, t)
+        case "cluster.cols" => store.clearClustering(spark, t)
         case other => throw new UnsupportedOperationException(
           s"graft table property '$other' is not recognized")
       })

@@ -269,6 +269,13 @@ final class StoreFeedProvider extends StreamSourceProvider with DataSourceRegist
           s"graft-store-feed: startingPosition must be 'snapshot' (default, " +
             s"bootstrap the full table as inserts) or 'latest' (start at the " +
             s"head, diffs only), got '$other'")
+      },
+      startingTsMs = parameters.get("startingTimestamp").map { v =>
+        require(!parameters.get("startingPosition").contains("latest"),
+          "graft-store-feed: startingPosition=latest and startingTimestamp " +
+            "are mutually exclusive")
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"graft-store-feed: startingTimestamp must be epoch milliseconds, got '$v'"))
       })
 }
 
@@ -320,11 +327,23 @@ private[streaming] object FeedOffset {
   *   its schema from an existing table at query start, so
   *   subscribe-before-creation is not a reachable state). Default:
   *   bootstrap the full table as inserts (chunked under the cap). */
+/** @param startingTsMs `startingTimestamp` (epoch ms): anchor at the
+  *   position that was CURRENT at that wall-clock instant and stream
+  *   only LATER commits' diffs — no snapshot (the Delta
+  *   `startingTimestamp` analog, resolved through the manifest-stamped
+  *   commit times exactly like TIMESTAMP AS OF). A timestamp before
+  *   the retained window errors loudly at first plan, never a silent
+  *   partial feed. */
 private[streaming] final class StoreFeedSource(spark: SparkSession, root: String,
     table: String, keys: Seq[String],
     maxCommitsPerTrigger: Option[Int] = None,
-    startLatest: Boolean = false)
+    startLatest: Boolean = false,
+    startingTsMs: Option[Long] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** Anchor-only start: the first offset pins a position and its
+    * (None → pos] batch is EMPTY — snapshot-skipping starts. */
+  private def skipSnapshot: Boolean = startLatest || startingTsMs.isDefined
 
   private val store = new TableStore(root)
 
@@ -370,6 +389,11 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
     // run falls back to the live head (progress over a stalled drain)
     val head = availableNowEnd.flatten.filter(ids.contains).getOrElse(ids.head)
     Option(startOffset).map(o => FeedOffset.parse(o.json())) match {
+      case None if startingTsMs.isDefined =>
+        // start-at-timestamp: anchor at the position current AT the
+        // instant (TIMESTAMP AS OF's resolution, loud when it fell
+        // off retention); later commits diff normally
+        VersionOffset(ids(store.stepsBackAsOf(spark, table, startingTsMs.get)))
       case None if startLatest =>
         // start-at-latest: anchor AT the head, no snapshot — the
         // (None → head] batch reads nothing (getBatch special-cases
@@ -439,8 +463,8 @@ private[streaming] final class StoreFeedSource(spark: SparkSession, root: String
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val (endId, endBoot) = FeedOffset.parse(end.json())
     val batch = start.map(s => FeedOffset.parse(s.json())) match {
-      case None if startLatest =>
-        // the start-at-latest anchor batch: nothing to serve
+      case None if skipSnapshot =>
+        // the anchor batch of a snapshot-skipping start: nothing to serve
         store.read(spark, table).filter(lit(false)).withColumn("op", lit(null).cast("string"))
       case None =>
         endBoot match {

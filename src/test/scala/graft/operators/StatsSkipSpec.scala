@@ -586,4 +586,47 @@ class StatsSkipSpec extends SparkSpec {
         planStr.take(3000))
   }
 
+
+  test("declared clustering: plain upserts stay skippable by themselves; partitioned clusters within partitions") {
+    // the self-maintaining layout declaration: no repartitionByRange at
+    // any call site, no OPTIMIZE — the commit path range-clusters
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "t", Seq("k"))
+    store.declareClustering(s, "t", Seq("k"), targetFiles = 8)
+    // interleaved halves in hash-scrambled order: without clustering
+    // every file would span the whole key range
+    val base = s.range(0, 10000).select($"id".as("k"), ($"id" % 7).as("v"))
+    store.upsert(s, "t", base.filter($"k" % 2 === 0).orderBy(xxhash64($"k")), Seq("k"))
+    store.upsert(s, "t", base.filter($"k" % 2 === 1).orderBy(xxhash64($"k")), Seq("k"))
+    SkipStats.reset()
+    val got = store.read(s, "t").filter($"k" >= 100L && $"k" < 300L)
+      .select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L until 300L).toSeq, "clustered upserts must stay exact")
+    val (listed, kept) = SkipStats.snapshot().collect {
+      case (l, c) if l.startsWith("t/") => c }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(listed >= 8L && kept * 3 <= listed,
+      s"declared clustering must keep plain upserts skippable: $kept/$listed")
+    // withdraw the declaration: later commits stop clustering (and a
+    // scattered write stops pruning) but stay exact
+    store.clearClustering(s, "t")
+    store.upsert(s, "t", base.orderBy(xxhash64($"k")), Seq("k"))
+    assert(store.read(s, "t").filter($"k" === 9999L).count() == 1L)
+
+    // partitioned: range keys = partCol then declared cols — each hive
+    // partition's files carry disjoint k ranges
+    store.declareStats(s, "pt", Seq("k"))
+    store.declareClustering(s, "pt", Seq("k"), targetFiles = 12)
+    val pdf = s.range(0, 12000)
+      .select($"id".as("k"), ($"id" % 3).cast("int").as("p"))
+      .orderBy(xxhash64($"k"))
+    store.replacePartitions(s, "pt", pdf, "p")
+    SkipStats.reset()
+    val n = store.read(s, "pt").filter($"k" >= 600L && $"k" < 1200L && $"p" === 1)
+      .count()
+    assert(n == (600L until 1200L).count(_ % 3 == 1))
+    val (l2, k2) = SkipStats.snapshot()("pt")
+    assert(k2 < l2, s"partitioned declared clustering must skip within partitions: $k2/$l2")
+  }
+
 }

@@ -557,4 +557,49 @@ class StoreStreamSourceSpec extends SparkSpec {
     assert(msgs.contains("startingPosition"), msgs)
   }
 
+
+  test("startingTimestamp: the feed anchors at the position current at the instant and streams only later commits") {
+    val s = spark; import s.implicits._
+    val root = tmp("feedts-")
+    val store = new TableStore(root, retain = 4)
+    store.replace(s, "dim", Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    store.replace(s, "dim", Seq((1L, "a2"), (2L, "b")).toDF("id", "v"))
+    Thread.sleep(20)
+    store.replace(s, "dim", Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    val q = s.readStream.format("graft.streaming.StoreFeedProvider")
+      .option("root", root).option("table", "dim").option("keys", "id")
+      .option("startingTimestamp", t1.toString).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root-ckpt")
+      .start()
+    q.awaitTermination()
+    // t1 sits between commit 1 and commit 2: the feed serves exactly
+    // the later two commits' changes, never commit 1's snapshot
+    assert(got.sorted.toSeq == Seq(("I", 2L, "b"), ("I", 3L, "c"), ("U", 1L, "a2")),
+      s"timestamp-anchored feed must serve only post-instant commits: $got")
+    // a pre-retention timestamp errors loudly
+    val e = intercept[Exception] {
+      val q2 = s.readStream.format("graft.streaming.StoreFeedProvider")
+        .option("root", root).option("table", "dim").option("keys", "id")
+        .option("startingTimestamp", "1").load()
+        .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root-ckpt-old")
+        .start()
+      q2.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.toLowerCase.contains("timestamp") || msgs.contains("retained"), msgs)
+  }
+
 }
