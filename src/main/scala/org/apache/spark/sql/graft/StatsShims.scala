@@ -106,25 +106,23 @@ object StatsShims {
     * value, matching hive-layout inference for the store's supported
     * partition types). Output column order matches the plain
     * partitioned read: data columns then the partition column. */
+  /** LAZY DISCOVERY (the 10⁵-partition planning path): constructing
+    * the read performs NO I/O per leaf — partition values parse from
+    * the manifest-derived dir names alone. Listings and sidecar loads
+    * happen at `listFiles`, AFTER hive partition pruning, for the
+    * SURVIVING leaves only, through a bounded driver pool — so a
+    * day-filtered query over a 10⁵-partition table pays one day's
+    * listing + sidecar, not the table's. Full-width calls
+    * (sizeInBytes for join sizing, inputFiles, metadata-aggregate
+    * coverage) force the full load once, pool-parallel and memoized. */
   def statsPrunedPartitionedRead(spark: SparkSession, basePath: String,
       leaves: Seq[(String, String)], fullSchema: StructType, partCol: String,
       label: String): org.apache.spark.sql.DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val partField = fullSchema(partCol)
     val dataSchema = StructType(fullSchema.filterNot(_.name == partCol))
-    val fs = new Path(basePath).getFileSystem(cs.sparkContext.hadoopConfiguration)
     val zone = Option(cs.sessionState.conf.sessionLocalTimeZone)
     val entries = leaves.map { case (pdir, leafPath) =>
-      val dir = new Path(leafPath)
-      val zm = new Path(dir, ".zonemap")
-      val (files, pruner) =
-        if (fs.exists(zm)) {
-          val (fls, p) = load(spark, leafPath, zm.toString)
-          (fls, Some(p))
-        } else (fs.listStatus(dir).filter { s =>
-          val n = s.getPath.getName
-          s.isFile && !n.startsWith(".") && !n.startsWith("_")
-        }.toIndexedSeq, None)
       val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(pdir.substring(pdir.indexOf('=') + 1))
       // the hive null sentinel is a NULL partition value, not the
@@ -138,14 +136,32 @@ object StatsShims {
           Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
             org.apache.spark.sql.types.StringType),
           partField.dataType, zone).eval(InternalRow.empty)
-      PartEntry(InternalRow(value), files, pruner)
+      PartEntry(InternalRow(value), leafPath)
     }
     val index = new PartitionedZoneMapFileIndex(new Path(basePath),
-      StructType(Seq(partField)), entries, label)
+      StructType(Seq(partField)), entries, label, spark)
     val relation = HadoopFsRelation(index, partitionSchema = StructType(Seq(partField)),
       dataSchema = dataSchema, bucketSpec = None,
       fileFormat = new ParquetFileFormat, options = Map.empty)(cs)
     Dataset.ofRows(cs, LogicalRelation(relation))
+  }
+
+  /** One leaf's (data files, sidecar pruner if present) — the per-leaf
+    * unit `PartitionedZoneMapFileIndex` loads lazily. */
+  private[graft] def loadLeaf(spark: SparkSession,
+      leafPath: String): (Seq[FileStatus], Option[ZoneMapPruner]) = {
+    val dir = new Path(leafPath)
+    val fs = dir.getFileSystem(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sparkContext.hadoopConfiguration)
+    val zm = new Path(dir, ".zonemap")
+    if (fs.exists(zm)) {
+      val (fls, p) = load(spark, leafPath, zm.toString)
+      (fls, Some(p))
+    } else (fs.listStatus(dir).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.toIndexedSeq, None)
   }
 
   /** Read `versionDir` through a stats-pruning FileIndex built from
@@ -590,41 +606,101 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow],
 }
 
 /** One committed partition of a stats-aware partitioned read: its
-  * partition-value row, data files, and (if its version dir carries a
-  * `.zonemap`) its pruner. */
-private final case class PartEntry(values: InternalRow, files: Seq[FileStatus],
-    pruner: Option[ZoneMapPruner])
+  * partition-value row and leaf dir path. Files and sidecar load
+  * LAZILY (see `statsPrunedPartitionedRead`'s doc). */
+private final case class PartEntry(values: InternalRow, leafPath: String)
 
 /** The partitioned counterpart of [[ZoneMapFileIndex]]: hive partition
   * pruning (partition filters evaluated against the manifest-derived
   * partition values — the same bind-by-name interpreted evaluation
-  * Spark's PartitioningAwareFileIndex.prunePartitions performs) PLUS
-  * per-partition file skipping through each partition version's own
-  * `.zonemap` sidecar. Both prunings are conservative supersets, so
-  * answers are exact; a partition filter that fails to bind keeps
-  * every partition (partition filters are not re-applied post-scan,
-  * so only provable evaluation may drop one). */
+  * Spark's PartitioningAwareFileIndex.prunePartitions performs) FIRST,
+  * then per-leaf listing + `.zonemap` file skipping for the SURVIVING
+  * partitions only, loaded through a bounded driver pool. Both
+  * prunings are conservative supersets, so answers are exact; a
+  * partition filter that fails to bind keeps every partition
+  * (partition filters are not re-applied post-scan, so only provable
+  * evaluation may drop one). */
 private final class PartitionedZoneMapFileIndex(base: Path,
     partSchema: StructType, entries: Seq[PartEntry],
-    label: String) extends FileIndex {
+    label: String, spark: SparkSession) extends FileIndex {
 
-  /** Covered (files, pruner) per partition plus the partition value
-    * maps, for the metadata-aggregate rule — None unless EVERY
-    * partition carries a sidecar. */
-  private[graft] def statsGroups: Option[
-      (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]])] = {
-    if (entries.exists(_.pruner.isEmpty)) None
-    else Some((
-      entries.map(e => (e.files, e.pruner.get)),
-      entries.map(e => partSchema.fields.zipWithIndex.map { case (f, i) =>
-        f.name -> e.values.get(i, f.dataType) }.toMap)))
+  // per-leaf load results, memoized for the index's lifetime (the
+  // sidecar/pruner pair additionally caches per immutable version in
+  // StatsShims.load, so repeated plans stay warm across indexes)
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[FileStatus], Option[ZoneMapPruner])]()
+
+  /** Load `paths` (driver pool, bounded): each leaf is one listing
+    * plus, when a sidecar exists, one tiny parquet job — safe from
+    * pool threads (Spark supports concurrent job submission). */
+  private def loadLeaves(paths: Seq[String]): Unit = {
+    val missing = paths.filterNot(loaded.containsKey)
+    if (missing.isEmpty) return
+    // instrumented: proves (in specs and ops debugging) that a
+    // partition-filtered plan never lists a foreign leaf
+    SkipStats.record(s"$label:leafloads", missing.size.toLong, missing.size.toLong)
+    if (missing.size == 1) {
+      loaded.put(missing.head, StatsShims.loadLeaf(spark, missing.head))
+      return
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, missing.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = missing.map { p =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            loaded.put(p, StatsShims.loadLeaf(spark, p))
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // rethrow failures
+    } finally pool.shutdown()
+  }
+
+  private def entryFiles(e: PartEntry): Seq[FileStatus] = loaded.get(e.leafPath)._1
+  private def entryPruner(e: PartEntry): Option[ZoneMapPruner] = loaded.get(e.leafPath)._2
+
+  /** Partition value maps, aligned with the entry order — NO I/O (the
+    * metadata-aggregate rule's cheap qualification phase). */
+  private[graft] def partValueMaps: Seq[Map[String, Any]] =
+    entries.map(e => partSchema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> e.values.get(i, f.dataType) }.toMap)
+
+  /** Covered (files, pruner) for the SELECTED entry indices, loading
+    * only those leaves — None when any selected leaf lacks a sidecar.
+    * The metadata-aggregate rule calls this AFTER its cheap checks
+    * (group column, consumed filters, aggregate shapes) qualified the
+    * fold, so a bailing query never pays a leaf listing. */
+  private[graft] def coveredGroupsAt(idxs: Seq[Int]): Option[
+      Seq[(Seq[FileStatus], ZoneMapPruner)]] = {
+    val sel = idxs.map(entries(_))
+    loadLeaves(sel.map(_.leafPath))
+    if (sel.exists(e => entryPruner(e).isEmpty)) None
+    else Some(sel.map(e => (entryFiles(e), entryPruner(e).get)))
   }
 
   override def rootPaths: Seq[Path] = Seq(base)
-  override def inputFiles: Array[String] =
-    entries.flatMap(_.files.map(_.getPath.toString)).toArray
+  override def inputFiles: Array[String] = {
+    loadLeaves(entries.map(_.leafPath))
+    entries.flatMap(e => entryFiles(e).map(_.getPath.toString)).toArray
+  }
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = entries.flatMap(_.files.map(_.getLen)).sum
+  // sizeInBytes is asked for EVERY plan (logical stats) — computing it
+  // exactly would force the full listing and defeat lazy discovery.
+  // The CatalogFileIndex trade, verbatim: small tables (or ones some
+  // earlier call fully loaded) answer exactly — they stay
+  // broadcast-eligible; wide tables report defaultSizeInBytes
+  // (conservatively huge: never mis-broadcast a 10⁵-partition fact,
+  // whose physical scan sizes from its PRUNED selection anyway).
+  private val LazyListingThreshold = 64
+  override def sizeInBytes: Long = {
+    val allPaths = entries.map(_.leafPath)
+    if (entries.size <= LazyListingThreshold || allPaths.forall(loaded.containsKey)) {
+      loadLeaves(allPaths)
+      entries.flatMap(e => entryFiles(e).map(_.getLen)).sum
+    } else spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.defaultSizeInBytes
+  }
   override def partitionSchema: StructType = partSchema
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -647,15 +723,22 @@ private final class PartitionedZoneMapFileIndex(base: Path,
         else entries.filter(e =>
           java.lang.Boolean.TRUE == bound.eval(e.values))
       }
+    // I/O only for the partition-surviving leaves — the lazy-discovery
+    // contract (a foreign partition is never listed, its sidecar never
+    // read); the partition-level prune is recorded on its own counter
+    loadLeaves(keptParts.map(_.leafPath))
+    SkipStats.record(s"$label:parts",
+      entries.size.toLong, keptParts.size.toLong)
     val out = keptParts.map { e =>
-      val kept = e.pruner.flatMap(p => p.survivors(dataFilters).map { live =>
+      val files = entryFiles(e)
+      val kept = entryPruner(e).flatMap(p => p.survivors(dataFilters).map { live =>
         val known = p.known
-        e.files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
-      }).getOrElse(e.files)
+        files.filter(f => !known(f.getPath.getName) || live(f.getPath.getName))
+      }).getOrElse(files)
       PartitionDirectory(e.values, kept.toArray)
     }
     SkipStats.record(label,
-      entries.flatMap(_.files).size.toLong,
+      keptParts.map(e => entryFiles(e).size.toLong).sum,
       out.map(_.files.size.toLong).sum)
     out
   }
@@ -681,18 +764,23 @@ object MetadataAggregateRule
   import org.apache.spark.sql.types.LongType
 
   /** The stats-backed relation under attribute-only Projects and
-    * PARTITION-ONLY Filters: returns (covered sets, partition values,
-    * collected filter conjuncts). Any other node — or a Filter
-    * touching a data column — aborts the fold (None): a consumed
-    * filter that could not be applied exactly would change answers. */
+    * PARTITION-ONLY Filters: returns (a loader for selected group
+    * indices, partition values, collected filter conjuncts). The
+    * LOADER is the only part that touches I/O — it runs after the
+    * rule's cheap qualification, for surviving groups only, so a
+    * query the fold cannot answer never pays a leaf listing. Any
+    * other node — or a Filter touching a data column — aborts the
+    * fold (None): a consumed filter that could not be applied exactly
+    * would change answers. */
   private def statsIndex(plan: LogicalPlan): Option[
-      (Seq[(Seq[FileStatus], ZoneMapPruner)], Seq[Map[String, Any]],
+      (Seq[Int] => Option[Seq[(Seq[FileStatus], ZoneMapPruner)]],
+        Seq[Map[String, Any]],
         Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = plan match {
     case LogicalRelation(HadoopFsRelation(idx: ZoneMapFileIndex, _, _, _, _, _), _, _, _, _) =>
       val (c, v) = idx.statsGroups
-      Some((c, v, Nil))
+      Some(((idxs: Seq[Int]) => Some(idxs.map(c(_))), v, Nil))
     case LogicalRelation(HadoopFsRelation(idx: PartitionedZoneMapFileIndex, _, _, _, _, _), _, _, _, _) =>
-      idx.statsGroups.map { case (c, v) => (c, v, Nil) }
+      Some((idx.coveredGroupsAt _, idx.partValueMaps, Nil))
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       statsIndex(child)
     case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
@@ -709,8 +797,7 @@ object MetadataAggregateRule
         val conjuncts = splitAnd(cond)
         val ok = conjuncts.forall { f =>
           f.deterministic && f.references.nonEmpty &&
-            f.references.forall(a => v.size == c.size &&
-              v.forall(_.contains(a.name)))
+            f.references.forall(a => v.forall(_.contains(a.name)))
         }
         if (ok) Some((c, v, fs ++ conjuncts)) else None
       }
@@ -727,9 +814,46 @@ object MetadataAggregateRule
       rewrite(agg).getOrElse(agg)
   }
 
-  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+  /** Cheap structural pre-check: can every output expression even fold
+    * from metadata? Run BEFORE any leaf loads — a sum/avg/UDAF over a
+    * stats relation must bail without paying discovery I/O. */
+  private def shapesFoldable(agg: Aggregate,
+      groupAttr: Option[AttributeReference]): Boolean =
+    agg.aggregateExpressions.forall {
+      case a: AttributeReference => groupAttr.exists(_.semanticEquals(a))
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(cs) if cs.forall(_.foldable) => true
+          case Count(Seq(_: AttributeReference)) => true
+          case Min(_: AttributeReference) => true
+          case Max(_: AttributeReference) => true
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] =
+    statsIndex(agg.child).flatMap { case (loadGroups, partValsAll, partFilters) =>
+      rewriteQualified(agg, loadGroups, partValsAll, partFilters)
+    }
+
+  private def rewriteQualified(agg: Aggregate,
+      loadGroups: Seq[Int] => Option[Seq[(Seq[FileStatus], ZoneMapPruner)]],
+      partValsAll: Seq[Map[String, Any]],
+      partFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] = {
     val exprs = agg.aggregateExpressions
-    statsIndex(agg.child).flatMap { case (coveredAll, partValsAll, partFilters) =>
+    val groupAttr = agg.groupingExpressions.headOption
+      .map(_.asInstanceOf[AttributeReference])
+    locally {
+      // cheap qualification FIRST — nothing below this line may touch
+      // leaf I/O until every no-I/O check has passed
+      if (!shapesFoldable(agg, groupAttr)) return None
+      // a grouped fold needs every group's non-null value for the
+      // grouping column (the hive null sentinel arrives as null and
+      // bails — ADVICE r12 #2)
+      if (!groupAttr.forall(g =>
+        partValsAll.forall(m => m.get(g.name).exists(_ != null)))) return None
       // consume collected partition-only filters: a group's rows all
       // share its partition values, so evaluating the conjunct on the
       // value keeps/drops the whole group exactly (null → drop, the
@@ -744,27 +868,20 @@ object MetadataAggregateRule
           org.apache.spark.sql.catalyst.InternalRow.empty)).toOption
           .contains(java.lang.Boolean.TRUE)
       }
-      val keep = coveredAll.indices.filter(i =>
-        partFilters.isEmpty || (partValsAll.size == coveredAll.size &&
-          passes(partValsAll(i))))
-      val covered = keep.map(coveredAll(_))
+      val keep = partValsAll.indices.filter(i =>
+        partFilters.isEmpty || passes(partValsAll(i)))
+      if (keep.isEmpty && partFilters.isEmpty) return None
+      // NOW load — surviving groups only
+      val covered = loadGroups(keep).getOrElse(return None)
       val partVals = keep.map(partValsAll(_))
       // coverage: every listed file in its sidecar, else undercount.
       // An empty post-filter survivor set still folds: ungrouped →
       // count 0 / null min-max (the aggregate over zero rows), grouped
       // → zero rows.
-      val coveredOk = (coveredAll.nonEmpty || partFilters.isEmpty) &&
-        covered.forall { case (files, p) =>
-          val k = p.known; files.forall(f => k(f.getPath.getName)) }
-      val groupAttr = agg.groupingExpressions.headOption
-        .map(_.asInstanceOf[AttributeReference])
-      // a grouped fold needs every covered set's non-null value for
-      // the grouping column (the hive null sentinel arrives as null
-      // and bails — ADVICE r12 #2)
-      val groupOk = groupAttr.forall(g =>
-        partVals.size == covered.size &&
-          partVals.forall(m => m.get(g.name).exists(_ != null)))
-      if (!coveredOk || !groupOk || (covered.isEmpty && partFilters.isEmpty)) None
+      val coveredOk = covered.forall { case (files, p) =>
+        val k = p.known; files.forall(f => k(f.getPath.getName)) }
+      val groupOk = groupAttr.forall(_ => partVals.size == covered.size)
+      if (!coveredOk || !groupOk) None
       else {
         val buckets: Seq[(Option[Any], Seq[Int])] = groupAttr match {
           case None => Seq((None, covered.indices))

@@ -107,15 +107,18 @@ class StatsSkipSpec extends SparkSpec {
     store.replacePartitions(s, "pt", df, "p_day")
     val raw = s.read.option("basePath", store.livePath("pt"))
       .parquet(store.partitionedLeafPaths(s, "pt").get: _*)
-    // partition filter + a data-column touch: only p_day=1 files
-    // listed (the v reference keeps this a real SCAN — a pure
-    // partition-filter count() now folds to metadata entirely, see
+    // partition filter + a data-column touch: only p_day=1 LISTED at
+    // all (lazy discovery — the v reference keeps this a real SCAN; a
+    // pure partition-filter count() folds to metadata entirely, see
     // the filtered-grouped-aggregates test)
     SkipStats.reset()
     val got1 = store.read(s, "pt").filter($"p_day" === 1 && $"v" >= 0L).count()
     assert(got1 == raw.filter($"p_day" === 1 && $"v" >= 0L).count())
-    val (l1, k1) = SkipStats.snapshot()("pt")
-    assert(k1 < l1, s"hive partition pruning must drop other partitions' files: $k1/$l1")
+    val (pl1, pk1) = SkipStats.snapshot()("pt:parts")
+    assert(pk1 < pl1, s"hive partition pruning must drop other partitions: $pk1/$pl1")
+    // (this 3-partition table sits under the lazy-listing threshold, so
+    // sizeInBytes loads it whole for exact join sizing — the
+    // only-surviving-leaves contract has its own wide-table test below)
     // data filter alone: every partition consulted, files skipped within
     SkipStats.reset()
     val pred2 = $"k" >= 100L && $"k" < 400L
@@ -627,6 +630,33 @@ class StatsSkipSpec extends SparkSpec {
     assert(n == (600L until 1200L).count(_ % 3 == 1))
     val (l2, k2) = SkipStats.snapshot()("pt")
     assert(k2 < l2, s"partitioned declared clustering must skip within partitions: $k2/$l2")
+  }
+
+
+  test("lazy discovery at width: a partition-filtered plan over a wide table lists ONLY surviving leaves") {
+    // the 10^5-partition planning seam: constructing the read does no
+    // per-leaf I/O; sizeInBytes reports defaultSizeInBytes above the
+    // lazy-listing threshold (the CatalogFileIndex trade — never
+    // mis-broadcast a wide fact) and listFiles lists + loads sidecars
+    // for partition-surviving leaves only, pool-parallel.
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "wide", Seq("k"))
+    store.replacePartitions(s, "wide",
+      s.range(0, 7000).select($"id".as("k"), ($"id" % 70).cast("int").as("p")), "p")
+    SkipStats.reset()
+    val n = store.read(s, "wide").filter($"p" === 7 && $"k" >= 0L).count()
+    assert(n == 100L)
+    val (pl, pk) = SkipStats.snapshot()("wide:parts")
+    assert(pl == 70L && pk == 1L, s"partition prune must keep 1 of 70: $pk/$pl")
+    val (ll, _) = SkipStats.snapshot()("wide:leafloads")
+    assert(ll == 1L,
+      s"a day-filtered plan over 70 partitions must list exactly 1 leaf, listed $ll")
+    // a full-width call still answers exactly (memoized one-time load)
+    SkipStats.reset()
+    assert(store.read(s, "wide").filter($"k" >= 0L).count() == 7000L)
+    val (ll2, _) = SkipStats.snapshot().getOrElse("wide:leafloads", (0L, 0L))
+    assert(ll2 <= 70L)
   }
 
 }
