@@ -2078,6 +2078,19 @@ final class TableStore(val root: String, val retain: Int = 0) {
     try {
       effDf.write.mode("overwrite").option("compression", "zstd")
         .partitionBy(partCol).parquet(tmp.toString)
+      // NON-NULL partition contract, enforced at WRITE time: a null
+      // partition value lands in the hive default-partition sentinel
+      // dir, which no partition filter can prune and which the keyed
+      // merge would silently skip on the next upsert. One listing of
+      // the staged root (no data scan) catches it on every partitioned
+      // write path before anything becomes visible.
+      if (f.exists(new Path(tmp, s"$partCol=" + org.apache.spark.sql.catalyst
+          .catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+        throw new IllegalArgumentException(
+          s"table '$name': partition column '$partCol' contains NULL values — " +
+            "null partition values cannot be partition-pruned and their rows " +
+            "would be skipped by later keyed merges; filter or default them " +
+            "before the write")
       // declared commit-time stats, partitioned mode: ONE stats pass
       // over the staged batch writes each touched partition's
       // `.zonemap` sidecar INSIDE its staged dir, so the sidecar rides

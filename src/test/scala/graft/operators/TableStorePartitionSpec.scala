@@ -619,4 +619,32 @@ class TableStorePartitionSpec extends SparkSpec {
       Seq("k"), "p_date", numFiles = Some(1))
     assert(store.read(spark, "t").count() == 1)
   }
+
+  test("a NULL partition value is refused loudly at WRITE time; the table is untouched") {
+    // the documented non-null partCol contract, enforced where the
+    // violation happens (ADVICE r12 #2's write-time leg): a null value
+    // lands in the hive default-partition sentinel dir, which no
+    // partition filter prunes and later keyed merges silently skip —
+    // the commit must refuse before anything becomes visible.
+    val store = freshStore()
+    val s = spark; import s.implicits._
+    store.upsertPartitioned(spark, "t", batch(1, Seq("a" -> "x")),
+      Seq("k"), "p_date", numFiles = Some(1))
+    val before = fileState(store, "t")
+    val bad = Seq(("b", "y", Some(2)), ("c", "z", None))
+      .toDF("k", "v", "opt")
+      .withColumn("p_date", $"opt".cast("int")).drop("opt")
+    val e = intercept[IllegalArgumentException] {
+      store.replacePartitions(spark, "t", bad.withColumn("nupdates",
+        org.apache.spark.sql.functions.lit(1L)), "p_date")
+    }
+    assert(e.getMessage.contains("NULL"))
+    assert(fileState(store, "t") == before, "a refused commit must not mutate the table")
+    assert(store.read(spark, "t").count() == 1)
+    // upsertPartitioned funnels through the same staging check
+    intercept[IllegalArgumentException] {
+      store.upsertPartitioned(spark, "t", bad, Seq("k"), "p_date")
+    }
+    assert(store.read(spark, "t").count() == 1)
+  }
 }
