@@ -352,19 +352,34 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val m = pMapOf(lines)
     if (m.nonEmpty) {
       val f = fs(spark)
-      val leaves = m.sortBy(_._1).map { case (p, v) => (p, s"$root/$name/$p/$v") }
+      // commit-stamped per-partition byte totals (`#sz\tp\tv\tbytes`),
+      // keyed by the IMMUTABLE (partition, version-dir) pair — a pair
+      // still referenced by this state's map is exact by construction
+      val szMap: Map[(String, String), Long] =
+        lines.filter(_.startsWith("#sz\t")).flatMap { l =>
+          val a = l.split("\t")
+          if (a.length == 4) a(3).toLongOption.map(b => (a(1), a(2)) -> b)
+          else None
+        }.toMap
+      val leaves = m.sortBy(_._1).map { case (p, v) =>
+        (p, s"$root/$name/$p/$v", szMap.get((p, v))) }
       val paths = leaves.map(_._2)
       // declared-stats route (VERDICT r11 missing #2, partitioned):
-      // when any committed leaf carries a `.zonemap` sidecar AND the
-      // manifest carries the schema, the read plans through the
+      // when the manifest carries the schema AND the table either has
+      // a live stats/bloom/clustering declaration (one tiny read; the
+      // wide-table fast path — no per-leaf probes) or any committed
+      // leaf carries a `.zonemap` sidecar, the read plans through the
       // stats-aware index — hive partition pruning plus per-partition
-      // file skipping; every other table keeps the plain path
+      // file skipping, lazily discovered; every other table keeps the
+      // plain path
       val schemaHdr = lines.find(_.startsWith("#schema\t"))
         .map(_.stripPrefix("#schema\t"))
         .map(org.apache.spark.sql.types.DataType.fromJson(_)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       val statsRoute = schemaHdr.filter(_ =>
-        leaves.exists { case (_, lp) => f.exists(new Path(s"$lp/.zonemap")) })
+        declaredStats(spark, name).nonEmpty ||
+          declaredBloomDecls(spark, name).nonEmpty ||
+          leaves.exists { case (_, lp, _) => f.exists(new Path(s"$lp/.zonemap")) })
       val base = statsRoute match {
         case Some(schema) =>
           org.apache.spark.sql.graft.StatsShims.statsPrunedPartitionedRead(
@@ -2135,6 +2150,18 @@ final class TableStore(val root: String, val retain: Int = 0) {
     // aborts with the old manifest (= old batch) still live.
     val parts = f.listStatus(tmp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+    // data-file byte totals per staged partition, stamped into the
+    // manifest as `#sz` lines: keyed by the (partition, version-dir)
+    // pair — version dirs are copy-on-write immutable, so the stamped
+    // total can NEVER go stale — they make a wide table's sizeInBytes
+    // exact with zero listings (one extra per-touched-partition
+    // listing here, at commit time, O(batch) not O(table))
+    val stagedBytes: Map[String, Long] = parts.map { p =>
+      p.getPath.getName -> f.listStatus(p.getPath).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.map(_.getLen).sum
+    }.toMap
     parts.foreach { p =>
       val pdir = new Path(live, p.getPath.getName)
       f.mkdirs(pdir)
@@ -2175,6 +2202,20 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val abHeader =
       if (extraHeaders.exists(_.startsWith("#abnext\t"))) Seq.empty
       else pAbNext(prevHead).map(n => s"#abnext\t$n").toSeq
+    // `#sz` byte totals for the NEW head: fresh for written partitions,
+    // carried for untouched pairs (still exact — the referenced version
+    // dir is immutable); pairs no longer referenced drop with their
+    // dirs. History generations carry their own `#sz` lines inside the
+    // `#h` push above, so restore brings sizes back with the data.
+    val prevSz: Map[(String, String), String] =
+      prevHead.filter(_.startsWith("#sz\t")).flatMap { l =>
+        val a = l.split("\t")
+        if (a.length == 4) Some((a(1), a(2)) -> a(3)) else None
+      }.toMap
+    val szLines = newMap.toSeq.sortBy(_._1).flatMap { case (p, v) =>
+      if (v == ver) stagedBytes.get(p).map(b => s"#sz\t$p\t$v\t$b")
+      else prevSz.get((p, v)).map(b => s"#sz\t$p\t$v\t$b")
+    }
     // optimistic-concurrency re-check immediately before the commit
     // point: a conflict discards the staged (still unreferenced, hence
     // invisible) version dirs and leaves the winner's commit intact
@@ -2188,7 +2229,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
       effMeta.map(m => s"#meta\t$m").toSeq ++
         Seq(s"#schema\t${df.schema.json}",
           s"#ts\t${System.currentTimeMillis()}") ++
-        extraHeaders ++ abHeader ++ dvLines ++
+        extraHeaders ++ abHeader ++ dvLines ++ szLines ++
         newMap.toSeq.sortBy(_._1).map { case (p, v) => s"$p\t$v" } ++
         newGens.flatMap { case (k, ls) => ls.map(l => s"#h\t$k\t$l") })
     // post-commit cleanup by reference diff: every (partition, version)
@@ -2796,11 +2837,14 @@ final class TableStore(val root: String, val retain: Int = 0) {
         s"table '$name': manifest changed under deleteWhereMorPartitioned " +
           "(a concurrent writer committed); re-run")
     }
-    // a MOR delete is not a data commit: meta/schema/ts AND the
-    // retained history generations carry forward verbatim
+    // a MOR delete is not a data commit: meta/schema/ts, `#sz` byte
+    // totals (DV files live under dot-dirs, so data bytes are
+    // unchanged) AND the retained history generations carry forward
+    // verbatim
     val carried = pmanifestLines(f, name).getOrElse(Seq.empty)
       .filter(l => l.startsWith("#meta\t") || l.startsWith("#schema\t") ||
-        l.startsWith("#ts\t") || l.startsWith("#h\t") || l.startsWith("#abnext\t"))
+        l.startsWith("#ts\t") || l.startsWith("#h\t") || l.startsWith("#abnext\t") ||
+        l.startsWith("#sz\t"))
     commitPmanifestLines(spark, f, name, tag,
       carried ++
         (s"#dvkeys\t${keys.mkString(",")}" +:

@@ -114,15 +114,23 @@ object StatsShims {
     * day-filtered query over a 10⁵-partition table pays one day's
     * listing + sidecar, not the table's. Full-width calls
     * (sizeInBytes for join sizing, inputFiles, metadata-aggregate
-    * coverage) force the full load once, pool-parallel and memoized. */
+    * coverage) force the full load once, pool-parallel and memoized.
+    *
+    * `leaves` carries each partition's commit-stamped byte total when
+    * the manifest recorded one (`#sz` head lines, keyed by the
+    * IMMUTABLE (partition, version-dir) pair — copy-on-write makes
+    * staleness impossible): when EVERY leaf has one, `sizeInBytes`
+    * answers exactly with ZERO listings at any width, so a small
+    * wide-partitioned dim stays broadcast-eligible without paying
+    * discovery I/O. */
   def statsPrunedPartitionedRead(spark: SparkSession, basePath: String,
-      leaves: Seq[(String, String)], fullSchema: StructType, partCol: String,
+      leaves: Seq[(String, String, Option[Long])], fullSchema: StructType, partCol: String,
       label: String): org.apache.spark.sql.DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val partField = fullSchema(partCol)
     val dataSchema = StructType(fullSchema.filterNot(_.name == partCol))
     val zone = Option(cs.sessionState.conf.sessionLocalTimeZone)
-    val entries = leaves.map { case (pdir, leafPath) =>
+    val entries = leaves.map { case (pdir, leafPath, bytes) =>
       val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(pdir.substring(pdir.indexOf('=') + 1))
       // the hive null sentinel is a NULL partition value, not the
@@ -136,7 +144,7 @@ object StatsShims {
           Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
             org.apache.spark.sql.types.StringType),
           partField.dataType, zone).eval(InternalRow.empty)
-      PartEntry(InternalRow(value), leafPath)
+      PartEntry(InternalRow(value), leafPath, bytes)
     }
     val index = new PartitionedZoneMapFileIndex(new Path(basePath),
       StructType(Seq(partField)), entries, label, spark)
@@ -606,9 +614,11 @@ final class ZoneMapPruner(statsSchema: StructType, statRows: Seq[InternalRow],
 }
 
 /** One committed partition of a stats-aware partitioned read: its
-  * partition-value row and leaf dir path. Files and sidecar load
-  * LAZILY (see `statsPrunedPartitionedRead`'s doc). */
-private final case class PartEntry(values: InternalRow, leafPath: String)
+  * partition-value row, leaf dir path, and (when the manifest stamped
+  * one at commit) the leaf's data-file byte total. Files and sidecar
+  * load LAZILY (see `statsPrunedPartitionedRead`'s doc). */
+private final case class PartEntry(values: InternalRow, leafPath: String,
+    knownBytes: Option[Long])
 
 /** The partitioned counterpart of [[ZoneMapFileIndex]]: hive partition
   * pruning (partition filters evaluated against the manifest-derived
@@ -687,13 +697,18 @@ private final class PartitionedZoneMapFileIndex(base: Path,
   override def refresh(): Unit = ()
   // sizeInBytes is asked for EVERY plan (logical stats) — computing it
   // exactly would force the full listing and defeat lazy discovery.
-  // The CatalogFileIndex trade, verbatim: small tables (or ones some
-  // earlier call fully loaded) answer exactly — they stay
-  // broadcast-eligible; wide tables report defaultSizeInBytes
-  // (conservatively huge: never mis-broadcast a 10⁵-partition fact,
-  // whose physical scan sizes from its PRUNED selection anyway).
+  // Resolution order: (1) commit-stamped `#sz` manifest totals, when
+  // every leaf has one — EXACT at any width, zero I/O (the pairs are
+  // immutable version dirs, so the totals cannot be stale); (2) a real
+  // listing for tables under the lazy threshold or already fully
+  // loaded — small tables stay broadcast-eligible; (3)
+  // defaultSizeInBytes — the CatalogFileIndex trade (conservatively
+  // huge: never mis-broadcast a pre-`#sz` 10⁵-partition fact, whose
+  // physical scan sizes from its PRUNED selection anyway).
   private val LazyListingThreshold = 64
   override def sizeInBytes: Long = {
+    if (entries.nonEmpty && entries.forall(_.knownBytes.isDefined))
+      return entries.map(_.knownBytes.get).sum
     val allPaths = entries.map(_.leafPath)
     if (entries.size <= LazyListingThreshold || allPaths.forall(loaded.containsKey)) {
       loadLeaves(allPaths)

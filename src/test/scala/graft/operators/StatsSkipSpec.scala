@@ -116,9 +116,8 @@ class StatsSkipSpec extends SparkSpec {
     assert(got1 == raw.filter($"p_day" === 1 && $"v" >= 0L).count())
     val (pl1, pk1) = SkipStats.snapshot()("pt:parts")
     assert(pk1 < pl1, s"hive partition pruning must drop other partitions: $pk1/$pl1")
-    // (this 3-partition table sits under the lazy-listing threshold, so
-    // sizeInBytes loads it whole for exact join sizing — the
-    // only-surviving-leaves contract has its own wide-table test below)
+    // (sizeInBytes answers from the manifest's commit-stamped `#sz`
+    // totals with zero listings — the wide-table test below pins it)
     // data filter alone: every partition consulted, files skipped within
     SkipStats.reset()
     val pred2 = $"k" >= 100L && $"k" < 400L
@@ -657,6 +656,64 @@ class StatsSkipSpec extends SparkSpec {
     assert(store.read(s, "wide").filter($"k" >= 0L).count() == 7000L)
     val (ll2, _) = SkipStats.snapshot().getOrElse("wide:leafloads", (0L, 0L))
     assert(ll2 <= 70L)
+  }
+
+  test("manifest-stamped #sz totals: wide-table sizeInBytes is EXACT with zero listings, through upserts and MOR deletes") {
+    // the join-sizing half of lazy discovery: every partitioned commit
+    // stamps its touched partitions' data-file byte totals into the
+    // manifest keyed by the immutable (partition, version) pair, so a
+    // 10^5-partition table's logical stats answer exactly — broadcast
+    // decisions stay right — without a single leaf listing.
+    val s = spark; import s.implicits._
+    val store = freshStore()
+    store.declareStats(s, "wsz", Seq("k"))
+    store.replacePartitions(s, "wsz",
+      s.range(0, 7000).select($"id".as("k"), ($"id" % 70).cast("int").as("p")), "p")
+    // ground truth from a raw recursive listing (data files only)
+    def actualBytes: Long = {
+      val f = new org.apache.hadoop.fs.Path(store.livePath("wsz"))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      store.partitionedLeafPaths(s, "wsz").get.map { lp =>
+        f.listStatus(new org.apache.hadoop.fs.Path(lp)).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }.map(_.getLen).sum
+      }.sum
+    }
+    // the store relation LEAF's logical stats (the number the join
+    // planner compares against the broadcast threshold)
+    def leafSizeInBytes: BigInt = {
+      val sizes = store.read(s, "wsz").queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+          lr.stats.sizeInBytes
+      }
+      assert(sizes.nonEmpty, "expected a HadoopFsRelation leaf")
+      sizes.head
+    }
+    SkipStats.reset()
+    val stats1 = leafSizeInBytes
+    assert(stats1 == BigInt(actualBytes),
+      s"sizeInBytes must equal the on-disk data-file total: $stats1 vs $actualBytes")
+    assert(!SkipStats.snapshot().contains("wsz:leafloads"),
+      "exact sizeInBytes must not list a single leaf")
+    // a single-partition upsert refreshes its own #sz and carries the
+    // other 69 forward — still exact, still zero listings
+    store.upsertPartitioned(s, "wsz",
+      Seq((100000L, 7)).toDF("k", "p").select($"k", $"p".cast("int").as("p")),
+      Seq("k"), "p")
+    SkipStats.reset()
+    val stats2 = leafSizeInBytes
+    assert(stats2 == BigInt(actualBytes), s"post-upsert: $stats2 vs $actualBytes")
+    assert(!SkipStats.snapshot().contains("wsz:leafloads"))
+    // a MOR delete adds DV files under dot-dirs — data bytes unchanged,
+    // #sz carried verbatim by the DV commit
+    store.deleteWhereMorPartitioned(s, "wsz", $"k" === 3L, Seq("k"), "p")
+    SkipStats.reset()
+    val stats3 = leafSizeInBytes
+    assert(stats3 == BigInt(actualBytes), s"post-MOR-delete: $stats3 vs $actualBytes")
+    assert(!SkipStats.snapshot().contains("wsz:leafloads"))
   }
 
 }
