@@ -9,6 +9,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // see GraftSession: the 4.1 checkpoint double-checksum layer
+      // serializes state-store commits; FS-level CRC already covers
+      // these files. Same env override, so the A/B is one flag.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: full query execution incl. every output column
