@@ -31,41 +31,100 @@ import org.apache.spark.sql.functions._
   */
 object Mondrian {
 
+  /** Largest per-group row count for which the round's lower median is
+    * taken from a VALUE HISTOGRAM (one grouped count aggregate — shuffle
+    * bytes are distinct (group, value) pairs, map-side combined — plus a
+    * cumulative window whose per-group partition holds at most that many
+    * DISTINCT values). Above it, a single window partition could no
+    * longer be assumed task-sized, so the round falls back to the
+    * range-shuffle rank apparatus (`Percentiles.lowerMedian`), which
+    * never materializes a per-group sort. Group sizes only shrink as
+    * rounds split, so at 100 TB the first O(log(n/T)) rounds take the
+    * rank path and the (many) remaining rounds the cheap one. */
+  val HistMaxGroup: Long = 4000000L
+
   /** Split `df`'s (aCol, bCol) integer quasi-identifiers into
     * partitions of ≥ k rows. Output: (mpid, va, vb) — one row per
     * input row with its final partition id. (If the WHOLE corpus has
     * fewer than k rows, the root partition is released as-is — there
-    * is no k-anonymous release of such a corpus; suppress upstream.) */
+    * is no k-anonymous release of such a corpus; suppress upstream.)
+    *
+    * Round shape (r13 optimization — identical results, pinned by the
+    * unchanged a18_mondrian oracle and MondrianSpec):
+    *  - per-group stats feed the corpus via a BROADCAST join (group
+    *    count ≤ n/k rows), never a shuffled one;
+    *  - ONE scalar pass over the stats frame yields the round's group
+    *    count (fixpoint detector: a split strictly increases it, so an
+    *    unchanged count means the previous round was the identity and
+    *    every later round would be too — stop instead of unrolling the
+    *    remaining no-ops; the DuckDB oracle's fixed unroll is identical
+    *    because identity rounds are no-ops) and the max group size (the
+    *    histogram-vs-rank guard above);
+    *  - median + left-half count + group count come from ONE histogram
+    *    aggregate and ONE cumulative window over it: the lower median
+    *    is the unique value whose inclusive cumulative count first
+    *    reaches (n+1) div 2, and nleft IS that cumulative count — no
+    *    second shuffle, no mid-round materialization of the corpus
+    *    (the old form localCheckpoint'ed withSel and paid the rank
+    *    apparatus' range shuffle + counts + offsets broadcast every
+    *    round: 196 Spark jobs at 14 rounds; this shape plans 3 shuffles
+    *    a round and converges early). */
   def partitionIds(df: DataFrame, aCol: String, bCol: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, histMaxGroup: Long = HistMaxGroup): DataFrame = {
     require(k >= 2 && rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
     var parts = df
       .select(lit(1L).as("mpid"), col(aCol).cast("long").as("va"),
         col(bCol).cast("long").as("vb"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var prevGroups = -1L
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
       val stats = parts.groupBy("mpid").agg(count(lit(1)).as("cnt"),
         (max(col("va")) - min(col("va"))).as("ra"),
         (max(col("vb")) - min(col("vb"))).as("rb"))
-      val withSel = parts.join(stats, "mpid")
-        .withColumn("attr_a", col("ra") >= col("rb"))
-        .withColumn("valsel", when(col("attr_a"), col("va")).otherwise(col("vb")))
-        .withColumn("rng", when(col("attr_a"), col("ra")).otherwise(col("rb")))
-        .localCheckpoint(true)
-      val med = Percentiles.lowerMedian(withSel, Seq("mpid"), "valsel", "med")
-      val joined = withSel.join(med, "mpid")
-      val halves = joined.groupBy("mpid")
-        .agg(sum(when(col("valsel") <= col("med"), 1L).otherwise(0L)).as("nleft"))
-      parts = joined.join(halves, "mpid")
-        .withColumn("split",
-          col("cnt") >= 2L * k && col("rng") > 0L &&
-            col("nleft") >= k.toLong && (col("cnt") - col("nleft")) >= k.toLong)
-        .select(
-          when(col("split"),
-            col("mpid") * 2L + when(col("valsel") > col("med"), 1L).otherwise(0L))
-            .otherwise(col("mpid")).as("mpid"),
-          col("va"), col("vb"))
-        .localCheckpoint(true)
+      val srow = stats.agg(count(lit(1)), max(col("cnt"))).head()
+      val (nGroups, maxCnt) = (srow.getLong(0), srow.getLong(1))
+      if (nGroups == prevGroups) fixed = true
+      else {
+        prevGroups = nGroups
+        val withSel = parts.join(broadcast(stats), "mpid")
+          .withColumn("attr_a", col("ra") >= col("rb"))
+          .withColumn("valsel", when(col("attr_a"), col("va")).otherwise(col("vb")))
+          .withColumn("rng", when(col("attr_a"), col("ra")).otherwise(col("rb")))
+        val med =
+          if (maxCnt <= histMaxGroup) {
+            val hist = withSel.groupBy(col("mpid"), col("valsel"))
+              .agg(count(lit(1)).as("c"))
+            val wAll = Window.partitionBy(col("mpid"))
+            val wCum = Window.partitionBy(col("mpid")).orderBy(col("valsel"))
+              .rowsBetween(Window.unboundedPreceding, 0)
+            hist
+              .withColumn("cum", sum(col("c")).over(wCum))
+              .withColumn("n", sum(col("c")).over(wAll))
+              // distinct values ⇒ cum strictly increases ⇒ exactly one
+              // row straddles the target rank (n+1) div 2
+              .filter(expr("cum - c < (n + 1) div 2 and (n + 1) div 2 <= cum"))
+              .select(col("mpid"), col("valsel").as("med"), col("cum").as("nleft"))
+          } else {
+            val m = Percentiles.lowerMedian(withSel, Seq("mpid"), "valsel", "med")
+            withSel.join(m, "mpid").groupBy("mpid")
+              .agg(max(col("med")).as("med"),
+                sum(when(col("valsel") <= col("med"), 1L).otherwise(0L)).as("nleft"))
+          }
+        parts = withSel.join(broadcast(med), "mpid")
+          .withColumn("split",
+            col("cnt") >= 2L * k && col("rng") > 0L &&
+              col("nleft") >= k.toLong && (col("cnt") - col("nleft")) >= k.toLong)
+          .select(
+            when(col("split"),
+              col("mpid") * 2L + when(col("valsel") > col("med"), 1L).otherwise(0L))
+              .otherwise(col("mpid")).as("mpid"),
+            col("va"), col("vb"))
+          .localCheckpoint(true)
+        r += 1
+      }
     }
     parts
   }

@@ -44,6 +44,20 @@ class MondrianSpec extends SparkSpec {
     assert(out.length > 1, "the corpus must actually split")
   }
 
+  test("histogram and rank-apparatus median paths agree (r13 optimization)") {
+    val c = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(round(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_nationkey").cast("long").as("nat"))
+    // histMaxGroup = 0 forces the range-shuffle rank apparatus every
+    // round (every group has >= 1 row); the default takes the
+    // histogram path throughout at this scale. Same ids, same rows.
+    def run(t: Long) = Mondrian.partitionIds(c, "bal", "nat", k = 10,
+        rounds = 14, histMaxGroup = t)
+      .groupBy("mpid").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(run(Mondrian.HistMaxGroup) == run(0L))
+  }
+
   test("rounds past the fixpoint are the identity") {
     val c = Tables.customer(spark, "/root/testdata/sf0.001")
       .select(round(col("c_acctbal") * 100).cast("long").as("bal"),
