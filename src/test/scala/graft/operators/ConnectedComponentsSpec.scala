@@ -12,19 +12,26 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
 
   private def labels(docs: Seq[Long], pairs: Seq[(Long, Long)],
-      star: Boolean): Map[Long, Long] = {
+      star: Boolean, driverMaxEdges: Long = Dedup.DriverMaxEdges): Map[Long, Long] = {
     val s = spark; import s.implicits._
     val d = docs.toDF("doc_id")
     val p = pairs.toDF("idA", "idB")
-    val df = if (star) Dedup.clusterLabelsStar(d, "doc_id", p)
+    val df = if (star) Dedup.clusterLabelsStar(d, "doc_id", p,
+               driverMaxEdges = driverMaxEdges)
              else Dedup.clusterLabels(d, "doc_id", p, maxIter = 200)
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   private def check(docs: Seq[Long], pairs: Seq[(Long, Long)]): Unit = {
     val ref = labels(docs, pairs, star = false)
+    // the small-edge-set driver union-find path (default gate) AND the
+    // distributed star-contraction path (gate forced shut) must both
+    // equal the min-label reference — the r13 size gate may never
+    // change a label, only the plan
     val got = labels(docs, pairs, star = true)
-    assert(got == ref, s"star != min-label on ${pairs.take(20)}…")
+    val gotDist = labels(docs, pairs, star = true, driverMaxEdges = -1L)
+    assert(got == ref, s"driver union-find != min-label on ${pairs.take(20)}…")
+    assert(gotDist == ref, s"star contraction != min-label on ${pairs.take(20)}…")
     // every doc labeled exactly once
     assert(got.keySet == docs.toSet)
   }
