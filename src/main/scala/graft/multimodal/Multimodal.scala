@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read and ImageIO.write spools the stream through a temp
+  // FILE (FileCacheImageInput/OutputStream) — per image, per call.
+  // Under one decode task that is silent waste; under 32 concurrent
+  // tasks the temp-file create/delete churn in one tmpdir serializes
+  // the whole codec family. In-memory stream cache instead: decoded
+  // rasters and encoded bytes are byte-identical (pinned by the x4
+  // oracle gates), the payloads here are KB-sized, and a real ingest
+  // bounds payload size before decode anyway. JVM-wide, set once when
+  // the codec path classloads (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + the typed metadata a real
     * pipeline carries alongside (dimensions for images, sample rate
     * for audio, frame count for video). */

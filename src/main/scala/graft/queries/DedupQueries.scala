@@ -772,7 +772,12 @@ object DedupQueries {
       graft.functions.Functions.register(s)
       val spans = Tables.documents(s, dir).select(col("doc_id"),
         explode(call_function("word_ngrams", col("text"), lit(8))).as("span"))
-        .select(col("doc_id"), md5(col("span")).as("sp"))
+        // 64-bit fingerprint, not md5: `sp` is join/count-internal
+        // (never in the output), so the fp only needs to distinguish
+        // spans — xxhash64 is one codegen'd pass with no hex-string
+        // materialization, and the count/join exchanges carry 8-byte
+        // longs instead of 32-char strings (guide §2.3, narrower keys)
+        .select(col("doc_id"), xxhash64(col("span")).as("sp"))
       val counts = spans.groupBy(col("sp")).agg(count(lit(1)).as("nd"))
       spans.join(counts, "sp")
         .groupBy(col("doc_id"))
@@ -806,8 +811,11 @@ object DedupQueries {
           explode(when(size(col("w")) >= 13,
             transform(sequence(lit(0), size(col("w")) - 13), p =>
               struct(p.as("p"),
-                md5(concat_ws(" ", slice(col("w"), p + 1, lit(13))).cast("binary")).as("fp"))))
-            .otherwise(array().cast("array<struct<p:int,fp:string>>"))).as("g"))
+                // join/count-internal fingerprint (x1_span_dupshare
+                // note): 64-bit xxhash64, no hex-string digest — the
+                // gram exchanges carry (doc_id, int, long)
+                xxhash64(concat_ws(" ", slice(col("w"), p + 1, lit(13)))).as("fp"))))
+            .otherwise(array().cast("array<struct<p:int,fp:bigint>>"))).as("g"))
         .select(col("doc_id"), col("g.p").as("p"), col("g.fp").as("fp"))
       val dup = grams.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("fp")

@@ -52,6 +52,28 @@ object Tables {
     }
   }
 
+  /** Fan a tiny scan out to the session's parallelism. The test corpus
+    * ships as SINGLE-ROW-GROUP parquet files, so a bare scan is one
+    * task — and every CPU-heavy narrow pipeline downstream (tokenize/
+    * n-gram/hash over documents, per-row vector math over embeddings,
+    * media encode/decode) serializes on one core of the 32 while the
+    * first exchange is still stages away (guide §2.5: one unsplittable
+    * input file ⇒ repartition right after the read). The gate fires
+    * ONLY when the scan yields fewer partitions than
+    * defaultParallelism — exactly the case where the input is small
+    * and the round-robin shuffle is by construction negligible; at
+    * 100 TB the scan arrives as thousands of splits and this is the
+    * identity, so no corpus-scale payload ever shuffles here. Filters
+    * and column pruning push through Repartition, so PushedFilters/
+    * ReadSchema on the scan are unchanged (plans/r13). Applied to the
+    * two tables whose consumers are per-row CPU-bound (documents,
+    * embeddings), NOT to the relational tables, where an extra
+    * pre-aggregation exchange would cost more than it buys. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -60,8 +82,8 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = loadEvents(s, d)
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame  = fanOut(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))
 
   /** Register every table as a temp view so `spark.sql` queries work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
