@@ -14,6 +14,11 @@ object Bench {
       // these files. Same env override, so the A/B is one flag.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // raw file:// AbstractFileSystem for the FileContext checkpoint
+      // path — see GraftSession (scheme-scoped: local mode only)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FC",
+          "org.apache.hadoop.fs.local.RawLocalFs"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: full query execution incl. every output column

@@ -35,6 +35,21 @@ object GraftSession {
       // t3_stream_join_outer, plans unchanged).
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // Streaming checkpoints go through FileContext, and the file://
+      // AbstractFileSystem defaults to ChecksumFs — every state-store
+      // delta and offset/commit log entry writes a .crc SIDECAR next to
+      // it and renames both (thread dumps: renameTempFile is where the
+      // post-checksum-fix stateful tasks still park). Local checkpoints
+      // are transient coordination state, re-creatable from the source;
+      // the raw local AbstractFileSystem halves the small-file count in
+      // the hottest rename path (t3_stream_join_outer 10.3 → 8.1 s).
+      // The key is scheme-scoped: it touches file:// only, so cluster
+      // deployments checkpointing to hdfs:///s3a:// are unaffected by
+      // construction. Data-path writes (TableStore, outputs) use the
+      // FileSystem API and keep their CRC sidecars.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FC",
+          "org.apache.hadoop.fs.local.RawLocalFs"))
 
   def get(cores: Int = 32): SparkSession = {
     val spark = builder(cores).getOrCreate()

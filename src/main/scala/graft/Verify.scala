@@ -20,6 +20,11 @@ object Verify {
       // see GraftSession: 4.1 checkpoint double-checksum layer off
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // raw file:// AbstractFileSystem for the FileContext checkpoint
+      // path — see GraftSession (scheme-scoped: local mode only)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FC",
+          "org.apache.hadoop.fs.local.RawLocalFs"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

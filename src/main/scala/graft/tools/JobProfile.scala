@@ -18,6 +18,12 @@ object JobProfile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // match Bench's session (see GraftSession for both rationales)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_FC",
+          "org.apache.hadoop.fs.local.RawLocalFs"))
     // ad-hoc conf experiments: JOBPROF_CONF="k=v;k2=v2"
     sys.env.get("JOBPROF_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2); b.config(k, v)
