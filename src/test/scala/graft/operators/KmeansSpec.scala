@@ -72,7 +72,11 @@ class KmeansSpec extends SparkSpec {
   }
 
   test("assignment is map-side only: no exchange, centroids ride as literals") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // raw scan, not Tables.embeddings: the loader's gated single-split
+    // fan-out (r13) adds ITS one deliberate upstream exchange, and this
+    // pin is about the ASSIGNMENT adding none — vectors never leave
+    // their input partition whatever that input partitioning is
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Kmeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
     val plan = Kmeans.assign(emb, "vec_id", "embedding", cents)
       .queryExecution.executedPlan.toString
