@@ -9,9 +9,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // see GraftSession: the 4.1 checkpoint double-checksum layer
-      // serializes state-store commits; FS-level CRC already covers
-      // these files. Same env override, so the A/B is one flag.
+      // the 4.1 checkpoint checksum layer serializes state-store
+      // commits; this driver's checkpoints are transient tmp-dir
+      // coordination state, so the local measurement drivers run it
+      // OFF (GraftSession, the production entry point, keeps it ON —
+      // see the rationale there). Same env override everywhere, so
+      // the A/B is one flag and Verify measures the same config.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       // raw file:// AbstractFileSystem for the FileContext checkpoint

@@ -21,32 +21,30 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Spark 4.1's ChecksumCheckpointFileManager wraps EVERY streaming
-      // checkpoint write (state-store deltas, offset/commit logs) and
-      // awaits an async checksum-file future on a tiny fixed pool at
-      // close — thread dumps of the stateful gates show each state
-      // commit parked ~0.4 s in that await (task exec 3.5 s vs 0.3 s
-      // CPU). The FS layer already checksums these files (Hadoop
-      // LocalFileSystem writes/verifies .crc sidecars; HDFS has block
-      // checksums), so the duplicate layer buys nothing here. Off by
-      // default, overridable for object-store deployments whose FS
-      // lacks integrity checks (guide §1.2 step 3: config after the
-      // algorithm is right; measured 10.1 → 7.6 s on
-      // t3_stream_join_outer, plans unchanged).
+      // Spark 4.1's ChecksumCheckpointFileManager (the streaming-
+      // checkpoint integrity layer) stays ON here: GraftSession is the
+      // production entry point, and with the raw file:// AFS below the
+      // Hadoop .crc sidecars are gone, so this layer is the ONE
+      // checkpoint corruption check — for every scheme (ADVICE r13:
+      // never default both layers off in the same session). The local
+      // measurement drivers (Bench/Verify/JobProfile) disable it via
+      // the same env key — their checkpoints are transient tmp-dir
+      // coordination state, and correctness (Verify) runs under the
+      // identical confs the bench times.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "true"))
       // Streaming checkpoints go through FileContext, and the file://
       // AbstractFileSystem defaults to ChecksumFs — every state-store
       // delta and offset/commit log entry writes a .crc SIDECAR next to
       // it and renames both (thread dumps: renameTempFile is where the
-      // post-checksum-fix stateful tasks still park). Local checkpoints
-      // are transient coordination state, re-creatable from the source;
-      // the raw local AbstractFileSystem halves the small-file count in
-      // the hottest rename path (t3_stream_join_outer 10.3 → 8.1 s).
-      // The key is scheme-scoped: it touches file:// only, so cluster
-      // deployments checkpointing to hdfs:///s3a:// are unaffected by
-      // construction. Data-path writes (TableStore, outputs) use the
-      // FileSystem API and keep their CRC sidecars.
+      // post-checksum-fix stateful tasks still park). With the Spark-
+      // layer checksum above as the integrity check, the Hadoop sidecar
+      // is a redundant SECOND layer — dropping it halves the small-file
+      // count in the hottest rename path (t3_stream_join_outer
+      // 10.3 → 8.1 s). The key is scheme-scoped: it touches file://
+      // only, so cluster deployments checkpointing to hdfs:///s3a://
+      // are unaffected by construction. Data-path writes (TableStore,
+      // outputs) use the FileSystem API and keep their CRC sidecars.
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_FC",
           "org.apache.hadoop.fs.local.RawLocalFs"))

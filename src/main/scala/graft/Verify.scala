@@ -17,7 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // see GraftSession: 4.1 checkpoint double-checksum layer off
+      // checkpoint checksum layer off in the LOCAL measurement drivers
+      // only (transient tmp-dir checkpoints; GraftSession keeps it ON
+      // — see the rationale there). Same confs as Bench, so the
+      // correctness run covers the timed config.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       // raw file:// AbstractFileSystem for the FileContext checkpoint

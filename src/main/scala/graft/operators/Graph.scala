@@ -16,6 +16,54 @@ import org.apache.spark.sql.functions._
   * tiny aggregate job, never a set compare. */
 object Graph {
 
+  /** Edge-count bound under which the graph fixpoint loops run on the
+    * DRIVER instead of as distributed rounds — the size-gated-collect
+    * discipline `Dedup.clusterLabelsStar` established (guide §1.2
+    * step 1: at small edge counts the loop's per-round cost is pure
+    * fixed overhead — a localCheckpoint materialize job plus a
+    * convergence-check job per round, times tens of rounds). Below the
+    * bound the whole (already checkpointed) edge frame is ONE bounded
+    * collect (≤ ~96 MB of two/three longs per row at the default),
+    * the loop runs in O(m · rounds) on the driver with IDENTICAL
+    * deterministic semantics (every algorithm here is exact integer
+    * arithmetic — GraphSpec pins driver == distributed on every
+    * fixture), and the result re-parallelizes. Above the bound every
+    * loop is the unchanged distributed plan — at 100 TB the gate is
+    * never taken. Sized to the broadcast class (the a17_triangles
+    * size-gated-broadcast bound), not clusterLabelsStar's 500 k: these
+    * loops pay per-round fixed costs that the one-shot contraction
+    * does not. Env-overridable for paired A/Bs. */
+  val DriverMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_DRIVER_MAX").map(_.toLong).getOrElse(4000000L)
+
+  /** Index the node ids of a directed edge array and build CSR
+    * adjacency (ids sorted ascending so "min node id" determinism is
+    * index order). */
+  private final class Adj(val ids: Array[Long], val idx: java.util.HashMap[Long, Int],
+      val off: Array[Int], val nbr: Array[Int])
+
+  private def buildAdj(us: Array[Long], vs: Array[Long]): Adj = {
+    val set = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i < us.length) { set.add(us(i)); set.add(vs(i)); i += 1 }
+    val ids = new Array[Long](set.size())
+    val it = set.iterator(); i = 0
+    while (it.hasNext) { ids(i) = it.next(); i += 1 }
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    i = 0; while (i < ids.length) { idx.put(ids(i), i); i += 1 }
+    val deg = new Array[Int](ids.length)
+    i = 0; while (i < us.length) { deg(idx.get(us(i))) += 1; i += 1 }
+    val off = new Array[Int](ids.length + 1)
+    i = 0; while (i < ids.length) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, ids.length)
+    val nbr = new Array[Int](us.length)
+    i = 0
+    while (i < us.length) {
+      val u = idx.get(us(i)); nbr(pos(u)) = idx.get(vs(i)); pos(u) += 1; i += 1
+    }
+    new Adj(ids, idx, off, nbr)
+  }
+
   /** k-core: the maximal subgraph in which every node has degree
     * ≥ k. Iterative peel (Matula–Beck): drop all nodes of degree < k
     * and their edges, repeat until no node drops — peel DEPTH rounds,
@@ -33,9 +81,53 @@ object Graph {
     * semi-joins; exchanges carry (node, long). Peel depth is bounded
     * by the degeneracy ordering length — tens of rounds on real
     * graphs; `maxIter` is a loud backstop, not a silent truncation. */
-  def kcore(edges: DataFrame, k: Int, maxIter: Int = 200): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxIter: Int = 200,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     var e = edges.select(col("a"), col("b")).localCheckpoint(true)
     var n = e.count()
+    if (n <= driverMaxEdges) {
+      // DRIVER peel: same per-round rule (degree over the SURVIVING
+      // edge multiset, drop endpoints under k), same fixpoint.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = e.collect()
+      val us = rows.map(_.getLong(0)); val vs = rows.map(_.getLong(1))
+      val alive = Array.fill(rows.length)(true)
+      val degs = new java.util.HashMap[Long, Long](rows.length * 2)
+      var m = rows.length.toLong
+      var changed = m > 0
+      while (changed) {
+        degs.clear()
+        var i = 0
+        while (i < rows.length) {
+          if (alive(i)) {
+            degs.put(us(i), degs.getOrDefault(us(i), 0L) + 1L)
+            degs.put(vs(i), degs.getOrDefault(vs(i), 0L) + 1L)
+          }
+          i += 1
+        }
+        var m2 = 0L
+        i = 0
+        while (i < rows.length) {
+          if (alive(i)) {
+            if (degs.get(us(i)) < k || degs.get(vs(i)) < k) alive(i) = false
+            else m2 += 1
+          }
+          i += 1
+        }
+        changed = m2 != m
+        m = m2
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](m.toInt)
+      var i = 0
+      while (i < rows.length) { if (alive(i)) out += ((us(i), vs(i))); i += 1 }
+      // edge-sized result: re-PARALLELIZE and checkpoint once — a bare
+      // local-Seq frame would re-serialize the (possibly ~10⁶-row)
+      // LocalRelation into every consumer's single-task scan
+      return spark.sparkContext
+        .parallelize(out.toSeq, spark.sparkContext.defaultParallelism)
+        .toDF("a", "b").localCheckpoint(true)
+    }
     var done = n == 0L
     var it = 0
     while (!done && it < maxIter) {
@@ -57,6 +149,57 @@ object Graph {
     e
   }
 
+  /** The bounded-round k-core peel behind the `a19_kcore` card: a
+    * FIXED unroll (engine-exact against an unrolled oracle), same
+    * per-round rule as [[kcore]]. Driver-gated identically — `rounds`
+    * peel passes over the collected edge multiset are the same
+    * integer degree arithmetic the distributed unroll runs. */
+  def kcoreBounded(edges: DataFrame, k: Int, rounds: Int,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    if (e.count() <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = e.collect()
+      val us = rows.map(_.getLong(0)); val vs = rows.map(_.getLong(1))
+      val alive = Array.fill(rows.length)(true)
+      val degs = new java.util.HashMap[Long, Long](rows.length * 2)
+      for (_ <- 1 to rounds) {
+        degs.clear()
+        var i = 0
+        while (i < rows.length) {
+          if (alive(i)) {
+            degs.put(us(i), degs.getOrDefault(us(i), 0L) + 1L)
+            degs.put(vs(i), degs.getOrDefault(vs(i), 0L) + 1L)
+          }
+          i += 1
+        }
+        i = 0
+        while (i < rows.length) {
+          if (alive(i) && (degs.get(us(i)) < k || degs.get(vs(i)) < k)) alive(i) = false
+          i += 1
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < rows.length) { if (alive(i)) out += ((us(i), vs(i))); i += 1 }
+      // see kcore: parallelize + checkpoint the edge-sized result
+      return spark.sparkContext
+        .parallelize(out.toSeq, spark.sparkContext.defaultParallelism)
+        .toDF("a", "b").localCheckpoint(true)
+    }
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      e = e
+        .join(keep.toDF("a"), Seq("a"), "left_semi")
+        .join(keep.toDF("b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
+    e
+  }
+
   /** BFS levels from the graph's minimum node id: (node, lvl) for
     * every node REACHABLE from the source, lvl = unweighted hop
     * distance. Frontier-at-a-time expansion (the distributed-standard
@@ -69,12 +212,40 @@ object Graph {
     * graph. Termination: an empty frontier IS the fixpoint (levels
     * only grow by unseen nodes); `maxIter` is a loud backstop against
     * adversarial-depth inputs, never a silent truncation. */
-  def bfsLevels(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def bfsLevels(edges: DataFrame, maxIter: Int = 100,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
+    if (und.count() <= 2 * driverMaxEdges) {
+      val rows = und.collect()
+      val adj = buildAdj(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      // ids are sorted, so index 0 IS the min node — the same source
+      // the distributed path collects
+      val lvl = Array.fill(adj.ids.length)(-1L)
+      var frontier = Array(0)
+      lvl(0) = 0L
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        frontier.foreach { u =>
+          var j = adj.off(u)
+          while (j < adj.off(u + 1)) {
+            val v = adj.nbr(j)
+            if (lvl(v) < 0) { lvl(v) = d; next += v }
+            j += 1
+          }
+        }
+        frontier = next.toArray
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < adj.ids.length) { if (lvl(i) >= 0) out += ((adj.ids(i), lvl(i))); i += 1 }
+      return out.toSeq.toDF("node", "lvl")
+    }
     // one-value driver collect: the deterministic source
     val src = edges.select(least(col("a"), col("b")).as("n"))
       .agg(min(col("n"))).head.getLong(0)
@@ -110,10 +281,47 @@ object Graph {
     * verifier on sampled pivots. Per-round exchanges carry
     * (long, long) rows; same localCheckpoint + loud-backstop
     * discipline as [[bfsLevels]]. Output: (src, node, lvl). */
-  def bfsLevelsMulti(edges: DataFrame, nSources: Int = 4, maxIter: Int = 100): DataFrame = {
+  def bfsLevelsMulti(edges: DataFrame, nSources: Int = 4, maxIter: Int = 100,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
+    if (und.count() <= 2 * driverMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = und.collect()
+      val adj = buildAdj(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      // per-pivot BFS == the shared-round frontier: hop distances are
+      // independent per source
+      var s = 0
+      while (s < math.min(nSources, adj.ids.length)) {
+        val lvl = Array.fill(adj.ids.length)(-1L)
+        var frontier = Array(s)
+        lvl(s) = 0L
+        var d = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = new scala.collection.mutable.ArrayBuffer[Int]()
+          frontier.foreach { u =>
+            var j = adj.off(u)
+            while (j < adj.off(u + 1)) {
+              val v = adj.nbr(j)
+              if (lvl(v) < 0) { lvl(v) = d; next += v }
+              j += 1
+            }
+          }
+          frontier = next.toArray
+        }
+        var i = 0
+        while (i < adj.ids.length) {
+          if (lvl(i) >= 0) out += ((adj.ids(s), adj.ids(i), lvl(i)))
+          i += 1
+        }
+        s += 1
+      }
+      return out.toSeq.toDF("src", "node", "lvl")
+    }
     // deterministic pivots: the nSources smallest node ids present in
     // the graph (bounded TakeOrdered, nSources rows on the driver path)
     val srcs = und.select(col("u").as("node")).distinct()
@@ -138,6 +346,34 @@ object Graph {
     }
     require(!grew, s"bfsLevelsMulti did not drain the frontier in $maxIter rounds")
     levels
+  }
+
+  /** One synchronous-LPA round over a CSR adjacency: every node adopts
+    * the most frequent PREVIOUS-round label among its neighbors
+    * (multiset counts), ties toward the smallest label — exactly the
+    * distributed max(struct(c, -label)) aggregate. */
+  private def lpaRound(adj: Adj, labels: Array[Long]): Array[Long] = {
+    val next = new Array[Long](labels.length)
+    val cnt = new java.util.HashMap[Long, Long]()
+    var u = 0
+    while (u < labels.length) {
+      cnt.clear()
+      var j = adj.off(u)
+      while (j < adj.off(u + 1)) {
+        cnt.put(labels(adj.nbr(j)), cnt.getOrDefault(labels(adj.nbr(j)), 0L) + 1L)
+        j += 1
+      }
+      var bestC = -1L; var bestL = Long.MaxValue
+      val it = cnt.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue(); val l = e.getKey.longValue()
+        if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+      }
+      next(u) = bestL
+      u += 1
+    }
+    next
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007, made
@@ -167,10 +403,39 @@ object Graph {
     * the `a16_pagerank` rule), then two hash aggregates keyed on the
     * node; every exchange carries (long, long[, long]) rows. Label
     * state is `localCheckpoint`ed per round so lineage stays O(1). */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def labelPropagation(edges: DataFrame, maxIter: Int = 50,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
+    if (und.count() <= 2 * driverMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = und.collect()
+      val adj = buildAdj(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      var labels = adj.ids.clone()
+      // driver stop rule mirrors the distributed signature compare:
+      // fixpoint (== prev) or period-2 oscillation (== prev-before-
+      // last), returning the state AT the stopping round
+      var prev = labels
+      var prev2: Array[Long] = null
+      var done = false
+      var it = 0
+      while (!done && it < maxIter) {
+        val next = lpaRound(adj, labels)
+        done = java.util.Arrays.equals(next, prev) ||
+          (prev2 != null && java.util.Arrays.equals(next, prev2))
+        prev2 = prev
+        prev = next
+        labels = next
+        it += 1
+      }
+      require(done, s"labelPropagation did not converge in $maxIter rounds")
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](adj.ids.length)
+      var i = 0
+      while (i < adj.ids.length) { out += ((adj.ids(i), labels(i))); i += 1 }
+      return out.toSeq.toDF("node", "label")
+    }
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -205,6 +470,124 @@ object Graph {
     }
     require(done, s"labelPropagation did not converge in $maxIter rounds")
     labels
+  }
+
+  /** The FIXED-round synchronous-LPA unroll behind the
+    * `a16_communities` card (engine-exact against an unrolled DuckDB
+    * CTE — no convergence check, exactly `rounds` rounds). Same
+    * per-round rule as [[labelPropagation]]; driver-gated
+    * identically. */
+  def lpaBounded(edges: DataFrame, rounds: Int,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    if (und.count() <= 2 * driverMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = und.collect()
+      val adj = buildAdj(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      var labels = adj.ids.clone()
+      for (_ <- 1 to rounds) labels = lpaRound(adj, labels)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](adj.ids.length)
+      var i = 0
+      while (i < adj.ids.length) { out += ((adj.ids(i), labels(i))); i += 1 }
+      return out.toSeq.toDF("node", "label")
+    }
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    // no per-round checkpoint for the FIXED unroll: lineage depth is
+    // bounded and one linear plan executes each round once (the
+    // run-to-convergence operator checkpoints per round because its
+    // depth is unbounded — different contract)
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.select(col("node").as("v"), col("label").as("lab")), Seq("v"))
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u")).agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+    }
+    labels
+  }
+
+  /** The bounded integer-ppm power iteration behind `a16_pagerank` /
+    * `a16_ppr`: r⁰ = 1e6 (uniform) or 1e6·1[src] (personalized);
+    * rᵏ(v) = base(v) + (850000 · Σ_{u→v} (r(u) div d(u))) div 1e6,
+    * base = 150000 uniform or 150000·1[v = src]. All exact long
+    * division — the driver path is the identical arithmetic over the
+    * collected symmetric edge list (sums are exact, order-free).
+    * Output: (node, r, d) — rank ppm and degree, for every node.
+    *
+    * Distributed branch (above the gate): the unchanged per-round
+    * rank⋈deg⋈edges + one hash aggregate plan — no broadcast hint on
+    * the O(nodes) rank table (AQE broadcasts it while it fits and
+    * degrades to a shuffle join when a billion-node graph outgrows
+    * the threshold); edges are checkpointed once per run so the
+    * per-round lineage is O(1). */
+  def rankPowerIteration(pairs: DataFrame, rounds: Int, personalized: Boolean,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    if (edges.count() <= 2 * driverMaxEdges) {
+      val rows = edges.collect()
+      val adj = buildAdj(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      val n = adj.ids.length
+      val d = new Array[Long](n)
+      var i = 0
+      while (i < n) { d(i) = (adj.off(i + 1) - adj.off(i)).toLong; i += 1 }
+      // ids are sorted: index 0 is the min node id == the ppr source
+      var r = Array.fill(n)(1000000L)
+      if (personalized) { r = new Array[Long](n); r(0) = 1000000L }
+      for (_ <- 1 to rounds) {
+        val s = new Array[Long](n)
+        var u = 0
+        while (u < n) {
+          val c = r(u) / d(u)
+          var j = adj.off(u)
+          while (j < adj.off(u + 1)) { s(adj.nbr(j)) += c; j += 1 }
+          u += 1
+        }
+        val nr = new Array[Long](n)
+        var v = 0
+        while (v < n) {
+          val base = if (!personalized) 150000L else if (v == 0) 150000L else 0L
+          nr(v) = base + (850000L * s(v)) / 1000000L
+          v += 1
+        }
+        r = nr
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](n)
+      i = 0
+      while (i < n) { out += ((adj.ids(i), r(i), d(i))); i += 1 }
+      return out.toSeq.toDF("node", "r", "d")
+    }
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).localCheckpoint()
+    // one-value driver collect: the deterministic ppr source
+    val src = if (personalized) deg.agg(min($"u")).head.getLong(0) else 0L
+    var ranks =
+      if (!personalized) deg.select($"u".as("node"), lit(1000000L).as("r"))
+      else deg.select($"u".as("node"), when($"u" === src, 1000000L).otherwise(0L).as("r"))
+    val baseExpr =
+      if (!personalized) lit(150000L)
+      else when($"v" === src, 150000L).otherwise(0L)
+    for (_ <- 1 to rounds) {
+      // No broadcast hint on the O(nodes) rank table — AQE broadcasts
+      // it while it fits and degrades to a shuffle join when a
+      // billion-node graph outgrows the threshold (same rule as the
+      // triangle plan's degree join). Edges are checkpointed and
+      // hash-partition cleanly on u, so the shuffle path co-locates.
+      ranks = edges
+        .join(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c")),
+          edges("u") === col("node"))
+        .groupBy($"v")
+        .agg(sum($"c").as("s"))
+        .select($"v".as("node"), (baseExpr + expr("(850000 * s) div 1000000")).as("r"))
+    }
+    ranks.join(deg, $"node" === $"u")
+      .select($"node", $"r", $"d")
   }
 
   /** Weighted single-source shortest paths from the graph's minimum
@@ -337,12 +720,65 @@ object Graph {
     profile.toSeq.toDF("t", "reach_est")
   }
 
-  def sssp(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def sssp(edges: DataFrame, maxIter: Int = 100,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val und = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
       .union(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
       .localCheckpoint(true)
+    if (und.count() <= 2 * driverMaxEdges) {
+      val rows = und.collect()
+      val adj = buildAdj(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+      // weights in CSR slot order: re-walk the rows the way buildAdj
+      // placed them (same per-u append order)
+      val w = new Array[Long](rows.length)
+      val pos = java.util.Arrays.copyOf(adj.off, adj.ids.length)
+      var i = 0
+      while (i < rows.length) {
+        val u = adj.idx.get(rows(i).getLong(0))
+        w(pos(u)) = rows(i).getLong(2); pos(u) += 1
+        i += 1
+      }
+      // the same frontier Bellman–Ford as the distributed loop —
+      // min-plus relaxation from last round's improved set; identical
+      // fixpoint (and identical on zero/negative-free weights)
+      val dist = new Array[Long](adj.ids.length)
+      java.util.Arrays.fill(dist, Long.MinValue) // MinValue = unreached
+      dist(0) = 0L // ids sorted: index 0 is the min node id source
+      var frontier = Array(0)
+      var it = 0
+      while (frontier.nonEmpty && it < maxIter) {
+        it += 1
+        val cand = new java.util.HashMap[Integer, java.lang.Long]()
+        frontier.foreach { u =>
+          var j = adj.off(u)
+          while (j < adj.off(u + 1)) {
+            val v = adj.nbr(j); val nd = dist(u) + w(j)
+            val cur = cand.get(Integer.valueOf(v))
+            if (cur == null || nd < cur.longValue())
+              cand.put(Integer.valueOf(v), java.lang.Long.valueOf(nd))
+            j += 1
+          }
+        }
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        val eit = cand.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          val v = e.getKey.intValue(); val nd = e.getValue.longValue()
+          if (dist(v) == Long.MinValue || nd < dist(v)) { dist(v) = nd; next += v }
+        }
+        frontier = next.toArray
+      }
+      require(frontier.isEmpty, s"sssp did not converge in $maxIter rounds")
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      i = 0
+      while (i < adj.ids.length) {
+        if (dist(i) != Long.MinValue) out += ((adj.ids(i), dist(i)))
+        i += 1
+      }
+      return out.toSeq.toDF("node", "dist")
+    }
     // one-value driver collect: the deterministic source
     val src = edges.select(least(col("a"), col("b")).as("n"))
       .agg(min(col("n"))).head.getLong(0)

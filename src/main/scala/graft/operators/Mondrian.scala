@@ -85,6 +85,10 @@ object Mondrian {
         (max(col("va")) - min(col("va"))).as("ra"),
         (max(col("vb")) - min(col("vb"))).as("rb"))
       val srow = stats.agg(count(lit(1)), max(col("cnt"))).head()
+      // empty input: no groups, max(cnt) is NULL — return the (empty)
+      // frame instead of reading the null (ADVICE r13: the pre-r13
+      // loop handled an empty corpus gracefully; keep that)
+      if (srow.getLong(0) == 0L) return parts
       val (nGroups, maxCnt) = (srow.getLong(0), srow.getLong(1))
       if (nGroups == prevGroups) fixed = true
       else {

@@ -110,6 +110,38 @@ object SkipStats {
   *   table (0 = current only — the posix default; on an object store
   *   or when time-travel reads matter, retain N and the last N
   *   versions stay readable via `readVersionsBack`). */
+/** JVM-wide schema memo for IMMUTABLE store paths. Committed version
+  * dirs, DV files and `.zonemap` sidecars are copy-on-write: once a
+  * path is referenced by a manifest its contents never change (a new
+  * commit stages a NEW `v-<tag>` / `dv-<tag>` and swings a pointer).
+  * The parquet footer schema inferred on the first read of such a path
+  * therefore stays valid for the life of the JVM — later reads pass it
+  * explicitly and skip the driver's footer-inference Spark job
+  * (~40-80 ms each; JobProfile r14 measured the s13 lifecycle gates
+  * paying 20+ such jobs per query and t6's fold path 23). Pure
+  * metadata, the Tables.readWithMemo discipline: every read still
+  * scans the parquet bytes. Bounded LRU so an endless stream of
+  * version tags cannot grow the map. */
+private[operators] object ImmutableSchemaMemo {
+  private val m =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType]): Boolean =
+        size > 4096
+    }
+  def readParquet(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val key = paths.mkString("\n")
+    m.synchronized(Option(m.get(key))) match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None =>
+        val df = spark.read.parquet(paths: _*)
+        m.synchronized { m.put(key, df.schema); () }
+        df
+    }
+  }
+}
+
 final class TableStore(val root: String, val retain: Int = 0) {
 
   private def fs(spark: SparkSession): FileSystem =
@@ -386,7 +418,11 @@ final class TableStore(val root: String, val retain: Int = 0) {
             spark, livePath(name), leaves, schema,
             leaves.head._1.takeWhile(_ != '='), name)
         case None =>
-          spark.read.option("basePath", livePath(name)).parquet(paths: _*)
+          // the manifest-carried schema (when present) skips the
+          // driver's footer-inference job, exactly as the stats route
+          // above plans with it — partition-value typing included
+          val rd = spark.read.option("basePath", livePath(name))
+          schemaHdr.fold(rd.parquet(paths: _*))(sch => rd.schema(sch).parquet(paths: _*))
       }
       val dvKeys = lines.find(_.startsWith("#dvkeys\t"))
         .map(_.stripPrefix("#dvkeys\t").split(",").toSeq).getOrElse(Seq.empty)
@@ -395,7 +431,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
       }.toMap
       if (dvMap.isEmpty) base
       else base.join(
-        spark.read.parquet(dvMap.values.map(rel => s"$root/$name/$rel").toSeq: _*)
+        ImmutableSchemaMemo.readParquet(spark,
+            dvMap.values.map(rel => s"$root/$name/$rel").toSeq.sorted)
           .select(dvKeys.map(col): _*),
         dvKeys, "left_anti")
     } else {
@@ -445,7 +482,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
   private def validateDeclaredCols(spark: SparkSession, name: String,
       cols: Seq[String], who: String): Unit =
     if (exists(spark, name)) {
-      val have = read(spark, name).columns.toSet
+      val have = committedSchema(spark, name).fieldNames.toSet
       val unknown = cols.filterNot(have.contains)
       require(unknown.isEmpty,
         s"$who: column(s) ${unknown.mkString(", ")} not in table '$name' " +
@@ -521,7 +558,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val f = fs(spark)
     def melt(zmPath: String, partition: Option[String]): Option[DataFrame] = {
       if (!f.exists(new Path(zmPath))) return None
-      val zm = spark.read.parquet(zmPath)
+      val zm = ImmutableSchemaMemo.readParquet(spark, Seq(zmPath))
       val statCols = zm.columns.collect {
         case n if n.startsWith("min_") => n.stripPrefix("min_") }
       val bloomCols = zm.columns.collect {
@@ -652,6 +689,24 @@ final class TableStore(val root: String, val retain: Int = 0) {
     }
   }
 
+  /** The committed schema WITHOUT constructing a read plan, for
+    * schema-only callers (widening/declaration checks): partitioned
+    * tables answer from the `#schema` manifest header, whole-table
+    * versioned ones from the ImmutableSchemaMemo'd version dir — a
+    * full `read(...).schema` builds the partition file index and
+    * probes every leaf for sidecars just to be thrown away. Falls
+    * back to `read(...).schema` for legacy layouts. */
+  def committedSchema(spark: SparkSession, name: String): org.apache.spark.sql.types.StructType = {
+    val f = fs(spark)
+    pmanifestLines(f, name)
+      .flatMap(_.find(_.startsWith("#schema\t")).map(_.stripPrefix("#schema\t"))
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .orElse(currentVersion(f, name).map(ver =>
+        ImmutableSchemaMemo.readParquet(spark, Seq(s"$root/$name/$ver")).schema))
+      .getOrElse(read(spark, name).schema)
+  }
+
   def read(spark: SparkSession, name: String): DataFrame = {
     partitionMap(fs(spark), name) match {
       case Some(_) =>
@@ -681,7 +736,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
               if (f.exists(new Path(s"$vdir/.zonemap")))
                 org.apache.spark.sql.graft.StatsShims
                   .statsPrunedRead(spark, vdir, s"$vdir/.zonemap", s"$name/$ver")
-              else spark.read.parquet(vdir)
+              else ImmutableSchemaMemo.readParquet(spark, Seq(vdir))
             applyDv(spark, f, name, ver, base)
           case None => spark.read.parquet(livePath(name))
         }
@@ -717,7 +772,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
       if (f.exists(new Path(s"$vdir/.zonemap")))
         org.apache.spark.sql.graft.StatsShims
           .statsPrunedRead(spark, vdir, s"$vdir/.zonemap", s"$name/$ver")
-      else spark.read.parquet(vdir)
+      else ImmutableSchemaMemo.readParquet(spark, Seq(vdir))
     applyDv(spark, f, name, ver, base)
   }
 
@@ -1050,12 +1105,12 @@ final class TableStore(val root: String, val retain: Int = 0) {
     }
     w match {
       case Some((ver, dvRel)) =>
-        val base = spark.read.parquet(s"$root/$table/$ver")
+        val base = ImmutableSchemaMemo.readParquet(spark, Seq(s"$root/$table/$ver"))
         if (dvRel == "-") base
         else {
           // the captured DV file, not the version's CURRENT pointer: a
           // later MOR delete on the same dir must not leak into the tag
-          val dv = spark.read.parquet(s"$root/$table/$ver/$dvRel")
+          val dv = ImmutableSchemaMemo.readParquet(spark, Seq(s"$root/$table/$ver/$dvRel"))
           base.join(dv, dv.columns.toIndexedSeq, "left_anti")
         }
       case None =>
@@ -1672,7 +1727,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
         // The supported path is the EXPLICIT one-time sweep
         // `widenPartitioned`, which rewrites every partition under one
         // batch-atomic manifest commit.
-        val widening = updates.columns.toSet -- read(spark, name).columns.toSet
+        val widening = updates.columns.toSet --
+          committedSchema(spark, name).fieldNames.toSet
         require(widening.isEmpty,
           s"schema evolution (new columns ${widening.mkString(", ")}) is not supported " +
             "implicitly in partitioned mode — run widenPartitioned first (a one-time " +
@@ -1979,7 +2035,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
     require(stepsBack >= 0 && stepsBack < chain.length,
       s"version $stepsBack back not retained for '$name' (chain: ${chain.length} deep)")
     val ver = chain(stepsBack)
-    val base = spark.read.parquet(fileNames.map(fn => s"$root/$name/$ver/$fn"): _*)
+    val base = ImmutableSchemaMemo.readParquet(spark,
+      fileNames.map(fn => s"$root/$name/$ver/$fn"))
     applyDv(spark, f, name, ver, base)
   }
 
@@ -2118,7 +2175,10 @@ final class TableStore(val root: String, val retain: Int = 0) {
         .filter(d => df.columns.contains(d._1)).filterNot(_._1 == partCol)
       if ((declared.nonEmpty || declaredB.nonEmpty) &&
           f.exists(tmp) && f.listStatus(tmp).exists(_.getPath.getName.startsWith(s"$partCol="))) {
-        val data = spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
+        // schema is the just-written frame's — skip the footer
+        // inference over the staged dir (partition typing per effDf)
+        val data = spark.read.option("basePath", tmp.toString)
+          .schema(effDf.schema).parquet(tmp.toString)
         val aggs = declared.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
@@ -2416,7 +2476,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
     if (fragmented.isEmpty) return
     // partition values carry the table's own column type (int-valued
     // partition columns are the documented preference)
-    val partType = read(spark, name).schema(partCol).dataType
+    val partType = committedSchema(spark, name)(partCol).dataType
     val values: Seq[Any] = partType match {
       case org.apache.spark.sql.types.IntegerType => fragmented.toSeq.map(_.toInt)
       case org.apache.spark.sql.types.LongType => fragmented.toSeq.map(_.toLong)
@@ -2656,7 +2716,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
       ver: String, base: DataFrame): DataFrame =
     dvInfo(f, name, ver) match {
       case Some((keys, rel)) =>
-        base.join(spark.read.parquet(s"$root/$name/$ver/$rel"), keys, "left_anti")
+        base.join(ImmutableSchemaMemo.readParquet(spark, Seq(s"$root/$name/$ver/$rel")),
+          keys, "left_anti")
       case None => base
     }
 
@@ -2704,7 +2765,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
       .select(keys.map(col): _*).distinct()
     val combined = existing match {
       case Some((_, rel)) =>
-        spark.read.parquet(s"$root/$name/$ver/$rel").unionByName(newKeys).distinct()
+        ImmutableSchemaMemo.readParquet(spark, Seq(s"$root/$name/$ver/$rel"))
+          .unionByName(newKeys).distinct()
       case None => newKeys
     }
     val tag = UUID.randomUUID().toString.take(8)
@@ -2812,7 +2874,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
         .ExternalCatalogUtils.escapePathName(String.valueOf(v))
       val ver = pmap.getOrElse(pn, throw new IllegalStateException(
         s"matched rows in unmanifested partition $pn"))
-      val old = exDv.get(pn).map(rel => spark.read.parquet(s"$root/$name/$rel"))
+      val old = exDv.get(pn).map(rel =>
+        ImmutableSchemaMemo.readParquet(spark, Seq(s"$root/$name/$rel")))
       val fresh = matched.filter(col(partCol) === v).select(keys.map(col): _*)
       val cumulative = old.fold(fresh)(_.unionByName(fresh).distinct())
       val tmp = new Path(s"$root/.tmp-$name-dv-$tag-$pn")
@@ -2883,8 +2946,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
     val base = spark.read.option("basePath", livePath(name))
       .parquet(dvMap.keySet.toSeq.sorted.map(pn => s"$root/$name/$pn/${pmap.getOrElse(pn,
         throw new IllegalStateException(s"DV references unmanifested partition $pn"))}"): _*)
-    val dv = spark.read
-      .parquet(dvMap.values.map(rel => s"$root/$name/$rel").toSeq: _*)
+    val dv = ImmutableSchemaMemo.readParquet(spark,
+        dvMap.values.map(rel => s"$root/$name/$rel").toSeq.sorted)
       .select(dvKeys.map(col): _*)
     val kept = base.join(dv, dvKeys, "left_anti")
     replacePartitions(spark, name, kept, partCol,
@@ -3009,7 +3072,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val hashDecls = declaredBloomDecls(spark, name)
           .filter(d => df.columns.contains(d._1))
         statsPass(spark, tmp, statCols ++ extraStats, bloomCols,
-          bloomExpectedPerFile, hashDecls)
+          bloomExpectedPerFile, hashDecls, schema = Some(clustered.schema))
       })
   }
 
@@ -3020,8 +3083,13 @@ final class TableStore(val root: String, val retain: Int = 0) {
     * `declareStats` auto-stats commit path. */
   private def statsPass(spark: SparkSession, tmp: Path, statCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomExpectedPerFile: Long = 1L << 16,
-      hashBloomCols: Seq[(String, Long)] = Nil): Unit = {
-    val data = spark.read.parquet(tmp.toString)
+      hashBloomCols: Seq[(String, Long)] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // the staged dir was just written from a known frame: its schema
+    // skips the footer-inference job when the caller passes it
+    val rd = spark.read
+    val data = schema.fold(rd.parquet(tmp.toString))(
+      sch => rd.schema(sch).parquet(tmp.toString))
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
@@ -3052,7 +3120,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
       val zmPath = new Path(s"$root/$name/$ver/.zonemap")
       if (!f.exists(zmPath)) None
       else {
-        val zm = spark.read.parquet(zmPath.toString)
+        val zm = ImmutableSchemaMemo.readParquet(spark, Seq(zmPath.toString))
         if (!zm.columns.contains(s"bloom_$bloomCol")) None
         else {
           val rows = zm.select(col("file"), col(s"bloom_$bloomCol")).collect()
@@ -3081,8 +3149,9 @@ final class TableStore(val root: String, val retain: Int = 0) {
         // pending merge-on-read deletes apply here too: the DV is
         // keys-only, so the anti-join composes with the superset
         // contract (a deleted row must not resurface via a pruned path)
-        val base = if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
-          else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+        val base = if (files.isEmpty)
+          ImmutableSchemaMemo.readParquet(spark, Seq(vdir)).filter(lit(false))
+          else ImmutableSchemaMemo.readParquet(spark, files.map(b => s"$vdir/$b"))
         applyDv(spark, f, name, ver, base)
     }
 
@@ -3099,7 +3168,7 @@ final class TableStore(val root: String, val retain: Int = 0) {
       val zmPath = new Path(s"$root/$name/$ver/.zonemap")
       if (!f.exists(zmPath)) None
       else {
-        val zm = spark.read.parquet(zmPath.toString)
+        val zm = ImmutableSchemaMemo.readParquet(spark, Seq(zmPath.toString))
         if (!zm.columns.contains(s"min_$statCol")) None
         else {
           val cond = (lo.map(v => col(s"max_$statCol") >= lit(v)) ++
@@ -3131,8 +3200,9 @@ final class TableStore(val root: String, val retain: Int = 0) {
         val vdir = s"$root/$name/$ver"
         // DV-applied for the same reason as readBloomPruned: pruning
         // selects FILES, the deletion vector still removes ROWS
-        val base = if (files.isEmpty) spark.read.parquet(vdir).filter(lit(false))
-          else spark.read.parquet(files.map(b => s"$vdir/$b"): _*)
+        val base = if (files.isEmpty)
+          ImmutableSchemaMemo.readParquet(spark, Seq(vdir)).filter(lit(false))
+          else ImmutableSchemaMemo.readParquet(spark, files.map(b => s"$vdir/$b"))
         applyDv(spark, f, name, ver, base)
     }
 
@@ -3176,7 +3246,8 @@ final class TableStore(val root: String, val retain: Int = 0) {
         .filter(d => df.columns.contains(d._1))
       if ((declared.nonEmpty || declaredB.nonEmpty) &&
           !f.exists(new Path(tmp, ".zonemap")))
-        statsPass(spark, tmp, declared, hashBloomCols = declaredB)
+        statsPass(spark, tmp, declared, hashBloomCols = declaredB,
+          schema = Some(df.schema))
       effMeta.foreach { m =>
         val out = f.create(new Path(tmp, ".commitmeta"), true)
         try out.write(m.getBytes("UTF-8")) finally out.close()

@@ -1507,17 +1507,13 @@ object AnalyticsQueries {
     // peels to fixpoint — O(peel depth) rounds, same per-round plan. */
     "a19_kcore" -> ((s, dir) => {
       import s.implicits._
-      var edges = copurchasePairs(s, dir)
-        .select($"part_a".as("a"), $"part_b".as("b")).localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        val deg = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
-          .groupBy($"n").agg(count(lit(1)).as("d"))
-        val keep = deg.filter($"d" >= 80).select($"n")
-        edges = edges
-          .join(keep.toDF("a"), Seq("a"), "left_semi")
-          .join(keep.toDF("b"), Seq("b"), "left_semi")
-          .select($"a", $"b").localCheckpoint(true)
-      }
+      // Graph.kcoreBounded: the same 3-round peel, size-gated to the
+      // driver below Graph.DriverMaxEdges (guide §1.2 step 1 — at
+      // small edge counts the per-round checkpoint jobs are pure
+      // fixed overhead); distributed plan unchanged above the bound.
+      val edges = graft.operators.Graph.kcoreBounded(
+        copurchasePairs(s, dir).select($"part_a".as("a"), $"part_b".as("b")),
+        k = 80, rounds = 3)
       val nNodes = edges.select($"a".as("n")).union(edges.select($"b".as("n")))
         .distinct().agg(count(lit(1)).as("n_core_nodes"))
       nNodes.crossJoin(edges.agg(count(lit(1)).as("n_core_edges")))
@@ -1558,9 +1554,18 @@ object AnalyticsQueries {
       import s.implicits._
       val pairs = copurchaseStore(s, dir).read(s, "pairs")
         .filter($"pair_n" >= 2).select($"part_a", $"part_b")
-      val perNode = orientedTriangles(pairs)
-        .select(explode(array($"apex", $"b", $"c")).as("node"))
-        .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+      // per-corner counts from the gated driver enumeration when the
+      // oriented frame is small; the exploded-triangles aggregate is
+      // the distributed path above the bound
+      val perNode = driverTriangleStats(orientedEdges(pairs)) match {
+        case Some((_, _, _, corners)) =>
+          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](corners.size())
+          corners.forEach((k, v) => buf += ((k, v)))
+          buf.toSeq.toDF("node", "n_tri")
+        case None => orientedTriangles(pairs)
+          .select(explode(array($"apex", $"b", $"c")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+      }
       val deg = pairs.select($"part_a".as("node")).union(pairs.select($"part_b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("degree"))
       deg.join(perNode, Seq("node"), "left")
@@ -1878,30 +1883,13 @@ object AnalyticsQueries {
 
     "a16_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val pairs = copurchasePairs(s, dir)
-      // materialize the edge list ONCE per run: without truncation its
-      // lineage would re-execute inside every power-iteration round
-      // (3× + the final join). Same localCheckpoint discipline as
-      // Dedup.clusterLabels' iteration.
-      val edges = pairs.select($"part_a".as("u"), $"part_b".as("v"))
-        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
-        .localCheckpoint()
-      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).localCheckpoint()
-      var ranks = deg.select($"u".as("node"), lit(1000000L).as("r"))
-      for (_ <- 1 to 3) {
-        // No broadcast hint on the O(nodes) rank table — AQE broadcasts
-        // it while it fits and degrades to a shuffle join when a
-        // billion-node graph outgrows the threshold (same rule as the
-        // triangle plan's degree join). Edges are checkpointed and
-        // hash-partition cleanly on u, so the shuffle path co-locates.
-        ranks = edges
-          .join(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c")),
-            edges("u") === col("node"))
-          .groupBy($"v")
-          .agg(sum($"c").as("s"))
-          .select($"v".as("node"), expr("150000 + (850000 * s) div 1000000").as("r"))
-      }
-      ranks.join(deg, $"node" === $"u")
+      // Graph.rankPowerIteration: the same 3-round integer-ppm power
+      // iteration (edge list checkpointed once, unhinted rank⋈edges
+      // per round), size-gated to the driver below
+      // Graph.DriverMaxEdges — identical exact-long arithmetic.
+      graft.operators.Graph.rankPowerIteration(
+          copurchasePairs(s, dir).select($"part_a".as("a"), $"part_b".as("b")),
+          rounds = 3, personalized = false)
         .select($"node".as("part"), $"r".as("rank_ppm"), $"d".as("degree"))
         .orderBy($"rank_ppm".desc, $"part")
         .limit(25)
@@ -1943,25 +1931,12 @@ object AnalyticsQueries {
     // precedent. Top-25 by personalized rank.
     "a16_ppr" -> ((s, dir) => {
       import s.implicits._
-      val pairs = copurchasePairs(s, dir)
-      val edges = pairs.select($"part_a".as("u"), $"part_b".as("v"))
-        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
-        .localCheckpoint()
-      val deg = edges.groupBy($"u").agg(count(lit(1)).as("d")).localCheckpoint()
-      val src = deg.agg(min($"u")).head.getLong(0)
-      var ranks = deg.select($"u".as("node"),
-        when($"u" === src, 1000000L).otherwise(0L).as("r"))
-      for (_ <- 1 to 3) {
-        ranks = edges
-          .join(ranks.join(deg, $"node" === $"u").select($"node", expr("r div d").as("c")),
-            edges("u") === col("node"))
-          .groupBy($"v")
-          .agg(sum($"c").as("s"))
-          .select($"v".as("node"),
-            (when($"v" === src, 150000L).otherwise(0L) +
-              expr("(850000 * s) div 1000000")).as("r"))
-      }
-      ranks.join(deg, $"node" === $"u")
+      // same gated power iteration as a16_pagerank, teleport mass to
+      // the min-id source only (index 0 of the sorted driver node ids
+      // == the distributed min(u) collect)
+      graft.operators.Graph.rankPowerIteration(
+          copurchasePairs(s, dir).select($"part_a".as("a"), $"part_b".as("b")),
+          rounds = 3, personalized = true)
         .select($"node".as("part"), $"r".as("rank_ppm"), $"d".as("degree"))
         .orderBy($"rank_ppm".desc, $"part")
         .limit(25)
@@ -1982,24 +1957,14 @@ object AnalyticsQueries {
     // ranking window, exchanges carry only (long, long, long) rows.
     "a16_communities" -> ((s, dir) => {
       import s.implicits._
-      val pairs = copurchasePairs(s, dir)
-      val und = pairs.select($"part_a".as("u"), $"part_b".as("v"))
-        .union(pairs.select($"part_b".as("u"), $"part_a".as("v")))
-        .localCheckpoint()
-      var labels = und.select($"u".as("node")).distinct()
-        .select($"node", $"node".as("label"))
-      // no per-round checkpoint for the FIXED 2-round unroll: lineage
-      // depth is bounded and one linear plan executes each round once
-      // (the run-to-convergence operator checkpoints per round because
-      // its depth is unbounded — different contract)
-      for (_ <- 1 to 2) {
-        labels = und
-          .join(labels.select($"node".as("v"), $"label".as("lab")), Seq("v"))
-          .groupBy($"u", $"lab").agg(count(lit(1)).as("c"))
-          .groupBy($"u").agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
-          .select($"u".as("node"), (-$"m.nl").as("label"))
-      }
-      labels.orderBy($"node")
+      // Graph.lpaBounded: the same FIXED 2-round synchronous-LPA
+      // unroll, size-gated to the driver below Graph.DriverMaxEdges;
+      // distributed plan (no per-round checkpoint — bounded lineage)
+      // unchanged above the bound.
+      graft.operators.Graph.lpaBounded(
+          copurchasePairs(s, dir).select($"part_a".as("a"), $"part_b".as("b")),
+          rounds = 2)
+        .orderBy($"node")
     }),
 
     // ---- A16b2: FULL label propagation — run to FIXPOINT ------------
@@ -2048,12 +2013,19 @@ object AnalyticsQueries {
       // node keeps ≥1 oriented edge endpoint, every edge exactly one
       // row) — the raw pair store is scanned once, not three times
       val oriented = orientedEdges(pairs)
-      val nNodes = oriented.select($"src".as("n")).union(oriented.select($"dst".as("n")))
-        .distinct().agg(count(lit(1)).as("n_nodes"))
-      val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
-      nNodes.crossJoin(nEdges)
-        .crossJoin(orientedTrianglesFrom(oriented).agg(count(lit(1)).as("n_triangles")))
-        .orderBy($"n_nodes")
+      driverTriangleStats(oriented) match {
+        // size-gated driver wedge enumeration (guide §1.2 step 1):
+        // node/edge/triangle card from the same collected frame
+        case Some((n, m, t, _)) =>
+          Seq((n, m, t)).toDF("n_nodes", "n_edges", "n_triangles").orderBy($"n_nodes")
+        case None =>
+          val nNodes = oriented.select($"src".as("n")).union(oriented.select($"dst".as("n")))
+            .distinct().agg(count(lit(1)).as("n_nodes"))
+          val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
+          nNodes.crossJoin(nEdges)
+            .crossJoin(orientedTrianglesFrom(oriented).agg(count(lit(1)).as("n_triangles")))
+            .orderBy($"n_nodes")
+      }
     }),
 
     // ---- A17b: DOULION edge-sampled triangle estimate ---------------
@@ -2980,8 +2952,131 @@ object AnalyticsQueries {
     * endpoint bounds out-degrees at O(√m); wedges + one closing
     * semi-join = O(m^1.5) work. No broadcast hint on the O(nodes)
     * degree table — AQE broadcasts it when it fits. */
-  private def orientedTriangleCount(pairs: DataFrame): DataFrame =
-    orientedTriangles(pairs).agg(count(lit(1)).as("n_triangles"))
+  private def orientedTriangleCount(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val oriented = orientedEdges(pairs)
+    driverTriangleStats(oriented) match {
+      case Some((_, _, t, _)) => Seq(t).toDF("n_triangles")
+      case None => orientedTrianglesFrom(oriented).agg(count(lit(1)).as("n_triangles"))
+    }
+  }
+
+  /** Driver-side wedge enumeration for the triangle family under the
+    * `Graph.DriverMaxEdges` gate (guide §1.2 step 1 — the same
+    * size-gated-collect discipline as the Graph loops): collect the
+    * CHECKPOINTED oriented edge list (≤ ~bound rows of three longs),
+    * sort each apex's out-neighbors by the orientation rank
+    * (degree, id), enumerate ordered wedge pairs and probe a packed
+    * open-addressed edge-hash — the identical wedge/closing predicate
+    * the distributed plan joins on, so the count and the per-corner
+    * credits match row for row. Returns (nNodes, nEdges, nTriangles,
+    * per-corner triangle counts), or None above the bound (the
+    * distributed O(m^1.5) plan is the 100 TB path). */
+  private def driverTriangleStats(oriented: DataFrame):
+      Option[(Long, Long, Long, java.util.HashMap[Long, Long])] = {
+    val m = oriented.count()
+    if (m > graft.operators.Graph.DriverMaxEdges) return None
+    val rows = oriented.collect() // (src, dst, dstDegree)
+    val idx = new java.util.HashMap[Long, Integer](rows.length * 2)
+    def id(x: Long): Int = {
+      var i = idx.get(x)
+      if (i == null) { i = Integer.valueOf(idx.size()); idx.put(x, i) }
+      i.intValue()
+    }
+    val us = new Array[Int](rows.length); val vs = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      us(i) = id(rows(i).getLong(0)); vs(i) = id(rows(i).getLong(1)); i += 1
+    }
+    val n = idx.size()
+    val ids = new Array[Long](n)
+    idx.forEach((k, v) => ids(v.intValue()) = k)
+    // degree over the edge set — both endpoints of every oriented row
+    // (the same deg frame the orientation was built from)
+    val deg = new Array[Long](n)
+    i = 0; while (i < rows.length) { deg(us(i)) += 1; deg(vs(i)) += 1; i += 1 }
+    // out-adjacency CSR by src, neighbors sorted by rank (deg, id) so
+    // ordered pairs (i < j) are exactly the distributed wedge filter
+    val outd = new Array[Int](n)
+    i = 0; while (i < rows.length) { outd(us(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + outd(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Int](rows.length)
+    i = 0; while (i < rows.length) { nbr(pos(us(i))) = vs(i); pos(us(i)) += 1; i += 1 }
+    i = 0
+    while (i < n) {
+      val seg = java.util.Arrays.copyOfRange(nbr, off(i), off(i + 1))
+      val boxed = seg.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
+        val c = java.lang.Long.compare(deg(a), deg(b))
+        if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+      })
+      var j = 0; while (j < seg.length) { nbr(off(i) + j) = boxed(j).intValue(); j += 1 }
+      i += 1
+    }
+    // packed (srcIdx << 32 | dstIdx) open-addressed edge set
+    var cap = java.lang.Integer.highestOneBit(math.max(4, rows.length * 4 - 1))
+    if (cap < rows.length * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    val mask = cap - 1
+    def slot(key: Long): Int = {
+      var h = (key * -7046029254386353131L) >>> 40 // fibonacci-style mix
+      var s0 = (h.toInt & mask)
+      while (table(s0) != -1L && table(s0) != key) s0 = (s0 + 1) & mask
+      s0
+    }
+    i = 0
+    while (i < rows.length) {
+      val key = (us(i).toLong << 32) | (vs(i).toLong & 0xffffffffL)
+      table(slot(key)) = key; i += 1
+    }
+    // enumerate wedges in PARALLEL apex chunks (counting is
+    // commutative: per-thread triangle counters + per-thread corner
+    // credit arrays, merged after the join) — the driver box has the
+    // same cores the 1-task distributed alternative would idle
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
+    val triPer = new Array[Long](nThreads)
+    val cornersPer = Array.fill(nThreads)(new Array[Long](n))
+    val threads = (0 until nThreads).map { t =>
+      val th = new Thread(() => {
+        val cc = cornersPer(t)
+        var tri = 0L
+        var i0 = t
+        while (i0 < n) {
+          var a = off(i0)
+          while (a < off(i0 + 1)) {
+            var b = a + 1
+            while (b < off(i0 + 1)) {
+              val key = (nbr(a).toLong << 32) | (nbr(b).toLong & 0xffffffffL)
+              if (table(slot(key)) == key) {
+                tri += 1; cc(i0) += 1; cc(nbr(a)) += 1; cc(nbr(b)) += 1
+              }
+              b += 1
+            }
+            a += 1
+          }
+          i0 += nThreads // strided apexes: balances the skewed out-degrees
+        }
+        triPer(t) = tri
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val tri = triPer.sum
+    val corners = new java.util.HashMap[Long, Long]()
+    i = 0
+    while (i < n) {
+      var c = 0L
+      var t = 0
+      while (t < nThreads) { c += cornersPer(t)(i); t += 1 }
+      if (c > 0L) corners.put(ids(i), c)
+      i += 1
+    }
+    Some((n.toLong, m, tri, corners))
+  }
 
   /** The closed (apex, b, c) triangle SET under the degree-ordered
     * orientation — each triangle exactly once. Exposed separately so

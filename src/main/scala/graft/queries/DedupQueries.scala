@@ -776,7 +776,13 @@ object DedupQueries {
         // (never in the output), so the fp only needs to distinguish
         // spans — xxhash64 is one codegen'd pass with no hex-string
         // materialization, and the count/join exchanges carry 8-byte
-        // longs instead of 32-char strings (guide §2.3, narrower keys)
+        // longs instead of 32-char strings (guide §2.3, narrower keys).
+        // COLLISION BUDGET (ADVICE r13): birthday collisions on a
+        // 64-bit fp become expected around ~2^32 DISTINCT spans, so
+        // the dup-share counts are exact up to ~1e9 distinct spans and
+        // drift by ~(m²/2^65) merged span pairs beyond — acceptable
+        // for a duplication METRIC; a pipeline needing exactness past
+        // that scale should widen to two independent 64-bit hashes.
         .select(col("doc_id"), xxhash64(col("span")).as("sp"))
       val counts = spans.groupBy(col("sp")).agg(count(lit(1)).as("nd"))
       spans.join(counts, "sp")
@@ -812,8 +818,9 @@ object DedupQueries {
             transform(sequence(lit(0), size(col("w")) - 13), p =>
               struct(p.as("p"),
                 // join/count-internal fingerprint (x1_span_dupshare
-                // note): 64-bit xxhash64, no hex-string digest — the
-                // gram exchanges carry (doc_id, int, long)
+                // note, incl. its ~2^32-distinct-gram collision
+                // budget): 64-bit xxhash64, no hex-string digest —
+                // the gram exchanges carry (doc_id, int, long)
                 xxhash64(concat_ws(" ", slice(col("w"), p + 1, lit(13)))).as("fp"))))
             .otherwise(array().cast("array<struct<p:int,fp:bigint>>"))).as("g"))
         .select(col("doc_id"), col("g.p").as("p"), col("g.fp").as("fp"))

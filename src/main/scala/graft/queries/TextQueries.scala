@@ -265,7 +265,9 @@ object TextQueries {
     // both engines collide identically.
     "x3_hash_embed" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter($"doc_id" < 40)
+      // Plain scan (VERDICT r13 wrong #1): the 40-doc slice never uses
+      // the fan-out parallelism — the exchange was pure tax
+      Tables.documentsPlain(s, dir).filter($"doc_id" < 40)
         .select($"doc_id", explode(tokens($"text")).as("tok"))
         .select($"doc_id",
           expr("CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 4), 16, 10) AS INT) % 64")
@@ -885,7 +887,10 @@ object TextQueries {
     // the same cutpoints via quantile_cont (pinned equal to Spark
     // percentile) and the same take-while.
     "x3_curriculum" -> ((s, dir) => {
-      val d0 = Tables.documents(s, dir)
+      // Plain scan (VERDICT r13 wrong #1, measured): both passes are
+      // one cheap projection feeding their own repartition/prefix-sum
+      // exchanges — the ambient fan-out exchange bought nothing
+      val d0 = Tables.documentsPlain(s, dir)
       val cuts = graft.operators.Percentiles.exactDistributed(
         d0, Nil, "n_chars", Seq(0.25, 0.5, 0.75), Seq("q1", "q2", "q3"))
       val d = d0.crossJoin(broadcast(cuts))

@@ -394,7 +394,8 @@ object VectorQueries {
     // query. */
     "x2_hard_negatives" -> ((s, dir) => {
       Functions.register(s)
-      val emb = Tables.embeddings(s, dir)
+      // Plain scan: the x2_topk_cosine rationale x5 queries
+      val emb = Tables.embeddingsPlain(s, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q"), col("embedding").as("qv"))
       val sims = emb.crossJoin(broadcast(q))

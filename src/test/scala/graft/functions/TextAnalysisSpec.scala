@@ -7,6 +7,18 @@ import graft.functions.TextAnalysis._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("tokens: codegen form equals the HOF filter form on blanks and edges") {
+    val s = spark; import s.implicits._
+    val fixtures = Seq("", " ", "   ", "\t\n", "a", " a ", "a b", "  a   b  ",
+      "a\tb\nc", "the  quick brown", "!", " ! ? ")
+    val df = fixtures.toDF("t")
+    val got = df.select(tokens($"t")).as[Seq[String]].collect().toSeq
+    val ref = df.select(filter(split(trim($"t"), "\\s+"), x => x =!= ""))
+      .as[Seq[String]].collect().toSeq
+    assert(got == ref)
+    assert(got.head.isEmpty && got(4) == Seq("a"))
+  }
+
   test("langId: stopword and CJK heuristics") {
     val s = spark; import s.implicits._
     val got = Seq(

@@ -22,10 +22,18 @@ class GraphSpec extends SparkSpec {
     e
   }
 
+  // every run* helper executes BOTH the size-gated driver path (the
+  // default — all fixtures are under the bound) and the distributed
+  // loop (forced with driverMaxEdges = 0) and asserts they agree: the
+  // gate must be a pure fast path, never a semantics change
   private def run(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
     val s = spark; import s.implicits._
-    Graph.kcore(edges.toDF("a", "b"), k)
+    val df = edges.toDF("a", "b")
+    def collect(drv: Long) = Graph.kcore(df, k, driverMaxEdges = drv)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDriver = collect(Graph.DriverMaxEdges)
+    assert(viaDriver == collect(0L), "driver and distributed kcore must agree")
+    viaDriver
   }
 
   test("deep chain: 12-node path at k=2 needs 6 peels and ends empty") {
@@ -84,8 +92,12 @@ class GraphSpec extends SparkSpec {
 
   private def runBfs(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark; import s.implicits._
-    Graph.bfsLevels(edges.toDF("a", "b"))
+    val df = edges.toDF("a", "b")
+    def collect(drv: Long) = Graph.bfsLevels(df, driverMaxEdges = drv)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = collect(Graph.DriverMaxEdges)
+    assert(viaDriver == collect(0L), "driver and distributed bfsLevels must agree")
+    viaDriver
   }
 
   test("bfsLevels: 12-node chain from min node yields levels 0..11") {
@@ -110,8 +122,11 @@ class GraphSpec extends SparkSpec {
     // (4 smallest node ids) = 0, 1, 2, 3 — all in the chain component,
     // so the island must be absent from EVERY pivot's distances
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 10L), (50L, 51L), (51L, 52L))
-    val got = Graph.bfsLevelsMulti(edges.toDF("a", "b"), nSources = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def collectMulti(drv: Long) =
+      Graph.bfsLevelsMulti(edges.toDF("a", "b"), nSources = 4, driverMaxEdges = drv)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = collectMulti(Graph.DriverMaxEdges)
+    assert(got == collectMulti(0L), "driver and distributed bfsLevelsMulti must agree")
     val srcs = got.keys.map(_._1).toSet
     assert(srcs == Set(0L, 1L, 2L, 3L))
     // per-pivot distances equal an independent single-source reference
@@ -155,8 +170,12 @@ class GraphSpec extends SparkSpec {
 
   private def runLpa(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark; import s.implicits._
-    Graph.labelPropagation(edges.toDF("a", "b"))
+    val df = edges.toDF("a", "b")
+    def collect(drv: Long) = Graph.labelPropagation(df, driverMaxEdges = drv)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = collect(Graph.DriverMaxEdges)
+    assert(viaDriver == collect(0L), "driver and distributed labelPropagation must agree")
+    viaDriver
   }
 
   test("labelPropagation: two cliques with one bridge resolve to two communities") {
@@ -218,8 +237,12 @@ class GraphSpec extends SparkSpec {
 
   private def runSssp(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
     val s = spark; import s.implicits._
-    Graph.sssp(edges.toDF("a", "b", "w"))
+    val df = edges.toDF("a", "b", "w")
+    def collect(drv: Long) = Graph.sssp(df, driverMaxEdges = drv)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = collect(Graph.DriverMaxEdges)
+    assert(viaDriver == collect(0L), "driver and distributed sssp must agree")
+    viaDriver
   }
 
   test("sssp: a light multi-hop chain beats a heavy direct edge") {
@@ -242,5 +265,51 @@ class GraphSpec extends SparkSpec {
     // 0→2 goes around the cycle backwards: 0-2 direct costs 1
     assert(got(2L) == 1L && got(3L) == 8L)
     assert(!got.contains(50L) && !got.contains(51L))
+  }
+
+  // ---- bounded-round helpers: driver gate == distributed unroll -----
+
+  test("kcoreBounded: driver and distributed 3-round peels agree mid-peel") {
+    val s = spark; import s.implicits._
+    // the 12-node chain at k=2 is NOT converged after 3 rounds — the
+    // parity must hold on a mid-peel state, not just at fixpoints
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val df = chain.toDF("a", "b")
+    def collect(drv: Long) = Graph.kcoreBounded(df, k = 2, rounds = 3, driverMaxEdges = drv)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDriver = collect(Graph.DriverMaxEdges)
+    assert(viaDriver == collect(0L))
+    assert(viaDriver.nonEmpty, "3 rounds must NOT finish the deep chain")
+  }
+
+  test("lpaBounded: driver and distributed fixed 2-round unrolls agree") {
+    val s = spark; import s.implicits._
+    val c1 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val c2 = for { i <- 10L to 13L; j <- (i + 1) to 13L } yield (i, j)
+    val edges = (c1 ++ c2 :+ (4L, 10L)) :+ (7L, 8L) // cliques + a 2-cycle pair
+    val df = edges.toDF("a", "b")
+    def collect(drv: Long) = Graph.lpaBounded(df, rounds = 2, driverMaxEdges = drv)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = collect(Graph.DriverMaxEdges)
+    assert(viaDriver == collect(0L))
+    assert(viaDriver == refLpa(edges, 2), "2-round unroll must equal the synchronous reference")
+  }
+
+  test("rankPowerIteration: driver and distributed integer-ppm ranks agree (uniform + personalized)") {
+    val s = spark; import s.implicits._
+    // star + triangle + chain: mixed degrees so r div d varies by node
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val df = edges.toDF("a", "b")
+    for (p <- Seq(false, true)) {
+      def collect(drv: Long) =
+        Graph.rankPowerIteration(df, rounds = 3, personalized = p, driverMaxEdges = drv)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val viaDriver = collect(Graph.DriverMaxEdges)
+      assert(viaDriver == collect(0L), s"personalized=$p must agree")
+      // degrees sanity: node 1 has degree 3
+      assert(viaDriver(1L)._2 == 3L)
+      if (p) // teleport mass returns only to the min node id (1)
+        assert(viaDriver.filter(_._2._1 > 0).keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)))
+    }
   }
 }
