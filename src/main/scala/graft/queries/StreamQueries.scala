@@ -1081,9 +1081,14 @@ object StreamQueries {
             val flags = batch.select("doc_id", "lang")
               .join(dropped.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
               .select(col("doc_id"), col("lang"), coalesce(col("dup"), lit(0L)).as("dup"))
-            store.replacePartitions(sb, "nd_flags", flags.withColumn("_nd_bn", lit(bid)), "_nd_bn")
-            store.replacePartitions(sb, "nd_docs", batch.withColumn("_nd_bn", lit(bid)), "_nd_bn")
-            store.replacePartitions(sb, "nd_buckets", bb.withColumn("_nd_bn", lit(bid)), "_nd_bn")
+            // coalesce(1): one file per batch partition (the t16
+            // small-files rationale — each commit is batch-sized)
+            store.replacePartitions(sb, "nd_flags",
+              flags.withColumn("_nd_bn", lit(bid)).coalesce(1), "_nd_bn")
+            store.replacePartitions(sb, "nd_docs",
+              batch.withColumn("_nd_bn", lit(bid)).coalesce(1), "_nd_bn")
+            store.replacePartitions(sb, "nd_buckets",
+              bb.withColumn("_nd_bn", lit(bid)).coalesce(1), "_nd_bn")
             ()
           }
           .trigger(Trigger.AvailableNow())
@@ -1189,16 +1194,21 @@ object StreamQueries {
                 subNodes, "rid", subEdges.unionByName(newEdges))
               .withColumnRenamed("id", "rid")
               .withColumn("b16", pmod(col("rid"), lit(16L)).cast("int"))
+            // coalesce(1): each commit lands ONE batch partition of a
+            // few thousand rows — without it every commit wrote a file
+            // (+ .crc sidecar) per shuffle task, and r14 stack sampling
+            // showed t16's task time parked in ParquetOutputWriter
+            // creation, not data (guide §6 small-files, write side)
             store.replacePartitions(sb, "er_recs",
-              newRecs.withColumn("_er_bn", lit(bid)), "_er_bn")
+              newRecs.withColumn("_er_bn", lit(bid)).coalesce(1), "_er_bn")
             store.replacePartitions(sb, "er_bands",
-              newBuild.withColumn("_er_bn", lit(bid)), "_er_bn")
+              newBuild.withColumn("_er_bn", lit(bid)).coalesce(1), "_er_bn")
             store.replacePartitions(sb, "er_edges",
-              newEdges.withColumn("_er_bn", lit(bid)), "_er_bn")
+              newEdges.withColumn("_er_bn", lit(bid)).coalesce(1), "_er_bn")
             // labels LAST, replay-guarded: a crash before this commit
             // replays the batch against unchanged labels
             store.upsertPartitioned(sb, "er_labels", relabeled,
-              Seq("rid"), "b16", batchId = Some(bid))
+              Seq("rid"), "b16", numFiles = Some(1), batchId = Some(bid))
             ()
           }
           .trigger(Trigger.AvailableNow())
@@ -1247,6 +1257,9 @@ object StreamQueries {
               .select(col("mediaId").as("media_id"),
                 col("tw").cast("long").as("tw"), col("th").cast("long").as("th"),
                 col("pixSum").as("pix_sum"))
+            // NO coalesce here (unlike t16/t10): the thumbs frame is a
+            // NARROW decode pipeline — coalesce(1) would pull the whole
+            // per-batch image decode onto one task
             store.replacePartitions(sb, "thumbs",
               thumbs.withColumn("_md_bn", lit(bid)), "_md_bn")
             ()
@@ -1295,6 +1308,7 @@ object StreamQueries {
                 col("zeroCrossings").as("zero_crossings"),
                 expr("CAST(FLOOR(SQRT(sumSq / CAST(nSamples AS DOUBLE)) * 1000) AS BIGINT)")
                   .as("rms_milli"))
+            // NO coalesce (t17 note: narrow decode pipeline)
             store.replacePartitions(sb, "audio",
               feats.withColumn("_au_bn", lit(bid)), "_au_bn")
             ()
